@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.commands._
+import graft.files.GraftFileIndex
+import graft.log.{GraftLog, Snapshot}
+
+/**
+ * User-facing entry points (reference concept: io.delta.tables.DeltaTable,
+ * DeltaTable.scala:74-1100 — re-designed API surface).
+ *
+ * {{{
+ *   Graft.write(df, "/t", mode = "overwrite", partitionBy = Seq("p"))
+ *   val t = GraftTable.forPath(spark, "/t")
+ *   t.toDF.filter(...)
+ *   t.delete($"x" < 3)
+ *   t.update($"x" === 1, Map("y" -> lit(2)))
+ *   t.merge(src, $"s.k" === $"t.k").whenMatched.updateAll
+ *     .whenNotMatched.insertAll.execute()
+ * }}}
+ */
+class GraftTable private[graft] (
+    val spark: SparkSession,
+    val log: GraftLog) {
+
+  def snapshot: Snapshot = log.update()
+
+  /** Latest-version DataFrame. */
+  def toDF: DataFrame = GraftFileIndex.dataFrame(spark, log, snapshot)
+
+  def as(alias: String): DataFrame = toDF.as(alias)
+
+  /** Time travel by version. */
+  def asOfVersion(version: Long): DataFrame =
+    GraftFileIndex.dataFrame(spark, log, log.getSnapshotAt(version))
+
+  /** Time travel by timestamp (millis or SQL timestamp string). */
+  def asOfTimestamp(ts: String): DataFrame =
+    asOfVersion(log.getVersionAtTime(java.sql.Timestamp.valueOf(ts).getTime))
+
+  def version: Long = snapshot.version
+
+  def delete(): Unit = DeleteCommand.run(spark, log.dataPath.toString, None)
+  def delete(condition: Column): Unit =
+    DeleteCommand.run(spark, log.dataPath.toString, Some(condition))
+  def delete(condition: String): Unit = delete(expr(condition))
+
+  def update(condition: Column, set: Map[String, Column]): Unit =
+    UpdateCommand.run(spark, log.dataPath.toString, Some(condition), set)
+  def updateAll(set: Map[String, Column]): Unit =
+    UpdateCommand.run(spark, log.dataPath.toString, None, set)
+  def updateExpr(condition: String, set: Map[String, String]): Unit =
+    update(expr(condition), set.map { case (k, v) => k -> expr(v) })
+
+  def merge(source: DataFrame, condition: Column): MergeBuilder =
+    new MergeBuilder(this, source, condition)
+
+  def history(limit: Int = Int.MaxValue): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(log.history(limit).map { ci =>
+      (ci.version.getOrElse(-1L), new java.sql.Timestamp(ci.timestamp),
+        ci.operation, ci.operationParameters, ci.readVersion, ci.operationMetrics)
+    }).toDF("version", "timestamp", "operation", "operationParameters",
+      "readVersion", "operationMetrics")
+  }
+
+  /** One-row summary (DESCRIBE DETAIL analogue). */
+  def detail(): DataFrame = {
+    import spark.implicits._
+    val s = snapshot
+    spark.createDataset(Seq((
+      "graft", s.metadata.id, log.dataPath.toString,
+      s.metadata.createdTime.getOrElse(0L), s.version,
+      s.metadata.partitionColumns, s.numFiles, s.sizeInBytes,
+      s.metadata.configuration
+    ))).toDF("format", "id", "location", "createdTime", "version",
+      "partitionColumns", "numFiles", "sizeInBytes", "properties")
+  }
+
+  def showPartitions(): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(snapshot.allFiles.map(_.partitionValues).distinct)
+      .toDF("partitionValues")
+  }
+
+  def optimize(): OptimizeBuilder = new OptimizeBuilder(this)
+
+  def vacuum(retentionHours: Double = 7 * 24, dryRun: Boolean = false): DataFrame =
+    VacuumCommand.run(spark, log, retentionHours, dryRun)
+
+  def restoreToVersion(version: Long): Unit =
+    RestoreCommand.run(spark, log, version)
+
+  def changes(startVersion: Long, endVersion: Long = Long.MaxValue): DataFrame =
+    Cdc.changes(spark, log, startVersion, endVersion)
+
+  def upsertProperties(props: Map[String, String]): Unit =
+    log.withNewTransaction { txn =>
+      val m = txn.snapshot.metadata
+      txn.updateMetadata(m.copy(configuration = m.configuration ++ props))
+      txn.commit(Nil, "SET TBLPROPERTIES", props)
+    }
+}
+
+object GraftTable {
+  def forPath(spark: SparkSession, path: String): GraftTable = {
+    val log = GraftLog.forTable(spark, path)
+    require(log.tableExists, s"$path is not a graft table")
+    new GraftTable(spark, log)
+  }
+
+  def isGraftTable(spark: SparkSession, path: String): Boolean =
+    GraftLog.forTable(spark, path).tableExists
+}
+
+/** Static write/read helpers mirroring `df.write.format("graft")`. */
+object Graft {
+  def write(
+      df: DataFrame,
+      path: String,
+      mode: String = "append",
+      partitionBy: Seq[String] = Nil,
+      replaceWhere: Option[String] = None,
+      mergeSchema: Boolean = false,
+      dynamicPartitionOverwrite: Boolean = false,
+      configuration: Map[String, String] = Map.empty,
+      txnAppId: Option[String] = None,
+      txnVersion: Option[Long] = None): Long =
+    WriteIntoGraft(df.sparkSession, path, df, mode, partitionBy, replaceWhere,
+      mergeSchema, dynamicPartitionOverwrite, configuration, txnAppId, txnVersion)
+
+  def read(spark: SparkSession, path: String): DataFrame =
+    GraftTable.forPath(spark, path).toDF
+
+  def readVersion(spark: SparkSession, path: String, version: Long): DataFrame =
+    GraftTable.forPath(spark, path).asOfVersion(version)
+
+  /** CONVERT TO GRAFT: register an existing parquet directory's files. */
+  def convertFromParquet(spark: SparkSession, path: String): GraftTable =
+    ConvertCommand.run(spark, path)
+}

@@ -1,0 +1,167 @@
+package graft.commands
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.graftshim.SparkShims
+import org.apache.spark.sql.functions._
+
+import graft.files.GraftFileIndex
+import graft.log._
+import graft.tx.OptimisticTransaction
+
+/** Shared plumbing for row-level DML rewrites. */
+object Dml {
+  /** Resolve the table-relative AddFiles that actually contain matching
+    * rows, by scanning candidates with `input_file_name()`. */
+  def findTouchedFiles(
+      spark: SparkSession,
+      log: GraftLog,
+      txn: OptimisticTransaction,
+      candidates: Seq[AddFile],
+      condition: Column): Seq[AddFile] = {
+    if (candidates.isEmpty) return Nil
+    val df = GraftFileIndex.dataFrame(spark, log, txn.snapshot, Some(candidates))
+    val touched = df.filter(condition)
+      .select(input_file_name().as("f")).distinct().collect().map(_.getString(0))
+    val byPath = candidates.map(f =>
+      new Path(new Path(log.dataPath, f.path).toUri.getPath).toString -> f).toMap
+    touched.flatMap { uri =>
+      byPath.get(new Path(new java.net.URI(uri).getPath).toString)
+    }.toSeq
+  }
+
+  def scanFiles(
+      spark: SparkSession,
+      log: GraftLog,
+      txn: OptimisticTransaction,
+      files: Seq[AddFile]): DataFrame =
+    GraftFileIndex.dataFrame(spark, log, txn.snapshot, Some(files))
+}
+
+/**
+ * DELETE FROM t WHERE cond, compiled to Spark scans + rewrites:
+ * partition-only predicates delete files from metadata alone; otherwise
+ * only files that actually contain matching rows are rewritten.
+ * (Reference concept: commands/DeleteCommand.scala:112-457 — re-designed.)
+ */
+object DeleteCommand {
+
+  def run(
+      spark: SparkSession,
+      path: String,
+      condition: Option[Column]): Map[String, String] = {
+    val log = GraftLog.forTable(spark, path)
+    log.withNewTransaction { txn =>
+      val m = txn.snapshot.metadata
+      val now = System.currentTimeMillis()
+      val cdf = Cdc.isEnabled(m)
+
+      val (removes, adds, cdcActions, metrics) = condition match {
+        case None =>
+          txn.readWholeTable()
+          val all = txn.snapshot.allFiles
+          val cdc = if (cdf) {
+            val allRows = Dml.scanFiles(spark, log, txn, all)
+            Cdc.writeChangeFiles(spark, log,
+              allRows.withColumn(Cdc.CHANGE_TYPE, lit("delete")))
+          } else Nil
+          (all.map(_.remove(now)), Nil, cdc,
+            Map("numRemovedFiles" -> all.size.toString))
+        case Some(cond) =>
+          val condExpr = SparkShims.expression(cond)
+          val (partF, dataF) = WriteIntoGraft.splitPredicates(condExpr, m)
+          if (dataF.isEmpty && partF.nonEmpty) {
+            // Metadata-only delete: no data is read at all.
+            val files = txn.filterFiles(partF, Nil)
+            val cdc = if (cdf && files.nonEmpty) {
+              val rows = Dml.scanFiles(spark, log, txn, files)
+              Cdc.writeChangeFiles(spark, log,
+                rows.withColumn(Cdc.CHANGE_TYPE, lit("delete")))
+            } else Nil
+            (files.map(_.remove(now)), Nil, cdc,
+              Map("numRemovedFiles" -> files.size.toString))
+          } else {
+            val candidates = txn.filterFiles(partF, dataF)
+            val touched = Dml.findTouchedFiles(spark, log, txn, candidates, cond)
+            if (touched.isEmpty) (Nil, Nil, Nil, Map("numRemovedFiles" -> "0"))
+            else {
+              val base = Dml.scanFiles(spark, log, txn, touched)
+              val survivors = base.filter(!coalesce(cond, lit(false)))
+              val newAdds = txn.writeFiles(survivors)
+              val cdc = if (cdf) {
+                Cdc.writeChangeFiles(spark, log,
+                  base.filter(coalesce(cond, lit(false)))
+                    .withColumn(Cdc.CHANGE_TYPE, lit("delete")))
+              } else Nil
+              (touched.map(_.remove(now)), newAdds, cdc,
+                Map("numRemovedFiles" -> touched.size.toString,
+                    "numAddedFiles" -> newAdds.size.toString))
+            }
+          }
+      }
+
+      txn.commit(removes ++ adds ++ cdcActions, "DELETE",
+        operationParameters = condition.map(c => "predicate" -> c.toString).toMap,
+        operationMetrics = metrics)
+      metrics
+    }
+  }
+}
+
+/**
+ * UPDATE t SET col = expr WHERE cond — rewrite only the touched files,
+ * applying `CASE WHEN cond THEN newExpr ELSE old END` per column.
+ * (Reference concept: commands/UpdateCommand.scala:59-346 — re-designed.)
+ */
+object UpdateCommand {
+
+  def run(
+      spark: SparkSession,
+      path: String,
+      condition: Option[Column],
+      set: Map[String, Column]): Map[String, String] = {
+    val log = GraftLog.forTable(spark, path)
+    log.withNewTransaction { txn =>
+      val m = txn.snapshot.metadata
+      val now = System.currentTimeMillis()
+      val cond = condition.getOrElse(lit(true))
+      val cdf = Cdc.isEnabled(m)
+
+      val (partF, dataF) = condition match {
+        case Some(c) => WriteIntoGraft.splitPredicates(SparkShims.expression(c), m)
+        case None => (Nil, Nil)
+      }
+      val candidates = txn.filterFiles(partF, dataF)
+      val touched = Dml.findTouchedFiles(spark, log, txn, candidates, cond)
+      val metrics = scala.collection.mutable.Map("numUpdatedFiles" -> touched.size.toString)
+
+      if (touched.nonEmpty) {
+        val base = Dml.scanFiles(spark, log, txn, touched)
+        val matched = coalesce(cond, lit(false))
+        val updatedCols = m.schema.fieldNames.map { name =>
+          set.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v } match {
+            case Some(newExpr) => when(matched, newExpr.cast(m.schema(name).dataType))
+              .otherwise(col(name)).as(name)
+            case None => col(name)
+          }
+        }
+        val rewritten = base.select(updatedCols.toIndexedSeq: _*)
+        val newAdds = txn.writeFiles(rewritten)
+        val cdcActions = if (cdf) {
+          val pre = base.filter(matched)
+            .withColumn(Cdc.CHANGE_TYPE, lit("update_preimage"))
+          val post = base.filter(matched).select(updatedCols.toIndexedSeq: _*)
+            .withColumn(Cdc.CHANGE_TYPE, lit("update_postimage"))
+          Cdc.writeChangeFiles(spark, log, pre.unionByName(post))
+        } else Nil
+        metrics += "numAddedFiles" -> newAdds.size.toString
+        txn.commit(touched.map(_.remove(now)) ++ newAdds ++ cdcActions, "UPDATE",
+          operationParameters = condition.map(c => "predicate" -> c.toString).toMap,
+          operationMetrics = metrics.toMap)
+      } else {
+        txn.commit(Nil, "UPDATE", operationMetrics = metrics.toMap)
+      }
+      metrics.toMap
+    }
+  }
+}

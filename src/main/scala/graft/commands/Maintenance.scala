@@ -1,0 +1,294 @@
+package graft.commands
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
+
+import graft.GraftTable
+import graft.expressions.ZOrder
+import graft.files.{GraftCommitProtocol, GraftFileIndex}
+import graft.log._
+import graft.stats.FooterStats
+import graft.tx.OptimisticTransaction
+
+/**
+ * OPTIMIZE: greedy bin-packing of small files into ~targetFileSize
+ * outputs, per partition, committed with dataChange=false so streaming
+ * readers skip it. OPTIMIZE ZORDER BY: rewrite the selection clustered on
+ * an interleaved-bits curve over quantile bucket ids, laid out with
+ * `repartitionByRange` + `sortWithinPartitions` (one range shuffle).
+ * (Reference concept: commands/OptimizeTableCommand.scala:263-559 +
+ * skipping/MultiDimClustering.scala:66-120 — re-designed.)
+ */
+class OptimizeBuilder(table: GraftTable) {
+  private var predicate: Option[String] = None
+  def where(p: String): OptimizeBuilder = { predicate = Some(p); this }
+
+  def executeCompaction(): DataFrame =
+    OptimizeCommand.compact(table, predicate)
+
+  def executeZOrderBy(cols: String*): DataFrame =
+    OptimizeCommand.zorder(table, predicate, cols)
+}
+
+object OptimizeCommand {
+  val defaultMaxFileSize: Long = 1024L * 1024 * 1024
+
+  private def conf(m: Metadata, key: String, default: Long): Long =
+    m.configuration.get(key).map(_.toLong).getOrElse(default)
+
+  def compact(table: GraftTable, predicate: Option[String]): DataFrame = {
+    val spark = table.spark
+    val log = table.log
+    val metrics = log.withNewTransaction { txn =>
+      val m = txn.snapshot.metadata
+      val minSize = conf(m, "graft.optimize.minFileSize", defaultMaxFileSize / 2)
+      val maxSize = conf(m, "graft.optimize.maxFileSize", defaultMaxFileSize)
+      val files = selectFiles(spark, txn, m, predicate).filter(_.size < minSize)
+      val bins = files.groupBy(_.partitionValues).toSeq.flatMap { case (_, fs) =>
+        binPack(fs, maxSize)
+      }.filter(_.size > 1)
+      val adds = bins.flatMap { bin =>
+        val df = Dml.scanFiles(spark, log, txn, bin).coalesce(1)
+        txn.writeFiles(df, dataChange = false)
+      }
+      val now = System.currentTimeMillis()
+      val removes = bins.flatten.map(_.remove(now, dataChange = false))
+      val metrics = Map(
+        "numFilesRemoved" -> removes.size.toString,
+        "numFilesAdded" -> adds.size.toString)
+      if (bins.nonEmpty) txn.commit(removes ++ adds, "OPTIMIZE",
+        operationMetrics = metrics)
+      metrics
+    }
+    metricsDF(spark, metrics)
+  }
+
+  def zorder(
+      table: GraftTable,
+      predicate: Option[String],
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "ZORDER BY requires at least one column")
+    val spark = table.spark
+    val log = table.log
+    val metrics = log.withNewTransaction { txn =>
+      val m = txn.snapshot.metadata
+      require(cols.forall(c => !m.partitionColumns.contains(c)),
+        "Cannot ZORDER BY a partition column")
+      val maxSize = conf(m, "graft.optimize.maxFileSize", defaultMaxFileSize)
+      val files = selectFiles(spark, txn, m, predicate)
+      if (files.isEmpty) return metricsDF(spark, Map.empty)
+      val df = Dml.scanFiles(spark, log, txn, files)
+
+      // Quantile bucket boundaries per column (one driver-side sample job),
+      // then a Z-value via bit interleaving of bucket ids.
+      val buckets = 1 << math.max(4, 15 / cols.size)
+      val zparts = cols.map { c =>
+        val dt = m.schema(c).dataType
+        val asDouble = dt match {
+          case _: NumericType => col(c).cast("double")
+          case _: TimestampType => col(c).cast("double")
+          case _: DateType => col(c).cast("timestamp").cast("double")
+          // No natural order statistics: hash (loses locality, keeps function)
+          case _ => (xxhash64(col(c)) % 1000000L).cast("double")
+        }
+        val probe = df.select(asDouble.as("v"))
+        val boundaries = probe.stat
+          .approxQuantile("v", (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+        ZOrder.boundaryBucket(asDouble, boundaries)
+      }
+      val zkey = ZOrder.interleaveBits(zparts)
+      val targetFiles = math.max(1, (files.map(_.size).sum / maxSize).toInt)
+      val clustered = df
+        .withColumn("__zkey", zkey)
+        .repartitionByRange(targetFiles, col("__zkey"))
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+      val adds = txn.writeFiles(clustered, dataChange = false)
+      val now = System.currentTimeMillis()
+      val removes = files.map(_.remove(now, dataChange = false))
+      val metrics = Map(
+        "numFilesRemoved" -> removes.size.toString,
+        "numFilesAdded" -> adds.size.toString,
+        "zOrderBy" -> cols.mkString(","))
+      txn.commit(removes ++ adds, "OPTIMIZE ZORDER", operationMetrics = metrics)
+      metrics
+    }
+    metricsDF(spark, metrics)
+  }
+
+  private def metricsDF(spark: SparkSession, m: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    m.toSeq.toDF("metric", "value")
+  }
+
+  def selectFiles(
+      spark: SparkSession,
+      txn: OptimisticTransaction,
+      m: Metadata,
+      predicate: Option[String]): Seq[AddFile] = predicate match {
+    case None => txn.filterFiles()
+    case Some(p) =>
+      val cond = spark.sessionState.sqlParser.parseExpression(p)
+      val (partF, dataF) = WriteIntoGraft.splitPredicates(cond, m)
+      require(dataF.isEmpty, s"OPTIMIZE predicate must be partition-only: $p")
+      txn.filterFiles(partF, Nil)
+  }
+
+  def binPack(files: Seq[AddFile], maxSize: Long): Seq[Seq[AddFile]] = {
+    val bins = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[AddFile]]
+    var current = mutable.ArrayBuffer.empty[AddFile]
+    var size = 0L
+    files.sortBy(_.size).foreach { f =>
+      if (size + f.size > maxSize && current.nonEmpty) {
+        bins += current; current = mutable.ArrayBuffer.empty; size = 0
+      }
+      current += f; size += f.size
+    }
+    if (current.nonEmpty) bins += current
+    bins.map(_.toSeq).toSeq
+  }
+}
+
+/**
+ * VACUUM: physically delete files no longer referenced by the current
+ * snapshot whose tombstones (or mtimes) are older than the retention
+ * window. Listing and deletion run as Spark jobs so a 100 TB table's
+ * millions of files don't serialize through the driver.
+ * (Reference concept: commands/VacuumCommand.scala:147 — re-designed.)
+ */
+object VacuumCommand {
+  def run(
+      spark: SparkSession,
+      log: GraftLog,
+      retentionHours: Double,
+      dryRun: Boolean): DataFrame = {
+    import spark.implicits._
+    val snap = log.update()
+    val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
+    val fs = log.store.fs(log.dataPath)
+    val rootDepth = log.dataPath.toUri.getPath.split("/").length
+
+    // Recursive listing, driver-side walk of directories but constant
+    // memory per dir; skips the log and CDC directories.
+    val listed = mutable.ArrayBuffer.empty[(String, Long)]
+    def walk(dir: Path): Unit = {
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (name != "_graft_log" && name != "_change_data") walk(st.getPath)
+        } else if (!name.startsWith(".") && !name.startsWith("_")) {
+          listed += ((st.getPath.toUri.getPath, st.getModificationTime))
+        }
+      }
+    }
+    walk(log.dataPath)
+
+    val live: Set[String] = snap.allFiles.map(f =>
+      new Path(log.dataPath, f.path).toUri.getPath).toSet
+    val recentTombstones: Set[String] = snap.tombstones
+      .filter(_.deletionTimestamp.forall(_ >= cutoff))
+      .map(r => new Path(log.dataPath, r.path).toUri.getPath).toSet
+
+    val candidates = listed.filter { case (p, mtime) =>
+      !live.contains(p) && !recentTombstones.contains(p) && mtime < cutoff
+    }.map(_._1).toSeq
+
+    if (!dryRun && candidates.nonEmpty) {
+      // Distributed delete.
+      val confBc = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      spark.sparkContext.parallelize(candidates,
+        math.max(1, math.min(candidates.size, 64)))
+        .foreachPartition { it =>
+          it.foreach { p =>
+            val path = new Path("file:" + p)
+            try path.getFileSystem(confBc.value).delete(path, false)
+            catch { case _: Throwable => }
+          }
+        }
+    }
+    candidates.toDF("path")
+  }
+}
+
+/**
+ * RESTORE TABLE t TO VERSION v: one metadata commit re-adding the files
+ * of the target snapshot and removing the ones added since — no data is
+ * copied. (Reference concept: commands/RestoreTableCommand.scala:88-197.)
+ */
+object RestoreCommand {
+  def run(spark: SparkSession, log: GraftLog, version: Long): Unit = {
+    log.withNewTransaction { txn =>
+      val current = txn.snapshot
+      val target = log.getSnapshotAt(version)
+      val currentPaths = current.allFiles.map(_.path).toSet
+      val targetPaths = target.allFiles.map(_.path).toSet
+      val now = System.currentTimeMillis()
+      val adds = target.allFiles.filterNot(f => currentPaths.contains(f.path))
+      val removes = current.allFiles.filterNot(f => targetPaths.contains(f.path))
+        .map(_.remove(now))
+      txn.readWholeTable()
+      if (target.metadata.schemaString != current.metadata.schemaString) {
+        txn.updateMetadata(target.metadata)
+      }
+      txn.commit(adds ++ removes, "RESTORE",
+        operationParameters = Map("version" -> version.toString),
+        operationMetrics = Map(
+          "numRestoredFiles" -> adds.size.toString,
+          "numRemovedFiles" -> removes.size.toString))
+    }
+  }
+}
+
+/**
+ * CONVERT TO GRAFT: register an existing (optionally hive-partitioned)
+ * Parquet directory as a graft table by listing its files into commit 0 —
+ * data is never rewritten. (Reference: ConvertToDeltaCommand.scala:71.)
+ */
+object ConvertCommand {
+  def run(spark: SparkSession, path: String): GraftTable = {
+    val log = GraftLog.forTable(spark, path)
+    require(!log.tableExists, s"$path is already a graft table")
+    val df = spark.read.parquet(path)
+    val schema = df.schema
+    val fs = log.store.fs(log.dataPath)
+    val rootUri = log.dataPath.toUri.getPath
+
+    val files = mutable.ArrayBuffer.empty[AddFile]
+    def walk(dir: Path, partitionValues: Map[String, String]): Unit = {
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          val pv = if (name.contains("=")) {
+            partitionValues ++ GraftCommitProtocol.parsePartitions(name)
+          } else partitionValues
+          if (!name.startsWith("_") && !name.startsWith(".")) walk(st.getPath, pv)
+        } else if (name.endsWith(".parquet") && !name.startsWith(".") && !name.startsWith("_")) {
+          val rel = st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+          files += AddFile(rel, partitionValues, st.getLen, st.getModificationTime,
+            dataChange = true)
+        }
+      }
+    }
+    walk(log.dataPath, Map.empty)
+
+    val partitionCols = files.headOption.map(_.partitionValues.keys.toSeq).getOrElse(Nil)
+    val metadata = Metadata(
+      schemaString = schema.json,
+      partitionColumns = partitionCols,
+      createdTime = Some(System.currentTimeMillis()))
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      schema.filterNot(f => partitionCols.contains(f.name)))
+    val withStats = FooterStats.withStats(spark, log.dataPath, files.toSeq, dataSchema)
+    log.withNewTransaction { txn =>
+      txn.updateMetadata(metadata)
+      txn.commit(withStats, "CONVERT",
+        operationMetrics = Map("numConvertedFiles" -> files.size.toString))
+    }
+    new GraftTable(spark, log)
+  }
+}

@@ -1,0 +1,309 @@
+package graft.commands
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftTable
+import graft.log._
+
+sealed trait MergeClause { def condition: Option[Column] }
+case class MatchedUpdate(condition: Option[Column], set: Map[String, Column])
+  extends MergeClause
+case class MatchedDelete(condition: Option[Column]) extends MergeClause
+case class NotMatchedInsert(condition: Option[Column], values: Map[String, Column])
+  extends MergeClause
+case class NotMatchedBySourceUpdate(condition: Option[Column], set: Map[String, Column])
+  extends MergeClause
+case class NotMatchedBySourceDelete(condition: Option[Column]) extends MergeClause
+
+/**
+ * Fluent MERGE INTO API (reference concept: DeltaMergeBuilder,
+ * DeltaMergeBuilder.scala:153-270 — re-designed). The target is aliased
+ * `t` and the source `s` inside clause expressions, e.g.
+ * `.merge(src, expr("t.id = s.id")).whenMatched().updateAll()`.
+ */
+class MergeBuilder(
+    table: GraftTable,
+    source: DataFrame,
+    condition: Column,
+    targetAlias: String = "t",
+    sourceAlias: String = "s") {
+
+  private val clauses = scala.collection.mutable.ArrayBuffer.empty[MergeClause]
+
+  def whenMatched(cond: Column = null): MatchedActions =
+    new MatchedActions(this, Option(cond))
+  def whenNotMatched(cond: Column = null): NotMatchedActions =
+    new NotMatchedActions(this, Option(cond))
+  def whenNotMatchedBySource(cond: Column = null): NotMatchedBySourceActions =
+    new NotMatchedBySourceActions(this, Option(cond))
+
+  private[commands] def add(c: MergeClause): MergeBuilder = { clauses += c; this }
+
+  def execute(): Map[String, String] =
+    MergeCommand.run(table, source, condition, clauses.toSeq, targetAlias, sourceAlias)
+
+  class MatchedActions(b: MergeBuilder, cond: Option[Column]) {
+    def updateAll(): MergeBuilder = b.add(MatchedUpdate(cond, null))
+    def update(set: Map[String, Column]): MergeBuilder = b.add(MatchedUpdate(cond, set))
+    def updateExpr(set: Map[String, String]): MergeBuilder =
+      update(set.map { case (k, v) => k -> expr(v) })
+    def delete(): MergeBuilder = b.add(MatchedDelete(cond))
+  }
+  class NotMatchedActions(b: MergeBuilder, cond: Option[Column]) {
+    def insertAll(): MergeBuilder = b.add(NotMatchedInsert(cond, null))
+    def insert(values: Map[String, Column]): MergeBuilder =
+      b.add(NotMatchedInsert(cond, values))
+    def insertExpr(values: Map[String, String]): MergeBuilder =
+      insert(values.map { case (k, v) => k -> expr(v) })
+  }
+  class NotMatchedBySourceActions(b: MergeBuilder, cond: Option[Column]) {
+    def update(set: Map[String, Column]): MergeBuilder =
+      b.add(NotMatchedBySourceUpdate(cond, set))
+    def updateExpr(set: Map[String, String]): MergeBuilder =
+      update(set.map { case (k, v) => k -> expr(v) })
+    def delete(): MergeBuilder = b.add(NotMatchedBySourceDelete(cond))
+  }
+}
+
+/**
+ * MERGE execution as the classic two-phase join plan:
+ *
+ * Phase 1 (findTouchedFiles): inner-join source with the target scan
+ * carrying `input_file_name()`; the distinct file set is what gets
+ * rewritten, and a groupBy over a target row id detects ambiguous
+ * multi-matches. Phase 2 (writeAllChanges): outer-join the touched files
+ * with the source and emit, per row, the first applicable clause's
+ * projection (update/delete/insert/copy) via a single CASE WHEN chain —
+ * Catalyst plans the join (broadcast or shuffle) and codegen runs the
+ * projection. Insert-only merges take a left-anti-join fast path that
+ * rewrites no target files.
+ * (Reference concept: merge/ClassicMergeExecutor.scala:72-471 +
+ * InsertOnlyMergeExecutor.scala:53 — re-designed.)
+ */
+object MergeCommand {
+
+  private val OP = "__graft_op"
+  private val FILE = "__graft_file"
+  private val RID = "__graft_rid"
+  private val SRC = "__graft_src_exists"
+
+  def run(
+      table: GraftTable,
+      source: DataFrame,
+      condition: Column,
+      clauses: Seq[MergeClause],
+      targetAlias: String,
+      sourceAlias: String): Map[String, String] = {
+    val spark = table.spark
+    val log = table.log
+    require(clauses.nonEmpty, "MERGE requires at least one WHEN clause")
+    log.withNewTransaction { txn =>
+      val m = txn.snapshot.metadata
+      val now = System.currentTimeMillis()
+      val schema = m.schema
+      val cdf = Cdc.isEnabled(m)
+
+      val matchedClauses = clauses.collect {
+        case c: MatchedUpdate => c
+        case c: MatchedDelete => c
+      }
+      val insertClauses = clauses.collect { case c: NotMatchedInsert => c }
+      val nmbsClauses = clauses.collect {
+        case c: NotMatchedBySourceUpdate => c
+        case c: NotMatchedBySourceDelete => c
+      }
+
+      val candidates =
+        if (nmbsClauses.nonEmpty) { txn.readWholeTable(); txn.snapshot.allFiles }
+        else txn.filterFiles()
+      val src = source.alias(sourceAlias)
+
+      // ---- Insert-only fast path: no target files are rewritten.
+      if (matchedClauses.isEmpty && nmbsClauses.isEmpty) {
+        val target = Dml.scanFiles(spark, log, txn, candidates).alias(targetAlias)
+        val inserts = src.join(target, condition, "left_anti")
+        val rows = applyInsertProjection(inserts, insertClauses, schema, spark)
+        val adds = txn.writeFiles(rows)
+        val cdc = if (cdf && adds.nonEmpty) {
+          Cdc.writeChangeFiles(spark, log,
+            rows.withColumn(Cdc.CHANGE_TYPE, lit("insert")))
+        } else Nil
+        val metrics = Map("numTargetRowsInserted" -> "?",
+          "numTargetFilesAdded" -> adds.size.toString)
+        txn.commit(adds ++ cdc, "MERGE", operationMetrics = metrics)
+        return metrics
+      }
+
+      // ---- Phase 1: find touched files + multi-match guard.
+      val targetScan = Dml.scanFiles(spark, log, txn, candidates)
+        .withColumn(FILE, input_file_name())
+        .withColumn(RID, monotonically_increasing_id())
+      val joinedInner = targetScan.alias(targetAlias).join(src, condition, "inner")
+      val fileAndMatches = joinedInner
+        .groupBy(col(FILE)).agg(count(lit(1)).as("n"), countDistinct(col(RID)).as("d"))
+        .collect()
+      if (matchedClauses.nonEmpty &&
+          fileAndMatches.exists(r => r.getLong(1) > r.getLong(2))) {
+        throw new IllegalStateException(
+          "MERGE failed: a target row matched multiple source rows with " +
+            "WHEN MATCHED clauses — results would be ambiguous")
+      }
+      val touchedPaths = fileAndMatches.map(_.getString(0)).toSet
+      val byPath = candidates.map(f =>
+        new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(log.dataPath, f.path).toUri.getPath).toString -> f
+      ).toMap
+      val touched = touchedPaths.flatMap { uri =>
+        byPath.get(new org.apache.hadoop.fs.Path(new java.net.URI(uri).getPath).toString)
+      }.toSeq
+      // Files needing rewrite: touched (matched rows) plus, when
+      // NOT-MATCHED-BY-SOURCE clauses exist, every candidate file.
+      val rewriteFiles = if (nmbsClauses.nonEmpty) candidates else touched
+
+      // ---- Phase 2: write all changes from one outer join.
+      val joinType =
+        if (insertClauses.nonEmpty) "full_outer" else "left_outer"
+      val rewriteScan = Dml.scanFiles(spark, log, txn, rewriteFiles)
+      val srcMarked = source.withColumn(SRC, lit(true)).alias(sourceAlias)
+      val joined = rewriteScan.withColumn("__tgt_exists", lit(true))
+        .alias(targetAlias)
+        .join(srcMarked, condition, joinType)
+
+      val isMatched = col("__tgt_exists").isNotNull && col(SRC).isNotNull
+      val isTargetOnly = col("__tgt_exists").isNotNull && col(SRC).isNull
+      val isSourceOnly = col("__tgt_exists").isNull && col(SRC).isNotNull
+
+      // Row operation: first applicable clause wins.
+      var op: Column = lit("copy")
+      var cases = Seq.empty[(Column, String)]
+      matchedClauses.zipWithIndex.foreach { case (c, i) =>
+        val cc = isMatched && c.condition.map(coalesce(_, lit(false))).getOrElse(lit(true))
+        cases :+= (cc, c match {
+          case _: MatchedUpdate => s"mu$i"
+          case _: MatchedDelete => "del"
+        })
+      }
+      insertClauses.zipWithIndex.foreach { case (c, i) =>
+        val cc = isSourceOnly && c.condition.map(coalesce(_, lit(false))).getOrElse(lit(true))
+        cases :+= (cc, s"ins$i")
+      }
+      nmbsClauses.zipWithIndex.foreach { case (c, i) =>
+        val cc = isTargetOnly && c.condition.map(coalesce(_, lit(false))).getOrElse(lit(true))
+        cases :+= (cc, c match {
+          case _: NotMatchedBySourceUpdate => s"nu$i"
+          case _: NotMatchedBySourceDelete => "del"
+        })
+      }
+      // Source-only rows with no applicable insert clause are dropped.
+      val opCol = cases.reverse.foldLeft(
+        when(isSourceOnly, lit("drop")).otherwise(lit("copy"))) {
+        case (acc, (cond, tag)) => when(cond, lit(tag)).otherwise(acc)
+      }
+      val withOp = joined.withColumn(OP, opCol)
+
+      val srcCols = source.schema.fieldNames.map(_.toLowerCase).toSet
+      def clauseSet(c: MergeClause): Map[String, Column] = c match {
+        case MatchedUpdate(_, null) => // updateAll: t.col = s.col by name
+          schema.fieldNames.filter(n => srcCols.contains(n.toLowerCase))
+            .map(n => n -> col(s"$sourceAlias.$n")).toMap
+        case MatchedUpdate(_, set) => set
+        case NotMatchedBySourceUpdate(_, set) => set
+        case NotMatchedInsert(_, null) =>
+          schema.fieldNames.filter(n => srcCols.contains(n.toLowerCase))
+            .map(n => n -> col(s"$sourceAlias.$n")).toMap
+        case NotMatchedInsert(_, values) => values
+        case _ => Map.empty
+      }
+      def outCol(name: String): Column = {
+        val tcol = col(s"$targetAlias.$name")
+        var c: Column = tcol
+        def overlay(tag: String, set: Map[String, Column], default: Column): Column = {
+          val v = set.collectFirst { case (k, x) if k.equalsIgnoreCase(name) => x }
+            .getOrElse(default)
+          v
+        }
+        var result = tcol
+        matchedClauses.zipWithIndex.foreach {
+          case (cu: MatchedUpdate, i) =>
+            result = when(col(OP) === s"mu$i",
+              overlay(s"mu$i", clauseSet(cu), tcol)).otherwise(result)
+          case _ =>
+        }
+        insertClauses.zipWithIndex.foreach { case (ci, i) =>
+          result = when(col(OP) === s"ins$i",
+            overlay(s"ins$i", clauseSet(ci), lit(null))).otherwise(result)
+        }
+        nmbsClauses.zipWithIndex.foreach {
+          case (cu: NotMatchedBySourceUpdate, i) =>
+            result = when(col(OP) === s"nu$i",
+              overlay(s"nu$i", clauseSet(cu), tcol)).otherwise(result)
+          case _ =>
+        }
+        result.cast(schema(name).dataType).as(name)
+      }
+
+      val outCols = schema.fieldNames.map(outCol)
+      val output = withOp
+        .filter(col(OP) =!= "del" && col(OP) =!= "drop")
+        .select(outCols.toIndexedSeq: _*)
+      val adds = txn.writeFiles(output)
+
+      val cdcActions = if (cdf) {
+        val changeRows = withOp.filter(col(OP) =!= "copy" && col(OP) =!= "drop")
+        val pre = changeRows.filter(col(OP).startsWith("mu") || col(OP) === "del" ||
+            col(OP).startsWith("nu"))
+          .select(schema.fieldNames.map(n => col(s"$targetAlias.$n").as(n)).toIndexedSeq: _*)
+          .withColumn(Cdc.CHANGE_TYPE,
+            when(lit(true), lit("update_preimage")))
+        val post = changeRows.filter(col(OP).startsWith("mu") || col(OP).startsWith("nu") ||
+            col(OP).startsWith("ins"))
+          .select((schema.fieldNames.map(outCol) :+
+            when(col(OP).startsWith("ins"), lit("insert"))
+              .otherwise(lit("update_postimage")).as(Cdc.CHANGE_TYPE)).toIndexedSeq: _*)
+        val del = changeRows.filter(col(OP) === "del")
+          .select(schema.fieldNames.map(n => col(s"$targetAlias.$n").as(n)).toIndexedSeq: _*)
+          .withColumn(Cdc.CHANGE_TYPE, lit("delete"))
+        // pre-images only belong to updates, not inserts; deletes emitted once
+        val preU = changeRows.filter(col(OP).startsWith("mu") || col(OP).startsWith("nu"))
+          .select(schema.fieldNames.map(n => col(s"$targetAlias.$n").as(n)).toIndexedSeq: _*)
+          .withColumn(Cdc.CHANGE_TYPE, lit("update_preimage"))
+        Cdc.writeChangeFiles(spark, log, preU.unionByName(post).unionByName(del))
+      } else Nil
+
+      val removes = rewriteFiles.map(_.remove(now))
+      val metrics = Map(
+        "numTargetFilesRemoved" -> removes.size.toString,
+        "numTargetFilesAdded" -> adds.size.toString)
+      txn.commit(removes ++ adds ++ cdcActions, "MERGE", operationMetrics = metrics)
+      metrics
+    }
+  }
+
+  private def applyInsertProjection(
+      sourceOnly: DataFrame,
+      insertClauses: Seq[NotMatchedInsert],
+      schema: org.apache.spark.sql.types.StructType,
+      spark: SparkSession): DataFrame = {
+    require(insertClauses.nonEmpty, "insert-only MERGE needs an insert clause")
+    val srcCols = sourceOnly.columns.map(_.toLowerCase).toSet
+    // First applicable clause wins; rows matching none are dropped.
+    val clauseConds = insertClauses.map(c =>
+      c.condition.map(coalesce(_, lit(false))).getOrElse(lit(true)))
+    val anyCond = clauseConds.reduce(_ || _)
+    val filtered = sourceOnly.filter(anyCond)
+    val outCols = schema.fieldNames.map { name =>
+      var result: Column = lit(null)
+      insertClauses.zip(clauseConds).reverse.foreach { case (c, cc) =>
+        val values = Option(c.values).getOrElse(
+          schema.fieldNames.filter(n => srcCols.contains(n.toLowerCase))
+            .map(n => n -> col(n)).toMap)
+        val v = values.collectFirst { case (k, x) if k.equalsIgnoreCase(name) => x }
+          .getOrElse(lit(null))
+        result = when(cc, v).otherwise(result)
+      }
+      result.cast(schema(name).dataType).as(name)
+    }
+    filtered.select(outCols.toIndexedSeq: _*)
+  }
+}

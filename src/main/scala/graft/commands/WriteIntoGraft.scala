@@ -1,0 +1,122 @@
+package graft.commands
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.log._
+import graft.schema.SchemaUtils
+import graft.tx.OptimisticTransaction
+
+/**
+ * df.write semantics for a Graft table: append, overwrite, replaceWhere,
+ * dynamic partition overwrite, schema create/evolve. (Reference concept:
+ * commands/WriteIntoDelta.scala:81-133 — re-designed.)
+ */
+object WriteIntoGraft {
+
+  def apply(
+      spark: SparkSession,
+      path: String,
+      data: DataFrame,
+      mode: String = "append",              // append | overwrite
+      partitionBy: Seq[String] = Nil,
+      replaceWhere: Option[String] = None,
+      mergeSchema: Boolean = false,
+      dynamicPartitionOverwrite: Boolean = false,
+      configuration: Map[String, String] = Map.empty,
+      txnAppId: Option[String] = None,
+      txnVersion: Option[Long] = None): Long = {
+    val log = GraftLog.forTable(spark, path)
+    log.withNewTransaction { txn =>
+      // Idempotent writes: skip a batch the table has already absorbed.
+      for (app <- txnAppId; v <- txnVersion) {
+        if (txn.txnVersion(app) >= v) return txn.readVersion
+      }
+      val isNew = txn.readVersion < 0
+      val m0 =
+        if (isNew) {
+          Metadata(
+            schemaString = data.schema.json,
+            partitionColumns = partitionBy,
+            configuration = configuration,
+            createdTime = Some(System.currentTimeMillis()))
+        } else txn.snapshot.metadata
+      require(isNew || partitionBy.isEmpty ||
+        partitionBy == m0.partitionColumns,
+        s"Partitioning ${partitionBy} differs from table's ${m0.partitionColumns}")
+
+      val m =
+        if (isNew) m0
+        else if (mode == "overwrite" && mergeSchema && replaceWhere.isEmpty &&
+            !SchemaUtils.isWriteCompatible(m0.schema, data.schema) &&
+            configuration.isEmpty) {
+          m0.copy(schemaString = SchemaUtils.mergeSchemas(m0.schema, data.schema).json)
+        } else if (!SchemaUtils.isWriteCompatible(m0.schema, data.schema)) {
+          if (mergeSchema)
+            m0.copy(schemaString = SchemaUtils.mergeSchemas(m0.schema, data.schema).json)
+          else throw new IllegalArgumentException(
+            s"Schema mismatch writing to $path:\n table: ${m0.schema.simpleString}\n" +
+              s" data: ${data.schema.simpleString}\nSet mergeSchema=true to evolve.")
+        } else m0
+      if (isNew || (m ne m0)) txn.updateMetadata(m)
+
+      val normalized = SchemaUtils.normalize(data, m.schema)
+      val adds = txn.writeFiles(normalized)
+      val now = System.currentTimeMillis()
+
+      val removes: Seq[RemoveFile] = mode match {
+        case "append" => Nil
+        case "overwrite" =>
+          replaceWhere match {
+            case Some(cond) =>
+              val condition = spark.sessionState.sqlParser.parseExpression(cond)
+              // Validate: every incoming row must satisfy the predicate.
+              val bad = normalized.filter(!coalesce(expr(cond), lit(false))).limit(1).count()
+              require(bad == 0, s"Data written to $path violates replaceWhere '$cond'")
+              val (partF, dataF) = splitPredicates(condition, m)
+              txn.filterFiles(partF, dataF).map(_.remove(now))
+            case None if dynamicPartitionOverwrite =>
+              val touched = adds.map(_.partitionValues).toSet
+              txn.snapshot.allFiles
+                .filter(f => touched.contains(f.partitionValues)).map(_.remove(now))
+            case None =>
+              txn.readWholeTable()
+              txn.snapshot.allFiles.map(_.remove(now))
+          }
+        case other => throw new IllegalArgumentException(s"Unknown mode $other")
+      }
+
+      val txnAction = for (app <- txnAppId; v <- txnVersion)
+        yield SetTransaction(app, v, Some(now))
+
+      txn.commit(
+        adds ++ removes ++ txnAction.toSeq,
+        operation = if (mode == "append") "WRITE" else "OVERWRITE",
+        operationParameters = Map(
+          "mode" -> mode) ++ replaceWhere.map("replaceWhere" -> _),
+        operationMetrics = Map(
+          "numAddedFiles" -> adds.size.toString,
+          "numRemovedFiles" -> removes.size.toString))
+    }
+  }
+
+  /** Split a predicate into partition-only conjuncts and the rest. */
+  def splitPredicates(
+      condition: org.apache.spark.sql.catalyst.expressions.Expression,
+      metadata: Metadata)
+      : (Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+         Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference}
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val partCols = metadata.partitionColumns.map(_.toLowerCase).toSet
+    conjuncts(condition).partition { c =>
+      val refs = c.collect { case a: AttributeReference => a.name.toLowerCase }
+      refs.nonEmpty && refs.forall(partCols.contains)
+    }
+  }
+}

@@ -1,0 +1,122 @@
+package graft.files
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.graftshim.SparkShims
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types._
+
+import graft.log.{AddFile, GraftLog, Metadata, Snapshot}
+import graft.stats.StatsSkipping
+
+/**
+ * A `FileIndex` whose listing comes from the transaction log, not the
+ * filesystem: partition values are read from each AddFile's
+ * `partitionValues` (never parsed from paths), partition filters prune
+ * driver-side, and data filters prune via distributed stats skipping.
+ * Spark's FileSourceStrategy then plans a vectorized, codegen'd Parquet
+ * scan over exactly the surviving files. (Reference concept:
+ * files/TahoeFileIndex.scala:53-470 — re-designed.)
+ */
+class GraftFileIndex(
+    spark: SparkSession,
+    log: GraftLog,
+    snapshot: Snapshot,
+    pinnedFiles: Option[Seq[AddFile]] = None) extends FileIndex {
+
+  private def metadata: Metadata = snapshot.metadata
+
+  override val partitionSchema: StructType = StructType(
+    metadata.partitionColumns.map(c => metadata.schema(c)))
+
+  override def rootPaths: Seq[Path] = Seq(log.dataPath)
+
+  def files: Seq[AddFile] = pinnedFiles.getOrElse(snapshot.allFiles)
+
+  override def listFiles(
+      partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val pruned = GraftFileIndex.prunePartitions(files, partitionSchema, partitionFilters)
+    val skipped = StatsSkipping.filterFiles(spark, pruned, metadata.dataSchema, dataFilters)
+    skipped.groupBy(_.partitionValues).map { case (pv, fs) =>
+      PartitionDirectory(
+        GraftFileIndex.partitionRow(pv, partitionSchema),
+        fs.map(toFileStatus).toArray)
+    }.toSeq
+  }
+
+  private def toFileStatus(f: AddFile): FileStatus =
+    new FileStatus(f.size, false, 1, 128L * 1024 * 1024, f.modificationTime,
+      absolutePath(f.path))
+
+  def absolutePath(rel: String): Path = {
+    val p = new Path(rel)
+    if (p.isAbsolute) p else new Path(log.dataPath, rel)
+  }
+
+  override def inputFiles: Array[String] =
+    files.map(f => absolutePath(f.path).toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = files.map(_.size).sum
+}
+
+object GraftFileIndex {
+
+  /** Cast a partition-value string map into the typed InternalRow. */
+  def partitionRow(pv: Map[String, String], partitionSchema: StructType): InternalRow = {
+    val values = partitionSchema.fields.map { f =>
+      pv.get(f.name).flatMap(Option(_)) match {
+        case None => null
+        case Some(s) =>
+          Cast(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType),
+            f.dataType, Some("UTC")).eval(null)
+      }
+    }
+    InternalRow.fromSeq(values.toIndexedSeq)
+  }
+
+  /** Driver-side partition pruning (standard Spark bound-predicate pattern). */
+  def prunePartitions(
+      files: Seq[AddFile],
+      partitionSchema: StructType,
+      partitionFilters: Seq[Expression]): Seq[AddFile] = {
+    if (partitionFilters.isEmpty || partitionSchema.isEmpty) return files
+    val predicate = partitionFilters.reduce(And).transform {
+      case a: AttributeReference =>
+        val idx = partitionSchema.indexWhere(f => f.name.equalsIgnoreCase(a.name))
+        if (idx < 0) Literal(true)
+        else BoundReference(idx, partitionSchema(idx).dataType, nullable = true)
+    }
+    val bound = Predicate.createInterpreted(predicate)
+    bound.initialize(0)
+    files.filter { f =>
+      val row = partitionRow(f.partitionValues, partitionSchema)
+      bound.eval(row)
+    }
+  }
+
+  /** Build a DataFrame over a snapshot (optionally a pinned file subset). */
+  def dataFrame(
+      spark: SparkSession,
+      log: GraftLog,
+      snapshot: Snapshot,
+      pinnedFiles: Option[Seq[AddFile]] = None,
+      isStreaming: Boolean = false): DataFrame = {
+    val index = new GraftFileIndex(spark, log, snapshot, pinnedFiles)
+    val m = snapshot.metadata
+    val relation = HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = m.dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+    val plan = LogicalRelation(relation).copy(isStreaming = isStreaming)
+    SparkShims.ofRows(spark, plan)
+  }
+}

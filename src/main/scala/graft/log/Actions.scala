@@ -1,0 +1,148 @@
+package graft.log
+
+import com.fasterxml.jackson.annotation.JsonInclude
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/**
+ * Transaction-log action model.
+ *
+ * A Graft table is a directory of Parquet data files plus a `_graft_log/`
+ * directory of JSON commit files; version v's state is the fold of all
+ * actions in commits 0..v. Design derived from the public Delta Lake
+ * protocol (reference: /root/reference/PROTOCOL.md:163-231 and
+ * spark/src/main/scala/org/apache/spark/sql/delta/actions/actions.scala),
+ * re-expressed from scratch for Spark-first execution.
+ */
+sealed trait Action extends Serializable {
+  def wrap: SingleAction
+}
+
+/** Reader/writer protocol versioning (PROTOCOL.md:732-783 analogue). */
+case class Protocol(
+    minReaderVersion: Int = 1,
+    minWriterVersion: Int = 1) extends Action {
+  def wrap: SingleAction = SingleAction(protocol = this)
+}
+
+/** Table metadata: id, schema (JSON StructType), partitioning, config. */
+case class Metadata(
+    id: String = java.util.UUID.randomUUID.toString,
+    name: String = null,
+    description: String = null,
+    schemaString: String = null,
+    partitionColumns: Seq[String] = Nil,
+    configuration: Map[String, String] = Map.empty,
+    createdTime: Option[Long] = None) extends Action {
+  @transient lazy val schema: StructType =
+    if (schemaString == null) new StructType()
+    else DataType.fromJson(schemaString).asInstanceOf[StructType]
+  /** Leaf data columns eligible for stats-based skipping. */
+  @transient lazy val dataSchema: StructType =
+    StructType(schema.filterNot(f => partitionColumns.contains(f.name)))
+  def wrap: SingleAction = SingleAction(metaData = this)
+}
+
+/** A data file that is part of the table (PROTOCOL.md:569-582 analogue). */
+case class AddFile(
+    path: String,
+    partitionValues: Map[String, String] = Map.empty,
+    size: Long = 0L,
+    modificationTime: Long = 0L,
+    dataChange: Boolean = true,
+    stats: String = null,
+    tags: Map[String, String] = null) extends Action {
+  def wrap: SingleAction = SingleAction(add = this)
+  def remove(timestamp: Long, dataChange: Boolean = true): RemoveFile =
+    RemoveFile(path, Some(timestamp), dataChange,
+      partitionValues = partitionValues, size = Some(size))
+}
+
+/** Tombstone: the file is no longer part of the table. */
+case class RemoveFile(
+    path: String,
+    deletionTimestamp: Option[Long] = None,
+    dataChange: Boolean = true,
+    partitionValues: Map[String, String] = null,
+    size: Option[Long] = None) extends Action {
+  def wrap: SingleAction = SingleAction(remove = this)
+}
+
+/** Change-data file under _change_data/ (CDF; PROTOCOL.md:646-672 analogue). */
+case class AddCdcFile(
+    path: String,
+    partitionValues: Map[String, String] = Map.empty,
+    size: Long = 0L) extends Action {
+  def wrap: SingleAction = SingleAction(cdc = this)
+}
+
+/** Idempotent-writer watermark: latest batch version per application id. */
+case class SetTransaction(
+    appId: String,
+    version: Long,
+    lastUpdated: Option[Long] = None) extends Action {
+  def wrap: SingleAction = SingleAction(txn = this)
+}
+
+/** Provenance record for DESCRIBE HISTORY. */
+case class CommitInfo(
+    version: Option[Long] = None,
+    timestamp: Long = 0L,
+    operation: String = null,
+    operationParameters: Map[String, String] = Map.empty,
+    readVersion: Option[Long] = None,
+    isolationLevel: Option[String] = None,
+    operationMetrics: Map[String, String] = Map.empty) extends Action {
+  def wrap: SingleAction = SingleAction(commitInfo = this)
+}
+
+/**
+ * The union row type of the log: exactly one non-null field per record.
+ * This is both the JSON line shape and the checkpoint-Parquet row type,
+ * so `Dataset[SingleAction]` is the distributed representation of table
+ * state (reference pattern: actions.scala SingleAction + Snapshot
+ * stateReconstruction).
+ */
+case class SingleAction(
+    txn: SetTransaction = null,
+    add: AddFile = null,
+    remove: RemoveFile = null,
+    cdc: AddCdcFile = null,
+    metaData: Metadata = null,
+    protocol: Protocol = null,
+    commitInfo: CommitInfo = null) {
+  def unwrap: Action =
+    if (add != null) add
+    else if (remove != null) remove
+    else if (metaData != null) metaData
+    else if (protocol != null) protocol
+    else if (txn != null) txn
+    else if (cdc != null) cdc
+    else if (commitInfo != null) commitInfo
+    else null
+}
+
+object Actions {
+  private val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m.setSerializationInclusion(JsonInclude.Include.NON_ABSENT)
+    m.configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+    m
+  }
+
+  def toJson(a: Action): String = mapper.writeValueAsString(a.wrap)
+
+  def fromJson(line: String): Action =
+    mapper.readValue(line, classOf[SingleAction]).unwrap
+
+  def statsToJson(m: Any): String = mapper.writeValueAsString(m)
+
+  /** Serialize a full commit: one action per line. */
+  def serialize(actions: Seq[Action]): String =
+    actions.map(toJson).mkString("", "\n", "\n")
+
+  def deserialize(content: String): Seq[Action] =
+    content.linesIterator.filter(_.nonEmpty).map(fromJson).toSeq
+}

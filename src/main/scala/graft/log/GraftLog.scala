@@ -1,0 +1,276 @@
+package graft.log
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.collection.immutable.ListMap
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+import graft.tx.OptimisticTransaction
+
+/**
+ * The per-table transaction log object: snapshot management, commits and
+ * checkpoints (reference concepts: DeltaLog + SnapshotManagement +
+ * Checkpoints; /root/reference/spark/.../DeltaLog.scala:80,
+ * SnapshotManagement.scala, Checkpoints.scala:304-420 — re-designed).
+ *
+ * Scale notes: table state is held as a driver-side map of AddFiles
+ * (a 100 TB table at ~1 GB/file is ~1e5 entries — small); distributed
+ * operations (data skipping, VACUUM listing, checkpoint writes) run over
+ * `Dataset[AddFile]` views so stats evaluation parallelizes across the
+ * cluster. Snapshot updates are incremental: only commit JSONs newer than
+ * the cached snapshot are parsed.
+ */
+class GraftLog private (
+    @transient val spark: SparkSession,
+    val dataPath: Path) extends Serializable {
+
+  val logPath: Path = new Path(dataPath, "_graft_log")
+  @transient val store = new LogStore(
+    spark.sessionState.newHadoopConf())
+
+  @volatile private var currentSnapshot: Snapshot = _
+
+  def tableExists: Boolean =
+    store.exists(FileNames.deltaFile(logPath, 0L))
+
+  /** Latest snapshot, refreshed from the filesystem. */
+  def update(): Snapshot = synchronized {
+    val cached = currentSnapshot
+    val listing = store.list(logPath)
+    val deltas = listing.flatMap(s =>
+      FileNames.deltaVersion(s.getPath.getName).map(v => v -> s.getPath))
+    if (deltas.isEmpty) {
+      currentSnapshot = Snapshot.empty(this)
+      return currentSnapshot
+    }
+    val latest = deltas.map(_._1).max
+    if (cached != null && cached.version == latest) return cached
+    if (cached != null && cached.version >= 0 && deltas.exists(_._1 == cached.version + 1)) {
+      // Incremental: fold only the new tail onto the cached state.
+      val tail = deltas.filter(_._1 > cached.version).sortBy(_._1)
+      currentSnapshot = cached.advance(tail)
+    } else {
+      val checkpoints = listing.flatMap(s =>
+        FileNames.checkpointVersion(s.getPath.getName))
+      val cp = checkpoints.filter(_ <= latest).maxOption
+      val tail = deltas.filter(d => cp.forall(d._1 > _)).sortBy(_._1)
+      currentSnapshot = Snapshot.build(this, cp, tail, latest)
+    }
+    currentSnapshot
+  }
+
+  def snapshot: Snapshot = {
+    if (currentSnapshot == null) update()
+    currentSnapshot
+  }
+
+  /** Snapshot pinned at `version` (time travel / RESTORE / CDF). */
+  def getSnapshotAt(version: Long): Snapshot = {
+    val listing = store.list(logPath)
+    val deltas = listing.flatMap(s =>
+      FileNames.deltaVersion(s.getPath.getName).map(v => v -> s.getPath))
+      .filter(_._1 <= version).sortBy(_._1)
+    require(deltas.nonEmpty && deltas.last._1 == version,
+      s"Version $version not found in $logPath")
+    val cp = listing.flatMap(s => FileNames.checkpointVersion(s.getPath.getName))
+      .filter(_ <= version).maxOption
+    Snapshot.build(this, cp, deltas.filter(d => cp.forall(d._1 > _)), version)
+  }
+
+  /** Latest commit whose timestamp is <= ts (time travel by timestamp). */
+  def getVersionAtTime(tsMillis: Long): Long = {
+    val commits = listCommitTimestamps()
+    val eligible = commits.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"No commit at or before timestamp $tsMillis (earliest: ${commits.headOption})")
+    eligible.map(_._1).max
+  }
+
+  /** (version, timestampMillis) per commit, ascending. */
+  def listCommitTimestamps(): Seq[(Long, Long)] = {
+    store.list(logPath).flatMap { s =>
+      FileNames.deltaVersion(s.getPath.getName).map(v => (v, s.getModificationTime))
+    }.sortBy(_._1)
+  }
+
+  /** CommitInfo per version (DESCRIBE HISTORY), newest first. */
+  def history(limit: Int = Int.MaxValue): Seq[CommitInfo] = {
+    store.list(logPath).flatMap { s =>
+      FileNames.deltaVersion(s.getPath.getName).map { v =>
+        val info = Actions.deserialize(store.read(s.getPath))
+          .collectFirst { case ci: CommitInfo => ci }
+          .getOrElse(CommitInfo(timestamp = s.getModificationTime))
+        info.copy(version = Some(v),
+          timestamp = if (info.timestamp == 0) s.getModificationTime else info.timestamp)
+      }
+    }.sortBy(-_.version.get).take(limit)
+  }
+
+  /** Actions of a single committed version (conflict check, CDF). */
+  def readCommit(version: Long): Seq[Action] =
+    Actions.deserialize(store.read(FileNames.deltaFile(logPath, version)))
+
+  def startTransaction(): OptimisticTransaction =
+    new OptimisticTransaction(this, update())
+
+  def withNewTransaction[T](body: OptimisticTransaction => T): T =
+    body(startTransaction())
+
+  /** Write the put-if-absent commit file; returns the new snapshot. */
+  private[graft] def writeCommit(version: Long, actions: Seq[Action]): Snapshot = {
+    store.write(FileNames.deltaFile(logPath, version), Actions.serialize(actions))
+    val snap = update()
+    maybeCheckpoint(snap)
+    snap
+  }
+
+  def checkpointInterval: Int =
+    snapshot.metadata.configuration
+      .getOrElse("graft.checkpointInterval", "10").toInt
+
+  private def maybeCheckpoint(snap: Snapshot): Unit = {
+    if (snap.version > 0 && snap.version % checkpointInterval == 0 &&
+        !store.exists(FileNames.checkpointFile(logPath, snap.version))) {
+      checkpoint(snap)
+    }
+  }
+
+  /** Write snapshot state as a Parquet checkpoint + `_last_checkpoint`. */
+  def checkpoint(snap: Snapshot = snapshot): Unit = {
+    import spark.implicits._
+    val cpPath = FileNames.checkpointFile(logPath, snap.version)
+    val rows: Seq[SingleAction] =
+      Seq(snap.protocol.wrap, snap.metadata.wrap) ++
+      snap.setTransactions.map { case (app, v) => SetTransaction(app, v).wrap } ++
+      snap.allFiles.map(_.wrap) ++
+      snap.tombstones.map(_.wrap)
+    // Parallelism: a checkpoint of N files is tiny metadata; one file per
+    // ~100k actions keeps both write and cold-read costs bounded.
+    val parts = math.max(1, rows.size / 100000)
+    spark.createDataset(rows).repartition(parts)
+      .write.mode("overwrite").parquet(cpPath.toString)
+    store.writeOverwrite(FileNames.lastCheckpointFile(logPath),
+      s"""{"version":${snap.version},"size":${rows.size}}""")
+  }
+
+  /** Delete log entries older than both retention and the last checkpoint. */
+  def cleanUpExpiredLogs(retentionMillis: Long): Int = {
+    val listing = store.list(logPath)
+    val cp = listing.flatMap(s => FileNames.checkpointVersion(s.getPath.getName))
+      .maxOption.getOrElse(return 0)
+    val cutoff = System.currentTimeMillis() - retentionMillis
+    var n = 0
+    listing.foreach { s =>
+      FileNames.deltaVersion(s.getPath.getName).foreach { v =>
+        if (v < cp && s.getModificationTime < cutoff) {
+          store.delete(s.getPath); n += 1
+        }
+      }
+    }
+    n
+  }
+}
+
+object GraftLog {
+  private val cache = new ConcurrentHashMap[String, GraftLog]()
+
+  def forTable(spark: SparkSession, path: String): GraftLog = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val canonical = fs.makeQualified(p).toString
+    cache.computeIfAbsent(canonical, _ => new GraftLog(spark, fs.makeQualified(p)))
+  }
+
+  def clearCache(): Unit = cache.clear()
+}
+
+/**
+ * Immutable view of table state at one version. State is the reconciled
+ * fold of actions (last metadata/protocol wins; last action per file path
+ * wins; removes become tombstones) — reference rules PROTOCOL.md:913-934.
+ */
+class Snapshot(
+    @transient val log: GraftLog,
+    val version: Long,
+    val protocol: Protocol,
+    val metadata: Metadata,
+    val setTransactions: Map[String, Long],
+    filesMap: ListMap[String, AddFile],
+    val tombstones: Seq[RemoveFile],
+    val timestampMillis: Long) extends Serializable {
+
+  def spark: SparkSession = log.spark
+
+  def allFiles: Seq[AddFile] = filesMap.values.toSeq
+
+  def numFiles: Long = filesMap.size
+  def sizeInBytes: Long = allFiles.map(_.size).sum
+
+  /** Distributed view for stats-skipping / VACUUM-scale operations. */
+  def allFilesDS: Dataset[AddFile] =
+    spark.createDataset(allFiles)(org.apache.spark.sql.Encoders.product[AddFile])
+
+  def getAddFile(path: String): Option[AddFile] = filesMap.get(path)
+
+  def txnVersion(appId: String): Long = setTransactions.getOrElse(appId, -1L)
+
+  /** Fold `tail` commit files on top of this snapshot (incremental update). */
+  private[log] def advance(tail: Seq[(Long, Path)]): Snapshot = {
+    var p = protocol; var m = metadata
+    var txns = setTransactions
+    var files = filesMap
+    var tombs = tombstones.map(r => r.path -> r).to(ListMap)
+    var ts = timestampMillis
+    tail.foreach { case (_, deltaPath) =>
+      val status = log.store.fs(deltaPath).getFileStatus(deltaPath)
+      ts = status.getModificationTime
+      Actions.deserialize(log.store.read(deltaPath)).foreach {
+        case a: AddFile => files += a.path -> a; tombs -= a.path
+        case r: RemoveFile => files -= r.path; tombs += r.path -> r
+        case meta: Metadata => m = meta
+        case proto: Protocol => p = proto
+        case t: SetTransaction => txns += t.appId -> t.version
+        case _ =>
+      }
+    }
+    new Snapshot(log, tail.last._1, p, m, txns, files, tombs.values.toSeq, ts)
+  }
+}
+
+object Snapshot {
+  def empty(log: GraftLog): Snapshot =
+    new Snapshot(log, -1L, Protocol(), Metadata(schemaString = null),
+      Map.empty, ListMap.empty, Nil, 0L)
+
+  /** Cold build: optional Parquet checkpoint (read as a Spark job with
+    * column pruning) + JSON deltas folded on the driver. */
+  def build(log: GraftLog, checkpointVersion: Option[Long],
+      deltas: Seq[(Long, Path)], version: Long): Snapshot = {
+    val base = checkpointVersion match {
+      case Some(cp) =>
+        import log.spark.implicits._
+        val cpPath = FileNames.checkpointFile(log.logPath, cp)
+        val actions = log.spark.read
+          .schema(log.spark.emptyDataset[SingleAction].schema)
+          .parquet(cpPath.toString)
+          .as[SingleAction].collect()
+        var p = Protocol(); var m: Metadata = null
+        var txns = Map.empty[String, Long]
+        var files = ListMap.empty[String, AddFile]
+        var tombs = ListMap.empty[String, RemoveFile]
+        actions.map(_.unwrap).foreach {
+          case a: AddFile => files += a.path -> a
+          case r: RemoveFile => tombs += r.path -> r
+          case meta: Metadata => m = meta
+          case proto: Protocol => p = proto
+          case t: SetTransaction => txns += t.appId -> t.version
+          case _ =>
+        }
+        new Snapshot(log, cp, p, m, txns, files, tombs.values.toSeq, 0L)
+      case None => empty(log)
+    }
+    if (deltas.isEmpty) base else base.advance(deltas)
+  }
+}

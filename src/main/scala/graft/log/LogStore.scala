@@ -1,0 +1,112 @@
+package graft.log
+
+import java.io.FileNotFoundException
+import java.nio.charset.StandardCharsets
+import java.nio.file.{FileAlreadyExistsException, Files, Paths, StandardCopyOption}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+
+/**
+ * Atomic, put-if-absent log writes — the primitive that makes commits
+ * mutually exclusive (reference concept: delta storage LogStore;
+ * /root/reference/storage/.../LogStore.java).
+ *
+ * For `file:` paths we get true POSIX atomicity via hard-link
+ * (link(2) fails with EEXIST if the target exists). For HDFS-like
+ * filesystems, `FileSystem.create(path, overwrite=false)` provides
+ * the same contract. Object stores without put-if-absent would need an
+ * external coordinator — out of scope here.
+ */
+class LogStore(hadoopConf: Configuration) extends Serializable {
+
+  def fs(path: Path): FileSystem = path.getFileSystem(hadoopConf)
+
+  private def isLocal(path: Path): Boolean = {
+    val scheme = path.toUri.getScheme
+    scheme == null || scheme == "file"
+  }
+
+  /** Write `content` to `path`; throws FileAlreadyExistsException if present. */
+  def write(path: Path, content: String): Unit = {
+    if (isLocal(path)) {
+      val target = Paths.get(path.toUri.getPath)
+      Files.createDirectories(target.getParent)
+      val tmp = Files.createTempFile(target.getParent, s".${target.getFileName}", ".tmp")
+      try {
+        Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+        try Files.createLink(target, tmp)
+        catch { case _: FileAlreadyExistsException | _: java.nio.file.FileSystemException
+            if Files.exists(target) =>
+          throw new FileAlreadyExistsException(target.toString)
+        }
+      } finally Files.deleteIfExists(tmp)
+    } else {
+      val f = fs(path)
+      val out = f.create(path, /* overwrite = */ false)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** Overwrite unconditionally (used for `_last_checkpoint`). */
+  def writeOverwrite(path: Path, content: String): Unit = {
+    if (isLocal(path)) {
+      val target = Paths.get(path.toUri.getPath)
+      Files.createDirectories(target.getParent)
+      val tmp = Files.createTempFile(target.getParent, s".${target.getFileName}", ".tmp")
+      Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    } else {
+      val f = fs(path)
+      val out = f.create(path, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  def read(path: Path): String = {
+    val f = fs(path)
+    val in = f.open(path)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def readOpt(path: Path): Option[String] =
+    try Some(read(path)) catch { case _: FileNotFoundException => None }
+
+  /** List directory, sorted by name; empty if the directory is missing. */
+  def list(dir: Path): Seq[FileStatus] = {
+    val f = fs(dir)
+    try f.listStatus(dir).sortBy(_.getPath.getName).toSeq
+    catch { case _: FileNotFoundException => Nil }
+  }
+
+  def exists(path: Path): Boolean = fs(path).exists(path)
+
+  def delete(path: Path): Boolean = fs(path).delete(path, false)
+
+  def mkdirs(path: Path): Boolean = fs(path).mkdirs(path)
+}
+
+object FileNames {
+  def deltaFile(logPath: Path, version: Long): Path =
+    new Path(logPath, f"$version%020d.json")
+  def checkpointFile(logPath: Path, version: Long): Path =
+    new Path(logPath, f"$version%020d.checkpoint.parquet")
+  def lastCheckpointFile(logPath: Path): Path =
+    new Path(logPath, "_last_checkpoint")
+
+  private val deltaRe = """(\d{20})\.json""".r
+  private val checkpointRe = """(\d{20})\.checkpoint\.parquet""".r
+
+  def deltaVersion(name: String): Option[Long] = name match {
+    case deltaRe(v) => Some(v.toLong)
+    case _ => None
+  }
+  def checkpointVersion(name: String): Option[Long] = name match {
+    case checkpointRe(v) => Some(v.toLong)
+    case _ => None
+  }
+}

@@ -1,0 +1,179 @@
+package graft.stats
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.{TimestampLogicalTypeAnnotation, TimeUnit}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.log.{Actions, AddFile}
+
+/**
+ * Per-file column statistics (numRecords / minValues / maxValues /
+ * nullCount) computed from Parquet footers — exact, and pure metadata
+ * reads, so stats collection costs no data scan. Runs as a distributed
+ * Spark job over the newly written files. (Reference concept:
+ * stats/StatisticsCollection.scala:294-448, which aggregates during the
+ * write; footers give the same numbers after the fact.)
+ */
+object FooterStats {
+
+  val MAX_INDEXED_COLS = 32
+  val MAX_STRING_LEN = 64
+
+  /** Attach a stats JSON to each AddFile. Distributed over the cluster. */
+  def withStats(
+      spark: SparkSession,
+      tablePath: Path,
+      files: Seq[AddFile],
+      dataSchema: StructType): Seq[AddFile] = {
+    if (files.isEmpty) return files
+    val statCols = dataSchema.fields.take(MAX_INDEXED_COLS)
+      .filter(f => supported(f.dataType)).map(f => f.name -> f.dataType).toVector
+    val confBc = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val root = tablePath.toString
+    val sc = spark.sparkContext
+    val slices = math.min(files.size, math.max(1, sc.defaultParallelism))
+    val statsByPath = sc.parallelize(files.map(_.path), slices)
+      .map { rel =>
+        rel -> computeStatsJson(new Path(root, rel), confBc.value, statCols)
+      }.collect().toMap
+    files.map(f => f.copy(stats = statsByPath.getOrElse(f.path, null)))
+  }
+
+  private def supported(dt: DataType): Boolean = dt match {
+    case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+         _: DoubleType | _: FloatType | _: StringType | _: BooleanType |
+         _: DateType | _: TimestampType => true
+    case _ => false
+  }
+
+  /** Read one footer and aggregate row-group stats into a stats JSON. */
+  def computeStatsJson(
+      file: Path,
+      conf: Configuration,
+      statCols: Vector[(String, DataType)]): String = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    val footer = try reader.getFooter finally reader.close()
+    val blocks = footer.getBlocks
+    var numRecords = 0L
+    val mins = mutable.LinkedHashMap.empty[String, Any]
+    val maxs = mutable.LinkedHashMap.empty[String, Any]
+    val nulls = mutable.LinkedHashMap.empty[String, Long]
+    blocks.forEach(b => numRecords += b.getRowCount)
+    statCols.foreach { case (name, dt) =>
+      var nullCount = 0L
+      var nullsValid = true
+      var min: Any = null
+      var max: Any = null
+      var valid = true
+      blocks.forEach { b =>
+        val col = b.getColumns.stream()
+          .filter(c => c.getPath.size == 1 && c.getPath.toDotString == name)
+          .findFirst().orElse(null)
+        if (col == null) { valid = false; nullsValid = false }
+        else {
+          val s = col.getStatistics
+          if (s == null) { valid = false; nullsValid = false }
+          else {
+            if (s.isNumNullsSet) nullCount += s.getNumNulls else nullsValid = false
+            if (!s.hasNonNullValue) {
+              // all-null row group: contributes nothing to min/max
+            } else {
+              val lo = convert(s.genericGetMin, dt, col)
+              val hi = convert(s.genericGetMax, dt, col)
+              if (lo == null || hi == null) valid = false
+              else {
+                if (min == null || compare(lo, min, dt) < 0) min = lo
+                if (max == null || compare(hi, max, dt) > 0) max = hi
+              }
+            }
+          }
+        }
+      }
+      if (nullsValid) nulls(name) = nullCount
+      if (valid && min != null) {
+        (truncateMin(min, dt), truncateMax(max, dt)) match {
+          case (Some(lo), Some(hi)) => mins(name) = lo; maxs(name) = hi
+          case (Some(lo), None) => mins(name) = lo
+          case _ =>
+        }
+      }
+    }
+    Actions.statsToJson(Map(
+      "numRecords" -> numRecords,
+      "minValues" -> mins.toMap,
+      "maxValues" -> maxs.toMap,
+      "nullCount" -> nulls.toMap))
+  }
+
+  private def convert(
+      v: Any,
+      dt: DataType,
+      col: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData): Any = {
+    dt match {
+      case _: IntegerType | _: ShortType | _: ByteType =>
+        v.asInstanceOf[Number].longValue()
+      case _: LongType => v.asInstanceOf[Number].longValue()
+      case _: DoubleType => v.asInstanceOf[Number].doubleValue()
+      case _: FloatType => v.asInstanceOf[Number].doubleValue()
+      case _: BooleanType => v.asInstanceOf[Boolean]
+      case _: StringType => v.asInstanceOf[Binary].toStringUsingUTF8
+      case _: DateType =>
+        java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue()).toString
+      case _: TimestampType =>
+        val anno = col.getPrimitiveType.getLogicalTypeAnnotation
+        val micros = anno match {
+          case t: TimestampLogicalTypeAnnotation if t.getUnit == TimeUnit.MILLIS =>
+            v.asInstanceOf[Number].longValue() * 1000L
+          case t: TimestampLogicalTypeAnnotation if t.getUnit == TimeUnit.NANOS =>
+            Math.floorDiv(v.asInstanceOf[Number].longValue(), 1000L)
+          case _ => v.asInstanceOf[Number].longValue()
+        }
+        formatMicros(micros)
+      case _ => null
+    }
+  }
+
+  private def formatMicros(micros: Long): String = {
+    val secs = Math.floorDiv(micros, 1000000L)
+    val frac = Math.floorMod(micros, 1000000L)
+    val ldt = java.time.LocalDateTime.ofEpochSecond(secs, frac.toInt * 1000,
+      java.time.ZoneOffset.UTC)
+    ldt.format(java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+  }
+
+  private def compare(a: Any, b: Any, dt: DataType): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case _ => 0
+  }
+
+  /** A prefix of a string is always a valid lower bound. */
+  private def truncateMin(v: Any, dt: DataType): Option[Any] = v match {
+    case s: String if s.length > MAX_STRING_LEN => Some(s.take(MAX_STRING_LEN))
+    case other => Some(other)
+  }
+
+  /** For an upper bound we must round the truncated prefix UP. */
+  private def truncateMax(v: Any, dt: DataType): Option[Any] = v match {
+    case s: String if s.length > MAX_STRING_LEN =>
+      val prefix = s.take(MAX_STRING_LEN).toCharArray
+      var i = prefix.length - 1
+      while (i >= 0 && prefix(i) == Char.MaxValue) i -= 1
+      if (i < 0) None
+      else Some(new String(prefix, 0, i) + (prefix(i) + 1).toChar)
+    case other => Some(other)
+  }
+}

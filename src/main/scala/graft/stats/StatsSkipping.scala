@@ -1,0 +1,134 @@
+package graft.stats
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.log.AddFile
+
+/**
+ * File-pruning from per-file min/max/nullCount statistics: data predicates
+ * are compiled into a "stats-space" predicate and evaluated AS A SPARK JOB
+ * over the `Dataset[AddFile]` — metadata-scale work distributes across the
+ * cluster, so skipping stays cheap even with millions of files.
+ * (Reference concept: stats/DataSkippingReader.scala:612-705 +
+ * DataFiltersBuilder.scala:263-436 — re-designed for DataFrame eval.)
+ *
+ * Soundness: any sub-predicate we cannot compile, and any file whose stats
+ * are missing/unparseable, KEEPS the file (three-valued logic resolved
+ * toward inclusion).
+ */
+object StatsSkipping {
+
+  /** Schema of the per-file stats JSON, derived from the data schema. */
+  def statsSchema(dataSchema: StructType): StructType = {
+    val leaf = StructType(dataSchema.fields.take(FooterStats.MAX_INDEXED_COLS)
+      .map(f => StructField(f.name, f.dataType, nullable = true)))
+    val nullCnt = StructType(leaf.map(f => StructField(f.name, LongType, nullable = true)))
+    StructType(Seq(
+      StructField("numRecords", LongType),
+      StructField("minValues", leaf),
+      StructField("maxValues", leaf),
+      StructField("nullCount", nullCnt)))
+  }
+
+  /**
+   * Prune `files` using data filters. Returns the surviving files.
+   * Runs distributed when there are files+filters; otherwise passthrough.
+   */
+  def filterFiles(
+      spark: SparkSession,
+      files: Seq[AddFile],
+      dataSchema: StructType,
+      dataFilters: Seq[Expression]): Seq[AddFile] = {
+    if (files.isEmpty || dataFilters.isEmpty) return files
+    val preds = dataFilters.flatMap(f => compile(f, dataSchema))
+    if (preds.isEmpty) return files
+    import spark.implicits._
+    val withStats = spark.createDataset(files)
+      .withColumn("_parsed", from_json(col("stats"), statsSchema(dataSchema)))
+    val keep = preds.map(p => coalesce(p, lit(true))).reduce(_ && _)
+    withStats
+      .where(col("_parsed").isNull || col("stats").isNull || keep)
+      .drop("_parsed")
+      .as[AddFile]
+      .collect()
+      .toSeq
+  }
+
+  private def stat(section: String, name: String): Column =
+    col("_parsed").getField(section).getField(name)
+
+  private def litOf(l: Literal): Option[Column] = l.dataType match {
+    case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+         _: DoubleType | _: FloatType | _: StringType | _: BooleanType |
+         _: DateType | _: TimestampType =>
+      Option(l.value).map { _ =>
+        lit(CatalystTypeConverters.createToScalaConverter(l.dataType)(l.value))
+      }
+    case _ => None
+  }
+
+  private def attrName(e: Expression, schema: StructType): Option[String] = e match {
+    case a: AttributeReference if schema.fieldNames.take(FooterStats.MAX_INDEXED_COLS)
+        .exists(n => n.equalsIgnoreCase(a.name)) => Some(a.name)
+    case _ => None
+  }
+
+  /**
+   * Compile one data predicate into a stats-space predicate Column.
+   * None = cannot decide from stats (file must be kept).
+   */
+  def compile(e: Expression, schema: StructType): Option[Column] = e match {
+    case And(l, r) =>
+      (compile(l, schema), compile(r, schema)) match {
+        case (Some(a), Some(b)) => Some(coalesce(a, lit(true)) && coalesce(b, lit(true)))
+        case (Some(a), None) => Some(a)
+        case (None, Some(b)) => Some(b)
+        case _ => None
+      }
+    case Or(l, r) =>
+      for (a <- compile(l, schema); b <- compile(r, schema))
+        yield coalesce(a, lit(true)) || coalesce(b, lit(true))
+    case EqualTo(a, l: Literal) =>
+      attrName(a, schema).flatMap(n => litOf(l).map(v =>
+        stat("minValues", n) <= v && stat("maxValues", n) >= v))
+    case EqualTo(l: Literal, a) => compile(EqualTo(a, l), schema)
+    case LessThan(a, l: Literal) =>
+      attrName(a, schema).flatMap(n => litOf(l).map(v => stat("minValues", n) < v))
+    case LessThan(l: Literal, a) => compile(GreaterThan(a, l), schema)
+    case LessThanOrEqual(a, l: Literal) =>
+      attrName(a, schema).flatMap(n => litOf(l).map(v => stat("minValues", n) <= v))
+    case LessThanOrEqual(l: Literal, a) => compile(GreaterThanOrEqual(a, l), schema)
+    case GreaterThan(a, l: Literal) =>
+      attrName(a, schema).flatMap(n => litOf(l).map(v => stat("maxValues", n) > v))
+    case GreaterThan(l: Literal, a) => compile(LessThan(a, l), schema)
+    case GreaterThanOrEqual(a, l: Literal) =>
+      attrName(a, schema).flatMap(n => litOf(l).map(v => stat("maxValues", n) >= v))
+    case GreaterThanOrEqual(l: Literal, a) => compile(LessThanOrEqual(a, l), schema)
+    case IsNull(a) =>
+      attrName(a, schema).map(n => stat("nullCount", n) > lit(0L))
+    case IsNotNull(a) =>
+      attrName(a, schema).map(n =>
+        stat("nullCount", n) < col("_parsed").getField("numRecords"))
+    case In(a, list) if list.nonEmpty && list.forall(_.isInstanceOf[Literal]) =>
+      attrName(a, schema).flatMap { n =>
+        val opts = list.map(l => litOf(l.asInstanceOf[Literal]))
+        if (opts.exists(_.isEmpty) || opts.size > 100) None
+        else Some(opts.flatten.map(v =>
+          stat("minValues", n) <= v && stat("maxValues", n) >= v).reduce(_ || _))
+      }
+    case StartsWith(a, l @ Literal(_, StringType)) =>
+      attrName(a, schema).flatMap { n =>
+        litOf(l).map { _ =>
+          val prefix = l.value.toString
+          val len = prefix.length
+          substring(stat("minValues", n), 0, len) <= lit(prefix) &&
+            substring(stat("maxValues", n), 0, len) >= lit(prefix)
+        }
+      }
+    case _ => None
+  }
+}

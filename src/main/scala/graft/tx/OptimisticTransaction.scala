@@ -1,0 +1,200 @@
+package graft.tx
+
+import java.nio.file.FileAlreadyExistsException
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.types.StructType
+
+import graft.files.{GraftFileIndex, TransactionalWrite}
+import graft.log._
+import graft.stats.StatsSkipping
+
+/** Concurrent-commit conflict taxonomy (reference concept:
+  * io.delta.exceptions.* + ConflictChecker.scala:280-319). */
+class GraftConcurrentModificationException(msg: String)
+    extends RuntimeException(msg)
+class ConcurrentAppendException(msg: String)
+    extends GraftConcurrentModificationException(msg)
+class ConcurrentDeleteReadException(msg: String)
+    extends GraftConcurrentModificationException(msg)
+class ConcurrentDeleteDeleteException(msg: String)
+    extends GraftConcurrentModificationException(msg)
+class MetadataChangedException(msg: String)
+    extends GraftConcurrentModificationException(msg)
+class ProtocolChangedException(msg: String)
+    extends GraftConcurrentModificationException(msg)
+class ConcurrentTransactionException(msg: String)
+    extends GraftConcurrentModificationException(msg)
+
+/**
+ * Optimistic-concurrency transaction: pin a snapshot, track what is read,
+ * stage writes, then commit with retry — on a version clash the winning
+ * commits are re-read and checked for logical conflicts; disjoint work
+ * retries transparently. (Reference concept: OptimisticTransaction.scala
+ * commit/doCommitRetryIteratively/checkForConflicts — re-designed.)
+ */
+class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
+
+  private var newMetadata: Option[Metadata] = None
+  private val readPartitionPredicates = mutable.ArrayBuffer.empty[Seq[Expression]]
+  private var readWholeTableFlag = false
+  private val readFilePaths = mutable.Set.empty[String]
+  private var committed = false
+
+  def metadata: Metadata = newMetadata.getOrElse(snapshot.metadata)
+
+  def readVersion: Long = snapshot.version
+
+  def updateMetadata(m: Metadata): Unit = {
+    require(!committed, "Transaction already committed")
+    newMetadata = Some(m)
+  }
+
+  def readWholeTable(): Unit = readWholeTableFlag = true
+
+  def txnVersion(appId: String): Long = snapshot.txnVersion(appId)
+
+  /**
+   * Data-skipping file selection; records the partition predicates and the
+   * chosen files for conflict detection.
+   */
+  def filterFiles(
+      partitionFilters: Seq[Expression] = Nil,
+      dataFilters: Seq[Expression] = Nil): Seq[AddFile] = {
+    val partSchema = StructType(
+      metadata.partitionColumns.map(c => metadata.schema(c)))
+    val pruned = GraftFileIndex.prunePartitions(
+      snapshot.allFiles, partSchema, partitionFilters)
+    val skipped = StatsSkipping.filterFiles(
+      log.spark, pruned, metadata.dataSchema, dataFilters)
+    if (partitionFilters.isEmpty && dataFilters.isEmpty) readWholeTableFlag = true
+    else readPartitionPredicates += partitionFilters
+    readFilePaths ++= skipped.map(_.path)
+    skipped
+  }
+
+  /** Write `data` as table files (no commit yet); returns AddFiles. */
+  def writeFiles(data: DataFrame, dataChange: Boolean = true): Seq[AddFile] = {
+    val m = metadata
+    val adds = TransactionalWrite.writeFiles(
+      log.spark, log.dataPath, data, m.partitionColumns, m.dataSchema,
+      optimizeWrite = m.configuration
+        .getOrElse("graft.optimizeWrite", "true").toBoolean)
+    if (dataChange) adds else adds.map(_.copy(dataChange = false))
+  }
+
+  /** Commit with conflict-checked retry; returns the committed version. */
+  def commit(
+      actions: Seq[Action],
+      operation: String,
+      operationParameters: Map[String, String] = Map.empty,
+      operationMetrics: Map[String, String] = Map.empty): Long = {
+    require(!committed, "Transaction already committed")
+    val isFirstCommit = snapshot.version < 0
+    val prefix = mutable.ArrayBuffer.empty[Action]
+    prefix += CommitInfo(
+      timestamp = System.currentTimeMillis(),
+      operation = operation,
+      operationParameters = operationParameters,
+      readVersion = if (isFirstCommit) None else Some(snapshot.version),
+      isolationLevel = Some(isolationLevel),
+      operationMetrics = operationMetrics)
+    if (isFirstCommit) {
+      require(newMetadata.isDefined, "First commit must set table metadata")
+      prefix += Protocol()
+    }
+    newMetadata.foreach(prefix += _)
+    val finalActions = prefix.toSeq ++ actions
+    stageForConflictCheck(finalActions)
+
+    var attemptVersion = snapshot.version + 1
+    val maxRetries = 20
+    var retries = 0
+    while (retries <= maxRetries) {
+      try {
+        log.writeCommit(attemptVersion, finalActions)
+        committed = true
+        return attemptVersion
+      } catch {
+        case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          val winning = log.readCommit(attemptVersion)
+          checkForConflicts(winning, attemptVersion)
+          attemptVersion += 1
+          retries += 1
+      }
+    }
+    throw new GraftConcurrentModificationException(
+      s"Commit failed after $maxRetries conflict-checked retries")
+  }
+
+  private def isolationLevel: String =
+    metadata.configuration.getOrElse("graft.isolationLevel", "Serializable")
+
+  /**
+   * Logical conflict check against one winning commit, in the reference's
+   * severity order: protocol, metadata, appends vs our reads, deletes vs
+   * our reads, delete/delete, idempotent-txn clashes.
+   */
+  private def checkForConflicts(winning: Seq[Action], winningVersion: Long): Unit = {
+    val ourRemoves = removedPaths()
+    winning.foreach {
+      case _: Protocol =>
+        throw new ProtocolChangedException(
+          s"Protocol changed by concurrent commit $winningVersion")
+      case _: Metadata =>
+        throw new MetadataChangedException(
+          s"Table metadata changed by concurrent commit $winningVersion")
+      case _ =>
+    }
+    val winningAdds = winning.collect { case a: AddFile if a.dataChange => a }
+    if (winningAdds.nonEmpty && isolationLevel == "Serializable" && readsAny(winningAdds)) {
+      throw new ConcurrentAppendException(
+        s"Files added by concurrent commit $winningVersion overlap the read set " +
+          s"(e.g. ${winningAdds.head.path})")
+    }
+    val winningRemoves = winning.collect { case r: RemoveFile => r }
+    winningRemoves.foreach { r =>
+      if (readFilePaths.contains(r.path) || readWholeTableFlag) {
+        throw new ConcurrentDeleteReadException(
+          s"File ${r.path} read by this transaction was removed by commit $winningVersion")
+      }
+      if (ourRemoves.contains(r.path)) {
+        throw new ConcurrentDeleteDeleteException(
+          s"File ${r.path} removed by both this transaction and commit $winningVersion")
+      }
+    }
+    val ourTxnApps = stagedTxnAppIds
+    winning.collect { case t: SetTransaction => t }.foreach { t =>
+      if (ourTxnApps.contains(t.appId)) {
+        throw new ConcurrentTransactionException(
+          s"Idempotent txn for app ${t.appId} also committed by $winningVersion")
+      }
+    }
+  }
+
+  /** Would any of these concurrently-added files fall in our read set? */
+  private def readsAny(adds: Seq[AddFile]): Boolean = {
+    if (readWholeTableFlag) return true
+    if (readPartitionPredicates.isEmpty) return false
+    val partSchema = StructType(
+      metadata.partitionColumns.map(c => metadata.schema(c)))
+    readPartitionPredicates.exists { filters =>
+      if (filters.isEmpty) true  // data-only predicate: partition-conservative
+      else GraftFileIndex.prunePartitions(adds, partSchema, filters).nonEmpty
+    }
+  }
+
+  // Staged actions visibility for conflict checks: the caller passes
+  // actions to commit(); we capture removes/txns there instead of keeping
+  // mutable staging state. These are filled by commit() just before retry.
+  private var stagedActions: Seq[Action] = Nil
+  private[graft] def stageForConflictCheck(actions: Seq[Action]): Unit =
+    stagedActions = actions
+  private def removedPaths(): Set[String] =
+    stagedActions.collect { case r: RemoveFile => r.path }.toSet
+  private def stagedTxnAppIds: Set[String] =
+    stagedActions.collect { case t: SetTransaction => t.appId }.toSet
+}
