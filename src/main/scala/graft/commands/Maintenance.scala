@@ -278,7 +278,7 @@ object ConvertCommand {
 
     val partitionCols = files.headOption.map(_.partitionValues.keys.toSeq).getOrElse(Nil)
     val metadata = Metadata(
-      schemaString = schema.json,
+      schemaString = graft.schema.SchemaUtils.toNullable(schema).json,
       partitionColumns = partitionCols,
       createdTime = Some(System.currentTimeMillis()))
     val dataSchema = org.apache.spark.sql.types.StructType(

@@ -37,7 +37,7 @@ object WriteIntoGraft {
       val m0 =
         if (isNew) {
           Metadata(
-            schemaString = data.schema.json,
+            schemaString = SchemaUtils.toNullable(data.schema).json,
             partitionColumns = partitionBy,
             configuration = configuration,
             createdTime = Some(System.currentTimeMillis()))
@@ -51,10 +51,12 @@ object WriteIntoGraft {
         else if (mode == "overwrite" && mergeSchema && replaceWhere.isEmpty &&
             !SchemaUtils.isWriteCompatible(m0.schema, data.schema) &&
             configuration.isEmpty) {
-          m0.copy(schemaString = SchemaUtils.mergeSchemas(m0.schema, data.schema).json)
+          m0.copy(schemaString = SchemaUtils.toNullable(
+            SchemaUtils.mergeSchemas(m0.schema, data.schema)).json)
         } else if (!SchemaUtils.isWriteCompatible(m0.schema, data.schema)) {
           if (mergeSchema)
-            m0.copy(schemaString = SchemaUtils.mergeSchemas(m0.schema, data.schema).json)
+            m0.copy(schemaString = SchemaUtils.toNullable(
+              SchemaUtils.mergeSchemas(m0.schema, data.schema)).json)
           else throw new IllegalArgumentException(
             s"Schema mismatch writing to $path:\n table: ${m0.schema.simpleString}\n" +
               s" data: ${data.schema.simpleString}\nSet mergeSchema=true to evolve.")
@@ -101,6 +103,23 @@ object WriteIntoGraft {
     }
   }
 
+  /** Resolve bare column names in an API/SQL predicate against the
+    * table schema (UnresolvedAttribute -> typed AttributeReference). */
+  def resolve(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    e.transformUp {
+      case u: UnresolvedAttribute =>
+        val name = u.nameParts.last
+        schema.find(_.name.equalsIgnoreCase(name))
+          .map(f => AttributeReference(f.name, f.dataType, f.nullable)())
+          .getOrElse(u)
+    }
+  }
+
   /** Split a predicate into partition-only conjuncts and the rest. */
   def splitPredicates(
       condition: org.apache.spark.sql.catalyst.expressions.Expression,
@@ -114,7 +133,7 @@ object WriteIntoGraft {
       case other => Seq(other)
     }
     val partCols = metadata.partitionColumns.map(_.toLowerCase).toSet
-    conjuncts(condition).partition { c =>
+    conjuncts(resolve(condition, metadata.schema)).partition { c =>
       val refs = c.collect { case a: AttributeReference => a.name.toLowerCase }
       refs.nonEmpty && refs.forall(partCols.contains)
     }

@@ -2,6 +2,7 @@ package graft.log
 
 import com.fasterxml.jackson.annotation.JsonInclude
 import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.databind.annotation.JsonDeserialize
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
 import org.apache.spark.sql.types.{DataType, StructType}
 
@@ -34,6 +35,7 @@ case class Metadata(
     schemaString: String = null,
     partitionColumns: Seq[String] = Nil,
     configuration: Map[String, String] = Map.empty,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
     createdTime: Option[Long] = None) extends Action {
   @transient lazy val schema: StructType =
     if (schemaString == null) new StructType()
@@ -62,9 +64,11 @@ case class AddFile(
 /** Tombstone: the file is no longer part of the table. */
 case class RemoveFile(
     path: String,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
     deletionTimestamp: Option[Long] = None,
     dataChange: Boolean = true,
     partitionValues: Map[String, String] = null,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
     size: Option[Long] = None) extends Action {
   def wrap: SingleAction = SingleAction(remove = this)
 }
@@ -81,16 +85,19 @@ case class AddCdcFile(
 case class SetTransaction(
     appId: String,
     version: Long,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
     lastUpdated: Option[Long] = None) extends Action {
   def wrap: SingleAction = SingleAction(txn = this)
 }
 
 /** Provenance record for DESCRIBE HISTORY. */
 case class CommitInfo(
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
     version: Option[Long] = None,
     timestamp: Long = 0L,
     operation: String = null,
     operationParameters: Map[String, String] = Map.empty,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
     readVersion: Option[Long] = None,
     isolationLevel: Option[String] = None,
     operationMetrics: Map[String, String] = Map.empty) extends Action {

@@ -11,6 +11,19 @@ import org.apache.spark.sql.types._
  */
 object SchemaUtils {
 
+  /** Table schemas are always nullable: files written before a column was
+    * added lack it physically, and the reader must be able to null-fill. */
+  def toNullable(schema: StructType): StructType =
+    StructType(schema.fields.map(f => f.copy(
+      dataType = typeToNullable(f.dataType), nullable = true)))
+
+  private def typeToNullable(dt: DataType): DataType = dt match {
+    case s: StructType => toNullable(s)
+    case ArrayType(e, _) => ArrayType(typeToNullable(e), containsNull = true)
+    case MapType(k, v, _) => MapType(typeToNullable(k), typeToNullable(v), true)
+    case other => other
+  }
+
   /** Merge incoming data schema into the table schema. New fields append;
     * same-name fields must have identical (or mergeable struct) types. */
   def mergeSchemas(table: StructType, data: StructType): StructType = {

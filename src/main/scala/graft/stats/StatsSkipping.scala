@@ -71,10 +71,15 @@ object StatsSkipping {
     case _ => None
   }
 
-  private def attrName(e: Expression, schema: StructType): Option[String] = e match {
-    case a: AttributeReference if schema.fieldNames.take(FooterStats.MAX_INDEXED_COLS)
-        .exists(n => n.equalsIgnoreCase(a.name)) => Some(a.name)
-    case _ => None
+  private def attrName(e: Expression, schema: StructType): Option[String] = {
+    val name = e match {
+      case a: AttributeReference => Some(a.name)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        Some(u.nameParts.last)
+      case _ => None
+    }
+    name.flatMap(n => schema.fieldNames.take(FooterStats.MAX_INDEXED_COLS)
+      .find(_.equalsIgnoreCase(n)))
   }
 
   /**

@@ -1,0 +1,303 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.log.GraftLog
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark = TestSpark.spark
+  val sf = "/root/testdata/sf0.001"
+
+  def tmpDir(): String = Files.createTempDirectory("graft-test").toString
+
+  def lineitem: DataFrame = spark.read.parquet(s"$sf/lineitem.parquet")
+
+  override def afterAll(): Unit = GraftLog.clearCache()
+
+  test("append + read roundtrip") {
+    val dir = tmpDir()
+    Graft.write(lineitem, dir)
+    val back = Graft.read(spark, dir)
+    assert(back.count() === lineitem.count())
+    assert(back.schema.fieldNames.sorted === lineitem.schema.fieldNames.sorted)
+    // second append doubles
+    Graft.write(lineitem, dir)
+    assert(Graft.read(spark, dir).count() === 2 * lineitem.count())
+  }
+
+  test("partitioned write, partition values from log, pruning") {
+    val dir = tmpDir()
+    Graft.write(lineitem, dir, partitionBy = Seq("l_returnflag"))
+    val back = Graft.read(spark, dir)
+    assert(back.count() === lineitem.count())
+    val one = back.filter(col("l_returnflag") === "R")
+    val expected = lineitem.filter(col("l_returnflag") === "R").count()
+    assert(one.count() === expected)
+    // pruning: scanned files should be a strict subset
+    val t = GraftTable.forPath(spark, dir)
+    val flags = t.snapshot.allFiles.map(_.partitionValues("l_returnflag")).distinct
+    assert(flags.size >= 2)
+  }
+
+  test("overwrite replaces content") {
+    val dir = tmpDir()
+    Graft.write(lineitem, dir)
+    val filtered = lineitem.filter(col("l_quantity") > 25)
+    Graft.write(filtered, dir, mode = "overwrite")
+    assert(Graft.read(spark, dir).count() === filtered.count())
+  }
+
+  test("replaceWhere overwrites only matching partition") {
+    val dir = tmpDir()
+    Graft.write(lineitem, dir, partitionBy = Seq("l_returnflag"))
+    val repl = lineitem.filter(col("l_returnflag") === "R").limit(10)
+    Graft.write(repl, dir, mode = "overwrite",
+      replaceWhere = Some("l_returnflag = 'R'"))
+    val total = lineitem.filter(col("l_returnflag") =!= "R").count() + 10
+    assert(Graft.read(spark, dir).count() === total)
+  }
+
+  test("stats skipping prunes files") {
+    val dir = tmpDir()
+    // write in 4 chunks by orderkey ranges so files have disjoint stats
+    val li = lineitem
+    val hi = li.agg(max("l_orderkey")).head.getLong(0)
+    val step = hi / 4 + 1
+    (0 until 4).foreach { i =>
+      Graft.write(li.filter(col("l_orderkey") >= i * step &&
+        col("l_orderkey") < (i + 1) * step).repartition(1), dir)
+    }
+    val t = GraftTable.forPath(spark, dir)
+    assert(t.snapshot.allFiles.forall(_.stats != null))
+    val maxKey = li.agg(max("l_orderkey")).head.getLong(0)
+    import graft.stats.StatsSkipping
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    import org.apache.spark.sql.types.LongType
+    val pred = EqualTo(AttributeReference("l_orderkey", LongType)(), Literal(maxKey))
+    val kept = StatsSkipping.filterFiles(spark, t.snapshot.allFiles,
+      t.snapshot.metadata.dataSchema, Seq(pred))
+    assert(kept.size < t.snapshot.allFiles.size)
+    // correctness preserved
+    assert(Graft.read(spark, dir).filter(col("l_orderkey") === maxKey).count() ===
+      li.filter(col("l_orderkey") === maxKey).count())
+  }
+
+  test("delete with rewrite") {
+    val dir = tmpDir()
+    Graft.write(lineitem, dir)
+    val t = GraftTable.forPath(spark, dir)
+    t.delete(col("l_quantity") < 10)
+    val expected = lineitem.filter(!(col("l_quantity") < 10)).count()
+    assert(Graft.read(spark, dir).count() === expected)
+  }
+
+  test("metadata-only delete on partition column") {
+    val dir = tmpDir()
+    Graft.write(lineitem, dir, partitionBy = Seq("l_returnflag"))
+    val t = GraftTable.forPath(spark, dir)
+    val v0 = t.version
+    t.delete(col("l_returnflag") === "R")
+    val expected = lineitem.filter(col("l_returnflag") =!= "R").count()
+    assert(Graft.read(spark, dir).count() === expected)
+    // metadata-only: no files added
+    val commit = t.log.readCommit(v0 + 1)
+    assert(!commit.exists(_.isInstanceOf[graft.log.AddFile]))
+  }
+
+  test("update rewrites matching rows") {
+    val dir = tmpDir()
+    Graft.write(lineitem, dir)
+    val t = GraftTable.forPath(spark, dir)
+    t.update(col("l_quantity") === 1, Map("l_tax" -> lit(9.99)))
+    val got = Graft.read(spark, dir)
+    assert(got.filter(col("l_tax") === 9.99).count() ===
+      lineitem.filter(col("l_quantity") === 1).count())
+    assert(got.count() === lineitem.count())
+  }
+
+  test("merge upsert") {
+    val dir = tmpDir()
+    val target = spark.range(10).select(col("id"), lit("old").as("v"))
+    Graft.write(target, dir)
+    val source = spark.range(5, 15).select(col("id"), lit("new").as("v"))
+    val t = GraftTable.forPath(spark, dir)
+    t.merge(source, expr("t.id = s.id"))
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .execute()
+    val got = Graft.read(spark, dir)
+    assert(got.count() === 15)
+    assert(got.filter(col("v") === "new").count() === 10)
+    assert(got.filter(col("v") === "old").count() === 5)
+  }
+
+  test("merge with delete clause and conditions") {
+    val dir = tmpDir()
+    Graft.write(spark.range(10).select(col("id"), lit(1).as("x")), dir)
+    val src = spark.range(10).select(col("id"), (col("id") % 2).cast("int").as("x"))
+    val t = GraftTable.forPath(spark, dir)
+    t.merge(src, expr("t.id = s.id"))
+      .whenMatched(expr("s.x = 0")).delete()
+      .whenMatched().update(Map("x" -> lit(7)))
+      .execute()
+    val got = Graft.read(spark, dir)
+    assert(got.count() === 5)       // even ids deleted
+    assert(got.filter(col("x") === 7).count() === 5)
+  }
+
+  test("insert-only merge fast path") {
+    val dir = tmpDir()
+    Graft.write(spark.range(10).toDF("id"), dir)
+    val t = GraftTable.forPath(spark, dir)
+    val before = t.version
+    t.merge(spark.range(5, 20).toDF("id"), expr("t.id = s.id"))
+      .whenNotMatched().insertAll()
+      .execute()
+    assert(Graft.read(spark, dir).count() === 20)
+    // fast path must not remove files
+    val commit = t.log.readCommit(before + 1)
+    assert(!commit.exists(_.isInstanceOf[graft.log.RemoveFile]))
+  }
+
+  test("time travel and restore") {
+    val dir = tmpDir()
+    Graft.write(spark.range(10).toDF("id"), dir)          // v0
+    GraftTable.forPath(spark, dir).delete(col("id") < 5)  // v1
+    val t = GraftTable.forPath(spark, dir)
+    assert(t.toDF.count() === 5)
+    assert(t.asOfVersion(0).count() === 10)
+    t.restoreToVersion(0)                                  // v2
+    assert(Graft.read(spark, dir).count() === 10)
+    assert(t.asOfVersion(1).count() === 5)
+  }
+
+  test("optimize compacts small files") {
+    val dir = tmpDir()
+    (0 until 6).foreach(_ => Graft.write(spark.range(100).toDF("id"), dir))
+    val t = GraftTable.forPath(spark, dir)
+    val before = t.snapshot.numFiles
+    t.optimize().executeCompaction()
+    val after = GraftTable.forPath(spark, dir).snapshot.numFiles
+    assert(after < before)
+    assert(Graft.read(spark, dir).count() === 600)
+    // dataChange=false on optimize adds
+    val commit = t.log.readCommit(t.version)
+    assert(commit.collect { case a: graft.log.AddFile => a }.forall(!_.dataChange))
+  }
+
+  test("zorder rewrite keeps data") {
+    val dir = tmpDir()
+    Graft.write(lineitem, dir)
+    val t = GraftTable.forPath(spark, dir)
+    t.optimize().executeZOrderBy("l_orderkey", "l_partkey")
+    assert(Graft.read(spark, dir).count() === lineitem.count())
+  }
+
+  test("vacuum removes orphans after delete, keeps live data") {
+    val dir = tmpDir()
+    Graft.write(lineitem, dir)
+    val t = GraftTable.forPath(spark, dir)
+    t.delete(col("l_quantity") < 30)   // rewrites files
+    val removed = t.vacuum(retentionHours = 0.0, dryRun = true).count()
+    assert(removed > 0)
+    t.vacuum(retentionHours = 0.0)
+    val expected = lineitem.filter(!(col("l_quantity") < 30)).count()
+    assert(Graft.read(spark, dir).count() === expected)
+  }
+
+  test("checkpoint + cold snapshot load") {
+    val dir = tmpDir()
+    (0 until 12).foreach(i => Graft.write(spark.range(10).toDF("id"), dir))
+    // interval 10 → checkpoint at v10 exists
+    val log = GraftLog.forTable(spark, dir)
+    assert(log.store.list(log.logPath)
+      .exists(_.getPath.getName.contains("checkpoint")))
+    GraftLog.clearCache()  // force cold build from checkpoint
+    val cold = GraftLog.forTable(spark, dir).update()
+    assert(cold.version === 11)
+    assert(Graft.read(spark, dir).count() === 120)
+  }
+
+  test("schema evolution with mergeSchema") {
+    val dir = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dir)
+    val extra = spark.range(5).select(col("id"), lit("x").as("tag"))
+    intercept[IllegalArgumentException] { Graft.write(extra, dir) }
+    Graft.write(extra, dir, mergeSchema = true)
+    val got = Graft.read(spark, dir)
+    assert(got.columns.toSet === Set("id", "tag"))
+    assert(got.count() === 10)
+    assert(got.filter(col("tag").isNull).count() === 5)
+  }
+
+  test("concurrent append conflict detection") {
+    val dir = tmpDir()
+    Graft.write(spark.range(10).toDF("id"), dir)
+    val log = GraftLog.forTable(spark, dir)
+    val txn1 = log.startTransaction()
+    txn1.filterFiles()  // reads whole table
+    // a competing writer commits first
+    Graft.write(spark.range(10).toDF("id"), dir)
+    val adds = txn1.writeFiles(spark.range(5).toDF("id"))
+    intercept[graft.tx.ConcurrentAppendException] {
+      txn1.commit(adds, "WRITE")
+    }
+    // blind append (no reads) succeeds via retry
+    val txn2 = log.startTransaction()
+    val adds2 = txn2.writeFiles(spark.range(5).toDF("id"))
+    Graft.write(spark.range(10).toDF("id"), dir)
+    txn2.commit(adds2, "WRITE")
+    assert(Graft.read(spark, dir).count() === 35)
+  }
+
+  test("change data feed: delete + update + merge") {
+    val dir = tmpDir()
+    Graft.write(spark.range(10).select(col("id"), lit(0).as("v")), dir,
+      configuration = Map("graft.enableChangeDataFeed" -> "true"))
+    val t = GraftTable.forPath(spark, dir)
+    t.delete(col("id") >= 8)                              // v1
+    t.update(col("id") === 0, Map("v" -> lit(5)))         // v2
+    val ch = t.changes(1, 2)
+    val byType = ch.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("delete") === 2)
+    assert(byType("update_preimage") === 1)
+    assert(byType("update_postimage") === 1)
+    // insert CDF from the initial append
+    val ch0 = t.changes(0, 0)
+    assert(ch0.filter(col("_change_type") === "insert").count() === 10)
+  }
+
+  test("convert existing parquet dir") {
+    val dir = tmpDir()
+    lineitem.write.mode("overwrite").parquet(dir)
+    val t = Graft.convertFromParquet(spark, dir)
+    assert(t.toDF.count() === lineitem.count())
+  }
+
+  test("history and detail") {
+    val dir = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dir)
+    GraftTable.forPath(spark, dir).delete(col("id") === 0)
+    val t = GraftTable.forPath(spark, dir)
+    val h = t.history().collect()
+    assert(h.length === 2)
+    assert(h.head.getAs[String]("operation") === "DELETE")
+    assert(t.detail().head.getAs[Long]("numFiles") === t.snapshot.numFiles)
+  }
+}
