@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.StructType
+
+import graft.commands.WriteIntoGraft
+import graft.files.GraftFileIndex
+import graft.log.GraftLog
+
+/**
+ * `format("graft")` entry point: batch relation (with versionAsOf /
+ * timestampAsOf time travel), batch writes (mode/replaceWhere/mergeSchema
+ * options), streaming source and sink. Registered through
+ * META-INF/services/org.apache.spark.sql.sources.DataSourceRegister.
+ * (Reference concept: sources/DeltaDataSource.scala:55-420 — re-designed.)
+ */
+class GraftDataSource
+    extends RelationProvider
+    with CreatableRelationProvider
+    with StreamSourceProvider
+    with StreamSinkProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("'path' is required for graft tables"))
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val log = GraftLog.forTable(spark, pathOf(parameters))
+    require(log.tableExists, s"${pathOf(parameters)} is not a graft table")
+    val snapshot = parameters.get("versionAsOf") match {
+      case Some(v) => log.getSnapshotAt(v.toLong)
+      case None => parameters.get("timestampAsOf") match {
+        case Some(ts) =>
+          log.getSnapshotAt(log.getVersionAtTime(
+            java.sql.Timestamp.valueOf(ts).getTime))
+        case None => log.update()
+      }
+    }
+    val index = new GraftFileIndex(spark, log, snapshot)
+    HadoopFsRelation(
+      location = index,
+      partitionSchema = index.partitionSchema,
+      dataSchema = snapshot.metadata.dataSchema,
+      bucketSpec = None,
+      fileFormat = new ParquetFileFormat,
+      options = Map.empty)(spark)
+  }
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val partitionBy = parameters.get("__partition_columns")
+      .map(parsePartitionColumns).getOrElse(Nil)
+    val writeMode = mode match {
+      case SaveMode.Overwrite => "overwrite"
+      case SaveMode.Append => "append"
+      case SaveMode.ErrorIfExists =>
+        require(!GraftLog.forTable(spark, path).tableExists,
+          s"graft table $path already exists")
+        "append"
+      case SaveMode.Ignore =>
+        if (GraftLog.forTable(spark, path).tableExists) {
+          return createRelation(sqlContext, parameters)
+        }
+        "append"
+    }
+    WriteIntoGraft(spark, path, data,
+      mode = writeMode,
+      partitionBy = partitionBy,
+      replaceWhere = parameters.get("replaceWhere"),
+      mergeSchema = parameters.get("mergeSchema").exists(_.toBoolean),
+      dynamicPartitionOverwrite =
+        parameters.get("partitionOverwriteMode").exists(_.equalsIgnoreCase("dynamic")),
+      txnAppId = parameters.get("txnAppId"),
+      txnVersion = parameters.get("txnVersion").map(_.toLong))
+    createRelation(sqlContext, parameters)
+  }
+
+  private def parsePartitionColumns(json: String): Seq[String] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    (0 until node.size()).map(i => node.get(i).asText())
+  }
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val log = GraftLog.forTable(sqlContext.sparkSession, pathOf(parameters))
+    (shortName(), log.update().metadata.schema)
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val log = GraftLog.forTable(spark, pathOf(parameters))
+    new graft.streaming.GraftSource(spark, log, parameters)
+  }
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    new graft.streaming.GraftSink(
+      sqlContext, pathOf(parameters), partitionColumns, outputMode, parameters)
+  }
+}

@@ -1,0 +1,186 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.read.streaming
+import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.execution.streaming.{Offset => LegacyOffset, Source}
+import org.apache.spark.sql.types.StructType
+
+import graft.files.GraftFileIndex
+import graft.log._
+
+/**
+ * Streaming offset: a position in the ordered stream of files — first the
+ * initial snapshot's files (sorted), then each commit's added files in
+ * log order. `index` is the LAST CONSUMED file position within
+ * `version` (-1 = nothing consumed yet). (Reference concept:
+ * sources/DeltaSourceOffset.scala:55-78 — re-designed.)
+ */
+case class GraftSourceOffset(
+    reservoirVersion: Long,
+    index: Long,
+    isInitialSnapshot: Boolean) extends LegacyOffset {
+  override def json: String =
+    s"""{"reservoirVersion":$reservoirVersion,"index":$index,""" +
+      s""""isInitialSnapshot":$isInitialSnapshot}"""
+}
+
+object GraftSourceOffset {
+  def fromJson(json: String): GraftSourceOffset = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json)
+    GraftSourceOffset(
+      m.get("reservoirVersion").asLong(),
+      m.get("index").asLong(),
+      m.get("isInitialSnapshot").asBoolean())
+  }
+  def convert(o: streaming.Offset): GraftSourceOffset = o match {
+    case g: GraftSourceOffset => g
+    case other => fromJson(other.json)
+  }
+}
+
+private[graft] case class IndexedFile(
+    version: Long, index: Long, isInitialSnapshot: Boolean, add: AddFile)
+
+/**
+ * A graft table as a structured-streaming source: the initial snapshot is
+ * replayed file-by-file, then the commit tail is followed in order, with
+ * `maxFilesPerTrigger`/`maxBytesPerTrigger` admission control. Non-append
+ * commits fail the stream unless ignoreDeletes / ignoreChanges /
+ * skipChangeCommits is set. (Reference concept:
+ * sources/DeltaSource.scala:112-1068 — re-designed.)
+ */
+class GraftSource(
+    spark: SparkSession,
+    log: GraftLog,
+    options: Map[String, String]) extends Source with SupportsAdmissionControl {
+
+  private val snapshotAtInit = log.update()
+  private val startingVersion: Option[Long] =
+    options.get("startingVersion").map {
+      case "latest" => snapshotAtInit.version + 1
+      case v => v.toLong
+    }
+  private val maxFilesDefault =
+    options.get("maxFilesPerTrigger").map(_.toInt).getOrElse(1000)
+  private val maxBytes = options.get("maxBytesPerTrigger").map(_.toLong)
+  private val ignoreChanges = options.get("ignoreChanges").exists(_.toBoolean)
+  private val ignoreDeletes = options.get("ignoreDeletes").exists(_.toBoolean)
+  private val skipChangeCommits = options.get("skipChangeCommits").exists(_.toBoolean)
+
+  /** Initial-snapshot files (pinned at a version) in a stable order.
+    * On restart the offset's reservoirVersion — not the current table
+    * version — identifies the snapshot being replayed. */
+  private val initialFilesCache =
+    scala.collection.mutable.Map.empty[Long, Vector[AddFile]]
+  private def initialFiles(version: Long): Vector[AddFile] =
+    initialFilesCache.getOrElseUpdate(version, {
+      val snap =
+        if (version == snapshotAtInit.version) snapshotAtInit
+        else log.getSnapshotAt(version)
+      snap.allFiles.sortBy(f => (f.modificationTime, f.path)).toVector
+    })
+
+  override def schema: StructType = snapshotAtInit.metadata.schema
+
+  private def initialPosition: GraftSourceOffset = startingVersion match {
+    case Some(v) => GraftSourceOffset(v, -1L, isInitialSnapshot = false)
+    case None => GraftSourceOffset(snapshotAtInit.version, -1L, isInitialSnapshot = true)
+  }
+
+  /** All file changes strictly after `from`, in stream order. */
+  private def fileChanges(from: GraftSourceOffset): Iterator[IndexedFile] = {
+    val latest = log.update().version
+    val snapshotPart: Iterator[IndexedFile] =
+      if (from.isInitialSnapshot) {
+        initialFiles(from.reservoirVersion).iterator.zipWithIndex
+          .filter(_._2 > from.index)
+          .map { case (f, i) =>
+            IndexedFile(from.reservoirVersion, i, isInitialSnapshot = true, f)
+          }
+      } else Iterator.empty
+    val tailStart =
+      if (from.isInitialSnapshot) from.reservoirVersion + 1
+      else from.reservoirVersion
+    val tailPart = (tailStart to latest).iterator.flatMap { v =>
+      val actions = log.readCommit(v)
+      val hasDataRemoves = actions.exists {
+        case r: RemoveFile => r.dataChange
+        case _ => false
+      }
+      val adds = actions.collect { case a: AddFile if a.dataChange => a }
+      if (hasDataRemoves && skipChangeCommits) Iterator.empty
+      else if (hasDataRemoves && !ignoreChanges &&
+          !(ignoreDeletes && adds.isEmpty)) {
+        throw new UnsupportedOperationException(
+          s"Detected a data update/delete in commit $v of ${log.dataPath}. " +
+            "Streaming from a table with changes requires ignoreChanges, " +
+            "ignoreDeletes, or skipChangeCommits.")
+      } else {
+        adds.iterator.zipWithIndex
+          .filter { case (_, i) => v > from.reservoirVersion ||
+            from.isInitialSnapshot || i > from.index }
+          .map { case (f, i) => IndexedFile(v, i, isInitialSnapshot = false, f) }
+      }
+    }
+    snapshotPart ++ tailPart
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    ReadLimit.maxFiles(maxFilesDefault)
+
+  override def latestOffset(
+      startOffset: streaming.Offset,
+      limit: ReadLimit): streaming.Offset = {
+    val from =
+      if (startOffset == null) initialPosition
+      else GraftSourceOffset.convert(startOffset)
+    val maxFiles = limit match {
+      case _: ReadAllAvailable => Int.MaxValue
+      case f: ReadMaxFiles => f.maxFiles
+      case _ => maxFilesDefault
+    }
+    var taken = 0
+    var bytes = 0L
+    var last: IndexedFile = null
+    val it = fileChanges(from)
+    while (it.hasNext && taken < maxFiles &&
+        maxBytes.forall(b => bytes < b)) {
+      val f = it.next()
+      taken += 1
+      bytes += f.add.size
+      last = f
+    }
+    if (last == null) {
+      if (startOffset == null) null else startOffset
+    } else {
+      GraftSourceOffset(last.version, last.index, last.isInitialSnapshot)
+    }
+  }
+
+  override def getOffset: Option[LegacyOffset] =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this")
+
+  override def getBatch(start: Option[LegacyOffset], end: LegacyOffset): DataFrame = {
+    val from = start match {
+      case Some(o) => GraftSourceOffset.convert(o)
+      case None => initialPosition
+    }
+    val to = GraftSourceOffset.convert(end)
+    val files = fileChanges(from).takeWhile { f =>
+      if (f.isInitialSnapshot && to.isInitialSnapshot) f.index <= to.index
+      else if (f.isInitialSnapshot) true      // end is past the snapshot
+      else if (to.isInitialSnapshot) false    // end is inside the snapshot
+      else f.version < to.reservoirVersion ||
+        (f.version == to.reservoirVersion && f.index <= to.index)
+    }.map(_.add).toVector
+    GraftFileIndex.dataFrame(spark, log, snapshotAtInit, Some(files),
+      isStreaming = true)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftSource[${log.dataPath}]"
+}

@@ -17,4 +17,12 @@ object SparkShims {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
   def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Batch DataFrame from InternalRows (e.g. re-planning a streaming
+    * micro-batch through the batch write path). */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[ClassicSession].internalCreateDataFrame(rows, schema)
 }

@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSuite extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  def tmpDir(): String = Files.createTempDirectory("graft-stream").toString
+
+  test("format(graft) batch write and read with time travel options") {
+    val dir = tmpDir()
+    spark.range(10).toDF("id").write.format("graft").save(dir)
+    spark.range(10, 20).toDF("id").write.format("graft")
+      .mode("append").save(dir)
+    assert(spark.read.format("graft").load(dir).count() === 20)
+    assert(spark.read.format("graft").option("versionAsOf", "0")
+      .load(dir).count() === 10)
+  }
+
+  test("format(graft) partitioned write via writer API") {
+    val dir = tmpDir()
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li.write.format("graft").partitionBy("l_returnflag").save(dir)
+    val back = spark.read.format("graft").load(dir)
+    assert(back.count() === li.count())
+    assert(back.filter(col("l_returnflag") === "A").count() ===
+      li.filter(col("l_returnflag") === "A").count())
+  }
+
+  test("streaming source: initial snapshot then appended commits") {
+    val dir = tmpDir()
+    val ckpt = tmpDir()
+    Graft.write(spark.range(10).toDF("id"), dir)
+    Graft.write(spark.range(10, 25).toDF("id"), dir)
+    val q = spark.readStream.format("graft").load(dir)
+      .groupBy().count()
+      .writeStream.format("memory").queryName("src_counts")
+      .outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val n = spark.table("src_counts").head.getLong(0)
+    assert(n === 25)
+  }
+
+  test("streaming source with maxFilesPerTrigger admission") {
+    val dir = tmpDir()
+    val ckpt = tmpDir()
+    (0 until 4).foreach(i => Graft.write(spark.range(i * 10, i * 10 + 10).toDF("id"), dir))
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "1")
+      .load(dir)
+      .writeStream.format("memory").queryName("adm_rows")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.table("adm_rows").count() === 40)
+  }
+
+  test("streaming sink: exactly-once into graft table") {
+    val srcDir = tmpDir()
+    val outDir = tmpDir()
+    val ckpt = tmpDir()
+    Graft.write(spark.range(30).toDF("id"), srcDir)
+    val q = spark.readStream.format("graft").load(srcDir)
+      .withColumn("doubled", col("id") * 2)
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+    q.awaitTermination(120000)
+    val out = Graft.read(spark, outDir)
+    assert(out.count() === 30)
+    assert(out.agg(sum("doubled")).head.getLong(0) === (0 until 30).map(_ * 2).sum)
+    // restart with same checkpoint: no duplicate writes
+    val q2 = spark.readStream.format("graft").load(srcDir)
+      .withColumn("doubled", col("id") * 2)
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+    q2.awaitTermination(120000)
+    assert(Graft.read(spark, outDir).count() === 30)
+  }
+
+  test("source fails on change commits unless skipChangeCommits") {
+    val dir = tmpDir()
+    val ckpt = tmpDir()
+    val outDir = tmpDir()
+    Graft.write(spark.range(10).toDF("id"), dir)
+    def run(extra: Map[String, String] = Map.empty) = {
+      var r = spark.readStream.format("graft")
+      extra.foreach { case (k, v) => r = r.option(k, v) }
+      r.load(dir)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(outDir)
+    }
+    run().awaitTermination(120000)          // consumes initial snapshot @v0
+    assert(Graft.read(spark, outDir).count() === 10)
+    GraftTable.forPath(spark, dir).delete(col("id") < 3)  // v1: change commit
+    val q2 = run()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination()
+    }
+    assert(err.getMessage.contains("ignoreChanges") ||
+      Option(err.getCause).exists(_.getMessage.contains("ignoreChanges")))
+    // resuming with skipChangeCommits passes over the change commit,
+    // then a plain append (v2) flows through
+    Graft.write(spark.range(100, 105).toDF("id"), dir)
+    val q3 = run(Map("skipChangeCommits" -> "true"))
+    q3.awaitTermination(120000)
+    assert(Graft.read(spark, outDir).count() === 15)
+  }
+}
