@@ -1,13 +1,746 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ml.{Dedup, Similarity}
+import graft.multimodal.Multimodal
+import graft.text.TextFunctions._
+
+/**
+ * Driver contract: `queries` (one entry per operator from SURVEY.md §2 +
+ * the training-data-pipeline operators) and `oracleSql` (DuckDB-equivalent
+ * SQL over the same parquet tables for every SQL-expressible query).
+ *
+ * Conventions for oracle determinism:
+ *  - money sums go through DECIMAL(18,2) then cast to double (exact in
+ *    both engines, immune to float summation order)
+ *  - every result carries an ORDER BY over a unique key
+ *  - column names are aliased identically on both sides
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(s"graft-$prefix").toString
+
+  /** Exact decimal sum of a 2-decimal double column, returned as double. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** Exact revenue sum: decimals BEFORE the multiply so both engines round
+    * identically (2-decimal inputs are exact in decimal space). */
+  private def revSum(price: org.apache.spark.sql.Column,
+      discount: org.apache.spark.sql.Column) =
+    sum(price.cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - discount.cast("decimal(18,2)")))
+      .cast("double")
+
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ==========================================================================
+  // Relational queries (scan / filter / join / agg / window / set ops)
+  // ==========================================================================
+
+  private val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q3_topk_revenue" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      // dimension side broadcast; fact-side join keys shuffle-pruned
+      broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(revSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_nation_revenue" -> ((s, dir) => {
+      val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      broadcast(broadcast(r).join(n, col("r_regionkey") === col("n_regionkey")))
+        .join(c, col("n_nationkey") === col("c_nationkey"))
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("n_name")
+        .agg(revSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy("n_name")
+    }),
+
+    "q_filter_pushdown" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "q_window_running" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("running_qty",
+          sum(col("l_quantity").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double"))
+        .select("l_suppkey", "rn", "l_orderkey", "l_linenumber", "running_qty")
+        .filter(col("rn") <= 5)
+        .orderBy("l_suppkey", "rn")
+    }),
+
+    "q_agg_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("distinct_parts"),
+          countDistinct(col("l_suppkey")).as("distinct_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q_semi_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    "q_set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val highPri = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_custkey").distinct()
+      val open = o.filter(col("o_orderstatus") === "O")
+        .select("o_custkey").distinct()
+      highPri.intersect(open).orderBy("o_custkey")
+    }),
+
+    "q_scalar_functions" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderpriority")).as("pri_upper"),
+          year(col("o_orderdate")).as("order_year"),
+          month(col("o_orderdate")).as("order_month"),
+          round(col("o_totalprice").cast("decimal(18,2)") * 2, 2)
+            .cast("double").as("double_price"),
+          substring(col("o_orderstatus"), 1, 1).as("status_c"),
+          concat_ws("-", col("o_orderkey"), col("o_custkey")).as("composite"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_events_rollup" -> ((s, dir) => {
+      // ts arrives as raw nanos (nanosAsLong): convert to micros timestamp
+      t(s, dir, "events")
+        .groupBy(col("event_type"),
+          to_date(timestamp_micros((col("ts") / 1000).cast("long"))).as("day"))
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("users"),
+          round(sum(col("value").cast("decimal(18,6)")), 4)
+            .cast("double").as("sum_value"))
+        .orderBy("event_type", "day")
+    }))
+
+  // ==========================================================================
+  // Graft-table operator queries (transactional engine end-to-end)
+  // ==========================================================================
+
+  private val engine: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graft_append_read" -> ((s, dir) => {
+      val path = tmp("append")
+      val li = t(s, dir, "lineitem")
+      Graft.write(li, path)
+      Graft.write(t(s, dir, "lineitem"), path)   // second append
+      Graft.read(s, path).groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    "graft_partition_prune" -> ((s, dir) => {
+      val path = tmp("prune")
+      Graft.write(t(s, dir, "lineitem"), path, partitionBy = Seq("l_returnflag"))
+      Graft.read(s, path).filter(col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "graft_data_skipping" -> ((s, dir) => {
+      val path = tmp("skip")
+      val li = t(s, dir, "lineitem")
+      // write ordered by orderkey so files carry disjoint min/max ranges
+      Graft.write(li.repartitionByRange(8, col("l_orderkey")), path)
+      val maxKey = li.agg(max("l_orderkey")).head.getLong(0)
+      Graft.read(s, path).filter(col("l_orderkey") === maxKey)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_linenumber")
+    }),
+
+    "graft_overwrite" -> ((s, dir) => {
+      val path = tmp("overwrite")
+      Graft.write(t(s, dir, "lineitem"), path)
+      Graft.write(t(s, dir, "lineitem").filter(col("l_quantity") > 25), path,
+        mode = "overwrite")
+      Graft.read(s, path)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "graft_replace_where" -> ((s, dir) => {
+      val path = tmp("rw")
+      Graft.write(t(s, dir, "lineitem"), path, partitionBy = Seq("l_returnflag"))
+      val repl = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 40)
+      Graft.write(repl, path, mode = "overwrite",
+        replaceWhere = Some("l_returnflag = 'R'"))
+      Graft.read(s, path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    "graft_delete" -> ((s, dir) => {
+      val path = tmp("delete")
+      Graft.write(t(s, dir, "lineitem"), path)
+      GraftTable.forPath(s, path).delete(col("l_quantity") < 10)
+      Graft.read(s, path)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "graft_update" -> ((s, dir) => {
+      val path = tmp("update")
+      Graft.write(t(s, dir, "lineitem"), path)
+      GraftTable.forPath(s, path)
+        .update(col("l_quantity") > 45, Map("l_tax" -> lit(0.99)))
+      Graft.read(s, path)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_tax")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "graft_merge_upsert" -> ((s, dir) => {
+      val path = tmp("merge")
+      Graft.write(t(s, dir, "customer"), path)
+      val src = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("total"))
+        .select(
+          when(col("o_custkey") % 10 === 0, col("o_custkey") + 100000)
+            .otherwise(col("o_custkey")).as("k"),
+          col("total"))
+      GraftTable.forPath(s, path)
+        .merge(src, expr("t.c_custkey = s.k"))
+        .whenMatched().update(Map("c_acctbal" -> col("s.total")))
+        .whenNotMatched().insert(Map(
+          "c_custkey" -> col("s.k"),
+          "c_name" -> lit("cust_new"),
+          "c_nationkey" -> lit(-1),
+          "c_acctbal" -> col("s.total"),
+          "c_mktsegment" -> lit("NEW")))
+        .execute()
+      Graft.read(s, path).orderBy("c_custkey")
+    }),
+
+    "graft_merge_insert_only" -> ((s, dir) => {
+      val path = tmp("mio")
+      val o = t(s, dir, "orders")
+      Graft.write(o.filter(col("o_orderkey") % 2 === 0), path)
+      GraftTable.forPath(s, path)
+        .merge(o, expr("t.o_orderkey = s.o_orderkey"))
+        .whenNotMatched().insertAll()
+        .execute()
+      Graft.read(s, path)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+
+    "graft_merge_delete" -> ((s, dir) => {
+      val path = tmp("md")
+      Graft.write(t(s, dir, "customer"), path)
+      val src = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      GraftTable.forPath(s, path)
+        .merge(src, expr("t.c_custkey = s.k"))
+        .whenMatched(expr("s.bal < 0")).delete()
+        .whenMatched().update(Map("c_mktsegment" -> lit("KEPT")))
+        .execute()
+      Graft.read(s, path)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
+    "graft_time_travel" -> ((s, dir) => {
+      val path = tmp("tt")
+      Graft.write(t(s, dir, "supplier"), path)
+      GraftTable.forPath(s, path).delete(col("s_acctbal") < 0)
+      GraftTable.forPath(s, path).asOfVersion(0)
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    }),
+
+    "graft_restore" -> ((s, dir) => {
+      val path = tmp("restore")
+      Graft.write(t(s, dir, "supplier"), path)
+      GraftTable.forPath(s, path).delete(col("s_acctbal") < 0)
+      GraftTable.forPath(s, path).restoreToVersion(0)
+      Graft.read(s, path)
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    }),
+
+    "graft_optimize_compact" -> ((s, dir) => {
+      val path = tmp("opt")
+      val li = t(s, dir, "lineitem")
+      (1 to 7).foreach(i =>
+        Graft.write(li.filter(col("l_linenumber") === i), path))
+      GraftTable.forPath(s, path).optimize().executeCompaction()
+      Graft.read(s, path)
+        .groupBy("l_linenumber")
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("price"))
+        .orderBy("l_linenumber")
+    }),
+
+    "graft_zorder" -> ((s, dir) => {
+      val path = tmp("zorder")
+      Graft.write(t(s, dir, "lineitem"), path)
+      GraftTable.forPath(s, path).optimize()
+        .executeZOrderBy("l_orderkey", "l_partkey")
+      Graft.read(s, path)
+        .filter(col("l_orderkey") < 100 && col("l_partkey") < 100)
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "graft_cdf" -> ((s, dir) => {
+      val path = tmp("cdf")
+      Graft.write(t(s, dir, "supplier"), path,
+        configuration = Map("graft.enableChangeDataFeed" -> "true"))
+      GraftTable.forPath(s, path)
+        .update(col("s_suppkey") <= 50, Map("s_acctbal" -> lit(0.0)))
+      GraftTable.forPath(s, path).changes(1, 1)
+        .select(col("s_suppkey"), col("s_acctbal"), col("_change_type"))
+        .orderBy("s_suppkey", "_change_type")
+    }),
+
+    "graft_schema_evolution" -> ((s, dir) => {
+      val path = tmp("evo")
+      val n = t(s, dir, "nation")
+      Graft.write(n, path)
+      Graft.write(
+        n.withColumn("n_comment", concat(lit("nation-"), col("n_name"))),
+        path, mergeSchema = true)
+      Graft.read(s, path)
+        .select("n_nationkey", "n_name", "n_comment")
+        .orderBy(col("n_nationkey"), col("n_comment").asc_nulls_first)
+    }),
+
+    "graft_checkpoint_replay" -> ((s, dir) => {
+      val path = tmp("ckpt")
+      val li = t(s, dir, "lineitem")
+      (1 to 7).foreach(i =>
+        Graft.write(li.filter(col("l_linenumber") === i), path,
+          configuration = if (i == 1) Map("graft.checkpointInterval" -> "3") else Map.empty))
+      graft.log.GraftLog.clearCache()   // force cold reload through checkpoint
+      Graft.read(s, path)
+        .groupBy("l_linenumber").agg(count(lit(1)).as("n"))
+        .orderBy("l_linenumber")
+    }),
+
+    "graft_convert_parquet" -> ((s, dir) => {
+      val path = tmp("convert")
+      t(s, dir, "part").write.mode("overwrite").parquet(path)
+      Graft.convertFromParquet(s, path).toDF
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_partkey")
+    }),
+
+    "graft_vacuum" -> ((s, dir) => {
+      val path = tmp("vacuum")
+      Graft.write(t(s, dir, "part"), path)
+      val tb = GraftTable.forPath(s, path)
+      tb.delete(col("p_size") < 10)
+      tb.vacuum(retentionHours = 0.0)
+      Graft.read(s, path)
+        .select("p_partkey", "p_size")
+        .orderBy("p_partkey")
+    }),
+
+    "graft_stream_roundtrip" -> ((s, dir) => {
+      val src = tmp("ssrc"); val out = tmp("sout"); val ckpt = tmp("sckpt")
+      Graft.write(
+        t(s, dir, "events").select("event_id", "user_id", "event_type", "value"),
+        src)
+      val q = s.readStream.format("graft").load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination(300000)
+      Graft.read(s, out).orderBy("event_id")
+    }),
+
+    "graft_idempotent_write" -> ((s, dir) => {
+      val path = tmp("idem")
+      val n = t(s, dir, "nation")
+      Graft.write(n, path, txnAppId = Some("app"), txnVersion = Some(1L))
+      Graft.write(n, path, txnAppId = Some("app"), txnVersion = Some(1L)) // no-op
+      Graft.write(n, path, txnAppId = Some("app"), txnVersion = Some(2L))
+      Graft.read(s, path)
+        .groupBy("n_regionkey").agg(count(lit(1)).as("n"))
+        .orderBy("n_regionkey")
+    }))
+
+  // ==========================================================================
+  // Training-data pipeline operators (dedup / similarity / text / multimodal)
+  // ==========================================================================
+
+  private val pipeline: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe"),
+        length(col("text")).as("n_chars_calc"))
+        .orderBy("doc_id")
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"), langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        docFingerprint(col("text")).as("fp"),
+        simHash64(tokens(col("text"))).as("simhash"))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val doubled = d.unionByName(
+        d.withColumn("doc_id", col("doc_id") + 100000))
+      Dedup.exact(doubled, md5(col("text")), col("doc_id"))
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      // plant near-duplicates: same text with two extra tokens
+      val perturbed = d.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" extra token")).as("text"))
+      val all = d.select("doc_id", "text").unionByName(perturbed)
+      Dedup.minHashPairs(all, col("doc_id"), col("text"),
+        numHashes = 64, bands = 16, threshold = 0.5)
+        .select("idA", "idB")
+        .orderBy("idA", "idB")
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val perturbed = d.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zzz")).as("text"))
+      val all = d.select("doc_id", "text").unionByName(perturbed)
+      Dedup.simHashPairs(all, col("doc_id"), col("text"), maxHamming = 3)
+        .select("idA", "idB", "hamming")
+        .orderBy("idA", "idB")
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val perturbed = d.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" q")).as("text"))
+      val all = d.select("doc_id", "text").unionByName(perturbed)
+      Dedup.ngramJaccardPairs(all, col("doc_id"), col("text"), n = 3,
+        threshold = 0.8)
+        .select("idA", "idB")
+        .orderBy("idA", "idB")
+    }),
+
+    "dedup_embedding" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val jittered = e.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), v => v * 1.0001f).as("embedding"))
+      val all = e.select("vec_id", "embedding").unionByName(jittered)
+      Dedup.embeddingPairs(all, col("vec_id"), col("embedding"),
+        threshold = 0.999)
+        .select("idA", "idB")
+        .orderBy("idA", "idB")
+    }),
+
+    "ann_bruteforce" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 5)
+      Similarity.bruteForceTopK(
+        e, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 5)
+        .select(col("qid"), col("rank"), col("cid"))
+        .orderBy("qid", "rank")
+    }),
+
+    "ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      Similarity.lshTopK(
+        e, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 5, planes = 6)
+        .select(col("qid"), col("rank"), col("cid"), round(col("score"), 4).as("score"))
+        .orderBy("qid", "rank")
+    }),
+
+    "multimodal_decode" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 200)
+      Multimodal.decodePartitioned(media, dims = 8)
+        .select(col("media_id"), col("kind"),
+          round(element_at(col("features"), 1), 4).as("f0"),
+          col("meta.width").as("width"))
+        .orderBy("media_id")
+    }),
+
+    "multimodal_frames" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 60)
+      Multimodal.sampleFrames(media, everyMs = 10000)
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+        .orderBy("media_id")
+    }))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    relational ++ engine ++ pipeline
+
+  // ==========================================================================
+  // DuckDB oracles
+  // ==========================================================================
+
+  private val LI = "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate, l_partkey, l_suppkey FROM lineitem"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q3_topk_revenue" ->
+      """SELECT o_orderkey,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+         FROM region, nation, customer, orders, lineitem
+         WHERE r_regionkey = n_regionkey AND n_nationkey = c_nationkey
+           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "q_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+         WHERE l_returnflag = 'R' AND l_quantity > 45
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q_window_running" ->
+      """SELECT l_suppkey, rn, l_orderkey, l_linenumber, running_qty FROM (
+           SELECT l_suppkey, l_orderkey, l_linenumber,
+             row_number() OVER w AS rn,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty
+           FROM lineitem
+           WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+         ) WHERE rn <= 5 ORDER BY l_suppkey, rn""",
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+         count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS n
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "q_semi_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+
+    "q_set_ops" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+         INTERSECT
+         SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+         ORDER BY o_custkey""",
+
+    "q_scalar_functions" ->
+      """SELECT o_orderkey, upper(o_orderpriority) AS pri_upper,
+         CAST(year(o_orderdate) AS INT) AS order_year,
+         CAST(month(o_orderdate) AS INT) AS order_month,
+         CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 2, 2) AS DOUBLE) AS double_price,
+         substr(o_orderstatus, 1, 1) AS status_c,
+         o_orderkey || '-' || o_custkey AS composite
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_events_rollup" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n,
+         count(DISTINCT user_id) AS users,
+         CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // -- engine round-trips: the oracle states the expected END STATE ------
+    "graft_append_read" ->
+      """SELECT l_returnflag, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM (SELECT * FROM lineitem UNION ALL SELECT * FROM lineitem)
+         GROUP BY 1 ORDER BY 1""",
+
+    "graft_partition_prune" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_returnflag = 'R' ORDER BY l_orderkey, l_linenumber""",
+
+    "graft_data_skipping" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
+         ORDER BY l_linenumber""",
+
+    "graft_overwrite" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_quantity > 25 ORDER BY l_orderkey, l_linenumber""",
+
+    "graft_replace_where" ->
+      """SELECT l_returnflag, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM (
+           SELECT * FROM lineitem WHERE l_returnflag <> 'R'
+           UNION ALL
+           SELECT * FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
+         ) GROUP BY 1 ORDER BY 1""",
+
+    "graft_delete" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE NOT (l_quantity < 10) ORDER BY l_orderkey, l_linenumber""",
+
+    "graft_update" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         CASE WHEN l_quantity > 45 THEN 0.99 ELSE l_tax END AS l_tax
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "graft_merge_upsert" ->
+      """WITH src AS (
+           SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey + 100000 ELSE o_custkey END AS k,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM orders GROUP BY o_custkey
+         )
+         SELECT c.c_custkey, c.c_name, c.c_nationkey,
+                CASE WHEN s.k IS NOT NULL THEN s.total ELSE c.c_acctbal END AS c_acctbal,
+                c.c_mktsegment
+         FROM customer c LEFT JOIN src s ON c.c_custkey = s.k
+         UNION ALL
+         SELECT s.k AS c_custkey, 'cust_new' AS c_name, CAST(-1 AS INT) AS c_nationkey,
+                s.total AS c_acctbal, 'NEW' AS c_mktsegment
+         FROM src s LEFT JOIN customer c ON c.c_custkey = s.k
+         WHERE c.c_custkey IS NULL
+         ORDER BY c_custkey""",
+
+    "graft_merge_insert_only" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+         ORDER BY o_orderkey""",
+
+    "graft_merge_delete" ->
+      """SELECT c_custkey, c_acctbal, 'KEPT' AS c_mktsegment FROM customer
+         WHERE NOT (c_acctbal < 0) ORDER BY c_custkey""",
+
+    "graft_time_travel" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey""",
+
+    "graft_restore" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey""",
+
+    "graft_optimize_compact" ->
+      """SELECT l_linenumber, count(*) AS n,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "graft_zorder" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+         WHERE l_orderkey < 100 AND l_partkey < 100
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "graft_cdf" ->
+      """SELECT s_suppkey,
+              CASE WHEN c = 'update_postimage' THEN 0.0 ELSE s_acctbal END AS s_acctbal,
+              c AS _change_type
+         FROM supplier, (VALUES ('update_preimage'), ('update_postimage')) AS ct(c)
+         WHERE s_suppkey <= 50
+         ORDER BY s_suppkey, _change_type""",
+
+    "graft_schema_evolution" ->
+      """SELECT n_nationkey, n_name, n_comment FROM (
+           SELECT n_nationkey, n_name, NULL AS n_comment FROM nation
+           UNION ALL
+           SELECT n_nationkey, n_name, 'nation-' || n_name AS n_comment FROM nation
+         ) ORDER BY n_nationkey, n_comment NULLS FIRST""",
+
+    "graft_checkpoint_replay" ->
+      """SELECT l_linenumber, count(*) AS n FROM lineitem
+         GROUP BY 1 ORDER BY 1""",
+
+    "graft_convert_parquet" ->
+      """SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey""",
+
+    "graft_vacuum" ->
+      """SELECT p_partkey, p_size FROM part WHERE NOT (p_size < 10)
+         ORDER BY p_partkey""",
+
+    "graft_stream_roundtrip" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+         ORDER BY event_id""",
+
+    "graft_idempotent_write" ->
+      """SELECT n_regionkey, count(*) AS n FROM (
+           SELECT * FROM nation UNION ALL SELECT * FROM nation
+         ) GROUP BY 1 ORDER BY 1""",
+
+    // -- pipeline operators -----------------------------------------------
+    "text_stats" ->
+      """SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS INT) AS n_tokens,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe,
+         CAST(len(text) AS INT) AS n_chars_calc
+         FROM documents ORDER BY doc_id""",
+
+    "dedup_exact" ->
+      """SELECT doc_id, n_chars FROM (
+           SELECT doc_id, n_chars,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           FROM (
+             SELECT doc_id, text, n_chars FROM documents
+             UNION ALL
+             SELECT doc_id + 100000, text, n_chars FROM documents
+           )
+         ) WHERE rn = 1 ORDER BY doc_id""")
 }

@@ -1,0 +1,131 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions._
+
+/**
+ * Deduplication operators for training-data pipelines, all built on
+ * shuffle-on-key primitives that scale horizontally:
+ *
+ *  - exact:    hash-groupBy on content digest (one shuffle on md5)
+ *  - minhash:  shingle -> minhash signature -> banded LSH -> bucket join;
+ *              candidate pairs are verified with signature similarity, so
+ *              the cross-product never materializes (the classic
+ *              MMDS ch.3 LSH construction)
+ *  - simhash:  64-bit fingerprint, banded into 16-bit chunks; Hamming
+ *              verification on candidates
+ *  - ngram:    exact Jaccard over n-gram shingle sets, restricted to
+ *              LSH candidate pairs
+ */
+object Dedup {
+
+  /** Keep one row per distinct value of `on` (lowest `orderBy` wins).
+    * One hash shuffle; no window over the whole table at scale — the
+    * groupBy(min) + semi-join form keeps partial aggregation map-side. */
+  def exact(df: DataFrame, on: Column, orderBy: Column): DataFrame = {
+    val keyed = df.withColumn("__dk", on).withColumn("__ord", orderBy)
+    val winners = keyed.groupBy(col("__dk"))
+      .agg(min(struct(col("__ord"), col("__dk"))).as("__w"))
+      .select(col("__w.__ord").as("__ord"), col("__w.__dk").as("__dk"))
+    keyed.join(winners, Seq("__dk", "__ord"), "left_semi")
+      .drop("__dk", "__ord")
+  }
+
+  /**
+   * MinHash-LSH candidate duplicate pairs.
+   * @return (idA, idB, estJaccard) with idA < idB, estJaccard >= threshold
+   */
+  def minHashPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = numHashes / bands
+    val sig = df.select(
+      id.as("id"),
+      minHashSignature(shingles(tokens(text), shingleSize), numHashes).as("sig"))
+    // Band -> (bandId, bandHash) bucket key; same bucket = candidate.
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("idA"), col("sig").as("sigA"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("idB"), col("sig").as("sigB"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        (size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => x === y),
+          b => b)).cast("double") / numHashes).as("estJaccard"))
+      .distinct()
+      .where(col("estJaccard") >= threshold)
+  }
+
+  /** SimHash near-dup candidates: equal 16-bit band -> verify Hamming. */
+  def simHashPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val f = df.select(id.as("id"), simHash64(tokens(text)).as("fp"))
+    val banded = f.select(col("id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftrightunsigned", col("fp"),
+          (b * 16).cast("int")).bitwiseAND(lit(0xFFFFL)))))
+      .select(col("id"), col("fp"), col("pos").as("band"), col("col").as("bucket"))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("idA"), col("fp").as("fpA"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("idB"), col("fp").as("fpB"))
+    a.join(b, Seq("band", "bucket"))
+      .where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        bit_count(col("fpA").bitwiseXOR(col("fpB"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs (LSH first, then verify). */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val candidates = minHashPairs(df, id, text, numHashes = 64, bands = 32,
+      shingleSize = n, threshold = 0.0)
+    val sh = df.select(id.as("id"),
+      array_distinct(shingles(tokens(text), n)).as("sh"))
+    candidates
+      .join(sh.withColumnRenamed("id", "idA").withColumnRenamed("sh", "shA"), "idA")
+      .join(sh.withColumnRenamed("id", "idB").withColumnRenamed("sh", "shB"), "idB")
+      .select(col("idA"), col("idB"),
+        (size(array_intersect(col("shA"), col("shB"))).cast("double") /
+          size(array_union(col("shA"), col("shB"))).cast("double")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Embedding near-dup pairs by cosine similarity over LSH buckets. */
+  def embeddingPairs(
+      df: DataFrame,
+      id: Column,
+      embedding: Column,
+      threshold: Double = 0.95,
+      planes: Int = 12): DataFrame = {
+    val withBucket = df.select(id.as("id"), embedding.as("emb"),
+      Similarity.hyperplaneBucket(embedding, planes).as("bucket"))
+    val a = withBucket.select(col("bucket"), col("id").as("idA"), col("emb").as("embA"))
+    val b = withBucket.select(col("bucket"), col("id").as("idB"), col("emb").as("embB"))
+    a.join(b, "bucket").where(col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        Similarity.cosine(col("embA"), col("embB")).as("cosine"))
+      .distinct()
+      .where(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal-column plumbing for training-data pipelines: media payloads
+ * are opaque `binary` columns plus a typed metadata struct; decode /
+ * feature-extraction runs per-partition so a real codec binds once per
+ * task, not once per row.
+ *
+ * The actual codecs (image/audio/video libraries) are NOT available in
+ * this environment — `fakeDecode*` below are clearly-marked deterministic
+ * stand-ins with the same shapes (bytes -> fixed-length float features,
+ * video -> frame samples), so the Spark-side schema, partitioning and
+ * batch shape are real and tested while the codec is swappable.
+ */
+object Multimodal {
+
+  /** Canonical media column bundle. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType),          // image | audio | video
+    StructField("payload", BinaryType),       // opaque encoded bytes
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType),
+      StructField("codec", StringType))))))
+
+  /**
+   * STUB DECODE — deterministic fake featureizer standing in for a real
+   * image/audio decoder. Maps payload bytes to `dims` floats in [-1, 1)
+   * by seeded hashing, so downstream similarity/dedup plumbing is fully
+   * exercisable. Swap body for (e.g.) a JNI codec in production.
+   */
+  def fakeDecodeFeatures(payload: Column, dims: Int): Column =
+    transform(sequence(lit(0), lit(dims - 1)),
+      i => (pmod(xxhash64(payload, i), lit(1000000L)).cast("double")
+        / 500000.0 - 1.0).cast("float"))
+
+  /** STUB frame sampling: every `everyMs` in [0, duration) — real impl
+    * would demux the container; shapes (one row per frame) are real. */
+  def sampleFrames(df: DataFrame, everyMs: Long): DataFrame = {
+    df.where(col("kind") === "video")
+      .select(col("media_id"), col("meta"),
+        posexplode(sequence(lit(0L),
+          greatest(col("meta.duration_ms") - 1, lit(0L)), lit(everyMs))))
+      .withColumnsRenamed(Map("pos" -> "frame_index", "col" -> "frame_ts_ms"))
+      // STUB: frame payload = hash-derived bytes; a codec would decode here
+      .withColumn("frame_features",
+        fakeDecodeFeatures(concat(col("media_id").cast("string").cast("binary"),
+          col("frame_ts_ms").cast("string").cast("binary")), 16))
+  }
+
+  /**
+   * Per-partition decode harness: the task-level iterator lets a real
+   * decoder initialize once per partition (the mapInPandas batch shape in
+   * the PySpark world). The decode function itself stays swappable.
+   */
+  def decodePartitioned(
+      df: DataFrame,
+      dims: Int,
+      partitions: Int = 0): DataFrame = {
+    val repartitioned =
+      if (partitions > 0) df.repartition(partitions, col("media_id")) else df
+    repartitioned.withColumn("features",
+      fakeDecodeFeatures(col("payload"), dims))
+  }
+
+  /** Synthesize a deterministic media table (for tests/benchmarks). */
+  def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Long): DataFrame = {
+    spark.range(n).select(
+      col("id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (pmod(col("id"), lit(3)) + 1).cast("int")).as("kind"),
+      sha2(col("id").cast("string"), 256).cast("binary").as("payload"),
+      struct(
+        (pmod(xxhash64(col("id"), lit(1)), lit(1024)) + 16).cast("int").as("width"),
+        (pmod(xxhash64(col("id"), lit(2)), lit(768)) + 16).cast("int").as("height"),
+        (pmod(xxhash64(col("id"), lit(3)), lit(60000)) + 1000).as("duration_ms"),
+        lit("fake").as("codec")).as("meta"))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines. All are
+ * composed from built-in (whole-stage-codegen'd) Spark functions — no
+ * UDFs — so they vectorize inside the scan projection and scale linearly
+ * with no shuffle.
+ */
+object TextFunctions {
+
+  /** Whitespace tokenization. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: words, numbers, and punctuation runs counted
+    * separately (a stable stand-in for a real tokenizer's token count). */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      size(regexp_extract_all(text, lit("[\\.,;:!\\?'\"]"), lit(0))).cast("double") /
+        length(text).cast("double")).otherwise(lit(0.0))
+
+  def upperRatio(text: Column): Column =
+    when(length(text) > 0,
+      size(regexp_extract_all(text, lit("[A-Z]"), lit(0))).cast("double") /
+        length(text).cast("double")).otherwise(lit(0.0))
+
+  private val STOPWORDS: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it",
+      "for", "a", "on", "with", "as", "at"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein",
+      "zu", "den", "von", "im", "auf", "für", "sich"),
+    "fr" -> Seq("le", "la", "les", "et", "de", "un", "une", "est", "pour",
+      "que", "dans", "en", "du", "au", "pas"),
+    "es" -> Seq("el", "la", "los", "y", "de", "un", "una", "es", "para",
+      "que", "en", "del", "se", "no", "por"))
+
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val sw = STOPWORDS(lang).map(lit(_))
+    val toks = tokens(lower(text))
+    when(size(toks) > 0,
+      size(array_intersect(toks, array(sw: _*))).cast("double") /
+        size(toks).cast("double")).otherwise(lit(0.0))
+  }
+
+  /**
+   * Deterministic quality score in [0, 1]: length sweet-spot, sane mean
+   * word length, some punctuation, bounded uppercase. A cheap filter for
+   * boilerplate/garbage before expensive pipeline stages.
+   */
+  def qualityScore(text: Column): Column = {
+    val n = length(text).cast("double")
+    val words = tokenCount(text).cast("double")
+    val meanWord = when(words > 0, n / words).otherwise(lit(0.0))
+    val lenScore = least(n / lit(200.0), lit(1.0))
+    val wordScore =
+      when(meanWord.between(3.0, 12.0), lit(1.0)).otherwise(lit(0.3))
+    val punctScore = when(punctRatio(text) < 0.2, lit(1.0)).otherwise(lit(0.4))
+    val upperScore = when(upperRatio(text) < 0.3, lit(1.0)).otherwise(lit(0.5))
+    round(lenScore * 0.4 + wordScore * 0.3 + punctScore * 0.2 + upperScore * 0.1, 4)
+  }
+
+  /** N-gram heuristic language id over stopword hit-rates; returns the
+    * best-scoring language code or 'und'. */
+  def langId(text: Column): Column = {
+    val scored = STOPWORDS.toSeq.sortBy(_._1).map { case (code, _) =>
+      struct(stopwordRatio(text, code).as("score"), lit(code).as("code"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0.0, best.getField("code")).otherwise(lit("und"))
+  }
+
+  /** 64-bit SimHash over token hashes: per bit, tokens vote +1/-1 by their
+    * hash bit; the sign becomes the fingerprint bit. Pure higher-order
+    * functions — no UDF, no shuffle. */
+  def simHash64(toks: Column): Column = {
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (v, i) => v + when(call_function("shiftright", h, i.cast("int"))
+            .bitwiseAND(1) === 1, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0,
+          call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, b) => acc.bitwiseOR(b))
+  }
+
+  /** Rolling-hash document fingerprint (order-sensitive, content-exact). */
+  def docFingerprint(text: Column): Column = xxhash64(text)
+
+  /** MinHash signature: k independent hash functions (seeded by position),
+    * each taking the min over the token set. */
+  def minHashSignature(toks: Column, k: Int): Column = {
+    val sigs = (0 until k).map { seed =>
+      array_min(transform(toks, t => xxhash64(t, lit(seed))))
+    }
+    array(sigs: _*)
+  }
+
+  /** Word n-gram shingles ("a b c", n=2 -> ["a b","b c"]). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(array(array_join(toks, " ")))
+}
