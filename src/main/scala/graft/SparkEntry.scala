@@ -733,6 +733,28 @@ object SparkEntry {
          CAST(len(text) AS INT) AS n_chars_calc
          FROM documents ORDER BY doc_id""",
 
+    "text_quality" ->
+      """SELECT doc_id, round(
+           least(len(text) / 200.0, 1.0) * 0.4 +
+           (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) > 0
+                 AND len(text) / CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS DOUBLE) BETWEEN 3.0 AND 12.0
+                 THEN 1.0 ELSE 0.3 END) * 0.3 +
+           (CASE WHEN len(regexp_extract_all(text, '[\.,;:!\?''"]')) / CAST(len(text) AS DOUBLE) < 0.2 THEN 1.0 ELSE 0.4 END) * 0.2 +
+           (CASE WHEN len(regexp_extract_all(text, '[A-Z]')) / CAST(len(text) AS DOUBLE) < 0.3 THEN 1.0 ELSE 0.5 END) * 0.1,
+           4) AS quality
+         FROM documents ORDER BY doc_id""",
+
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.qid, e.vec_id AS cid,
+                  list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score
+           FROM q CROSS JOIN embeddings e),
+         ranked AS (
+           SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
+           FROM scored)
+         SELECT qid, rank, cid FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+
     "dedup_exact" ->
       """SELECT doc_id, n_chars FROM (
            SELECT doc_id, n_chars,
