@@ -96,6 +96,44 @@ class GraftTable private[graft] (
   def changes(startVersion: Long, endVersion: Long = Long.MaxValue): DataFrame =
     Cdc.changes(spark, log, startVersion, endVersion)
 
+  def truncate(): Unit = delete()
+
+  /** SHALLOW CLONE this table to `dest`: metadata commit with absolute
+    * file references; no data copied. */
+  def shallowCloneTo(dest: String): GraftTable =
+    CloneCommand.run(spark, log, dest)
+
+  def generateSymlinkManifest(): Unit =
+    ManifestCommand.run(spark, log)
+
+  def addCheckConstraint(name: String, sql: String): Unit =
+    log.withNewTransaction { txn =>
+      // validate against current data: no existing row may violate
+      val bad = toDF.filter(!coalesce(expr(sql), lit(false))).limit(1).count()
+      require(bad == 0, s"Cannot add constraint '$name': existing rows violate $sql")
+      txn.updateMetadata(
+        graft.constraints.Constraints.withConstraint(txn.snapshot.metadata, name, sql))
+      txn.commit(Nil, "ADD CONSTRAINT", Map("name" -> name, "expr" -> sql))
+    }
+
+  def dropCheckConstraint(name: String): Unit =
+    log.withNewTransaction { txn =>
+      txn.updateMetadata(
+        graft.constraints.Constraints.withoutConstraint(txn.snapshot.metadata, name))
+      txn.commit(Nil, "DROP CONSTRAINT", Map("name" -> name))
+    }
+
+  /** ALTER TABLE ADD COLUMN (metadata-only; readers null-fill). */
+  def addColumn(field: org.apache.spark.sql.types.StructField): Unit =
+    log.withNewTransaction { txn =>
+      val m = txn.snapshot.metadata
+      require(!m.schema.fieldNames.exists(_.equalsIgnoreCase(field.name)),
+        s"Column ${field.name} already exists")
+      txn.updateMetadata(m.copy(schemaString =
+        org.apache.spark.sql.types.StructType(m.schema.fields :+ field.copy(nullable = true)).json))
+      txn.commit(Nil, "ADD COLUMNS", Map("column" -> field.name))
+    }
+
   def upsertProperties(props: Map[String, String]): Unit =
     log.withNewTransaction { txn =>
       val m = txn.snapshot.metadata
@@ -140,4 +178,25 @@ object Graft {
   /** CONVERT TO GRAFT: register an existing parquet directory's files. */
   def convertFromParquet(spark: SparkSession, path: String): GraftTable =
     ConvertCommand.run(spark, path)
+
+  /** CREATE TABLE: empty table with an explicit schema (the way to declare
+    * generated/identity columns or constraints up front). */
+  def create(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionBy: Seq[String] = Nil,
+      configuration: Map[String, String] = Map.empty): GraftTable = {
+    val log = graft.log.GraftLog.forTable(spark, path)
+    require(!log.tableExists, s"graft table $path already exists")
+    log.withNewTransaction { txn =>
+      txn.updateMetadata(graft.log.Metadata(
+        schemaString = graft.schema.SchemaUtils.toNullable(schema).json,
+        partitionColumns = partitionBy,
+        configuration = configuration,
+        createdTime = Some(System.currentTimeMillis())))
+      txn.commit(Nil, "CREATE TABLE")
+    }
+    new GraftTable(spark, log)
+  }
 }

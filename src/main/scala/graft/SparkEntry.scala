@@ -460,7 +460,7 @@ object SparkEntry {
         concat(col("text"), lit(" extra token")).as("text"))
       val all = d.select("doc_id", "text").unionByName(perturbed)
       Dedup.minHashPairs(all, col("doc_id"), col("text"),
-        numHashes = 64, bands = 16, threshold = 0.5)
+        numHashes = 64, bands = 8, shingleSize = 4, threshold = 0.5)
         .select("idA", "idB")
         .orderBy("idA", "idB")
     }),

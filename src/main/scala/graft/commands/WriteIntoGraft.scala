@@ -63,8 +63,23 @@ object WriteIntoGraft {
         } else m0
       if (isNew || (m ne m0)) txn.updateMetadata(m)
 
-      val normalized = SchemaUtils.normalize(data, m.schema)
+      // generated/identity defaults, then schema alignment, then CHECKs
+      val (withDefaults, genChecks) = graft.schema.ColumnDefaults.applyDefaults(data, m)
+      var normalized = SchemaUtils.normalize(withDefaults, m.schema)
+      normalized = graft.constraints.Constraints.enforce(normalized, m)
+      genChecks.foreach { case (name, ok) =>
+        if (normalized.columns.nonEmpty) {
+          val first = normalized.columns.head
+          val ft = normalized.schema(first).dataType
+          normalized = normalized.withColumn(first,
+            when(coalesce(ok, lit(false)), col(first)).otherwise(
+              raise_error(lit(s"provided value violates $name")).cast(ft)))
+        }
+      }
       val adds = txn.writeFiles(normalized)
+      // identity watermark advance rides in the same commit
+      graft.schema.ColumnDefaults.advanceWatermarks(txn.metadata, adds)
+        .foreach(txn.updateMetadata)
       val now = System.currentTimeMillis()
 
       val removes: Seq[RemoveFile] = mode match {

@@ -25,7 +25,10 @@ class GraftFileIndex(
     spark: SparkSession,
     log: GraftLog,
     snapshot: Snapshot,
-    pinnedFiles: Option[Seq[AddFile]] = None) extends FileIndex {
+    val pinnedFiles: Option[Seq[AddFile]] = None) extends FileIndex {
+
+  def withPinned(files: Seq[AddFile]): GraftFileIndex =
+    new GraftFileIndex(spark, log, snapshot, Some(files))
 
   private def metadata: Metadata = snapshot.metadata
 

@@ -98,8 +98,10 @@ object Dedup {
       text: Column,
       n: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val candidates = minHashPairs(df, id, text, numHashes = 64, bands = 32,
-      shingleSize = n, threshold = 0.0)
+    // 8 hashes per band: P(candidate) = sim^8 per band, so dissimilar
+    // pairs almost never collide even over a small shared vocabulary.
+    val candidates = minHashPairs(df, id, text, numHashes = 64, bands = 8,
+      shingleSize = n, threshold = math.max(0.3, threshold - 0.2))
     val sh = df.select(id.as("id"),
       array_distinct(shingles(tokens(text), n)).as("sh"))
     candidates
