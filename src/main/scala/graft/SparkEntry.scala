@@ -437,10 +437,11 @@ object SparkEntry {
     }),
 
     "text_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        docFingerprint(col("text")).as("fp"),
-        simHash64(tokens(col("text"))).as("simhash"))
+      val d = t(s, dir, "documents")
+      val sim = Dedup.simHashes(d, col("doc_id"), col("text"))
+        .select(col("id").as("doc_id"), col("fp").as("simhash"))
+      d.select(col("doc_id"), docFingerprint(col("text")).as("fp"))
+        .join(sim, "doc_id")
         .orderBy("doc_id")
     }),
 

@@ -35,6 +35,34 @@ object Dedup {
   }
 
   /**
+   * MinHash signatures via explode + multi-min aggregation. Each shingle is
+   * string-hashed ONCE (xxhash64); the k hash functions are cheap 64-bit
+   * re-mixes of that long, computed inside k codegen'd `min()` aggregates
+   * with map-side partial aggregation. One shuffle on doc id; linear in
+   * corpus size — the shape that survives a 1000-executor 100 TB run.
+   * (The naive per-row form — k interpreted higher-order-function
+   * expressions, each re-tokenizing the text — is ~100x slower because
+   * Catalyst HOFs are CodegenFallback and share no subexpressions.)
+   *
+   * @return (id, _m0.._m{k-1}) one signature component per column
+   */
+  def minHashSignatures(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      numHashes: Int,
+      shingleSize: Int): DataFrame = {
+    val hashed = df
+      .select(id.as("id"),
+        explode(array_distinct(shingles(tokens(text), shingleSize))).as("sh"))
+      .select(col("id"), xxhash64(col("sh")).as("h"))
+    val aggs = (0 until numHashes).map { i =>
+      min(xxhash64(col("h"), lit(i))).as(s"_m$i")
+    }
+    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
    * MinHash-LSH candidate duplicate pairs.
    * @return (idA, idB, estJaccard) with idA < idB, estJaccard >= threshold
    */
@@ -48,18 +76,22 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sig = df.select(
-      id.as("id"),
-      minHashSignature(shingles(tokens(text), shingleSize), numHashes).as("sig"))
-    // Band -> (bandId, bandHash) bucket key; same bucket = candidate.
-    val banded = sig.select(col("id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+    val sigs = minHashSignatures(df, id, text, numHashes, shingleSize)
+    // Band bucket = hash of the band's signature slice, straight off the
+    // aggregate columns (fixed-arity xxhash64, fully codegen'd).
+    val bucketCols = (0 until bands).map { bId =>
+      xxhash64(lit(bId) +: (0 until rows).map(r => col(s"_m${bId * rows + r}")): _*)
+    }
+    val sigCol = array((0 until numHashes).map(i => col(s"_m$i")): _*)
+    val banded = sigs
+      .select(col("id"), sigCol.as("sig"), posexplode(array(bucketCols: _*)))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
     val a = banded.select(col("band"), col("bucket"),
       col("id").as("idA"), col("sig").as("sigA"))
     val b = banded.select(col("band"), col("bucket"),
       col("id").as("idB"), col("sig").as("sigB"))
+    // Self-join on the bucket key: the shuffle feeding both sides is
+    // identical, so Spark's ReuseExchange materializes it once.
     a.join(b, Seq("band", "bucket"))
       .where(col("idA") < col("idB"))
       .select(col("idA"), col("idB"),
@@ -69,13 +101,38 @@ object Dedup {
       .where(col("estJaccard") >= threshold)
   }
 
+  /**
+   * 64-bit SimHash fingerprints via explode + 64 codegen'd sum aggregates:
+   * each token is hashed once, each bit votes +1/-1 by the hash bit, and the
+   * sign of the per-id vote sum becomes the fingerprint bit. Identical
+   * output to [[graft.text.TextFunctions.simHash64]] but linear-scan +
+   * one partial-aggregated shuffle instead of interpreted per-row HOFs.
+   *
+   * @return (id, fp)
+   */
+  def simHashes(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val hashed = df
+      .select(id.as("id"), explode_outer(tokens(text)).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val aggs = (0 until 64).map { i =>
+      sum(when(col("h").isNull, 0)
+        .when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"_b$i")
+    }
+    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        (0 until 64).map { i =>
+          when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as("fp"))
+  }
+
   /** SimHash near-dup candidates: equal 16-bit band -> verify Hamming. */
   def simHashPairs(
       df: DataFrame,
       id: Column,
       text: Column,
       maxHamming: Int = 3): DataFrame = {
-    val f = df.select(id.as("id"), simHash64(tokens(text)).as("fp"))
+    val f = simHashes(df, id, text)
     val banded = f.select(col("id"), col("fp"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftrightunsigned", col("fp"),
