@@ -378,7 +378,10 @@ object SparkEntry {
       Graft.write(t(s, dir, "part"), path)
       val tb = GraftTable.forPath(s, path)
       tb.delete(col("p_size") < 10)
+      // 0-retention vacuum for test determinism: explicitly waive the guard
+      s.conf.set(graft.commands.VacuumCommand.retentionCheckConf, "false")
       tb.vacuum(retentionHours = 0.0)
+      s.conf.set(graft.commands.VacuumCommand.retentionCheckConf, "true")
       Graft.read(s, path)
         .select("p_partkey", "p_size")
         .orderBy("p_partkey")

@@ -63,11 +63,8 @@ object Cdc {
         val removes = actions.collect { case r: RemoveFile if r.dataChange => r }
         val insertDf =
           if (adds.isEmpty) Nil
-          else {
-            val prev = if (v == 0) None else Some(log.getSnapshotAt(v - 1))
-            // adds in this commit, read with the current schema
-            Seq(tag(readFiles(spark, log, schema, adds.map(_.path)), Some("insert")))
-          }
+          // adds in this commit, read with the current schema
+          else Seq(tag(readFiles(spark, log, schema, adds.map(_.path)), Some("insert")))
         val deleteDf =
           if (removes.isEmpty) Nil
           else Seq(tag(readFiles(spark, log, schema, removes.map(_.path),

@@ -156,11 +156,24 @@ object OptimizeCommand {
 /**
  * VACUUM: physically delete files no longer referenced by the current
  * snapshot whose tombstones (or mtimes) are older than the retention
- * window. Listing and deletion run as Spark jobs so a 100 TB table's
- * millions of files don't serialize through the driver.
- * (Reference concept: commands/VacuumCommand.scala:147 — re-designed.)
+ * window. The driver lists only the table root; each subdirectory walks
+ * on an executor, and the survivors are found by a distributed anti-join
+ * against the snapshot's file list — so a 100 TB table's millions of
+ * files never serialize through the driver. Deletion runs distributed
+ * with fully-qualified URIs (any scheme, not just file:); only
+ * already-gone files are silently skipped, every other failure fails
+ * the job. (Reference concept: commands/VacuumCommand.scala:147 —
+ * re-designed.)
  */
 object VacuumCommand {
+
+  /** Safety floor mirroring the reference's checkRetentionPeriodSafety:
+    * retention below the table's tombstone-retention window risks
+    * deleting files still referenced by readers or by in-flight
+    * (not-yet-committed) transactions whose mtime is ~now. */
+  val defaultRetentionHours: Double = 7 * 24.0
+  val retentionCheckConf = "spark.graft.vacuum.retentionCheck.enabled"
+
   def run(
       spark: SparkSession,
       log: GraftLog,
@@ -168,50 +181,94 @@ object VacuumCommand {
       dryRun: Boolean): DataFrame = {
     import spark.implicits._
     val snap = log.update()
+    val checkEnabled =
+      spark.conf.getOption(retentionCheckConf).forall(_.toBoolean)
+    val minRetention = snap.metadata.configuration
+      .get("graft.deletedFileRetentionHours").map(_.toDouble)
+      .getOrElse(defaultRetentionHours)
+    require(!checkEnabled || retentionHours >= minRetention,
+      s"VACUUM retentionHours=$retentionHours is below the table's safety " +
+        s"window of $minRetention h; uncommitted or still-read files could " +
+        s"be deleted. Set $retentionCheckConf=false to override.")
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
     val fs = log.store.fs(log.dataPath)
-    val rootDepth = log.dataPath.toUri.getPath.split("/").length
+    val confBc = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val rootUri = log.dataPath.toUri
 
-    // Recursive listing, driver-side walk of directories but constant
-    // memory per dir; skips the log and CDC directories.
-    val listed = mutable.ArrayBuffer.empty[(String, Long)]
-    def walk(dir: Path): Unit = {
-      fs.listStatus(dir).foreach { st =>
-        val name = st.getPath.getName
-        if (st.isDirectory) {
-          if (name != "_graft_log" && name != "_change_data") walk(st.getPath)
-        } else if (!name.startsWith(".") && !name.startsWith("_")) {
-          listed += ((st.getPath.toUri.getPath, st.getModificationTime))
+    // Distributed recursive listing: driver lists the root once, each
+    // top-level subdirectory (e.g. a hive partition dir) walks on an
+    // executor. Skips the log, the CDC directory, and hidden files.
+    val rootStatuses = fs.listStatus(log.dataPath).filterNot { st =>
+      val n = st.getPath.getName
+      st.isDirectory && (n == "_graft_log" || n == "_change_data")
+    }
+    val (dirs, plainFiles) = rootStatuses.partition(_.isDirectory)
+    val rootFiles = plainFiles.toSeq
+      .filterNot(st => st.getPath.getName.startsWith(".") ||
+        st.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.toString, st.getModificationTime))
+    val dirPaths = dirs.map(_.getPath.toString).toSeq
+    val walked =
+      if (dirPaths.isEmpty) spark.emptyDataset[(String, Long)]
+      else spark.createDataset(dirPaths)
+        .repartition(math.max(1, math.min(dirPaths.size, 64)))
+        .flatMap { d =>
+          val out = mutable.ArrayBuffer.empty[(String, Long)]
+          val stack = mutable.Stack(new Path(d))
+          val efs = stack.top.getFileSystem(confBc.value)
+          while (stack.nonEmpty) {
+            efs.listStatus(stack.pop()).foreach { st =>
+              val name = st.getPath.getName
+              if (st.isDirectory) {
+                if (name != "_graft_log" && name != "_change_data") stack.push(st.getPath)
+              } else if (!name.startsWith(".") && !name.startsWith("_")) {
+                out += ((st.getPath.toString, st.getModificationTime))
+              }
+            }
+          }
+          out
+        }
+    val listed = walked.union(spark.createDataset(rootFiles)).toDF("path", "mtime")
+
+    // Survivors = current files + tombstones still inside retention,
+    // all as fully-qualified URIs matching the listing's format.
+    val rootScheme = rootUri.getScheme
+    val rootAuthority = rootUri.getAuthority
+    val rootStr = log.dataPath.toString
+    def qualify(rel: String): String = {
+      val p = new Path(rel)
+      if (!p.isAbsolute) new Path(new Path(rootStr), rel).toString
+      else if (p.toUri.getScheme != null) p.toString
+      else new Path(rootScheme, rootAuthority, p.toUri.getPath).toString
+    }
+    val qualifyF = qualify _
+    val liveDS = snap.allFilesDS.select($"path").as[String].map(qualifyF)
+    val keptTombstones = snap.tombstones
+      .filter(_.deletionTimestamp.forall(_ >= cutoff))
+      .map(r => qualify(r.path))
+    val keep = liveDS.union(spark.createDataset(keptTombstones)).toDF("path")
+
+    val candidates = listed
+      .join(keep, Seq("path"), "left_anti")
+      .where($"mtime" < cutoff)
+      .select($"path")
+      .persist()
+    candidates.count()  // materialize the listing before any deletion
+
+    if (!dryRun) {
+      candidates.as[String].foreachPartition { it: Iterator[String] =>
+        val conf = confBc.value
+        it.foreach { pstr =>
+          val p = new Path(pstr)
+          // Already-gone is fine (concurrent vacuum); anything else fails
+          // the job rather than silently leaking storage.
+          try p.getFileSystem(conf).delete(p, false)
+          catch { case _: java.io.FileNotFoundException => () }
         }
       }
     }
-    walk(log.dataPath)
-
-    val live: Set[String] = snap.allFiles.map(f =>
-      new Path(log.dataPath, f.path).toUri.getPath).toSet
-    val recentTombstones: Set[String] = snap.tombstones
-      .filter(_.deletionTimestamp.forall(_ >= cutoff))
-      .map(r => new Path(log.dataPath, r.path).toUri.getPath).toSet
-
-    val candidates = listed.filter { case (p, mtime) =>
-      !live.contains(p) && !recentTombstones.contains(p) && mtime < cutoff
-    }.map(_._1).toSeq
-
-    if (!dryRun && candidates.nonEmpty) {
-      // Distributed delete.
-      val confBc = new org.apache.spark.util.SerializableConfiguration(
-        spark.sessionState.newHadoopConf())
-      spark.sparkContext.parallelize(candidates,
-        math.max(1, math.min(candidates.size, 64)))
-        .foreachPartition { it =>
-          it.foreach { p =>
-            val path = new Path("file:" + p)
-            try path.getFileSystem(confBc.value).delete(path, false)
-            catch { case _: Throwable => }
-          }
-        }
-    }
-    candidates.toDF("path")
+    candidates
   }
 }
 

@@ -251,11 +251,6 @@ object MergeCommand {
 
       val cdcActions = if (cdf) {
         val changeRows = withOp.filter(col(OP) =!= "copy" && col(OP) =!= "drop")
-        val pre = changeRows.filter(col(OP).startsWith("mu") || col(OP) === "del" ||
-            col(OP).startsWith("nu"))
-          .select(schema.fieldNames.map(n => col(s"$targetAlias.$n").as(n)).toIndexedSeq: _*)
-          .withColumn(Cdc.CHANGE_TYPE,
-            when(lit(true), lit("update_preimage")))
         val post = changeRows.filter(col(OP).startsWith("mu") || col(OP).startsWith("nu") ||
             col(OP).startsWith("ins"))
           .select((schema.fieldNames.map(outCol) :+

@@ -29,6 +29,27 @@ object WriteIntoGraft {
       txnVersion: Option[Long] = None): Long = {
     val log = GraftLog.forTable(spark, path)
     log.withNewTransaction { txn =>
+      run(spark, path, data, txn, mode, partitionBy, replaceWhere, mergeSchema,
+        dynamicPartitionOverwrite, configuration, txnAppId, txnVersion)
+    }
+  }
+
+  /** Body of a write against an already-open transaction (separated so
+    * concurrency tests can pin a snapshot and inject a competing commit). */
+  private[graft] def run(
+      spark: SparkSession,
+      path: String,
+      data: DataFrame,
+      txn: OptimisticTransaction,
+      mode: String,
+      partitionBy: Seq[String] = Nil,
+      replaceWhere: Option[String] = None,
+      mergeSchema: Boolean = false,
+      dynamicPartitionOverwrite: Boolean = false,
+      configuration: Map[String, String] = Map.empty,
+      txnAppId: Option[String] = None,
+      txnVersion: Option[Long] = None): Long = {
+    {
       // Idempotent writes: skip a batch the table has already absorbed.
       for (app <- txnAppId; v <- txnVersion) {
         if (txn.txnVersion(app) >= v) return txn.readVersion
@@ -67,6 +88,18 @@ object WriteIntoGraft {
       val (withDefaults, genChecks) = graft.schema.ColumnDefaults.applyDefaults(data, m)
       var normalized = SchemaUtils.normalize(withDefaults, m.schema)
       normalized = graft.constraints.Constraints.enforce(normalized, m)
+      // replaceWhere validation rides the write projection itself (a
+      // raise_error guard) instead of a second full scan of the input.
+      if (mode == "overwrite") replaceWhere.foreach { cond =>
+        if (normalized.columns.nonEmpty) {
+          val first = normalized.columns.head
+          val ft = normalized.schema(first).dataType
+          normalized = normalized.withColumn(first,
+            when(coalesce(expr(cond), lit(false)), col(first)).otherwise(
+              raise_error(lit(
+                s"Data written to $path violates replaceWhere '$cond'")).cast(ft)))
+        }
+      }
       genChecks.foreach { case (name, ok) =>
         if (normalized.columns.nonEmpty) {
           val first = normalized.columns.head
@@ -88,15 +121,18 @@ object WriteIntoGraft {
           replaceWhere match {
             case Some(cond) =>
               val condition = spark.sessionState.sqlParser.parseExpression(cond)
-              // Validate: every incoming row must satisfy the predicate.
-              val bad = normalized.filter(!coalesce(expr(cond), lit(false))).limit(1).count()
-              require(bad == 0, s"Data written to $path violates replaceWhere '$cond'")
               val (partF, dataF) = splitPredicates(condition, m)
               txn.filterFiles(partF, dataF).map(_.remove(now))
             case None if dynamicPartitionOverwrite =>
+              // Register the touched partitions as READ so a concurrent
+              // append into an overwritten partition raises a conflict
+              // instead of being silently lost.
               val touched = adds.map(_.partitionValues).toSet
-              txn.snapshot.allFiles
-                .filter(f => touched.contains(f.partitionValues)).map(_.remove(now))
+              if (touched.isEmpty) Nil
+              else {
+                val pred = touchedPartitionPredicate(touched.toSeq, m)
+                txn.filterFiles(Seq(pred), Nil).map(_.remove(now))
+              }
             case None =>
               txn.readWholeTable()
               txn.snapshot.allFiles.map(_.remove(now))
@@ -116,6 +152,28 @@ object WriteIntoGraft {
           "numAddedFiles" -> adds.size.toString,
           "numRemovedFiles" -> removes.size.toString))
     }
+  }
+
+  /** OR-of-ANDs partition predicate matching exactly the given partition
+    * value maps (null partition values compare with IS NULL). */
+  private def touchedPartitionPredicate(
+      touched: Seq[Map[String, String]],
+      metadata: Metadata)
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val partFields = metadata.partitionColumns.map(c => metadata.schema(c))
+    touched.map { pv =>
+      partFields.map { f =>
+        val attr = AttributeReference(f.name, f.dataType)()
+        pv.get(f.name).flatMap(Option(_)) match {
+          case Some(s) => EqualTo(attr,
+            Cast(Literal(UTF8String.fromString(s), StringType), f.dataType, Some("UTC")))
+          case None => IsNull(attr)
+        }
+      }.reduceOption[Expression](And).getOrElse(Literal(true))
+    }.reduceOption[Expression](Or).getOrElse(Literal(false))
   }
 
   /** Resolve bare column names in an API/SQL predicate against the

@@ -56,17 +56,30 @@ object TransactionalWrite {
     }
 
     val committer = new GraftCommitProtocol(UUID.randomUUID.toString, tablePath.toString)
-    FileFormatWriter.write(
-      sparkSession = classic,
-      plan = qe.executedPlan,
-      fileFormat = new ParquetFileFormat,
-      committer = committer,
-      outputSpec = FileFormatWriter.OutputSpec(tablePath.toString, Map.empty, output),
-      hadoopConf = spark.sessionState.newHadoopConf(),
-      partitionColumns = partAttrs,
-      bucketSpec = None,
-      statsTrackers = Nil,
-      options = Map.empty)
+    // Write timestamps as annotated TIMESTAMP_MICROS, not Spark's default
+    // INT96: INT96 min/max footer stats have no defined ordering (Parquet
+    // spec), so INT96 files would carry no usable timestamp skipping stats.
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try {
+      FileFormatWriter.write(
+        sparkSession = classic,
+        plan = qe.executedPlan,
+        fileFormat = new ParquetFileFormat,
+        committer = committer,
+        outputSpec = FileFormatWriter.OutputSpec(tablePath.toString, Map.empty, output),
+        hadoopConf = spark.sessionState.newHadoopConf(),
+        partitionColumns = partAttrs,
+        bucketSpec = None,
+        statsTrackers = Nil,
+        options = Map.empty)
+    } finally {
+      prevTs match {
+        case Some(v) => spark.conf.set(tsKey, v)
+        case None => spark.conf.unset(tsKey)
+      }
+    }
 
     val adds = committer.addedFiles
     if (collectStats) FooterStats.withStats(spark, tablePath, adds, dataSchema)

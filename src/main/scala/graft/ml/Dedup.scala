@@ -104,16 +104,21 @@ object Dedup {
   /**
    * 64-bit SimHash fingerprints via explode + 64 codegen'd sum aggregates:
    * each token is hashed once, each bit votes +1/-1 by the hash bit, and the
-   * sign of the per-id vote sum becomes the fingerprint bit. Identical
-   * output to [[graft.text.TextFunctions.simHash64]] but linear-scan +
+   * sign of the per-id vote sum becomes the fingerprint bit. Linear-scan +
    * one partial-aggregated shuffle instead of interpreted per-row HOFs.
+   * Documents with empty or null text get fp = 0 (zero votes on every
+   * bit): the null token from explode_outer must be guarded BEFORE
+   * hashing, because Spark's hash expressions never return null —
+   * xxhash64(null) is the seed, which would give empty docs a shared
+   * nonzero fingerprint.
    *
    * @return (id, fp)
    */
   def simHashes(df: DataFrame, id: Column, text: Column): DataFrame = {
     val hashed = df
       .select(id.as("id"), explode_outer(tokens(text)).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
+      .select(col("id"),
+        when(col("t").isNotNull, xxhash64(col("t"))).as("h"))
     val aggs = (0 until 64).map { i =>
       sum(when(col("h").isNull, 0)
         .when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)

@@ -130,6 +130,9 @@ object FooterStats {
       case _: DateType =>
         java.time.LocalDate.ofEpochDay(v.asInstanceOf[Number].longValue()).toString
       case _: TimestampType =>
+        // INT96 timestamps surface as Binary and their footer min/max has
+        // no defined ordering (Parquet spec) — treat as "no stats".
+        if (v.isInstanceOf[Binary]) return null
         val anno = col.getPrimitiveType.getLogicalTypeAnnotation
         val micros = anno match {
           case t: TimestampLogicalTypeAnnotation if t.getUnit == TimeUnit.MILLIS =>
@@ -143,13 +146,17 @@ object FooterStats {
     }
   }
 
+  /** Format with an EXPLICIT UTC offset: the stats JSON is parsed back by
+    * `from_json` under the reader's session timezone, so a zone-less
+    * string would shift the bounds whenever the session zone is not UTC —
+    * wrongly skipping files for queries AND for DML candidate selection. */
   private def formatMicros(micros: Long): String = {
     val secs = Math.floorDiv(micros, 1000000L)
     val frac = Math.floorMod(micros, 1000000L)
     val ldt = java.time.LocalDateTime.ofEpochSecond(secs, frac.toInt * 1000,
       java.time.ZoneOffset.UTC)
     ldt.format(java.time.format.DateTimeFormatter
-      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")) + "Z"
   }
 
   private def compare(a: Any, b: Any, dt: DataType): Int = (a, b) match {

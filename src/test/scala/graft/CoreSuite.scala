@@ -215,11 +215,48 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     Graft.write(lineitem, dir)
     val t = GraftTable.forPath(spark, dir)
     t.delete(col("l_quantity") < 30)   // rewrites files
-    val removed = t.vacuum(retentionHours = 0.0, dryRun = true).count()
-    assert(removed > 0)
-    t.vacuum(retentionHours = 0.0)
+    // Safety guard: sub-retention vacuum is refused unless overridden.
+    intercept[IllegalArgumentException] { t.vacuum(retentionHours = 0.0) }
+    spark.conf.set(graft.commands.VacuumCommand.retentionCheckConf, "false")
+    try {
+      val removed = t.vacuum(retentionHours = 0.0, dryRun = true).count()
+      assert(removed > 0)
+      t.vacuum(retentionHours = 0.0)
+    } finally spark.conf.set(graft.commands.VacuumCommand.retentionCheckConf, "true")
     val expected = lineitem.filter(!(col("l_quantity") < 30)).count()
     assert(Graft.read(spark, dir).count() === expected)
+  }
+
+  test("timestamp data skipping is correct under a non-UTC session timezone") {
+    val dir = tmpDir()
+    val base = 1609459200L // 2021-01-01T00:00:00Z
+    val df = spark.range(5).select(
+      col("id"), timestamp_seconds(lit(base) + col("id") * 3600).as("ts"))
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      Graft.write(df, dir)
+      val target = java.time.Instant.ofEpochSecond(base + 2 * 3600)
+      // A zone-less stats string parsed in LA time shifts bounds by +8h and
+      // wrongly skips the (only) file for this equality predicate.
+      val got = Graft.read(spark, dir).filter(col("ts") === lit(target)).count()
+      assert(got === 1)
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  test("dynamic partition overwrite conflicts with a concurrent append") {
+    val dir = tmpDir()
+    val mk = (p: Int, n: Int) => spark.range(n)
+      .select(col("id"), lit(p).as("p"))
+    Graft.write(mk(1, 5).unionAll(mk(2, 5)), dir, partitionBy = Seq("p"))
+    val log = GraftLog.forTable(spark, dir)
+    val txn = log.startTransaction()   // pins the pre-append snapshot
+    Graft.write(mk(1, 3), dir)         // concurrent append into p=1
+    intercept[graft.tx.ConcurrentAppendException] {
+      graft.commands.WriteIntoGraft.run(spark, dir, mk(1, 2), txn,
+        mode = "overwrite", dynamicPartitionOverwrite = true)
+    }
+    // The concurrent append must have survived.
+    assert(Graft.read(spark, dir).filter(col("p") === 1).count() === 8)
   }
 
   test("checkpoint + cold snapshot load") {
