@@ -237,6 +237,57 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // ---- SQL surface: same semantics as the graft_* API queries, driven
+    // entirely through spark.sql over `graft.`/path`` targets.
+    "sql_delete" -> ((s, dir) => {
+      val path = tmp("sqldel")
+      Graft.write(t(s, dir, "lineitem"), path)
+      s.sql(s"DELETE FROM graft.`$path` WHERE l_quantity < 10")
+      s.sql(s"""SELECT l_orderkey, l_linenumber, l_quantity FROM graft.`$path`
+                ORDER BY l_orderkey, l_linenumber""")
+    }),
+
+    "sql_update" -> ((s, dir) => {
+      val path = tmp("sqlupd")
+      Graft.write(t(s, dir, "lineitem"), path)
+      s.sql(s"UPDATE graft.`$path` SET l_tax = 0.99 WHERE l_quantity > 45")
+      s.sql(s"""SELECT l_orderkey, l_linenumber, l_quantity, l_tax
+                FROM graft.`$path` ORDER BY l_orderkey, l_linenumber""")
+    }),
+
+    "sql_merge" -> ((s, dir) => {
+      val path = tmp("sqlmrg")
+      Graft.write(t(s, dir, "customer"), path)
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("total"))
+        .select(
+          when(col("o_custkey") % 10 === 0, col("o_custkey") + 100000)
+            .otherwise(col("o_custkey")).as("k"),
+          col("total"))
+        .createOrReplaceTempView("sql_merge_src")
+      s.sql(
+        s"""MERGE INTO graft.`$path` AS t USING sql_merge_src AS s
+           |ON t.c_custkey = s.k
+           |WHEN MATCHED THEN UPDATE SET c_acctbal = s.total
+           |WHEN NOT MATCHED THEN
+           |  INSERT (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+           |  VALUES (s.k, 'cust_new', -1, s.total, 'NEW')
+           |""".stripMargin)
+      Graft.read(s, path).orderBy("c_custkey")
+    }),
+
+    "sql_optimize" -> ((s, dir) => {
+      val path = tmp("sqlopt")
+      val li = t(s, dir, "lineitem")
+      (1 to 7).foreach(i =>
+        Graft.write(li.filter(col("l_linenumber") === i), path))
+      s.sql(s"OPTIMIZE '$path'")
+      s.sql(s"""SELECT l_linenumber, count(*) AS n,
+                CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+                FROM graft.`$path` GROUP BY 1 ORDER BY 1""")
+    }),
+
     "graft_merge_upsert" -> ((s, dir) => {
       val path = tmp("merge")
       Graft.write(t(s, dir, "customer"), path)
@@ -652,6 +703,37 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity,
          CASE WHEN l_quantity > 45 THEN 0.99 ELSE l_tax END AS l_tax
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "sql_delete" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE NOT (l_quantity < 10) ORDER BY l_orderkey, l_linenumber""",
+
+    "sql_update" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         CASE WHEN l_quantity > 45 THEN 0.99 ELSE l_tax END AS l_tax
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "sql_merge" ->
+      """WITH src AS (
+           SELECT CASE WHEN o_custkey % 10 = 0 THEN o_custkey + 100000 ELSE o_custkey END AS k,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM orders GROUP BY o_custkey
+         )
+         SELECT c.c_custkey, c.c_name, c.c_nationkey,
+                CASE WHEN s.k IS NOT NULL THEN s.total ELSE c.c_acctbal END AS c_acctbal,
+                c.c_mktsegment
+         FROM customer c LEFT JOIN src s ON c.c_custkey = s.k
+         UNION ALL
+         SELECT s.k AS c_custkey, 'cust_new' AS c_name, CAST(-1 AS INT) AS c_nationkey,
+                s.total AS c_acctbal, 'NEW' AS c_mktsegment
+         FROM src s LEFT JOIN customer c ON c.c_custkey = s.k
+         WHERE c.c_custkey IS NULL
+         ORDER BY c_custkey""",
+
+    "sql_optimize" ->
+      """SELECT l_linenumber, count(*) AS n,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "graft_merge_upsert" ->
       """WITH src AS (

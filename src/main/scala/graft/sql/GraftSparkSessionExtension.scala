@@ -20,11 +20,16 @@ import graft.files.GraftFileIndex
  *  - LIMIT n over a bare graft table pins just enough files to satisfy n
  *    before the scan is planned (reference concept:
  *    stats/PrepareDeltaScan.scala:276-288)
+ *  - SQL DML (`MERGE INTO` / `UPDATE` / `DELETE FROM` over graft targets)
+ *    routed to the graft commands, plus a delegating parser for
+ *    `OPTIMIZE` / `VACUUM` / `DESCRIBE HISTORY` (see GraftSqlSurface)
  */
 class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => MetadataOnlyCountRule)
     ext.injectOptimizerRule(_ => LimitFilePushdownRule)
+    ext.injectResolutionRule(session => new GraftDmlRule(session))
+    ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
   }
 }
 

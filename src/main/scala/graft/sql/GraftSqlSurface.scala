@@ -1,0 +1,291 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression, Literal}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.graftshim.SparkShims
+import org.apache.spark.sql.types._
+
+import graft.GraftTable
+import graft.commands._
+import graft.files.GraftFileIndex
+import graft.log.GraftLog
+
+/**
+ * SQL DML surface: Spark's own grammar already parses
+ * `MERGE INTO / UPDATE / DELETE FROM graft.`/path``; this resolution rule
+ * routes those logical nodes over graft targets into the existing
+ * command implementations. (Reference concept: DeltaAnalysis.scala:86 +
+ * PreprocessTableMerge/Update/Delete, injected at
+ * AbstractDeltaSparkSessionExtension.scala:94-105 — re-designed: we
+ * compile straight to RunnableCommands holding Columns; name resolution
+ * happens inside the commands' own DataFrame plans.)
+ */
+class GraftDmlRule(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    GraftDml.rewrite(session, plan, substituteRelations = false)
+}
+
+object GraftDml {
+
+  /**
+   * Route graft-targeted DML nodes to graft commands, and (at parse time
+   * only) substitute bare `graft`.`/path` relations with the log-backed
+   * scan relation — Spark's own ResolveSQLOnFile rejects non-FileFormat
+   * DSv1 sources for direct path queries, and it throws before injected
+   * resolution rules get a look, so the parser is the reliable hook.
+   */
+  def rewrite(
+      session: SparkSession,
+      plan: LogicalPlan,
+      substituteRelations: Boolean): LogicalPlan = plan.transformDown {
+    case DeleteFromTable(GraftTarget(path, _), cond) =>
+      GraftDeleteRun(path, nonTrivial(cond).map(toColumn))
+    case UpdateTable(GraftTarget(path, _), assignments, cond) =>
+      GraftUpdateRun(path, cond.flatMap(nonTrivial).map(toColumn),
+        assignments.map(a => keyName(a.key) -> toColumn(a.value)).toMap)
+    case m: MergeIntoTable if GraftTarget.unapply(m.targetTable).isDefined =>
+      val Some((path, targetAlias)) = GraftTarget.unapply(m.targetTable)
+      val sourceAlias = m.sourceTable match {
+        case SubqueryAlias(id, _) => id.name
+        case _ => "__graft_src"
+      }
+      val clauses =
+        m.matchedActions.map {
+          case DeleteAction(c) => MatchedDelete(c.map(toColumn))
+          case UpdateAction(c, assigns, _) =>
+            MatchedUpdate(c.map(toColumn),
+              assigns.map(a => keyName(a.key) -> toColumn(a.value)).toMap)
+          case UpdateStarAction(c) => MatchedUpdate(c.map(toColumn), null)
+          case other => throw new IllegalArgumentException(
+            s"Unsupported WHEN MATCHED action: $other")
+        } ++ m.notMatchedActions.map {
+          case InsertAction(c, assigns) =>
+            NotMatchedInsert(c.map(toColumn),
+              assigns.map(a => keyName(a.key) -> toColumn(a.value)).toMap)
+          case InsertStarAction(c) => NotMatchedInsert(c.map(toColumn), null)
+          case other => throw new IllegalArgumentException(
+            s"Unsupported WHEN NOT MATCHED action: $other")
+        } ++ m.notMatchedBySourceActions.map {
+          case DeleteAction(c) => NotMatchedBySourceDelete(c.map(toColumn))
+          case UpdateAction(c, assigns, _) =>
+            NotMatchedBySourceUpdate(c.map(toColumn),
+              assigns.map(a => keyName(a.key) -> toColumn(a.value)).toMap)
+          case other => throw new IllegalArgumentException(
+            s"Unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+        }
+      // The source may itself reference graft tables; rewrite it too
+      // (it rides the command as a field, outside transformDown's reach).
+      val source = rewrite(session, m.sourceTable, substituteRelations = true)
+      GraftMergeRun(path, targetAlias.getOrElse("__graft_tgt"), source,
+        sourceAlias, toColumn(m.mergeCondition), clauses)
+    case u: UnresolvedRelation if substituteRelations &&
+        GraftTarget.unapply(u).isDefined =>
+      graftRelation(session, GraftTarget.unapply(u).get._1)
+  }
+
+  /** Log-backed scan relation for `graft`.`/path` in plain queries. */
+  def graftRelation(session: SparkSession, path: String): LogicalPlan = {
+    val log = GraftLog.forTable(session, path)
+    require(log.tableExists, s"$path is not a graft table")
+    SparkShims.logicalPlan(
+      GraftFileIndex.dataFrame(session, log, log.update()))
+  }
+
+  private def nonTrivial(e: Expression): Option[Expression] = e match {
+    case Literal(true, BooleanType) => None
+    case other => Some(other)
+  }
+
+  /** Analysis may have bound attrs to the original plan's exprIds; the
+    * commands re-scan the table with fresh ids, so strip back to names
+    * (keeping alias qualifiers for merge's t./s. references). */
+  private def unresolve(e: Expression): Expression = e.transform {
+    case a: AttributeReference => UnresolvedAttribute(a.qualifier :+ a.name)
+  }
+
+  private def toColumn(e: Expression): Column = SparkShims.column(unresolve(e))
+
+  private def keyName(key: Expression): String = key match {
+    case a: AttributeReference => a.name
+    case u: UnresolvedAttribute => u.nameParts.last
+    case other => throw new IllegalArgumentException(s"Unsupported assignment key: $other")
+  }
+}
+
+/** Recognize a graft table target: `graft`.`/path` identifiers (possibly
+  * aliased) or an already-resolved graft scan relation. */
+object GraftTarget {
+  def unapply(plan: LogicalPlan): Option[(String, Option[String])] = plan match {
+    case SubqueryAlias(id, child) =>
+      unapply(child).map { case (p, _) => (p, Some(id.name)) }
+    case u: UnresolvedRelation
+        if u.multipartIdentifier.length == 2 &&
+          u.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+          u.multipartIdentifier(1).contains("/") =>  // a path, not a db.table
+      Some((u.multipartIdentifier(1), None))
+    case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+      fs.location match {
+        case gi: GraftFileIndex => Some((gi.rootPaths.head.toString, None))
+        case _ => None
+      }
+    case _ => None
+  }
+}
+
+case class GraftDeleteRun(path: String, cond: Option[Column])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    DeleteCommand.run(spark, path, cond)
+    Nil
+  }
+}
+
+case class GraftUpdateRun(
+    path: String, cond: Option[Column], set: Map[String, Column])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    UpdateCommand.run(spark, path, cond, set)
+    Nil
+  }
+}
+
+case class GraftMergeRun(
+    path: String,
+    targetAlias: String,
+    sourcePlan: LogicalPlan,
+    sourceAlias: String,
+    condition: Column,
+    clauses: Seq[MergeClause])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val table = GraftTable.forPath(spark, path)
+    val source = SparkShims.ofRows(spark, sourcePlan)
+    MergeCommand.run(table, source, condition, clauses, targetAlias, sourceAlias)
+    Nil
+  }
+}
+
+case class GraftOptimizeRun(
+    path: String, where: Option[String], zorderBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("metric", StringType)(),
+    AttributeReference("value", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val b = GraftTable.forPath(spark, path).optimize()
+    where.foreach(b.where)
+    val df = if (zorderBy.nonEmpty) b.executeZOrderBy(zorderBy: _*)
+             else b.executeCompaction()
+    df.collect().toSeq
+  }
+}
+
+case class GraftVacuumRun(path: String, hours: Option[Double], dryRun: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val log = GraftLog.forTable(spark, path)
+    VacuumCommand.run(spark, log,
+      hours.getOrElse(VacuumCommand.defaultRetentionHours), dryRun)
+      .collect().toSeq
+  }
+}
+
+case class GraftHistoryRun(path: String, limit: Option[Int])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType)(),
+    AttributeReference("timestamp", TimestampType)(),
+    AttributeReference("operation", StringType)(),
+    AttributeReference("operationParameters", MapType(StringType, StringType))(),
+    AttributeReference("readVersion", LongType)(),
+    AttributeReference("operationMetrics", MapType(StringType, StringType))())
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftTable.forPath(spark, path)
+      .history(limit.getOrElse(Int.MaxValue)).collect().toSeq
+  }
+}
+
+/**
+ * Hand-rolled parser for the three maintenance statements Spark's grammar
+ * lacks — `OPTIMIZE`, `VACUUM`, `DESCRIBE HISTORY` — delegating everything
+ * else. The grammar is small enough that regexes beat an ANTLR build
+ * (reference grammar: io/delta/sql/parser/DeltaSqlBase.g4:74-125 +
+ * delegating parser DeltaSqlParser.scala:74-167 — re-designed).
+ */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    parseMaintenance(sqlText).getOrElse(
+      GraftDml.rewrite(session, delegate.parsePlan(sqlText),
+        substituteRelations = true))
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object GraftSqlParser {
+  // Target forms: 'path' | "path" | `path` | graft.`path`
+  private val target = """(?:'[^']+'|"[^"]+"|graft\.`[^`]+`|`[^`]+`)"""
+  private val optimizeRe =
+    (s"""(?is)^\\s*OPTIMIZE\\s+($target)(?:\\s+WHERE\\s+(.+?))?""" +
+      s"""(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*([\\w`,\\s]+?)\\s*\\)?)?\\s*;?\\s*$$""").r
+  private val vacuumRe =
+    (s"""(?is)^\\s*VACUUM\\s+($target)(?:\\s+RETAIN\\s+([0-9.]+)\\s+HOURS?)?""" +
+      """(\s+DRY\s+RUN)?\s*;?\s*$""").r
+  private val historyRe =
+    (s"""(?is)^\\s*(?:DESC|DESCRIBE)\\s+HISTORY\\s+($target)""" +
+      """(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""").r
+
+  def parseMaintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case optimizeRe(t, where, zorder) =>
+      val z = Option(zorder).map(_.split(",").toSeq
+        .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
+        .getOrElse(Nil)
+      Some(GraftOptimizeRun(targetPath(t), Option(where).map(_.trim), z))
+    case vacuumRe(t, hours, dry) =>
+      Some(GraftVacuumRun(targetPath(t),
+        Option(hours).map(_.toDouble), dry != null))
+    case historyRe(t, limit) =>
+      Some(GraftHistoryRun(targetPath(t), Option(limit).map(_.toInt)))
+    case _ => None
+  }
+
+  def targetPath(raw: String): String = {
+    val t = raw.trim
+    if (t.startsWith("'") || t.startsWith("\"")) t.substring(1, t.length - 1)
+    else {
+      val noPrefix =
+        if (t.toLowerCase.startsWith("graft.")) t.substring("graft.".length) else t
+      noPrefix.stripPrefix("`").stripSuffix("`")
+    }
+  }
+}

@@ -18,6 +18,9 @@ object SparkShims {
 
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  def logicalPlan(df: DataFrame): LogicalPlan =
+    df.queryExecution.logical
+
   /** Batch DataFrame from InternalRows (e.g. re-planning a streaming
     * micro-batch through the batch write path). */
   def internalCreateDataFrame(

@@ -1,0 +1,97 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL surface: DML through spark.sql over `graft.`/path`` targets plus
+  * the hand-parsed maintenance statements. */
+class SqlSuite extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def tmpDir(): String = Files.createTempDirectory("graft-sql").toString
+
+  test("SELECT over graft.`path`") {
+    val dir = tmpDir()
+    Graft.write(spark.range(10).toDF("id"), dir)
+    val n = spark.sql(s"SELECT count(*) AS n FROM graft.`$dir`").head().getLong(0)
+    assert(n === 10)
+  }
+
+  test("sql DELETE with and without WHERE") {
+    val dir = tmpDir()
+    Graft.write(spark.range(10).select($"id", ($"id" % 2).as("p")), dir)
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id >= 6")
+    assert(Graft.read(spark, dir).count() === 6)
+    spark.sql(s"DELETE FROM graft.`$dir`")
+    assert(Graft.read(spark, dir).count() === 0)
+  }
+
+  test("sql UPDATE with assignments") {
+    val dir = tmpDir()
+    Graft.write(spark.range(10).select($"id", lit(0L).as("v")), dir)
+    spark.sql(s"UPDATE graft.`$dir` SET v = id * 10 WHERE id < 3")
+    val got = Graft.read(spark, dir).orderBy("id").select("v").as[Long].collect()
+    assert(got.take(3).toSeq === Seq(0L, 10L, 20L))
+    assert(got.drop(3).forall(_ === 0L))
+  }
+
+  test("sql MERGE upsert + delete clause") {
+    val dir = tmpDir()
+    Graft.write(spark.range(5).select($"id", lit("old").as("tag")), dir)
+    spark.range(3, 8).select($"id", lit("new").as("tag"))
+      .createOrReplaceTempView("merge_src")
+    spark.sql(
+      s"""MERGE INTO graft.`$dir` AS t USING merge_src AS s ON t.id = s.id
+         |WHEN MATCHED AND t.id = 4 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET tag = s.tag
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    val got = Graft.read(spark, dir).orderBy("id")
+      .select("id", "tag").as[(Long, String)].collect().toSeq
+    assert(got === Seq(0L -> "old", 1L -> "old", 2L -> "old",
+      3L -> "new", 5L -> "new", 6L -> "new", 7L -> "new"))
+  }
+
+  test("sql MERGE not matched by source") {
+    val dir = tmpDir()
+    Graft.write(spark.range(6).select($"id", lit(1L).as("v")), dir)
+    spark.range(3).toDF("id").createOrReplaceTempView("merge_src2")
+    spark.sql(
+      s"""MERGE INTO graft.`$dir` t USING merge_src2 s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = 2
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE
+         |""".stripMargin)
+    val got = Graft.read(spark, dir).orderBy("id")
+      .select("id", "v").as[(Long, Long)].collect().toSeq
+    assert(got === Seq(0L -> 2L, 1L -> 2L, 2L -> 2L))
+  }
+
+  test("OPTIMIZE / VACUUM / DESCRIBE HISTORY statements") {
+    val dir = tmpDir()
+    (0 until 4).foreach(_ => Graft.write(spark.range(100).toDF("id"), dir))
+    val opt = spark.sql(s"OPTIMIZE '$dir'").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(opt("numFilesRemoved").toInt > 0)
+    // vacuum dry run within retention: compacted originals not yet deletable
+    val dry = spark.sql(s"VACUUM '$dir' RETAIN 200 HOURS DRY RUN")
+    assert(dry.columns.toSeq === Seq("path"))
+    assert(dry.count() === 0)
+    val hist = spark.sql(s"DESCRIBE HISTORY graft.`$dir` LIMIT 3").collect()
+    assert(hist.length === 3)
+    assert(hist.head.getAs[String]("operation") === "OPTIMIZE")
+    // zorder form parses and runs
+    Graft.write(spark.range(50).select($"id", ($"id" * 2).as("k")), s"$dir-z")
+    val z = spark.sql(s"OPTIMIZE '$dir-z' ZORDER BY (id, k)").collect()
+    assert(z.map(_.getString(0)).contains("zOrderBy"))
+  }
+
+  test("sql DELETE over a path-resolved relation keeps Spark behavior for non-graft") {
+    // A plain parquet path must NOT be intercepted by the graft rule.
+    val dir = tmpDir()
+    spark.range(5).toDF("id").write.mode("overwrite").parquet(dir)
+    intercept[Exception] { spark.sql(s"DELETE FROM parquet.`$dir` WHERE id = 1") }
+  }
+}
