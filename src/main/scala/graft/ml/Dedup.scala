@@ -153,17 +153,22 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
-  /** Exact n-gram Jaccard for candidate pairs (LSH first, then verify). */
+  /** Exact n-gram Jaccard for candidate pairs (LSH first, then verify).
+    * Candidate generation uses 2 hashes per band (32 bands over 64
+    * hashes): a pair with true Jaccard >= `threshold` (0.8) misses all
+    * bands with probability <= (1 - 0.8^2)^32 ~ 6e-15, so the verified
+    * output equals the exact cross-product answer while the join volume
+    * stays banded. The signature-estimate pre-filter at threshold-0.4 is
+    * >5 sigma below any true-positive's estimate — it only sheds the
+    * dissimilar collisions the short bands let through. */
   def ngramJaccardPairs(
       df: DataFrame,
       id: Column,
       text: Column,
       n: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    // 8 hashes per band: P(candidate) = sim^8 per band, so dissimilar
-    // pairs almost never collide even over a small shared vocabulary.
-    val candidates = minHashPairs(df, id, text, numHashes = 64, bands = 8,
-      shingleSize = n, threshold = math.max(0.3, threshold - 0.2))
+    val candidates = minHashPairs(df, id, text, numHashes = 64, bands = 32,
+      shingleSize = n, threshold = math.max(0.2, threshold - 0.4))
     val sh = df.select(id.as("id"),
       array_distinct(shingles(tokens(text), n)).as("sh"))
     candidates
@@ -175,16 +180,23 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** Embedding near-dup pairs by cosine similarity over LSH buckets. */
+  /** Embedding near-dup pairs by cosine similarity over LSH buckets with
+    * 1-bit multi-probe: side A probes its bucket plus each single-plane
+    * flip, so a near-identical pair straddling one hyperplane is still a
+    * candidate. More planes (default 16 -> 65k buckets) keep per-bucket
+    * candidate sets small at corpus scale; the probes recover the recall
+    * the extra planes would otherwise cost. Cosine verification is the
+    * codegen'd [[graft.expressions.CosineSimilarity]] kernel. */
   def embeddingPairs(
       df: DataFrame,
       id: Column,
       embedding: Column,
       threshold: Double = 0.95,
-      planes: Int = 12): DataFrame = {
+      planes: Int = 16): DataFrame = {
     val withBucket = df.select(id.as("id"), embedding.as("emb"),
       Similarity.hyperplaneBucket(embedding, planes).as("bucket"))
-    val a = withBucket.select(col("bucket"), col("id").as("idA"), col("emb").as("embA"))
+    val a = withBucket.select(col("id").as("idA"), col("emb").as("embA"),
+      explode(Similarity.probeBuckets(col("bucket"), planes)).as("bucket"))
     val b = withBucket.select(col("bucket"), col("id").as("idB"), col("emb").as("embB"))
     a.join(b, "bucket").where(col("idA") < col("idB"))
       .select(col("idA"), col("idB"),

@@ -3,46 +3,44 @@ package graft.ml
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.SparkShims
+
+import graft.expressions.{CosineSimilarity, HyperplaneBucket}
 
 /**
  * Approximate-nearest-neighbor search over an embedding column
- * (`array<float>`), built from higher-order functions (codegen'd, no
- * UDFs):
+ * (`array<float>`):
  *
  *  - brute-force: broadcast the (small) query set, one pass over the
  *    corpus, per-query top-k via window rank — the exact baseline
- *  - LSH path: random-hyperplane sign buckets computed from a
- *    deterministic seed; bucket-join restricts candidates so the corpus
- *    is never cross-joined — the 100 TB-scale path
+ *  - LSH path: random-hyperplane sign buckets + 1-bit multi-probe;
+ *    the bucket-join restricts candidates so the corpus is never
+ *    cross-joined — the 100 TB-scale path
+ *
+ * The scoring kernels are custom codegen Expressions
+ * ([[graft.expressions.CosineSimilarity]] /
+ * [[graft.expressions.HyperplaneBucket]]): the earlier
+ * `aggregate`/`zip_with` higher-order-function forms are CodegenFallback
+ * and ran interpreted per candidate pair.
  */
 object Similarity {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+  val defaultSeed = 42L
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
-
-  def cosine(a: Column, b: Column): Column = {
-    val d = norm(a) * norm(b)
-    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
-  }
-
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * hash -> uniform in [-1, 1). */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    (pmod(xxhash64(lit(plane), dim), lit(1000000L)).cast("double") / 500000.0) - 1.0
+  def cosine(a: Column, b: Column): Column =
+    SparkShims.column(
+      CosineSimilarity(SparkShims.expression(a), SparkShims.expression(b)))
 
   /** Sign-bit bucket over `planes` hyperplanes (a coarse quantizer). */
-  def hyperplaneBucket(emb: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(emb, sequence(lit(0), size(emb) - 1),
-          (v, i) => v * planeComponent(p, i)),
-        lit(0.0d), (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def hyperplaneBucket(emb: Column, planes: Int, seed: Long = defaultSeed): Column =
+    SparkShims.column(
+      HyperplaneBucket(SparkShims.expression(emb), planes, seed))
+
+  /** The bucket plus its `planes` 1-bit neighbors — multi-probe: a vector
+    * whose true neighbors straddle one hyperplane is still found. */
+  def probeBuckets(bucket: Column, planes: Int): Column =
+    array((bucket +: (0 until planes).map(p =>
+      bucket.bitwiseXOR(lit(1L << p)))): _*)
 
   /**
    * Exact top-k cosine neighbors for each query. The query set is
@@ -68,9 +66,10 @@ object Similarity {
   }
 
   /**
-   * LSH-bucketed approximate top-k: queries join only their bucket's
-   * corpus slice. Recall trades off with `planes`; multi-probe can be
-   * added by exploding neighbor buckets.
+   * LSH-bucketed approximate top-k: each query probes its own bucket and
+   * the `planes` 1-bit neighbors; candidates are the union of those
+   * buckets' corpus slices. Each (query, corpus) pair can match at most
+   * one probe (a corpus row has exactly one bucket), so no dedup pass.
    */
   def lshTopK(
       corpus: DataFrame,
@@ -80,11 +79,15 @@ object Similarity {
       queryId: Column,
       queryEmb: Column,
       k: Int,
-      planes: Int = 8): DataFrame = {
+      planes: Int = 8,
+      seed: Long = defaultSeed): DataFrame = {
     val c = corpus.select(corpusId.as("cid"), corpusEmb.as("cemb"),
-      hyperplaneBucket(corpusEmb, planes).as("bucket"))
-    val q = queries.select(queryId.as("qid"), queryEmb.as("qemb"),
-      hyperplaneBucket(queryEmb, planes).as("bucket"))
+      hyperplaneBucket(corpusEmb, planes, seed).as("bucket"))
+    val q = queries
+      .select(queryId.as("qid"), queryEmb.as("qemb"),
+        hyperplaneBucket(queryEmb, planes, seed).as("b0"))
+      .select(col("qid"), col("qemb"),
+        explode(probeBuckets(col("b0"), planes)).as("bucket"))
     val scored = c.join(broadcast(q), "bucket")
       .select(col("qid"), col("cid"), cosine(col("qemb"), col("cemb")).as("score"))
     val w = Window.partitionBy(col("qid"))

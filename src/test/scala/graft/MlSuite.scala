@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ml.{Dedup, Similarity}
+
+/** Vector kernels + dedup/similarity operators. */
+class MlSuite extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.0f, 1.0f, 0.0f)),
+    (2L, Array(1.0f, 1.0f, 0.0f)),
+    (3L, Array(-1.0f, 0.0f, 0.0f)),
+    (4L, Array(2.0f, 0.0f, 0.0f))
+  ).toDF("id", "emb")
+
+  test("cosine kernel matches hand-computed values (codegen + interpreted)") {
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .select($"a.id".as("ia"), $"b.id".as("ib"),
+        Similarity.cosine($"a.emb", $"b.emb").as("cos"))
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(got((0L, 0L)) - 1.0) < 1e-12)
+    assert(math.abs(got((0L, 1L)) - 0.0) < 1e-12)
+    assert(math.abs(got((0L, 2L)) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(got((0L, 3L)) + 1.0) < 1e-12)
+    assert(math.abs(got((0L, 4L)) - 1.0) < 1e-12)   // scale-invariant
+  }
+
+  test("hyperplane bucket is deterministic and scale-invariant") {
+    val b = vecs.select($"id",
+      Similarity.hyperplaneBucket($"emb", 8).as("b1"),
+      Similarity.hyperplaneBucket($"emb", 8).as("b2"))
+      .collect()
+    b.foreach(r => assert(r.getLong(1) === r.getLong(2)))
+    // positive scaling never changes sign buckets
+    val scaled = vecs.select($"id",
+      Similarity.hyperplaneBucket($"emb", 8).as("b1"),
+      Similarity.hyperplaneBucket(transform($"emb", v => v * 3.0f), 8).as("b2"))
+      .collect()
+    scaled.foreach(r => assert(r.getLong(1) === r.getLong(2)))
+    // id 0 and id 3 are antipodal: complementary buckets over 8 planes
+    val byId = b.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((byId(0L) ^ byId(3L)) === 0xFFL)
+  }
+
+  test("multi-probe lshTopK recovers a planted neighbor straddling one plane") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = e.filter($"vec_id" < 10)
+    val planted = q.select(($"vec_id" + 100000).as("vec_id"),
+      transform($"embedding", v => v * 1.0001f).as("embedding"))
+    val corpus = e.select("vec_id", "embedding").unionByName(planted)
+    val top2 = Similarity.lshTopK(corpus, $"vec_id", $"embedding",
+      q, $"vec_id", $"embedding", k = 2, planes = 8)
+      .select("qid", "cid").as[(Long, Long)].collect().toSet
+    (0L until 10L).foreach { i =>
+      assert(top2.contains((i, i)), s"self $i missing")
+      assert(top2.contains((i, i + 100000)), s"planted neighbor of $i missing")
+    }
+  }
+
+  test("embeddingPairs finds jittered duplicates via multi-probe") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(100)
+    val jittered = e.select(($"vec_id" + 100000).as("vec_id"),
+      transform($"embedding", v => v * 1.0001f).as("embedding"))
+    val all = e.select("vec_id", "embedding").unionByName(jittered)
+    val pairs = Dedup.embeddingPairs(all, $"vec_id", $"embedding", threshold = 0.999)
+      .where($"idB" === $"idA" + 100000)
+    assert(pairs.count() === 100)
+  }
+
+  test("simhash of empty and null text is 0") {
+    val docs = Seq((1L, "some actual text here"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val fps = Dedup.simHashes(docs, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) !== 0L)
+    assert(fps(2L) === 0L)
+    assert(fps(3L) === 0L)
+  }
+}
