@@ -227,6 +227,20 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Deletion-vector DELETE: two deletes mark bitmap sidecars (the
+    // second merges into the first); no data file is ever rewritten.
+    "graft_delete_dv" -> ((s, dir) => {
+      val path = tmp("dvdel")
+      Graft.write(t(s, dir, "lineitem"), path,
+        configuration = Map("graft.enableDeletionVectors" -> "true"))
+      val tb = GraftTable.forPath(s, path)
+      tb.delete(col("l_quantity") < 10)
+      tb.delete(col("l_quantity") > 45)
+      Graft.read(s, path)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "graft_update" -> ((s, dir) => {
       val path = tmp("update")
       Graft.write(t(s, dir, "lineitem"), path)
@@ -736,6 +750,11 @@ object SparkEntry {
     "graft_delete" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE NOT (l_quantity < 10) ORDER BY l_orderkey, l_linenumber""",
+
+    "graft_delete_dv" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE NOT (l_quantity < 10) AND NOT (l_quantity > 45)
+         ORDER BY l_orderkey, l_linenumber""",
 
     "graft_update" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,

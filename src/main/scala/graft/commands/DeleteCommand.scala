@@ -80,6 +80,32 @@ object DeleteCommand {
             } else Nil
             (files.map(_.remove(now)), Nil, cdc,
               Map("numRemovedFiles" -> files.size.toString))
+          } else if (graft.dv.DeletionVectors.isEnabled(m)) {
+            // DV path: mark matching row indexes in a bitmap sidecar per
+            // touched file; NO data file is rewritten.
+            val candidates = txn.filterFiles(partF, dataF)
+            val touched = Dml.findTouchedFiles(spark, log, txn, candidates, cond)
+            if (touched.isEmpty) (Nil, Nil, Nil, Map("numRemovedFiles" -> "0"))
+            else {
+              val raw = GraftFileIndex.dataFrame(
+                  spark, log, txn.snapshot, Some(touched), applyDv = false)
+                .withColumn("__f", graft.dv.DeletionVectors.normFileCol(
+                  col("_metadata.file_path")))
+                .withColumn("__i", col("_metadata.row_index"))
+              val visible = graft.dv.DeletionVectors.antiJoin(spark, log, raw, touched)
+              val matched = visible.filter(coalesce(cond, lit(false)))
+              val cdc = if (cdf) {
+                Cdc.writeChangeFiles(spark, log,
+                  matched.drop("__f", "__i")
+                    .withColumn(Cdc.CHANGE_TYPE, lit("delete")))
+              } else Nil
+              val (removes, adds, newlyDeleted) =
+                graft.dv.DeletionVectors.writeDeletionVectors(spark, log, touched, matched)
+              (removes, adds, cdc,
+                Map("numDeletionVectors" -> adds.size.toString,
+                    "numDeletedRows" -> newlyDeleted.toString,
+                    "numAddedDataFiles" -> "0"))
+            }
           } else {
             val candidates = txn.filterFiles(partF, dataF)
             val touched = Dml.findTouchedFiles(spark, log, txn, candidates, cond)

@@ -247,7 +247,10 @@ object VacuumCommand {
     val keptTombstones = snap.tombstones
       .filter(_.deletionTimestamp.forall(_ >= cutoff))
       .map(r => qualify(r.path))
-    val keep = liveDS.union(spark.createDataset(keptTombstones)).toDF("path")
+    // Deletion-vector sidecars referenced by live files are live too.
+    val liveDvs = snap.allFiles.flatMap(_.dvPath).map(qualify)
+    val keep = liveDS
+      .union(spark.createDataset(keptTombstones ++ liveDvs)).toDF("path")
 
     val candidates = listed
       .join(keep, Seq("path"), "left_anti")

@@ -103,13 +103,17 @@ object GraftFileIndex {
     }
   }
 
-  /** Build a DataFrame over a snapshot (optionally a pinned file subset). */
+  /** Build a DataFrame over a snapshot (optionally a pinned file subset).
+    * Batch scans of files carrying deletion vectors are wrapped in the DV
+    * anti-join filter unless `applyDv = false` (the DV writer needs the
+    * raw rows). */
   def dataFrame(
       spark: SparkSession,
       log: GraftLog,
       snapshot: Snapshot,
       pinnedFiles: Option[Seq[AddFile]] = None,
-      isStreaming: Boolean = false): DataFrame = {
+      isStreaming: Boolean = false,
+      applyDv: Boolean = true): DataFrame = {
     val index = new GraftFileIndex(spark, log, snapshot, pinnedFiles)
     val m = snapshot.metadata
     val relation = HadoopFsRelation(
@@ -120,6 +124,9 @@ object GraftFileIndex {
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
     val plan = LogicalRelation(relation).copy(isStreaming = isStreaming)
-    SparkShims.ofRows(spark, plan)
+    val df = SparkShims.ofRows(spark, plan)
+    if (applyDv && !isStreaming) {
+      graft.dv.DeletionVectors.filterDeleted(spark, log, df, index.files)
+    } else df
   }
 }

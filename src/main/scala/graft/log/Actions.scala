@@ -46,7 +46,11 @@ case class Metadata(
   def wrap: SingleAction = SingleAction(metaData = this)
 }
 
-/** A data file that is part of the table (PROTOCOL.md:569-582 analogue). */
+/** A data file that is part of the table (PROTOCOL.md:569-582 analogue).
+  * `dvPath`/`dvCardinality` describe an optional deletion-vector sidecar
+  * (a serialized RoaringBitmap of deleted row indexes, table-relative
+  * path) — the logical file is (parquet minus DV rows), so point deletes
+  * need no data rewrite (PROTOCOL.md:1025-1097 analogue). */
 case class AddFile(
     path: String,
     partitionValues: Map[String, String] = Map.empty,
@@ -54,7 +58,10 @@ case class AddFile(
     modificationTime: Long = 0L,
     dataChange: Boolean = true,
     stats: String = null,
-    tags: Map[String, String] = null) extends Action {
+    tags: Map[String, String] = null,
+    dvPath: Option[String] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    dvCardinality: Option[Long] = None) extends Action {
   def wrap: SingleAction = SingleAction(add = this)
   def remove(timestamp: Long, dataChange: Boolean = true): RemoveFile =
     RemoveFile(path, Some(timestamp), dataChange,

@@ -47,6 +47,12 @@ class GraftDataSource
         case None => log.update()
       }
     }
+    // A DSv1 BaseRelation cannot row-filter, so a table with deletion
+    // vectors must be read through GraftTable / SQL (which wrap the scan
+    // in the DV anti-join). Failing loudly beats returning deleted rows.
+    require(!snapshot.allFiles.exists(_.dvPath.isDefined),
+      s"${pathOf(parameters)} has deletion vectors; read it via " +
+        "GraftTable.forPath(...).toDF or SELECT ... FROM graft.`path`")
     val index = new GraftFileIndex(spark, log, snapshot)
     HadoopFsRelation(
       location = index,

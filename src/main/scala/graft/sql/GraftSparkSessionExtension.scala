@@ -46,11 +46,13 @@ object GraftRuleUtil {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  /** numRecords per file from stats; None if any file lacks them. */
+  /** LOGICAL numRecords per file (physical stats minus deletion-vector
+    * cardinality); None if any file lacks stats. */
   def numRecords(index: GraftFileIndex): Option[Seq[Long]] = {
     val counts = index.files.map { f =>
       Option(f.stats).map(s => mapper.readTree(s).path("numRecords"))
-        .filter(_.isNumber).map(_.asLong)
+        .filter(_.isNumber)
+        .map(_.asLong - f.dvCardinality.getOrElse(0L))
     }
     if (counts.forall(_.isDefined)) Some(counts.flatten) else None
   }

@@ -97,6 +97,11 @@ class GraftSource(
         initialFiles(from.reservoirVersion).iterator.zipWithIndex
           .filter(_._2 > from.index)
           .map { case (f, i) =>
+            // The streaming reader has no DV row-filter; refuse rather
+            // than resurrect deleted rows.
+            if (f.dvPath.isDefined) throw new UnsupportedOperationException(
+              s"Streaming from a table with deletion vectors (${f.path}) " +
+                "is not supported; OPTIMIZE the table to materialize them first.")
             IndexedFile(from.reservoirVersion, i, isInitialSnapshot = true, f)
           }
       } else Iterator.empty

@@ -259,6 +259,37 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(Graft.read(spark, dir).filter(col("p") === 1).count() === 8)
   }
 
+  test("deletion vectors: delete writes bitmaps, not data files") {
+    val dir = tmpDir()
+    Graft.write(lineitem, dir,
+      configuration = Map("graft.enableDeletionVectors" -> "true"))
+    val t = GraftTable.forPath(spark, dir)
+    val dataFilesBefore = t.snapshot.allFiles.map(_.path).toSet
+    t.delete(col("l_quantity") < 30)
+    val snap1 = t.snapshot
+    // no new data files: every live path existed before, now carrying a DV
+    assert(snap1.allFiles.map(_.path).toSet.subsetOf(dataFilesBefore))
+    assert(snap1.allFiles.exists(_.dvPath.isDefined))
+    val expected1 = lineitem.filter(!(col("l_quantity") < 30)).count()
+    assert(Graft.read(spark, dir).count() === expected1)
+    // second delete merges into existing DVs
+    t.delete(col("l_quantity") > 40)
+    val expected2 = lineitem
+      .filter(!(col("l_quantity") < 30) && !(col("l_quantity") > 40)).count()
+    assert(Graft.read(spark, dir).count() === expected2)
+    assert(t.snapshot.allFiles.map(_.path).toSet.subsetOf(dataFilesBefore))
+    // update on a DV'd table must not resurrect deleted rows
+    t.update(col("l_quantity") === 35, Map("l_tax" -> lit(0.5)))
+    assert(Graft.read(spark, dir).count() === expected2)
+    // vacuum keeps referenced DV sidecars (deleting only superseded ones)
+    spark.conf.set(graft.commands.VacuumCommand.retentionCheckConf, "false")
+    try GraftTable.forPath(spark, dir).vacuum(retentionHours = 0.0)
+    finally spark.conf.set(graft.commands.VacuumCommand.retentionCheckConf, "true")
+    assert(Graft.read(spark, dir).count() === expected2)
+    // time travel still sees the pre-delete state
+    assert(t.asOfVersion(0).count() === lineitem.count())
+  }
+
   test("checkpoint + cold snapshot load") {
     val dir = tmpDir()
     (0 until 12).foreach(i => Graft.write(spark.range(10).toDF("id"), dir))
