@@ -3,7 +3,7 @@ package graft.commands
 import scala.collection.mutable
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DateType, NumericType, TimestampType}
 
@@ -51,7 +51,10 @@ object OptimizeCommand {
       val bins = files.groupBy(_.partitionValues).toSeq.flatMap { case (_, fs) =>
         binPack(fs, maxSize)
       }.filter(_.size > 1)
-      val adds = bins.flatMap { bin =>
+      // Bins rewrite as CONCURRENT Spark jobs from a bounded pool: at
+      // scale a table has thousands of bins and serializing them leaves
+      // the cluster idle (reference: OptimizeTableCommand.scala:303+).
+      val adds = runBinsInParallel(spark, bins) { bin =>
         val df = Dml.scanFiles(spark, log, txn, bin).coalesce(1)
         txn.writeFiles(df, dataChange = false)
       }
@@ -83,22 +86,23 @@ object OptimizeCommand {
       if (files.isEmpty) return metricsDF(spark, Map.empty)
       val df = Dml.scanFiles(spark, log, txn, files)
 
-      // Quantile bucket boundaries per column (one driver-side sample job),
-      // then a Z-value via bit interleaving of bucket ids.
+      // Quantile bucket boundaries for ALL columns in ONE sample pass
+      // (the per-column loop ran N sequential driver jobs), then a
+      // Z-value via bit interleaving of bucket ids.
       val buckets = 1 << math.max(4, 15 / cols.size)
-      val zparts = cols.map { c =>
-        val dt = m.schema(c).dataType
-        val asDouble = dt match {
-          case _: NumericType => col(c).cast("double")
-          case _: TimestampType => col(c).cast("double")
-          case _: DateType => col(c).cast("timestamp").cast("double")
-          // No natural order statistics: hash (loses locality, keeps function)
-          case _ => (xxhash64(col(c)) % 1000000L).cast("double")
-        }
-        val probe = df.select(asDouble.as("v"))
-        val boundaries = probe.stat
-          .approxQuantile("v", (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-        ZOrder.boundaryBucket(asDouble, boundaries)
+      def asDouble(c: String): Column = m.schema(c).dataType match {
+        case _: NumericType => col(c).cast("double")
+        case _: TimestampType => col(c).cast("double")
+        case _: DateType => col(c).cast("timestamp").cast("double")
+        // No natural order statistics: hash (loses locality, keeps function)
+        case _ => (xxhash64(col(c)) % 1000000L).cast("double")
+      }
+      val zNames = cols.indices.map(i => s"__z$i")
+      val probe = df.select(cols.zip(zNames).map { case (c, n) => asDouble(c).as(n) }: _*)
+      val allBoundaries = probe.stat.approxQuantile(zNames.toArray,
+        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+      val zparts = cols.zip(allBoundaries).map { case (c, boundaries) =>
+        ZOrder.boundaryBucket(asDouble(c), boundaries)
       }
       val zkey = ZOrder.interleaveBits(zparts)
       val targetFiles = math.max(1, (files.map(_.size).sum / maxSize).toInt)
@@ -136,6 +140,20 @@ object OptimizeCommand {
       val (partF, dataF) = WriteIntoGraft.splitPredicates(cond, m)
       require(dataF.isEmpty, s"OPTIMIZE predicate must be partition-only: $p")
       txn.filterFiles(partF, Nil)
+  }
+
+  /** Run one Spark job per bin from a bounded thread pool. */
+  private def runBinsInParallel[T](
+      spark: SparkSession,
+      bins: Seq[Seq[AddFile]])(body: Seq[AddFile] => Seq[T]): Seq[T] = {
+    if (bins.isEmpty) return Nil
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val threads = math.max(1, math.min(bins.size, 8))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try Await.result(Future.sequence(bins.map(b => Future(body(b)))), Duration.Inf).flatten
+    finally pool.shutdown()
   }
 
   def binPack(files: Seq[AddFile], maxSize: Long): Seq[Seq[AddFile]] = {

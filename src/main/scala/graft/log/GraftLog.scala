@@ -2,8 +2,6 @@ package graft.log
 
 import java.util.concurrent.ConcurrentHashMap
 
-import scala.collection.immutable.ListMap
-
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Dataset, SparkSession}
 
@@ -197,7 +195,7 @@ class Snapshot(
     val protocol: Protocol,
     val metadata: Metadata,
     val setTransactions: Map[String, Long],
-    filesMap: ListMap[String, AddFile],
+    filesMap: Map[String, AddFile],
     val tombstones: Seq[RemoveFile],
     val timestampMillis: Long) extends Serializable {
 
@@ -221,7 +219,7 @@ class Snapshot(
     var p = protocol; var m = metadata
     var txns = setTransactions
     var files = filesMap
-    var tombs = tombstones.map(r => r.path -> r).to(ListMap)
+    var tombs = tombstones.map(r => r.path -> r).toMap
     var ts = timestampMillis
     tail.foreach { case (_, deltaPath) =>
       val status = log.store.fs(deltaPath).getFileStatus(deltaPath)
@@ -242,10 +240,12 @@ class Snapshot(
 object Snapshot {
   def empty(log: GraftLog): Snapshot =
     new Snapshot(log, -1L, Protocol(), Metadata(schemaString = null),
-      Map.empty, ListMap.empty, Nil, 0L)
+      Map.empty, Map.empty, Nil, 0L)
 
   /** Cold build: optional Parquet checkpoint (read as a Spark job with
-    * column pruning) + JSON deltas folded on the driver. */
+    * column pruning, STREAMED partition-by-partition to the driver — no
+    * whole-checkpoint collect, so peak driver memory is one partition of
+    * actions plus the final state map) + JSON deltas folded on top. */
   def build(log: GraftLog, checkpointVersion: Option[Long],
       deltas: Seq[(Long, Path)], version: Long): Snapshot = {
     val base = checkpointVersion match {
@@ -255,20 +255,23 @@ object Snapshot {
         val actions = log.spark.read
           .schema(log.spark.emptyDataset[SingleAction].schema)
           .parquet(cpPath.toString)
-          .as[SingleAction].collect()
+          .as[SingleAction]
         var p = Protocol(); var m: Metadata = null
         var txns = Map.empty[String, Long]
-        var files = ListMap.empty[String, AddFile]
-        var tombs = ListMap.empty[String, RemoveFile]
-        actions.map(_.unwrap).foreach {
-          case a: AddFile => files += a.path -> a
-          case r: RemoveFile => tombs += r.path -> r
-          case meta: Metadata => m = meta
-          case proto: Protocol => p = proto
-          case t: SetTransaction => txns += t.appId -> t.version
-          case _ =>
+        val files = scala.collection.mutable.HashMap.empty[String, AddFile]
+        val tombs = scala.collection.mutable.HashMap.empty[String, RemoveFile]
+        val it = actions.toLocalIterator()
+        while (it.hasNext) {
+          it.next().unwrap match {
+            case a: AddFile => files.put(a.path, a)
+            case r: RemoveFile => tombs.put(r.path, r)
+            case meta: Metadata => m = meta
+            case proto: Protocol => p = proto
+            case t: SetTransaction => txns += t.appId -> t.version
+            case _ =>
+          }
         }
-        new Snapshot(log, cp, p, m, txns, files, tombs.values.toSeq, 0L)
+        new Snapshot(log, cp, p, m, txns, files.toMap, tombs.values.toSeq, 0L)
       case None => empty(log)
     }
     if (deltas.isEmpty) base else base.advance(deltas)
