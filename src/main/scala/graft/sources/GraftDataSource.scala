@@ -108,7 +108,20 @@ class GraftDataSource
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val log = GraftLog.forTable(sqlContext.sparkSession, pathOf(parameters))
-    (shortName(), log.update().metadata.schema)
+    val base = log.update().metadata.schema
+    val s =
+      if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+        StructType(base.fields ++ Seq(
+          org.apache.spark.sql.types.StructField(
+            graft.commands.Cdc.CHANGE_TYPE, org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(
+            graft.commands.Cdc.COMMIT_VERSION,
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField(
+            graft.commands.Cdc.COMMIT_TIMESTAMP,
+            org.apache.spark.sql.types.TimestampType, nullable = false)))
+      } else base
+    (shortName(), s)
   }
 
   override def createSource(

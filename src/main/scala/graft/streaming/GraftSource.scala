@@ -6,8 +6,11 @@ import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimi
 import org.apache.spark.sql.execution.streaming.{Offset => LegacyOffset, Source}
 import org.apache.spark.sql.types.StructType
 
+import graft.commands.Cdc
 import graft.files.GraftFileIndex
 import graft.log._
+import org.apache.spark.sql.graftshim.SparkShims
+import org.apache.spark.sql.functions.{col, lit}
 
 /**
  * Streaming offset: a position in the ordered stream of files — first the
@@ -57,11 +60,22 @@ class GraftSource(
     options: Map[String, String]) extends Source with SupportsAdmissionControl {
 
   private val snapshotAtInit = log.update()
+  private val readChangeFeed =
+    options.get("readChangeFeed").exists(_.toBoolean)
+  if (readChangeFeed) require(Cdc.isEnabled(snapshotAtInit.metadata),
+    s"readChangeFeed requires graft.enableChangeDataFeed on ${log.dataPath}")
+  /** startingTimestamp = first commit AT OR AFTER the timestamp (the
+    * reference's DeltaDataSource semantics); if the timestamp is beyond
+    * the latest commit, start from the next future version. */
   private val startingVersion: Option[Long] =
     options.get("startingVersion").map {
       case "latest" => snapshotAtInit.version + 1
       case v => v.toLong
-    }
+    }.orElse(options.get("startingTimestamp").map { ts =>
+      val tsMillis = java.sql.Timestamp.valueOf(ts).getTime
+      log.listCommitTimestamps().filter(_._2 >= tsMillis).map(_._1)
+        .minOption.getOrElse(snapshotAtInit.version + 1)
+    })
   private val maxFilesDefault =
     options.get("maxFilesPerTrigger").map(_.toInt).getOrElse(1000)
   private val maxBytes = options.get("maxBytesPerTrigger").map(_.toLong)
@@ -82,7 +96,17 @@ class GraftSource(
       snap.allFiles.sortBy(f => (f.modificationTime, f.path)).toVector
     })
 
-  override def schema: StructType = snapshotAtInit.metadata.schema
+  private def cdfSchema: StructType = StructType(
+    snapshotAtInit.metadata.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(Cdc.CHANGE_TYPE,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(Cdc.COMMIT_VERSION,
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(Cdc.COMMIT_TIMESTAMP,
+        org.apache.spark.sql.types.TimestampType, nullable = false)))
+
+  override def schema: StructType =
+    if (readChangeFeed) cdfSchema else snapshotAtInit.metadata.schema
 
   private def initialPosition: GraftSourceOffset = startingVersion match {
     case Some(v) => GraftSourceOffset(v, -1L, isInitialSnapshot = false)
@@ -110,23 +134,45 @@ class GraftSource(
       else from.reservoirVersion
     val tailPart = (tailStart to latest).iterator.flatMap { v =>
       val actions = log.readCommit(v)
-      val hasDataRemoves = actions.exists {
-        case r: RemoveFile => r.dataChange
-        case _ => false
-      }
-      val adds = actions.collect { case a: AddFile if a.dataChange => a }
-      if (hasDataRemoves && skipChangeCommits) Iterator.empty
-      else if (hasDataRemoves && !ignoreChanges &&
-          !(ignoreDeletes && adds.isEmpty)) {
-        throw new UnsupportedOperationException(
-          s"Detected a data update/delete in commit $v of ${log.dataPath}. " +
-            "Streaming from a table with changes requires ignoreChanges, " +
-            "ignoreDeletes, or skipChangeCommits.")
+      if (readChangeFeed) {
+        // CDF tail is version-granular: one admission unit per commit
+        // that changed data; update/delete commits are the POINT of the
+        // change feed, so no ignoreChanges machinery applies.
+        val emit = v > from.reservoirVersion || from.isInitialSnapshot ||
+          from.index < 0
+        val size = actions.collect {
+          case a: AddFile if a.dataChange => a.size
+          case c: AddCdcFile => c.size
+        }.sum
+        val relevant = actions.exists {
+          case a: AddFile => a.dataChange
+          case r: RemoveFile => r.dataChange
+          case _: AddCdcFile => true
+          case _ => false
+        }
+        if (emit && relevant) {
+          Iterator.single(IndexedFile(v, 0, isInitialSnapshot = false,
+            AddFile(s"__cdf_v$v", Map.empty, size, 0L, dataChange = true)))
+        } else Iterator.empty
       } else {
-        adds.iterator.zipWithIndex
-          .filter { case (_, i) => v > from.reservoirVersion ||
-            from.isInitialSnapshot || i > from.index }
-          .map { case (f, i) => IndexedFile(v, i, isInitialSnapshot = false, f) }
+        val hasDataRemoves = actions.exists {
+          case r: RemoveFile => r.dataChange
+          case _ => false
+        }
+        val adds = actions.collect { case a: AddFile if a.dataChange => a }
+        if (hasDataRemoves && skipChangeCommits) Iterator.empty
+        else if (hasDataRemoves && !ignoreChanges &&
+            !(ignoreDeletes && adds.isEmpty)) {
+          throw new UnsupportedOperationException(
+            s"Detected a data update/delete in commit $v of ${log.dataPath}. " +
+              "Streaming from a table with changes requires ignoreChanges, " +
+              "ignoreDeletes, or skipChangeCommits.")
+        } else {
+          adds.iterator.zipWithIndex
+            .filter { case (_, i) => v > from.reservoirVersion ||
+              from.isInitialSnapshot || i > from.index }
+            .map { case (f, i) => IndexedFile(v, i, isInitialSnapshot = false, f) }
+        }
       }
     }
     snapshotPart ++ tailPart
@@ -174,6 +220,7 @@ class GraftSource(
       case None => initialPosition
     }
     val to = GraftSourceOffset.convert(end)
+    if (readChangeFeed) return getCdfBatch(from, to)
     val files = fileChanges(from).takeWhile { f =>
       if (f.isInitialSnapshot && to.isInitialSnapshot) f.index <= to.index
       else if (f.isInitialSnapshot) true      // end is past the snapshot
@@ -183,6 +230,42 @@ class GraftSource(
     }.map(_.add).toVector
     GraftFileIndex.dataFrame(spark, log, snapshotAtInit, Some(files),
       isStreaming = true)
+  }
+
+  /** CDF micro-batch: initial-snapshot rows replay as inserts, then
+    * Cdc.changes over the commit range — wrapped back into a streaming
+    * plan (getBatch must return isStreaming=true). */
+  private def getCdfBatch(from: GraftSourceOffset, to: GraftSourceOffset): DataFrame = {
+    val order = snapshotAtInit.metadata.schema.fieldNames.toSeq ++
+      Seq(Cdc.CHANGE_TYPE, Cdc.COMMIT_VERSION, Cdc.COMMIT_TIMESTAMP)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (from.isInitialSnapshot) {
+      val maxIdx = if (to.isInitialSnapshot) to.index else Long.MaxValue
+      val files = initialFiles(from.reservoirVersion).zipWithIndex
+        .filter { case (_, i) => i > from.index && i <= maxIdx }
+        .map(_._1)
+      if (files.nonEmpty) {
+        val ts = new java.sql.Timestamp(
+          log.listCommitTimestamps().toMap.getOrElse(from.reservoirVersion, 0L))
+        parts += GraftFileIndex.dataFrame(spark, log,
+            log.getSnapshotAt(from.reservoirVersion), Some(files))
+          .withColumn(Cdc.CHANGE_TYPE, lit("insert"))
+          .withColumn(Cdc.COMMIT_VERSION, lit(from.reservoirVersion))
+          .withColumn(Cdc.COMMIT_TIMESTAMP, lit(ts))
+      }
+    }
+    val fromV =
+      if (from.isInitialSnapshot) from.reservoirVersion + 1
+      else if (from.index < 0) from.reservoirVersion
+      else from.reservoirVersion + 1
+    val toV = if (to.isInitialSnapshot) fromV - 1 else to.reservoirVersion
+    if (toV >= fromV) parts += Cdc.changes(spark, log, fromV, toV)
+    val combined = parts.reduceOption(_ unionByName _).getOrElse {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cdfSchema)
+    }.select(order.map(col): _*)
+    SparkShims.internalCreateDataFrame(spark,
+      combined.queryExecution.toRdd, combined.schema, isStreaming = true)
   }
 
   override def stop(): Unit = ()

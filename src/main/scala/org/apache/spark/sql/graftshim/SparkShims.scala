@@ -21,11 +21,14 @@ object SparkShims {
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.queryExecution.logical
 
-  /** Batch DataFrame from InternalRows (e.g. re-planning a streaming
-    * micro-batch through the batch write path). */
+  /** DataFrame from InternalRows (e.g. re-planning a streaming
+    * micro-batch through the batch write path, or wrapping a batch plan
+    * as a streaming getBatch result). */
   def internalCreateDataFrame(
       spark: SparkSession,
       rows: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.asInstanceOf[ClassicSession].internalCreateDataFrame(rows, schema)
+      schema: org.apache.spark.sql.types.StructType,
+      isStreaming: Boolean = false): DataFrame =
+    spark.asInstanceOf[ClassicSession]
+      .internalCreateDataFrame(rows, schema, isStreaming)
 }

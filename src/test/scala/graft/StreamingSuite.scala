@@ -88,6 +88,78 @@ class StreamingSuite extends AnyFunSuite {
     assert(Graft.read(spark, outDir).count() === 30)
   }
 
+  test("streaming CDF from a mid-stream startingVersion") {
+    val dir = tmpDir(); val ckpt = tmpDir()
+    Graft.write(spark.range(10).select(col("id"), lit(0L).as("v")), dir,
+      configuration = Map("graft.enableChangeDataFeed" -> "true"))     // v0
+    val t = GraftTable.forPath(spark, dir)
+    t.delete(col("id") >= 8)                                           // v1
+    t.update(col("id") === 0, Map("v" -> lit(5L)))                     // v2
+    Graft.write(spark.range(20, 23).select(col("id"), lit(1L).as("v")), dir) // v3
+    val outDir = tmpDir()
+    def run() = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load(dir)
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start(outDir)
+    run().awaitTermination(120000)
+    val rows = Graft.read(spark, outDir)
+    val byType = rows.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType("delete") === 2)
+    assert(byType("update_preimage") === 1)
+    assert(byType("update_postimage") === 1)
+    assert(byType("insert") === 3)
+    assert(rows.select("_commit_version").distinct().count() === 3)
+    // incremental restart: one more update flows as a new CDF batch
+    t.update(col("id") === 1, Map("v" -> lit(7L)))                     // v4
+    run().awaitTermination(120000)
+    assert(Graft.read(spark, outDir)
+      .filter(col("_commit_version") === 4).count() === 2)
+  }
+
+  test("streaming CDF replays the initial snapshot as inserts") {
+    val dir = tmpDir(); val ckpt = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dir,
+      configuration = Map("graft.enableChangeDataFeed" -> "true"))
+    GraftTable.forPath(spark, dir).delete(col("id") === 0)
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .load(dir)
+      .writeStream.format("memory").queryName("cdf_snap")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // snapshot-at-init (v1: 4 surviving rows) replays as insert
+    val rows = spark.table("cdf_snap")
+    assert(rows.filter(col("_change_type") === "insert").count() === 4)
+    assert(rows.count() === 4)
+  }
+
+  test("startingTimestamp picks the first commit at or after the timestamp") {
+    val dir = tmpDir(); val ckpt = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dir)           // v0
+    Thread.sleep(1500)
+    val mid = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(1500)
+    Graft.write(spark.range(10, 13).toDF("id"), dir)      // v1
+    val q = spark.readStream.format("graft")
+      .option("startingTimestamp", mid.toString)
+      .load(dir)
+      .writeStream.format("memory").queryName("ts_rows")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // only v1's rows: v0 predates the timestamp
+    assert(spark.table("ts_rows").select("id").collect().map(_.getLong(0)).toSet
+      === Set(10L, 11L, 12L))
+  }
+
   test("source fails on change commits unless skipChangeCommits") {
     val dir = tmpDir()
     val ckpt = tmpDir()
