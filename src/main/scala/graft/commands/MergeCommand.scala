@@ -95,6 +95,32 @@ object MergeCommand {
       clauses: Seq[MergeClause],
       targetAlias: String,
       sourceAlias: String): Map[String, String] = {
+    // A non-deterministic source (rand(), non-deterministic UDFs, ...)
+    // re-executed between phase 1 (findTouchedFiles) and phase 2
+    // (writeAllChanges) would produce divergent match sets — silently
+    // corrupting the merge. Pin such sources once up front.
+    // (Reference concept: merge/MergeIntoMaterializeSource.scala:49-70 —
+    // re-designed: cache + eager count instead of RDD checkpointing.)
+    val nonDeterministic = source.queryExecution.analyzed.exists(
+      p => p.expressions.exists(e => !e.deterministic))
+    val materialized =
+      if (nonDeterministic) {
+        val m = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        m.count()  // evaluate exactly once, before any phase reads it
+        Some(m)
+      } else None
+    try runInternal(table, materialized.getOrElse(source), condition, clauses,
+      targetAlias, sourceAlias)
+    finally materialized.foreach(_.unpersist())
+  }
+
+  private def runInternal(
+      table: GraftTable,
+      source: DataFrame,
+      condition: Column,
+      clauses: Seq[MergeClause],
+      targetAlias: String,
+      sourceAlias: String): Map[String, String] = {
     val spark = table.spark
     val log = table.log
     require(clauses.nonEmpty, "MERGE requires at least one WHEN clause")

@@ -46,6 +46,17 @@ object GraftDml {
       session: SparkSession,
       plan: LogicalPlan,
       substituteRelations: Boolean): LogicalPlan = plan.transformDown {
+    case InsertIntoStatement(GraftTarget(path, _), partitionSpec, userCols,
+        query, overwrite, _, byName) =>
+      // Without this rewrite, Spark's InsertIntoHadoopFsRelationCommand
+      // writes parquet straight into the directory BEHIND the log —
+      // silently invisible rows. Route through the transactional write.
+      require(partitionSpec.values.forall(_.isEmpty),
+        "static PARTITION values in INSERT are not supported for graft tables")
+      require(userCols.isEmpty,
+        "INSERT with an explicit column list is not supported for graft tables")
+      GraftInsertRun(path, rewrite(session, query, substituteRelations = true),
+        overwrite, byName)
     case DeleteFromTable(GraftTarget(path, _), cond) =>
       GraftDeleteRun(path, nonTrivial(cond).map(toColumn))
     case UpdateTable(GraftTarget(path, _), assignments, cond) =>
@@ -121,7 +132,10 @@ object GraftDml {
 }
 
 /** Recognize a graft table target: `graft`.`/path` identifiers (possibly
-  * aliased) or an already-resolved graft scan relation. */
+  * aliased), an already-resolved graft scan relation, or a catalog table
+  * whose provider is graft (named tables resolve to
+  * UnresolvedCatalogRelation during the main resolution batch — the
+  * LogicalRelation conversion happens post-hoc, after our rule). */
 object GraftTarget {
   def unapply(plan: LogicalPlan): Option[(String, Option[String])] = plan match {
     case SubqueryAlias(id, child) =>
@@ -136,8 +150,19 @@ object GraftTarget {
         case gi: GraftFileIndex => Some((gi.rootPaths.head.toString, None))
         case _ => None
       }
+    case r: org.apache.spark.sql.catalyst.catalog.UnresolvedCatalogRelation
+        if r.tableMeta.provider.exists(_.equalsIgnoreCase("graft")) =>
+      Some((r.tableMeta.location.toString, None))
     case _ => None
   }
+}
+
+/** Spark's session catalog caches resolved relations (pinned at a
+  * snapshot); DML through the graft commands must drop those entries or
+  * named-table reads keep serving the pre-DML version. */
+object GraftCatalogCache {
+  def invalidate(spark: SparkSession): Unit =
+    spark.sessionState.catalog.invalidateAllCachedTables()
 }
 
 case class GraftDeleteRun(path: String, cond: Option[Column])
@@ -145,6 +170,36 @@ case class GraftDeleteRun(path: String, cond: Option[Column])
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
     DeleteCommand.run(spark, path, cond)
+    GraftCatalogCache.invalidate(spark)
+    Nil
+  }
+}
+
+case class GraftInsertRun(
+    path: String, query: LogicalPlan, overwrite: Boolean, byName: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = SparkShims.ofRows(spark, query)
+    val schema = GraftLog.forTable(spark, path).update().metadata.schema
+    val aligned =
+      if (byName) df
+      else {
+        // SQL INSERT is positional: rename the query output to the table's
+        // column names.
+        require(df.columns.length == schema.fields.length,
+          s"INSERT column count ${df.columns.length} does not match " +
+            s"table schema ${schema.fields.length}")
+        df.toDF(schema.fieldNames.toIndexedSeq: _*)
+      }
+    // ANSI store assignment: cast query output to the table's types
+    // (e.g. an int VALUES literal into a bigint column).
+    import org.apache.spark.sql.functions.col
+    val casted = aligned.select(schema.fields.map(f =>
+      col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    WriteIntoGraft(spark, path, casted,
+      mode = if (overwrite) "overwrite" else "append")
+    GraftCatalogCache.invalidate(spark)
     Nil
   }
 }
@@ -155,6 +210,7 @@ case class GraftUpdateRun(
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
     UpdateCommand.run(spark, path, cond, set)
+    GraftCatalogCache.invalidate(spark)
     Nil
   }
 }
@@ -172,6 +228,7 @@ case class GraftMergeRun(
     val table = GraftTable.forPath(spark, path)
     val source = SparkShims.ofRows(spark, sourcePlan)
     MergeCommand.run(table, source, condition, clauses, targetAlias, sourceAlias)
+    GraftCatalogCache.invalidate(spark)
     Nil
   }
 }
@@ -187,6 +244,7 @@ case class GraftOptimizeRun(
     where.foreach(b.where)
     val df = if (zorderBy.nonEmpty) b.executeZOrderBy(zorderBy: _*)
              else b.executeCompaction()
+    GraftCatalogCache.invalidate(spark)
     df.collect().toSeq
   }
 }

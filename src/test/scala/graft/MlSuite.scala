@@ -73,6 +73,28 @@ class MlSuite extends AnyFunSuite {
     assert(pairs.count() === 100)
   }
 
+  test("merge materializes a non-deterministic source exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mat").toString
+    Graft.write(spark.range(100).select($"id".as("k"), lit(0L).as("v")), dir)
+    MergeSourceEvals.count.set(0)
+    val counting = org.apache.spark.sql.functions.udf { (x: Long) =>
+      MergeSourceEvals.count.incrementAndGet(); x
+    }.asNondeterministic()
+    val src = spark.range(40).select(counting($"id" * 5).as("k"), lit(1L).as("v"))
+    GraftTable.forPath(spark, dir)
+      .merge(src, org.apache.spark.sql.functions.expr("t.k = s.k"))
+      .whenMatched().updateExpr(Map("v" -> "s.v"))
+      .whenNotMatched().insertAll()
+      .execute()
+    // evaluated once per source row during materialization, then both
+    // merge phases read the cache — no re-execution
+    assert(MergeSourceEvals.count.get() === 40)
+    val out = Graft.read(spark, dir)
+    // keys 0,5,...,195: 20 match (update in place), 20 insert
+    assert(out.count() === 120)
+    assert(out.filter($"v" === 1L).count() === 40)
+  }
+
   test("simhash of empty and null text is 0") {
     val docs = Seq((1L, "some actual text here"), (2L, ""), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
@@ -82,4 +104,10 @@ class MlSuite extends AnyFunSuite {
     assert(fps(2L) === 0L)
     assert(fps(3L) === 0L)
   }
+}
+
+/** JVM-global evaluation counter for the merge-materialization test
+  * (local mode: executors share the test JVM). */
+object MergeSourceEvals {
+  val count = new java.util.concurrent.atomic.AtomicInteger(0)
 }

@@ -88,6 +88,44 @@ class SqlSuite extends AnyFunSuite {
     assert(z.map(_.getString(0)).contains("zOrderBy"))
   }
 
+  test("named tables: saveAsTable, spark.table, transactional DML via catalog") {
+    val dir = tmpDir()
+    spark.sql("DROP TABLE IF EXISTS graft_named_t")
+    Graft.write(spark.range(7).toDF("id"), dir)
+    spark.sql(s"CREATE TABLE graft_named_t USING graft LOCATION '$dir'")
+    try {
+      assert(spark.table("graft_named_t").count() === 7)
+      spark.sql("DELETE FROM graft_named_t WHERE id = 0")
+      assert(spark.table("graft_named_t").count() === 6)   // cache invalidated
+      // INSERT routes through the transactional write (a raw
+      // InsertIntoHadoopFsRelationCommand would write invisible files)
+      spark.sql("INSERT INTO graft_named_t VALUES (100), (101)")
+      assert(spark.table("graft_named_t").count() === 8)
+      assert(spark.table("graft_named_t").filter($"id" >= 100).count() === 2)
+      spark.sql("UPDATE graft_named_t SET id = 999 WHERE id = 1")
+      assert(spark.table("graft_named_t").filter($"id" === 999).count() === 1)
+      spark.range(200, 203).toDF("id").createOrReplaceTempView("named_src")
+      spark.sql("""MERGE INTO graft_named_t t USING named_src s ON t.id = s.id
+                   WHEN NOT MATCHED THEN INSERT *""")
+      assert(spark.table("graft_named_t").count() === 11)
+      spark.sql("INSERT OVERWRITE graft_named_t VALUES (1), (2)")
+      assert(spark.table("graft_named_t").count() === 2)
+      // every one of those was a log commit
+      val ops = GraftTable.forPath(spark, dir).history()
+        .select("operation").as[String].collect().toSeq
+      assert(ops.count(_ == "DELETE") === 1)
+      assert(ops.count(_ == "MERGE") === 1)
+      assert(ops.count(_ == "UPDATE") === 1)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_named_t")
+    // managed table via saveAsTable
+    spark.sql("DROP TABLE IF EXISTS graft_named_m")
+    spark.range(5).toDF("id").write.format("graft").saveAsTable("graft_named_m")
+    try {
+      spark.sql("DELETE FROM graft_named_m WHERE id < 2")
+      assert(spark.table("graft_named_m").count() === 3)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_named_m")
+  }
+
   test("sql DELETE over a path-resolved relation keeps Spark behavior for non-graft") {
     // A plain parquet path must NOT be intercepted by the graft rule.
     val dir = tmpDir()
