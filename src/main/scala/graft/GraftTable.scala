@@ -123,15 +123,72 @@ class GraftTable private[graft] (
       txn.commit(Nil, "DROP CONSTRAINT", Map("name" -> name))
     }
 
-  /** ALTER TABLE ADD COLUMN (metadata-only; readers null-fill). */
+  /** ALTER TABLE ADD COLUMN (metadata-only; readers null-fill). Under
+    * column mapping the new field gets a FRESH physical name, so a
+    * re-added name never resurrects dropped data. */
   def addColumn(field: org.apache.spark.sql.types.StructField): Unit =
     log.withNewTransaction { txn =>
       val m = txn.snapshot.metadata
       require(!m.schema.fieldNames.exists(_.equalsIgnoreCase(field.name)),
         s"Column ${field.name} already exists")
+      import graft.schema.ColumnMapping
+      val f0 = field.copy(nullable = true)
+      val f =
+        if (ColumnMapping.isEnabled(m)) {
+          f0.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f0.metadata)
+            .putString(ColumnMapping.PHYS_KEY, ColumnMapping.freshPhysicalName())
+            .build())
+        } else f0
       txn.updateMetadata(m.copy(schemaString =
-        org.apache.spark.sql.types.StructType(m.schema.fields :+ field.copy(nullable = true)).json))
+        org.apache.spark.sql.types.StructType(m.schema.fields :+ f).json))
       txn.commit(Nil, "ADD COLUMNS", Map("column" -> field.name))
+    }
+
+  /** ALTER TABLE RENAME COLUMN — metadata-only: enables name-mode column
+    * mapping (physical parquet names stay put) and changes the logical
+    * name. */
+  def renameColumn(oldName: String, newName: String): Unit =
+    log.withNewTransaction { txn =>
+      import graft.schema.ColumnMapping
+      val m0 = txn.snapshot.metadata
+      require(!graft.commands.Cdc.isEnabled(m0),
+        "RENAME COLUMN is not supported together with change data feed")
+      require(m0.schema.fieldNames.exists(_.equalsIgnoreCase(oldName)),
+        s"Column $oldName does not exist")
+      require(!m0.schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
+        s"Column $newName already exists")
+      val m = ColumnMapping.enable(m0)
+      val fields = m.schema.fields.map { f =>
+        if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f
+      }
+      val parts = m.partitionColumns.map(c =>
+        if (c.equalsIgnoreCase(oldName)) newName else c)
+      txn.updateMetadata(m.copy(
+        schemaString = org.apache.spark.sql.types.StructType(fields).json,
+        partitionColumns = parts))
+      txn.commit(Nil, "RENAME COLUMN",
+        Map("oldName" -> oldName, "newName" -> newName))
+    }
+
+  /** ALTER TABLE DROP COLUMN — metadata-only under column mapping; the
+    * physical data stays in place but is no longer readable. */
+  def dropColumn(name: String): Unit =
+    log.withNewTransaction { txn =>
+      import graft.schema.ColumnMapping
+      val m0 = txn.snapshot.metadata
+      require(!graft.commands.Cdc.isEnabled(m0),
+        "DROP COLUMN is not supported together with change data feed")
+      require(m0.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"Column $name does not exist")
+      require(!m0.partitionColumns.exists(_.equalsIgnoreCase(name)),
+        s"Cannot drop partition column $name")
+      require(m0.schema.fields.length > 1, "Cannot drop the only column")
+      val m = ColumnMapping.enable(m0)
+      val fields = m.schema.fields.filterNot(_.name.equalsIgnoreCase(name))
+      txn.updateMetadata(m.copy(
+        schemaString = org.apache.spark.sql.types.StructType(fields).json))
+      txn.commit(Nil, "DROP COLUMNS", Map("column" -> name))
     }
 
   def upsertProperties(props: Map[String, String]): Unit =

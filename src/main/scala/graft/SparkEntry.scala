@@ -406,6 +406,24 @@ object SparkEntry {
         .orderBy("s_suppkey", "_change_type")
     }),
 
+    // RENAME/DROP COLUMN via name-mode column mapping: metadata-only
+    // commits; the re-added column must come back empty (fresh physical
+    // name), and an update after the rename must flow through the
+    // logical/physical boundary.
+    "graft_rename_drop" -> ((s, dir) => {
+      val path = tmp("rename")
+      Graft.write(t(s, dir, "nation"), path)
+      val tb = GraftTable.forPath(s, path)
+      tb.renameColumn("n_name", "nation_name")
+      tb.dropColumn("n_regionkey")
+      tb.addColumn(org.apache.spark.sql.types.StructField(
+        "n_regionkey", org.apache.spark.sql.types.IntegerType))
+      tb.update(col("n_nationkey") === 0, Map("n_regionkey" -> lit(77)))
+      Graft.read(s, path)
+        .select("n_nationkey", "nation_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
+
     "graft_schema_evolution" -> ((s, dir) => {
       val path = tmp("evo")
       val n = t(s, dir, "nation")
@@ -840,6 +858,11 @@ object SparkEntry {
          FROM supplier, (VALUES ('update_preimage'), ('update_postimage')) AS ct(c)
          WHERE s_suppkey <= 50
          ORDER BY s_suppkey, _change_type""",
+
+    "graft_rename_drop" ->
+      """SELECT n_nationkey, n_name AS nation_name,
+         CASE WHEN n_nationkey = 0 THEN 77 ELSE CAST(NULL AS INT) END AS n_regionkey
+         FROM nation ORDER BY n_nationkey""",
 
     "graft_schema_evolution" ->
       """SELECT n_nationkey, n_name, n_comment FROM (

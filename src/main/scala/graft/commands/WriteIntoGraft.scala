@@ -72,12 +72,14 @@ object WriteIntoGraft {
         else if (mode == "overwrite" && mergeSchema && replaceWhere.isEmpty &&
             !SchemaUtils.isWriteCompatible(m0.schema, data.schema) &&
             configuration.isEmpty) {
-          m0.copy(schemaString = SchemaUtils.toNullable(
-            SchemaUtils.mergeSchemas(m0.schema, data.schema)).json)
+          graft.schema.ColumnMapping.stampNewFields(
+            m0.copy(schemaString = SchemaUtils.toNullable(
+              SchemaUtils.mergeSchemas(m0.schema, data.schema)).json))
         } else if (!SchemaUtils.isWriteCompatible(m0.schema, data.schema)) {
           if (mergeSchema)
-            m0.copy(schemaString = SchemaUtils.toNullable(
-              SchemaUtils.mergeSchemas(m0.schema, data.schema)).json)
+            graft.schema.ColumnMapping.stampNewFields(
+              m0.copy(schemaString = SchemaUtils.toNullable(
+                SchemaUtils.mergeSchemas(m0.schema, data.schema)).json))
           else throw new IllegalArgumentException(
             s"Schema mismatch writing to $path:\n table: ${m0.schema.simpleString}\n" +
               s" data: ${data.schema.simpleString}\nSet mergeSchema=true to evolve.")
@@ -155,7 +157,9 @@ object WriteIntoGraft {
   }
 
   /** OR-of-ANDs partition predicate matching exactly the given partition
-    * value maps (null partition values compare with IS NULL). */
+    * value maps (null partition values compare with IS NULL). Attributes
+    * are logical (filterFiles translates); value lookup is by PHYSICAL
+    * key, which is how AddFile partitionValues are written. */
   private def touchedPartitionPredicate(
       touched: Seq[Map[String, String]],
       metadata: Metadata)
@@ -167,7 +171,7 @@ object WriteIntoGraft {
     touched.map { pv =>
       partFields.map { f =>
         val attr = AttributeReference(f.name, f.dataType)()
-        pv.get(f.name).flatMap(Option(_)) match {
+        pv.get(graft.schema.ColumnMapping.physicalName(f)).flatMap(Option(_)) match {
           case Some(s) => EqualTo(attr,
             Cast(Literal(UTF8String.fromString(s), StringType), f.dataType, Some("UTC")))
           case None => IsNull(attr)

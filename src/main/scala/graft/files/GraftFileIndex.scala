@@ -32,8 +32,11 @@ class GraftFileIndex(
 
   private def metadata: Metadata = snapshot.metadata
 
-  override val partitionSchema: StructType = StructType(
-    metadata.partitionColumns.map(c => metadata.schema(c)))
+  // The index lives in PHYSICAL column space: AddFile partitionValues and
+  // stats JSON are keyed by physical names; dataFrame() renames to
+  // logical on top.
+  override val partitionSchema: StructType =
+    graft.schema.ColumnMapping.physicalPartitionSchema(metadata)
 
   override def rootPaths: Seq[Path] = Seq(log.dataPath)
 
@@ -43,7 +46,8 @@ class GraftFileIndex(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val pruned = GraftFileIndex.prunePartitions(files, partitionSchema, partitionFilters)
-    val skipped = StatsSkipping.filterFiles(spark, pruned, metadata.dataSchema, dataFilters)
+    val skipped = StatsSkipping.filterFiles(spark, pruned,
+      graft.schema.ColumnMapping.physicalDataSchema(metadata), dataFilters)
     skipped.groupBy(_.partitionValues).map { case (pv, fs) =>
       PartitionDirectory(
         GraftFileIndex.partitionRow(pv, partitionSchema),
@@ -119,14 +123,16 @@ object GraftFileIndex {
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
-      dataSchema = m.dataSchema,
+      dataSchema = graft.schema.ColumnMapping.physicalDataSchema(m),
       bucketSpec = None,
       fileFormat = new ParquetFileFormat,
       options = Map.empty)(spark)
     val plan = LogicalRelation(relation).copy(isStreaming = isStreaming)
-    val df = SparkShims.ofRows(spark, plan)
+    var df = SparkShims.ofRows(spark, plan)
     if (applyDv && !isStreaming) {
-      graft.dv.DeletionVectors.filterDeleted(spark, log, df, index.files)
-    } else df
+      df = graft.dv.DeletionVectors.filterDeleted(spark, log, df, index.files)
+    }
+    // physical -> logical rename is the single mapping boundary for reads
+    graft.schema.ColumnMapping.toLogicalProjection(df, m)
   }
 }

@@ -121,7 +121,34 @@ class GraftLog private (
     store.write(FileNames.deltaFile(logPath, version), Actions.serialize(actions))
     val snap = update()
     maybeCheckpoint(snap)
+    maybeAutoCompact(snap)
     snap
+  }
+
+  private val inAutoCompact = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = false
+  }
+
+  /** Post-commit hook: with `graft.autoCompact=true`, compact inline when
+    * small files pile past `graft.autoCompact.minNumFiles` (default 50).
+    * The compaction's own commit is guarded against re-entry; it raises
+    * the small-file count back under the threshold, so the hook
+    * terminates. (Reference concept: hooks/AutoCompact.scala:44-80 —
+    * re-designed as an inline post-commit call.) */
+  private def maybeAutoCompact(snap: Snapshot): Unit = {
+    if (inAutoCompact.get) return
+    val conf = snap.metadata.configuration
+    if (!conf.getOrElse("graft.autoCompact", "false").toBoolean) return
+    val minNumFiles = conf.getOrElse("graft.autoCompact.minNumFiles", "50").toInt
+    val smallSize = conf.get("graft.optimize.minFileSize").map(_.toLong)
+      .getOrElse(graft.commands.OptimizeCommand.defaultMaxFileSize / 2)
+    val smalls = snap.allFiles.count(_.size < smallSize)
+    if (smalls >= minNumFiles) {
+      inAutoCompact.set(true)
+      try graft.commands.OptimizeCommand.compact(
+        new graft.GraftTable(spark, this), None)
+      finally inAutoCompact.set(false)
+    }
   }
 
   def checkpointInterval: Int =

@@ -56,12 +56,31 @@ object GraftRuleUtil {
     }
     if (counts.forall(_.isDefined)) Some(counts.flatten) else None
   }
+
+  /** Logical row count of one file; -1 when stats are absent. */
+  def logicalRows(f: graft.log.AddFile): Long =
+    Option(f.stats).map(s => mapper.readTree(s).path("numRecords"))
+      .filter(_.isNumber)
+      .map(_.asLong - f.dvCardinality.getOrElse(0L))
+      .getOrElse(-1L)
 }
 
-/** COUNT(*) with no filters/groups -> LocalRelation from file stats. */
+/** COUNT(*) / MIN(col) / MAX(col) with no filters or groups, answered
+  * from per-file stats and partition values — a metadata lookup instead
+  * of a scan (reference concept:
+  * perf/OptimizeMetadataOnlyDeltaQuery.scala:48-160). MIN/MAX bail out
+  * when any file with rows lacks bounds, when a string bound may be
+  * truncated, or when any file carries a deletion vector (the DV may
+  * have removed the extremal row — bounds are no longer tight). */
 object MetadataOnlyCountRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(Nil, aggExprs, child, _) if isCountOnly(aggExprs) =>
+    case agg @ Aggregate(Nil, aggExprs, child, _) if isSupported(aggExprs) =>
       val base = child match {
         case Project(projections, grandchild)
             if projections.forall(_.isInstanceOf[AttributeReference]) => grandchild
@@ -69,23 +88,111 @@ object MetadataOnlyCountRule extends Rule[LogicalPlan] {
       }
       GraftRuleUtil.graftIndex(base) match {
         case Some((_, index)) =>
-          GraftRuleUtil.numRecords(index) match {
-            case Some(counts) =>
-              val total = counts.sum
-              val row = InternalRow.fromSeq(aggExprs.map(_ => total))
+          answer(aggExprs, index) match {
+            case Some(values) =>
               LocalRelation(agg.output.map(_.asInstanceOf[AttributeReference]),
-                Seq(row))
+                Seq(InternalRow.fromSeq(values)))
             case None => agg
           }
         case None => agg
       }
   }
 
-  private def isCountOnly(aggExprs: Seq[NamedExpression]): Boolean =
+  private def isSupported(aggExprs: Seq[NamedExpression]): Boolean =
     aggExprs.nonEmpty && aggExprs.forall {
       case Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _), _) => true
+      case Alias(AggregateExpression(Min(_: AttributeReference), _, false, None, _), _) => true
+      case Alias(AggregateExpression(Max(_: AttributeReference), _, false, None, _), _) => true
       case _ => false
     }
+
+  private def answer(
+      aggExprs: Seq[NamedExpression],
+      index: GraftFileIndex): Option[Seq[Any]] = {
+    val counts = GraftRuleUtil.numRecords(index)
+    val values = aggExprs.map {
+      case Alias(AggregateExpression(Count(_), _, _, _, _), _) =>
+        counts.map(_.sum)
+      case Alias(AggregateExpression(Min(a: AttributeReference), _, _, _, _), _) =>
+        bound(index, a, isMin = true)
+      case Alias(AggregateExpression(Max(a: AttributeReference), _, _, _, _), _) =>
+        bound(index, a, isMin = false)
+      case _ => None
+    }
+    // Option[Any] per agg; any None = cannot answer from metadata.
+    // (A null min over an empty table is Some(null) — still answerable.)
+    if (values.forall(_.isDefined)) Some(values.map(_.get)) else None
+  }
+
+  /** Exact global bound for one column, or None if not derivable. */
+  private def bound(
+      index: GraftFileIndex,
+      a: AttributeReference,
+      isMin: Boolean): Option[Any] = {
+    // A file with unknown row count might be empty or not — can't tell
+    // whether its (possibly absent) bounds matter. Bail.
+    if (index.files.exists(f => GraftRuleUtil.logicalRows(f) < 0)) return None
+    val partSchema = index.partitionSchema
+    if (partSchema.fieldNames.exists(_.equalsIgnoreCase(a.name))) {
+      // Partition column: bound over the typed partition values.
+      val idx = partSchema.indexWhere(_.name.equalsIgnoreCase(a.name))
+      val vals = index.files
+        .filter(f => GraftRuleUtil.logicalRows(f) > 0)
+        .map(f => GraftFileIndex.partitionRow(f.partitionValues, partSchema).get(
+          idx, partSchema(idx).dataType))
+        .filter(_ != null)
+      return Some(if (vals.isEmpty) null else reduceVals(vals, isMin))
+    }
+    if (index.files.exists(_.dvPath.isDefined)) return None
+    val section = if (isMin) "minValues" else "maxValues"
+    val perFile = index.files.filter(f => GraftRuleUtil.logicalRows(f) > 0).map { f =>
+      Option(f.stats).map(mapper.readTree).map { t =>
+        val node = t.path(section).path(a.name)
+        val nulls = t.path("nullCount").path(a.name)
+        val rows = t.path("numRecords")
+        if (!node.isMissingNode && !node.isNull) fromJson(node, a.dataType)
+        else if (nulls.isNumber && rows.isNumber && nulls.asLong == rows.asLong) {
+          null  // all-null file: contributes nothing
+        } else NotDerivable
+      }.getOrElse(NotDerivable)
+    }
+    if (perFile.contains(NotDerivable)) None
+    else {
+      val vals = perFile.filter(_ != null)
+      Some(if (vals.isEmpty) null else reduceVals(vals, isMin))
+    }
+  }
+
+  private object NotDerivable
+
+  private def reduceVals(vals: Seq[Any], isMin: Boolean): Any =
+    vals.reduce { (x, y) =>
+      val c = x.asInstanceOf[Comparable[Any]].compareTo(y)
+      if ((c <= 0) == isMin) x else y
+    }
+
+  /** JSON stat value -> catalyst value; NotDerivable when not exact. */
+  private def fromJson(node: com.fasterxml.jackson.databind.JsonNode,
+      dt: DataType): Any = dt match {
+    case _: IntegerType => node.asInt
+    case _: LongType => node.asLong
+    case _: ShortType => node.asLong.toShort
+    case _: ByteType => node.asLong.toByte
+    case _: DoubleType => node.asDouble
+    case _: FloatType => node.asDouble.toFloat
+    case _: BooleanType => node.asBoolean
+    case _: StringType =>
+      val s = node.asText
+      // A 64-char bound may be a truncated prefix (not the exact value).
+      if (s.length >= graft.stats.FooterStats.MAX_STRING_LEN) NotDerivable
+      else UTF8String.fromString(s)
+    case _: DateType =>
+      java.time.LocalDate.parse(node.asText).toEpochDay.toInt
+    case _: TimestampType =>
+      val t = java.time.Instant.parse(node.asText)
+      t.getEpochSecond * 1000000L + t.getNano / 1000L
+    case _ => NotDerivable
+  }
 }
 
 /** LIMIT n over a bare graft scan -> pin only enough files to cover n. */

@@ -64,14 +64,18 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
   def filterFiles(
       partitionFilters: Seq[Expression] = Nil,
       dataFilters: Seq[Expression] = Nil): Seq[AddFile] = {
-    val partSchema = StructType(
-      metadata.partitionColumns.map(c => metadata.schema(c)))
+    // Predicates arrive with LOGICAL names; file metadata (partition
+    // values, stats) is keyed physically.
+    val m = metadata
+    val pf = partitionFilters.map(graft.schema.ColumnMapping.toPhysicalExpr(_, m))
+    val df = dataFilters.map(graft.schema.ColumnMapping.toPhysicalExpr(_, m))
+    val partSchema = graft.schema.ColumnMapping.physicalPartitionSchema(m)
     val pruned = GraftFileIndex.prunePartitions(
-      snapshot.allFiles, partSchema, partitionFilters)
+      snapshot.allFiles, partSchema, pf)
     val skipped = StatsSkipping.filterFiles(
-      log.spark, pruned, metadata.dataSchema, dataFilters)
+      log.spark, pruned, graft.schema.ColumnMapping.physicalDataSchema(m), df)
     if (partitionFilters.isEmpty && dataFilters.isEmpty) readWholeTableFlag = true
-    else readPartitionPredicates += partitionFilters
+    else readPartitionPredicates += pf
     readFilePaths ++= skipped.map(_.path)
     skipped
   }
@@ -79,8 +83,11 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
   /** Write `data` as table files (no commit yet); returns AddFiles. */
   def writeFiles(data: DataFrame, dataChange: Boolean = true): Seq[AddFile] = {
     val m = metadata
+    val physical = graft.schema.ColumnMapping.renameToPhysical(data, m)
     val adds = TransactionalWrite.writeFiles(
-      log.spark, log.dataPath, data, m.partitionColumns, m.dataSchema,
+      log.spark, log.dataPath, physical,
+      graft.schema.ColumnMapping.physicalPartitionColumns(m),
+      graft.schema.ColumnMapping.physicalDataSchema(m),
       optimizeWrite = m.configuration
         .getOrElse("graft.optimizeWrite", "true").toBoolean)
     if (dataChange) adds else adds.map(_.copy(dataChange = false))
@@ -175,12 +182,13 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
     }
   }
 
-  /** Would any of these concurrently-added files fall in our read set? */
+  /** Would any of these concurrently-added files fall in our read set?
+    * (Recorded predicates are in physical column space, matching the
+    * AddFiles' partitionValues keys.) */
   private def readsAny(adds: Seq[AddFile]): Boolean = {
     if (readWholeTableFlag) return true
     if (readPartitionPredicates.isEmpty) return false
-    val partSchema = StructType(
-      metadata.partitionColumns.map(c => metadata.schema(c)))
+    val partSchema = graft.schema.ColumnMapping.physicalPartitionSchema(metadata)
     readPartitionPredicates.exists { filters =>
       if (filters.isEmpty) true  // data-only predicate: partition-conservative
       else GraftFileIndex.prunePartitions(adds, partSchema, filters).nonEmpty

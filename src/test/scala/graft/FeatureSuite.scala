@@ -92,6 +92,31 @@ class FeatureSuite extends AnyFunSuite {
     val plan = Graft.read(ext, dir).groupBy().count()
       .queryExecution.optimizedPlan.toString
     assert(plan.contains("LocalRelation"), s"expected LocalRelation in:\n$plan")
+    // metadata-only MIN/MAX from footer stats (mixed with count)
+    val mm = Graft.read(ext, dir)
+      .agg(org.apache.spark.sql.functions.min("id"),
+        org.apache.spark.sql.functions.max("id"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)))
+    assert(mm.queryExecution.optimizedPlan.toString.contains("LocalRelation"),
+      s"expected metadata-only plan:\n${mm.queryExecution.optimizedPlan}")
+    val r = mm.head
+    assert(r.getLong(0) === 0L && r.getLong(1) === 299L && r.getLong(2) === 300L)
+    // partition-column MIN/MAX answers from partition values
+    val pdir = tmpDir()
+    Graft.write(ext.range(10).selectExpr("id", "id % 3 AS p"), pdir,
+      partitionBy = Seq("p"))
+    val pm = Graft.read(ext, pdir)
+      .agg(org.apache.spark.sql.functions.min("p"),
+        org.apache.spark.sql.functions.max("p"))
+    assert(pm.queryExecution.optimizedPlan.toString.contains("LocalRelation"))
+    assert(pm.head.getLong(0) === 0L && pm.head.getLong(1) === 2L)
+    // with a deletion vector present, MIN/MAX must fall back to a scan
+    val ddir = tmpDir()
+    Graft.write(ext.range(10).toDF("id"), ddir,
+      configuration = Map("graft.enableDeletionVectors" -> "true"))
+    GraftTable.forPath(ext, ddir).delete(org.apache.spark.sql.functions.col("id") === 9)
+    val dm = Graft.read(ext, ddir).agg(org.apache.spark.sql.functions.max("id"))
+    assert(dm.head.getLong(0) === 8L)   // correct despite non-tight bounds
     // limit pushdown: scan over a pinned subset of files
     val limited = Graft.read(ext, dir).limit(5)
     assert(limited.count() === 5)
@@ -102,6 +127,58 @@ class FeatureSuite extends AnyFunSuite {
           .exists(_.size < 3)
       case _ => false
     })
+  }
+
+  test("column mapping: rename and drop are metadata-only; re-add is fresh") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val dir = tmpDir()
+    Graft.write(spark.range(10).select(col("id"),
+      concat(lit("v"), col("id")).as("tag"), (col("id") % 2).as("p")), dir,
+      partitionBy = Seq("p"))
+    val t = GraftTable.forPath(spark, dir)
+    val filesBefore = t.snapshot.allFiles.map(_.path).toSet
+
+    t.renameColumn("tag", "label")
+    assert(Graft.read(spark, dir).columns.toSeq === Seq("id", "label", "p"))
+    assert(Graft.read(spark, dir).filter(col("label") === "v3").count() === 1)
+    // rename of a partition column is metadata-only too
+    t.renameColumn("p", "bucket")
+    assert(Graft.read(spark, dir).filter(col("bucket") === 1).count() === 5)
+    t.dropColumn("label")
+    assert(Graft.read(spark, dir).columns.toSeq === Seq("id", "bucket"))
+    // nothing was rewritten across any of those
+    assert(GraftTable.forPath(spark, dir).snapshot.allFiles.map(_.path).toSet
+      === filesBefore)
+    // re-adding the dropped name yields nulls, not resurrected data
+    t.addColumn(StructField("label", StringType))
+    assert(Graft.read(spark, dir).filter(col("label").isNull).count() === 10)
+
+    // writes and DML through the mapping: append + update + delete
+    Graft.write(spark.range(100, 103).select(col("id"),
+      (col("id") % 2).as("bucket"), lit("new").as("label")), dir)
+    assert(Graft.read(spark, dir).count() === 13)
+    t.update(col("id") === 100, Map("label" -> lit("upd")))
+    assert(Graft.read(spark, dir).filter(col("label") === "upd").count() === 1)
+    t.delete(col("id") === 0)
+    assert(Graft.read(spark, dir).count() === 12)
+    // data skipping on the renamed column still prunes by physical stats
+    assert(Graft.read(spark, dir).filter(col("id") === 101).count() === 1)
+  }
+
+  test("auto compact fires past the small-file threshold") {
+    val dir = tmpDir()
+    (0 until 6).foreach { i =>
+      Graft.write(spark.range(i * 10, i * 10 + 10).toDF("id"), dir,
+        configuration = if (i == 0) Map(
+          "graft.autoCompact" -> "true",
+          "graft.autoCompact.minNumFiles" -> "5") else Map.empty)
+    }
+    val t = GraftTable.forPath(spark, dir)
+    val ops = t.history().select("operation").collect().map(_.getString(0))
+    assert(ops.contains("OPTIMIZE"), s"no auto compact in ${ops.toSeq}")
+    assert(t.snapshot.numFiles < 6)
+    assert(Graft.read(spark, dir).count() === 60)
   }
 
   test("manifest generation lists all live files") {
