@@ -93,6 +93,9 @@ class GraftTable private[graft] (
   def restoreToVersion(version: Long): Unit =
     RestoreCommand.run(spark, log, version)
 
+  /** REORG APPLY (PURGE): materialize deletion vectors into clean files. */
+  def reorgPurge(): DataFrame = ReorgCommand.purge(spark, log)
+
   def changes(startVersion: Long, endVersion: Long = Long.MaxValue): DataFrame =
     Cdc.changes(spark, log, startVersion, endVersion)
 

@@ -172,6 +172,36 @@ object OptimizeCommand {
 }
 
 /**
+ * REORG TABLE ... APPLY (PURGE): rewrite exactly the files carrying
+ * deletion vectors, materializing the DVs into clean parquet — the
+ * sidecars become unreferenced and VACUUM-able, and the table becomes
+ * streamable again. Committed with dataChange=false (no logical change).
+ * (Reference concept: commands/ReorgTableCommand.scala — re-designed.)
+ */
+object ReorgCommand {
+  def purge(spark: SparkSession, log: GraftLog): DataFrame = {
+    import spark.implicits._
+    val metrics = log.withNewTransaction { txn =>
+      val dvFiles = txn.filterFiles().filter(_.dvPath.isDefined)
+      if (dvFiles.isEmpty) Map("numFilesRewritten" -> "0")
+      else {
+        val df = Dml.scanFiles(spark, log, txn, dvFiles)  // DV-filtered
+        val adds = txn.writeFiles(df, dataChange = false)
+        val now = System.currentTimeMillis()
+        val removes = dvFiles.map(_.remove(now, dataChange = false))
+        val m = Map(
+          "numFilesRewritten" -> dvFiles.size.toString,
+          "numFilesAdded" -> adds.size.toString,
+          "numDeletionVectorsRemoved" -> dvFiles.size.toString)
+        txn.commit(removes ++ adds, "REORG", operationMetrics = m)
+        m
+      }
+    }
+    metrics.toSeq.toDF("metric", "value")
+  }
+}
+
+/**
  * VACUUM: physically delete files no longer referenced by the current
  * snapshot whose tombstones (or mtimes) are older than the retention
  * window. The driver lists only the table root; each subdirectory walks

@@ -30,8 +30,12 @@ class GraftLog private (
 
   @volatile private var currentSnapshot: Snapshot = _
 
+  /** Any commit file marks an existing table — delta 0 may have been
+    * cleaned up after a checkpoint. */
   def tableExists: Boolean =
-    store.exists(FileNames.deltaFile(logPath, 0L))
+    store.exists(FileNames.deltaFile(logPath, 0L)) ||
+      store.list(logPath).exists(s =>
+        FileNames.deltaVersion(s.getPath.getName).isDefined)
 
   /** Latest snapshot, refreshed from the filesystem. */
   def update(): Snapshot = synchronized {

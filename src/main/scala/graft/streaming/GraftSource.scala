@@ -125,7 +125,8 @@ class GraftSource(
             // than resurrect deleted rows.
             if (f.dvPath.isDefined) throw new UnsupportedOperationException(
               s"Streaming from a table with deletion vectors (${f.path}) " +
-                "is not supported; OPTIMIZE the table to materialize them first.")
+                "is not supported; run REORG (GraftTable.reorgPurge) to " +
+                "materialize them first.")
             IndexedFile(from.reservoirVersion, i, isInitialSnapshot = true, f)
           }
       } else Iterator.empty

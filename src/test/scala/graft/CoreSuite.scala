@@ -360,6 +360,76 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.toDF.count() === lineitem.count())
   }
 
+  test("REORG purge materializes deletion vectors, table streams again") {
+    val dir = tmpDir()
+    Graft.write(lineitem, dir,
+      configuration = Map("graft.enableDeletionVectors" -> "true"))
+    val t = GraftTable.forPath(spark, dir)
+    t.delete(col("l_quantity") < 30)
+    assert(t.snapshot.allFiles.exists(_.dvPath.isDefined))
+    val expected = lineitem.filter(!(col("l_quantity") < 30)).count()
+    t.reorgPurge()
+    val after = GraftTable.forPath(spark, dir).snapshot
+    assert(after.allFiles.forall(_.dvPath.isEmpty))
+    assert(Graft.read(spark, dir).count() === expected)
+    // dataChange=false: a purge is invisible to change-based semantics
+    val commit = t.log.readCommit(after.version)
+    assert(commit.collect { case a: graft.log.AddFile => a }.forall(!_.dataChange))
+  }
+
+  test("log cleanup removes pre-checkpoint deltas; cold load survives") {
+    val dir = tmpDir()
+    (0 until 12).foreach(_ => Graft.write(spark.range(5).toDF("id"), dir))
+    val log = GraftLog.forTable(spark, dir)
+    val removed = log.cleanUpExpiredLogs(retentionMillis = 0L)
+    assert(removed > 0)
+    GraftLog.clearCache()
+    val cold = GraftLog.forTable(spark, dir).update()
+    assert(cold.version === 11)
+    assert(Graft.read(spark, dir).count() === 60)
+  }
+
+  test("show partitions and truncate") {
+    val dir = tmpDir()
+    Graft.write(spark.range(10).selectExpr("id", "id % 3 AS p"), dir,
+      partitionBy = Seq("p"))
+    val t = GraftTable.forPath(spark, dir)
+    val parts = t.showPartitions().collect()
+      .map(_.getMap[String, String](0)("p")).sorted
+    assert(parts.toSeq === Seq("0", "1", "2"))
+    t.truncate()
+    assert(Graft.read(spark, dir).count() === 0)
+    assert(t.version === 1)   // truncate is a commit, data recoverable
+    assert(t.asOfVersion(0).count() === 10)
+  }
+
+  test("WriteSerializable lets an append land over a concurrent append") {
+    val dir = tmpDir()
+    Graft.write(spark.range(10).toDF("id"), dir,
+      configuration = Map("graft.isolationLevel" -> "WriteSerializable"))
+    val log = GraftLog.forTable(spark, dir)
+    val txn = log.startTransaction()
+    txn.filterFiles()   // reads the whole table
+    Graft.write(spark.range(10, 20).toDF("id"), dir)   // concurrent append
+    val adds = txn.writeFiles(spark.range(20, 25).toDF("id"))
+    txn.commit(adds, "WRITE")   // would throw under Serializable
+    assert(Graft.read(spark, dir).count() === 25)
+  }
+
+  test("concurrent idempotent transactions with the same appId conflict") {
+    val dir = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dir)
+    val log = GraftLog.forTable(spark, dir)
+    val txn = log.startTransaction()
+    val adds = txn.writeFiles(spark.range(5).toDF("id"))
+    // competing writer lands the same appId's batch first
+    Graft.write(spark.range(5).toDF("id"), dir,
+      txnAppId = Some("streamA"), txnVersion = Some(7L))
+    intercept[graft.tx.ConcurrentTransactionException] {
+      txn.commit(adds :+ graft.log.SetTransaction("streamA", 7L, None), "WRITE")
+    }
+  }
+
   test("history and detail") {
     val dir = tmpDir()
     Graft.write(spark.range(5).toDF("id"), dir)
