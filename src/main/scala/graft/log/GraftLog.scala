@@ -59,6 +59,7 @@ class GraftLog private (
       val cp = checkpoints.filter(_ <= latest).maxOption
       val tail = deltas.filter(d => cp.forall(d._1 > _)).sortBy(_._1)
       currentSnapshot = Snapshot.build(this, cp, tail, latest)
+      validateChecksum(currentSnapshot)
     }
     currentSnapshot
   }
@@ -90,11 +91,23 @@ class GraftLog private (
     eligible.map(_._1).max
   }
 
-  /** (version, timestampMillis) per commit, ascending. */
+  /** (version, timestampMillis) per commit, ascending — from each
+    * commit's OWN CommitInfo timestamp (file mtimes change under copy /
+    * backup-restore), adjusted to be monotonically non-decreasing, with
+    * mtime as the fallback for commits lacking CommitInfo.
+    * (Reference concept: the inCommitTimestamp feature.) */
   def listCommitTimestamps(): Seq[(Long, Long)] = {
-    store.list(logPath).flatMap { s =>
-      FileNames.deltaVersion(s.getPath.getName).map(v => (v, s.getModificationTime))
+    val raw = store.list(logPath).flatMap { s =>
+      FileNames.deltaVersion(s.getPath.getName).map(v => (v, s))
     }.sortBy(_._1)
+    var last = 0L
+    raw.map { case (v, status) =>
+      val ts = Actions.deserialize(store.read(status.getPath))
+        .collectFirst { case ci: CommitInfo if ci.timestamp > 0 => ci.timestamp }
+        .getOrElse(status.getModificationTime)
+      last = math.max(last, ts)
+      (v, last)
+    }
   }
 
   /** CommitInfo per version (DESCRIBE HISTORY), newest first. */
@@ -124,9 +137,37 @@ class GraftLog private (
   private[graft] def writeCommit(version: Long, actions: Seq[Action]): Snapshot = {
     store.write(FileNames.deltaFile(logPath, version), Actions.serialize(actions))
     val snap = update()
+    writeChecksum(snap)
     maybeCheckpoint(snap)
     maybeAutoCompact(snap)
     snap
+  }
+
+  /** Per-commit checksum sidecar: aggregate table state invariants that
+    * a cold reader re-derives and compares — cheap corruption detection
+    * for the log fold (reference concept: VersionChecksum /
+    * ChecksumHook — re-designed to the two load-bearing aggregates). */
+  private def writeChecksum(snap: Snapshot): Unit = {
+    if (snap.version < 0) return
+    store.writeOverwrite(FileNames.checksumFile(logPath, snap.version),
+      s"{\"tableSizeBytes\":${snap.sizeInBytes},\"numFiles\":${snap.numFiles}}")
+  }
+
+  private def validateChecksum(snap: Snapshot): Unit = {
+    if (snap.version < 0) return
+    store.readOpt(FileNames.checksumFile(logPath, snap.version)).foreach { json =>
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+      val size = node.path("tableSizeBytes").asLong(-1L)
+      val files = node.path("numFiles").asLong(-1L)
+      if (files >= 0 && files != snap.numFiles ||
+          size >= 0 && size != snap.sizeInBytes) {
+        throw new IllegalStateException(
+          s"Checksum mismatch at version ${snap.version} of $dataPath: " +
+            s"expected numFiles=$files sizeBytes=$size, " +
+            s"reconstructed ${snap.numFiles}/${snap.sizeInBytes} - " +
+            "the log or checkpoint is corrupted")
+      }
+    }
   }
 
   private val inAutoCompact = new ThreadLocal[java.lang.Boolean] {
@@ -192,11 +233,13 @@ class GraftLog private (
     val cutoff = System.currentTimeMillis() - retentionMillis
     var n = 0
     listing.foreach { s =>
-      FileNames.deltaVersion(s.getPath.getName).foreach { v =>
-        if (v < cp && s.getModificationTime < cutoff) {
-          store.delete(s.getPath); n += 1
+      val name = s.getPath.getName
+      FileNames.deltaVersion(name).orElse(FileNames.checksumVersion(name))
+        .foreach { v =>
+          if (v < cp && s.getModificationTime < cutoff) {
+            store.delete(s.getPath); n += 1
+          }
         }
-      }
     }
     n
   }

@@ -97,9 +97,12 @@ object FileNames {
     new Path(logPath, f"$version%020d.checkpoint.parquet")
   def lastCheckpointFile(logPath: Path): Path =
     new Path(logPath, "_last_checkpoint")
+  def checksumFile(logPath: Path, version: Long): Path =
+    new Path(logPath, f"$version%020d.crc")
 
   private val deltaRe = """(\d{20})\.json""".r
   private val checkpointRe = """(\d{20})\.checkpoint\.parquet""".r
+  private val checksumRe = """(\d{20})\.crc""".r
 
   def deltaVersion(name: String): Option[Long] = name match {
     case deltaRe(v) => Some(v.toLong)
@@ -107,6 +110,10 @@ object FileNames {
   }
   def checkpointVersion(name: String): Option[Long] = name match {
     case checkpointRe(v) => Some(v.toLong)
+    case _ => None
+  }
+  def checksumVersion(name: String): Option[Long] = name match {
+    case checksumRe(v) => Some(v.toLong)
     case _ => None
   }
 }

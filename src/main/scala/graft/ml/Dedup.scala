@@ -73,7 +73,8 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       shingleSize: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucketSize: Int = 100000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = minHashSignatures(df, id, text, numHashes, shingleSize)
@@ -83,9 +84,13 @@ object Dedup {
       xxhash64(lit(bId) +: (0 until rows).map(r => col(s"_m${bId * rows + r}")): _*)
     }
     val sigCol = array((0 until numHashes).map(i => col(s"_m$i")): _*)
-    val banded = sigs
+    val banded0 = sigs
       .select(col("id"), sigCol.as("sig"), posexplode(array(bucketCols: _*)))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+    // Skew guard: a bucket of near-identical boilerplate grows O(n) and
+    // its self-join O(n^2); cap it — members that large are duplicates
+    // of each other many times over and still pair in other bands.
+    val banded = dropHotBuckets(banded0, maxBucketSize)
     val a = banded.select(col("band"), col("bucket"),
       col("id").as("idA"), col("sig").as("sigA"))
     val b = banded.select(col("band"), col("bucket"),
@@ -131,18 +136,32 @@ object Dedup {
         }.reduce((a, b) => a.bitwiseOR(b)).as("fp"))
   }
 
+  /** Drop (band, bucket) groups larger than `cap` before a self-join —
+    * the standard LSH hot-bucket guard (one extra aggregation on the
+    * join key; ReuseExchange shares the shuffle with the join). */
+  private def dropHotBuckets(banded: DataFrame, cap: Int): DataFrame = {
+    if (cap <= 0) return banded
+    val counts = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= cap)
+      .drop("__n")
+    banded.join(counts, Seq("band", "bucket"))
+  }
+
   /** SimHash near-dup candidates: equal 16-bit band -> verify Hamming. */
   def simHashPairs(
       df: DataFrame,
       id: Column,
       text: Column,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 100000): DataFrame = {
     val f = simHashes(df, id, text)
-    val banded = f.select(col("id"), col("fp"),
+    val banded0 = f.select(col("id"), col("fp"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftrightunsigned", col("fp"),
           (b * 16).cast("int")).bitwiseAND(lit(0xFFFFL)))))
       .select(col("id"), col("fp"), col("pos").as("band"), col("col").as("bucket"))
+    val banded = dropHotBuckets(banded0, maxBucketSize)
     val a = banded.select(col("band"), col("bucket"), col("id").as("idA"), col("fp").as("fpA"))
     val b = banded.select(col("band"), col("bucket"), col("id").as("idB"), col("fp").as("fpB"))
     a.join(b, Seq("band", "bucket"))

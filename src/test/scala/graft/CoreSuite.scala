@@ -430,6 +430,42 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("commit checksum detects a corrupted log on cold load") {
+    val dir = tmpDir()
+    Graft.write(spark.range(10).toDF("id"), dir)
+    Graft.write(spark.range(10).toDF("id"), dir)
+    val log = GraftLog.forTable(spark, dir)
+    // sanity: checksum sidecars exist and cold load validates clean
+    assert(log.store.exists(graft.log.FileNames.checksumFile(log.logPath, 1L)))
+    GraftLog.clearCache()
+    assert(GraftLog.forTable(spark, dir).update().version === 1)
+    // corrupt: claim a different file count for v1
+    val crc = graft.log.FileNames.checksumFile(log.logPath, 1L)
+    log.store.writeOverwrite(crc, """{"tableSizeBytes":1,"numFiles":999}""")
+    GraftLog.clearCache()
+    val e = intercept[IllegalStateException] {
+      GraftLog.forTable(spark, dir).update()
+    }
+    assert(e.getMessage.contains("Checksum mismatch"))
+  }
+
+  test("time travel by timestamp uses in-commit timestamps, not mtimes") {
+    val dir = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dir)          // v0
+    Thread.sleep(1100)
+    val between = System.currentTimeMillis()
+    Thread.sleep(1100)
+    GraftTable.forPath(spark, dir).delete(col("id") < 3) // v1
+    val log = GraftLog.forTable(spark, dir)
+    // vandalize the commit files' mtimes (as a backup/restore would)
+    val fs = log.store.fs(log.logPath)
+    log.store.list(log.logPath).foreach(s =>
+      fs.setTimes(s.getPath, 1000L, -1))
+    assert(log.getVersionAtTime(between) === 0L)
+    assert(GraftTable.forPath(spark, dir)
+      .asOfTimestamp(new java.sql.Timestamp(between).toString).count() === 5)
+  }
+
   test("history and detail") {
     val dir = tmpDir()
     Graft.write(spark.range(5).toDF("id"), dir)

@@ -33,6 +33,9 @@ class ScaleSuite extends AnyFunSuite {
       .parquet(FileNames.checkpointFile(log.logPath, 1L).toString)
     log.store.writeOverwrite(FileNames.lastCheckpointFile(log.logPath),
       s"""{"version":1,"size":${n + 2}}""")
+    // keep the fabricated state consistent with v1's checksum sidecar
+    log.store.writeOverwrite(FileNames.checksumFile(log.logPath, 1L),
+      s"""{"tableSizeBytes":${n * 100L},"numFiles":$n}""")
 
     GraftLog.clearCache()
     val t0 = System.nanoTime()
