@@ -642,6 +642,22 @@ object SparkEntry {
         .orderBy("qid", "cid")
     }),
 
+    // IVF-Flat with the same planted-neighbor oracle scheme as ann_lsh:
+    // the jittered copy shares the query's own nearest centroid (cosine
+    // is scale-invariant), which is always within the nprobe probe set.
+    "ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 10)
+      val planted = queries.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), v => v * 1.0001f).as("embedding"))
+      val corpus = e.select("vec_id", "embedding").unionByName(planted)
+      Similarity.ivfTopK(
+        corpus, col("vec_id"), col("embedding"),
+        queries, col("vec_id"), col("embedding"), k = 2, nlist = 32, nprobe = 8)
+        .select("qid", "cid")
+        .orderBy("qid", "cid")
+    }),
+
     "multimodal_decode" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, 200)
       Multimodal.decodePartitioned(media, dims = 8)
@@ -986,6 +1002,12 @@ object SparkEntry {
          ORDER BY idA, idB""",
 
     "ann_lsh" ->
+      """SELECT vec_id AS qid, vec_id AS cid FROM embeddings WHERE vec_id < 10
+         UNION ALL
+         SELECT vec_id AS qid, vec_id + 100000 AS cid FROM embeddings WHERE vec_id < 10
+         ORDER BY qid, cid""",
+
+    "ann_ivf" ->
       """SELECT vec_id AS qid, vec_id AS cid FROM embeddings WHERE vec_id < 10
          UNION ALL
          SELECT vec_id AS qid, vec_id + 100000 AS cid FROM embeddings WHERE vec_id < 10

@@ -31,7 +31,12 @@ class OptimizeBuilder(table: GraftTable) {
     OptimizeCommand.compact(table, predicate)
 
   def executeZOrderBy(cols: String*): DataFrame =
-    OptimizeCommand.zorder(table, predicate, cols)
+    OptimizeCommand.cluster(table, predicate, cols, hilbert = false)
+
+  /** Hilbert-curve clustering: same quantile bucketing, better locality
+    * (no Z-shape jumps), so multi-column range scans prune harder. */
+  def executeHilbertBy(cols: String*): DataFrame =
+    OptimizeCommand.cluster(table, predicate, cols, hilbert = true)
 }
 
 object OptimizeCommand {
@@ -70,11 +75,12 @@ object OptimizeCommand {
     metricsDF(spark, metrics)
   }
 
-  def zorder(
+  def cluster(
       table: GraftTable,
       predicate: Option[String],
-      cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "ZORDER BY requires at least one column")
+      cols: Seq[String],
+      hilbert: Boolean): DataFrame = {
+    require(cols.nonEmpty, "clustering requires at least one column")
     val spark = table.spark
     val log = table.log
     val metrics = log.withNewTransaction { txn =>
@@ -104,7 +110,10 @@ object OptimizeCommand {
       val zparts = cols.zip(allBoundaries).map { case (c, boundaries) =>
         ZOrder.boundaryBucket(asDouble(c), boundaries)
       }
-      val zkey = ZOrder.interleaveBits(zparts)
+      val bitsPerDim = math.max(4, 15 / cols.size)
+      val zkey =
+        if (hilbert) ZOrder.hilbertIndex(zparts, bitsPerDim)
+        else ZOrder.interleaveBits(zparts)
       val targetFiles = math.max(1, (files.map(_.size).sum / maxSize).toInt)
       val clustered = df
         .withColumn("__zkey", zkey)
@@ -117,8 +126,10 @@ object OptimizeCommand {
       val metrics = Map(
         "numFilesRemoved" -> removes.size.toString,
         "numFilesAdded" -> adds.size.toString,
-        "zOrderBy" -> cols.mkString(","))
-      txn.commit(removes ++ adds, "OPTIMIZE ZORDER", operationMetrics = metrics)
+        (if (hilbert) "hilbertBy" else "zOrderBy") -> cols.mkString(","))
+      txn.commit(removes ++ adds,
+        if (hilbert) "OPTIMIZE HILBERT" else "OPTIMIZE ZORDER",
+        operationMetrics = metrics)
       metrics
     }
     metricsDF(spark, metrics)

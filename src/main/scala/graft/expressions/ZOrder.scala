@@ -73,9 +73,83 @@ case class InterleaveBits(children: Seq[Expression]) extends Expression
       newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
 }
 
+/**
+ * Hilbert-curve index over N bucket-id columns: better locality than the
+ * Z-curve (consecutive curve positions are always unit neighbors, no
+ * Z-shape jumps), so range scans over clustered columns touch fewer
+ * files. Skilling's axes-to-transpose algorithm, then bit interleave of
+ * the transposed coords. Only runs inside OPTIMIZE's rewrite job.
+ * (Reference concept: expressions/HilbertIndex.scala — re-designed.)
+ */
+case class HilbertIndex(children: Seq[Expression], bits: Int)
+    extends Expression with CodegenFallback {
+  require(children.nonEmpty && children.length * bits <= 63,
+    s"need dims*bits <= 63, got ${children.length} x $bits")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val n = children.length
+    val x = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val v = children(i).eval(input)
+      val raw = if (v == null) 0L else v.asInstanceOf[Number].longValue()
+      x(i) = java.lang.Math.min(java.lang.Math.max(raw, 0L), (1L << bits) - 1)
+      i += 1
+    }
+    HilbertIndex.transposedIndex(bits, x)
+  }
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
+object HilbertIndex {
+  /** Skilling's AxestoTranspose, mutating x in place, then interleave. */
+  def transposedIndex(bits: Int, x: Array[Long]): Long = {
+    val n = x.length
+    // Inverse undo
+    var q = 1L << (bits - 1)
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < n) {
+        if ((x(i) & q) != 0) x(0) ^= p
+        else { val t = (x(0) ^ x(i)) & p; x(0) ^= t; x(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode
+    var i = 1
+    while (i < n) { x(i) ^= x(i - 1); i += 1 }
+    var t = 0L
+    q = 1L << (bits - 1)
+    while (q > 1) {
+      if ((x(n - 1) & q) != 0) t ^= q - 1
+      q >>= 1
+    }
+    i = 0
+    while (i < n) { x(i) ^= t; i += 1 }
+    // Interleave transposed coords, MSB-first
+    var out = 0L
+    var b = bits - 1
+    while (b >= 0) {
+      var d = 0
+      while (d < n) {
+        out = (out << 1) | ((x(d) >> b) & 1L)
+        d += 1
+      }
+      b -= 1
+    }
+    out
+  }
+}
+
 object ZOrder {
   def boundaryBucket(c: Column, boundaries: Array[Double]): Column =
     SparkShims.column(BoundaryBucket(SparkShims.expression(c), boundaries))
   def interleaveBits(cols: Seq[Column]): Column =
     SparkShims.column(InterleaveBits(cols.map(SparkShims.expression)))
+  def hilbertIndex(cols: Seq[Column], bits: Int): Column =
+    SparkShims.column(HilbertIndex(cols.map(SparkShims.expression), bits))
 }

@@ -66,6 +66,51 @@ object Similarity {
   }
 
   /**
+   * IVF-Flat approximate top-k: a coarse quantizer of `nlist` centroids
+   * (a deterministic hash-ordered sample of the corpus — k-means
+   * assignment without the iterations), the corpus partitioned by
+   * nearest centroid, and each query probing its `nprobe` nearest
+   * centroid lists. Data-adaptive alternative to the hyperplane LSH
+   * buckets: list sizes follow the data distribution, so clustered
+   * corpora don't collapse into a few hot hyperplane cells. Assignment
+   * is an argmax over `nlist` codegen'd cosine kernels — the same
+   * per-row cost real IVF pays.
+   */
+  def ivfTopK(
+      corpus: DataFrame,
+      corpusId: Column,
+      corpusEmb: Column,
+      queries: DataFrame,
+      queryId: Column,
+      queryEmb: Column,
+      k: Int,
+      nlist: Int = 64,
+      nprobe: Int = 8): DataFrame = {
+    val base = corpus.select(corpusId.as("cid"), corpusEmb.as("cemb"))
+    val centroids: Array[Seq[Float]] = base
+      .select(col("cemb"), xxhash64(col("cid")).as("__r"))
+      .orderBy("__r").limit(nlist)
+      .collect().map(_.getSeq[Float](0))
+    val scoredCentroids = (emb: Column) => centroids.zipWithIndex.map {
+      case (c, i) => struct(cosine(emb, typedlit(c)).as("s"), lit(i).as("i"))
+    }
+    def nearestList(emb: Column): Column =
+      greatest(scoredCentroids(emb).toSeq: _*).getField("i")
+    val c = base.withColumn("list", nearestList(col("cemb")))
+    val probes = math.min(nprobe, centroids.length)
+    val q = queries.select(queryId.as("qid"), queryEmb.as("qemb"))
+      .withColumn("list", explode(slice(transform(
+        sort_array(array(scoredCentroids(col("qemb")).toSeq: _*), asc = false),
+        s => s.getField("i")), 1, probes)))
+    val scored = c.join(broadcast(q), "list")
+      .select(col("qid"), col("cid"), cosine(col("qemb"), col("cemb")).as("score"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /**
    * LSH-bucketed approximate top-k: each query probes its own bucket and
    * the `planes` 1-bit neighbors; candidates are the union of those
    * buckets' corpus slices. Each (query, corpus) pair can match at most

@@ -95,6 +95,41 @@ class MlSuite extends AnyFunSuite {
     assert(out.filter($"v" === 1L).count() === 40)
   }
 
+  test("hilbert index is a bijective curve with unit-step adjacency") {
+    import graft.expressions.HilbertIndex
+    val bits = 3; val dims = 2
+    val n = 1 << (bits * dims)   // 64 grid points
+    val points = for (a <- 0 until (1 << bits); b <- 0 until (1 << bits))
+      yield (a.toLong, b.toLong)
+    val indexed = points.map { case (a, b) =>
+      HilbertIndex.transposedIndex(bits, Array(a, b)) -> (a, b)
+    }
+    // bijective over the grid
+    assert(indexed.map(_._1).distinct.size === n)
+    assert(indexed.map(_._1).min === 0L && indexed.map(_._1).max === (n - 1).toLong)
+    // true Hilbert property: consecutive indexes are unit grid neighbors
+    val byIndex = indexed.toMap
+    (0L until (n - 1).toLong).foreach { i =>
+      val (a1, b1) = byIndex(i); val (a2, b2) = byIndex(i + 1)
+      assert(math.abs(a1 - a2) + math.abs(b1 - b2) === 1,
+        s"index $i -> ${i + 1} jumped from ($a1,$b1) to ($a2,$b2)")
+    }
+  }
+
+  test("OPTIMIZE hilbert clustering keeps data and clusters files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-hil").toString
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    Graft.write(li, dir)
+    val res = GraftTable.forPath(spark, dir).optimize()
+      .executeHilbertBy("l_orderkey", "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(res("hilbertBy") === "l_orderkey,l_partkey")
+    assert(Graft.read(spark, dir).count() === li.count())
+    val ops = GraftTable.forPath(spark, dir).history()
+      .select("operation").as[String].collect()
+    assert(ops.contains("OPTIMIZE HILBERT"))
+  }
+
   test("simhash of empty and null text is 0") {
     val docs = Seq((1L, "some actual text here"), (2L, ""), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
