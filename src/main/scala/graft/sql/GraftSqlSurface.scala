@@ -261,6 +261,42 @@ case class GraftVacuumRun(path: String, hours: Option[Double], dryRun: Boolean)
   }
 }
 
+case class GraftDetailRun(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType)(),
+    AttributeReference("id", StringType)(),
+    AttributeReference("location", StringType)(),
+    AttributeReference("createdTime", LongType)(),
+    AttributeReference("version", LongType)(),
+    AttributeReference("partitionColumns", ArrayType(StringType))(),
+    AttributeReference("numFiles", LongType)(),
+    AttributeReference("sizeInBytes", LongType)(),
+    AttributeReference("properties", MapType(StringType, StringType))())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftTable.forPath(spark, path).detail().collect().toSeq
+}
+
+case class GraftRestoreRun(path: String, version: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftTable.forPath(spark, path).restoreToVersion(version)
+    GraftCatalogCache.invalidate(spark)
+    Nil
+  }
+}
+
+case class GraftReorgRun(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("metric", StringType)(),
+    AttributeReference("value", StringType)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rows = GraftTable.forPath(spark, path).reorgPurge().collect().toSeq
+    GraftCatalogCache.invalidate(spark)
+    rows
+  }
+}
+
 case class GraftHistoryRun(path: String, limit: Option[Int])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
@@ -322,8 +358,19 @@ object GraftSqlParser {
   private val historyRe =
     (s"""(?is)^\\s*(?:DESC|DESCRIBE)\\s+HISTORY\\s+($target)""" +
       """(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""").r
+  private val detailRe =
+    s"""(?is)^\\s*(?:DESC|DESCRIBE)\\s+DETAIL\\s+($target)\\s*;?\\s*$$""".r
+  private val restoreRe =
+    (s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?($target)\\s+(?:TO\\s+)?""" +
+      """VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val reorgRe =
+    (s"""(?is)^\\s*REORG\\s+(?:TABLE\\s+)?($target)\\s+""" +
+      """APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
 
   def parseMaintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case detailRe(t) => Some(GraftDetailRun(targetPath(t)))
+    case restoreRe(t, v) => Some(GraftRestoreRun(targetPath(t), v.toLong))
+    case reorgRe(t) => Some(GraftReorgRun(targetPath(t)))
     case optimizeRe(t, where, zorder) =>
       val z = Option(zorder).map(_.split(",").toSeq
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))

@@ -88,6 +88,22 @@ class SqlSuite extends AnyFunSuite {
     assert(z.map(_.getString(0)).contains("zOrderBy"))
   }
 
+  test("DESCRIBE DETAIL / RESTORE / REORG statements") {
+    val dir = tmpDir()
+    Graft.write(spark.range(10).toDF("id"), dir,
+      configuration = Map("graft.enableDeletionVectors" -> "true"))
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id < 4")          // v1 (DV)
+    val detail = spark.sql(s"DESCRIBE DETAIL '$dir'").head()
+    assert(detail.getAs[String]("format") === "graft")
+    assert(detail.getAs[Long]("version") === 1L)
+    val reorg = spark.sql(s"REORG TABLE '$dir' APPLY (PURGE)").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(reorg("numFilesRewritten").toInt > 0)
+    assert(Graft.read(spark, dir).count() === 6)
+    spark.sql(s"RESTORE TABLE '$dir' TO VERSION AS OF 0")
+    assert(Graft.read(spark, dir).count() === 10)
+  }
+
   test("named tables: saveAsTable, spark.table, transactional DML via catalog") {
     val dir = tmpDir()
     spark.sql("DROP TABLE IF EXISTS graft_named_t")
