@@ -170,7 +170,7 @@ class GraftTable private[graft] (
       txn.updateMetadata(m.copy(
         schemaString = org.apache.spark.sql.types.StructType(fields).json,
         partitionColumns = parts))
-      txn.commit(Nil, "RENAME COLUMN",
+      txn.commit(protocolBumpFor(txn), "RENAME COLUMN",
         Map("oldName" -> oldName, "newName" -> newName))
     }
 
@@ -191,8 +191,16 @@ class GraftTable private[graft] (
       val fields = m.schema.fields.filterNot(_.name.equalsIgnoreCase(name))
       txn.updateMetadata(m.copy(
         schemaString = org.apache.spark.sql.types.StructType(fields).json))
-      txn.commit(Nil, "DROP COLUMNS", Map("column" -> name))
+      txn.commit(protocolBumpFor(txn), "DROP COLUMNS", Map("column" -> name))
     }
+
+  /** Column mapping needs reader version 2 (older readers would use the
+    * logical names against physically-named parquet). */
+  private def protocolBumpFor(
+      txn: graft.tx.OptimisticTransaction): Seq[graft.log.Action] =
+    if (txn.snapshot.protocol.minReaderVersion < 2)
+      Seq(graft.log.Protocol(2, 2))
+    else Nil
 
   def upsertProperties(props: Map[String, String]): Unit =
     log.withNewTransaction { txn =>

@@ -126,7 +126,13 @@ object DeleteCommand {
           }
       }
 
-      txn.commit(removes ++ adds ++ cdcActions, "DELETE",
+      // First deletion vector on this table: gate readers that would
+      // otherwise ignore the dvPath field and resurrect deleted rows.
+      val protocolBump: Seq[Action] =
+        if (adds.exists(_.dvPath.isDefined) &&
+            txn.snapshot.protocol.minReaderVersion < 2) Seq(Protocol(2, 2))
+        else Nil
+      txn.commit(protocolBump ++ removes ++ adds ++ cdcActions, "DELETE",
         operationParameters = condition.map(c => "predicate" -> c.toString).toMap,
         operationMetrics = metrics)
       metrics

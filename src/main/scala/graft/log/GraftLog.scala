@@ -61,6 +61,15 @@ class GraftLog private (
       currentSnapshot = Snapshot.build(this, cp, tail, latest)
       validateChecksum(currentSnapshot)
     }
+    // Fail loudly instead of misreading a table whose features we do not
+    // understand (e.g. silently ignoring deletion vectors would
+    // resurrect deleted rows).
+    if (currentSnapshot.protocol.minReaderVersion > SUPPORTED_READER_VERSION) {
+      throw new IllegalStateException(
+        s"Table $dataPath requires reader version " +
+          s"${currentSnapshot.protocol.minReaderVersion}; this build " +
+          s"supports up to $SUPPORTED_READER_VERSION")
+    }
     currentSnapshot
   }
 
@@ -68,6 +77,10 @@ class GraftLog private (
     if (currentSnapshot == null) update()
     currentSnapshot
   }
+
+  /** Highest protocol reader version this build understands:
+    * 1 = base log; 2 = deletion vectors + column mapping. */
+  val SUPPORTED_READER_VERSION = 2
 
   /** Snapshot pinned at `version` (time travel / RESTORE / CDF). */
   def getSnapshotAt(version: Long): Snapshot = {

@@ -466,6 +466,27 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
       .asOfTimestamp(new java.sql.Timestamp(between).toString).count() === 5)
   }
 
+  test("protocol gates: DV/mapping bump reader version; unknown versions refuse") {
+    val dir = tmpDir()
+    Graft.write(spark.range(10).toDF("id"), dir,
+      configuration = Map("graft.enableDeletionVectors" -> "true"))
+    val log = GraftLog.forTable(spark, dir)
+    assert(log.snapshot.protocol.minReaderVersion === 1)
+    GraftTable.forPath(spark, dir).delete(col("id") === 0)  // first DV
+    assert(log.update().protocol.minReaderVersion === 2)
+    // a table demanding a future reader version refuses loudly
+    val dir2 = tmpDir()
+    Graft.write(spark.range(3).toDF("id"), dir2)
+    val log2 = GraftLog.forTable(spark, dir2)
+    log2.store.write(graft.log.FileNames.deltaFile(log2.logPath, 1L),
+      graft.log.Actions.serialize(Seq(graft.log.Protocol(99, 99))))
+    GraftLog.clearCache()
+    val e = intercept[IllegalStateException] {
+      GraftLog.forTable(spark, dir2).update()
+    }
+    assert(e.getMessage.contains("reader version 99"))
+  }
+
   test("history and detail") {
     val dir = tmpDir()
     Graft.write(spark.range(5).toDF("id"), dir)
