@@ -100,6 +100,66 @@ object GraftDml {
     case u: UnresolvedRelation if substituteRelations &&
         GraftTarget.unapply(u).isDefined =>
       graftRelation(session, GraftTarget.unapply(u).get._1)
+    // ALTER TABLE column DDL (top-level fields; graft paths or named
+    // graft tables — the v2 AlterTableExec path would otherwise change
+    // only the metastore, diverging from the transaction log).
+    case r @ RenameColumn(t, colName, newName) =>
+      alterTarget(session, t).map { path =>
+        GraftAlterRun(path,
+          tbl => tbl.renameColumn(fieldName(colName), newName)): LogicalPlan
+      }.getOrElse(r)
+    case d @ DropColumns(t, cols, _) =>
+      alterTarget(session, t).map { path =>
+        val names = cols.map(fieldName)
+        GraftAlterRun(path, tbl => names.foreach(tbl.dropColumn)): LogicalPlan
+      }.getOrElse(d)
+    case a @ AddColumns(t, cols) =>
+      alterTarget(session, t).map { path =>
+        val fields = cols.map { c =>
+          require(c.path.isEmpty && c.position.isEmpty && c.default.isEmpty,
+            "only plain top-level ADD COLUMN is supported for graft tables")
+          org.apache.spark.sql.types.StructField(c.colName, c.dataType)
+        }
+        GraftAlterRun(path, tbl => fields.foreach(tbl.addColumn)): LogicalPlan
+      }.getOrElse(a)
+  }
+
+  private def fieldName(f: org.apache.spark.sql.catalyst.analysis.FieldName): String = {
+    require(f.name.length == 1,
+      s"only top-level columns are supported, got ${f.name.mkString(".")}")
+    f.name.head
+  }
+
+  /** ALTER targets parse as UnresolvedTable; accept graft paths and
+    * catalog tables whose provider is graft. */
+  private def alterTarget(
+      session: SparkSession, plan: LogicalPlan): Option[String] = plan match {
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+        if t.multipartIdentifier.length == 2 &&
+          t.multipartIdentifier.head.equalsIgnoreCase("graft") &&
+          t.multipartIdentifier(1).contains("/") =>
+      Some(t.multipartIdentifier(1))
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+        if t.multipartIdentifier.length <= 2 =>
+      namedGraftLocation(session, t.multipartIdentifier)
+    case _ => None
+  }
+
+  private def namedGraftLocation(
+      session: SparkSession, ident: Seq[String]): Option[String] = {
+    try {
+      val cat = session.sessionState.catalog
+      val ti = ident match {
+        case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
+        case Seq(db, t) => org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+        case _ => return None
+      }
+      if (!cat.tableExists(ti)) return None
+      val meta = cat.getTableMetadata(ti)
+      if (meta.provider.exists(_.equalsIgnoreCase("graft")))
+        Some(meta.location.toString)
+      else None
+    } catch { case _: Exception => None }
   }
 
   /** Log-backed scan relation for `graft`.`/path` in plain queries. */
@@ -258,6 +318,16 @@ case class GraftVacuumRun(path: String, hours: Option[Double], dryRun: Boolean)
     VacuumCommand.run(spark, log,
       hours.getOrElse(VacuumCommand.defaultRetentionHours), dryRun)
       .collect().toSeq
+  }
+}
+
+case class GraftAlterRun(path: String, body: GraftTable => Unit)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    body(GraftTable.forPath(spark, path))
+    GraftCatalogCache.invalidate(spark)
+    Nil
   }
 }
 

@@ -104,6 +104,28 @@ class SqlSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).count() === 10)
   }
 
+  test("ALTER TABLE column DDL over graft paths and named tables") {
+    val dir = tmpDir()
+    Graft.write(spark.range(5).select($"id", lit("x").as("tag")), dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN tag TO label")
+    assert(Graft.read(spark, dir).columns.toSeq === Seq("id", "label"))
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD COLUMN (score DOUBLE)")
+    assert(Graft.read(spark, dir).columns.toSeq === Seq("id", "label", "score"))
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP COLUMN label")
+    assert(Graft.read(spark, dir).columns.toSeq === Seq("id", "score"))
+    // named-table variant commits to the LOG, not just the metastore
+    spark.sql("DROP TABLE IF EXISTS graft_alter_t")
+    spark.range(3).select($"id", lit(1L).as("v")).write.format("graft")
+      .saveAsTable("graft_alter_t")
+    try {
+      spark.sql("ALTER TABLE graft_alter_t RENAME COLUMN v TO w")
+      val loc = spark.sql("DESCRIBE EXTENDED graft_alter_t")
+        .filter($"col_name" === "Location").head.getString(1)
+      assert(GraftTable.forPath(spark, new java.net.URI(loc).getPath)
+        .snapshot.metadata.schema.fieldNames.contains("w"))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_alter_t")
+  }
+
   test("named tables: saveAsTable, spark.table, transactional DML via catalog") {
     val dir = tmpDir()
     spark.sql("DROP TABLE IF EXISTS graft_named_t")
