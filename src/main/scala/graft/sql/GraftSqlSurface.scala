@@ -104,23 +104,23 @@ object GraftDml {
     // graft tables — the v2 AlterTableExec path would otherwise change
     // only the metastore, diverging from the transaction log).
     case r @ RenameColumn(t, colName, newName) =>
-      alterTarget(session, t).map { path =>
-        GraftAlterRun(path,
+      alterTarget(session, t).map { case (path, ident) =>
+        GraftAlterRun(path, ident,
           tbl => tbl.renameColumn(fieldName(colName), newName)): LogicalPlan
       }.getOrElse(r)
     case d @ DropColumns(t, cols, _) =>
-      alterTarget(session, t).map { path =>
+      alterTarget(session, t).map { case (path, ident) =>
         val names = cols.map(fieldName)
-        GraftAlterRun(path, tbl => names.foreach(tbl.dropColumn)): LogicalPlan
+        GraftAlterRun(path, ident, tbl => names.foreach(tbl.dropColumn)): LogicalPlan
       }.getOrElse(d)
     case a @ AddColumns(t, cols) =>
-      alterTarget(session, t).map { path =>
+      alterTarget(session, t).map { case (path, ident) =>
         val fields = cols.map { c =>
           require(c.path.isEmpty && c.position.isEmpty && c.default.isEmpty,
             "only plain top-level ADD COLUMN is supported for graft tables")
           org.apache.spark.sql.types.StructField(c.colName, c.dataType)
         }
-        GraftAlterRun(path, tbl => fields.foreach(tbl.addColumn)): LogicalPlan
+        GraftAlterRun(path, ident, tbl => fields.foreach(tbl.addColumn)): LogicalPlan
       }.getOrElse(a)
   }
 
@@ -131,14 +131,16 @@ object GraftDml {
   }
 
   /** ALTER targets parse as UnresolvedTable; accept graft paths and
-    * catalog tables whose provider is graft. */
+    * catalog tables whose provider is graft (returning the identifier so
+    * the command can sync the metastore's schema copy afterwards). */
   private def alterTarget(
-      session: SparkSession, plan: LogicalPlan): Option[String] = plan match {
+      session: SparkSession,
+      plan: LogicalPlan): Option[(String, Option[TableIdentifier])] = plan match {
     case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
         if t.multipartIdentifier.length == 2 &&
           t.multipartIdentifier.head.equalsIgnoreCase("graft") &&
           t.multipartIdentifier(1).contains("/") =>
-      Some(t.multipartIdentifier(1))
+      Some((t.multipartIdentifier(1), None))
     case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
         if t.multipartIdentifier.length <= 2 =>
       namedGraftLocation(session, t.multipartIdentifier)
@@ -146,18 +148,19 @@ object GraftDml {
   }
 
   private def namedGraftLocation(
-      session: SparkSession, ident: Seq[String]): Option[String] = {
+      session: SparkSession,
+      ident: Seq[String]): Option[(String, Option[TableIdentifier])] = {
     try {
       val cat = session.sessionState.catalog
       val ti = ident match {
-        case Seq(t) => org.apache.spark.sql.catalyst.TableIdentifier(t)
-        case Seq(db, t) => org.apache.spark.sql.catalyst.TableIdentifier(t, Some(db))
+        case Seq(t) => TableIdentifier(t)
+        case Seq(db, t) => TableIdentifier(t, Some(db))
         case _ => return None
       }
       if (!cat.tableExists(ti)) return None
       val meta = cat.getTableMetadata(ti)
       if (meta.provider.exists(_.equalsIgnoreCase("graft")))
-        Some(meta.location.toString)
+        Some((meta.location.toString, Some(ti)))
       else None
     } catch { case _: Exception => None }
   }
@@ -321,11 +324,28 @@ case class GraftVacuumRun(path: String, hours: Option[Double], dryRun: Boolean)
   }
 }
 
-case class GraftAlterRun(path: String, body: GraftTable => Unit)
+case class GraftAlterRun(
+    path: String,
+    ident: Option[TableIdentifier],
+    body: GraftTable => Unit)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
     body(GraftTable.forPath(spark, path))
+    // Keep the metastore's schema copy in step with the log (reads come
+    // from the log regardless, but DESCRIBE via the metastore should
+    // not show stale column names).
+    ident.foreach { ti =>
+      val m = GraftLog.forTable(spark, path).update().metadata
+      try {
+        // SessionCatalog.alterTableDataSchema refuses drops/renames, so
+        // go through the external catalog; the copy is cosmetic anyway
+        // (reads come from the log), so failures are non-fatal.
+        val cat = spark.sessionState.catalog
+        cat.externalCatalog.alterTableDataSchema(
+          ti.database.getOrElse(cat.getCurrentDatabase), ti.table, m.dataSchema)
+      } catch { case _: Exception => () }
+    }
     GraftCatalogCache.invalidate(spark)
     Nil
   }
