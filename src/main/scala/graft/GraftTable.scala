@@ -155,8 +155,6 @@ class GraftTable private[graft] (
     log.withNewTransaction { txn =>
       import graft.schema.ColumnMapping
       val m0 = txn.snapshot.metadata
-      require(!graft.commands.Cdc.isEnabled(m0),
-        "RENAME COLUMN is not supported together with change data feed")
       require(m0.schema.fieldNames.exists(_.equalsIgnoreCase(oldName)),
         s"Column $oldName does not exist")
       require(!m0.schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
@@ -180,8 +178,6 @@ class GraftTable private[graft] (
     log.withNewTransaction { txn =>
       import graft.schema.ColumnMapping
       val m0 = txn.snapshot.metadata
-      require(!graft.commands.Cdc.isEnabled(m0),
-        "DROP COLUMN is not supported together with change data feed")
       require(m0.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
         s"Column $name does not exist")
       require(!m0.partitionColumns.exists(_.equalsIgnoreCase(name)),

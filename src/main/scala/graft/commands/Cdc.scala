@@ -21,15 +21,25 @@ object Cdc {
   def isEnabled(metadata: Metadata): Boolean =
     metadata.configuration.getOrElse("graft.enableChangeDataFeed", "false").toBoolean
 
-  /** Write change rows (must carry a `_change_type` column). */
+  /** Write change rows (must carry a `_change_type` column). Data columns
+    * are stored under their PHYSICAL names: those never change, so change
+    * files written before a RENAME COLUMN stay readable after it. */
   def writeChangeFiles(
       spark: SparkSession,
       log: GraftLog,
       changes: DataFrame): Seq[AddCdcFile] = {
+    import graft.schema.ColumnMapping
+    val m = log.snapshot.metadata
+    val physCols = changes.columns.toSeq.map { c =>
+      m.schema.fields.find(_.name.equalsIgnoreCase(c))
+        .map(f => org.apache.spark.sql.functions.col(c).as(ColumnMapping.physicalName(f)))
+        .getOrElse(org.apache.spark.sql.functions.col(c))
+    }
+    val phys = changes.select(physCols: _*)
     val dir = new Path(log.dataPath, "_change_data")
     val adds = TransactionalWrite.writeFiles(
-      spark, dir, changes, partitionColumns = Nil,
-      dataSchema = changes.schema, collectStats = false, optimizeWrite = false)
+      spark, dir, phys, partitionColumns = Nil,
+      dataSchema = phys.schema, collectStats = false, optimizeWrite = false)
     adds.map(a => AddCdcFile(s"_change_data/${a.path}", a.partitionValues, a.size))
   }
 
@@ -53,10 +63,15 @@ object Cdc {
           .withColumn(COMMIT_TIMESTAMP, lit(ts))
       }
       if (cdcFiles.nonEmpty) {
+        import graft.schema.ColumnMapping
+        val m = snap.metadata
         val paths = cdcFiles.map(c => new Path(log.dataPath, c.path).toString)
+        val physFull = StructType(m.schema.fields.map(ColumnMapping.physicalField))
         val df = spark.read
-          .schema(StructType(schema.fields :+ StructField(CHANGE_TYPE, StringType)))
+          .schema(StructType(physFull.fields :+ StructField(CHANGE_TYPE, StringType)))
           .parquet(paths: _*)
+          .select((m.schema.fields.toSeq.map(f =>
+            col(ColumnMapping.physicalName(f)).as(f.name)) :+ col(CHANGE_TYPE)): _*)
         Seq(tag(df, None))
       } else {
         val adds = actions.collect { case a: AddFile if a.dataChange => a }
@@ -83,28 +98,35 @@ object Cdc {
     frames.foldLeft(empty)(_ unionByName _)
   }
 
-  /** Read table-relative file paths with partition values re-attached. */
+  /** Read table-relative file paths with partition values re-attached.
+    * Files are read under PHYSICAL column names (stable across renames)
+    * and projected back to the current logical names. */
   private def readFiles(
       spark: SparkSession,
       log: GraftLog,
       schema: StructType,
       relPaths: Seq[String],
       partitionValues: Map[String, Map[String, String]] = Map.empty): DataFrame = {
+    import graft.schema.ColumnMapping
     val meta = log.snapshot.metadata
     val partCols = meta.partitionColumns
-    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    val dataSchema = ColumnMapping.physicalDataSchema(meta)
     val paths = relPaths.map(p => new Path(log.dataPath, p).toString)
     var df = spark.read.schema(dataSchema).parquet(paths: _*)
     if (partCols.nonEmpty) {
-      // Recover partition values from the file path (hive-style dirs).
+      // Recover partition values from the file path (hive-style dirs,
+      // physical directory names).
       df = df.withColumn("__path", input_file_name())
       partCols.foreach { c =>
         val field = schema(c)
-        df = df.withColumn(c,
-          regexp_extract(url_decode(col("__path")), s"/$c=([^/]*)/", 1).cast(field.dataType))
+        val phys = ColumnMapping.physicalName(field)
+        df = df.withColumn(phys,
+          regexp_extract(url_decode(col("__path")), s"/$phys=([^/]*)/", 1)
+            .cast(field.dataType))
       }
       df = df.drop("__path")
     }
-    df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    df.select(schema.fields.toIndexedSeq.map(f =>
+      col(ColumnMapping.physicalName(f)).as(f.name)): _*)
   }
 }

@@ -166,6 +166,27 @@ class FeatureSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).filter(col("id") === 101).count() === 1)
   }
 
+  test("change data feed survives column rename (physical-name change files)") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir()
+    Graft.write(spark.range(10).select(col("id"), lit(0L).as("v")), dir,
+      configuration = Map("graft.enableChangeDataFeed" -> "true"))
+    val t = GraftTable.forPath(spark, dir)
+    t.update(col("id") === 1, Map("v" -> lit(5L)))          // v1: pre-rename CDF
+    t.renameColumn("v", "val")                              // v2
+    GraftTable.forPath(spark, dir)
+      .update(col("id") === 2, Map("val" -> lit(9L)))       // v3: post-rename CDF
+    val ch = GraftTable.forPath(spark, dir).changes(1, 3)
+    assert(ch.columns.contains("val") && !ch.columns.contains("v"))
+    // pre-rename change rows readable under the NEW logical name
+    val pre = ch.filter(col("_commit_version") === 1 &&
+      col("_change_type") === "update_postimage").head
+    assert(pre.getAs[Long]("val") === 5L)
+    val post = ch.filter(col("_commit_version") === 3 &&
+      col("_change_type") === "update_postimage").head
+    assert(post.getAs[Long]("val") === 9L)
+  }
+
   test("auto compact fires past the small-file threshold") {
     val dir = tmpDir()
     (0 until 6).foreach { i =>
