@@ -45,11 +45,43 @@ object OptimizeCommand {
   private def conf(m: Metadata, key: String, default: Long): Long =
     m.configuration.get(key).map(_.toLong).getOrElse(default)
 
+  /** Files already laid out by incremental clustering carry this tag. */
+  val CLUSTERED_TAG = "clustered"
+
   def compact(table: GraftTable, predicate: Option[String]): DataFrame = {
     val spark = table.spark
     val log = table.log
     val metrics = log.withNewTransaction { txn =>
       val m = txn.snapshot.metadata
+      // Liquid-style clustering: with `graft.clusterBy` set, OPTIMIZE is
+      // INCREMENTAL clustering — only files not yet carrying the
+      // clustered tag (i.e. new writes since the last OPTIMIZE) are
+      // rewritten onto the Hilbert curve; steady-state cost tracks
+      // ingest, not table size. (Reference concept: liquid clustering /
+      // clusteredTable — re-designed onto AddFile tags.)
+      val clusterBy = m.configuration.get("graft.clusterBy")
+        .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).filter(_.nonEmpty)
+      clusterBy.foreach { cols =>
+        val candidates = selectFiles(spark, txn, m, predicate).filter(f =>
+          f.tags == null || !f.tags.get(CLUSTERED_TAG).contains("true"))
+        val metrics =
+          if (candidates.isEmpty) Map("numFilesClustered" -> "0")
+          else {
+            val adds = clusterRewrite(spark, log, txn, m, candidates, cols,
+                hilbert = true)
+              .map(a => a.copy(tags =
+                Option(a.tags).getOrElse(Map.empty) + (CLUSTERED_TAG -> "true")))
+            val now = System.currentTimeMillis()
+            val removes = candidates.map(_.remove(now, dataChange = false))
+            val mm = Map(
+              "numFilesClustered" -> candidates.size.toString,
+              "numFilesAdded" -> adds.size.toString,
+              "clusterBy" -> cols.mkString(","))
+            txn.commit(removes ++ adds, "OPTIMIZE CLUSTER", operationMetrics = mm)
+            mm
+          }
+        return metricsDF(spark, metrics)
+      }
       val minSize = conf(m, "graft.optimize.minFileSize", defaultMaxFileSize / 2)
       val maxSize = conf(m, "graft.optimize.maxFileSize", defaultMaxFileSize)
       val files = selectFiles(spark, txn, m, predicate).filter(_.size < minSize)
@@ -87,40 +119,9 @@ object OptimizeCommand {
       val m = txn.snapshot.metadata
       require(cols.forall(c => !m.partitionColumns.contains(c)),
         "Cannot ZORDER BY a partition column")
-      val maxSize = conf(m, "graft.optimize.maxFileSize", defaultMaxFileSize)
       val files = selectFiles(spark, txn, m, predicate)
       if (files.isEmpty) return metricsDF(spark, Map.empty)
-      val df = Dml.scanFiles(spark, log, txn, files)
-
-      // Quantile bucket boundaries for ALL columns in ONE sample pass
-      // (the per-column loop ran N sequential driver jobs), then a
-      // Z-value via bit interleaving of bucket ids.
-      val buckets = 1 << math.max(4, 15 / cols.size)
-      def asDouble(c: String): Column = m.schema(c).dataType match {
-        case _: NumericType => col(c).cast("double")
-        case _: TimestampType => col(c).cast("double")
-        case _: DateType => col(c).cast("timestamp").cast("double")
-        // No natural order statistics: hash (loses locality, keeps function)
-        case _ => (xxhash64(col(c)) % 1000000L).cast("double")
-      }
-      val zNames = cols.indices.map(i => s"__z$i")
-      val probe = df.select(cols.zip(zNames).map { case (c, n) => asDouble(c).as(n) }: _*)
-      val allBoundaries = probe.stat.approxQuantile(zNames.toArray,
-        (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
-      val zparts = cols.zip(allBoundaries).map { case (c, boundaries) =>
-        ZOrder.boundaryBucket(asDouble(c), boundaries)
-      }
-      val bitsPerDim = math.max(4, 15 / cols.size)
-      val zkey =
-        if (hilbert) ZOrder.hilbertIndex(zparts, bitsPerDim)
-        else ZOrder.interleaveBits(zparts)
-      val targetFiles = math.max(1, (files.map(_.size).sum / maxSize).toInt)
-      val clustered = df
-        .withColumn("__zkey", zkey)
-        .repartitionByRange(targetFiles, col("__zkey"))
-        .sortWithinPartitions("__zkey")
-        .drop("__zkey")
-      val adds = txn.writeFiles(clustered, dataChange = false)
+      val adds = clusterRewrite(spark, log, txn, m, files, cols, hilbert)
       val now = System.currentTimeMillis()
       val removes = files.map(_.remove(now, dataChange = false))
       val metrics = Map(
@@ -133,6 +134,47 @@ object OptimizeCommand {
       metrics
     }
     metricsDF(spark, metrics)
+  }
+
+  /** Rewrite `files` laid out on the chosen curve over `cols`: quantile
+    * bucket boundaries for all columns in one sample pass, curve key,
+    * one range shuffle. Returns the new AddFiles (dataChange=false). */
+  private def clusterRewrite(
+      spark: SparkSession,
+      log: GraftLog,
+      txn: OptimisticTransaction,
+      m: Metadata,
+      files: Seq[AddFile],
+      cols: Seq[String],
+      hilbert: Boolean): Seq[AddFile] = {
+    val maxSize = conf(m, "graft.optimize.maxFileSize", defaultMaxFileSize)
+    val df = Dml.scanFiles(spark, log, txn, files)
+    val buckets = 1 << math.max(4, 15 / cols.size)
+    def asDouble(c: String): Column = m.schema(c).dataType match {
+      case _: NumericType => col(c).cast("double")
+      case _: TimestampType => col(c).cast("double")
+      case _: DateType => col(c).cast("timestamp").cast("double")
+      // No natural order statistics: hash (loses locality, keeps function)
+      case _ => (xxhash64(col(c)) % 1000000L).cast("double")
+    }
+    val zNames = cols.indices.map(i => s"__z$i")
+    val probe = df.select(cols.zip(zNames).map { case (c, n) => asDouble(c).as(n) }: _*)
+    val allBoundaries = probe.stat.approxQuantile(zNames.toArray,
+      (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+    val zparts = cols.zip(allBoundaries).map { case (c, boundaries) =>
+      ZOrder.boundaryBucket(asDouble(c), boundaries)
+    }
+    val bitsPerDim = math.max(4, 15 / cols.size)
+    val zkey =
+      if (hilbert) ZOrder.hilbertIndex(zparts, bitsPerDim)
+      else ZOrder.interleaveBits(zparts)
+    val targetFiles = math.max(1, (files.map(_.size).sum / maxSize).toInt)
+    val clustered = df
+      .withColumn("__zkey", zkey)
+      .repartitionByRange(targetFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+    txn.writeFiles(clustered, dataChange = false)
   }
 
   private def metricsDF(spark: SparkSession, m: Map[String, String]): DataFrame = {

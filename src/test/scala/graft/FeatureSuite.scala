@@ -187,6 +187,37 @@ class FeatureSuite extends AnyFunSuite {
     assert(post.getAs[Long]("val") === 9L)
   }
 
+  test("clusterBy tables: OPTIMIZE clusters incrementally (new files only)") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir()
+    Graft.write(spark.range(100).select(col("id"), (col("id") * 7 % 100).as("k")),
+      dir, configuration = Map("graft.clusterBy" -> "id,k"))
+    Graft.write(spark.range(100, 200).select(col("id"), (col("id") * 7 % 100).as("k")), dir)
+    val t = GraftTable.forPath(spark, dir)
+    val r1 = t.optimize().executeCompaction().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r1("numFilesClustered").toInt > 0)
+    assert(r1("clusterBy") === "id,k")
+    val snap1 = GraftTable.forPath(spark, dir).snapshot
+    assert(snap1.allFiles.forall(f =>
+      Option(f.tags).exists(_.get("clustered").contains("true"))))
+    assert(Graft.read(spark, dir).count() === 200)
+    // steady state: nothing new to cluster
+    val r2 = t.optimize().executeCompaction().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r2("numFilesClustered") === "0")
+    // a new write is unclustered until the next OPTIMIZE, which touches
+    // ONLY it
+    Graft.write(spark.range(200, 210).select(col("id"), lit(0L).as("k")), dir)
+    val unclustered = GraftTable.forPath(spark, dir).snapshot.allFiles
+      .count(f => !Option(f.tags).exists(_.get("clustered").contains("true")))
+    assert(unclustered > 0)
+    val r3 = t.optimize().executeCompaction().collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r3("numFilesClustered").toInt === unclustered)
+    assert(Graft.read(spark, dir).count() === 210)
+  }
+
   test("auto compact fires past the small-file threshold") {
     val dir = tmpDir()
     (0 until 6).foreach { i =>
