@@ -96,6 +96,40 @@ class GraftTable private[graft] (
   /** REORG APPLY (PURGE): materialize deletion vectors into clean files. */
   def reorgPurge(): DataFrame = ReorgCommand.purge(spark, log)
 
+  /** DROP FEATURE: retire a reader-gating feature once no data depends
+    * on it, downgrading the protocol when nothing else needs v2. */
+  def dropFeature(name: String): Unit = log.withNewTransaction { txn =>
+    import graft.schema.ColumnMapping
+    val m = txn.snapshot.metadata
+    val actions: Seq[graft.log.Action] = name match {
+      case "deletionVectors" =>
+        require(txn.snapshot.allFiles.forall(_.dvPath.isEmpty),
+          "table still has deletion vectors; run reorgPurge() first")
+        txn.updateMetadata(m.copy(configuration =
+          m.configuration - "graft.enableDeletionVectors"))
+        if (!ColumnMapping.isEnabled(m)) Seq(graft.log.Protocol(1, 1)) else Nil
+      case "columnMapping" =>
+        require(m.schema.fields.forall(f =>
+            ColumnMapping.physicalName(f) == f.name),
+          "columns were renamed or re-added; physical and logical names " +
+            "differ, so column mapping cannot be dropped without a rewrite")
+        val stripped = m.schema.fields.map { f =>
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).remove(ColumnMapping.PHYS_KEY)
+          f.copy(metadata = mb.build())
+        }
+        txn.updateMetadata(m.copy(
+          schemaString = org.apache.spark.sql.types.StructType(stripped).json,
+          configuration = m.configuration - ColumnMapping.MODE_KEY))
+        val dvOn = m.configuration
+          .getOrElse("graft.enableDeletionVectors", "false").toBoolean
+        if (!dvOn) Seq(graft.log.Protocol(1, 1)) else Nil
+      case other =>
+        throw new IllegalArgumentException(s"Unknown feature $other")
+    }
+    txn.commit(actions, "DROP FEATURE", Map("feature" -> name))
+  }
+
   def changes(startVersion: Long, endVersion: Long = Long.MaxValue): DataFrame =
     Cdc.changes(spark, log, startVersion, endVersion)
 

@@ -164,7 +164,12 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
     }
     val winningRemoves = winning.collect { case r: RemoveFile => r }
     winningRemoves.foreach { r =>
-      if (readFilePaths.contains(r.path) || readWholeTableFlag) {
+      // SnapshotIsolation permits write skew: reads are not protected
+      // against concurrent deletes (appends-over-reads are already only
+      // checked under Serializable above). Delete-delete stays fatal at
+      // every level — both txns would tombstone the same file.
+      if (isolationLevel != "SnapshotIsolation" &&
+          (readFilePaths.contains(r.path) || readWholeTableFlag)) {
         throw new ConcurrentDeleteReadException(
           s"File ${r.path} read by this transaction was removed by commit $winningVersion")
       }

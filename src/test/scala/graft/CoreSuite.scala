@@ -487,6 +487,39 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("reader version 99"))
   }
 
+  test("SnapshotIsolation permits append over a concurrently-deleted read set") {
+    val dir = tmpDir()
+    Graft.write(spark.range(10).toDF("id"), dir,
+      configuration = Map("graft.isolationLevel" -> "SnapshotIsolation"))
+    val log = GraftLog.forTable(spark, dir)
+    val txn = log.startTransaction()
+    txn.filterFiles()   // reads the whole table
+    GraftTable.forPath(spark, dir).delete(col("id") < 5)   // concurrent delete
+    val adds = txn.writeFiles(spark.range(100, 103).toDF("id"))
+    txn.commit(adds, "WRITE")   // would throw ConcurrentDeleteRead otherwise
+    assert(Graft.read(spark, dir).count() === 8)
+  }
+
+  test("DROP FEATURE retires DVs and downgrades the protocol") {
+    val dir = tmpDir()
+    Graft.write(spark.range(20).toDF("id"), dir,
+      configuration = Map("graft.enableDeletionVectors" -> "true"))
+    val t = GraftTable.forPath(spark, dir)
+    t.delete(col("id") < 5)
+    assert(t.log.update().protocol.minReaderVersion === 2)
+    // refused while DVs are live
+    intercept[IllegalArgumentException] { t.dropFeature("deletionVectors") }
+    t.reorgPurge()
+    t.dropFeature("deletionVectors")
+    val snap = t.log.update()
+    assert(snap.protocol.minReaderVersion === 1)
+    assert(!snap.metadata.configuration.contains("graft.enableDeletionVectors"))
+    // subsequent deletes rewrite instead of writing DVs
+    GraftTable.forPath(spark, dir).delete(col("id") === 5)
+    assert(t.log.update().allFiles.forall(_.dvPath.isEmpty))
+    assert(Graft.read(spark, dir).count() === 14)
+  }
+
   test("history and detail") {
     val dir = tmpDir()
     Graft.write(spark.range(5).toDF("id"), dir)
