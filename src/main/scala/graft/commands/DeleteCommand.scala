@@ -167,7 +167,44 @@ object UpdateCommand {
       val touched = Dml.findTouchedFiles(spark, log, txn, candidates, cond)
       val metrics = scala.collection.mutable.Map("numUpdatedFiles" -> touched.size.toString)
 
-      if (touched.nonEmpty) {
+      if (touched.isEmpty) {
+        txn.commit(Nil, "UPDATE", operationMetrics = metrics.toMap)
+      } else if (graft.dv.DeletionVectors.isEnabled(m)) {
+        // DV path: mark the old versions of matched rows deleted via
+        // bitmap sidecars and append a file containing ONLY the updated
+        // rows — a point update on a 1 GB file writes KBs, not the GB.
+        val raw = GraftFileIndex.dataFrame(
+            spark, log, txn.snapshot, Some(touched), applyDv = false)
+          .withColumn("__f", graft.dv.DeletionVectors.normFileCol(
+            col("_metadata.file_path")))
+          .withColumn("__i", col("_metadata.row_index"))
+        val visible = graft.dv.DeletionVectors.antiJoin(spark, log, raw, touched)
+        val matched = visible.filter(coalesce(cond, lit(false)))
+        val updatedRows = matched.drop("__f", "__i").select(
+          m.schema.fieldNames.toIndexedSeq.map { name =>
+            set.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
+              .map(_.cast(m.schema(name).dataType).as(name))
+              .getOrElse(col(name))
+          }: _*)
+        val newAdds = txn.writeFiles(updatedRows)
+        val (removes, dvAdds, updatedCount) =
+          graft.dv.DeletionVectors.writeDeletionVectors(spark, log, touched, matched)
+        val cdcActions = if (cdf) {
+          val pre = matched.drop("__f", "__i")
+            .withColumn(Cdc.CHANGE_TYPE, lit("update_preimage"))
+          val post = updatedRows.withColumn(Cdc.CHANGE_TYPE, lit("update_postimage"))
+          Cdc.writeChangeFiles(spark, log, pre.unionByName(post))
+        } else Nil
+        val protocolBump: Seq[Action] =
+          if (txn.snapshot.protocol.minReaderVersion < 2) Seq(Protocol(2, 2)) else Nil
+        metrics += ("numAddedFiles" -> newAdds.size.toString,
+          "numDeletionVectors" -> dvAdds.size.toString,
+          "numUpdatedRows" -> updatedCount.toString)
+        txn.commit(protocolBump ++ removes ++ dvAdds ++ newAdds ++ cdcActions,
+          "UPDATE",
+          operationParameters = condition.map(c => "predicate" -> c.toString).toMap,
+          operationMetrics = metrics.toMap)
+      } else {
         val base = Dml.scanFiles(spark, log, txn, touched)
         val matched = coalesce(cond, lit(false))
         val updatedCols = m.schema.fieldNames.map { name =>
@@ -190,8 +227,6 @@ object UpdateCommand {
         txn.commit(touched.map(_.remove(now)) ++ newAdds ++ cdcActions, "UPDATE",
           operationParameters = condition.map(c => "predicate" -> c.toString).toMap,
           operationMetrics = metrics.toMap)
-      } else {
-        txn.commit(Nil, "UPDATE", operationMetrics = metrics.toMap)
       }
       metrics.toMap
     }

@@ -278,9 +278,15 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
       .filter(!(col("l_quantity") < 30) && !(col("l_quantity") > 40)).count()
     assert(Graft.read(spark, dir).count() === expected2)
     assert(t.snapshot.allFiles.map(_.path).toSet.subsetOf(dataFilesBefore))
-    // update on a DV'd table must not resurrect deleted rows
+    // update on a DV'd table: DVs mark the old rows, a new file carries
+    // ONLY the updated rows — originals are never rewritten
     t.update(col("l_quantity") === 35, Map("l_tax" -> lit(0.5)))
     assert(Graft.read(spark, dir).count() === expected2)
+    val afterUpdate = GraftTable.forPath(spark, dir).snapshot.allFiles
+    val newFiles = afterUpdate.filterNot(f => dataFilesBefore.contains(f.path))
+    assert(newFiles.nonEmpty && newFiles.forall(_.dvPath.isEmpty))
+    assert(Graft.read(spark, dir)
+      .filter(col("l_quantity") === 35 && col("l_tax") =!= 0.5).count() === 0)
     // vacuum keeps referenced DV sidecars (deleting only superseded ones)
     spark.conf.set(graft.commands.VacuumCommand.retentionCheckConf, "false")
     try GraftTable.forPath(spark, dir).vacuum(retentionHours = 0.0)
