@@ -187,10 +187,22 @@ object MergeCommand {
       // NOT-MATCHED-BY-SOURCE clauses exist, every candidate file.
       val rewriteFiles = if (nmbsClauses.nonEmpty) candidates else touched
 
-      // ---- Phase 2: write all changes from one outer join.
+      // ---- Phase 2: write all changes from one outer join. Under
+      // deletion vectors the scan carries row identity (__f/__i) so
+      // changed target rows can be marked in bitmaps instead of
+      // rewriting their files.
+      val useDv = graft.dv.DeletionVectors.isEnabled(m)
       val joinType =
         if (insertClauses.nonEmpty) "full_outer" else "left_outer"
-      val rewriteScan = Dml.scanFiles(spark, log, txn, rewriteFiles)
+      val rewriteScan =
+        if (useDv) {
+          val raw = graft.files.GraftFileIndex.dataFrame(
+              spark, log, txn.snapshot, Some(rewriteFiles), applyDv = false)
+            .withColumn("__f", graft.dv.DeletionVectors.normFileCol(
+              col("_metadata.file_path")))
+            .withColumn("__i", col("_metadata.row_index"))
+          graft.dv.DeletionVectors.antiJoin(spark, log, raw, rewriteFiles)
+        } else Dml.scanFiles(spark, log, txn, rewriteFiles)
       val srcMarked = source.withColumn(SRC, lit(true)).alias(sourceAlias)
       val joined = rewriteScan.withColumn("__tgt_exists", lit(true))
         .alias(targetAlias)
@@ -270,8 +282,12 @@ object MergeCommand {
       }
 
       val outCols = schema.fieldNames.map(outCol)
+      // DV mode: copies stay in their original files (marked live by NOT
+      // being in any bitmap); only changed rows get new versions.
       val output = withOp
-        .filter(col(OP) =!= "del" && col(OP) =!= "drop")
+        .filter(if (useDv) {
+          col(OP) =!= "copy" && col(OP) =!= "del" && col(OP) =!= "drop"
+        } else col(OP) =!= "del" && col(OP) =!= "drop")
         .select(outCols.toIndexedSeq: _*)
       val adds = txn.writeFiles(output)
 
@@ -292,12 +308,31 @@ object MergeCommand {
         Cdc.writeChangeFiles(spark, log, preU.unionByName(post).unionByName(del))
       } else Nil
 
-      val removes = rewriteFiles.map(_.remove(now))
-      val metrics = Map(
-        "numTargetFilesRemoved" -> removes.size.toString,
-        "numTargetFilesAdded" -> adds.size.toString)
-      txn.commit(removes ++ adds ++ cdcActions, "MERGE", operationMetrics = metrics)
-      metrics
+      if (useDv) {
+        // Mark old versions of updated/deleted target rows in bitmaps;
+        // untouched candidate files are left completely alone.
+        val dvTargets = withOp
+          .filter(col(OP) =!= "copy" && col(OP) =!= "drop" && col("__f").isNotNull)
+          .select(col("__f"), col("__i"))
+        val (removes, dvAdds, nChanged) = graft.dv.DeletionVectors
+          .writeDeletionVectors(spark, log, rewriteFiles, dvTargets)
+        val protocolBump: Seq[Action] =
+          if (txn.snapshot.protocol.minReaderVersion < 2) Seq(Protocol(2, 2)) else Nil
+        val metrics = Map(
+          "numDeletionVectors" -> dvAdds.size.toString,
+          "numChangedTargetRows" -> nChanged.toString,
+          "numTargetFilesAdded" -> adds.size.toString)
+        txn.commit(protocolBump ++ removes ++ dvAdds ++ adds ++ cdcActions,
+          "MERGE", operationMetrics = metrics)
+        metrics
+      } else {
+        val removes = rewriteFiles.map(_.remove(now))
+        val metrics = Map(
+          "numTargetFilesRemoved" -> removes.size.toString,
+          "numTargetFilesAdded" -> adds.size.toString)
+        txn.commit(removes ++ adds ++ cdcActions, "MERGE", operationMetrics = metrics)
+        metrics
+      }
     }
   }
 

@@ -296,6 +296,30 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(t.asOfVersion(0).count() === lineitem.count())
   }
 
+  test("MERGE on a DV-enabled table marks rows instead of rewriting files") {
+    val dir = tmpDir()
+    Graft.write(spark.range(100).select(col("id").as("k"), lit(0L).as("v")), dir,
+      configuration = Map("graft.enableDeletionVectors" -> "true"))
+    val t = GraftTable.forPath(spark, dir)
+    val before = t.snapshot.allFiles.map(_.path).toSet
+    val src = spark.range(90, 120).select(col("id").as("k"), lit(1L).as("v"))
+    t.merge(src, expr("t.k = s.k"))
+      .whenMatched(expr("s.k < 95")).delete()
+      .whenMatched().updateExpr(Map("v" -> "s.v"))
+      .whenNotMatched().insertAll()
+      .execute()
+    val snap = GraftTable.forPath(spark, dir).snapshot
+    // originals still live (now DV'd), plus new files for changed rows only
+    assert(before.subsetOf(snap.allFiles.map(_.path).toSet))
+    assert(snap.allFiles.exists(_.dvPath.isDefined))
+    val out = Graft.read(spark, dir)
+    // 100 - 5 deleted (90..94) + 20 inserted (100..119) = 115
+    assert(out.count() === 115)
+    assert(out.filter(col("k") >= 95 && col("k") < 100 && col("v") =!= 1L).count() === 0)
+    assert(out.filter(col("k") < 90 && col("v") =!= 0L).count() === 0)
+    assert(out.filter(col("k").between(90, 94)).count() === 0)
+  }
+
   test("checkpoint + cold snapshot load") {
     val dir = tmpDir()
     (0 until 12).foreach(i => Graft.write(spark.range(10).toDF("id"), dir))
