@@ -251,6 +251,35 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // DV twins of the update/merge queries: identical semantics and
+    // oracles, but executed via bitmap marking instead of file rewrites.
+    "graft_update_dv" -> ((s, dir) => {
+      val path = tmp("dvupd")
+      Graft.write(t(s, dir, "lineitem"), path,
+        configuration = Map("graft.enableDeletionVectors" -> "true"))
+      GraftTable.forPath(s, path)
+        .update(col("l_quantity") > 45, Map("l_tax" -> lit(0.99)))
+      Graft.read(s, path)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_tax")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
+    "graft_merge_dv" -> ((s, dir) => {
+      val path = tmp("dvmrg")
+      Graft.write(t(s, dir, "customer"), path,
+        configuration = Map("graft.enableDeletionVectors" -> "true"))
+      val src = t(s, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_acctbal").as("bal"))
+      GraftTable.forPath(s, path)
+        .merge(src, expr("t.c_custkey = s.k"))
+        .whenMatched(expr("s.bal < 0")).delete()
+        .whenMatched().update(Map("c_mktsegment" -> lit("KEPT")))
+        .execute()
+      Graft.read(s, path)
+        .select("c_custkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey")
+    }),
+
     // ---- SQL surface: same semantics as the graft_* API queries, driven
     // entirely through spark.sql over `graft.`/path`` targets.
     "sql_delete" -> ((s, dir) => {
@@ -794,6 +823,15 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity,
          CASE WHEN l_quantity > 45 THEN 0.99 ELSE l_tax END AS l_tax
          FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "graft_update_dv" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         CASE WHEN l_quantity > 45 THEN 0.99 ELSE l_tax END AS l_tax
+         FROM lineitem ORDER BY l_orderkey, l_linenumber""",
+
+    "graft_merge_dv" ->
+      """SELECT c_custkey, c_acctbal, 'KEPT' AS c_mktsegment FROM customer
+         WHERE NOT (c_acctbal < 0) ORDER BY c_custkey""",
 
     "sql_delete" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
