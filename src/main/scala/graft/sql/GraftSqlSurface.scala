@@ -351,6 +351,29 @@ case class GraftAlterRun(
   }
 }
 
+case class GraftConvertRun(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.Graft.convertFromParquet(spark, path)
+    Nil
+  }
+}
+
+case class GraftGenerateRun(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftTable.forPath(spark, path).generateSymlinkManifest()
+    Nil
+  }
+}
+
+case class GraftShowPartitionsRun(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("partitionValues", MapType(StringType, StringType))())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftTable.forPath(spark, path).showPartitions().collect().toSeq
+}
+
 case class GraftDetailRun(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("format", StringType)(),
@@ -456,8 +479,20 @@ object GraftSqlParser {
   private val reorgRe =
     (s"""(?is)^\\s*REORG\\s+(?:TABLE\\s+)?($target)\\s+""" +
       """APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
+  private val convertRe =
+    (s"""(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\s+(?:parquet\\.)?($target)""" +
+      """\s*;?\s*$""").r
+  private val generateRe =
+    (s"""(?is)^\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+""" +
+      s"""($target)\\s*;?\\s*$$""").r
+  private val showPartsRe =
+    s"""(?is)^\\s*SHOW\\s+PARTITIONS\\s+($target)\\s*;?\\s*$$""".r
 
   def parseMaintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case convertRe(t) => Some(GraftConvertRun(targetPath(t)))
+    case generateRe(t) => Some(GraftGenerateRun(targetPath(t)))
+    case showPartsRe(t) if targetPath(t).contains("/") =>
+      Some(GraftShowPartitionsRun(targetPath(t)))
     case detailRe(t) => Some(GraftDetailRun(targetPath(t)))
     case restoreRe(t, v) => Some(GraftRestoreRun(targetPath(t), v.toLong))
     case reorgRe(t) => Some(GraftReorgRun(targetPath(t)))

@@ -104,6 +104,19 @@ class SqlSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).count() === 10)
   }
 
+  test("CONVERT TO GRAFT / GENERATE / SHOW PARTITIONS statements") {
+    val dir = tmpDir()
+    spark.range(10).selectExpr("id", "id % 2 AS p").write
+      .mode("overwrite").partitionBy("p").parquet(dir)
+    spark.sql(s"CONVERT TO GRAFT parquet.`$dir`")
+    assert(Graft.read(spark, dir).count() === 10)
+    val parts = spark.sql(s"SHOW PARTITIONS '$dir'").collect()
+      .map(_.getMap[String, String](0)("p")).sorted
+    assert(parts.toSeq === Seq("0", "1"))
+    spark.sql(s"GENERATE symlink_format_manifest FOR TABLE '$dir'")
+    assert(new java.io.File(dir, "_symlink_format_manifest").exists)
+  }
+
   test("ALTER TABLE column DDL over graft paths and named tables") {
     val dir = tmpDir()
     Graft.write(spark.range(5).select($"id", lit("x").as("tag")), dir)
