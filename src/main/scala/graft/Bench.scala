@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
+      .config("spark.sql.catalog.spark_catalog", "graft.catalog.GraftCatalog")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

@@ -238,6 +238,13 @@ class GraftTable private[graft] (
       txn.updateMetadata(m.copy(configuration = m.configuration ++ props))
       txn.commit(Nil, "SET TBLPROPERTIES", props)
     }
+
+  def removeProperties(keys: Seq[String]): Unit =
+    log.withNewTransaction { txn =>
+      val m = txn.snapshot.metadata
+      txn.updateMetadata(m.copy(configuration = m.configuration -- keys))
+      txn.commit(Nil, "UNSET TBLPROPERTIES", keys.map(_ -> "").toMap)
+    }
 }
 
 object GraftTable {

@@ -331,6 +331,47 @@ object SparkEntry {
                 FROM graft.`$path` GROUP BY 1 ORDER BY 1""")
     }),
 
+    // ---- DSv2 catalog surface: named tables, CTAS / CREATE OR REPLACE,
+    // static-partition INSERT, table_changes TVF.
+    "sql_catalog_ctas" -> ((s, dir) => {
+      val path = tmp("catctas")
+      val tbl = s"ctas_${System.nanoTime()}"
+      t(s, dir, "orders").createOrReplaceTempView(s"src_$tbl")
+      s.sql(s"CREATE TABLE $tbl USING graft LOCATION '$path/t' AS " +
+        s"SELECT * FROM src_$tbl WHERE o_orderstatus = 'F'")
+      s.sql(s"CREATE OR REPLACE TABLE $tbl USING graft LOCATION '$path/t' AS " +
+        s"SELECT o_custkey, o_totalprice FROM src_$tbl WHERE o_totalprice > 150000")
+      s.sql(s"""SELECT count(*) AS n,
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+                FROM $tbl""")
+    }),
+
+    "sql_insert_partition" -> ((s, dir) => {
+      val path = tmp("catins")
+      val tbl = s"ins_${System.nanoTime()}"
+      t(s, dir, "nation").createOrReplaceTempView(s"src_$tbl")
+      s.sql(s"CREATE TABLE $tbl (n_nationkey INT, n_name STRING, n_regionkey INT) " +
+        s"USING graft PARTITIONED BY (n_regionkey) LOCATION '$path/t'")
+      s.sql(s"INSERT INTO $tbl SELECT n_nationkey, n_name, n_regionkey FROM src_$tbl")
+      s.sql(s"INSERT OVERWRITE $tbl PARTITION (n_regionkey=0) " +
+        s"SELECT n_nationkey + 100, n_name FROM src_$tbl WHERE n_regionkey = 1")
+      s.sql(s"SELECT n_regionkey, count(*) AS n, sum(n_nationkey) AS sk " +
+        s"FROM $tbl GROUP BY 1 ORDER BY 1")
+    }),
+
+    "sql_table_changes" -> ((s, dir) => {
+      val path = tmp("cattvf")
+      val tbl = s"tvf_${System.nanoTime()}"
+      t(s, dir, "supplier").createOrReplaceTempView(s"src_$tbl")
+      s.sql(s"CREATE TABLE $tbl USING graft LOCATION '$path/t' " +
+        s"TBLPROPERTIES ('graft.enableChangeDataFeed'='true') " +
+        s"AS SELECT * FROM src_$tbl")
+      s.sql(s"DELETE FROM $tbl WHERE s_suppkey % 7 = 0")
+      s.sql(s"UPDATE $tbl SET s_acctbal = 0.0 WHERE s_suppkey <= 20")
+      s.sql(s"SELECT _change_type, count(*) AS n FROM table_changes('$tbl', 1, 2) " +
+        s"GROUP BY 1 ORDER BY 1")
+    }),
+
     "graft_merge_upsert" -> ((s, dir) => {
       val path = tmp("merge")
       Graft.write(t(s, dir, "customer"), path)
@@ -863,6 +904,31 @@ object SparkEntry {
       """SELECT l_linenumber, count(*) AS n,
          CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "sql_catalog_ctas" ->
+      """SELECT count(*) AS n,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+         FROM orders WHERE o_totalprice > 150000""",
+
+    "sql_insert_partition" ->
+      """SELECT n_regionkey, count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS sk
+         FROM (
+           SELECT n_nationkey, n_regionkey FROM nation WHERE n_regionkey <> 0
+           UNION ALL
+           SELECT n_nationkey + 100 AS n_nationkey, 0 AS n_regionkey
+           FROM nation WHERE n_regionkey = 1
+         ) GROUP BY 1 ORDER BY 1""",
+
+    "sql_table_changes" ->
+      """SELECT c AS _change_type, n FROM (
+           SELECT 'delete' AS c, count(*) AS n FROM supplier WHERE s_suppkey % 7 = 0
+           UNION ALL
+           SELECT 'update_preimage', count(*) FROM supplier
+           WHERE s_suppkey <= 20 AND s_suppkey % 7 <> 0
+           UNION ALL
+           SELECT 'update_postimage', count(*) FROM supplier
+           WHERE s_suppkey <= 20 AND s_suppkey % 7 <> 0
+         ) ORDER BY 1""",
 
     "graft_merge_upsert" ->
       """WITH src AS (

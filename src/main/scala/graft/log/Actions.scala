@@ -61,7 +61,11 @@ case class AddFile(
     tags: Map[String, String] = null,
     dvPath: Option[String] = None,
     @JsonDeserialize(contentAs = classOf[java.lang.Long])
-    dvCardinality: Option[Long] = None) extends Action {
+    dvCardinality: Option[Long] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    baseRowId: Option[Long] = None,
+    @JsonDeserialize(contentAs = classOf[java.lang.Long])
+    defaultRowCommitVersion: Option[Long] = None) extends Action {
   def wrap: SingleAction = SingleAction(add = this)
   def remove(timestamp: Long, dataChange: Boolean = true): RemoveFile =
     RemoveFile(path, Some(timestamp), dataChange,
@@ -86,6 +90,16 @@ case class AddCdcFile(
     partitionValues: Map[String, String] = Map.empty,
     size: Long = 0L) extends Action {
   def wrap: SingleAction = SingleAction(cdc = this)
+}
+
+/** Named per-table metadata domain (PROTOCOL.md DomainMetadata analogue):
+  * a configuration blob owned by one feature — row tracking keeps its
+  * row-id high watermark here, outside the user-facing table config. */
+case class DomainMetadata(
+    domain: String,
+    configuration: String = "{}",
+    removed: Boolean = false) extends Action {
+  def wrap: SingleAction = SingleAction(domainMetadata = this)
 }
 
 /** Idempotent-writer watermark: latest batch version per application id. */
@@ -125,6 +139,7 @@ case class SingleAction(
     cdc: AddCdcFile = null,
     metaData: Metadata = null,
     protocol: Protocol = null,
+    domainMetadata: DomainMetadata = null,
     commitInfo: CommitInfo = null) {
   def unwrap: Action =
     if (add != null) add
@@ -133,6 +148,7 @@ case class SingleAction(
     else if (protocol != null) protocol
     else if (txn != null) txn
     else if (cdc != null) cdc
+    else if (domainMetadata != null) domainMetadata
     else if (commitInfo != null) commitInfo
     else null
 }

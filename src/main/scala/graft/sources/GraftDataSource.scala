@@ -24,9 +24,43 @@ class GraftDataSource
     with CreatableRelationProvider
     with StreamSourceProvider
     with StreamSinkProvider
+    with org.apache.spark.sql.connector.catalog.TableProvider
     with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  // ---- DSv2 TableProvider ----
+  // Marks "graft" as a v2 provider so the session catalog routes
+  // CREATE/CTAS/REPLACE TABLE DDL through GraftCatalog. The returned table
+  // deliberately advertises NO read/write/stream capabilities: DataFrame
+  // reader/writer and streaming then fall back to the proven DSv1 paths
+  // above, and only catalog DDL takes the v2 route.
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(
+      options: org.apache.spark.sql.util.CaseInsensitiveStringMap): StructType = {
+    val spark = SparkSession.active
+    Option(options.get("path")) match {
+      case Some(p) if GraftLog.forTable(spark, p).tableExists =>
+        GraftLog.forTable(spark, p).update().metadata.schema
+      case _ => new StructType()
+    }
+  }
+
+  override def getTable(
+      tableSchema: StructType,
+      tablePartitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+      properties: java.util.Map[String, String]): org.apache.spark.sql.connector.catalog.Table =
+    new org.apache.spark.sql.connector.catalog.Table {
+      override def name(): String =
+        "graft." + Option(properties.get("path")).getOrElse("(unresolved)")
+      override def schema(): StructType = tableSchema
+      override def partitioning()
+          : Array[org.apache.spark.sql.connector.expressions.Transform] = tablePartitioning
+      override def capabilities()
+          : java.util.Set[org.apache.spark.sql.connector.catalog.TableCapability] =
+        java.util.Collections.emptySet()
+    }
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",

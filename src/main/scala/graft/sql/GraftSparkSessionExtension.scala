@@ -30,6 +30,44 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => LimitFilePushdownRule)
     ext.injectResolutionRule(session => new GraftDmlRule(session))
     ext.injectParser((session, delegate) => new GraftSqlParser(session, delegate))
+    ext.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("table_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.sql.TableChangesFunction", "table_changes"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TableChangesFunction.plan(args)))
+  }
+}
+
+/** `SELECT * FROM table_changes('name-or-path', startVersion[, endVersion])`
+  * — the SQL face of the change data feed (reference concept:
+  * DeltaTableValueFunctions.scala:45-47 — re-designed over Cdc.changes). */
+object TableChangesFunction {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.graftshim.SparkShims
+
+  def plan(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 2 || args.size == 3,
+      "table_changes(table, startVersion[, endVersion])")
+    val spark = SparkSession.active
+    val target = String.valueOf(args.head.eval())
+    val path =
+      if (target.contains("/")) target
+      else {
+        val cat = spark.sessionState.catalog
+        val ti = spark.sessionState.sqlParser.parseTableIdentifier(target)
+        val meta = cat.getTableMetadata(ti)
+        require(meta.provider.exists(_.equalsIgnoreCase("graft")),
+          s"$target is not a graft table")
+        meta.location.toString
+      }
+    val start = String.valueOf(args(1).eval()).toLong
+    val end = args.lift(2).map(e => String.valueOf(e.eval()).toLong)
+      .getOrElse(Long.MaxValue)
+    val log = graft.log.GraftLog.forTable(spark, path)
+    log.update()
+    SparkShims.logicalPlan(graft.commands.Cdc.changes(spark, log, start, end))
   }
 }
 

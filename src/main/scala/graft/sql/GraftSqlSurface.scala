@@ -51,12 +51,11 @@ object GraftDml {
       // Without this rewrite, Spark's InsertIntoHadoopFsRelationCommand
       // writes parquet straight into the directory BEHIND the log —
       // silently invisible rows. Route through the transactional write.
-      require(partitionSpec.values.forall(_.isEmpty),
-        "static PARTITION values in INSERT are not supported for graft tables")
       require(userCols.isEmpty,
         "INSERT with an explicit column list is not supported for graft tables")
       GraftInsertRun(path, rewrite(session, query, substituteRelations = true),
-        overwrite, byName)
+        overwrite, byName,
+        staticPartitions = partitionSpec.collect { case (k, Some(v)) => k -> v })
     case DeleteFromTable(GraftTarget(path, _), cond) =>
       GraftDeleteRun(path, nonTrivial(cond).map(toColumn))
     case UpdateTable(GraftTarget(path, _), assignments, cond) =>
@@ -100,6 +99,16 @@ object GraftDml {
     case u: UnresolvedRelation if substituteRelations &&
         GraftTarget.unapply(u).isDefined =>
       graftRelation(session, GraftTarget.unapply(u).get._1)
+    // TBLPROPERTIES must land in the log (the v1 AlterTableSetProperties
+    // command would otherwise touch only the metastore).
+    case s @ SetTableProperties(t, props) =>
+      alterTarget(session, t).map { case (path, ident) =>
+        GraftAlterRun(path, ident, _.upsertProperties(props)): LogicalPlan
+      }.getOrElse(s)
+    case u @ UnsetTableProperties(t, keys, _) =>
+      alterTarget(session, t).map { case (path, ident) =>
+        GraftAlterRun(path, ident, _.removeProperties(keys)): LogicalPlan
+      }.getOrElse(u)
     // ALTER TABLE column DDL (top-level fields; graft paths or named
     // graft tables — the v2 AlterTableExec path would otherwise change
     // only the metastore, diverging from the transaction log).
@@ -239,29 +248,52 @@ case class GraftDeleteRun(path: String, cond: Option[Column])
 }
 
 case class GraftInsertRun(
-    path: String, query: LogicalPlan, overwrite: Boolean, byName: Boolean)
+    path: String, query: LogicalPlan, overwrite: Boolean, byName: Boolean,
+    staticPartitions: Map[String, String] = Map.empty)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
     val df = SparkShims.ofRows(spark, query)
-    val schema = GraftLog.forTable(spark, path).update().metadata.schema
+    val m = GraftLog.forTable(spark, path).update().metadata
+    val schema = m.schema
+    staticPartitions.keys.foreach { k =>
+      require(m.partitionColumns.exists(_.equalsIgnoreCase(k)),
+        s"PARTITION column $k is not a partition column of $path")
+    }
     val aligned =
       if (byName) df
       else {
-        // SQL INSERT is positional: rename the query output to the table's
-        // column names.
-        require(df.columns.length == schema.fields.length,
+        // SQL INSERT is positional: the query supplies every column except
+        // the statically-pinned partition values, in table order.
+        val remaining = schema.fields.filterNot(f =>
+          staticPartitions.keys.exists(_.equalsIgnoreCase(f.name)))
+        require(df.columns.length == remaining.length,
           s"INSERT column count ${df.columns.length} does not match " +
-            s"table schema ${schema.fields.length}")
-        df.toDF(schema.fieldNames.toIndexedSeq: _*)
+            s"expected ${remaining.length}")
+        df.toDF(remaining.map(_.name).toIndexedSeq: _*)
       }
+    val withStatic = staticPartitions.foldLeft(aligned) { case (d, (k, v)) =>
+      val f = schema.fields.find(_.name.equalsIgnoreCase(k)).get
+      d.withColumn(f.name, lit(v).cast(f.dataType))
+    }
     // ANSI store assignment: cast query output to the table's types
     // (e.g. an int VALUES literal into a bigint column).
-    import org.apache.spark.sql.functions.col
-    val casted = aligned.select(schema.fields.map(f =>
+    val casted = withStatic.select(schema.fields.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    // INSERT OVERWRITE ... PARTITION (p='v') replaces only that partition.
+    // The literal is CAST to the column type — the predicate is evaluated
+    // interpreted (no analyzer implicit casts) during file selection.
+    val replaceWhere =
+      if (overwrite && staticPartitions.nonEmpty)
+        Some(staticPartitions.map { case (k, v) =>
+          val f = schema.fields.find(_.name.equalsIgnoreCase(k)).get
+          s"$k = CAST('${v.replace("'", "\\'")}' AS ${f.dataType.sql})"
+        }.mkString(" AND "))
+      else None
     WriteIntoGraft(spark, path, casted,
-      mode = if (overwrite) "overwrite" else "append")
+      mode = if (overwrite) "overwrite" else "append",
+      replaceWhere = replaceWhere)
     GraftCatalogCache.invalidate(spark)
     Nil
   }
@@ -437,9 +469,57 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    parseMaintenance(sqlText).getOrElse(
-      GraftDml.rewrite(session, delegate.parsePlan(sqlText),
+    parseMaintenance(sqlText)
+      .orElse(parseAlterExtras(sqlText))
+      .getOrElse(GraftDml.rewrite(session, delegate.parsePlan(sqlText),
         substituteRelations = true))
+
+  /** ALTER TABLE forms Spark's v2 path would apply to the metastore only
+    * (or reject): CHECK constraints and TBLPROPERTIES must land in the
+    * transaction log. Non-graft targets fall through to the delegate. */
+  private def parseAlterExtras(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case addConstraintRe(t, name, check) =>
+      resolveGraft(t).map { case (path, ident) =>
+        GraftAlterRun(path, ident, _.addCheckConstraint(name, check.trim))
+      }
+    case dropConstraintRe(t, name) =>
+      resolveGraft(t).map { case (path, ident) =>
+        GraftAlterRun(path, ident, _.dropCheckConstraint(name))
+      }
+    // Path targets only: named tables route through the DSv2 catalog,
+    // which mirrors properties into both the log and the metastore.
+    case setPropsRe(t, kvs) if targetPath(t).contains("/") =>
+      Some(GraftAlterRun(targetPath(t), None, _.upsertProperties(parseKvs(kvs))))
+    case unsetPropsRe(t, ks) if targetPath(t).contains("/") =>
+      Some(GraftAlterRun(targetPath(t), None, _.removeProperties(
+        ks.split(",").toSeq.map(k => stripQuotes(k.trim)).filter(_.nonEmpty))))
+    case _ => None
+  }
+
+  private def resolveGraft(raw: String): Option[(String, Option[TableIdentifier])] = {
+    val t = targetPath(raw)
+    if (t.contains("/")) return Some((t, None))
+    try {
+      val cat = session.sessionState.catalog
+      val ti = delegate.parseTableIdentifier(t)
+      if (!cat.tableExists(ti)) return None
+      val meta = cat.getTableMetadata(ti)
+      if (meta.provider.exists(_.equalsIgnoreCase("graft")))
+        Some((meta.location.toString, Some(ti)))
+      else None
+    } catch { case _: Exception => None }
+  }
+
+  private def parseKvs(kvs: String): Map[String, String] =
+    kvs.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      stripQuotes(k.trim) -> stripQuotes(v.trim)
+    }.toMap
+
+  private def stripQuotes(s: String): String =
+    if (s.length >= 2 && "'\"`".contains(s.head) && s.last == s.head)
+      s.substring(1, s.length - 1)
+    else s
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -487,6 +567,20 @@ object GraftSqlParser {
       s"""($target)\\s*;?\\s*$$""").r
   private val showPartsRe =
     s"""(?is)^\\s*SHOW\\s+PARTITIONS\\s+($target)\\s*;?\\s*$$""".r
+  // ALTER targets may also be plain table names (resolved via the catalog).
+  private val targetOrName = s"""(?:$target|[A-Za-z_][\\w.]*)"""
+  private val addConstraintRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($targetOrName)\\s+ADD\\s+CONSTRAINT\\s+""" +
+      """(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
+  private val dropConstraintRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($targetOrName)\\s+DROP\\s+CONSTRAINT\\s+""" +
+      """(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""").r
+  private val setPropsRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($target)\\s+SET\\s+TBLPROPERTIES\\s*""" +
+      """\((.+)\)\s*;?\s*$""").r
+  private val unsetPropsRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($target)\\s+UNSET\\s+TBLPROPERTIES\\s*""" +
+      """(?:IF\s+EXISTS\s*)?\((.+)\)\s*;?\s*$""").r
 
   def parseMaintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
     case convertRe(t) => Some(GraftConvertRun(targetPath(t)))

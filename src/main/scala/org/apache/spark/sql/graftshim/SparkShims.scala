@@ -21,6 +21,25 @@ object SparkShims {
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.queryExecution.logical
 
+  // ---- private[sql] DSv2 catalog bridges ----
+
+  /** The CatalogTable behind a session-catalog V1Table, if that's what
+    * this v2 Table is. */
+  def v1CatalogTable(t: org.apache.spark.sql.connector.catalog.Table)
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = t match {
+    case v1: org.apache.spark.sql.connector.catalog.V1Table => Some(v1.v1Table)
+    case _ => None
+  }
+
+  def structTypeToV2Columns(schema: org.apache.spark.sql.types.StructType)
+      : Array[org.apache.spark.sql.connector.catalog.Column] =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util.structTypeToV2Columns(schema)
+
+  def v2ColumnsToStructType(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column])
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.connector.catalog.CatalogV2Util.v2ColumnsToStructType(cols)
+
   /** DataFrame from InternalRows (e.g. re-planning a streaming
     * micro-batch through the batch write path, or wrapping a batch plan
     * as a streaming getBatch result). */

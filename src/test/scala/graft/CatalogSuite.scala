@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DSv2 catalog surface: CREATE TABLE / CTAS / REPLACE / properties /
+  * constraints / static-partition INSERT / table_changes TVF. */
+class CatalogSuite extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def tmpDir(): String = Files.createTempDirectory("graft-cat").toString
+
+  private def fresh(prefix: String): String =
+    s"${prefix}_${System.nanoTime()}"
+
+  test("CTAS external and managed; DROP TABLE keeps external data") {
+    val dir = tmpDir()
+    val ext = fresh("cat_ext")
+    val man = fresh("cat_man")
+    spark.range(10).toDF("id").createOrReplaceTempView("cat_src10")
+    spark.sql(s"CREATE TABLE $ext USING graft LOCATION '$dir/t' AS SELECT * FROM cat_src10")
+    assert(spark.table(ext).count() === 10)
+    assert(GraftTable.isGraftTable(spark, s"$dir/t"))
+    spark.sql(s"CREATE TABLE $man USING graft AS SELECT * FROM cat_src10 WHERE id < 4")
+    assert(spark.table(man).count() === 4)
+    spark.sql(s"DROP TABLE $ext")
+    assert(GraftTable.isGraftTable(spark, s"$dir/t"))   // external: data stays
+    spark.sql(s"DROP TABLE $man")
+  }
+
+  test("CREATE TABLE with schema + PARTITIONED BY creates the log; static-partition INSERT") {
+    val dir = tmpDir()
+    val t = fresh("cat_part")
+    spark.sql(s"CREATE TABLE $t (a INT, b STRING) USING graft PARTITIONED BY (b) LOCATION '$dir/t'")
+    assert(GraftTable.forPath(spark, s"$dir/t").snapshot.metadata.partitionColumns === Seq("b"))
+    spark.sql(s"INSERT INTO $t PARTITION (b='x') VALUES (1)")
+    spark.sql(s"INSERT INTO $t PARTITION (b='y') VALUES (5)")
+    spark.sql(s"INSERT OVERWRITE $t PARTITION (b='x') VALUES (9)")
+    val rows = spark.table(t).collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(rows === Set((9, "x"), (5, "y")))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("CREATE OR REPLACE swaps schema and data atomically") {
+    val dir = tmpDir()
+    val t = fresh("cat_cor")
+    spark.range(10).toDF("id").createOrReplaceTempView("cat_cor_src")
+    spark.sql(s"CREATE OR REPLACE TABLE $t USING graft LOCATION '$dir/t' AS SELECT id FROM cat_cor_src WHERE id < 5")
+    assert(spark.table(t).count() === 5)
+    spark.sql(s"CREATE OR REPLACE TABLE $t USING graft LOCATION '$dir/t' AS " +
+      "SELECT id, id * 2 AS dbl FROM cat_cor_src")
+    assert(spark.table(t).count() === 10)
+    assert(spark.table(t).columns.toSeq === Seq("id", "dbl"))
+    // old files are tombstoned, not resurrected
+    assert(GraftTable.forPath(spark, s"$dir/t").snapshot.version === 1)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("TBLPROPERTIES reach the log at create and via ALTER SET/UNSET") {
+    val dir = tmpDir()
+    val t = fresh("cat_props")
+    spark.range(3).toDF("id").createOrReplaceTempView("cat_props_src")
+    spark.sql(s"CREATE TABLE $t USING graft LOCATION '$dir/t' " +
+      "TBLPROPERTIES ('graft.enableChangeDataFeed'='true') AS SELECT * FROM cat_props_src")
+    def cfg = GraftTable.forPath(spark, s"$dir/t").snapshot.metadata.configuration
+    assert(cfg.get("graft.enableChangeDataFeed").contains("true"))
+    spark.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('foo'='bar')")
+    assert(cfg.get("foo").contains("bar"))
+    spark.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('foo')")
+    assert(!cfg.contains("foo"))
+    // path-addressed form too
+    spark.sql(s"ALTER TABLE graft.`$dir/t` SET TBLPROPERTIES ('k2'='v2')")
+    assert(cfg.get("k2").contains("v2"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("ADD/DROP CONSTRAINT via SQL enforces on writes") {
+    val dir = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` ADD CONSTRAINT pos CHECK (id >= 0)")
+    val err = intercept[Exception] {
+      Graft.write(Seq(-1L).toDF("id"), dir)
+    }
+    assert(err.getMessage != null)
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP CONSTRAINT pos")
+    Graft.write(Seq(-1L).toDF("id"), dir)
+    assert(Graft.read(spark, dir).count() === 6)
+  }
+
+  test("table_changes TVF over path and named table") {
+    val dir = tmpDir()
+    val t = fresh("cat_cdf")
+    spark.range(10).toDF("id").createOrReplaceTempView("cat_cdf_src")
+    spark.sql(s"CREATE TABLE $t USING graft LOCATION '$dir/t' " +
+      "TBLPROPERTIES ('graft.enableChangeDataFeed'='true') AS SELECT * FROM cat_cdf_src")
+    spark.sql(s"DELETE FROM $t WHERE id >= 7")
+    val byType = spark.sql(s"SELECT _change_type, count(*) AS n FROM table_changes('$t', 1) GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("delete" -> 3L))
+    val all = spark.sql(s"SELECT count(*) AS n FROM table_changes('$dir/t', 0)").head.getLong(0)
+    assert(all === 13L)  // 10 inserts + 3 deletes
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("partitioned CTAS records partitioning in the log") {
+    val dir = tmpDir()
+    val t = fresh("cat_pctas")
+    spark.range(10).toDF("id").createOrReplaceTempView("cat_pctas_src")
+    spark.sql(s"CREATE TABLE $t USING graft PARTITIONED BY (b) LOCATION '$dir/t' AS " +
+      "SELECT id AS a, CAST(id % 3 AS STRING) AS b FROM cat_pctas_src")
+    assert(GraftTable.forPath(spark, s"$dir/t").snapshot.metadata.partitionColumns === Seq("b"))
+    assert(spark.table(t).groupBy("b").count().count() === 3)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("REPLACE TABLE without AS SELECT empties and redefines") {
+    val dir = tmpDir()
+    val t = fresh("cat_rep")
+    spark.range(6).toDF("id").createOrReplaceTempView("cat_rep_src")
+    spark.sql(s"CREATE TABLE $t USING graft LOCATION '$dir/t' AS SELECT * FROM cat_rep_src")
+    spark.sql(s"REPLACE TABLE $t (x INT, y STRING) USING graft LOCATION '$dir/t'")
+    assert(spark.table(t).count() === 0)
+    assert(GraftTable.forPath(spark, s"$dir/t").snapshot.metadata.schema.fieldNames.toSeq
+      === Seq("x", "y"))
+    spark.sql(s"DROP TABLE $t")
+  }
+}

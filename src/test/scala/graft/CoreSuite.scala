@@ -15,6 +15,7 @@ object TestSpark {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
+    .config("spark.sql.catalog.spark_catalog", "graft.catalog.GraftCatalog")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
