@@ -32,6 +32,16 @@ class GraftTable private[graft] (
 
   def as(alias: String): DataFrame = toDF.as(alias)
 
+  /** Latest-version DataFrame with `_graft_row_id` / `_graft_row_commit`
+    * columns appended (requires `graft.enableRowTracking=true`). */
+  def toDFWithRowIds: DataFrame = {
+    val s = snapshot
+    require(graft.log.RowTracking.isEnabled(s.metadata),
+      "row tracking is not enabled on this table " +
+        "(set graft.enableRowTracking=true)")
+    graft.log.RowTracking.scanWithRowIds(spark, log, s, s.allFiles)
+  }
+
   /** Time travel by version. */
   def asOfVersion(version: Long): DataFrame =
     GraftFileIndex.dataFrame(spark, log, log.getSnapshotAt(version))

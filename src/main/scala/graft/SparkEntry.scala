@@ -372,6 +372,20 @@ object SparkEntry {
         s"GROUP BY 1 ORDER BY 1")
     }),
 
+    "graft_row_tracking" -> ((s, dir) => {
+      val path = tmp("rowtrack")
+      val n = t(s, dir, "nation").orderBy("n_nationkey").coalesce(1)
+      Graft.write(n, path, configuration = Map(
+        "graft.enableRowTracking" -> "true",
+        "graft.enableDeletionVectors" -> "true"))
+      Graft.write(t(s, dir, "nation").orderBy("n_nationkey").coalesce(1), path)
+      GraftTable.forPath(s, path).delete(col("n_nationkey") % 5 === 2)
+      GraftTable.forPath(s, path).optimize().executeCompaction()
+      GraftTable.forPath(s, path).toDFWithRowIds
+        .select(col("n_nationkey"), col("_graft_row_id"))
+        .orderBy("n_nationkey", "_graft_row_id")
+    }),
+
     "graft_merge_upsert" -> ((s, dir) => {
       val path = tmp("merge")
       Graft.write(t(s, dir, "customer"), path)
@@ -929,6 +943,20 @@ object SparkEntry {
            SELECT 'update_postimage', count(*) FROM supplier
            WHERE s_suppkey <= 20 AND s_suppkey % 7 <> 0
          ) ORDER BY 1""",
+
+    "graft_row_tracking" ->
+      """WITH ids AS (
+           SELECT n_nationkey,
+                  CAST(row_number() OVER (ORDER BY n_nationkey) - 1 AS BIGINT) AS rid
+           FROM nation
+         ), both_copies AS (
+           SELECT n_nationkey, rid FROM ids
+           UNION ALL
+           SELECT n_nationkey, rid + (SELECT count(*) FROM nation) FROM ids
+         )
+         SELECT n_nationkey, rid AS _graft_row_id FROM both_copies
+         WHERE n_nationkey % 5 <> 2
+         ORDER BY n_nationkey, _graft_row_id""",
 
     "graft_merge_upsert" ->
       """WITH src AS (

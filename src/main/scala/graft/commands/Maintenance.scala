@@ -92,7 +92,12 @@ object OptimizeCommand {
       // scale a table has thousands of bins and serializing them leaves
       // the cluster idle (reference: OptimizeTableCommand.scala:303+).
       val adds = runBinsInParallel(spark, bins) { bin =>
-        val df = Dml.scanFiles(spark, log, txn, bin).coalesce(1)
+        // Row-tracked tables: materialize the row ids into the compacted
+        // file so identity survives the rewrite.
+        val df =
+          if (graft.log.RowTracking.isEnabled(m))
+            graft.log.RowTracking.scanWithRowIds(spark, log, txn.snapshot, bin).coalesce(1)
+          else Dml.scanFiles(spark, log, txn, bin).coalesce(1)
         txn.writeFiles(df, dataChange = false)
       }
       val now = System.currentTimeMillis()
@@ -148,7 +153,10 @@ object OptimizeCommand {
       cols: Seq[String],
       hilbert: Boolean): Seq[AddFile] = {
     val maxSize = conf(m, "graft.optimize.maxFileSize", defaultMaxFileSize)
-    val df = Dml.scanFiles(spark, log, txn, files)
+    val df =
+      if (graft.log.RowTracking.isEnabled(m))
+        graft.log.RowTracking.scanWithRowIds(spark, log, txn.snapshot, files)
+      else Dml.scanFiles(spark, log, txn, files)
     val buckets = 1 << math.max(4, 15 / cols.size)
     def asDouble(c: String): Column = m.schema(c).dataType match {
       case _: NumericType => col(c).cast("double")

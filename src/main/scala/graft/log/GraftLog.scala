@@ -227,6 +227,7 @@ class GraftLog private (
     val rows: Seq[SingleAction] =
       Seq(snap.protocol.wrap, snap.metadata.wrap) ++
       snap.setTransactions.map { case (app, v) => SetTransaction(app, v).wrap } ++
+      snap.domains.map { case (d, c) => DomainMetadata(d, c).wrap } ++
       snap.allFiles.map(_.wrap) ++
       snap.tombstones.map(_.wrap)
     // Parallelism: a checkpoint of N files is tiny metadata; one file per
@@ -284,7 +285,8 @@ class Snapshot(
     val setTransactions: Map[String, Long],
     filesMap: Map[String, AddFile],
     val tombstones: Seq[RemoveFile],
-    val timestampMillis: Long) extends Serializable {
+    val timestampMillis: Long,
+    val domains: Map[String, String] = Map.empty) extends Serializable {
 
   def spark: SparkSession = log.spark
 
@@ -308,6 +310,7 @@ class Snapshot(
     var files = filesMap
     var tombs = tombstones.map(r => r.path -> r).toMap
     var ts = timestampMillis
+    var doms = domains
     tail.foreach { case (_, deltaPath) =>
       val status = log.store.fs(deltaPath).getFileStatus(deltaPath)
       ts = status.getModificationTime
@@ -317,10 +320,12 @@ class Snapshot(
         case meta: Metadata => m = meta
         case proto: Protocol => p = proto
         case t: SetTransaction => txns += t.appId -> t.version
+        case d: DomainMetadata =>
+          doms = if (d.removed) doms - d.domain else doms + (d.domain -> d.configuration)
         case _ =>
       }
     }
-    new Snapshot(log, tail.last._1, p, m, txns, files, tombs.values.toSeq, ts)
+    new Snapshot(log, tail.last._1, p, m, txns, files, tombs.values.toSeq, ts, doms)
   }
 }
 
@@ -345,6 +350,7 @@ object Snapshot {
           .as[SingleAction]
         var p = Protocol(); var m: Metadata = null
         var txns = Map.empty[String, Long]
+        var doms = Map.empty[String, String]
         val files = scala.collection.mutable.HashMap.empty[String, AddFile]
         val tombs = scala.collection.mutable.HashMap.empty[String, RemoveFile]
         val it = actions.toLocalIterator()
@@ -355,10 +361,12 @@ object Snapshot {
             case meta: Metadata => m = meta
             case proto: Protocol => p = proto
             case t: SetTransaction => txns += t.appId -> t.version
+            case d: DomainMetadata =>
+              doms = if (d.removed) doms - d.domain else doms + (d.domain -> d.configuration)
             case _ =>
           }
         }
-        new Snapshot(log, cp, p, m, txns, files.toMap, tombs.values.toSeq, 0L)
+        new Snapshot(log, cp, p, m, txns, files.toMap, tombs.values.toSeq, 0L, doms)
       case None => empty(log)
     }
     if (deltas.isEmpty) base else base.advance(deltas)

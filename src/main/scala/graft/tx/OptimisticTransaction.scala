@@ -114,7 +114,13 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
       prefix += Protocol()
     }
     newMetadata.foreach(prefix += _)
-    val finalActions = prefix.toSeq ++ actions
+    var finalActions: Seq[Action] = prefix.toSeq ++ actions
+    // Row tracking: stamp fresh base row ids from the domain watermark.
+    val rowTracking = RowTracking.isEnabled(metadata)
+    if (rowTracking) {
+      val (assigned, domainOpt) = RowTracking.assign(finalActions, snapshot.domains)
+      finalActions = assigned ++ domainOpt.toSeq
+    }
     stageForConflictCheck(finalActions)
 
     var attemptVersion = snapshot.version + 1
@@ -122,7 +128,10 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
     var retries = 0
     while (retries <= maxRetries) {
       try {
-        log.writeCommit(attemptVersion, finalActions)
+        val attempt =
+          if (rowTracking) RowTracking.stampCommitVersion(finalActions, attemptVersion)
+          else finalActions
+        log.writeCommit(attemptVersion, attempt)
         committed = true
         return attemptVersion
       } catch {
@@ -183,6 +192,16 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
       if (ourTxnApps.contains(t.appId)) {
         throw new ConcurrentTransactionException(
           s"Idempotent txn for app ${t.appId} also committed by $winningVersion")
+      }
+    }
+    // Two commits advancing the same metadata domain (e.g. the row-id
+    // watermark) cannot both apply — the staged values were computed
+    // against the losing snapshot.
+    val ourDomains = stagedActions.collect { case d: DomainMetadata => d.domain }.toSet
+    winning.collect { case d: DomainMetadata => d }.foreach { d =>
+      if (ourDomains.contains(d.domain)) {
+        throw new ConcurrentTransactionException(
+          s"Metadata domain ${d.domain} also advanced by commit $winningVersion")
       }
     }
   }
