@@ -234,6 +234,38 @@ class GraftTable private[graft] (
       txn.commit(protocolBumpFor(txn), "DROP COLUMNS", Map("column" -> name))
     }
 
+  /** ALTER TABLE ALTER COLUMN ... TYPE — metadata-only type widening.
+    * Existing parquet files keep their narrow physical type; Spark's
+    * vectorized reader up-casts at scan time, so no rewrite is needed.
+    * Only provably-lossless widenings are allowed. (Reference concept:
+    * Delta type widening — re-designed onto Spark 4's widening reads.) */
+  def alterColumnType(name: String, newType: org.apache.spark.sql.types.DataType): Unit =
+    log.withNewTransaction { txn =>
+      import org.apache.spark.sql.types._
+      val m = txn.snapshot.metadata
+      val field = m.schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"Column $name does not exist"))
+      require(!m.partitionColumns.exists(_.equalsIgnoreCase(name)),
+        s"Cannot change the type of partition column $name")
+      val ok = (field.dataType, newType) match {
+        case (a, b) if a == b => false
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType) => true
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case (ByteType | ShortType | IntegerType, DoubleType) => true
+        case _ => false
+      }
+      require(ok, s"Cannot widen ${field.dataType.simpleString} to " +
+        s"${newType.simpleString}: not a lossless widening")
+      val fields = m.schema.fields.map(f =>
+        if (f.name.equalsIgnoreCase(name)) f.copy(dataType = newType) else f)
+      txn.updateMetadata(m.copy(
+        schemaString = org.apache.spark.sql.types.StructType(fields).json))
+      txn.commit(Nil, "CHANGE COLUMN",
+        Map("column" -> name, "type" -> newType.simpleString))
+    }
+
   /** Column mapping needs reader version 2 (older readers would use the
     * logical names against physically-named parquet). */
   private def protocolBumpFor(

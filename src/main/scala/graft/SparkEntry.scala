@@ -372,6 +372,20 @@ object SparkEntry {
         s"GROUP BY 1 ORDER BY 1")
     }),
 
+    "graft_type_widening" -> ((s, dir) => {
+      val path = tmp("widen")
+      Graft.write(t(s, dir, "nation"), path)
+      // int -> long is metadata-only; old int32 files read back as long
+      GraftTable.forPath(s, path)
+        .alterColumnType("n_regionkey", org.apache.spark.sql.types.LongType)
+      Graft.write(t(s, dir, "nation").select(col("n_nationkey"), col("n_name"),
+        (col("n_regionkey") + 10000000000L).as("n_regionkey")), path)
+      Graft.read(s, path).agg(
+        count(lit(1)).as("n"),
+        sum(col("n_regionkey")).as("sr"),
+        sum(when(col("n_regionkey") >= 10000000000L, 1L).otherwise(0L)).as("wide"))
+    }),
+
     "graft_row_tracking" -> ((s, dir) => {
       val path = tmp("rowtrack")
       val n = t(s, dir, "nation").orderBy("n_nationkey").coalesce(1)
@@ -943,6 +957,15 @@ object SparkEntry {
            SELECT 'update_postimage', count(*) FROM supplier
            WHERE s_suppkey <= 20 AND s_suppkey % 7 <> 0
          ) ORDER BY 1""",
+
+    "graft_type_widening" ->
+      """SELECT count(*) AS n, CAST(sum(r) AS BIGINT) AS sr,
+              CAST(sum(CASE WHEN r >= 10000000000 THEN 1 ELSE 0 END) AS BIGINT) AS wide
+         FROM (
+           SELECT CAST(n_regionkey AS BIGINT) AS r FROM nation
+           UNION ALL
+           SELECT CAST(n_regionkey AS BIGINT) + 10000000000 FROM nation
+         )""",
 
     "graft_row_tracking" ->
       """WITH ids AS (

@@ -122,6 +122,15 @@ object GraftDml {
         val names = cols.map(fieldName)
         GraftAlterRun(path, ident, tbl => names.foreach(tbl.dropColumn)): LogicalPlan
       }.getOrElse(d)
+    case ac @ AlterColumns(t, specs)
+        if specs.forall(s => s.newDataType.isDefined && s.newNullability.isEmpty &&
+          s.newComment.isEmpty && s.newPosition.isEmpty &&
+          s.newDefaultExpression.isEmpty && s.column.name.length == 1) =>
+      alterTarget(session, t).map { case (path, ident) =>
+        val changes = specs.map(s => s.column.name.head -> s.newDataType.get)
+        GraftAlterRun(path, ident, tbl =>
+          changes.foreach { case (c, dt) => tbl.alterColumnType(c, dt) }): LogicalPlan
+      }.getOrElse(ac)
     case a @ AddColumns(t, cols) =>
       alterTarget(session, t).map { case (path, ident) =>
         val fields = cols.map { c =>
