@@ -96,6 +96,51 @@ class GraftSource(
       snap.allFiles.sortBy(f => (f.modificationTime, f.path)).toVector
     })
 
+  /**
+   * Schema tracking (reference concept: DeltaSource schemaTrackingLocation
+   * — re-designed): the stream reads with the schema pinned at query
+   * start. A mid-stream schema change that old-schema reads cannot absorb
+   * fails the batch with a restart instruction; on restart the source
+   * pins the evolved schema and old files null-fill. With
+   * `schemaTrackingLocation` set, each adopted schema is persisted there
+   * (version + JSON), giving operators an auditable schema history for
+   * the checkpoint.
+   */
+  private val schemaTracking: Option[org.apache.hadoop.fs.Path] =
+    options.get("schemaTrackingLocation")
+      .map(p => new org.apache.hadoop.fs.Path(p, "_graft_schema"))
+  schemaTracking.foreach { p =>
+    val store = log.store
+    val current = snapshotAtInit.metadata.schemaString
+    val stored = store.readOpt(p).map { json =>
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+        .path("schemaString").asText()
+    }
+    if (!stored.contains(current)) {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      store.writeOverwrite(p, mapper.writeValueAsString(
+        java.util.Map.of(
+          "version", java.lang.Long.valueOf(snapshotAtInit.version),
+          "schemaString", current)))
+    }
+  }
+
+  /** Throw when a commit's schema cannot be read with the stream's pinned
+    * schema (e.g. a column the pinned schema lacks would be dropped). */
+  private def checkSchemaChange(version: Long, meta: Metadata): Unit = {
+    if (meta.schemaString == null) return
+    if (!graft.schema.SchemaUtils.isWriteCompatible(
+        snapshotAtInit.metadata.schema, meta.schema)) {
+      throw new UnsupportedOperationException(
+        s"Schema change at version $version of ${log.dataPath} cannot be " +
+          "read with the schema this stream started with. Restart the " +
+          "query to adopt the new schema" +
+          (if (schemaTracking.isEmpty)
+            " (set schemaTrackingLocation to record adopted schemas)"
+          else "") + ".")
+    }
+  }
+
   private def cdfSchema: StructType = StructType(
     snapshotAtInit.metadata.schema.fields ++ Seq(
       org.apache.spark.sql.types.StructField(Cdc.CHANGE_TYPE,
@@ -135,6 +180,10 @@ class GraftSource(
       else from.reservoirVersion
     val tailPart = (tailStart to latest).iterator.flatMap { v =>
       val actions = log.readCommit(v)
+      actions.foreach {
+        case meta: Metadata => checkSchemaChange(v, meta)
+        case _ =>
+      }
       if (readChangeFeed) {
         // CDF tail is version-granular: one admission unit per commit
         // that changed data; update/delete commits are the POINT of the

@@ -160,6 +160,43 @@ class StreamingSuite extends AnyFunSuite {
       === Set(10L, 11L, 12L))
   }
 
+  test("schema change mid-stream fails the source; restart adopts it") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val src = tmpDir(); val out = tmpDir(); val ckpt = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), src)
+    // a long-lived source instance pins the schema at creation
+    val source = new graft.streaming.GraftSource(spark,
+      graft.log.GraftLog.forTable(spark, src),
+      Map("schemaTrackingLocation" -> ckpt))
+    val end = source.latestOffset(null, ReadLimit.allAvailable())
+    assert(end != null)
+    Graft.write(spark.range(5, 8).toDF("id").withColumn("extra", lit("x")),
+      src, mergeSchema = true)
+    val err = intercept[UnsupportedOperationException] {
+      source.latestOffset(end, ReadLimit.allAvailable())
+    }
+    assert(err.getMessage.contains("Schema change"))
+    // restart: a fresh source pins the evolved schema, old files null-fill
+    val restarted = new graft.streaming.GraftSource(spark,
+      graft.log.GraftLog.forTable(spark, src),
+      Map("schemaTrackingLocation" -> ckpt))
+    assert(restarted.schema.fieldNames.contains("extra"))
+    val tracked = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ckpt, "_graft_schema")))
+    assert(tracked.contains("extra"))
+    // end-to-end: a restarted query drains everything under the new schema
+    val q = spark.readStream.format("graft").load(src)
+      .writeStream.format("graft").option("path", out)
+      .option("checkpointLocation", ckpt + "/q")
+      .option("mergeSchema", "true")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val result = Graft.read(spark, out)
+    assert(result.count() === 8)
+    assert(result.columns.contains("extra"))
+    assert(result.filter(col("extra").isNull).count() === 5)
+  }
+
   test("source fails on change commits unless skipChangeCommits") {
     val dir = tmpDir()
     val ckpt = tmpDir()
