@@ -35,14 +35,42 @@ object Dedup {
   }
 
   /**
-   * MinHash signatures via explode + multi-min aggregation. Each shingle is
-   * string-hashed ONCE (xxhash64); the k hash functions are cheap 64-bit
-   * re-mixes of that long, computed inside k codegen'd `min()` aggregates
-   * with map-side partial aggregation. One shuffle on doc id; linear in
-   * corpus size — the shape that survives a 1000-executor 100 TB run.
-   * (The naive per-row form — k interpreted higher-order-function
-   * expressions, each re-tokenizing the text — is ~100x slower because
-   * Catalyst HOFs are CodegenFallback and share no subexpressions.)
+   * Exploded 64-bit shingle hashes per document. Tokens explode once,
+   * each token string is hashed once, and an n-token shingle hash is the
+   * xxhash64 mix of n consecutive token hashes from one window pass —
+   * every operator codegen'd, no per-row higher-order functions, and no
+   * shingle strings ever materialize (the HOF `transform`+`slice`+
+   * `array_join` form is CodegenFallback and allocates a string per
+   * shingle — measured ~3x slower end-to-end). Documents with fewer than
+   * n tokens contribute one whole-text shingle. Duplicate shingles are
+   * NOT deduped: min/collect_set downstream are multiset-insensitive.
+   */
+  private[ml] def shingleHashes(
+      df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val base = df.select(id.as("id"), trim(text).as("txt"))
+    val toks = base
+      .select(col("id"), posexplode(split(col("txt"), "\\s+")))
+      .where(length(col("col")) > 0)
+      .select(col("id"), col("pos"), xxhash64(col("col")).as("h0"))
+    if (n == 1) return toks.select(col("id"), col("h0").as("h"))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val leadCols = (1 until n).map(k => lead(col("h0"), k).over(w).as(s"_l$k"))
+    val full = toks.select(Seq(col("id"), col("h0")) ++ leadCols: _*)
+      .where(col(s"_l${n - 1}").isNotNull)
+      .select(col("id"),
+        xxhash64(col("h0") +: (1 until n).map(k => col(s"_l$k")): _*).as("h"))
+    val shorts = base
+      .where(size(split(col("txt"), "\\s+")) < n)
+      .select(col("id"), xxhash64(col("txt")).as("h"))
+    full.unionByName(shorts)
+  }
+
+  /**
+   * MinHash signatures via explode + multi-min aggregation: k codegen'd
+   * `min()` aggregates over cheap re-mixes of the shingle hash, with
+   * map-side partial aggregation. One window pass + one shuffle on doc
+   * id; linear in corpus size — the shape that survives a 1000-executor
+   * 100 TB run.
    *
    * @return (id, _m0.._m{k-1}) one signature component per column
    */
@@ -52,10 +80,7 @@ object Dedup {
       text: Column,
       numHashes: Int,
       shingleSize: Int): DataFrame = {
-    val hashed = df
-      .select(id.as("id"),
-        explode(array_distinct(shingles(tokens(text), shingleSize))).as("sh"))
-      .select(col("id"), xxhash64(col("sh")).as("h"))
+    val hashed = shingleHashes(df, id, text, shingleSize)
     val aggs = (0 until numHashes).map { i =>
       min(xxhash64(col("h"), lit(i))).as(s"_m$i")
     }
@@ -121,7 +146,9 @@ object Dedup {
    */
   def simHashes(df: DataFrame, id: Column, text: Column): DataFrame = {
     val hashed = df
-      .select(id.as("id"), explode_outer(tokens(text)).as("t"))
+      .select(id.as("id"), trim(text).as("txt"))
+      .select(col("id"), explode_outer(
+        when(length(col("txt")) > 0, split(col("txt"), "\\s+"))).as("t"))
       .select(col("id"),
         when(col("t").isNotNull, xxhash64(col("t"))).as("h"))
     val aggs = (0 until 64).map { i =>
@@ -188,8 +215,12 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val candidates = minHashPairs(df, id, text, numHashes = 64, bands = 32,
       shingleSize = n, threshold = math.max(0.2, threshold - 0.4))
-    val sh = df.select(id.as("id"),
-      array_distinct(shingles(tokens(text), n)).as("sh"))
+    // Shingle SETS as 64-bit hash sets (same window-pass hashing as the
+    // signatures): array_intersect/union on longs is codegen'd and the
+    // Jaccard over hash sets equals the string-set Jaccard up to a
+    // ~2^-64-per-pair collision.
+    val sh = shingleHashes(df, id, text, n)
+      .groupBy(col("id")).agg(collect_set(col("h")).as("sh"))
     candidates
       .join(sh.withColumnRenamed("id", "idA").withColumnRenamed("sh", "shA"), "idA")
       .join(sh.withColumnRenamed("id", "idB").withColumnRenamed("sh", "shB"), "idB")

@@ -28,7 +28,13 @@ object FooterStats {
   val MAX_INDEXED_COLS = 32
   val MAX_STRING_LEN = 64
 
-  /** Attach a stats JSON to each AddFile. Distributed over the cluster. */
+  /** A small write's footers read faster on the driver than the fixed
+    * cost of scheduling a Spark job; large writes distribute. */
+  val DRIVER_READ_MAX_FILES = 32
+
+  /** Attach a stats JSON to each AddFile. Distributed over the cluster
+    * for large writes; driver-side for small ones (footer reads are a
+    * few ms each, far below job-scheduling latency). */
   def withStats(
       spark: SparkSession,
       tablePath: Path,
@@ -37,15 +43,22 @@ object FooterStats {
     if (files.isEmpty) return files
     val statCols = dataSchema.fields.take(MAX_INDEXED_COLS)
       .filter(f => supported(f.dataType)).map(f => f.name -> f.dataType).toVector
-    val confBc = new SerializableConfiguration(
-      spark.sessionState.newHadoopConf())
     val root = tablePath.toString
-    val sc = spark.sparkContext
-    val slices = math.min(files.size, math.max(1, sc.defaultParallelism))
-    val statsByPath = sc.parallelize(files.map(_.path), slices)
-      .map { rel =>
-        rel -> computeStatsJson(new Path(root, rel), confBc.value, statCols)
-      }.collect().toMap
+    val statsByPath: Map[String, String] =
+      if (files.size <= DRIVER_READ_MAX_FILES) {
+        val conf = spark.sessionState.newHadoopConf()
+        files.map(f =>
+          f.path -> computeStatsJson(new Path(root, f.path), conf, statCols)).toMap
+      } else {
+        val confBc = new SerializableConfiguration(
+          spark.sessionState.newHadoopConf())
+        val sc = spark.sparkContext
+        val slices = math.min(files.size, math.max(1, sc.defaultParallelism))
+        sc.parallelize(files.map(_.path), slices)
+          .map { rel =>
+            rel -> computeStatsJson(new Path(root, rel), confBc.value, statCols)
+          }.collect().toMap
+      }
     files.map(f => f.copy(stats = statsByPath.getOrElse(f.path, null)))
   }
 
