@@ -192,45 +192,81 @@ class GraftTable private[graft] (
       txn.commit(Nil, "ADD COLUMNS", Map("column" -> field.name))
     }
 
+  /** Apply `fn` to the struct containing the leaf named by `path`
+    * (descending through structs, array elements, and map values). */
+  private def transformParentStruct(
+      dt: org.apache.spark.sql.types.DataType,
+      path: Seq[String],
+      fn: org.apache.spark.sql.types.StructType => org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType if path.isEmpty => fn(s)
+      case s: StructType =>
+        require(s.fieldNames.exists(_.equalsIgnoreCase(path.head)),
+          s"Column path segment ${path.head} does not exist")
+        StructType(s.fields.map { f =>
+          if (f.name.equalsIgnoreCase(path.head))
+            f.copy(dataType = transformParentStruct(f.dataType, path.tail, fn))
+          else f
+        })
+      case ArrayType(e, n) => ArrayType(transformParentStruct(e, path, fn), n)
+      case MapType(k, v, n) => MapType(k, transformParentStruct(v, path, fn), n)
+      case other =>
+        throw new IllegalArgumentException(
+          s"Cannot descend into ${other.simpleString} at ${path.mkString(".")}")
+    }
+  }
+
   /** ALTER TABLE RENAME COLUMN — metadata-only: enables name-mode column
     * mapping (physical parquet names stay put) and changes the logical
-    * name. */
+    * name. Dotted names rename nested struct fields. */
   def renameColumn(oldName: String, newName: String): Unit =
     log.withNewTransaction { txn =>
+      import org.apache.spark.sql.types._
       import graft.schema.ColumnMapping
+      require(!newName.contains("."), s"New name $newName must be a bare field name")
       val m0 = txn.snapshot.metadata
-      require(m0.schema.fieldNames.exists(_.equalsIgnoreCase(oldName)),
-        s"Column $oldName does not exist")
-      require(!m0.schema.fieldNames.exists(_.equalsIgnoreCase(newName)),
-        s"Column $newName already exists")
       val m = ColumnMapping.enable(m0)
-      val fields = m.schema.fields.map { f =>
-        if (f.name.equalsIgnoreCase(oldName)) f.copy(name = newName) else f
-      }
+      val path = oldName.split('.').toSeq
+      val leaf = path.last
+      val renamed = transformParentStruct(m.schema, path.init, { parent =>
+        require(parent.fieldNames.exists(_.equalsIgnoreCase(leaf)),
+          s"Column $oldName does not exist")
+        require(!parent.fieldNames.exists(_.equalsIgnoreCase(newName)),
+          s"Column $newName already exists")
+        StructType(parent.fields.map(f =>
+          if (f.name.equalsIgnoreCase(leaf)) f.copy(name = newName) else f))
+      }).asInstanceOf[StructType]
       val parts = m.partitionColumns.map(c =>
-        if (c.equalsIgnoreCase(oldName)) newName else c)
+        if (path.length == 1 && c.equalsIgnoreCase(oldName)) newName else c)
       txn.updateMetadata(m.copy(
-        schemaString = org.apache.spark.sql.types.StructType(fields).json,
-        partitionColumns = parts))
+        schemaString = renamed.json, partitionColumns = parts))
       txn.commit(protocolBumpFor(txn), "RENAME COLUMN",
         Map("oldName" -> oldName, "newName" -> newName))
     }
 
   /** ALTER TABLE DROP COLUMN — metadata-only under column mapping; the
-    * physical data stays in place but is no longer readable. */
+    * physical data stays in place but is no longer readable. Dotted
+    * names drop nested struct fields. */
   def dropColumn(name: String): Unit =
     log.withNewTransaction { txn =>
+      import org.apache.spark.sql.types._
       import graft.schema.ColumnMapping
       val m0 = txn.snapshot.metadata
-      require(m0.schema.fieldNames.exists(_.equalsIgnoreCase(name)),
-        s"Column $name does not exist")
       require(!m0.partitionColumns.exists(_.equalsIgnoreCase(name)),
         s"Cannot drop partition column $name")
-      require(m0.schema.fields.length > 1, "Cannot drop the only column")
       val m = ColumnMapping.enable(m0)
-      val fields = m.schema.fields.filterNot(_.name.equalsIgnoreCase(name))
-      txn.updateMetadata(m.copy(
-        schemaString = org.apache.spark.sql.types.StructType(fields).json))
+      val path = name.split('.').toSeq
+      val leaf = path.last
+      val dropped = transformParentStruct(m.schema, path.init, { parent =>
+        require(parent.fieldNames.exists(_.equalsIgnoreCase(leaf)),
+          s"Column $name does not exist")
+        require(parent.fields.length > 1,
+          s"Cannot drop the only field of ${if (path.length == 1) "the table" else path.init.mkString(".")}")
+        StructType(parent.fields.filterNot(_.name.equalsIgnoreCase(leaf)))
+      }).asInstanceOf[StructType]
+      txn.updateMetadata(m.copy(schemaString = dropped.json))
       txn.commit(protocolBumpFor(txn), "DROP COLUMNS", Map("column" -> name))
     }
 

@@ -122,11 +122,16 @@ object RowTracking {
         coalesce(col(ROW_COMMIT_COL),
           when(col("__rt_ver") >= 0, col("__rt_ver"))))
       .drop("__f", "__i", "__rt_file", "__rt_base", "__rt_ver")
-    // physical -> logical rename, keeping the id columns last
-    val physToLogical = m.schema.fields.map(f =>
-      ColumnMapping.physicalName(f) -> f.name).toMap
-    df.select(df.columns.filterNot(Set(ROW_ID_COL, ROW_COMMIT_COL)).map(c =>
-      col(c).as(physToLogical.getOrElse(c, c))) ++
-      Seq(col(ROW_ID_COL), col(ROW_COMMIT_COL)): _*)
+    // physical -> logical rename (nested fields rename via struct cast),
+    // keeping the id columns last
+    val byPhysical = m.schema.fields.map(f => ColumnMapping.physicalName(f) -> f).toMap
+    df.select(df.columns.filterNot(Set(ROW_ID_COL, ROW_COMMIT_COL)).map { c =>
+      byPhysical.get(c) match {
+        case Some(f) =>
+          val pt = ColumnMapping.physicalType(f.dataType)
+          (if (pt == f.dataType) col(c) else col(c).cast(f.dataType)).as(f.name)
+        case None => col(c)
+      }
+    } ++ Seq(col(ROW_ID_COL), col(ROW_COMMIT_COL)): _*)
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, MapType, MetadataBuilder, StructField, StructType}
 
 import graft.log.Metadata
 
@@ -41,27 +41,44 @@ object ColumnMapping {
     f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
       .putString(PHYS_KEY, phys).build())
 
-  /** Turn mapping on: stamp unstamped fields with their current names. */
-  def enable(m: Metadata): Metadata = {
-    val fields = m.schema.fields.map { f =>
-      if (f.metadata.contains(PHYS_KEY)) f else stamped(f, f.name)
-    }
-    m.copy(schemaString = StructType(fields).json,
-      configuration = m.configuration + (MODE_KEY -> "name"))
+  /** Stamp every field — including nested struct fields (also inside
+    * arrays and maps) — missing a physical name. */
+  private def stampRecursive(schema: StructType, phys: StructField => String): StructType =
+    StructType(schema.fields.map { f =>
+      val withType = f.copy(dataType = stampType(f.dataType, phys))
+      if (withType.metadata.contains(PHYS_KEY)) withType
+      else stamped(withType, phys(withType))
+    })
+
+  private def stampType(dt: DataType, phys: StructField => String): DataType = dt match {
+    case s: StructType => stampRecursive(s, phys)
+    case ArrayType(e, n) => ArrayType(stampType(e, phys), n)
+    case MapType(k, v, n) => MapType(stampType(k, phys), stampType(v, phys), n)
+    case other => other
   }
+
+  /** Turn mapping on: stamp unstamped fields with their current names. */
+  def enable(m: Metadata): Metadata =
+    m.copy(schemaString = stampRecursive(m.schema, _.name).json,
+      configuration = m.configuration + (MODE_KEY -> "name"))
 
   /** Stamp fields added by schema evolution with fresh physical names
     * (no-op when mapping is off or the field is already stamped). */
   def stampNewFields(m: Metadata): Metadata = {
     if (!isEnabled(m)) return m
-    val fields = m.schema.fields.map { f =>
-      if (f.metadata.contains(PHYS_KEY)) f
-      else stamped(f, freshPhysicalName())
-    }
-    m.copy(schemaString = StructType(fields).json)
+    m.copy(schemaString = stampRecursive(m.schema, _ => freshPhysicalName()).json)
   }
 
-  def physicalField(f: StructField): StructField = f.copy(name = physicalName(f))
+  /** The fully-physical view of a type: nested struct fields renamed. */
+  def physicalType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(physicalField))
+    case ArrayType(e, n) => ArrayType(physicalType(e), n)
+    case MapType(k, v, n) => MapType(physicalType(k), physicalType(v), n)
+    case other => other
+  }
+
+  def physicalField(f: StructField): StructField =
+    f.copy(name = physicalName(f), dataType = physicalType(f.dataType))
 
   /** Physical view of the data (non-partition) schema. */
   def physicalDataSchema(m: Metadata): StructType =
@@ -89,13 +106,18 @@ object ColumnMapping {
     }
   }
 
-  /** Rename a logical-named DataFrame to physical names for the writer. */
+  /** Rename a logical-named DataFrame to physical names for the writer.
+    * Nested fields rename via a struct-to-struct cast — a positional
+    * rename, fully codegen'd, no per-row interpretation. */
   def renameToPhysical(df: DataFrame, m: Metadata): DataFrame = {
     if (!isEnabled(m)) return df
-    val byLogical = m.schema.fields.map(f => f.name.toLowerCase -> physicalName(f)).toMap
+    val byLogical = m.schema.fields.map(f => f.name.toLowerCase -> f).toMap
     val cols: Seq[Column] = df.columns.toSeq.map { c =>
       byLogical.get(c.toLowerCase) match {
-        case Some(p) => col(c).as(p)
+        case Some(f) =>
+          val pt = physicalType(f.dataType)
+          val base = if (pt == f.dataType) col(c) else col(c).cast(pt)
+          base.as(physicalName(f))
         case None => col(c)
       }
     }
@@ -105,6 +127,11 @@ object ColumnMapping {
   /** Projection physical -> logical on top of a physical scan. */
   def toLogicalProjection(df: DataFrame, m: Metadata): DataFrame = {
     if (!isEnabled(m)) return df
-    df.select(m.schema.fields.toSeq.map(f => col(physicalName(f)).as(f.name)): _*)
+    df.select(m.schema.fields.toSeq.map { f =>
+      val pt = physicalType(f.dataType)
+      val base = if (pt == f.dataType) col(physicalName(f))
+                 else col(physicalName(f)).cast(f.dataType)
+      base.as(f.name)
+    }: _*)
   }
 }

@@ -142,11 +142,8 @@ object GraftDml {
       }.getOrElse(a)
   }
 
-  private def fieldName(f: org.apache.spark.sql.catalyst.analysis.FieldName): String = {
-    require(f.name.length == 1,
-      s"only top-level columns are supported, got ${f.name.mkString(".")}")
-    f.name.head
-  }
+  private def fieldName(f: org.apache.spark.sql.catalyst.analysis.FieldName): String =
+    f.name.mkString(".")
 
   /** ALTER targets parse as UnresolvedTable; accept graft paths and
     * catalog tables whose provider is graft (returning the identifier so

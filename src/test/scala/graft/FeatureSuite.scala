@@ -1,5 +1,52 @@
 package graft
 
+import java.nio.file.{Files => JFiles}
+
+class NestedMappingSuite extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  def tmpDir(): String = JFiles.createTempDirectory("graft-nest").toString
+
+  test("rename and drop nested struct fields are metadata-only") {
+    val dir = tmpDir()
+    val df = spark.range(5).select($"id",
+      struct($"id".as("a"), ($"id" * 2).as("b"),
+        struct(($"id" * 3).as("x")).as("inner")).as("s"))
+    Graft.write(df, dir)
+    val tbl = GraftTable.forPath(spark, dir)
+    tbl.renameColumn("s.b", "bee")
+    val out1 = Graft.read(spark, dir)
+    assert(out1.select($"s.bee").as[Long].collect().sorted.toSeq
+      === Seq(0L, 2L, 4L, 6L, 8L))
+    tbl.renameColumn("s.inner.x", "ex")
+    assert(Graft.read(spark, dir).select($"s.inner.ex").as[Long]
+      .collect().sorted.toSeq === Seq(0L, 3L, 6L, 9L, 12L))
+    // drop a nested field: physically still present, logically gone
+    tbl.dropColumn("s.bee")
+    val out2 = Graft.read(spark, dir)
+    assert(out2.select($"s.*").columns.toSeq === Seq("a", "inner"))
+    // appends after nested rename round-trip through physical names
+    Graft.write(spark.range(5, 7).select($"id",
+      struct($"id".as("a"),
+        struct(($"id" * 3).as("ex")).as("inner")).as("s")), dir)
+    assert(Graft.read(spark, dir).count() === 7)
+    assert(Graft.read(spark, dir).select(sum($"s.inner.ex")).head.getLong(0)
+      === (0 until 7).map(_ * 3).sum)
+    // re-adding the dropped name must not resurrect old data... top-level
+    // add only supports top-level; nested re-add is via full struct write
+  }
+
+  test("nested rename via SQL dotted path") {
+    val dir = tmpDir()
+    Graft.write(spark.range(3).select($"id",
+      struct($"id".as("u"), lit("k").as("v")).as("s")), dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` RENAME COLUMN s.u TO uu")
+    assert(Graft.read(spark, dir).select(sum($"s.uu")).head.getLong(0) === 3L)
+  }
+}
+
 import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
