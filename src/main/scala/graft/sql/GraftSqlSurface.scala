@@ -437,6 +437,19 @@ case class GraftRestoreRun(path: String, version: Long)
   }
 }
 
+case class GraftRestoreTsRun(path: String, timestamp: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val log = GraftLog.forTable(spark, path)
+    val v = log.getVersionAtTime(
+      java.sql.Timestamp.valueOf(timestamp).getTime)
+    GraftTable.forPath(spark, path).restoreToVersion(v)
+    GraftCatalogCache.invalidate(spark)
+    Nil
+  }
+}
+
 case class GraftReorgRun(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("metric", StringType)(),
@@ -475,7 +488,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    parseMaintenance(sqlText)
+    parseMaintenance(sqlText, resolveTarget)
       .orElse(parseAlterExtras(sqlText))
       .getOrElse(GraftDml.rewrite(session, delegate.parsePlan(sqlText),
         substituteRelations = true))
@@ -501,6 +514,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         ks.split(",").toSeq.map(k => stripQuotes(k.trim)).filter(_.nonEmpty))))
     case _ => None
   }
+
+  /** Path targets pass through; bare names resolve to the location of a
+    * graft-provider catalog table (None otherwise -> delegate). */
+  private def resolveTarget(raw: String): Option[String] =
+    resolveGraft(raw).map(_._1)
 
   private def resolveGraft(raw: String): Option[(String, Option[TableIdentifier])] = {
     val t = targetPath(raw)
@@ -548,33 +566,36 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
 object GraftSqlParser {
   // Target forms: 'path' | "path" | `path` | graft.`path`
   private val target = """(?:'[^']+'|"[^"]+"|graft\.`[^`]+`|`[^`]+`)"""
+  // ... or a plain table name, resolved through the session catalog.
+  private val targetOrName = s"""(?:$target|[A-Za-z_][\\w.]*)"""
   private val optimizeRe =
-    (s"""(?is)^\\s*OPTIMIZE\\s+($target)(?:\\s+WHERE\\s+(.+?))?""" +
+    (s"""(?is)^\\s*OPTIMIZE\\s+($targetOrName)(?:\\s+WHERE\\s+(.+?))?""" +
       s"""(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*([\\w`,\\s]+?)\\s*\\)?)?\\s*;?\\s*$$""").r
   private val vacuumRe =
-    (s"""(?is)^\\s*VACUUM\\s+($target)(?:\\s+RETAIN\\s+([0-9.]+)\\s+HOURS?)?""" +
+    (s"""(?is)^\\s*VACUUM\\s+($targetOrName)(?:\\s+RETAIN\\s+([0-9.]+)\\s+HOURS?)?""" +
       """(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val historyRe =
-    (s"""(?is)^\\s*(?:DESC|DESCRIBE)\\s+HISTORY\\s+($target)""" +
+    (s"""(?is)^\\s*(?:DESC|DESCRIBE)\\s+HISTORY\\s+($targetOrName)""" +
       """(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""").r
   private val detailRe =
-    s"""(?is)^\\s*(?:DESC|DESCRIBE)\\s+DETAIL\\s+($target)\\s*;?\\s*$$""".r
+    s"""(?is)^\\s*(?:DESC|DESCRIBE)\\s+DETAIL\\s+($targetOrName)\\s*;?\\s*$$""".r
   private val restoreRe =
-    (s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?($target)\\s+(?:TO\\s+)?""" +
+    (s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?($targetOrName)\\s+(?:TO\\s+)?""" +
       """VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$""").r
+  private val restoreTsRe =
+    (s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?($targetOrName)\\s+(?:TO\\s+)?""" +
+      """TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""").r
   private val reorgRe =
-    (s"""(?is)^\\s*REORG\\s+(?:TABLE\\s+)?($target)\\s+""" +
+    (s"""(?is)^\\s*REORG\\s+(?:TABLE\\s+)?($targetOrName)\\s+""" +
       """APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
   private val convertRe =
     (s"""(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\s+(?:parquet\\.)?($target)""" +
       """\s*;?\s*$""").r
   private val generateRe =
     (s"""(?is)^\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+""" +
-      s"""($target)\\s*;?\\s*$$""").r
+      s"""($targetOrName)\\s*;?\\s*$$""").r
   private val showPartsRe =
-    s"""(?is)^\\s*SHOW\\s+PARTITIONS\\s+($target)\\s*;?\\s*$$""".r
-  // ALTER targets may also be plain table names (resolved via the catalog).
-  private val targetOrName = s"""(?:$target|[A-Za-z_][\\w.]*)"""
+    s"""(?is)^\\s*SHOW\\s+PARTITIONS\\s+($targetOrName)\\s*;?\\s*$$""".r
   private val addConstraintRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($targetOrName)\\s+ADD\\s+CONSTRAINT\\s+""" +
       """(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r
@@ -588,24 +609,31 @@ object GraftSqlParser {
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($target)\\s+UNSET\\s+TBLPROPERTIES\\s*""" +
       """(?:IF\s+EXISTS\s*)?\((.+)\)\s*;?\s*$""").r
 
-  def parseMaintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
+  /** Parse a maintenance statement. `resolve` maps a raw target (path
+    * form or plain table name) to the table's data path; None = not a
+    * graft table, fall through to the delegate parser. */
+  def parseMaintenance(
+      sqlText: String,
+      resolve: String => Option[String]): Option[LogicalPlan] = sqlText match {
     case convertRe(t) => Some(GraftConvertRun(targetPath(t)))
-    case generateRe(t) => Some(GraftGenerateRun(targetPath(t)))
-    case showPartsRe(t) if targetPath(t).contains("/") =>
-      Some(GraftShowPartitionsRun(targetPath(t)))
-    case detailRe(t) => Some(GraftDetailRun(targetPath(t)))
-    case restoreRe(t, v) => Some(GraftRestoreRun(targetPath(t), v.toLong))
-    case reorgRe(t) => Some(GraftReorgRun(targetPath(t)))
+    case generateRe(t) =>
+      resolve(t).map(GraftGenerateRun.apply)
+    case showPartsRe(t) =>
+      resolve(t).map(GraftShowPartitionsRun.apply)
+    case detailRe(t) => resolve(t).map(GraftDetailRun.apply)
+    case restoreRe(t, v) => resolve(t).map(p => GraftRestoreRun(p, v.toLong))
+    case restoreTsRe(t, ts) => resolve(t).map(p => GraftRestoreTsRun(p, ts))
+    case reorgRe(t) => resolve(t).map(GraftReorgRun.apply)
     case optimizeRe(t, where, zorder) =>
       val z = Option(zorder).map(_.split(",").toSeq
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
         .getOrElse(Nil)
-      Some(GraftOptimizeRun(targetPath(t), Option(where).map(_.trim), z))
+      resolve(t).map(p => GraftOptimizeRun(p, Option(where).map(_.trim), z))
     case vacuumRe(t, hours, dry) =>
-      Some(GraftVacuumRun(targetPath(t),
+      resolve(t).map(p => GraftVacuumRun(p,
         Option(hours).map(_.toDouble), dry != null))
     case historyRe(t, limit) =>
-      Some(GraftHistoryRun(targetPath(t), Option(limit).map(_.toInt)))
+      resolve(t).map(p => GraftHistoryRun(p, Option(limit).map(_.toInt)))
     case _ => None
   }
 

@@ -115,6 +115,33 @@ class CatalogSuite extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("maintenance SQL accepts named tables") {
+    val dir = tmpDir()
+    val t = fresh("cat_maint")
+    spark.range(20).toDF("id").createOrReplaceTempView("cat_maint_src")
+    spark.sql(s"CREATE TABLE $t USING graft LOCATION '$dir/t' AS SELECT * FROM cat_maint_src")
+    spark.sql(s"INSERT INTO $t SELECT * FROM cat_maint_src")
+    assert(spark.sql(s"DESCRIBE HISTORY $t").count() === 2)
+    assert(spark.sql(s"DESC DETAIL $t").head.getAs[Long]("version") === 1L)
+    spark.sql(s"OPTIMIZE $t")
+    assert(GraftTable.forPath(spark, s"$dir/t").snapshot.allFiles.size === 1)
+    spark.sql(s"VACUUM $t DRY RUN")
+    spark.sql(s"RESTORE TABLE $t VERSION AS OF 0")
+    assert(spark.table(t).count() === 20)
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("RESTORE TIMESTAMP AS OF") {
+    val dir = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dir)
+    Thread.sleep(20)
+    val cut = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(20)
+    Graft.write(spark.range(5, 30).toDF("id"), dir)
+    spark.sql(s"RESTORE TABLE graft.`$dir` TIMESTAMP AS OF '$cut'")
+    assert(Graft.read(spark, dir).count() === 5)
+  }
+
   test("REPLACE TABLE without AS SELECT empties and redefines") {
     val dir = tmpDir()
     val t = fresh("cat_rep")
