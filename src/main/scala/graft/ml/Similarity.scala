@@ -84,12 +84,19 @@ object Similarity {
       queryId: Column,
       queryEmb: Column,
       k: Int,
-      nlist: Int = 64,
-      nprobe: Int = 8): DataFrame = {
+      nlist: Int = -1,
+      nprobe: Int = -1): DataFrame = {
     val base = corpus.select(corpusId.as("cid"), corpusEmb.as("cemb"))
+    // Auto-tuning (when not pinned): nlist ~ sqrt(n) keeps list size and
+    // centroid-scan cost balanced; probing nlist/4 lists holds recall as
+    // the corpus grows. One count job, amortized over the search.
+    val nlist0 =
+      if (nlist > 0) nlist
+      else math.max(4, math.ceil(math.sqrt(base.count().toDouble)).toInt)
+    val nprobe0 = if (nprobe > 0) nprobe else math.max(4, nlist0 / 4)
     val centroids: Array[Seq[Float]] = base
       .select(col("cemb"), xxhash64(col("cid")).as("__r"))
-      .orderBy("__r").limit(nlist)
+      .orderBy("__r").limit(nlist0)
       .collect().map(_.getSeq[Float](0))
     val scoredCentroids = (emb: Column) => centroids.zipWithIndex.map {
       case (c, i) => struct(cosine(emb, typedlit(c)).as("s"), lit(i).as("i"))
@@ -97,7 +104,7 @@ object Similarity {
     def nearestList(emb: Column): Column =
       greatest(scoredCentroids(emb).toSeq: _*).getField("i")
     val c = base.withColumn("list", nearestList(col("cemb")))
-    val probes = math.min(nprobe, centroids.length)
+    val probes = math.min(nprobe0, centroids.length)
     val q = queries.select(queryId.as("qid"), queryEmb.as("qemb"))
       .withColumn("list", explode(slice(transform(
         sort_array(array(scoredCentroids(col("qemb")).toSeq: _*), asc = false),
@@ -124,15 +131,26 @@ object Similarity {
       queryId: Column,
       queryEmb: Column,
       k: Int,
-      planes: Int = 8,
+      planes: Int = -1,
       seed: Long = defaultSeed): DataFrame = {
-    val c = corpus.select(corpusId.as("cid"), corpusEmb.as("cemb"),
-      hyperplaneBucket(corpusEmb, planes, seed).as("bucket"))
+    val base = corpus.select(corpusId.as("cid"), corpusEmb.as("cemb"))
+    // Auto-tuning (when not pinned): pick planes so a bucket holds
+    // ~max(8, 2k) vectors — enough candidates per probe for a top-k
+    // answer; more planes than that trades recall for nothing here.
+    val planes0 =
+      if (planes > 0) planes
+      else {
+        val n = base.count().toDouble
+        math.max(2, math.min(20,
+          (math.log(n / math.max(8, 2 * k)) / math.log(2)).floor.toInt))
+      }
+    val c = base.withColumn("bucket",
+      hyperplaneBucket(col("cemb"), planes0, seed))
     val q = queries
       .select(queryId.as("qid"), queryEmb.as("qemb"),
-        hyperplaneBucket(queryEmb, planes, seed).as("b0"))
+        hyperplaneBucket(queryEmb, planes0, seed).as("b0"))
       .select(col("qid"), col("qemb"),
-        explode(probeBuckets(col("b0"), planes)).as("bucket"))
+        explode(probeBuckets(col("b0"), planes0)).as("bucket"))
     val scored = c.join(broadcast(q), "bucket")
       .select(col("qid"), col("cid"), cosine(col("qemb"), col("cemb")).as("score"))
     val w = Window.partitionBy(col("qid"))
