@@ -97,8 +97,9 @@ class GraftTable private[graft] (
 
   def optimize(): OptimizeBuilder = new OptimizeBuilder(this)
 
-  def vacuum(retentionHours: Double = 7 * 24, dryRun: Boolean = false): DataFrame =
-    VacuumCommand.run(spark, log, retentionHours, dryRun)
+  def vacuum(retentionHours: Double = 7 * 24, dryRun: Boolean = false,
+      lite: Boolean = false): DataFrame =
+    VacuumCommand.run(spark, log, retentionHours, dryRun, lite)
 
   def restoreToVersion(version: Long): Unit =
     RestoreCommand.run(spark, log, version)

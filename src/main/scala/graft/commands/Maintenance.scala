@@ -287,7 +287,8 @@ object VacuumCommand {
       spark: SparkSession,
       log: GraftLog,
       retentionHours: Double,
-      dryRun: Boolean): DataFrame = {
+      dryRun: Boolean,
+      lite: Boolean = false): DataFrame = {
     import spark.implicits._
     val snap = log.update()
     val checkEnabled =
@@ -300,6 +301,7 @@ object VacuumCommand {
         s"window of $minRetention h; uncommitted or still-read files could " +
         s"be deleted. Set $retentionCheckConf=false to override.")
     val cutoff = System.currentTimeMillis() - (retentionHours * 3600 * 1000).toLong
+    if (lite) return runLite(spark, log, snap, cutoff, dryRun)
     val fs = log.store.fs(log.dataPath)
     val confBc = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
@@ -375,6 +377,47 @@ object VacuumCommand {
           val p = new Path(pstr)
           // Already-gone is fine (concurrent vacuum); anything else fails
           // the job rather than silently leaking storage.
+          try p.getFileSystem(conf).delete(p, false)
+          catch { case _: java.io.FileNotFoundException => () }
+        }
+      }
+    }
+    candidates
+  }
+
+  /** LITE mode: reclaim from the LOG's tombstones instead of listing the
+    * filesystem — O(removed files) instead of O(all files), the cheap
+    * steady-state vacuum for a 100 TB table (a full listing pass is only
+    * needed to catch orphans from crashed writes; run FULL occasionally).
+    * Reconciled tombstones can never name a live file: a re-add of the
+    * same path clears its tombstone during log replay. */
+  private def runLite(
+      spark: SparkSession,
+      log: GraftLog,
+      snap: graft.log.Snapshot,
+      cutoff: Long,
+      dryRun: Boolean): DataFrame = {
+    import spark.implicits._
+    val rootStr = log.dataPath.toString
+    val rootUri = log.dataPath.toUri
+    def qualify(rel: String): String = {
+      val p = new Path(rel)
+      if (!p.isAbsolute) new Path(new Path(rootStr), rel).toString
+      else if (p.toUri.getScheme != null) p.toString
+      else new Path(rootUri.getScheme, rootUri.getAuthority, p.toUri.getPath).toString
+    }
+    val expired = snap.tombstones
+      .filter(_.deletionTimestamp.exists(_ < cutoff))
+      .map(r => qualify(r.path))
+    val candidates = spark.createDataset(expired).toDF("path").persist()
+    candidates.count()
+    if (!dryRun) {
+      val confBc = new org.apache.spark.util.SerializableConfiguration(
+        spark.sessionState.newHadoopConf())
+      candidates.as[String].foreachPartition { it: Iterator[String] =>
+        val conf = confBc.value
+        it.foreach { pstr =>
+          val p = new Path(pstr)
           try p.getFileSystem(conf).delete(p, false)
           catch { case _: java.io.FileNotFoundException => () }
         }

@@ -350,14 +350,15 @@ case class GraftOptimizeRun(
   }
 }
 
-case class GraftVacuumRun(path: String, hours: Option[Double], dryRun: Boolean)
+case class GraftVacuumRun(path: String, hours: Option[Double],
+    dryRun: Boolean, lite: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("path", StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val log = GraftLog.forTable(spark, path)
     VacuumCommand.run(spark, log,
-      hours.getOrElse(VacuumCommand.defaultRetentionHours), dryRun)
+      hours.getOrElse(VacuumCommand.defaultRetentionHours), dryRun, lite)
       .collect().toSeq
   }
 }
@@ -573,7 +574,7 @@ object GraftSqlParser {
       s"""(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*([\\w`,\\s]+?)\\s*\\)?)?\\s*;?\\s*$$""").r
   private val vacuumRe =
     (s"""(?is)^\\s*VACUUM\\s+($targetOrName)(?:\\s+RETAIN\\s+([0-9.]+)\\s+HOURS?)?""" +
-      """(\s+DRY\s+RUN)?\s*;?\s*$""").r
+      """(\s+LITE)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val historyRe =
     (s"""(?is)^\\s*(?:DESC|DESCRIBE)\\s+HISTORY\\s+($targetOrName)""" +
       """(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""").r
@@ -629,9 +630,9 @@ object GraftSqlParser {
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
         .getOrElse(Nil)
       resolve(t).map(p => GraftOptimizeRun(p, Option(where).map(_.trim), z))
-    case vacuumRe(t, hours, dry) =>
+    case vacuumRe(t, hours, lite, dry) =>
       resolve(t).map(p => GraftVacuumRun(p,
-        Option(hours).map(_.toDouble), dry != null))
+        Option(hours).map(_.toDouble), dry != null, lite != null))
     case historyRe(t, limit) =>
       resolve(t).map(p => GraftHistoryRun(p, Option(limit).map(_.toInt)))
     case _ => None

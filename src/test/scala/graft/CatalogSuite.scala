@@ -131,6 +131,25 @@ class CatalogSuite extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("VACUUM LITE reclaims tombstoned files from the log, no listing") {
+    val dir = tmpDir()
+    Graft.write(spark.range(10).select($"id", ($"id" % 2).as("p")), dir)
+    GraftTable.forPath(spark, dir).delete($"id" < 5)   // rewrites -> tombstones
+    val tombs = GraftTable.forPath(spark, dir).snapshot.tombstones.map(_.path)
+    assert(tombs.nonEmpty)
+    spark.conf.set("spark.graft.vacuum.retentionCheck.enabled", "false")
+    try {
+      val dry = spark.sql(s"VACUUM graft.`$dir` RETAIN 0 HOURS LITE DRY RUN")
+        .collect().map(_.getString(0)).toSet
+      assert(tombs.forall(t => dry.exists(_.endsWith(t))))
+      spark.sql(s"VACUUM graft.`$dir` RETAIN 0 HOURS LITE")
+      tombs.foreach { t =>
+        assert(!new java.io.File(s"$dir/$t").exists(), s"$t not deleted")
+      }
+      assert(Graft.read(spark, dir).count() === 5)   // table unharmed
+    } finally spark.conf.unset("spark.graft.vacuum.retentionCheck.enabled")
+  }
+
   test("RESTORE TIMESTAMP AS OF") {
     val dir = tmpDir()
     Graft.write(spark.range(5).toDF("id"), dir)
