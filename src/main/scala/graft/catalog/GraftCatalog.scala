@@ -114,21 +114,10 @@ class GraftCatalog extends DelegatingCatalogExtension with StagingTableCatalog {
       ident: Identifier,
       properties: util.Map[String, String],
       loc: String): Unit = {
-    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
-    val m = GraftLog.forTable(spark, loc).update().metadata
     val external = properties.containsKey(TableCatalog.PROP_LOCATION) &&
       !properties.containsKey("is_managed_location")
-    val table = CatalogTable(
-      identifier = toV1Ident(ident),
-      tableType = if (external) CatalogTableType.EXTERNAL else CatalogTableType.MANAGED,
-      storage = CatalogStorageFormat.empty.copy(
-        locationUri = Some(new org.apache.hadoop.fs.Path(loc).toUri)),
-      schema = m.schema,
-      provider = Some("graft"),
-      partitionColumnNames = m.partitionColumns,
-      properties = logConfig(properties))
-    spark.sessionState.catalog.createTable(table,
-      ignoreIfExists = false, validateLocation = false)
+    GraftCatalog.register(spark, toV1Ident(ident), loc, external,
+      logConfig(properties))
   }
 
   override def createTable(
@@ -251,6 +240,31 @@ class GraftCatalog extends DelegatingCatalogExtension with StagingTableCatalog {
       } catch { case _: Exception => () } // cosmetic copy; the log is truth
     }
     graft.sql.GraftCatalogCache.invalidate(spark)
+  }
+}
+
+object GraftCatalog {
+  /** Register a metastore entry for an existing graft log (schema and
+    * partitioning read from the log; no location validation). */
+  def register(
+      spark: SparkSession,
+      ident: TableIdentifier,
+      loc: String,
+      external: Boolean,
+      properties: Map[String, String] = Map.empty): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogStorageFormat, CatalogTable, CatalogTableType}
+    val m = GraftLog.forTable(spark, loc).update().metadata
+    val table = CatalogTable(
+      identifier = ident,
+      tableType = if (external) CatalogTableType.EXTERNAL else CatalogTableType.MANAGED,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new org.apache.hadoop.fs.Path(loc).toUri)),
+      schema = m.schema,
+      provider = Some("graft"),
+      partitionColumnNames = m.partitionColumns,
+      properties = properties)
+    spark.sessionState.catalog.createTable(table,
+      ignoreIfExists = false, validateLocation = false)
   }
 }
 

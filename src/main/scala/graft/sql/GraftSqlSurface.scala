@@ -438,6 +438,47 @@ case class GraftRestoreRun(path: String, version: Long)
   }
 }
 
+case class GraftShowPropsRun(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType)(),
+    AttributeReference("value", StringType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    GraftLog.forTable(spark, path).update().metadata.configuration
+      .toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+}
+
+/** CREATE TABLE ... LIKE src (empty table, same definition) and
+  * CREATE TABLE ... SHALLOW CLONE src (same definition + the source's
+  * current files by absolute reference, no data copied). The target may
+  * be a catalog name (registered in the metastore) or a graft path. */
+case class GraftCreateLikeRun(
+    target: String, srcPath: String, location: Option[String], shallowClone: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val isPath = target.contains("/")
+    val ident =
+      if (isPath) None
+      else Some(spark.sessionState.sqlParser.parseTableIdentifier(target))
+    val loc = location.getOrElse {
+      if (isPath) target
+      else spark.sessionState.catalog.defaultTablePath(ident.get).toString
+    }
+    val srcLog = GraftLog.forTable(spark, srcPath)
+    require(srcLog.tableExists, s"$srcPath is not a graft table")
+    if (shallowClone) {
+      GraftTable.forPath(spark, srcPath).shallowCloneTo(loc)
+    } else {
+      val m = srcLog.update().metadata
+      graft.Graft.create(spark, loc, m.schema, m.partitionColumns, m.configuration)
+    }
+    ident.foreach(ti => graft.catalog.GraftCatalog.register(
+      spark, ti, loc, external = location.isDefined))
+    GraftCatalogCache.invalidate(spark)
+    Nil
+  }
+}
+
 case class GraftRestoreTsRun(path: String, timestamp: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
@@ -498,6 +539,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * (or reject): CHECK constraints and TBLPROPERTIES must land in the
     * transaction log. Non-graft targets fall through to the delegate. */
   private def parseAlterExtras(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case showPropsRe(t) =>
+      resolveTarget(t).map(GraftShowPropsRun.apply)
+    case createLikeRe(tgt, src, loc) =>
+      resolveTarget(src).map { srcPath =>
+        GraftCreateLikeRun(tgt, srcPath, Option(loc), shallowClone = false)
+      }
+    case cloneRe(tgt, src, loc) =>
+      resolveTarget(src).map { srcPath =>
+        GraftCreateLikeRun(targetPath(tgt), srcPath, Option(loc), shallowClone = true)
+      }
     case addConstraintRe(t, name, check) =>
       resolveGraft(t).map { case (path, ident) =>
         GraftAlterRun(path, ident, _.addCheckConstraint(name, check.trim))
@@ -597,6 +648,16 @@ object GraftSqlParser {
       s"""($targetOrName)\\s*;?\\s*$$""").r
   private val showPartsRe =
     s"""(?is)^\\s*SHOW\\s+PARTITIONS\\s+($targetOrName)\\s*;?\\s*$$""".r
+  private val showPropsRe =
+    s"""(?is)^\\s*SHOW\\s+TBLPROPERTIES\\s+($targetOrName)\\s*;?\\s*$$""".r
+  private val createLikeRe =
+    (s"""(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?""" +
+      s"""([A-Za-z_][\\w.]*)\\s+LIKE\\s+($targetOrName)""" +
+      """(?:\s+USING\s+graft)?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
+  private val cloneRe =
+    (s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+""" +
+      s"""(?:IF\\s+NOT\\s+EXISTS\\s+)?($targetOrName)\\s+SHALLOW\\s+CLONE\\s+""" +
+      s"""($targetOrName)(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*$$""").r
   private val addConstraintRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($targetOrName)\\s+ADD\\s+CONSTRAINT\\s+""" +
       """(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r

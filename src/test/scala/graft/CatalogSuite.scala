@@ -161,6 +161,33 @@ class CatalogSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).count() === 5)
   }
 
+  test("SHOW TBLPROPERTIES, CREATE TABLE LIKE, and SHALLOW CLONE SQL") {
+    val dir = tmpDir()
+    val src = fresh("cat_src")
+    spark.range(8).toDF("id").createOrReplaceTempView("cat_like_src")
+    spark.sql(s"CREATE TABLE $src USING graft LOCATION '$dir/src' " +
+      "TBLPROPERTIES ('graft.enableChangeDataFeed'='true') AS SELECT * FROM cat_like_src")
+    val props = spark.sql(s"SHOW TBLPROPERTIES $src").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("graft.enableChangeDataFeed").contains("true"))
+    // LIKE: same definition, no data
+    val like = fresh("cat_like")
+    spark.sql(s"CREATE TABLE $like LIKE $src USING graft LOCATION '$dir/like'")
+    assert(spark.table(like).count() === 0)
+    assert(spark.table(like).columns.toSeq === Seq("id"))
+    assert(GraftTable.forPath(spark, s"$dir/like").snapshot.metadata
+      .configuration.get("graft.enableChangeDataFeed").contains("true"))
+    // SHALLOW CLONE: same definition + the source's files by reference
+    val cl = fresh("cat_clone")
+    spark.sql(s"CREATE TABLE $cl SHALLOW CLONE $src LOCATION '$dir/clone'")
+    assert(spark.table(cl).count() === 8)
+    // clone is independent: deleting from it leaves the source alone
+    spark.sql(s"DELETE FROM $cl WHERE id < 4")
+    assert(spark.table(cl).count() === 4)
+    assert(spark.table(src).count() === 8)
+    Seq(src, like, cl).foreach(t => spark.sql(s"DROP TABLE $t"))
+  }
+
   test("REPLACE TABLE without AS SELECT empties and redefines") {
     val dir = tmpDir()
     val t = fresh("cat_rep")
