@@ -770,6 +770,14 @@ object SparkEntry {
       Multimodal.sampleFrames(media, everyMs = 10000)
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
         .orderBy("media_id")
+    }),
+
+    "multimodal_resize" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 200)
+      Multimodal.resize(media, maxW = 256, maxH = 256)
+        .select(col("media_id"), col("kind"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .orderBy("media_id")
     }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

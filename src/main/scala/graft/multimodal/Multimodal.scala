@@ -55,6 +55,36 @@ object Multimodal {
   }
 
   /**
+   * Resize images/frames to fit (maxW, maxH) preserving aspect ratio:
+   * the metadata math (scale factor, rounded target dims) is real; the
+   * payload re-encode is the STUB codec (hash-derived bytes, swap for a
+   * real scaler in production). Non-image rows pass through untouched.
+   */
+  def resize(df: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    val isImage = col("kind") === "image" &&
+      col("meta.width").isNotNull && col("meta.height").isNotNull
+    val scale = least(
+      lit(maxW).cast("double") / col("meta.width"),
+      lit(maxH).cast("double") / col("meta.height"),
+      lit(1.0))
+    df.withColumn("meta",
+        when(isImage, struct(
+          greatest(round(col("meta.width") * scale), lit(1)).cast("int").as("width"),
+          greatest(round(col("meta.height") * scale), lit(1)).cast("int").as("height"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.codec").as("codec")))
+          .otherwise(col("meta")))
+      // STUB re-encode: deterministic bytes derived from source + target
+      .withColumn("payload",
+        when(isImage && scale < 1.0,
+          sha2(concat(col("payload"),
+            col("meta.width").cast("string").cast("binary"),
+            col("meta.height").cast("string").cast("binary")), 256)
+            .cast("binary"))
+          .otherwise(col("payload")))
+  }
+
+  /**
    * Per-partition decode harness: the task-level iterator lets a real
    * decoder initialize once per partition (the mapInPandas batch shape in
    * the PySpark world). The decode function itself stays swappable.

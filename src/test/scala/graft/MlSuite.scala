@@ -146,3 +146,42 @@ class MlSuite extends AnyFunSuite {
 object MergeSourceEvals {
   val count = new java.util.concurrent.atomic.AtomicInteger(0)
 }
+
+class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import org.apache.spark.sql.functions._
+  import graft.multimodal.Multimodal
+
+  test("resize fits images inside the box, preserves aspect, skips non-images") {
+    val media = Multimodal.syntheticMedia(spark, 100)
+    val out = Multimodal.resize(media, maxW = 128, maxH = 128)
+    val images = out.where(col("kind") === "image")
+      .select(col("meta.width"), col("meta.height")).collect()
+    assert(images.nonEmpty)
+    images.foreach { r =>
+      assert(r.getInt(0) <= 128 && r.getInt(1) <= 128)
+      assert(r.getInt(0) >= 1 && r.getInt(1) >= 1)
+    }
+    // aspect preserved within rounding
+    val before = media.where(col("kind") === "image")
+      .select(col("media_id"), col("meta.width"), col("meta.height")).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    out.where(col("kind") === "image")
+      .select(col("media_id"), col("meta.width"), col("meta.height")).collect()
+      .foreach { r =>
+        val (w0, h0) = before(r.getLong(0))
+        if (w0 > 128 || h0 > 128) {
+          val ratio0 = w0.toDouble / h0
+          val ratio1 = r.getInt(1).toDouble / r.getInt(2)
+          assert(math.abs(ratio0 - ratio1) / ratio0 < 0.2,
+            s"aspect drifted: ${(w0, h0)} -> ${(r.getInt(1), r.getInt(2))}")
+        }
+      }
+    // non-image rows untouched
+    val audioBefore = media.where(col("kind") === "audio")
+      .select(sum(col("meta.width"))).head.getLong(0)
+    val audioAfter = out.where(col("kind") === "audio")
+      .select(sum(col("meta.width"))).head.getLong(0)
+    assert(audioBefore === audioAfter)
+  }
+}
