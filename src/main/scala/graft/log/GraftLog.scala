@@ -104,6 +104,12 @@ class GraftLog private (
     eligible.map(_._1).max
   }
 
+  /** Committed files are immutable, so their CommitInfo timestamp is
+    * cached after the first read — repeated time-travel / CDF / history
+    * calls cost one listing, not O(versions) commit-file reads. */
+  @transient private lazy val commitTsCache =
+    new ConcurrentHashMap[Long, java.lang.Long]()
+
   /** (version, timestampMillis) per commit, ascending — from each
     * commit's OWN CommitInfo timestamp (file mtimes change under copy /
     * backup-restore), adjusted to be monotonically non-decreasing, with
@@ -115,25 +121,29 @@ class GraftLog private (
     }.sortBy(_._1)
     var last = 0L
     raw.map { case (v, status) =>
-      val ts = Actions.deserialize(store.read(status.getPath))
-        .collectFirst { case ci: CommitInfo if ci.timestamp > 0 => ci.timestamp }
-        .getOrElse(status.getModificationTime)
+      val ts: Long = commitTsCache.computeIfAbsent(v, { _ =>
+        val t: Long = Actions.deserialize(store.read(status.getPath))
+          .collectFirst { case ci: CommitInfo if ci.timestamp > 0 => ci.timestamp }
+          .getOrElse(status.getModificationTime)
+        java.lang.Long.valueOf(t)
+      }).longValue()
       last = math.max(last, ts)
       (v, last)
     }
   }
 
-  /** CommitInfo per version (DESCRIBE HISTORY), newest first. */
+  /** CommitInfo per version (DESCRIBE HISTORY), newest first. Only the
+    * `limit` newest commit files are read. */
   def history(limit: Int = Int.MaxValue): Seq[CommitInfo] = {
     store.list(logPath).flatMap { s =>
-      FileNames.deltaVersion(s.getPath.getName).map { v =>
-        val info = Actions.deserialize(store.read(s.getPath))
-          .collectFirst { case ci: CommitInfo => ci }
-          .getOrElse(CommitInfo(timestamp = s.getModificationTime))
-        info.copy(version = Some(v),
-          timestamp = if (info.timestamp == 0) s.getModificationTime else info.timestamp)
-      }
-    }.sortBy(-_.version.get).take(limit)
+      FileNames.deltaVersion(s.getPath.getName).map(v => (v, s))
+    }.sortBy(-_._1).take(limit).map { case (v, s) =>
+      val info = Actions.deserialize(store.read(s.getPath))
+        .collectFirst { case ci: CommitInfo => ci }
+        .getOrElse(CommitInfo(timestamp = s.getModificationTime))
+      info.copy(version = Some(v),
+        timestamp = if (info.timestamp == 0) s.getModificationTime else info.timestamp)
+    }
   }
 
   /** Actions of a single committed version (conflict check, CDF). */
