@@ -67,6 +67,34 @@ class GraftCatalog extends DelegatingCatalogExtension with StagingTableCatalog {
       refs.head.fieldNames().head
     }
 
+  /** Accept GENERATED ALWAYS AS (...) and IDENTITY column DDL — the specs
+    * land in StructField metadata and the write path computes/verifies. */
+  override def capabilities(): util.Set[TableCatalogCapability] = {
+    val caps = new util.HashSet[TableCatalogCapability](super.capabilities())
+    caps.add(TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
+    caps.add(TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+    caps
+  }
+
+  /** v2 columns -> StructType, carrying generation/identity specs into
+    * the metadata keys the graft write path understands. */
+  private[catalog] def columnsToSchema(columns: Array[Column]): StructType = {
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField}
+    StructType(columns.map { c =>
+      require(c.defaultValue() == null,
+        s"DEFAULT values are not supported for graft column ${c.name}")
+      val mb = new MetadataBuilder()
+      Option(c.comment()).foreach(mb.putString("comment", _))
+      Option(c.generationExpression()).foreach(
+        mb.putString(graft.schema.ColumnDefaults.GEN_KEY, _))
+      Option(c.identityColumnSpec()).foreach { id =>
+        mb.putLong(graft.schema.ColumnDefaults.ID_START, id.getStart)
+        mb.putLong(graft.schema.ColumnDefaults.ID_STEP, id.getStep)
+      }
+      StructField(c.name, c.dataType, c.nullable, mb.build())
+    })
+  }
+
   /** Location of an existing graft table registered under `ident`, if any. */
   private def graftLocation(ident: Identifier): Option[String] =
     try {
@@ -83,7 +111,7 @@ class GraftCatalog extends DelegatingCatalogExtension with StagingTableCatalog {
     if (!isGraftProvider(properties)) {
       return super.createTable(ident, columns, partitions, properties)
     }
-    val schema = org.apache.spark.sql.graftshim.SparkShims.v2ColumnsToStructType(columns)
+    val schema = columnsToSchema(columns)
     val loc = tableLocation(ident, properties)
     val log = GraftLog.forTable(spark, loc)
     val (finalSchema, finalParts) =
@@ -294,7 +322,7 @@ private[catalog] class StagedGraftTable(
       case o => throw new IllegalArgumentException(o.mkString("."))
     }).toString)
   }
-  private val declaredSchema = org.apache.spark.sql.graftshim.SparkShims.v2ColumnsToStructType(columns)
+  private val declaredSchema = catalog.columnsToSchema(columns)
   private val partCols: Seq[String] = partitions.toSeq.map { t =>
     val refs = t.references()
     require(t.name() == "identity" && refs.length == 1 && refs.head.fieldNames().length == 1,

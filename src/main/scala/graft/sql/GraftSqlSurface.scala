@@ -51,11 +51,10 @@ object GraftDml {
       // Without this rewrite, Spark's InsertIntoHadoopFsRelationCommand
       // writes parquet straight into the directory BEHIND the log —
       // silently invisible rows. Route through the transactional write.
-      require(userCols.isEmpty,
-        "INSERT with an explicit column list is not supported for graft tables")
       GraftInsertRun(path, rewrite(session, query, substituteRelations = true),
         overwrite, byName,
-        staticPartitions = partitionSpec.collect { case (k, Some(v)) => k -> v })
+        staticPartitions = partitionSpec.collect { case (k, Some(v)) => k -> v },
+        userCols = userCols)
     case DeleteFromTable(GraftTarget(path, _), cond) =>
       GraftDeleteRun(path, nonTrivial(cond).map(toColumn))
     case UpdateTable(GraftTarget(path, _), assignments, cond) =>
@@ -255,7 +254,8 @@ case class GraftDeleteRun(path: String, cond: Option[Column])
 
 case class GraftInsertRun(
     path: String, query: LogicalPlan, overwrite: Boolean, byName: Boolean,
-    staticPartitions: Map[String, String] = Map.empty)
+    staticPartitions: Map[String, String] = Map.empty,
+    userCols: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
@@ -267,25 +267,37 @@ case class GraftInsertRun(
       require(m.partitionColumns.exists(_.equalsIgnoreCase(k)),
         s"PARTITION column $k is not a partition column of $path")
     }
+    userCols.foreach { c =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"INSERT column $c is not in the table schema")
+    }
     val aligned =
       if (byName) df
       else {
-        // SQL INSERT is positional: the query supplies every column except
-        // the statically-pinned partition values, in table order.
-        val remaining = schema.fields.filterNot(f =>
-          staticPartitions.keys.exists(_.equalsIgnoreCase(f.name)))
-        require(df.columns.length == remaining.length,
+        // SQL INSERT is positional: the query supplies the explicit
+        // column list if given, otherwise every column except the
+        // statically-pinned partition values, in table order. Columns
+        // left out must be fillable (generated/identity/nullable).
+        val targetNames: Seq[String] =
+          if (userCols.nonEmpty) userCols
+          else schema.fields.filterNot(f =>
+            staticPartitions.keys.exists(_.equalsIgnoreCase(f.name)))
+            .map(_.name).toSeq
+        require(df.columns.length == targetNames.length,
           s"INSERT column count ${df.columns.length} does not match " +
-            s"expected ${remaining.length}")
-        df.toDF(remaining.map(_.name).toIndexedSeq: _*)
+            s"expected ${targetNames.length}")
+        df.toDF(targetNames: _*)
       }
     val withStatic = staticPartitions.foldLeft(aligned) { case (d, (k, v)) =>
       val f = schema.fields.find(_.name.equalsIgnoreCase(k)).get
       d.withColumn(f.name, lit(v).cast(f.dataType))
     }
-    // ANSI store assignment: cast query output to the table's types
-    // (e.g. an int VALUES literal into a bigint column).
-    val casted = withStatic.select(schema.fields.map(f =>
+    // ANSI store assignment: cast the supplied columns to the table's
+    // types; omitted columns are filled downstream (generated/identity
+    // defaults, then null-fill by schema normalization).
+    val present = schema.fields.filter(f =>
+      withStatic.columns.exists(_.equalsIgnoreCase(f.name)))
+    val casted = withStatic.select(present.map(f =>
       col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     // INSERT OVERWRITE ... PARTITION (p='v') replaces only that partition.
     // The literal is CAST to the column type — the predicate is evaluated

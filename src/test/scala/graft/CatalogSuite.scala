@@ -188,6 +188,27 @@ class CatalogSuite extends AnyFunSuite {
     Seq(src, like, cl).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("CREATE TABLE with IDENTITY and GENERATED columns via SQL") {
+    val dir = tmpDir()
+    val t = fresh("cat_idgen")
+    spark.sql(s"""CREATE TABLE $t (
+      id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2),
+      x INT,
+      dbl INT GENERATED ALWAYS AS (x * 2)
+    ) USING graft LOCATION '$dir/t'""")
+    spark.sql(s"INSERT INTO $t (x) SELECT 5")
+    // identity assigned from the declared start/step; generated computed
+    spark.sql(s"INSERT INTO $t (x) SELECT 7")
+    val rows = spark.table(t).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(rows.map(_._2).toSet === Set(5, 7))
+    assert(rows.forall { case (_, x, d) => d === x * 2 })
+    val ids = rows.map(_._1)
+    assert(ids.distinct.length === 2 && ids.forall(i => i >= 10 && (i - 10) % 2 === 0),
+      s"ids=$ids")
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("REPLACE TABLE without AS SELECT empties and redefines") {
     val dir = tmpDir()
     val t = fresh("cat_rep")
