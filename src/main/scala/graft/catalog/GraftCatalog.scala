@@ -59,13 +59,25 @@ class GraftCatalog extends DelegatingCatalogExtension with StagingTableCatalog {
       !reservedKeys.contains(k) && !k.startsWith(TableCatalog.OPTION_PREFIX)
     }
 
-  private def partitionNames(partitions: Array[Transform]): Seq[String] =
-    partitions.toSeq.map { t =>
+  /** Split transforms into identity partition columns and CLUSTER BY
+    * columns (the latter map to `graft.clusterBy`, which makes OPTIMIZE
+    * run incremental Hilbert clustering). */
+  private[catalog] def splitTransforms(
+      partitions: Array[Transform]): (Seq[String], Seq[String]) = {
+    val (clusters, parts) = partitions.toSeq.partition(_.name() == "cluster_by")
+    val clusterCols = clusters.flatMap(_.references().toSeq.map { r =>
+      require(r.fieldNames().length == 1,
+        s"graft tables support only top-level CLUSTER BY columns, got $r")
+      r.fieldNames().head
+    })
+    val partCols = parts.map { t =>
       val refs = t.references()
       require(t.name() == "identity" && refs.length == 1 && refs.head.fieldNames().length == 1,
         s"graft tables support only top-level identity partitioning, got $t")
       refs.head.fieldNames().head
     }
+    (partCols, clusterCols)
+  }
 
   /** Accept GENERATED ALWAYS AS (...) and IDENTITY column DDL — the specs
     * land in StructField metadata and the write path computes/verifies. */
@@ -73,8 +85,50 @@ class GraftCatalog extends DelegatingCatalogExtension with StagingTableCatalog {
     val caps = new util.HashSet[TableCatalogCapability](super.capabilities())
     caps.add(TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS)
     caps.add(TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+    caps.add(TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
     caps
   }
+
+  /** CREATE TABLE ... (cols, CONSTRAINT n CHECK (...)) — fold the check
+    * constraints into the table properties the write path enforces. */
+  private def withConstraintProps(
+      properties: util.Map[String, String],
+      constraints: Array[org.apache.spark.sql.connector.catalog.constraints.Constraint])
+      : util.Map[String, String] = {
+    if (constraints.isEmpty) return properties
+    val out = new util.HashMap[String, String](properties)
+    constraints.foreach {
+      case c: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        out.put(graft.constraints.Constraints.PROP_PREFIX + c.name(), c.predicateSql())
+      case other => throw new UnsupportedOperationException(
+        s"Unsupported constraint for graft tables: $other")
+    }
+    out
+  }
+
+  override def createTable(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): Table =
+    createTable(ident, info.columns(), info.partitions(),
+      withConstraintProps(info.properties(), info.constraints()))
+
+  override def stageCreate(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable =
+    stageCreate(ident, info.columns(), info.partitions(),
+      withConstraintProps(info.properties(), info.constraints()))
+
+  override def stageReplace(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable =
+    stageReplace(ident, info.columns(), info.partitions(),
+      withConstraintProps(info.properties(), info.constraints()))
+
+  override def stageCreateOrReplace(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo): StagedTable =
+    stageCreateOrReplace(ident, info.columns(), info.partitions(),
+      withConstraintProps(info.properties(), info.constraints()))
 
   /** v2 columns -> StructType, carrying generation/identity specs into
     * the metadata keys the graft write path understands. */
@@ -126,9 +180,12 @@ class GraftCatalog extends DelegatingCatalogExtension with StagingTableCatalog {
       } else {
         require(schema.nonEmpty,
           s"CREATE TABLE needs a schema: $loc holds no graft table to adopt")
-        graft.Graft.create(spark, loc, schema, partitionNames(partitions),
-          logConfig(properties))
-        (schema, partitionNames(partitions))
+        val (partCols, clusterCols) = splitTransforms(partitions)
+        val cfg = logConfig(properties) ++
+          (if (clusterCols.nonEmpty)
+            Map("graft.clusterBy" -> clusterCols.mkString(",")) else Map.empty)
+        graft.Graft.create(spark, loc, schema, partCols, cfg)
+        (schema, partCols)
       }
     registerInMetastore(ident, properties, loc)
     super.loadTable(ident)
@@ -323,12 +380,8 @@ private[catalog] class StagedGraftTable(
     }).toString)
   }
   private val declaredSchema = catalog.columnsToSchema(columns)
-  private val partCols: Seq[String] = partitions.toSeq.map { t =>
-    val refs = t.references()
-    require(t.name() == "identity" && refs.length == 1 && refs.head.fieldNames().length == 1,
-      s"graft tables support only top-level identity partitioning, got $t")
-    refs.head.fieldNames().head
-  }
+  private val (partCols: Seq[String], clusterCols: Seq[String]) =
+    catalog.splitTransforms(partitions)
   private val config: Map[String, String] = {
     import scala.jdk.CollectionConverters._
     tableProps.asScala.toMap.filter { case (k, _) =>
@@ -336,7 +389,8 @@ private[catalog] class StagedGraftTable(
         TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT,
         TableCatalog.PROP_EXTERNAL, "path", "is_managed_location").contains(k) &&
         !k.startsWith(TableCatalog.OPTION_PREFIX)
-    }
+    } ++ (if (clusterCols.nonEmpty)
+      Map("graft.clusterBy" -> clusterCols.mkString(",")) else Map.empty)
   }
   private var wroteData = false
 

@@ -209,6 +209,37 @@ class CatalogSuite extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("CREATE TABLE CLUSTER BY drives incremental clustering") {
+    val dir = tmpDir()
+    val t = fresh("cat_cluster")
+    spark.sql(s"CREATE TABLE $t (a BIGINT, b BIGINT) USING graft " +
+      s"CLUSTER BY (a, b) LOCATION '$dir/t'")
+    val cfg = GraftTable.forPath(spark, s"$dir/t").snapshot.metadata.configuration
+    assert(cfg.get("graft.clusterBy").contains("a,b"), s"cfg=$cfg")
+    spark.range(100).selectExpr("id AS a", "id * 3 AS b")
+      .write.format("graft").mode("append").save(s"$dir/t")
+    spark.sql(s"OPTIMIZE $t")
+    // the clustered rewrite tags its output files
+    val tags = GraftTable.forPath(spark, s"$dir/t").snapshot.allFiles
+      .flatMap(f => Option(f.tags)).flatMap(_.get("clustered"))
+    assert(tags.nonEmpty && tags.forall(_ == "true"))
+    spark.sql(s"DROP TABLE $t")
+  }
+
+  test("CREATE TABLE with a CHECK constraint enforces on writes") {
+    val dir = tmpDir()
+    val t = fresh("cat_check")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, CONSTRAINT pos CHECK (id >= 0)) " +
+      s"USING graft LOCATION '$dir/t'")
+    spark.sql(s"INSERT INTO $t VALUES (3)")
+    val err = intercept[Exception] {
+      spark.sql(s"INSERT INTO $t VALUES (-1)")
+    }
+    assert(err.getMessage != null)
+    assert(spark.table(t).count() === 1)
+    spark.sql(s"DROP TABLE $t")
+  }
+
   test("REPLACE TABLE without AS SELECT empties and redefines") {
     val dir = tmpDir()
     val t = fresh("cat_rep")
