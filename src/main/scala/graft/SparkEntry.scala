@@ -372,6 +372,26 @@ object SparkEntry {
         s"GROUP BY 1 ORDER BY 1")
     }),
 
+    "graft_merge_evolution" -> ((s, dir) => {
+      val path = tmp("mergevo")
+      Graft.write(t(s, dir, "nation"), path)
+      val n = t(s, dir, "nation")
+      val src = n.select(
+        when(col("n_nationkey") < 12, col("n_nationkey"))
+          .otherwise(col("n_nationkey") + 100).as("n_nationkey"),
+        col("n_name"), col("n_regionkey"),
+        (col("n_nationkey") * 2).as("n_extra"))
+      GraftTable.forPath(s, path)
+        .merge(src, expr("t.n_nationkey = s.n_nationkey"))
+        .withSchemaEvolution()
+        .whenMatched().updateAll()
+        .whenNotMatched().insertAll()
+        .execute()
+      Graft.read(s, path)
+        .select("n_nationkey", "n_regionkey", "n_extra")
+        .orderBy("n_nationkey")
+    }),
+
     "graft_type_widening" -> ((s, dir) => {
       val path = tmp("widen")
       Graft.write(t(s, dir, "nation"), path)
@@ -965,6 +985,18 @@ object SparkEntry {
            SELECT 'update_postimage', count(*) FROM supplier
            WHERE s_suppkey <= 20 AND s_suppkey % 7 <> 0
          ) ORDER BY 1""",
+
+    "graft_merge_evolution" ->
+      """SELECT n_nationkey, n_regionkey, n_extra FROM (
+           SELECT n_nationkey, n_regionkey, CAST(n_nationkey * 2 AS INT) AS n_extra
+           FROM nation WHERE n_nationkey < 12
+           UNION ALL
+           SELECT n_nationkey, n_regionkey, CAST(NULL AS INT)
+           FROM nation WHERE n_nationkey >= 12
+           UNION ALL
+           SELECT n_nationkey + 100, n_regionkey, CAST(n_nationkey * 2 AS INT)
+           FROM nation WHERE n_nationkey >= 12
+         ) ORDER BY n_nationkey""",
 
     "graft_type_widening" ->
       """SELECT count(*) AS n, CAST(sum(r) AS BIGINT) AS sr,

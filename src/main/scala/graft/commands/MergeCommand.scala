@@ -30,6 +30,11 @@ class MergeBuilder(
     sourceAlias: String = "s") {
 
   private val clauses = scala.collection.mutable.ArrayBuffer.empty[MergeClause]
+  private var schemaEvolution = false
+
+  /** Allow updateAll/insertAll to ADD source columns the target lacks
+    * (merged into the table schema as part of the MERGE commit). */
+  def withSchemaEvolution(): MergeBuilder = { schemaEvolution = true; this }
 
   def whenMatched(cond: Column = null): MatchedActions =
     new MatchedActions(this, Option(cond))
@@ -41,7 +46,8 @@ class MergeBuilder(
   private[commands] def add(c: MergeClause): MergeBuilder = { clauses += c; this }
 
   def execute(): Map[String, String] =
-    MergeCommand.run(table, source, condition, clauses.toSeq, targetAlias, sourceAlias)
+    MergeCommand.run(table, source, condition, clauses.toSeq, targetAlias,
+      sourceAlias, schemaEvolution)
 
   class MatchedActions(b: MergeBuilder, cond: Option[Column]) {
     def updateAll(): MergeBuilder = b.add(MatchedUpdate(cond, null))
@@ -94,7 +100,8 @@ object MergeCommand {
       condition: Column,
       clauses: Seq[MergeClause],
       targetAlias: String,
-      sourceAlias: String): Map[String, String] = {
+      sourceAlias: String,
+      schemaEvolution: Boolean = false): Map[String, String] = {
     // A non-deterministic source (rand(), non-deterministic UDFs, ...)
     // re-executed between phase 1 (findTouchedFiles) and phase 2
     // (writeAllChanges) would produce divergent match sets — silently
@@ -110,7 +117,7 @@ object MergeCommand {
         Some(m)
       } else None
     try runInternal(table, materialized.getOrElse(source), condition, clauses,
-      targetAlias, sourceAlias)
+      targetAlias, sourceAlias, schemaEvolution)
     finally materialized.foreach(_.unpersist())
   }
 
@@ -120,14 +127,34 @@ object MergeCommand {
       condition: Column,
       clauses: Seq[MergeClause],
       targetAlias: String,
-      sourceAlias: String): Map[String, String] = {
+      sourceAlias: String,
+      schemaEvolution: Boolean): Map[String, String] = {
     val spark = table.spark
     val log = table.log
     require(clauses.nonEmpty, "MERGE requires at least one WHEN clause")
     log.withNewTransaction { txn =>
-      val m = txn.snapshot.metadata
+      val m0 = txn.snapshot.metadata
+      // Schema evolution: updateAll/insertAll may ADD source columns the
+      // target lacks; the widened schema commits atomically with the
+      // merge, and pre-existing files null-fill on read.
+      val m =
+        if (schemaEvolution &&
+            !graft.schema.SchemaUtils.isWriteCompatible(m0.schema, source.schema)) {
+          val evolved = graft.schema.ColumnMapping.stampNewFields(m0.copy(
+            schemaString = graft.schema.SchemaUtils.toNullable(
+              graft.schema.SchemaUtils.mergeSchemas(m0.schema, source.schema)).json))
+          txn.updateMetadata(evolved)
+          evolved
+        } else m0
       val now = System.currentTimeMillis()
       val schema = m.schema
+      // Columns the evolution just added are absent from the target scan;
+      // pad them as nulls so clause projections resolve.
+      val newFields = schema.fields.filterNot(f =>
+        m0.schema.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      def pad(df: DataFrame): DataFrame =
+        newFields.foldLeft(df)((d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType)))
       val cdf = Cdc.isEnabled(m)
 
       val matchedClauses = clauses.collect {
@@ -147,7 +174,7 @@ object MergeCommand {
 
       // ---- Insert-only fast path: no target files are rewritten.
       if (matchedClauses.isEmpty && nmbsClauses.isEmpty) {
-        val target = Dml.scanFiles(spark, log, txn, candidates).alias(targetAlias)
+        val target = pad(Dml.scanFiles(spark, log, txn, candidates)).alias(targetAlias)
         val inserts = src.join(target, condition, "left_anti")
         val rows = applyInsertProjection(inserts, insertClauses, schema, spark)
         val adds = txn.writeFiles(rows)
@@ -162,7 +189,7 @@ object MergeCommand {
       }
 
       // ---- Phase 1: find touched files + multi-match guard.
-      val targetScan = Dml.scanFiles(spark, log, txn, candidates)
+      val targetScan = pad(Dml.scanFiles(spark, log, txn, candidates))
         .withColumn(FILE, input_file_name())
         .withColumn(RID, monotonically_increasing_id())
       val joinedInner = targetScan.alias(targetAlias).join(src, condition, "inner")
@@ -194,7 +221,7 @@ object MergeCommand {
       val useDv = graft.dv.DeletionVectors.isEnabled(m)
       val joinType =
         if (insertClauses.nonEmpty) "full_outer" else "left_outer"
-      val rewriteScan =
+      val rewriteScan = pad(
         if (useDv) {
           val raw = graft.files.GraftFileIndex.dataFrame(
               spark, log, txn.snapshot, Some(rewriteFiles), applyDv = false)
@@ -202,7 +229,7 @@ object MergeCommand {
               col("_metadata.file_path")))
             .withColumn("__i", col("_metadata.row_index"))
           graft.dv.DeletionVectors.antiJoin(spark, log, raw, rewriteFiles)
-        } else Dml.scanFiles(spark, log, txn, rewriteFiles)
+        } else Dml.scanFiles(spark, log, txn, rewriteFiles))
       val srcMarked = source.withColumn(SRC, lit(true)).alias(sourceAlias)
       val joined = rewriteScan.withColumn("__tgt_exists", lit(true))
         .alias(targetAlias)

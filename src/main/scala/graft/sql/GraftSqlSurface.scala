@@ -94,7 +94,7 @@ object GraftDml {
       // (it rides the command as a field, outside transformDown's reach).
       val source = rewrite(session, m.sourceTable, substituteRelations = true)
       GraftMergeRun(path, targetAlias.getOrElse("__graft_tgt"), source,
-        sourceAlias, toColumn(m.mergeCondition), clauses)
+        sourceAlias, toColumn(m.mergeCondition), clauses, m.withSchemaEvolution)
     case u: UnresolvedRelation if substituteRelations &&
         GraftTarget.unapply(u).isDefined =>
       graftRelation(session, GraftTarget.unapply(u).get._1)
@@ -334,13 +334,15 @@ case class GraftMergeRun(
     sourcePlan: LogicalPlan,
     sourceAlias: String,
     condition: Column,
-    clauses: Seq[MergeClause])
+    clauses: Seq[MergeClause],
+    schemaEvolution: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
     val table = GraftTable.forPath(spark, path)
     val source = SparkShims.ofRows(spark, sourcePlan)
-    MergeCommand.run(table, source, condition, clauses, targetAlias, sourceAlias)
+    MergeCommand.run(table, source, condition, clauses, targetAlias,
+      sourceAlias, schemaEvolution)
     GraftCatalogCache.invalidate(spark)
     Nil
   }

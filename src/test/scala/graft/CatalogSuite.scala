@@ -240,6 +240,39 @@ class CatalogSuite extends AnyFunSuite {
     spark.sql(s"DROP TABLE $t")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds source columns") {
+    val dir = tmpDir()
+    Graft.write(spark.range(5).selectExpr("id AS k", "id * 10 AS v"), dir)
+    // API path
+    val src = spark.range(3, 8).selectExpr("id AS k", "id * 100 AS v", "'x' AS extra")
+    GraftTable.forPath(spark, dir)
+      .merge(src, org.apache.spark.sql.functions.expr("t.k = s.k"))
+      .withSchemaEvolution()
+      .whenMatched().updateAll()
+      .whenNotMatched().insertAll()
+      .execute()
+    val out = Graft.read(spark, dir).orderBy("k")
+    assert(out.columns.toSeq === Seq("k", "v", "extra"))
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length === 8)
+    assert(rows.filter(_._1 < 3).forall(_._3 == null))       // untouched rows null-fill
+    assert(rows.filter(_._1 >= 3).forall(_._3 == "x"))       // updated + inserted
+    assert(rows.find(_._1 == 4).get._2 === 400L)
+    // SQL path: WITH SCHEMA EVOLUTION keyword
+    spark.range(8, 10).selectExpr("id AS k", "id AS v", "'y' AS extra", "id * 2 AS extra2")
+      .createOrReplaceTempView("merge_evo_src")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$dir` AS t
+         |USING merge_evo_src AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    val out2 = Graft.read(spark, dir)
+    assert(out2.columns.toSeq === Seq("k", "v", "extra", "extra2"))
+    assert(out2.count() === 10)
+    assert(out2.filter("k >= 8").selectExpr("sum(extra2)").head.getLong(0) === 34L)
+  }
+
   test("REPLACE TABLE without AS SELECT empties and redefines") {
     val dir = tmpDir()
     val t = fresh("cat_rep")
