@@ -147,6 +147,73 @@ object DeleteCommand {
  */
 object UpdateCommand {
 
+  import org.apache.spark.sql.types.{DataType, StructType}
+
+  /** Type of the (possibly nested) field at `path` inside `schema`. */
+  private def fieldTypeAt(schema: StructType, path: Seq[String]): DataType =
+    path match {
+      case Seq(last) =>
+        schema.fields.find(_.name.equalsIgnoreCase(last)).map(_.dataType)
+          .getOrElse(throw new IllegalArgumentException(s"No column $last"))
+      case head +: tail =>
+        schema.fields.find(_.name.equalsIgnoreCase(head)).map(_.dataType) match {
+          case Some(st: StructType) => fieldTypeAt(st, tail)
+          case _ => throw new IllegalArgumentException(s"$head is not a struct")
+        }
+    }
+
+  /** Normalize SET keys: strip a leading alias segment that is not a
+    * table column (UPDATE t SET t.x = ...), keep genuine nested paths
+    * (SET s.inner.x = ...). */
+  private def resolveKeys(
+      set: Map[String, Column], schema: StructType): Map[String, Column] =
+    set.map { case (k, v) =>
+      val parts = k.split('.').toSeq
+      val resolved =
+        if (parts.length == 1 ||
+            schema.fieldNames.exists(_.equalsIgnoreCase(parts.head))) parts
+        else if (parts.length > 1 &&
+            schema.fieldNames.exists(_.equalsIgnoreCase(parts(1)))) parts.tail
+        else Seq(parts.last)
+      resolved.mkString(".") -> v
+    }
+
+  /** One output column per top-level field, applying direct and nested
+    * (struct-rebuilding, via withField) SET assignments to rows where
+    * `matched` holds. */
+  private def updatedColumns(
+      schema: StructType,
+      set0: Map[String, Column],
+      matched: Column): Seq[Column] = {
+    val set = resolveKeys(set0, schema)
+    schema.fields.toSeq.map { f =>
+      val name = f.name
+      val direct = set.collectFirst {
+        case (k, v) if !k.contains(".") && k.equalsIgnoreCase(name) => v
+      }
+      val nested = set.toSeq.collect {
+        case (k, v) if k.contains(".") &&
+            k.split('.').head.equalsIgnoreCase(name) =>
+          k.split('.').toSeq.tail -> v
+      }
+      (direct, nested) match {
+        case (Some(e), _) =>
+          when(matched, e.cast(f.dataType)).otherwise(col(name)).as(name)
+        case (None, ns) if ns.nonEmpty =>
+          val st = f.dataType match {
+            case s: StructType => s
+            case other => throw new IllegalArgumentException(
+              s"Cannot SET a nested field of non-struct column $name (${other.simpleString})")
+          }
+          val upd = ns.foldLeft(col(name)) { case (acc, (path, v)) =>
+            acc.withField(path.mkString("."), v.cast(fieldTypeAt(st, path)))
+          }
+          when(matched, upd).otherwise(col(name)).as(name)
+        case _ => col(name)
+      }
+    }
+  }
+
   def run(
       spark: SparkSession,
       path: String,
@@ -181,11 +248,7 @@ object UpdateCommand {
         val visible = graft.dv.DeletionVectors.antiJoin(spark, log, raw, touched)
         val matched = visible.filter(coalesce(cond, lit(false)))
         val updatedRows = matched.drop("__f", "__i").select(
-          m.schema.fieldNames.toIndexedSeq.map { name =>
-            set.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v }
-              .map(_.cast(m.schema(name).dataType).as(name))
-              .getOrElse(col(name))
-          }: _*)
+          updatedColumns(m.schema, set, lit(true)).toIndexedSeq: _*)
         val newAdds = txn.writeFiles(updatedRows)
         val (removes, dvAdds, updatedCount) =
           graft.dv.DeletionVectors.writeDeletionVectors(spark, log, touched, matched)
@@ -207,13 +270,7 @@ object UpdateCommand {
       } else {
         val base = Dml.scanFiles(spark, log, txn, touched)
         val matched = coalesce(cond, lit(false))
-        val updatedCols = m.schema.fieldNames.map { name =>
-          set.collectFirst { case (k, v) if k.equalsIgnoreCase(name) => v } match {
-            case Some(newExpr) => when(matched, newExpr.cast(m.schema(name).dataType))
-              .otherwise(col(name)).as(name)
-            case None => col(name)
-          }
-        }
+        val updatedCols = updatedColumns(m.schema, set, matched)
         val rewritten = base.select(updatedCols.toIndexedSeq: _*)
         val newAdds = txn.writeFiles(rewritten)
         val cdcActions = if (cdf) {

@@ -59,7 +59,7 @@ object GraftDml {
       GraftDeleteRun(path, nonTrivial(cond).map(toColumn))
     case UpdateTable(GraftTarget(path, _), assignments, cond) =>
       GraftUpdateRun(path, cond.flatMap(nonTrivial).map(toColumn),
-        assignments.map(a => keyName(a.key) -> toColumn(a.value)).toMap)
+        assignments.map(a => keyPath(a.key) -> toColumn(a.value)).toMap)
     case m: MergeIntoTable if GraftTarget.unapply(m.targetTable).isDefined =>
       val Some((path, targetAlias)) = GraftTarget.unapply(m.targetTable)
       val sourceAlias = m.sourceTable match {
@@ -200,6 +200,14 @@ object GraftDml {
   }
 
   private def toColumn(e: Expression): Column = SparkShims.column(unresolve(e))
+
+  /** Full dotted path of an UPDATE assignment key (nested SET support;
+    * the command strips a leading alias segment against the schema). */
+  private def keyPath(key: Expression): String = key match {
+    case a: AttributeReference => a.name
+    case u: UnresolvedAttribute => u.nameParts.mkString(".")
+    case other => throw new IllegalArgumentException(s"Unsupported assignment key: $other")
+  }
 
   private def keyName(key: Expression): String = key match {
     case a: AttributeReference => a.name

@@ -38,6 +38,26 @@ class NestedMappingSuite extends org.scalatest.funsuite.AnyFunSuite {
     // add only supports top-level; nested re-add is via full struct write
   }
 
+  test("UPDATE on nested struct fields via API and SQL") {
+    val dir = tmpDir()
+    Graft.write(spark.range(6).select($"id",
+      struct(($"id" * 10).as("a"),
+        struct(lit("k").as("tag"), ($"id" * 100).as("deep")).as("inner")).as("s")), dir)
+    val tbl = GraftTable.forPath(spark, dir)
+    tbl.update($"id" >= 3, Map("s.a" -> lit(-1L)))
+    val a = Graft.read(spark, dir).orderBy("id").select($"s.a").as[Long].collect()
+    assert(a.toSeq === Seq(0L, 10L, 20L, -1L, -1L, -1L))
+    spark.sql(s"UPDATE graft.`$dir` SET s.inner.deep = 7 WHERE id = 1")
+    val deep = Graft.read(spark, dir).orderBy("id").select($"s.inner.deep").as[Long].collect()
+    assert(deep.toSeq === Seq(0L, 7L, 200L, 300L, 400L, 500L))
+    // untouched sibling fields survive the struct rebuild
+    assert(Graft.read(spark, dir).select($"s.inner.tag").distinct().as[String]
+      .collect().toSeq === Seq("k"))
+    // alias-qualified top-level SET still resolves to the plain column
+    spark.sql(s"UPDATE graft.`$dir` AS t SET t.id = 99 WHERE id = 5")
+    assert(Graft.read(spark, dir).filter($"id" === 99).count() === 1)
+  }
+
   test("nested rename via SQL dotted path") {
     val dir = tmpDir()
     Graft.write(spark.range(3).select($"id",
