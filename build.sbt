@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs the whole engine in one JVM: executor-side shuffle
+  // buffers + driver state share this heap, and the full bench runs 50+
+  // queries back-to-back in it — a small heap turns into GC thrash that
+  // shows up as multi-second noise on individual queries.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -19,6 +19,15 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
+    // Untimed warm-up: the first query otherwise absorbs one-time JVM
+    // costs (classloading, codegen compiler, parquet reader/writer init,
+    // committer paths) that are not part of any query's steady-state cost.
+    if (!sys.env.contains("SPARK_GRAFT_BENCH_NOWARMUP")) {
+      Seq("graft_append_read", "dedup_exact", "q_window_running").foreach { q =>
+        try SparkEntry.queries.get(q).foreach(_(spark, sfDir).count())
+        catch { case _: Throwable => }
+      }
+    }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
