@@ -45,9 +45,16 @@ class GraftFileIndex(
   override def listFiles(
       partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val pruned = GraftFileIndex.prunePartitions(files, partitionSchema, partitionFilters)
+    // Filters on the base column of a generated partition column imply
+    // partition predicates the user never wrote — derive them so pruning
+    // fires on e.g. `WHERE ts >= X` for a table partitioned by day(ts).
+    val inferred = graft.schema.PartitionInference
+      .inferPartitionFilters(spark, metadata, dataFilters)
+    val pruned = GraftFileIndex.prunePartitions(
+      files, partitionSchema, partitionFilters ++ inferred)
     val skipped = StatsSkipping.filterFiles(spark, pruned,
-      graft.schema.ColumnMapping.physicalDataSchema(metadata), dataFilters)
+      graft.schema.ColumnMapping.physicalDataSchema(metadata), dataFilters,
+      GraftFileIndex.numIndexedCols(metadata))
     skipped.groupBy(_.partitionValues).map { case (pv, fs) =>
       PartitionDirectory(
         GraftFileIndex.partitionRow(pv, partitionSchema),
@@ -73,6 +80,11 @@ class GraftFileIndex(
 }
 
 object GraftFileIndex {
+
+  /** How many leading schema fields carry skipping stats for this table. */
+  def numIndexedCols(m: Metadata): Int =
+    m.configuration.getOrElse("graft.dataSkippingNumIndexedCols",
+      graft.stats.FooterStats.MAX_INDEXED_COLS.toString).toInt
 
   /** Cast a partition-value string map into the typed InternalRow. */
   def partitionRow(pv: Map[String, String], partitionSchema: StructType): InternalRow = {

@@ -95,4 +95,49 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(lsh >= 0.35, s"LSH recall collapsed: $lsh")
     assert(ivf >= 0.35, s"IVF recall collapsed: $ivf")
   }
+
+  test("filters on a generated partition column's base prune partitions") {
+    import org.apache.spark.sql.types._
+    import graft.files.GraftFileIndex
+    val dir = tmpDir()
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("v", LongType),
+      graft.schema.ColumnDefaults.generatedField("d", DateType, "CAST(ts AS DATE)")))
+    Graft.create(spark, dir, schema, partitionBy = Seq("d"))
+    Graft.write(
+      spark.range(30).select(
+        (lit(java.sql.Timestamp.valueOf("2024-03-01 00:00:00")).cast("long") +
+          $"id" * 86400 / 10).cast("timestamp").as("ts"),
+        $"id".as("v")),
+      dir)
+    // Assert the inference itself (stats skipping would also prune these
+    // files, so an end-to-end file count can't isolate it): a filter on
+    // the BASE column must imply partition predicates that prune AddFiles
+    // by their partition value alone.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression, GreaterThanOrEqual, Literal => CLit}
+    val log = graft.log.GraftLog.forTable(spark, dir)
+    val snap = log.update()
+    val m = snap.metadata
+    def pruneWith(filters: Seq[Expression]) = {
+      val inferred = graft.schema.PartitionInference
+        .inferPartitionFilters(spark, m, filters)
+      assert(inferred.nonEmpty, s"nothing inferred from $filters")
+      GraftFileIndex.prunePartitions(snap.allFiles,
+        graft.schema.ColumnMapping.physicalPartitionSchema(m), inferred)
+    }
+    val tsAttr = AttributeReference("ts", TimestampType)()
+    def tsLit(s: String): Expression =
+      CLit.create(java.sql.Timestamp.valueOf(s), TimestampType)
+    assert(snap.allFiles.map(_.partitionValues("d")).distinct.size === 3)
+    val eq = pruneWith(Seq(org.apache.spark.sql.catalyst.expressions.EqualTo(
+      tsAttr, tsLit("2024-03-02 02:24:00"))))
+    assert(eq.map(_.partitionValues("d")).distinct === Seq("2024-03-02"))
+    val ge = pruneWith(Seq(GreaterThanOrEqual(tsAttr, tsLit("2024-03-03 00:00:00"))))
+    assert(ge.map(_.partitionValues("d")).distinct.sorted === Seq("2024-03-03"))
+    // and end-to-end the filtered read stays correct (no over-pruning)
+    val cnt = Graft.read(spark, dir)
+      .filter($"ts" >= lit(java.sql.Timestamp.valueOf("2024-03-03 00:00:00"))).count()
+    assert(cnt === 10)
+  }
 }
