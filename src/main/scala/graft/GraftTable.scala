@@ -324,6 +324,35 @@ class GraftTable private[graft] (
       txn.updateMetadata(m.copy(configuration = m.configuration -- keys))
       txn.commit(Nil, "UNSET TBLPROPERTIES", keys.map(_ -> "").toMap)
     }
+
+  /** ALTER TABLE … SYNC IDENTITY: recompute each identity column's high
+    * watermark from the actual data — needed after rows with explicitly
+    * provided identity values land (e.g. via MERGE or CONVERT), so future
+    * generated values cannot collide. (Reference concept:
+    * alterDeltaTableCommands.scala SYNC IDENTITY — re-designed: one
+    * metadata-only commit from a max() aggregate.) */
+  def syncIdentity(): Unit =
+    log.withNewTransaction { txn =>
+      val m = txn.snapshot.metadata
+      val idCols = m.schema.fields
+        .filter(graft.schema.ColumnDefaults.isIdentity).map(_.name).toSeq
+      if (idCols.nonEmpty) {
+        val maxes = toDF.select(idCols.map(c => max(col(c)).as(c)): _*).head()
+        val conf = scala.collection.mutable.Map(m.configuration.toSeq: _*)
+        idCols.zipWithIndex.foreach { case (c, i) =>
+          if (!maxes.isNullAt(i)) {
+            val key = s"graft.identity.$c.highWatermark"
+            val old = conf.get(key).map(_.toLong)
+            val hwm = maxes.getLong(i)
+            if (!old.exists(_ >= hwm)) conf(key) = hwm.toString
+          }
+        }
+        if (conf != m.configuration) {
+          txn.updateMetadata(m.copy(configuration = conf.toMap))
+          txn.commit(Nil, "SYNC IDENTITY", Map("columns" -> idCols.mkString(",")))
+        }
+      }
+    }
 }
 
 object GraftTable {
@@ -349,9 +378,11 @@ object Graft {
       dynamicPartitionOverwrite: Boolean = false,
       configuration: Map[String, String] = Map.empty,
       txnAppId: Option[String] = None,
-      txnVersion: Option[Long] = None): Long =
+      txnVersion: Option[Long] = None,
+      overwriteSchema: Boolean = false): Long =
     WriteIntoGraft(df.sparkSession, path, df, mode, partitionBy, replaceWhere,
-      mergeSchema, dynamicPartitionOverwrite, configuration, txnAppId, txnVersion)
+      mergeSchema, dynamicPartitionOverwrite, configuration, txnAppId, txnVersion,
+      overwriteSchema)
 
   def read(spark: SparkSession, path: String): DataFrame =
     GraftTable.forPath(spark, path).toDF

@@ -26,11 +26,13 @@ object WriteIntoGraft {
       dynamicPartitionOverwrite: Boolean = false,
       configuration: Map[String, String] = Map.empty,
       txnAppId: Option[String] = None,
-      txnVersion: Option[Long] = None): Long = {
+      txnVersion: Option[Long] = None,
+      overwriteSchema: Boolean = false): Long = {
     val log = GraftLog.forTable(spark, path)
     log.withNewTransaction { txn =>
       run(spark, path, data, txn, mode, partitionBy, replaceWhere, mergeSchema,
-        dynamicPartitionOverwrite, configuration, txnAppId, txnVersion)
+        dynamicPartitionOverwrite, configuration, txnAppId, txnVersion,
+        overwriteSchema)
     }
   }
 
@@ -48,7 +50,8 @@ object WriteIntoGraft {
       dynamicPartitionOverwrite: Boolean = false,
       configuration: Map[String, String] = Map.empty,
       txnAppId: Option[String] = None,
-      txnVersion: Option[Long] = None): Long = {
+      txnVersion: Option[Long] = None,
+      overwriteSchema: Boolean = false): Long = {
     {
       // Idempotent writes: skip a batch the table has already absorbed.
       for (app <- txnAppId; v <- txnVersion) {
@@ -63,12 +66,23 @@ object WriteIntoGraft {
             configuration = configuration,
             createdTime = Some(System.currentTimeMillis()))
         } else txn.snapshot.metadata
-      require(isNew || partitionBy.isEmpty ||
+      val replacingSchema = !isNew && mode == "overwrite" && overwriteSchema &&
+        replaceWhere.isEmpty && !dynamicPartitionOverwrite
+      require(isNew || replacingSchema || partitionBy.isEmpty ||
         partitionBy == m0.partitionColumns,
         s"Partitioning ${partitionBy} differs from table's ${m0.partitionColumns}")
 
       val m =
         if (isNew) m0
+        else if (replacingSchema) {
+          // overwriteSchema: the overwrite replaces schema AND (optionally)
+          // partitioning wholesale. Old columns' mapping ids are dropped
+          // with the old files; new fields get fresh physical names.
+          graft.schema.ColumnMapping.stampNewFields(m0.copy(
+            schemaString = SchemaUtils.toNullable(data.schema).json,
+            partitionColumns =
+              if (partitionBy.nonEmpty) partitionBy else m0.partitionColumns))
+        }
         else if (mode == "overwrite" && mergeSchema && replaceWhere.isEmpty &&
             !SchemaUtils.isWriteCompatible(m0.schema, data.schema) &&
             configuration.isEmpty) {

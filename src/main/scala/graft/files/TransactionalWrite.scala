@@ -36,7 +36,8 @@ object TransactionalWrite {
       partitionColumns: Seq[String],
       dataSchema: StructType,
       collectStats: Boolean = true,
-      optimizeWrite: Boolean = true): Seq[AddFile] = {
+      optimizeWrite: Boolean = true,
+      numIndexedCols: Int = FooterStats.MAX_INDEXED_COLS): Seq[AddFile] = {
     val classic = spark.asInstanceOf[ClassicSession]
     val resolver = spark.sessionState.analyzer.resolver
 
@@ -82,7 +83,8 @@ object TransactionalWrite {
     }
 
     val adds = committer.addedFiles
-    if (collectStats) FooterStats.withStats(spark, tablePath, adds, dataSchema)
+    if (collectStats)
+      FooterStats.withStats(spark, tablePath, adds, dataSchema, numIndexedCols)
     else adds
   }
 }

@@ -121,7 +121,8 @@ case class CommitInfo(
     @JsonDeserialize(contentAs = classOf[java.lang.Long])
     readVersion: Option[Long] = None,
     isolationLevel: Option[String] = None,
-    operationMetrics: Map[String, String] = Map.empty) extends Action {
+    operationMetrics: Map[String, String] = Map.empty,
+    userMetadata: Option[String] = None) extends Action {
   def wrap: SingleAction = SingleAction(commitInfo = this)
 }
 

@@ -127,7 +127,8 @@ class GraftDataSource
       dynamicPartitionOverwrite =
         parameters.get("partitionOverwriteMode").exists(_.equalsIgnoreCase("dynamic")),
       txnAppId = parameters.get("txnAppId"),
-      txnVersion = parameters.get("txnVersion").map(_.toLong))
+      txnVersion = parameters.get("txnVersion").map(_.toLong),
+      overwriteSchema = parameters.get("overwriteSchema").exists(_.toBoolean))
     createRelation(sqlContext, parameters)
   }
 

@@ -435,6 +435,14 @@ case class GraftShowPartitionsRun(path: String) extends LeafRunnableCommand {
     GraftTable.forPath(spark, path).showPartitions().collect().toSeq
 }
 
+case class GraftShowColumnsRun(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("col_name", StringType)())
+  override def run(spark: SparkSession): Seq[Row] =
+    graft.log.GraftLog.forTable(spark, path).update()
+      .metadata.schema.fieldNames.toSeq.map(Row(_))
+}
+
 case class GraftDetailRun(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("format", StringType)(),
@@ -579,6 +587,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       resolveGraft(t).map { case (path, ident) =>
         GraftAlterRun(path, ident, _.dropCheckConstraint(name))
       }
+    case syncIdentityRe(t) =>
+      resolveGraft(t).map { case (path, ident) =>
+        GraftAlterRun(path, ident, _.syncIdentity())
+      }
     // Path targets only: named tables route through the DSv2 catalog,
     // which mirrors properties into both the log and the metastore.
     case setPropsRe(t, kvs) if targetPath(t).contains("/") =>
@@ -670,6 +682,12 @@ object GraftSqlParser {
       s"""($targetOrName)\\s*;?\\s*$$""").r
   private val showPartsRe =
     s"""(?is)^\\s*SHOW\\s+PARTITIONS\\s+($targetOrName)\\s*;?\\s*$$""".r
+  private val showColumnsRe =
+    (s"""(?is)^\\s*SHOW\\s+COLUMNS\\s+(?:IN|FROM)\\s+($targetOrName)""" +
+      """\s*;?\s*$""").r
+  private val syncIdentityRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($targetOrName)\\s+SYNC\\s+IDENTITY""" +
+      """\s*;?\s*$""").r
   private val showPropsRe =
     s"""(?is)^\\s*SHOW\\s+TBLPROPERTIES\\s+($targetOrName)\\s*;?\\s*$$""".r
   private val createLikeRe =
@@ -704,6 +722,8 @@ object GraftSqlParser {
       resolve(t).map(GraftGenerateRun.apply)
     case showPartsRe(t) =>
       resolve(t).map(GraftShowPartitionsRun.apply)
+    case showColumnsRe(t) =>
+      resolve(t).map(GraftShowColumnsRun.apply)
     case detailRe(t) => resolve(t).map(GraftDetailRun.apply)
     case restoreRe(t, v) => resolve(t).map(p => GraftRestoreRun(p, v.toLong))
     case restoreTsRe(t, ts) => resolve(t).map(p => GraftRestoreTsRun(p, ts))

@@ -39,9 +39,10 @@ object FooterStats {
       spark: SparkSession,
       tablePath: Path,
       files: Seq[AddFile],
-      dataSchema: StructType): Seq[AddFile] = {
+      dataSchema: StructType,
+      numIndexedCols: Int = MAX_INDEXED_COLS): Seq[AddFile] = {
     if (files.isEmpty) return files
-    val statCols = dataSchema.fields.take(MAX_INDEXED_COLS)
+    val statCols = dataSchema.fields.take(numIndexedCols)
       .filter(f => supported(f.dataType)).map(f => f.name -> f.dataType).toVector
     val root = tablePath.toString
     val statsByPath: Map[String, String] =

@@ -22,9 +22,10 @@ import graft.log.AddFile
  */
 object StatsSkipping {
 
-  /** Schema of the per-file stats JSON, derived from the data schema. */
+  /** Schema of the per-file stats JSON, derived from the (already
+    * stats-truncated) data schema. */
   def statsSchema(dataSchema: StructType): StructType = {
-    val leaf = StructType(dataSchema.fields.take(FooterStats.MAX_INDEXED_COLS)
+    val leaf = StructType(dataSchema.fields
       .map(f => StructField(f.name, f.dataType, nullable = true)))
     val nullCnt = StructType(leaf.map(f => StructField(f.name, LongType, nullable = true)))
     StructType(Seq(
@@ -42,13 +43,18 @@ object StatsSkipping {
       spark: SparkSession,
       files: Seq[AddFile],
       dataSchema: StructType,
-      dataFilters: Seq[Expression]): Seq[AddFile] = {
+      dataFilters: Seq[Expression],
+      numIndexedCols: Int = FooterStats.MAX_INDEXED_COLS): Seq[AddFile] = {
     if (files.isEmpty || dataFilters.isEmpty) return files
-    val preds = dataFilters.flatMap(f => compile(f, dataSchema))
+    // Only the first numIndexedCols fields carry stats; truncating the
+    // schema here keeps compile() from emitting stats-space predicates
+    // for columns that were never collected.
+    val statsVisible = StructType(dataSchema.fields.take(numIndexedCols))
+    val preds = dataFilters.flatMap(f => compile(f, statsVisible))
     if (preds.isEmpty) return files
     import spark.implicits._
     val withStats = spark.createDataset(files)
-      .withColumn("_parsed", from_json(col("stats"), statsSchema(dataSchema)))
+      .withColumn("_parsed", from_json(col("stats"), statsSchema(statsVisible)))
     val keep = preds.map(p => coalesce(p, lit(true))).reduce(_ && _)
     withStats
       .where(col("_parsed").isNull || col("stats").isNull || keep)
@@ -78,8 +84,7 @@ object StatsSkipping {
         Some(u.nameParts.last)
       case _ => None
     }
-    name.flatMap(n => schema.fieldNames.take(FooterStats.MAX_INDEXED_COLS)
-      .find(_.equalsIgnoreCase(n)))
+    name.flatMap(n => schema.fieldNames.find(_.equalsIgnoreCase(n)))
   }
 
   /**

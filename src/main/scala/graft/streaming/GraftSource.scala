@@ -82,6 +82,13 @@ class GraftSource(
   private val ignoreChanges = options.get("ignoreChanges").exists(_.toBoolean)
   private val ignoreDeletes = options.get("ignoreDeletes").exists(_.toBoolean)
   private val skipChangeCommits = options.get("skipChangeCommits").exists(_.toBoolean)
+  /** Files whose path matches are invisible to the stream (reference
+    * concept: DeltaOptions.excludeRegex). Indexes are assigned AFTER the
+    * filter, so the option must stay fixed for a checkpoint's lifetime —
+    * same contract as the reference. */
+  private val excludeRegex = options.get("excludeRegex").map(_.r)
+  private def excluded(path: String): Boolean =
+    excludeRegex.exists(_.findFirstIn(path).isDefined)
 
   /** Initial-snapshot files (pinned at a version) in a stable order.
     * On restart the offset's reservoirVersion — not the current table
@@ -93,7 +100,8 @@ class GraftSource(
       val snap =
         if (version == snapshotAtInit.version) snapshotAtInit
         else log.getSnapshotAt(version)
-      snap.allFiles.sortBy(f => (f.modificationTime, f.path)).toVector
+      snap.allFiles.filterNot(f => excluded(f.path))
+        .sortBy(f => (f.modificationTime, f.path)).toVector
     })
 
   /**
@@ -209,7 +217,9 @@ class GraftSource(
           case r: RemoveFile => r.dataChange
           case _ => false
         }
-        val adds = actions.collect { case a: AddFile if a.dataChange => a }
+        val adds = actions.collect {
+          case a: AddFile if a.dataChange && !excluded(a.path) => a
+        }
         if (hasDataRemoves && skipChangeCommits) Iterator.empty
         else if (hasDataRemoves && !ignoreChanges &&
             !(ignoreDeletes && adds.isEmpty)) {

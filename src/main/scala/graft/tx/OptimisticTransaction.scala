@@ -73,7 +73,8 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
     val pruned = GraftFileIndex.prunePartitions(
       snapshot.allFiles, partSchema, pf)
     val skipped = StatsSkipping.filterFiles(
-      log.spark, pruned, graft.schema.ColumnMapping.physicalDataSchema(m), df)
+      log.spark, pruned, graft.schema.ColumnMapping.physicalDataSchema(m), df,
+      graft.files.GraftFileIndex.numIndexedCols(m))
     if (partitionFilters.isEmpty && dataFilters.isEmpty) readWholeTableFlag = true
     else readPartitionPredicates += pf
     readFilePaths ++= skipped.map(_.path)
@@ -89,7 +90,10 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
       graft.schema.ColumnMapping.physicalPartitionColumns(m),
       graft.schema.ColumnMapping.physicalDataSchema(m),
       optimizeWrite = m.configuration
-        .getOrElse("graft.optimizeWrite", "true").toBoolean)
+        .getOrElse("graft.optimizeWrite", "true").toBoolean,
+      numIndexedCols = m.configuration
+        .getOrElse("graft.dataSkippingNumIndexedCols",
+          graft.stats.FooterStats.MAX_INDEXED_COLS.toString).toInt)
     if (dataChange) adds else adds.map(_.copy(dataChange = false))
   }
 
@@ -100,6 +104,17 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
       operationParameters: Map[String, String] = Map.empty,
       operationMetrics: Map[String, String] = Map.empty): Long = {
     require(!committed, "Transaction already committed")
+    // graft.appendOnly tables admit no data-changing removes: DML and
+    // overwrites fail; OPTIMIZE/clustering (dataChange=false) still run.
+    if (metadata.configuration.getOrElse("graft.appendOnly", "false").toBoolean &&
+        actions.exists {
+          case r: RemoveFile => r.dataChange
+          case _ => false
+        }) {
+      throw new UnsupportedOperationException(
+        s"Table ${log.dataPath} is append-only (graft.appendOnly=true); " +
+          s"'$operation' would remove existing data")
+    }
     val isFirstCommit = snapshot.version < 0
     val prefix = mutable.ArrayBuffer.empty[Action]
     prefix += CommitInfo(
@@ -108,7 +123,8 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
       operationParameters = operationParameters,
       readVersion = if (isFirstCommit) None else Some(snapshot.version),
       isolationLevel = Some(isolationLevel),
-      operationMetrics = operationMetrics)
+      operationMetrics = operationMetrics,
+      userMetadata = log.spark.conf.getOption("graft.commitInfo.userMetadata"))
     if (isFirstCommit) {
       require(newMetadata.isDefined, "First commit must set table metadata")
       prefix += Protocol()

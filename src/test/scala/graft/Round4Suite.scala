@@ -1,0 +1,124 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.schema.ColumnDefaults
+
+/** Round-4 surface additions: appendOnly, overwriteSchema, userMetadata,
+  * excludeRegex, SYNC IDENTITY, SHOW COLUMNS, dataSkippingNumIndexedCols. */
+class Round4Suite extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def tmpDir(): String = Files.createTempDirectory("graft-r4").toString
+
+  test("appendOnly tables reject data-changing removes, allow OPTIMIZE") {
+    val dir = tmpDir()
+    Graft.write(spark.range(10).toDF("id"), dir,
+      configuration = Map("graft.appendOnly" -> "true"))
+    Graft.write(spark.range(10, 20).toDF("id"), dir)      // appends fine
+    val t = GraftTable.forPath(spark, dir)
+    val e = intercept[UnsupportedOperationException] { t.delete("id < 5") }
+    assert(e.getMessage.contains("append-only"))
+    intercept[UnsupportedOperationException] {
+      Graft.write(spark.range(3).toDF("id"), dir, mode = "overwrite")
+    }
+    // dataChange=false maintenance still allowed
+    t.optimize().executeCompaction()
+    assert(Graft.read(spark, dir).count() === 20)
+  }
+
+  test("overwriteSchema replaces schema and partitioning on overwrite") {
+    val dir = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dir)
+    // incompatible schema without the option fails
+    intercept[IllegalArgumentException] {
+      Graft.write(spark.range(5).select($"id".cast("string").as("name")), dir,
+        mode = "overwrite")
+    }
+    Graft.write(
+      spark.range(5).select($"id".cast("string").as("name"), ($"id" % 2).as("p")),
+      dir, mode = "overwrite", partitionBy = Seq("p"), overwriteSchema = true)
+    val back = Graft.read(spark, dir)
+    assert(back.columns.toSeq === Seq("name", "p"))
+    assert(back.count() === 5)
+    val log = graft.log.GraftLog.forTable(spark, dir)
+    assert(log.update().metadata.partitionColumns === Seq("p"))
+  }
+
+  test("userMetadata session conf lands in commit info / history") {
+    val dir = tmpDir()
+    spark.conf.set("graft.commitInfo.userMetadata", "ingest-job-42")
+    try Graft.write(spark.range(5).toDF("id"), dir)
+    finally spark.conf.unset("graft.commitInfo.userMetadata")
+    Graft.write(spark.range(5, 8).toDF("id"), dir)
+    val infos = graft.log.GraftLog.forTable(spark, dir).update()
+      .version
+    val commits = (0L to infos).flatMap(v =>
+      graft.log.GraftLog.forTable(spark, dir).readCommit(v).collect {
+        case c: graft.log.CommitInfo => c.userMetadata
+      })
+    assert(commits.flatten === Seq("ingest-job-42"))
+  }
+
+  test("streaming excludeRegex hides matching files from the source") {
+    val dir = tmpDir()
+    val ckpt = tmpDir()
+    Graft.write(spark.range(10).select($"id", lit("a").as("p")), dir,
+      partitionBy = Seq("p"))
+    Graft.write(spark.range(10, 14).select($"id", lit("b").as("p")), dir)
+    val q = spark.readStream.format("graft")
+      .option("excludeRegex", "p=b")
+      .load(dir)
+      .writeStream.format("memory").queryName("excl_rows")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.table("excl_rows").count() === 10)
+  }
+
+  test("SYNC IDENTITY recomputes the high watermark from data") {
+    val dir = tmpDir()
+    val schema = StructType(Seq(
+      ColumnDefaults.identityField("rid", start = 1, step = 1),
+      StructField("payload", StringType)))
+    Graft.create(spark, dir, schema)
+    Graft.write(spark.range(10).select(concat(lit("p"), $"id").as("payload")), dir)
+    val t = GraftTable.forPath(spark, dir)
+    // simulate a lost watermark (e.g. after CONVERT or manual ingest)
+    t.removeProperties(Seq("graft.identity.rid.highWatermark"))
+    spark.sql(s"ALTER TABLE graft.`$dir` SYNC IDENTITY")
+    Graft.write(spark.range(5).select(concat(lit("q"), $"id").as("payload")), dir)
+    val ids = Graft.read(spark, dir).select("rid").as[Long].collect()
+    assert(ids.distinct.length === 15, s"identity collision: ${ids.sorted.toSeq}")
+  }
+
+  test("SHOW COLUMNS lists the table's columns") {
+    val dir = tmpDir()
+    Graft.write(spark.range(3).select($"id", ($"id" * 2).as("v")), dir)
+    val cols = spark.sql(s"SHOW COLUMNS IN graft.`$dir`")
+      .collect().map(_.getString(0)).toSeq
+    assert(cols === Seq("id", "v"))
+  }
+
+  test("dataSkippingNumIndexedCols bounds stats collection and skipping") {
+    val dir = tmpDir()
+    Graft.write(
+      spark.range(100).select($"id", ($"id" * 3).as("v")), dir,
+      configuration = Map("graft.dataSkippingNumIndexedCols" -> "1"))
+    val log = graft.log.GraftLog.forTable(spark, dir)
+    val statsJsons = log.update().allFiles.flatMap(f => Option(f.stats))
+    assert(statsJsons.nonEmpty)
+    // stats cover `id` but not `v`
+    assert(statsJsons.forall(_.contains("\"id\"")))
+    assert(!statsJsons.exists(_.contains("\"v\"")))
+    // filters on the un-indexed column still answer correctly
+    assert(Graft.read(spark, dir).filter($"v" === 30).count() === 1)
+  }
+}
