@@ -82,17 +82,19 @@ object DeleteCommand {
               Map("numRemovedFiles" -> files.size.toString))
           } else if (graft.dv.DeletionVectors.isEnabled(m)) {
             // DV path: mark matching row indexes in a bitmap sidecar per
-            // touched file; NO data file is rewritten.
+            // touched file; NO data file is rewritten. No findTouchedFiles
+            // pre-scan: the bitmap writer derives the touched set from the
+            // matched rows themselves (files without matches produce no
+            // bitmap and stay untouched), so one candidate scan suffices.
             val candidates = txn.filterFiles(partF, dataF)
-            val touched = Dml.findTouchedFiles(spark, log, txn, candidates, cond)
-            if (touched.isEmpty) (Nil, Nil, Nil, Map("numRemovedFiles" -> "0"))
+            if (candidates.isEmpty) (Nil, Nil, Nil, Map("numRemovedFiles" -> "0"))
             else {
               val raw = GraftFileIndex.dataFrame(
-                  spark, log, txn.snapshot, Some(touched), applyDv = false)
+                  spark, log, txn.snapshot, Some(candidates), applyDv = false)
                 .withColumn("__f", graft.dv.DeletionVectors.normFileCol(
                   col("_metadata.file_path")))
                 .withColumn("__i", col("_metadata.row_index"))
-              val visible = graft.dv.DeletionVectors.antiJoin(spark, log, raw, touched)
+              val visible = graft.dv.DeletionVectors.antiJoin(spark, log, raw, candidates)
               val matched = visible.filter(coalesce(cond, lit(false)))
               val cdc = if (cdf) {
                 Cdc.writeChangeFiles(spark, log,
@@ -100,7 +102,7 @@ object DeleteCommand {
                     .withColumn(Cdc.CHANGE_TYPE, lit("delete")))
               } else Nil
               val (removes, adds, newlyDeleted) =
-                graft.dv.DeletionVectors.writeDeletionVectors(spark, log, touched, matched)
+                graft.dv.DeletionVectors.writeDeletionVectors(spark, log, candidates, matched)
               (removes, adds, cdc,
                 Map("numDeletionVectors" -> adds.size.toString,
                     "numDeletedRows" -> newlyDeleted.toString,
@@ -231,27 +233,30 @@ object UpdateCommand {
         case None => (Nil, Nil)
       }
       val candidates = txn.filterFiles(partF, dataF)
-      val touched = Dml.findTouchedFiles(spark, log, txn, candidates, cond)
-      val metrics = scala.collection.mutable.Map("numUpdatedFiles" -> touched.size.toString)
+      val metrics = scala.collection.mutable.Map.empty[String, String]
 
-      if (touched.isEmpty) {
+      if (candidates.isEmpty) {
+        metrics += "numUpdatedFiles" -> "0"
         txn.commit(Nil, "UPDATE", operationMetrics = metrics.toMap)
       } else if (graft.dv.DeletionVectors.isEnabled(m)) {
         // DV path: mark the old versions of matched rows deleted via
         // bitmap sidecars and append a file containing ONLY the updated
         // rows — a point update on a 1 GB file writes KBs, not the GB.
+        // No findTouchedFiles pre-scan: the bitmap writer derives the
+        // touched set from the matched rows, so candidates scan once.
         val raw = GraftFileIndex.dataFrame(
-            spark, log, txn.snapshot, Some(touched), applyDv = false)
+            spark, log, txn.snapshot, Some(candidates), applyDv = false)
           .withColumn("__f", graft.dv.DeletionVectors.normFileCol(
             col("_metadata.file_path")))
           .withColumn("__i", col("_metadata.row_index"))
-        val visible = graft.dv.DeletionVectors.antiJoin(spark, log, raw, touched)
+        val visible = graft.dv.DeletionVectors.antiJoin(spark, log, raw, candidates)
         val matched = visible.filter(coalesce(cond, lit(false)))
         val updatedRows = matched.drop("__f", "__i").select(
           updatedColumns(m.schema, set, lit(true)).toIndexedSeq: _*)
         val newAdds = txn.writeFiles(updatedRows)
         val (removes, dvAdds, updatedCount) =
-          graft.dv.DeletionVectors.writeDeletionVectors(spark, log, touched, matched)
+          graft.dv.DeletionVectors.writeDeletionVectors(spark, log, candidates, matched)
+        metrics += "numUpdatedFiles" -> dvAdds.size.toString
         val cdcActions = if (cdf) {
           val pre = matched.drop("__f", "__i")
             .withColumn(Cdc.CHANGE_TYPE, lit("update_preimage"))
@@ -268,6 +273,14 @@ object UpdateCommand {
           operationParameters = condition.map(c => "predicate" -> c.toString).toMap,
           operationMetrics = metrics.toMap)
       } else {
+        // Rewrite path MUST narrow to files that actually contain matches
+        // (it rewrites whole files, so an un-matched candidate would be
+        // needlessly copied).
+        val touched = Dml.findTouchedFiles(spark, log, txn, candidates, cond)
+        metrics += "numUpdatedFiles" -> touched.size.toString
+        if (touched.isEmpty) {
+          txn.commit(Nil, "UPDATE", operationMetrics = metrics.toMap)
+        } else {
         val base = Dml.scanFiles(spark, log, txn, touched)
         val matched = coalesce(cond, lit(false))
         val updatedCols = updatedColumns(m.schema, set, matched)
@@ -284,6 +297,7 @@ object UpdateCommand {
         txn.commit(touched.map(_.remove(now)) ++ newAdds ++ cdcActions, "UPDATE",
           operationParameters = condition.map(c => "predicate" -> c.toString).toMap,
           operationMetrics = metrics.toMap)
+        }
       }
       metrics.toMap
     }
