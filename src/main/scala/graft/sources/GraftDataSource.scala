@@ -72,6 +72,28 @@ class GraftDataSource
     val spark = sqlContext.sparkSession
     val log = GraftLog.forTable(spark, pathOf(parameters))
     require(log.tableExists, s"${pathOf(parameters)} is not a graft table")
+    // Batch CDF read: spark.read.option("readChangeFeed", true)
+    //   .option("startingVersion"|"startingTimestamp", ...).load(path)
+    if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
+      val start = parameters.get("startingVersion").map(_.toLong)
+        .orElse(parameters.get("startingTimestamp").map(ts =>
+          log.getVersionAtTime(java.sql.Timestamp.valueOf(ts).getTime)))
+        .getOrElse(throw new IllegalArgumentException(
+          "readChangeFeed requires startingVersion or startingTimestamp"))
+      val end = parameters.get("endingVersion").map(_.toLong)
+        .orElse(parameters.get("endingTimestamp").map(ts =>
+          log.getVersionAtTime(java.sql.Timestamp.valueOf(ts).getTime)))
+        .getOrElse(Long.MaxValue)
+      val df = graft.commands.Cdc.changes(spark, log, start, end)
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override val sqlContext: SQLContext = spark.sqlContext
+        override def schema: StructType = df.schema
+        override def needConversion: Boolean = false
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          df.queryExecution.toRdd
+            .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+      }
+    }
     val snapshot = parameters.get("versionAsOf") match {
       case Some(v) => log.getSnapshotAt(v.toLong)
       case None => parameters.get("timestampAsOf") match {

@@ -36,6 +36,14 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
         "graft.sql.TableChangesFunction", "table_changes"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         TableChangesFunction.plan(args)))
+    // Path-only variant for API parity with the reference's
+    // table_changes_by_path; the shared impl accepts both forms.
+    ext.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("table_changes_by_path"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        "graft.sql.TableChangesFunction", "table_changes_by_path"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        TableChangesFunction.plan(args)))
   }
 }
 
