@@ -414,4 +414,75 @@ object Graft {
     }
     new GraftTable(spark, log)
   }
+
+  /** Fluent table-definition builder (reference concept:
+    * io.delta.tables.DeltaTableBuilder / DeltaColumnBuilder — re-designed
+    * as a thin layer over `Graft.create`). */
+  def build(spark: SparkSession): GraftTableBuilder = new GraftTableBuilder(spark)
+
+  def columnBuilder(name: String): GraftColumnBuilder = new GraftColumnBuilder(name)
+}
+
+/** Declares one column: type, nullability, comment, generation expression
+  * or identity spec — the metadata `Graft.create` understands. */
+class GraftColumnBuilder private[graft] (name: String) {
+  import org.apache.spark.sql.types._
+  private var dt: DataType = _
+  private var isNullable = true
+  private var genExpr: Option[String] = None
+  private var identity: Option[(Long, Long)] = None
+  private var commentOpt: Option[String] = None
+
+  def dataType(t: DataType): this.type = { dt = t; this }
+  def dataType(t: String): this.type = { dt = DataType.fromDDL(t); this }
+  def nullable(n: Boolean): this.type = { isNullable = n; this }
+  def generatedAlwaysAs(sql: String): this.type = { genExpr = Some(sql); this }
+  def generatedAlwaysAsIdentity(start: Long = 1, step: Long = 1): this.type =
+    { identity = Some((start, step)); this }
+  def comment(c: String): this.type = { commentOpt = Some(c); this }
+
+  def build(): StructField = {
+    require(dt != null, s"column $name needs a dataType")
+    val f0 = (genExpr, identity) match {
+      case (Some(g), None) => graft.schema.ColumnDefaults.generatedField(name, dt, g)
+      case (None, Some((s, st))) =>
+        require(dt == LongType, s"identity column $name must be BIGINT")
+        graft.schema.ColumnDefaults.identityField(name, s, st)
+      case (None, None) => StructField(name, dt, isNullable)
+      case _ => throw new IllegalArgumentException(
+        s"column $name cannot be both generated and identity")
+    }
+    val f1 = f0.copy(nullable = isNullable && identity.isEmpty)
+    commentOpt.map(f1.withComment).getOrElse(f1)
+  }
+}
+
+/** Collects columns/partitioning/properties and creates the table at a
+  * path; `execute()` returns the `GraftTable`. */
+class GraftTableBuilder private[graft] (spark: SparkSession) {
+  import org.apache.spark.sql.types._
+  private var path: String = _
+  private val cols = scala.collection.mutable.ArrayBuffer.empty[StructField]
+  private var partCols: Seq[String] = Nil
+  private val props = scala.collection.mutable.Map.empty[String, String]
+  private var ifNotExists = false
+
+  def location(p: String): this.type = { path = p; this }
+  def addColumn(f: StructField): this.type = { cols += f; this }
+  def addColumn(name: String, dataType: DataType): this.type =
+    { cols += StructField(name, dataType); this }
+  def addColumn(b: GraftColumnBuilder): this.type = { cols += b.build(); this }
+  def addColumns(schema: StructType): this.type = { cols ++= schema.fields; this }
+  def partitionedBy(names: String*): this.type = { partCols = names; this }
+  def clusterBy(names: String*): this.type =
+    { props += "graft.clusterBy" -> names.mkString(","); this }
+  def property(k: String, v: String): this.type = { props += k -> v; this }
+  def createIfNotExists(): this.type = { ifNotExists = true; this }
+
+  def execute(): GraftTable = {
+    require(path != null, "location(...) is required")
+    val log = graft.log.GraftLog.forTable(spark, path)
+    if (ifNotExists && log.tableExists) return new GraftTable(spark, log)
+    Graft.create(spark, path, StructType(cols.toSeq), partCols, props.toMap)
+  }
 }

@@ -184,6 +184,33 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    // Generated-column partition inference: table partitioned by
+    // d = CAST(ts AS DATE); the filter mentions only ts, and pruning
+    // still fires via the inferred predicate on d.
+    "graft_partition_inference" -> ((s, dir) => {
+      val path = tmp("pinf")
+      val raw = t(s, dir, "events")
+      // events.ts arrives as raw nanos (nanosAsLong); cutoff computed in
+      // micros so Spark and the oracle truncate identically
+      val maxNanos = raw.agg(max("ts")).head.getLong(0)
+      val cutMicros = maxNanos / 1000 - 2L * 86400 * 1000000
+      val ev = raw.withColumn("ts",
+        timestamp_micros((col("ts") / 1000).cast("long")))
+      val schema = org.apache.spark.sql.types.StructType(
+        graft.schema.SchemaUtils.toNullable(ev.schema).fields :+
+          graft.schema.ColumnDefaults.generatedField("d",
+            org.apache.spark.sql.types.DateType, "CAST(ts AS DATE)"))
+      Graft.create(s, path, schema, partitionBy = Seq("d"))
+      Graft.write(ev, path)
+      Graft.read(s, path)
+        .filter(col("ts") >= timestamp_micros(lit(cutMicros)))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,6)")), 4)
+            .cast("double").as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     "graft_data_skipping" -> ((s, dir) => {
       val path = tmp("skip")
       val li = t(s, dir, "lineitem")
@@ -893,6 +920,13 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
          ORDER BY l_linenumber""",
+
+    "graft_partition_inference" ->
+      """SELECT event_type, count(*) AS n,
+         CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE ts >= (SELECT max(ts) - INTERVAL 2 DAY FROM events)
+         GROUP BY 1 ORDER BY 1""",
 
     "graft_overwrite" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

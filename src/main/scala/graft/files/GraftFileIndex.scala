@@ -145,6 +145,13 @@ object GraftFileIndex {
       df = graft.dv.DeletionVectors.filterDeleted(spark, log, df, index.files)
     }
     // physical -> logical rename is the single mapping boundary for reads
-    graft.schema.ColumnMapping.toLogicalProjection(df, m)
+    val logical = graft.schema.ColumnMapping.toLogicalProjection(df, m)
+    // HadoopFsRelation appends partition columns after data columns;
+    // present the table in its DECLARED column order instead.
+    val declared = m.schema.fieldNames.toSeq
+    if (m.partitionColumns.nonEmpty && logical.columns.toSeq != declared &&
+        declared.forall(logical.columns.contains))
+      logical.select(declared.map(org.apache.spark.sql.functions.col): _*)
+    else logical
   }
 }

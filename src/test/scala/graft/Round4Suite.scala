@@ -107,6 +107,58 @@ class Round4Suite extends AnyFunSuite {
     assert(cols === Seq("id", "v"))
   }
 
+  test("table builder creates with generated, identity, and partition columns") {
+    val dir = tmpDir()
+    val t = Graft.build(spark)
+      .location(dir)
+      .addColumn(Graft.columnBuilder("id").dataType("BIGINT")
+        .generatedAlwaysAsIdentity(start = 5, step = 5))
+      .addColumn(Graft.columnBuilder("ts").dataType(TimestampType).nullable(true))
+      .addColumn(Graft.columnBuilder("d").dataType(DateType)
+        .generatedAlwaysAs("CAST(ts AS DATE)"))
+      .addColumn("payload", StringType)
+      .partitionedBy("d")
+      .property("graft.appendOnly", "true")
+      .createIfNotExists()
+      .execute()
+    Graft.write(
+      spark.range(4).select(
+        lit(java.sql.Timestamp.valueOf("2024-05-01 10:00:00")).as("ts"),
+        concat(lit("x"), $"id").as("payload")),
+      dir)
+    val got = Graft.read(spark, dir)
+    assert(got.columns.toSeq === Seq("id", "ts", "d", "payload"))
+    // identity values are unique and on the start/step lattice (gaps are
+    // allowed: assignment is partition-offset based, like the reference)
+    val ids = got.select("id").as[Long].collect()
+    assert(ids.distinct.length === 4)
+    assert(ids.forall(v => v >= 5 && (v - 5) % 5 == 0), ids.toSeq.toString)
+    assert(got.select("d").distinct.count() === 1)
+    assert(t.snapshot.metadata.configuration("graft.appendOnly") === "true")
+    // idempotent with createIfNotExists
+    Graft.build(spark).location(dir)
+      .addColumn("whatever", StringType).createIfNotExists().execute()
+    assert(Graft.read(spark, dir).columns.length === 4)
+  }
+
+  test("batch readChangeFeed options and table_changes_by_path") {
+    val dir = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dir,
+      configuration = Map("graft.enableChangeDataFeed" -> "true"))
+    GraftTable.forPath(spark, dir).delete("id >= 3")
+    Graft.write(spark.range(5, 7).toDF("id"), dir)
+    val cdf = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "1")
+      .load(dir)
+    val byType = cdf.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map("delete" -> 2L, "insert" -> 2L))
+    val viaTvf = spark.sql(
+      s"SELECT count(*) FROM table_changes_by_path('$dir', 1)").head.getLong(0)
+    assert(viaTvf === 4L)
+  }
+
   test("dataSkippingNumIndexedCols bounds stats collection and skipping") {
     val dir = tmpDir()
     Graft.write(
