@@ -104,6 +104,24 @@ class GraftTable private[graft] (
   def restoreToVersion(version: Long): Unit =
     RestoreCommand.run(spark, log, version)
 
+  def restoreToTimestamp(ts: String): Unit =
+    RestoreCommand.run(spark, log,
+      log.getVersionAtTime(java.sql.Timestamp.valueOf(ts).getTime))
+
+  /** Raise the table's protocol versions (never lowers them). */
+  def upgradeTableProtocol(minReaderVersion: Int, minWriterVersion: Int): Unit =
+    log.withNewTransaction { txn =>
+      val p = txn.snapshot.protocol
+      require(minReaderVersion >= p.minReaderVersion &&
+        minWriterVersion >= p.minWriterVersion,
+        s"cannot downgrade protocol ($p) — use dropFeature")
+      if (minReaderVersion > p.minReaderVersion ||
+          minWriterVersion > p.minWriterVersion) {
+        txn.commit(Seq(graft.log.Protocol(minReaderVersion, minWriterVersion)),
+          "UPGRADE PROTOCOL")
+      }
+    }
+
   /** REORG APPLY (PURGE): materialize deletion vectors into clean files. */
   def reorgPurge(): DataFrame = ReorgCommand.purge(spark, log)
 
@@ -150,6 +168,10 @@ class GraftTable private[graft] (
     * file references; no data copied. */
   def shallowCloneTo(dest: String): GraftTable =
     CloneCommand.run(spark, log, dest)
+
+  /** SHALLOW CLONE a historical version (time-travel clone). */
+  def cloneAtVersion(version: Long, dest: String): GraftTable =
+    CloneCommand.run(spark, log, dest, Some(version))
 
   def generateSymlinkManifest(): Unit =
     ManifestCommand.run(spark, log)
@@ -364,6 +386,17 @@ object GraftTable {
 
   def isGraftTable(spark: SparkSession, path: String): Boolean =
     GraftLog.forTable(spark, path).tableExists
+
+  /** Resolve a catalog table name (graft provider) to its GraftTable. */
+  def forName(spark: SparkSession, name: String): GraftTable = {
+    val cat = spark.sessionState.catalog
+    val ti = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    require(cat.tableExists(ti), s"table $name not found")
+    val meta = cat.getTableMetadata(ti)
+    require(meta.provider.exists(_.equalsIgnoreCase("graft")),
+      s"table $name is not a graft table (provider=${meta.provider})")
+    forPath(spark, meta.location.toString)
+  }
 }
 
 /** Static write/read helpers mirroring `df.write.format("graft")`. */

@@ -13,10 +13,14 @@ import graft.log._
  * clone's own directory. (Reference: commands/CloneTableCommand.scala:312.)
  */
 object CloneCommand {
-  def run(spark: SparkSession, src: GraftLog, dest: String): GraftTable = {
+  def run(spark: SparkSession, src: GraftLog, dest: String,
+      versionAsOf: Option[Long] = None): GraftTable = {
     val destLog = GraftLog.forTable(spark, dest)
     require(!destLog.tableExists, s"$dest already exists")
-    val snap = src.update()
+    val snap = versionAsOf match {
+      case Some(v) => src.getSnapshotAt(v)
+      case None => src.update()
+    }
     val adds = snap.allFiles.map { f =>
       f.copy(path = new Path(src.dataPath, f.path).toString)
     }

@@ -159,6 +159,28 @@ class Round4Suite extends AnyFunSuite {
     assert(viaTvf === 4L)
   }
 
+  test("forName, cloneAtVersion, restoreToTimestamp, upgradeTableProtocol") {
+    val dir = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dir)        // v0
+    Graft.write(spark.range(5, 9).toDF("id"), dir)     // v1
+    val t = GraftTable.forPath(spark, dir)
+    val cdir = tmpDir() + "/c"
+    t.cloneAtVersion(0, cdir)
+    assert(Graft.read(spark, cdir).count() === 5)
+    t.upgradeTableProtocol(2, 2)
+    assert(t.snapshot.protocol.minReaderVersion === 2)
+    intercept[IllegalArgumentException] { t.upgradeTableProtocol(1, 1) }
+    val ts0 = new java.sql.Timestamp(
+      graft.log.GraftLog.forTable(spark, dir).listCommitTimestamps()
+        .find(_._1 == 0L).get._2)
+    t.restoreToTimestamp(ts0.toString)
+    assert(Graft.read(spark, dir).count() === 5)
+    val name = s"r4names_${System.nanoTime}"
+    spark.sql(s"CREATE TABLE $name (x BIGINT) USING graft LOCATION '${tmpDir()}/n'")
+    spark.sql(s"INSERT INTO $name VALUES (1), (2)")
+    assert(GraftTable.forName(spark, name).toDF.count() === 2)
+  }
+
   test("dataSkippingNumIndexedCols bounds stats collection and skipping") {
     val dir = tmpDir()
     Graft.write(
