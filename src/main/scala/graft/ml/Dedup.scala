@@ -98,6 +98,19 @@ object Dedup {
 
   /**
    * MinHash-LSH candidate duplicate pairs.
+   *
+   * Pair generation is a bucket group-by, not a self-join: each (band,
+   * bucket) group collects its members once and explodes the in-bucket
+   * pairs locally. A self-join would feed two copies of the whole
+   * signature pipeline (AQE does not reuse the exchange across the two
+   * join sides — measured: every scan/window/agg ran twice), while this
+   * shape computes the upstream exactly once and turns the hot-bucket
+   * skew guard into a free `size(ms) <= cap` filter instead of a
+   * count-and-join. Group payload is bounded by the cap, so the local
+   * n^2 explode is too. The signature agreement count is a codegen'd sum
+   * of element comparisons (the `zip_with`/`filter` HOF form is
+   * CodegenFallback — interpreted per candidate pair).
+   *
    * @return (idA, idB, estJaccard) with idA < idB, estJaccard >= threshold
    */
   def minHashPairs(
@@ -108,7 +121,7 @@ object Dedup {
       bands: Int = 16,
       shingleSize: Int = 3,
       threshold: Double = 0.5,
-      maxBucketSize: Int = 100000): DataFrame = {
+      maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     val sigs = minHashSignatures(df, id, text, numHashes, shingleSize)
@@ -118,26 +131,30 @@ object Dedup {
       xxhash64(lit(bId) +: (0 until rows).map(r => col(s"_m${bId * rows + r}")): _*)
     }
     val sigCol = array((0 until numHashes).map(i => col(s"_m$i")): _*)
-    val banded0 = sigs
+    val banded = sigs
       .select(col("id"), sigCol.as("sig"), posexplode(array(bucketCols: _*)))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
-    // Skew guard: a bucket of near-identical boilerplate grows O(n) and
-    // its self-join O(n^2); cap it — members that large are duplicates
-    // of each other many times over and still pair in other bands.
-    val banded = dropHotBuckets(banded0, maxBucketSize)
-    val a = banded.select(col("band"), col("bucket"),
-      col("id").as("idA"), col("sig").as("sigA"))
-    val b = banded.select(col("band"), col("bucket"),
-      col("id").as("idB"), col("sig").as("sigB"))
-    // Self-join on the bucket key: the shuffle feeding both sides is
-    // identical, so Spark's ReuseExchange materializes it once.
-    a.join(b, Seq("band", "bucket"))
-      .where(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"),
-        (size(filter(zip_with(col("sigA"), col("sigB"), (x, y) => x === y),
-          b => b)).cast("double") / numHashes).as("estJaccard"))
-      .distinct()
+    // One shuffle on the bucket key; oversized buckets (near-identical
+    // boilerplate whose members pair many times over in other bands) are
+    // dropped whole — the standard LSH hot-bucket guard.
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("sig"))).as("ms"))
+      .where(size(col("ms")).between(2, maxBucketSize))
+    val agree = (0 until numHashes).map { i =>
+      when(col("a.sig").getItem(i) === col("b.sig").getItem(i), 1).otherwise(0)
+    }.reduce(_ + _)
+    buckets
+      .select(col("ms"), posexplode(col("ms"))).withColumnRenamed("pos", "pa")
+      .withColumnRenamed("col", "a")
+      .select(col("a"), col("pa"), posexplode(col("ms"))).withColumnRenamed("pos", "pb")
+      .withColumnRenamed("col", "b")
+      .where(col("pa") < col("pb"))
+      .select(
+        least(col("a.id"), col("b.id")).as("idA"),
+        greatest(col("a.id"), col("b.id")).as("idB"),
+        (agree.cast("double") / numHashes).as("estJaccard"))
       .where(col("estJaccard") >= threshold)
+      .distinct()
   }
 
   /**
@@ -172,40 +189,68 @@ object Dedup {
         }.reduce((a, b) => a.bitwiseOR(b)).as("fp"))
   }
 
-  /** Drop (band, bucket) groups larger than `cap` before a self-join —
-    * the standard LSH hot-bucket guard (one extra aggregation on the
-    * join key; ReuseExchange shares the shuffle with the join). */
-  private def dropHotBuckets(banded: DataFrame, cap: Int): DataFrame = {
-    if (cap <= 0) return banded
-    val counts = banded.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("__n"))
-      .where(col("__n") <= cap)
-      .drop("__n")
-    banded.join(counts, Seq("band", "bucket"))
-  }
-
-  /** SimHash near-dup candidates: equal 16-bit band -> verify Hamming. */
+  /** SimHash near-dup candidates: equal 16-bit band -> verify Hamming.
+    * Same single-pipeline bucket-group shape as [[minHashPairs]]. */
   def simHashPairs(
       df: DataFrame,
       id: Column,
       text: Column,
       maxHamming: Int = 3,
-      maxBucketSize: Int = 100000): DataFrame = {
+      maxBucketSize: Int = 10000): DataFrame = {
     val f = simHashes(df, id, text)
-    val banded0 = f.select(col("id"), col("fp"),
+    val banded = f.select(col("id"), col("fp"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftrightunsigned", col("fp"),
           (b * 16).cast("int")).bitwiseAND(lit(0xFFFFL)))))
       .select(col("id"), col("fp"), col("pos").as("band"), col("col").as("bucket"))
-    val banded = dropHotBuckets(banded0, maxBucketSize)
-    val a = banded.select(col("band"), col("bucket"), col("id").as("idA"), col("fp").as("fpA"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("idB"), col("fp").as("fpB"))
-    a.join(b, Seq("band", "bucket"))
-      .where(col("idA") < col("idB"))
-      .select(col("idA"), col("idB"),
-        bit_count(col("fpA").bitwiseXOR(col("fpB"))).as("hamming"))
-      .distinct()
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(struct(col("id"), col("fp"))).as("ms"))
+      .where(size(col("ms")).between(2, maxBucketSize))
+    buckets
+      .select(col("ms"), posexplode(col("ms"))).withColumnRenamed("pos", "pa")
+      .withColumnRenamed("col", "a")
+      .select(col("a"), col("pa"), posexplode(col("ms"))).withColumnRenamed("pos", "pb")
+      .withColumnRenamed("col", "b")
+      .where(col("pa") < col("pb"))
+      .select(
+        least(col("a.id"), col("b.id")).as("idA"),
+        greatest(col("a.id"), col("b.id")).as("idB"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Banded-LSH candidate pairs by id only: same bucket-group shape as
+    * [[minHashPairs]] but nothing heavier than (id, band, bucket) ever
+    * enters the bucket shuffle — the shape to use when a downstream
+    * exact verification makes the signature estimate redundant. */
+  private[ml] def bandedCandidates(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      numHashes: Int,
+      bands: Int,
+      shingleSize: Int,
+      maxBucketSize: Int): DataFrame = {
+    val rows = numHashes / bands
+    val sigs = minHashSignatures(df, id, text, numHashes, shingleSize)
+    val bucketCols = (0 until bands).map { bId =>
+      xxhash64(lit(bId) +: (0 until rows).map(r => col(s"_m${bId * rows + r}")): _*)
+    }
+    val banded = sigs
+      .select(col("id"), posexplode(array(bucketCols: _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(col("id")).as("ms"))
+      .where(size(col("ms")).between(2, maxBucketSize))
+      .select(col("ms"), posexplode(col("ms"))).withColumnRenamed("pos", "pa")
+      .withColumnRenamed("col", "a")
+      .select(col("a"), col("pa"), posexplode(col("ms"))).withColumnRenamed("pos", "pb")
+      .withColumnRenamed("col", "b")
+      .where(col("pa") < col("pb"))
+      .select(least(col("a"), col("b")).as("idA"),
+        greatest(col("a"), col("b")).as("idB"))
+      .distinct()
   }
 
   /** Exact n-gram Jaccard for candidate pairs (LSH first, then verify).
@@ -213,29 +258,37 @@ object Dedup {
     * hashes): a pair with true Jaccard >= `threshold` (0.8) misses all
     * bands with probability <= (1 - 0.8^2)^32 ~ 6e-15, so the verified
     * output equals the exact cross-product answer while the join volume
-    * stays banded. The signature-estimate pre-filter at threshold-0.4 is
-    * >5 sigma below any true-positive's estimate — it only sheds the
-    * dissimilar collisions the short bands let through. */
+    * stays banded.
+    *
+    * Verification never materializes shingle-set arrays: candidate pairs
+    * explode to (pair, member) rows, join the flat (id, shingle-hash)
+    * stream once, and a two-level aggregation counts each pair's
+    * intersection (hashes seen under both members) and union (distinct
+    * hashes) directly — `countDistinct(member)` also collapses each
+    * member's duplicate shingles, so multiset inputs behave as sets. The
+    * hash-set Jaccard equals the string-set Jaccard up to a ~2^-64
+    * per-pair collision. Everything shuffles linear-sized rows; nothing
+    * is quadratic except the capped in-bucket pair explode. */
   def ngramJaccardPairs(
       df: DataFrame,
       id: Column,
       text: Column,
       n: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val candidates = minHashPairs(df, id, text, numHashes = 64, bands = 32,
-      shingleSize = n, threshold = math.max(0.2, threshold - 0.4))
-    // Shingle SETS as 64-bit hash sets (same window-pass hashing as the
-    // signatures): array_intersect/union on longs is codegen'd and the
-    // Jaccard over hash sets equals the string-set Jaccard up to a
-    // ~2^-64-per-pair collision.
+    val candidates = bandedCandidates(df, id, text, numHashes = 64,
+      bands = 32, shingleSize = n, maxBucketSize = 10000)
+    val members = candidates
+      .select(struct(col("idA"), col("idB")).as("p"),
+        explode(array(col("idA"), col("idB"))).as("id"))
     val sh = shingleHashes(df, id, text, n)
-      .groupBy(col("id")).agg(collect_set(col("h")).as("sh"))
-    candidates
-      .join(sh.withColumnRenamed("id", "idA").withColumnRenamed("sh", "shA"), "idA")
-      .join(sh.withColumnRenamed("id", "idB").withColumnRenamed("sh", "shB"), "idB")
-      .select(col("idA"), col("idB"),
-        (size(array_intersect(col("shA"), col("shB"))).cast("double") /
-          size(array_union(col("shA"), col("shB"))).cast("double")).as("jaccard"))
+    members.join(sh, "id")
+      .groupBy(col("p"), col("h"))
+      .agg(countDistinct(col("id")).as("nm"))
+      .groupBy(col("p"))
+      .agg(sum(when(col("nm") === 2, 1).otherwise(0)).as("inter"),
+        count(lit(1)).as("uni"))
+      .select(col("p.idA").as("idA"), col("p.idB").as("idB"),
+        (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
