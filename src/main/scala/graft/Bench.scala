@@ -15,10 +15,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = only match {
+    // Deterministic name order: Map hash order varies with the query set,
+    // which made per-round bench comparisons noisy.
+    val selected = (only match {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
-    }
+    }).toSeq.sortBy(_._1)
     // Untimed warm-up: the first query otherwise absorbs one-time JVM
     // costs (classloading, codegen compiler, parquet reader/writer init,
     // committer paths) that are not part of any query's steady-state cost.
@@ -35,7 +37,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -98,8 +98,8 @@ class GraftTable private[graft] (
   def optimize(): OptimizeBuilder = new OptimizeBuilder(this)
 
   def vacuum(retentionHours: Double = 7 * 24, dryRun: Boolean = false,
-      lite: Boolean = false): DataFrame =
-    VacuumCommand.run(spark, log, retentionHours, dryRun, lite)
+      lite: Boolean = false, inventory: Option[DataFrame] = None): DataFrame =
+    VacuumCommand.run(spark, log, retentionHours, dryRun, lite, inventory)
 
   def restoreToVersion(version: Long): Unit =
     RestoreCommand.run(spark, log, version)

@@ -283,12 +283,18 @@ object VacuumCommand {
   val defaultRetentionHours: Double = 7 * 24.0
   val retentionCheckConf = "spark.graft.vacuum.retentionCheck.enabled"
 
+  /** @param inventory user-supplied listing replacing the filesystem walk
+    *   (reference concept: VacuumCommand inventory option — re-designed):
+    *   columns (path, length, isDir, modificationTime), e.g. from a cloud
+    *   storage inventory report. Paths may be absolute URIs or
+    *   table-relative. Rows under the log/CDC directories are ignored. */
   def run(
       spark: SparkSession,
       log: GraftLog,
       retentionHours: Double,
       dryRun: Boolean,
-      lite: Boolean = false): DataFrame = {
+      lite: Boolean = false,
+      inventory: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val snap = log.update()
     val checkEnabled =
@@ -306,6 +312,34 @@ object VacuumCommand {
     val confBc = new org.apache.spark.util.SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val rootUri = log.dataPath.toUri
+
+    val rootScheme = rootUri.getScheme
+    val rootAuthority = rootUri.getAuthority
+    val rootStr = log.dataPath.toString
+    def qualify(rel: String): String = {
+      val p = new Path(rel)
+      if (!p.isAbsolute) new Path(new Path(rootStr), rel).toString
+      else if (p.toUri.getScheme != null) p.toString
+      else new Path(rootScheme, rootAuthority, p.toUri.getPath).toString
+    }
+    val qualifyF = qualify _
+
+    inventory match {
+      case Some(inv) =>
+        val cols = inv.columns.map(_.toLowerCase)
+        require(cols.contains("path") && cols.contains("modificationtime"),
+          "vacuum inventory needs at least (path, modificationTime) columns")
+        val listed = inv
+          .where(if (cols.contains("isdir")) !col("isDir") else lit(true))
+          .select(col("path").cast("string").as[String],
+            col("modificationTime").cast("long").as[Long])
+          .map { case (p, m) => (qualifyF(p), m) }
+          .toDF("path", "mtime")
+          .where(!col("path").contains("/_graft_log/") &&
+            !col("path").contains("/_change_data/"))
+        return finish(spark, log, snap, cutoff, dryRun, listed, confBc, qualifyF)
+      case None => ()
+    }
 
     // Distributed recursive listing: driver lists the root once, each
     // top-level subdirectory (e.g. a hive partition dir) walks on an
@@ -341,20 +375,23 @@ object VacuumCommand {
           out
         }
     val listed = walked.union(spark.createDataset(rootFiles)).toDF("path", "mtime")
+    finish(spark, log, snap, cutoff, dryRun, listed, confBc, qualifyF)
+  }
 
+  /** Anti-join the listing against the survivors and delete the rest. */
+  private def finish(
+      spark: SparkSession,
+      log: GraftLog,
+      snap: graft.log.Snapshot,
+      cutoff: Long,
+      dryRun: Boolean,
+      listed: DataFrame,
+      confBc: org.apache.spark.util.SerializableConfiguration,
+      qualify: String => String): DataFrame = {
+    import spark.implicits._
     // Survivors = current files + tombstones still inside retention,
     // all as fully-qualified URIs matching the listing's format.
-    val rootScheme = rootUri.getScheme
-    val rootAuthority = rootUri.getAuthority
-    val rootStr = log.dataPath.toString
-    def qualify(rel: String): String = {
-      val p = new Path(rel)
-      if (!p.isAbsolute) new Path(new Path(rootStr), rel).toString
-      else if (p.toUri.getScheme != null) p.toString
-      else new Path(rootScheme, rootAuthority, p.toUri.getPath).toString
-    }
-    val qualifyF = qualify _
-    val liveDS = snap.allFilesDS.select($"path").as[String].map(qualifyF)
+    val liveDS = snap.allFilesDS.select($"path").as[String].map(qualify)
     val keptTombstones = snap.tombstones
       .filter(_.deletionTimestamp.forall(_ >= cutoff))
       .map(r => qualify(r.path))

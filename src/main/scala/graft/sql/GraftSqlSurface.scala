@@ -373,14 +373,16 @@ case class GraftOptimizeRun(
 }
 
 case class GraftVacuumRun(path: String, hours: Option[Double],
-    dryRun: Boolean, lite: Boolean = false)
+    dryRun: Boolean, lite: Boolean = false,
+    inventoryQuery: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("path", StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
     val log = GraftLog.forTable(spark, path)
     VacuumCommand.run(spark, log,
-      hours.getOrElse(VacuumCommand.defaultRetentionHours), dryRun, lite)
+      hours.getOrElse(VacuumCommand.defaultRetentionHours), dryRun, lite,
+      inventoryQuery.map(spark.sql))
       .collect().toSeq
   }
 }
@@ -658,7 +660,9 @@ object GraftSqlParser {
     (s"""(?is)^\\s*OPTIMIZE\\s+($targetOrName)(?:\\s+WHERE\\s+(.+?))?""" +
       s"""(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*([\\w`,\\s]+?)\\s*\\)?)?\\s*;?\\s*$$""").r
   private val vacuumRe =
-    (s"""(?is)^\\s*VACUUM\\s+($targetOrName)(?:\\s+RETAIN\\s+([0-9.]+)\\s+HOURS?)?""" +
+    (s"""(?is)^\\s*VACUUM\\s+($targetOrName)""" +
+      """(?:\s+USING\s+INVENTORY\s+\((.+?)\))?""" +
+      """(?:\s+RETAIN\s+([0-9.]+)\s+HOURS?)?""" +
       """(\s+LITE)?(\s+DRY\s+RUN)?\s*;?\s*$""").r
   private val historyRe =
     (s"""(?is)^\\s*(?:DESC|DESCRIBE)\\s+HISTORY\\s+($targetOrName)""" +
@@ -733,9 +737,10 @@ object GraftSqlParser {
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
         .getOrElse(Nil)
       resolve(t).map(p => GraftOptimizeRun(p, Option(where).map(_.trim), z))
-    case vacuumRe(t, hours, lite, dry) =>
+    case vacuumRe(t, inv, hours, lite, dry) =>
       resolve(t).map(p => GraftVacuumRun(p,
-        Option(hours).map(_.toDouble), dry != null, lite != null))
+        Option(hours).map(_.toDouble), dry != null, lite != null,
+        Option(inv)))
     case historyRe(t, limit) =>
       resolve(t).map(p => GraftHistoryRun(p, Option(limit).map(_.toInt)))
     case _ => None

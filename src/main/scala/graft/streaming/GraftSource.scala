@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.read.streaming
-import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{ReadAllAvailable, ReadLimit, ReadMaxFiles, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => LegacyOffset, Source}
 import org.apache.spark.sql.types.StructType
 
@@ -57,7 +57,8 @@ private[graft] case class IndexedFile(
 class GraftSource(
     spark: SparkSession,
     log: GraftLog,
-    options: Map[String, String]) extends Source with SupportsAdmissionControl {
+    options: Map[String, String]) extends Source with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val snapshotAtInit = log.update()
   private val readChangeFeed =
@@ -166,9 +167,19 @@ class GraftSource(
     case None => GraftSourceOffset(snapshotAtInit.version, -1L, isInitialSnapshot = true)
   }
 
+  /** Trigger.AvailableNow: the end version is pinned once at query start,
+    * so the stream drains everything available then and stops, batch by
+    * admission-controlled batch, even while writers keep committing.
+    * (Reference concept: DeltaSourceBase extends
+    * SupportsTriggerAvailableNow — re-designed.) */
+  @volatile private var availableNowCapVersion: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit = {
+    availableNowCapVersion = Some(log.update().version)
+  }
+
   /** All file changes strictly after `from`, in stream order. */
   private def fileChanges(from: GraftSourceOffset): Iterator[IndexedFile] = {
-    val latest = log.update().version
+    val latest = availableNowCapVersion.getOrElse(log.update().version)
     val snapshotPart: Iterator[IndexedFile] =
       if (from.isInitialSnapshot) {
         initialFiles(from.reservoirVersion).iterator.zipWithIndex

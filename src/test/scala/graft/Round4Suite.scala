@@ -195,4 +195,36 @@ class Round4Suite extends AnyFunSuite {
     // filters on the un-indexed column still answer correctly
     assert(Graft.read(spark, dir).filter($"v" === 30).count() === 1)
   }
+
+  test("VACUUM USING INVENTORY deletes only inventoried, unreferenced files") {
+    val dir = tmpDir()
+    Graft.write(spark.range(100).toDF("id"), dir)
+    val t = GraftTable.forPath(spark, dir)
+    t.delete(col("id") < 50)
+    // orphan file the log never saw
+    val orphan = new java.io.File(dir, "orphan-data.parquet")
+    Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    val stale = System.currentTimeMillis() - 1000
+    orphan.setLastModified(stale)
+    // inventory names the orphan plus one LIVE file (which must survive)
+    val live = graft.log.GraftLog.forTable(spark, dir).update().allFiles.head.path
+    val inv = Seq(
+      (orphan.getAbsolutePath, 3L, false, stale),
+      (new java.io.File(dir, live).getAbsolutePath, 1L, false, stale),
+      (dir + "/some-sub-dir", 0L, true, stale)    // dirs are ignored
+    ).toDF("path", "length", "isDir", "modificationTime")
+    spark.conf.set(graft.commands.VacuumCommand.retentionCheckConf, "false")
+    try {
+      val deleted = t.vacuum(retentionHours = 0.0, inventory = Some(inv))
+      assert(deleted.as[String].collect().toSet ===
+        Set("file:" + orphan.getAbsolutePath))
+      assert(!orphan.exists())
+      assert(Graft.read(spark, dir).count() === 50)
+      // tombstoned-but-unlisted files are untouched: inventory is the
+      // listing, not the snapshot
+      assert(new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet")) >= 1)
+    } finally {
+      spark.conf.set(graft.commands.VacuumCommand.retentionCheckConf, "true")
+    }
+  }
 }

@@ -62,6 +62,27 @@ class StreamingSuite extends AnyFunSuite {
     assert(spark.table("adm_rows").count() === 40)
   }
 
+  test("Trigger.AvailableNow drains in multiple admission-bounded batches") {
+    val dir = tmpDir()
+    val ckpt = tmpDir()
+    (0 until 3).foreach(i =>
+      Graft.write(spark.range(i * 10, i * 10 + 10).toDF("id").coalesce(1), dir))
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "1")
+      .load(dir)
+      .writeStream.format("memory").queryName("an_rows")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.table("an_rows").count() === 30)
+    // One file per batch: the source implements SupportsTriggerAvailableNow,
+    // so AvailableNow must NOT fall back to one mega-batch.
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 3, s"expected >=3 admission-bounded batches, " +
+      s"got ${batches.length}")
+  }
+
   test("streaming sink: exactly-once into graft table") {
     val srcDir = tmpDir()
     val outDir = tmpDir()
