@@ -638,6 +638,86 @@ object SparkEntry {
       Graft.read(s, path)
         .groupBy("n_regionkey").agg(count(lit(1)).as("n"))
         .orderBy("n_regionkey")
+    }),
+
+    "graft_truncate" -> ((s, dir) => {
+      val path = tmp("trunc")
+      Graft.write(t(s, dir, "part"), path)
+      GraftTable.forPath(s, path).truncate()
+      Graft.write(t(s, dir, "part").filter(col("p_size") < 10), path)
+      Graft.read(s, path).select("p_partkey", "p_size").orderBy("p_partkey")
+    }),
+
+    "graft_shallow_clone" -> ((s, dir) => {
+      val src = tmp("clsrc"); val dst = tmp("cldst") + "/t"
+      Graft.write(t(s, dir, "orders"), src)
+      GraftTable.forPath(s, src).shallowCloneTo(dst)
+      // DML on the clone must not touch the source
+      GraftTable.forPath(s, dst).delete(col("o_orderstatus") === "O")
+      require(Graft.read(s, src).count() == t(s, dir, "orders").count(),
+        "shallow clone delete leaked into the source table")
+      Graft.read(s, dst)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
+    "sql_show_partitions" -> ((s, dir) => {
+      val path = tmp("showpart")
+      Graft.write(t(s, dir, "nation"), path, partitionBy = Seq("n_regionkey"))
+      s.sql(s"SHOW PARTITIONS graft.`$path`")
+        .select(element_at(col("partitionValues"), "n_regionkey")
+          .cast("int").as("n_regionkey"))
+        .orderBy("n_regionkey")
+    }),
+
+    "graft_generated_read" -> ((s, dir) => {
+      val path = tmp("gencol")
+      val o = t(s, dir, "orders")
+      // base columns take the parquet-inferred types (timestamp vs
+      // timestamp_ntz differs by session), plus one generated column
+      Graft.create(s, path, org.apache.spark.sql.types.StructType(
+        o.select("o_orderkey", "o_orderdate").schema.fields :+
+          graft.schema.ColumnDefaults.generatedField("o_year",
+            org.apache.spark.sql.types.IntegerType, "year(o_orderdate)")))
+      // the generated column is NOT in the input; the write computes it
+      Graft.write(o.select("o_orderkey", "o_orderdate"), path)
+      Graft.read(s, path).orderBy("o_orderkey")
+    }),
+
+    "graft_identity_read" -> ((s, dir) => {
+      val path = tmp("idcol")
+      Graft.create(s, path, org.apache.spark.sql.types.StructType(Seq(
+        graft.schema.ColumnDefaults.identityField("rid", start = 5, step = 5),
+        org.apache.spark.sql.types.StructField("n_name",
+          org.apache.spark.sql.types.StringType))))
+      // single input partition -> ids are the consecutive lattice values
+      // 5, 10, ... regardless of row order, so sorted output is stable
+      Graft.write(t(s, dir, "nation").select("n_name").coalesce(1), path)
+      Graft.read(s, path).select("rid").orderBy("rid")
+    }),
+
+    "graft_auto_compact" -> ((s, dir) => {
+      val path = tmp("autoc")
+      val li = t(s, dir, "lineitem").filter(col("l_linenumber") <= 2)
+      Graft.write(li.filter(col("l_linenumber") === 1), path,
+        configuration = Map("graft.autoCompact" -> "true",
+          "graft.autoCompact.minNumFiles" -> "4"))
+      Graft.write(li.filter(col("l_linenumber") === 2), path)
+      val files = graft.log.GraftLog.forTable(s, path).update().numFiles
+      require(files <= 4, s"auto compact left $files files")
+      Graft.read(s, path)
+        .groupBy("l_linenumber").agg(count(lit(1)).as("n"))
+        .orderBy("l_linenumber")
+    }),
+
+    "graft_metadata_only_agg" -> ((s, dir) => {
+      val path = tmp("metaagg")
+      Graft.write(t(s, dir, "lineitem"), path)
+      // answered from per-file stats; the plan audit suite asserts no scan
+      Graft.read(s, path).agg(
+        count(lit(1)).as("n"),
+        min(col("l_quantity")).cast("double").as("min_qty"),
+        max(col("l_quantity")).cast("double").as("max_qty"))
     }))
 
   // ==========================================================================
@@ -1135,6 +1215,35 @@ object SparkEntry {
       """SELECT n_regionkey, count(*) AS n FROM (
            SELECT * FROM nation UNION ALL SELECT * FROM nation
          ) GROUP BY 1 ORDER BY 1""",
+
+    "graft_truncate" ->
+      "SELECT p_partkey, p_size FROM part WHERE p_size < 10 ORDER BY p_partkey",
+
+    "graft_shallow_clone" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderstatus <> 'O' ORDER BY o_orderkey""",
+
+    "sql_show_partitions" ->
+      "SELECT DISTINCT CAST(n_regionkey AS INT) AS n_regionkey FROM nation ORDER BY 1",
+
+    "graft_generated_read" ->
+      """SELECT o_orderkey, o_orderdate,
+           CAST(year(o_orderdate) AS INT) AS o_year
+         FROM orders ORDER BY o_orderkey""",
+
+    "graft_identity_read" ->
+      """SELECT 5 * CAST(row_number() OVER () AS BIGINT) AS rid
+         FROM nation ORDER BY rid""",
+
+    "graft_auto_compact" ->
+      """SELECT l_linenumber, count(*) AS n FROM lineitem
+         WHERE l_linenumber <= 2 GROUP BY 1 ORDER BY 1""",
+
+    "graft_metadata_only_agg" ->
+      """SELECT count(*) AS n,
+           CAST(min(l_quantity) AS DOUBLE) AS min_qty,
+           CAST(max(l_quantity) AS DOUBLE) AS max_qty
+         FROM lineitem""",
 
     // -- pipeline operators -----------------------------------------------
     "text_stats" ->
