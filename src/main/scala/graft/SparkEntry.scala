@@ -883,6 +883,25 @@ object SparkEntry {
         .orderBy("qid", "cid")
     }),
 
+    // Streaming dedup: state-backed dropDuplicates between a graft source
+    // and a graft sink — the incremental twin of dedup_exact. Output is
+    // digest-only so the arbitrary survivor choice cannot affect the hash.
+    "stream_dedup" -> ((s, dir) => {
+      val src = tmp("sdsrc"); val out = tmp("sdout"); val ckpt = tmp("sdckpt")
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      Graft.write(d.unionByName(
+        d.select((col("doc_id") + 100000).as("doc_id"), col("text"))), src)
+      val q = s.readStream.format("graft").load(src)
+        .select(md5(col("text")).as("digest"))
+        .dropDuplicates("digest")
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination(300000)
+      Graft.read(s, out).orderBy("digest")
+    }),
+
     "multimodal_decode" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, 200)
       Multimodal.decodePartitioned(media, dims = 8)
@@ -1350,6 +1369,9 @@ object SparkEntry {
          UNION ALL
          SELECT vec_id AS qid, vec_id + 100000 AS cid FROM embeddings WHERE vec_id < 10
          ORDER BY qid, cid""",
+
+    "stream_dedup" ->
+      "SELECT DISTINCT md5(text) AS digest FROM documents ORDER BY digest",
 
     "dedup_exact" ->
       """SELECT doc_id, n_chars FROM (
