@@ -53,4 +53,35 @@ class ScaleSuite extends AnyFunSuite {
     assert(log2.snapshot.numFiles === n + 1)
     assert(log2.snapshot.getAddFile("part-0999999.parquet").isDefined)
   }
+
+  test("LSH hot-bucket cap keeps pathological duplication sub-quadratic") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 20k copies of one document: every band bucket holds all 20k ids, so
+    // an uncapped pair explode would build 20k^2 = 4e8 pairs per band. The
+    // cap drops oversized buckets whole; the run must stay fast and empty
+    // rather than melt — the guard a boilerplate-heavy 100 TB corpus needs.
+    val boiler = spark.range(20000)
+      .select($"id".as("doc_id"),
+        lit("the same boilerplate text repeated in every document of the batch").as("text"))
+    val t0 = System.nanoTime()
+    val pairs = graft.ml.Dedup.minHashPairs(
+      boiler.toDF, col("doc_id"), col("text"),
+      numHashes = 64, bands = 8, shingleSize = 4, threshold = 0.5,
+      maxBucketSize = 1000)
+    assert(pairs.count() === 0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 60.0, f"hot-bucket guard too slow: $secs%.1f s")
+    // distinct corpora still pair normally under the same cap
+    val mixed = boiler.limit(3).unionByName(
+      spark.range(100, 200).select($"id".as("doc_id"),
+        concat(lit("unique text body number "), $"id",
+          lit(" with enough tokens to shingle")).as("text")))
+    val found = graft.ml.Dedup.minHashPairs(
+      mixed.toDF, col("doc_id"), col("text"),
+      numHashes = 64, bands = 8, shingleSize = 4, threshold = 0.5,
+      maxBucketSize = 1000)
+    // the 3 surviving boilerplate copies pair with each other
+    assert(found.where($"idA" < 3 && $"idB" < 3).count() === 3)
+  }
 }
