@@ -66,10 +66,38 @@ class GraftDataSource
     parameters.getOrElse("path",
       throw new IllegalArgumentException("'path' is required for graft tables"))
 
+  private val versionSuffixRe = "(?s)^(.*)@v(\\d+)$".r
+  private val timestampSuffixRe = "(?s)^(.*)@(\\d{17})$".r
+
+  /** `path@v123` / `path@yyyyMMddHHmmssSSS` time-travel suffixes on reads
+    * (reference concept: DeltaDataSource.parsePathIdentifier /
+    * DeltaTimeTravelSpec — re-designed). The literal path wins if it is
+    * itself a graft table; explicit versionAsOf/timestampAsOf options
+    * win over the suffix. */
+  private def resolveTimeTravelPath(
+      spark: SparkSession,
+      parameters: Map[String, String]): Map[String, String] = {
+    val raw = pathOf(parameters)
+    if (parameters.contains("versionAsOf") ||
+      parameters.contains("timestampAsOf")) return parameters
+    def isTable(p: String) = GraftLog.forTable(spark, p).tableExists
+    raw match {
+      case versionSuffixRe(base, v) if !isTable(raw) && isTable(base) =>
+        parameters + ("path" -> base, "versionAsOf" -> v)
+      case timestampSuffixRe(base, ts) if !isTable(raw) && isTable(base) =>
+        val t = java.time.LocalDateTime.parse(ts,
+          java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS"))
+        parameters + ("path" -> base,
+          "timestampAsOf" -> java.sql.Timestamp.valueOf(t).toString)
+      case _ => parameters
+    }
+  }
+
   override def createRelation(
       sqlContext: SQLContext,
-      parameters: Map[String, String]): BaseRelation = {
+      rawParameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
+    val parameters = resolveTimeTravelPath(spark, rawParameters)
     val log = GraftLog.forTable(spark, pathOf(parameters))
     require(log.tableExists, s"${pathOf(parameters)} is not a graft table")
     // Batch CDF read: spark.read.option("readChangeFeed", true)

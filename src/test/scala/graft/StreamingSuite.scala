@@ -18,6 +18,18 @@ class StreamingSuite extends AnyFunSuite {
     assert(spark.read.format("graft").load(dir).count() === 20)
     assert(spark.read.format("graft").option("versionAsOf", "0")
       .load(dir).count() === 10)
+    // path@v<version> suffix syntax
+    assert(spark.read.format("graft").load(s"$dir@v0").count() === 10)
+    assert(spark.read.format("graft").load(s"$dir@v1").count() === 20)
+    // path@yyyyMMddHHmmssSSS timestamp suffix: a far-future timestamp
+    // resolves to the latest version
+    assert(spark.read.format("graft").load(s"$dir@29990101000000000")
+      .count() === 20)
+    // explicit option beats the suffix-looking path only when the literal
+    // path is not a table; a malformed suffix fails as a missing table
+    intercept[Exception] {
+      spark.read.format("graft").load(s"$dir@v99").collect()
+    }
   }
 
   test("format(graft) partitioned write via writer API") {
