@@ -412,10 +412,11 @@ object Graft {
       configuration: Map[String, String] = Map.empty,
       txnAppId: Option[String] = None,
       txnVersion: Option[Long] = None,
-      overwriteSchema: Boolean = false): Long =
+      overwriteSchema: Boolean = false,
+      dataChange: Boolean = true): Long =
     WriteIntoGraft(df.sparkSession, path, df, mode, partitionBy, replaceWhere,
       mergeSchema, dynamicPartitionOverwrite, configuration, txnAppId, txnVersion,
-      overwriteSchema)
+      overwriteSchema, dataChange)
 
   def read(spark: SparkSession, path: String): DataFrame =
     GraftTable.forPath(spark, path).toDF

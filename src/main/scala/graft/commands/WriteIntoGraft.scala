@@ -27,12 +27,13 @@ object WriteIntoGraft {
       configuration: Map[String, String] = Map.empty,
       txnAppId: Option[String] = None,
       txnVersion: Option[Long] = None,
-      overwriteSchema: Boolean = false): Long = {
+      overwriteSchema: Boolean = false,
+      dataChange: Boolean = true): Long = {
     val log = GraftLog.forTable(spark, path)
     log.withNewTransaction { txn =>
       run(spark, path, data, txn, mode, partitionBy, replaceWhere, mergeSchema,
         dynamicPartitionOverwrite, configuration, txnAppId, txnVersion,
-        overwriteSchema)
+        overwriteSchema, dataChange)
     }
   }
 
@@ -51,8 +52,16 @@ object WriteIntoGraft {
       configuration: Map[String, String] = Map.empty,
       txnAppId: Option[String] = None,
       txnVersion: Option[Long] = None,
-      overwriteSchema: Boolean = false): Long = {
+      overwriteSchema: Boolean = false,
+      dataChange: Boolean = true): Long = {
     {
+      // dataChange=false marks a user-driven rearrangement (manual
+      // compaction): same rows, new layout. Streams skip such commits.
+      // Only plain append/overwrite qualify — a selective replaceWhere or
+      // DPO write has no row-preservation guarantee worth asserting.
+      require(dataChange || (replaceWhere.isEmpty && !dynamicPartitionOverwrite),
+        "dataChange=false cannot be combined with replaceWhere or dynamic " +
+          "partition overwrite")
       // Idempotent writes: skip a batch the table has already absorbed.
       for (app <- txnAppId; v <- txnVersion) {
         if (txn.txnVersion(app) >= v) return txn.readVersion
@@ -125,7 +134,8 @@ object WriteIntoGraft {
               raise_error(lit(s"provided value violates $name")).cast(ft)))
         }
       }
-      val adds = txn.writeFiles(normalized)
+      val adds0 = txn.writeFiles(normalized)
+      val adds = if (dataChange) adds0 else adds0.map(_.copy(dataChange = false))
       // identity watermark advance rides in the same commit
       graft.schema.ColumnDefaults.advanceWatermarks(txn.metadata, adds)
         .foreach(txn.updateMetadata)
@@ -151,7 +161,7 @@ object WriteIntoGraft {
               }
             case None =>
               txn.readWholeTable()
-              txn.snapshot.allFiles.map(_.remove(now))
+              txn.snapshot.allFiles.map(_.remove(now, dataChange))
           }
         case other => throw new IllegalArgumentException(s"Unknown mode $other")
       }

@@ -178,7 +178,8 @@ class GraftDataSource
         parameters.get("partitionOverwriteMode").exists(_.equalsIgnoreCase("dynamic")),
       txnAppId = parameters.get("txnAppId"),
       txnVersion = parameters.get("txnVersion").map(_.toLong),
-      overwriteSchema = parameters.get("overwriteSchema").exists(_.toBoolean))
+      overwriteSchema = parameters.get("overwriteSchema").exists(_.toBoolean),
+      dataChange = parameters.get("dataChange").forall(_.toBoolean))
     createRelation(sqlContext, parameters)
   }
 

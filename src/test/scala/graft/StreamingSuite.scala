@@ -95,6 +95,33 @@ class StreamingSuite extends AnyFunSuite {
       s"got ${batches.length}")
   }
 
+  test("dataChange=false rewrites are invisible to a tailing stream") {
+    val dir = tmpDir()
+    val ckpt = tmpDir()
+    Graft.write(spark.range(10).toDF("id"), dir)
+    // manual compaction: same rows, new layout, flagged as no data change
+    val current = Graft.read(spark, dir)
+    Graft.write(current.coalesce(1), dir, mode = "overwrite", dataChange = false)
+    intercept[IllegalArgumentException] {
+      Graft.write(current, dir, mode = "overwrite",
+        replaceWhere = Some("id < 5"), dataChange = false)
+    }
+    Graft.write(spark.range(10, 15).toDF("id"), dir)
+    // a stream from v1 (the rewrite) sees only the later append, not the
+    // rearranged copies of rows it would otherwise double-read
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "1")
+      .load(dir)
+      .writeStream.format("memory").queryName("dc_rows")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.table("dc_rows").collect().map(_.getLong(0)).sorted.toSeq ===
+      (10L until 15L))
+    assert(Graft.read(spark, dir).count() === 15)
+  }
+
   test("streaming sink: exactly-once into graft table") {
     val srcDir = tmpDir()
     val outDir = tmpDir()
