@@ -25,10 +25,15 @@ import graft.tx.OptimisticTransaction
  */
 class OptimizeBuilder(table: GraftTable) {
   private var predicate: Option[String] = None
+  private var fullMode: Boolean = false
   def where(p: String): OptimizeBuilder = { predicate = Some(p); this }
 
+  /** OPTIMIZE FULL: on a clustered table, re-cluster EVERY selected file,
+    * not just the ones written since the last OPTIMIZE. */
+  def full(): OptimizeBuilder = { fullMode = true; this }
+
   def executeCompaction(): DataFrame =
-    OptimizeCommand.compact(table, predicate)
+    OptimizeCommand.compact(table, predicate, fullMode)
 
   def executeZOrderBy(cols: String*): DataFrame =
     OptimizeCommand.cluster(table, predicate, cols, hilbert = false)
@@ -48,7 +53,8 @@ object OptimizeCommand {
   /** Files already laid out by incremental clustering carry this tag. */
   val CLUSTERED_TAG = "clustered"
 
-  def compact(table: GraftTable, predicate: Option[String]): DataFrame = {
+  def compact(table: GraftTable, predicate: Option[String],
+      full: Boolean = false): DataFrame = {
     val spark = table.spark
     val log = table.log
     val metrics = log.withNewTransaction { txn =>
@@ -62,8 +68,11 @@ object OptimizeCommand {
       val clusterBy = m.configuration.get("graft.clusterBy")
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).filter(_.nonEmpty)
       clusterBy.foreach { cols =>
+        // FULL ignores the incremental tag: everything re-clusters (the
+        // way to recover global locality after many incremental passes,
+        // or after ALTER ... CLUSTER BY changed the columns).
         val candidates = selectFiles(spark, txn, m, predicate).filter(f =>
-          f.tags == null || !f.tags.get(CLUSTERED_TAG).contains("true"))
+          full || f.tags == null || !f.tags.get(CLUSTERED_TAG).contains("true"))
         val metrics =
           if (candidates.isEmpty) Map("numFilesClustered" -> "0")
           else {

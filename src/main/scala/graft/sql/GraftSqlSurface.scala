@@ -357,13 +357,15 @@ case class GraftMergeRun(
 }
 
 case class GraftOptimizeRun(
-    path: String, where: Option[String], zorderBy: Seq[String])
+    path: String, where: Option[String], zorderBy: Seq[String],
+    full: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("metric", StringType)(),
     AttributeReference("value", StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val b = GraftTable.forPath(spark, path).optimize()
+    var b = GraftTable.forPath(spark, path).optimize()
+    if (full) b = b.full()
     where.foreach(b.where)
     val df = if (zorderBy.nonEmpty) b.executeZOrderBy(zorderBy: _*)
              else b.executeCompaction()
@@ -657,7 +659,7 @@ object GraftSqlParser {
   // ... or a plain table name, resolved through the session catalog.
   private val targetOrName = s"""(?:$target|[A-Za-z_][\\w.]*)"""
   private val optimizeRe =
-    (s"""(?is)^\\s*OPTIMIZE\\s+($targetOrName)(?:\\s+WHERE\\s+(.+?))?""" +
+    (s"""(?is)^\\s*OPTIMIZE\\s+($targetOrName)(?:\\s+(FULL))?(?:\\s+WHERE\\s+(.+?))?""" +
       s"""(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*([\\w`,\\s]+?)\\s*\\)?)?\\s*;?\\s*$$""").r
   private val vacuumRe =
     (s"""(?is)^\\s*VACUUM\\s+($targetOrName)""" +
@@ -732,11 +734,12 @@ object GraftSqlParser {
     case restoreRe(t, v) => resolve(t).map(p => GraftRestoreRun(p, v.toLong))
     case restoreTsRe(t, ts) => resolve(t).map(p => GraftRestoreTsRun(p, ts))
     case reorgRe(t) => resolve(t).map(GraftReorgRun.apply)
-    case optimizeRe(t, where, zorder) =>
+    case optimizeRe(t, full, where, zorder) =>
       val z = Option(zorder).map(_.split(",").toSeq
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
         .getOrElse(Nil)
-      resolve(t).map(p => GraftOptimizeRun(p, Option(where).map(_.trim), z))
+      resolve(t).map(p => GraftOptimizeRun(p, Option(where).map(_.trim), z,
+        full = full != null))
     case vacuumRe(t, inv, hours, lite, dry) =>
       resolve(t).map(p => GraftVacuumRun(p,
         Option(hours).map(_.toDouble), dry != null, lite != null,

@@ -283,6 +283,13 @@ class FeatureSuite extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(r3("numFilesClustered").toInt === unclustered)
     assert(Graft.read(spark, dir).count() === 210)
+    // OPTIMIZE FULL re-clusters EVERYTHING, already-tagged files included
+    val total = GraftTable.forPath(spark, dir).snapshot.numFiles
+    val rf = spark.sql(s"OPTIMIZE '$dir' FULL").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rf("numFilesClustered").toLong === total,
+      s"FULL clustered ${rf("numFilesClustered")} of $total")
+    assert(Graft.read(spark, dir).count() === 210)
   }
 
   test("auto compact fires past the small-file threshold") {
