@@ -751,6 +751,12 @@ object SparkEntry {
     // query emits the oracle-checkable INVARIANTS instead: a fingerprint is
     // deterministic (identical text -> identical fp, for both the rolling
     // hash and the simhash) and content-sensitive (appended token -> new fp).
+    "text_termstats" -> ((s, dir) => {
+      graft.text.TextFunctions.termStats(
+        t(s, dir, "documents"), col("doc_id"), col("text"), topK = 3)
+        .orderBy("doc_id", "term")
+    }),
+
     "text_fingerprint" -> ((s, dir) => {
       val d = t(s, dir, "documents").select("doc_id", "text")
       val variants = d
@@ -1316,6 +1322,27 @@ object SparkEntry {
                   ELSE 'de' END
            ELSE 'und' END AS lang_pred
          FROM scores ORDER BY doc_id""",
+
+    "text_termstats" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> len(x) > 0)) AS term
+           FROM documents
+         ), tf AS (
+           SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY 1, 2
+         ), docfreq AS (
+           SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+         ), topk AS (
+           SELECT doc_id, term, tf,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY tf DESC, term) AS rn
+           FROM tf
+         )
+         SELECT t.doc_id, t.term, t.tf, d.df
+         FROM topk t JOIN docfreq d USING (term)
+         WHERE t.rn <= 3 ORDER BY t.doc_id, t.term""",
 
     "text_fingerprint" ->
       """SELECT doc_id, true AS fp_deterministic, true AS fp_sensitive,

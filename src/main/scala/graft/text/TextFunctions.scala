@@ -115,4 +115,29 @@ object TextFunctions {
       transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + 1, lit(n)), " ")))
       .otherwise(array(array_join(toks, " ")))
+
+  /**
+   * Per-document term statistics — the integer-exact core of TF-IDF:
+   * each document's `topK` terms by term frequency (ties broken by term),
+   * joined with the corpus document frequency. Two shuffles (doc-term
+   * agg, term agg) plus a per-document top-k window; every key hashes
+   * evenly, so the shape holds at corpus scale. Callers derive the float
+   * score as `tf * ln(N / df)` in whatever precision they need.
+   */
+  def termStats(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column,
+      topK: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(id.as("doc_id"), explode(tokens(text)).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("tf").desc, col("term"))
+    tf.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= topK).drop("__rn")
+      .join(docFreq, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"))
+  }
 }
