@@ -346,6 +346,32 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(col("tag").isNull).count() === 5)
   }
 
+  test("8 racing appender threads all land through commit retry") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val dir = tmpDir()
+    Graft.write(spark.range(0).toDF("id"), dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val futures = (0 until 8).map { i =>
+      Future {
+        // real races on the put-if-absent log write: each thread's commit
+        // may lose the version race repeatedly and must retry-rebase
+        (0 until 3).foreach { j =>
+          Graft.write(spark.range(i * 100 + j * 10, i * 100 + j * 10 + 10)
+            .toDF("id"), dir)
+        }
+      }
+    }
+    try Await.result(Future.sequence(futures), Duration.Inf)
+    finally pool.shutdown()
+    val got = Graft.read(spark, dir)
+    assert(got.count() === 240)
+    assert(got.distinct().count() === 240)      // nothing lost or doubled
+    val log = GraftLog.forTable(spark, dir)
+    assert(log.update().version === 24)         // v0 create + 24 appends
+  }
+
   test("concurrent append conflict detection") {
     val dir = tmpDir()
     Graft.write(spark.range(10).toDF("id"), dir)
