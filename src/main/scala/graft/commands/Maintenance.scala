@@ -29,19 +29,31 @@ class OptimizeBuilder(table: GraftTable) {
   def where(p: String): OptimizeBuilder = { predicate = Some(p); this }
 
   /** OPTIMIZE FULL: on a clustered table, re-cluster EVERY selected file,
-    * not just the ones written since the last OPTIMIZE. */
+    * not just the ones written since the last OPTIMIZE. Rejected on
+    * non-clustered tables and with ZORDER/HILBERT BY (which always
+    * rewrite the full selection anyway) — never a silent no-op. */
   def full(): OptimizeBuilder = { fullMode = true; this }
 
-  def executeCompaction(): DataFrame =
+  def executeCompaction(): DataFrame = {
+    require(!fullMode ||
+      table.snapshot.metadata.configuration.contains("graft.clusterBy"),
+      "OPTIMIZE FULL requires a clustered table (graft.clusterBy)")
     OptimizeCommand.compact(table, predicate, fullMode)
+  }
 
-  def executeZOrderBy(cols: String*): DataFrame =
+  def executeZOrderBy(cols: String*): DataFrame = {
+    require(!fullMode, "OPTIMIZE FULL cannot be combined with ZORDER BY; " +
+      "ZORDER already rewrites the full selection")
     OptimizeCommand.cluster(table, predicate, cols, hilbert = false)
+  }
 
   /** Hilbert-curve clustering: same quantile bucketing, better locality
     * (no Z-shape jumps), so multi-column range scans prune harder. */
-  def executeHilbertBy(cols: String*): DataFrame =
+  def executeHilbertBy(cols: String*): DataFrame = {
+    require(!fullMode, "OPTIMIZE FULL cannot be combined with HILBERT BY; " +
+      "HILBERT already rewrites the full selection")
     OptimizeCommand.cluster(table, predicate, cols, hilbert = true)
+  }
 }
 
 object OptimizeCommand {
@@ -338,14 +350,32 @@ object VacuumCommand {
         val cols = inv.columns.map(_.toLowerCase)
         require(cols.contains("path") && cols.contains("modificationtime"),
           "vacuum inventory needs at least (path, modificationTime) columns")
+        // modificationTime must become epoch MILLIS whatever the column
+        // type: a timestamp column naively cast to long yields SECONDS,
+        // which would make every file look ancient and defeat the
+        // retention guard.
+        val mtimeCol = inv.schema(inv.columns.find(
+          _.equalsIgnoreCase("modificationTime")).get).dataType match {
+          case _: org.apache.spark.sql.types.TimestampType =>
+            unix_millis(col("modificationTime"))
+          case _: org.apache.spark.sql.types.TimestampNTZType =>
+            unix_millis(col("modificationTime").cast("timestamp"))
+          case _: org.apache.spark.sql.types.NumericType =>
+            col("modificationTime").cast("long")
+          case other => throw new IllegalArgumentException(
+            s"inventory modificationTime must be numeric epoch-millis or " +
+              s"timestamp, got $other")
+        }
         val listed = inv
           .where(if (cols.contains("isdir")) !col("isDir") else lit(true))
-          .select(col("path").cast("string").as[String],
-            col("modificationTime").cast("long").as[Long])
+          .select(col("path").cast("string").as[String], mtimeCol.as[Long])
           .map { case (p, m) => (qualifyF(p), m) }
           .toDF("path", "mtime")
           .where(!col("path").contains("/_graft_log/") &&
-            !col("path").contains("/_change_data/"))
+            !col("path").contains("/_change_data/") &&
+            // same hidden-file surface as the filesystem walk
+            !element_at(split(col("path"), "/"), -1).startsWith(".") &&
+            !element_at(split(col("path"), "/"), -1).startsWith("_"))
         return finish(spark, log, snap, cutoff, dryRun, listed, confBc, qualifyF)
       case None => ()
     }

@@ -134,27 +134,37 @@ object Dedup {
     val banded = sigs
       .select(col("id"), sigCol.as("sig"), posexplode(array(bucketCols: _*)))
       .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
-    // One shuffle on the bucket key; oversized buckets (near-identical
-    // boilerplate whose members pair many times over in other bands) are
-    // dropped whole — the standard LSH hot-bucket guard.
-    val buckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(struct(col("id"), col("sig"))).as("ms"))
-      .where(size(col("ms")).between(2, maxBucketSize))
     val agree = (0 until numHashes).map { i =>
       when(col("a.sig").getItem(i) === col("b.sig").getItem(i), 1).otherwise(0)
     }.reduce(_ + _)
-    buckets
-      .select(col("ms"), posexplode(col("ms"))).withColumnRenamed("pos", "pa")
-      .withColumnRenamed("col", "a")
-      .select(col("a"), col("pa"), posexplode(col("ms"))).withColumnRenamed("pos", "pb")
-      .withColumnRenamed("col", "b")
-      .where(col("pa") < col("pb"))
+    bucketPairs(banded, struct(col("id"), col("sig")), maxBucketSize)
       .select(
         least(col("a.id"), col("b.id")).as("idA"),
         greatest(col("a.id"), col("b.id")).as("idB"),
         (agree.cast("double") / numHashes).as("estJaccard"))
       .where(col("estJaccard") >= threshold)
       .distinct()
+  }
+
+  /** The shared LSH pair-generation shape: one shuffle on (band, bucket),
+    * each group collected once with the given member payload, then the
+    * in-bucket pairs explode locally as columns `a` and `b` (pa < pb).
+    * Oversized buckets — near-identical boilerplate whose members pair
+    * many times over in other bands — are dropped whole (the standard
+    * hot-bucket skew guard); `cap <= 0` means uncapped. */
+  private def bucketPairs(
+      banded: DataFrame,
+      member: Column,
+      cap: Int): DataFrame = {
+    val effCap = if (cap > 0) cap else Int.MaxValue
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(collect_list(member).as("ms"))
+      .where(size(col("ms")).between(2, effCap))
+      .select(col("ms"), posexplode(col("ms"))).withColumnRenamed("pos", "pa")
+      .withColumnRenamed("col", "a")
+      .select(col("a"), col("pa"), posexplode(col("ms"))).withColumnRenamed("pos", "pb")
+      .withColumnRenamed("col", "b")
+      .where(col("pa") < col("pb"))
   }
 
   /**
@@ -203,15 +213,7 @@ object Dedup {
         b => call_function("shiftrightunsigned", col("fp"),
           (b * 16).cast("int")).bitwiseAND(lit(0xFFFFL)))))
       .select(col("id"), col("fp"), col("pos").as("band"), col("col").as("bucket"))
-    val buckets = banded.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(struct(col("id"), col("fp"))).as("ms"))
-      .where(size(col("ms")).between(2, maxBucketSize))
-    buckets
-      .select(col("ms"), posexplode(col("ms"))).withColumnRenamed("pos", "pa")
-      .withColumnRenamed("col", "a")
-      .select(col("a"), col("pa"), posexplode(col("ms"))).withColumnRenamed("pos", "pb")
-      .withColumnRenamed("col", "b")
-      .where(col("pa") < col("pb"))
+    bucketPairs(banded, struct(col("id"), col("fp")), maxBucketSize)
       .select(
         least(col("a.id"), col("b.id")).as("idA"),
         greatest(col("a.id"), col("b.id")).as("idB"),
@@ -240,14 +242,7 @@ object Dedup {
     val banded = sigs
       .select(col("id"), posexplode(array(bucketCols: _*)))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
-    banded.groupBy(col("band"), col("bucket"))
-      .agg(collect_list(col("id")).as("ms"))
-      .where(size(col("ms")).between(2, maxBucketSize))
-      .select(col("ms"), posexplode(col("ms"))).withColumnRenamed("pos", "pa")
-      .withColumnRenamed("col", "a")
-      .select(col("a"), col("pa"), posexplode(col("ms"))).withColumnRenamed("pos", "pb")
-      .withColumnRenamed("col", "b")
-      .where(col("pa") < col("pb"))
+    bucketPairs(banded, col("id"), maxBucketSize)
       .select(least(col("a"), col("b")).as("idA"),
         greatest(col("a"), col("b")).as("idB"))
       .distinct()

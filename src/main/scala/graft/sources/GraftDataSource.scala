@@ -72,19 +72,25 @@ class GraftDataSource
   /** `path@v123` / `path@yyyyMMddHHmmssSSS` time-travel suffixes on reads
     * (reference concept: DeltaDataSource.parsePathIdentifier /
     * DeltaTimeTravelSpec — re-designed). The literal path wins if it is
-    * itself a graft table; explicit versionAsOf/timestampAsOf options
-    * win over the suffix. */
+    * itself a graft table; combining the suffix with an explicit
+    * versionAsOf/timestampAsOf option is an error (the reference's
+    * "multiple time travel formats" rule), never a silent pick. */
   private def resolveTimeTravelPath(
       spark: SparkSession,
       parameters: Map[String, String]): Map[String, String] = {
     val raw = pathOf(parameters)
-    if (parameters.contains("versionAsOf") ||
-      parameters.contains("timestampAsOf")) return parameters
+    val explicitOpt = parameters.contains("versionAsOf") ||
+      parameters.contains("timestampAsOf")
     def isTable(p: String) = GraftLog.forTable(spark, p).tableExists
+    def checkNotBoth(): Unit = require(!explicitOpt,
+      s"Cannot combine the time-travel path suffix in '$raw' with a " +
+        "versionAsOf/timestampAsOf option; specify one or the other")
     raw match {
       case versionSuffixRe(base, v) if !isTable(raw) && isTable(base) =>
+        checkNotBoth()
         parameters + ("path" -> base, "versionAsOf" -> v)
       case timestampSuffixRe(base, ts) if !isTable(raw) && isTable(base) =>
+        checkNotBoth()
         val t = java.time.LocalDateTime.parse(ts,
           java.time.format.DateTimeFormatter.ofPattern("yyyyMMddHHmmssSSS"))
         parameters + ("path" -> base,

@@ -215,6 +215,13 @@ class Round4Suite extends AnyFunSuite {
     ).toDF("path", "length", "isDir", "modificationTime")
     spark.conf.set(graft.commands.VacuumCommand.retentionCheckConf, "false")
     try {
+      // timestamp-typed modificationTime must read as epoch millis, not
+      // seconds: a dry run over a FUTURE-stamped inventory deletes nothing
+      val futureInv = Seq((orphan.getAbsolutePath, 3L, false,
+        new java.sql.Timestamp(System.currentTimeMillis() + 3600 * 1000)))
+        .toDF("path", "length", "isDir", "modificationTime")
+      assert(t.vacuum(retentionHours = 0.0, dryRun = true,
+        inventory = Some(futureInv)).count() === 0)
       val deleted = t.vacuum(retentionHours = 0.0, inventory = Some(inv))
       assert(deleted.as[String].collect().toSet ===
         Set("file:" + orphan.getAbsolutePath))

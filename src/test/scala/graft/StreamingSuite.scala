@@ -25,11 +25,16 @@ class StreamingSuite extends AnyFunSuite {
     // resolves to the latest version
     assert(spark.read.format("graft").load(s"$dir@29990101000000000")
       .count() === 20)
-    // explicit option beats the suffix-looking path only when the literal
-    // path is not a table; a malformed suffix fails as a missing table
+    // a suffix pointing past the log fails as a missing version
     intercept[Exception] {
       spark.read.format("graft").load(s"$dir@v99").collect()
     }
+    // suffix + explicit option is ambiguous -> error, never a silent pick
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "0")
+        .load(s"$dir@v1").collect()
+    }
+    assert(e.getMessage.contains("Cannot combine"))
   }
 
   test("format(graft) partitioned write via writer API") {
