@@ -249,11 +249,11 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard for candidate pairs (LSH first, then verify).
-    * Candidate generation uses 2 hashes per band (32 bands over 64
+    * Candidate generation uses 2 hashes per band (16 bands over 32
     * hashes): a pair with true Jaccard >= `threshold` (0.8) misses all
-    * bands with probability <= (1 - 0.8^2)^32 ~ 6e-15, so the verified
-    * output equals the exact cross-product answer while the join volume
-    * stays banded.
+    * bands with probability <= (1 - 0.8^2)^16 ~ 8e-8 — negligible even
+    * summed over millions of true pairs — so the verified output equals
+    * the exact cross-product answer while the join volume stays banded.
     *
     * Verification never materializes shingle-set arrays: candidate pairs
     * explode to (pair, member) rows, join the flat (id, shingle-hash)
@@ -262,20 +262,25 @@ object Dedup {
     * hashes) directly — `countDistinct(member)` also collapses each
     * member's duplicate shingles, so multiset inputs behave as sets. The
     * hash-set Jaccard equals the string-set Jaccard up to a ~2^-64
-    * per-pair collision. Everything shuffles linear-sized rows; nothing
-    * is quadratic except the capped in-bucket pair explode. */
+    * per-pair collision. Only candidate members are re-shingled (semi
+    * join): at corpus scale candidates are a sliver of the corpus, so
+    * the verify pass costs O(candidates), not O(corpus). Everything
+    * shuffles linear-sized rows; nothing is quadratic except the capped
+    * in-bucket pair explode. */
   def ngramJaccardPairs(
       df: DataFrame,
       id: Column,
       text: Column,
       n: Int = 3,
       threshold: Double = 0.8): DataFrame = {
-    val candidates = bandedCandidates(df, id, text, numHashes = 64,
-      bands = 32, shingleSize = n, maxBucketSize = 10000)
+    val candidates = bandedCandidates(df, id, text, numHashes = 32,
+      bands = 16, shingleSize = n, maxBucketSize = 10000)
     val members = candidates
       .select(struct(col("idA"), col("idB")).as("p"),
         explode(array(col("idA"), col("idB"))).as("id"))
-    val sh = shingleHashes(df, id, text, n)
+    val candidateDocs = df.select(id.as("id"), text.as("__t"))
+      .join(members.select("id").distinct(), "id")
+    val sh = shingleHashes(candidateDocs, col("id"), col("__t"), n)
     members.join(sh, "id")
       .groupBy(col("p"), col("h"))
       .agg(countDistinct(col("id")).as("nm"))
