@@ -137,12 +137,22 @@ class GraftDataSource
         case None => log.update()
       }
     }
-    // A DSv1 BaseRelation cannot row-filter, so a table with deletion
-    // vectors must be read through GraftTable / SQL (which wrap the scan
-    // in the DV anti-join). Failing loudly beats returning deleted rows.
-    require(!snapshot.allFiles.exists(_.dvPath.isDefined),
-      s"${pathOf(parameters)} has deletion vectors; read it via " +
-        "GraftTable.forPath(...).toDF or SELECT ... FROM graft.`path`")
+    // A plain HadoopFsRelation cannot row-filter, so a table with
+    // deletion vectors reads through the DV-filtering scan instead
+    // (the filter plan wrapped as a TableScan — same shape as the CDF
+    // relation above). Slightly less pushdown surface than the direct
+    // relation, so only taken when DVs actually exist.
+    if (snapshot.allFiles.exists(_.dvPath.isDefined)) {
+      val df = GraftFileIndex.dataFrame(spark, log, snapshot)
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override val sqlContext: SQLContext = spark.sqlContext
+        override def schema: StructType = df.schema
+        override def needConversion: Boolean = false
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          df.queryExecution.toRdd
+            .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+      }
+    }
     val index = new GraftFileIndex(spark, log, snapshot)
     HadoopFsRelation(
       location = index,

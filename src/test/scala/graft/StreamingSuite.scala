@@ -37,6 +37,23 @@ class StreamingSuite extends AnyFunSuite {
     assert(e.getMessage.contains("Cannot combine"))
   }
 
+  test("format(graft) read applies deletion vectors") {
+    val dir = tmpDir()
+    Graft.write(spark.range(100).toDF("id"), dir,
+      configuration = Map("graft.enableDeletionVectors" -> "true"))
+    GraftTable.forPath(spark, dir).delete("id < 30")
+    // the delete wrote DVs, not rewritten files; the DSv1 read must
+    // filter the marked rows rather than resurrect them
+    val log = graft.log.GraftLog.forTable(spark, dir)
+    assert(log.update().allFiles.exists(_.dvPath.isDefined))
+    val got = spark.read.format("graft").load(dir)
+    assert(got.count() === 70)
+    assert(got.agg(org.apache.spark.sql.functions.min("id"))
+      .head.getLong(0) === 30)
+    // time travel back to v0 still sees everything
+    assert(spark.read.format("graft").load(s"$dir@v0").count() === 100)
+  }
+
   test("format(graft) partitioned write via writer API") {
     val dir = tmpDir()
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
