@@ -185,12 +185,6 @@ class GraftSource(
         initialFiles(from.reservoirVersion).iterator.zipWithIndex
           .filter(_._2 > from.index)
           .map { case (f, i) =>
-            // The streaming reader has no DV row-filter; refuse rather
-            // than resurrect deleted rows.
-            if (f.dvPath.isDefined) throw new UnsupportedOperationException(
-              s"Streaming from a table with deletion vectors (${f.path}) " +
-                "is not supported; run REORG (GraftTable.reorgPurge) to " +
-                "materialize them first.")
             IndexedFile(from.reservoirVersion, i, isInitialSnapshot = true, f)
           }
       } else Iterator.empty
@@ -299,8 +293,12 @@ class GraftSource(
       else f.version < to.reservoirVersion ||
         (f.version == to.reservoirVersion && f.index <= to.index)
     }.map(_.add).toVector
-    GraftFileIndex.dataFrame(spark, log, snapshotAtInit, Some(files),
+    val df = GraftFileIndex.dataFrame(spark, log, snapshotAtInit, Some(files),
       isStreaming = true)
+    // Deletion vectors pinned on the admitted AddFiles apply as a
+    // stream-static anti-join (stateless, retry-deterministic: the DV
+    // sidecar paths ride the offset's file list, not the live table).
+    graft.dv.DeletionVectors.filterDeleted(spark, log, df, files)
   }
 
   /** CDF micro-batch: initial-snapshot rows replay as inserts, then

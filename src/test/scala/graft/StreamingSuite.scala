@@ -54,6 +54,25 @@ class StreamingSuite extends AnyFunSuite {
     assert(spark.read.format("graft").load(s"$dir@v0").count() === 100)
   }
 
+  test("streaming initial snapshot applies deletion vectors") {
+    val dir = tmpDir()
+    val ckpt = tmpDir()
+    Graft.write(spark.range(100).toDF("id"), dir,
+      configuration = Map("graft.enableDeletionVectors" -> "true"))
+    GraftTable.forPath(spark, dir).delete("id < 30")
+    assert(graft.log.GraftLog.forTable(spark, dir).update()
+      .allFiles.exists(_.dvPath.isDefined))
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("memory").queryName("dv_stream_rows")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("dv_stream_rows").collect().map(_.getLong(0))
+    assert(got.length === 70, s"expected 70 live rows, got ${got.length}")
+    assert(got.min === 30)
+  }
+
   test("format(graft) partitioned write via writer API") {
     val dir = tmpDir()
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
