@@ -159,6 +159,31 @@ object SparkEntry {
           round(sum(col("value").cast("decimal(18,6)")), 4)
             .cast("double").as("sum_value"))
         .orderBy("event_type", "day")
+    }),
+
+    "q_pivot" -> ((s, dir) => {
+      // wide-format aggregation: one column per order status
+      t(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("o_orderpriority"),
+          col("F").as("n_f"), col("O").as("n_o"), col("P").as("n_p"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "q_grouping_sets" -> ((s, dir) => {
+      // CUBE over (returnflag, linestatus) with grouping ids; the
+      // super-aggregate rows NULL out the grouped-away dimension
+      val li = t(s, dir, "lineitem")
+      li.cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .select(
+          col("l_returnflag"), col("l_linestatus"),
+          col("n"), col("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
     }))
 
   // ==========================================================================
@@ -1009,6 +1034,19 @@ object SparkEntry {
          count(DISTINCT user_id) AS users,
          CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+         count(*) FILTER (o_orderstatus = 'F') AS n_f,
+         count(*) FILTER (o_orderstatus = 'O') AS n_o,
+         count(*) FILTER (o_orderstatus = 'P') AS n_p
+         FROM orders GROUP BY 1 ORDER BY 1""",
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
 
     // -- engine round-trips: the oracle states the expected END STATE ------
     "graft_append_read" ->
