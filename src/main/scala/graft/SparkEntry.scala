@@ -161,6 +161,18 @@ object SparkEntry {
         .orderBy("event_type", "day")
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      // for each purchase, the user's most recent click at or before it
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      graft.operators.AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "click_")
+        .select(col("event_id"), col("user_id"), col("click_event_id"))
+        .orderBy("event_id")
+    }),
+
     "q_pivot" -> ((s, dir) => {
       // wide-format aggregation: one column per order status
       t(s, dir, "orders")
@@ -1034,6 +1046,13 @@ object SparkEntry {
          count(DISTINCT user_id) AS users,
          CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_asof_join" ->
+      """SELECT l.event_id, l.user_id, r.event_id AS click_event_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
 
     "q_pivot" ->
       """SELECT o_orderpriority,

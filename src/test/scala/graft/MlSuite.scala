@@ -184,4 +184,20 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
       .select(sum(col("meta.width"))).head.getLong(0)
     assert(audioBefore === audioAfter)
   }
+
+  test("asOf join: inclusive bound, no-match nulls, per-key isolation") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "t", "lv")
+    val right = Seq((1L, 10L, "r10"), (1L, 15L, "r15"), (2L, 6L, "r6"))
+      .toDF("k", "t", "rv")
+    val got = graft.operators.AsOfJoin.asOf(left, right, "k", "t", "m_")
+      .select("k", "t", "lv", "m_rv").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)))).toSet
+    assert(got === Set(
+      (1L, 10L, "p1", Some("r10")),   // equal ts matches (inclusive <=)
+      (1L, 20L, "p2", Some("r15")),   // latest prior, not first
+      (2L, 5L, "p3", None)))          // right row is later -> no match
+  }
 }
