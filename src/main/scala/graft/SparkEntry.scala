@@ -173,6 +173,20 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_band_join" -> ((s, dir) => {
+      // clicks within +-1 hour of each purchase, across ALL users — a
+      // pure range join with no equi key (ts arrives as raw nanos)
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("ts").as("c_ts"))
+      graft.operators.RangeJoin.band(purchases, clicks, "ts", "c_ts",
+          width = 3600L * 1000000000L, rightPrefix = "r_")
+        .groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
+        .orderBy("event_id")
+    }),
+
     "q_pivot" -> ((s, dir) => {
       // wide-format aggregation: one column per order status
       t(s, dir, "orders")
@@ -1053,6 +1067,13 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
            ON l.user_id = r.user_id AND l.ts >= r.ts
          ORDER BY l.event_id""",
+
+    "q_band_join" ->
+      """SELECT l.event_id, count(*) AS n_clicks
+         FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') l
+         JOIN (SELECT ts AS c_ts FROM events WHERE event_type = 'click') r
+           ON abs(epoch_ns(l.ts) - epoch_ns(r.c_ts)) <= 3600000000000
+         GROUP BY 1 ORDER BY 1""",
 
     "q_pivot" ->
       """SELECT o_orderpriority,

@@ -185,6 +185,18 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
     assert(audioBefore === audioAfter)
   }
 
+  test("band join: inclusive width, bucket-boundary pairs, no duplicates") {
+    import spark.implicits._
+    val left = Seq((1L, 200L)).toDF("id", "t")
+    val right = Seq(99L, 100L, 250L, 300L, 301L).toDF("rt")
+    val got = graft.operators.RangeJoin.band(left, right, "t", "rt",
+        width = 100L, rightPrefix = "m_")
+      .select("id", "m_rt").collect().map(_.getLong(1)).sorted.toSeq
+    // 99 is out (diff 101); 100 (boundary, other bucket), 250 (same
+    // bucket), 300 (boundary) are in, each exactly once; 301 is out
+    assert(got === Seq(100L, 250L, 300L))
+  }
+
   test("asOf join: inclusive bound, no-match nulls, per-key isolation") {
     import spark.implicits._
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
