@@ -150,9 +150,10 @@ object SparkEntry {
 
     "q_events_rollup" -> ((s, dir) => {
       // ts arrives as raw nanos (nanosAsLong): convert to micros timestamp
+      // (integer div — long / long is double division in Spark)
       t(s, dir, "events")
         .groupBy(col("event_type"),
-          to_date(timestamp_micros((col("ts") / 1000).cast("long"))).as("day"))
+          to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
         .agg(
           count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("users"),
@@ -171,6 +172,22 @@ object SparkEntry {
       graft.operators.AsOfJoin.asOf(purchases, clicks, "user_id", "ts", "click_")
         .select(col("event_id"), col("user_id"), col("click_event_id"))
         .orderBy("event_id")
+    }),
+
+    "q_session_window" -> ((s, dir) => {
+      // sessionize per user with a 30-minute inactivity gap; Spark's
+      // session_window works identically in batch and streaming, so this
+      // exact query also runs over readStream with a watermark
+      // integer `div`, not `/`: long / long is double division in Spark
+      // and the rounding disagrees with DuckDB's epoch_us truncation
+      val ev = t(s, dir, "events").select(col("user_id"),
+        timestamp_micros(expr("ts div 1000")).as("tsm"))
+      ev.groupBy(col("user_id"), session_window(col("tsm"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"), col("n"))
+        .orderBy("user_id", "start_us")
     }),
 
     "q_band_join" -> ((s, dir) => {
@@ -1067,6 +1084,25 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
            ON l.user_id = r.user_id AND l.ts >= r.ts
          ORDER BY l.event_id""",
+
+    "q_session_window" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS us FROM events
+         ), flagged AS (
+           SELECT user_id, us,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)
+         ), isl AS (
+           SELECT user_id, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM flagged
+         )
+         SELECT user_id, min(us) AS start_us,
+           max(us) + 1800000000 AS end_us, count(*) AS n
+         FROM isl GROUP BY user_id, sid ORDER BY user_id, start_us""",
 
     "q_band_join" ->
       """SELECT l.event_id, count(*) AS n_clicks
