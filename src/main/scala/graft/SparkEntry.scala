@@ -174,6 +174,22 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_percentiles" -> ((s, dir) => {
+      // exact interpolated percentiles: Spark's percentile and DuckDB's
+      // quantile_cont share the (n-1)p linear-interpolation definition,
+      // bit-identical on the same input set (verified at sf0.001/0.01)
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("p50_qty"),
+          expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+          expr("percentile(l_extendedprice, array(0.25, 0.75))").as("iqr"))
+        .select(col("l_returnflag"), col("p50_qty"), col("p90_price"),
+          col("iqr").getItem(0).as("p25_price"),
+          col("iqr").getItem(1).as("p75_price"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_session_window" -> ((s, dir) => {
       // sessionize per user with a 30-minute inactivity gap; Spark's
       // session_window works identically in batch and streaming, so this
@@ -1084,6 +1100,14 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
            ON l.user_id = r.user_id AND l.ts >= r.ts
          ORDER BY l.event_id""",
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS p50_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           quantile_cont(l_extendedprice, 0.25) AS p25_price,
+           quantile_cont(l_extendedprice, 0.75) AS p75_price
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q_session_window" ->
       """WITH e AS (
