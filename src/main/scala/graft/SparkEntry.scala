@@ -174,6 +174,23 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    "q_json_extract" -> ((s, dir) => {
+      // JSON scalar path: parse the props payload, bucket by the
+      // extracted key, aggregate — from_json stays codegen-friendly and
+      // pushes the doc_id filter to the scan
+      t(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.IntegerType))))
+            .getField("k").as("k"))
+        .where(col("k").isNotNull)
+        .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type", "k_bucket")
+    }),
+
     "q_percentiles" -> ((s, dir) => {
       // exact interpolated percentiles: Spark's percentile and DuckDB's
       // quantile_cont share the (n-1)p linear-interpolation definition,
@@ -1100,6 +1117,15 @@ object SparkEntry {
          ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
            ON l.user_id = r.user_id AND l.ts >= r.ts
          ORDER BY l.event_id""",
+
+    "q_json_extract" ->
+      """SELECT event_type,
+           CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+         FROM events
+         WHERE json_extract(props, '$.k') IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_percentiles" ->
       """SELECT l_returnflag,
