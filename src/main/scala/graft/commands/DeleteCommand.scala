@@ -89,12 +89,14 @@ object DeleteCommand {
             val candidates = txn.filterFiles(partF, dataF)
             if (candidates.isEmpty) (Nil, Nil, Nil, Map("numRemovedFiles" -> "0"))
             else {
-              val raw = GraftFileIndex.dataFrame(
-                  spark, log, txn.snapshot, Some(candidates), applyDv = false)
+              // DV-filtered scan (in-reader bitmap splice) carrying row
+              // identity: __i is the physical file row index, exactly the
+              // bitmap domain.
+              val visible = GraftFileIndex.dataFrame(
+                  spark, log, txn.snapshot, Some(candidates))
                 .withColumn("__f", graft.dv.DeletionVectors.normFileCol(
                   col("_metadata.file_path")))
                 .withColumn("__i", col("_metadata.row_index"))
-              val visible = graft.dv.DeletionVectors.antiJoin(spark, log, raw, candidates)
               val matched = visible.filter(coalesce(cond, lit(false)))
               val cdc = if (cdf) {
                 Cdc.writeChangeFiles(spark, log,
@@ -244,12 +246,11 @@ object UpdateCommand {
         // rows — a point update on a 1 GB file writes KBs, not the GB.
         // No findTouchedFiles pre-scan: the bitmap writer derives the
         // touched set from the matched rows, so candidates scan once.
-        val raw = GraftFileIndex.dataFrame(
-            spark, log, txn.snapshot, Some(candidates), applyDv = false)
+        val visible = GraftFileIndex.dataFrame(
+            spark, log, txn.snapshot, Some(candidates))
           .withColumn("__f", graft.dv.DeletionVectors.normFileCol(
             col("_metadata.file_path")))
           .withColumn("__i", col("_metadata.row_index"))
-        val visible = graft.dv.DeletionVectors.antiJoin(spark, log, raw, candidates)
         val matched = visible.filter(coalesce(cond, lit(false)))
         val updatedRows = matched.drop("__f", "__i").select(
           updatedColumns(m.schema, set, lit(true)).toIndexedSeq: _*)

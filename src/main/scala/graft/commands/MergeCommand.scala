@@ -223,12 +223,12 @@ object MergeCommand {
         if (insertClauses.nonEmpty) "full_outer" else "left_outer"
       val rewriteScan = pad(
         if (useDv) {
-          val raw = graft.files.GraftFileIndex.dataFrame(
-              spark, log, txn.snapshot, Some(rewriteFiles), applyDv = false)
+          // DV-filtered scan (in-reader bitmap splice) with row identity.
+          graft.files.GraftFileIndex.dataFrame(
+              spark, log, txn.snapshot, Some(rewriteFiles))
             .withColumn("__f", graft.dv.DeletionVectors.normFileCol(
               col("_metadata.file_path")))
             .withColumn("__i", col("_metadata.row_index"))
-          graft.dv.DeletionVectors.antiJoin(spark, log, raw, rewriteFiles)
         } else Dml.scanFiles(spark, log, txn, rewriteFiles))
       val srcMarked = source.withColumn(SRC, lit(true)).alias(sourceAlias)
       val joined = rewriteScan.withColumn("__tgt_exists", lit(true))

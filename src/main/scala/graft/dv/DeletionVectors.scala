@@ -17,22 +17,18 @@ import graft.log.{AddFile, GraftLog, Metadata, Snapshot}
 /**
  * Deletion vectors: per-file RoaringBitmap sidecars of deleted row
  * indexes under `_dv/`, so a point DELETE on a 1 GB file writes a few-KB
- * bitmap instead of rewriting the file. Read-side application is an
- * anti-join of the scan (keyed by `_metadata.file_path` +
- * `_metadata.row_index`) against the exploded bitmaps — broadcast when
- * the total cardinality is small, shuffled otherwise, so the filter
- * scales with deleted-row count, not table size.
+ * bitmap instead of rewriting the file. Read-side application is spliced
+ * into the parquet reader itself ([[GraftParquetFileFormat]]): each task
+ * consults the bitmap for its own file against the reader-generated row
+ * index — a narrow per-split filter, no join and no shuffle at any
+ * deleted-row cardinality.
  * (Reference concept: deletionvectors/RoaringBitmapArray.scala:46 +
- * DMLWithDeletionVectorsHelper.scala:132-448 + RowIndexMarkingFilters —
- * re-designed: the reference splices a row-filter into its parquet
- * reader; Spark-first we join on the parquet reader's own row_index
- * metadata column and let Catalyst pick the join strategy.)
+ * DMLWithDeletionVectorsHelper.scala:132-448 +
+ * DeltaParquetFileFormat.scala:161-266 — re-designed.)
  */
 object DeletionVectors {
 
   val DIR = "_dv"
-  /** Below this many deleted rows the anti-join side is broadcast. */
-  val BROADCAST_MAX_CARDINALITY = 4L * 1000 * 1000
 
   def isEnabled(m: Metadata): Boolean =
     m.configuration.getOrElse("graft.enableDeletionVectors", "false").toBoolean
@@ -67,54 +63,36 @@ object DeletionVectors {
 
   // ---- read path ----------------------------------------------------------
 
-  /** (fileKey, rowIndex) rows of every DV among `files`, read distributed. */
-  private def dvEntries(
-      spark: SparkSession,
+  /** The DV-splicing parquet format for `files`, or None when no file
+    * carries a DV (callers keep the plain columnar ParquetFileFormat). */
+  def readerFormat(
       log: GraftLog,
-      dvFiles: Seq[AddFile]): DataFrame = {
-    import spark.implicits._
-    val confBc = new SerializableConfiguration(spark.sessionState.newHadoopConf())
-    val root = log.dataPath.toString
-    val pairs = dvFiles.map(f => (fileKey(log, f), f.dvPath.get))
-    spark.createDataset(pairs)
-      .repartition(math.max(1, math.min(pairs.size, 64)))
-      .flatMap { case (key, rel) =>
-        val bm = readBitmap(new Path(new Path(root), rel), confBc.value)
-        val it = bm.iterator
-        val buf = mutable.ArrayBuffer.empty[(String, Long)]
-        while (it.hasNext) buf += ((key, (it.next().toLong) & 0xFFFFFFFFL))
-        buf
-      }
-      .toDF("__dv_file", "__dv_idx")
-  }
-
-  /** Anti-join a scan that already carries __f/__i row-identity columns. */
-  def antiJoin(
-      spark: SparkSession,
-      log: GraftLog,
-      df: DataFrame,
-      files: Seq[AddFile]): DataFrame = {
+      files: Seq[AddFile]): Option[GraftParquetFileFormat] = {
     val dvFiles = files.filter(_.dvPath.isDefined)
-    if (dvFiles.isEmpty) return df
-    val entries = dvEntries(spark, log, dvFiles)
-    val total = dvFiles.flatMap(_.dvCardinality).sum
-    val right = if (total <= BROADCAST_MAX_CARDINALITY) broadcast(entries) else entries
-    df.join(right,
-      df("__f") === right("__dv_file") && df("__i") === right("__dv_idx"),
-      "left_anti")
+    if (dvFiles.isEmpty) None
+    else Some(new GraftParquetFileFormat(
+      log.dataPath.toString,
+      dvFiles.map(f => fileKey(log, f) -> f.dvPath.get).toMap))
   }
 
-  /** Apply DVs to a plain scan DataFrame (schema preserved). */
-  def filterDeleted(
-      spark: SparkSession,
-      log: GraftLog,
-      df: DataFrame,
-      files: Seq[AddFile]): DataFrame = {
-    if (!files.exists(_.dvPath.isDefined)) return df
-    val withIds = df
-      .withColumn("__f", normFileCol(col("_metadata.file_path")))
-      .withColumn("__i", col("_metadata.row_index"))
-    antiJoin(spark, log, withIds, files).drop("__f", "__i")
+  /** Executor-side LRU of deserialized bitmaps, so multiple splits of the
+    * same file (or retries) load the sidecar once. Bitmaps are immutable
+    * after load. */
+  private val bitmapCache =
+    new java.util.LinkedHashMap[String, RoaringBitmap](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, RoaringBitmap]): Boolean = size() > 256
+    }
+
+  def cachedBitmap(root: String, rel: String, conf: Configuration): RoaringBitmap = {
+    val key = s"$root/$rel"
+    bitmapCache.synchronized {
+      val hit = bitmapCache.get(key)
+      if (hit != null) return hit
+    }
+    val bm = readBitmap(new Path(new Path(root), rel), conf)
+    bitmapCache.synchronized { bitmapCache.put(key, bm) }
+    bm
   }
 
   // ---- write path (DELETE) ------------------------------------------------

@@ -120,9 +120,9 @@ object GraftFileIndex {
   }
 
   /** Build a DataFrame over a snapshot (optionally a pinned file subset).
-    * Batch scans of files carrying deletion vectors are wrapped in the DV
-    * anti-join filter unless `applyDv = false` (the DV writer needs the
-    * raw rows). */
+    * Files carrying deletion vectors read through the DV-splicing parquet
+    * format (per-split bitmap filter, no join) unless `applyDv = false`
+    * (the DV writer needs the raw rows). */
   def dataFrame(
       spark: SparkSession,
       log: GraftLog,
@@ -132,18 +132,19 @@ object GraftFileIndex {
       applyDv: Boolean = true): DataFrame = {
     val index = new GraftFileIndex(spark, log, snapshot, pinnedFiles)
     val m = snapshot.metadata
+    val format =
+      if (applyDv) graft.dv.DeletionVectors.readerFormat(log, index.files)
+        .getOrElse(new ParquetFileFormat)
+      else new ParquetFileFormat
     val relation = HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
       dataSchema = graft.schema.ColumnMapping.physicalDataSchema(m),
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
+      fileFormat = format,
       options = Map.empty)(spark)
     val plan = LogicalRelation(relation).copy(isStreaming = isStreaming)
-    var df = SparkShims.ofRows(spark, plan)
-    if (applyDv && !isStreaming) {
-      df = graft.dv.DeletionVectors.filterDeleted(spark, log, df, index.files)
-    }
+    val df = SparkShims.ofRows(spark, plan)
     // physical -> logical rename is the single mapping boundary for reads
     val logical = graft.schema.ColumnMapping.toLogicalProjection(df, m)
     // HadoopFsRelation appends partition columns after data columns;

@@ -99,12 +99,12 @@ object RowTracking {
       partitionSchema = index.partitionSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
+      fileFormat = DeletionVectors.readerFormat(log, files)
+        .getOrElse(new ParquetFileFormat),
       options = Map.empty)(spark)
     var df = SparkShims.ofRows(spark, LogicalRelation(relation))
       .withColumn("__f", DeletionVectors.normFileCol(col("_metadata.file_path")))
       .withColumn("__i", col("_metadata.row_index"))
-    df = DeletionVectors.antiJoin(spark, log, df, files)
 
     // file -> (baseRowId, defaultRowCommitVersion), broadcast-joined on
     // the normalized file key (file count is metadata-scale).

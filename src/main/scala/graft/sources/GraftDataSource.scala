@@ -137,29 +137,16 @@ class GraftDataSource
         case None => log.update()
       }
     }
-    // A plain HadoopFsRelation cannot row-filter, so a table with
-    // deletion vectors reads through the DV-filtering scan instead
-    // (the filter plan wrapped as a TableScan — same shape as the CDF
-    // relation above). Slightly less pushdown surface than the direct
-    // relation, so only taken when DVs actually exist.
-    if (snapshot.allFiles.exists(_.dvPath.isDefined)) {
-      val df = GraftFileIndex.dataFrame(spark, log, snapshot)
-      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
-        override val sqlContext: SQLContext = spark.sqlContext
-        override def schema: StructType = df.schema
-        override def needConversion: Boolean = false
-        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
-          df.queryExecution.toRdd
-            .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
-      }
-    }
     val index = new GraftFileIndex(spark, log, snapshot)
+    // Deletion vectors apply inside the per-file parquet reader — the
+    // relation keeps its full filter/projection pushdown surface.
     HadoopFsRelation(
       location = index,
       partitionSchema = index.partitionSchema,
       dataSchema = snapshot.metadata.dataSchema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat,
+      fileFormat = graft.dv.DeletionVectors.readerFormat(log, snapshot.allFiles)
+        .getOrElse(new ParquetFileFormat),
       options = Map.empty)(spark)
   }
 

@@ -293,12 +293,11 @@ class GraftSource(
       else f.version < to.reservoirVersion ||
         (f.version == to.reservoirVersion && f.index <= to.index)
     }.map(_.add).toVector
-    val df = GraftFileIndex.dataFrame(spark, log, snapshotAtInit, Some(files),
+    // Deletion vectors pinned on the admitted AddFiles apply inside the
+    // parquet reader (stateless, retry-deterministic: the DV sidecar
+    // paths ride the offset's file list, not the live table).
+    GraftFileIndex.dataFrame(spark, log, snapshotAtInit, Some(files),
       isStreaming = true)
-    // Deletion vectors pinned on the admitted AddFiles apply as a
-    // stream-static anti-join (stateless, retry-deterministic: the DV
-    // sidecar paths ride the offset's file list, not the live table).
-    graft.dv.DeletionVectors.filterDeleted(spark, log, df, files)
   }
 
   /** CDF micro-batch: initial-snapshot rows replay as inserts, then

@@ -21,6 +21,12 @@ object SparkShims {
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.queryExecution.logical
 
+  /** Spark's temporary column name that makes the parquet readers emit
+    * the file row index (split- and row-group-skip-correct). */
+  def rowIndexTempColumn: String =
+    org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+      .ROW_INDEX_TEMPORARY_COLUMN_NAME
+
   // ---- private[sql] DSv2 catalog bridges ----
 
   /** The CatalogTable behind a session-catalog V1Table, if that's what

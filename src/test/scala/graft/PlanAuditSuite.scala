@@ -140,4 +140,35 @@ class PlanAuditSuite extends AnyFunSuite {
       .filter($"ts" >= lit(java.sql.Timestamp.valueOf("2024-03-03 00:00:00"))).count()
     assert(cnt === 10)
   }
+
+  test("DV filtering adds no join or exchange to the scan, keeps pushdown") {
+    val dir = tmpDir()
+    val lineitem = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    Graft.write(lineitem, dir,
+      configuration = Map("graft.enableDeletionVectors" -> "true"))
+    GraftTable.forPath(spark, dir).delete($"l_quantity" < 10)
+    val snap = graft.log.GraftLog.forTable(spark, dir).update()
+    assert(snap.allFiles.exists(_.dvPath.isDefined), "expected DV sidecars")
+
+    val df = Graft.read(spark, dir)
+      .filter($"l_orderkey" > 100L)
+      .select("l_orderkey", "l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    // The DV bitmap filter lives inside the per-file parquet reader:
+    // the plan must stay a plain scan — no join, no shuffle, at any
+    // deleted-row cardinality.
+    assert(!plan.contains("Join"), s"DV read introduced a join:\n$plan")
+    assert(!plan.contains("Exchange"), s"DV read introduced a shuffle:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), GreaterThan(l_orderkey,100)"),
+      s"filter not pushed through DV scan:\n$plan")
+    // and the rows are exactly the surviving ones
+    val expected = lineitem
+      .filter(!($"l_quantity" < 10) && $"l_orderkey" > 100L).count()
+    assert(df.count() === expected)
+
+    // Row indexes must stay aligned under predicate pushdown / row-group
+    // skipping: values surviving near the deleted range stay correct.
+    val got = Graft.read(spark, dir).agg(min($"l_quantity")).head.getDouble(0)
+    assert(got >= 10.0, s"deleted row resurfaced: min quantity $got")
+  }
 }
