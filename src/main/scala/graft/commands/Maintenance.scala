@@ -371,7 +371,13 @@ object VacuumCommand {
           .select(col("path").cast("string").as[String], mtimeCol.as[Long])
           .map { case (p, m) => (qualifyF(p), m) }
           .toDF("path", "mtime")
-          .where(!col("path").contains("/_graft_log/") &&
+          // A cloud inventory report commonly spans the whole bucket:
+          // only rows under THIS table's root are vacuum candidates —
+          // anything else (other tables, unrelated data) must never be
+          // deleted. (Reference: VacuumCommand filters inventory with
+          // startswith(path, basePath).)
+          .where(col("path").startsWith(rootStr + "/") &&
+            !col("path").contains("/_graft_log/") &&
             !col("path").contains("/_change_data/") &&
             // same hidden-file surface as the filesystem walk
             !element_at(split(col("path"), "/"), -1).startsWith(".") &&

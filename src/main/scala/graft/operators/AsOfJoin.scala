@@ -50,8 +50,12 @@ object AsOfJoin {
       Seq(col(key), col(ts).as("__ts"), lit(0).as("__isR"),
         struct(left.columns.map(col): _*).as("__lpay")): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // Final __rpay sort key: when several right rows share (key, ts),
+    // `last` must not pick an arbitrary one — order the ties by the full
+    // right payload (structs compare field-by-field) so the greatest
+    // payload deterministically wins, run after run.
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts").asc, col("__isR").desc)
+      .orderBy(col("__ts").asc, col("__isR").desc, col("__rpay").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__m", last(col("__rpay"), ignoreNulls = true).over(w))

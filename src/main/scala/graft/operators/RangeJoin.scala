@@ -37,13 +37,22 @@ object RangeJoin {
       width: Long,
       rightPrefix: String = "right_"): DataFrame = {
     require(width > 0, "band width must be positive")
-    val lBucket = floor(col(leftKey).cast("long") / width)
-    val rBucket = floor(col(rightKey).cast("long") / width)
+    // Bucket id = the bucket's START value (k - k mod width), pure long
+    // arithmetic: floor(k / width) in Spark is DOUBLE division, which for
+    // keys beyond 2^53 (nanosecond timestamps ~1.7e18) can round boundary
+    // values into the wrong bucket on one side only, silently dropping a
+    // true pair. pmod keeps negative keys in the floor bucket.
+    def bucketStart(k: Column): Column = {
+      val kl = k.cast("long")
+      kl - pmod(kl, lit(width))
+    }
+    val lBucket = bucketStart(col(leftKey))
     val l = left
-      .withColumn("__b", explode(array(lBucket - 1, lBucket, lBucket + 1)))
+      .withColumn("__b",
+        explode(array(lBucket - width, lBucket, lBucket + width)))
     val r = right
       .select(right.columns.map(c => col(c).as(rightPrefix + c)): _*)
-      .withColumn("__b", floor(col(rightPrefix + rightKey).cast("long") / width))
+      .withColumn("__b", bucketStart(col(rightPrefix + rightKey)))
     l.join(r, "__b")
       .where(abs(col(leftKey).cast("long") -
         col(rightPrefix + rightKey).cast("long")) <= width)

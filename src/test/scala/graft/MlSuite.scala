@@ -197,6 +197,35 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
     assert(got === Seq(100L, 250L, 300L))
   }
 
+  test("band join: keys beyond 2^53 keep exact buckets (long arithmetic)") {
+    import spark.implicits._
+    // Nanosecond-epoch scale: double division would round these near
+    // bucket boundaries and silently drop true pairs.
+    val base = 1700000000000000000L          // ~1.7e18, > 2^53
+    val width = 1000L
+    val left = Seq((1L, base)).toDF("id", "t")
+    val right = Seq(base - 1001L, base - 1000L, base + 1000L, base + 1001L)
+      .toDF("rt")
+    val got = graft.operators.RangeJoin.band(left, right, "t", "rt",
+        width = width, rightPrefix = "m_")
+      .select("m_rt").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(base - 1000L, base + 1000L))
+  }
+
+  test("asOf join: tied right timestamps resolve deterministically") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    // three right rows at the same (k, ts): the greatest payload must win
+    // every run (ties were previously picked arbitrarily by sort order)
+    val right = Seq((1L, 10L, "a"), (1L, 10L, "c"), (1L, 10L, "b"))
+      .toDF("k", "t", "rv")
+    val picks = (1 to 5).map { _ =>
+      graft.operators.AsOfJoin.asOf(left, right.repartition(3), "k", "t", "m_")
+        .select("m_rv").head.getString(0)
+    }
+    assert(picks.toSet === Set("c"), s"nondeterministic tie-break: $picks")
+  }
+
   test("asOf join: inclusive bound, no-match nulls, per-key isolation") {
     import spark.implicits._
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))

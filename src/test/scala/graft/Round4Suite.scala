@@ -206,10 +206,16 @@ class Round4Suite extends AnyFunSuite {
     Files.write(orphan.toPath, Array[Byte](1, 2, 3))
     val stale = System.currentTimeMillis() - 1000
     orphan.setLastModified(stale)
+    // a stale file OUTSIDE the table root (bucket-wide inventory reports
+    // include the whole bucket): vacuum must never touch it
+    val outside = java.io.File.createTempFile("graft-outside", ".parquet")
+    Files.write(outside.toPath, Array[Byte](9, 9))
+    outside.setLastModified(stale)
     // inventory names the orphan plus one LIVE file (which must survive)
     val live = graft.log.GraftLog.forTable(spark, dir).update().allFiles.head.path
     val inv = Seq(
       (orphan.getAbsolutePath, 3L, false, stale),
+      (outside.getAbsolutePath, 2L, false, stale),
       (new java.io.File(dir, live).getAbsolutePath, 1L, false, stale),
       (dir + "/some-sub-dir", 0L, true, stale)    // dirs are ignored
     ).toDF("path", "length", "isDir", "modificationTime")
@@ -226,6 +232,8 @@ class Round4Suite extends AnyFunSuite {
       assert(deleted.as[String].collect().toSet ===
         Set("file:" + orphan.getAbsolutePath))
       assert(!orphan.exists())
+      assert(outside.exists(), "vacuum deleted a file outside the table root")
+      outside.delete()
       assert(Graft.read(spark, dir).count() === 50)
       // tombstoned-but-unlisted files are untouched: inventory is the
       // listing, not the snapshot
