@@ -1009,27 +1009,45 @@ object SparkEntry {
       Graft.read(s, out).orderBy("digest")
     }),
 
+    // Multimodal media ids ride the documents table so the DuckDB oracle
+    // can re-derive the metadata (plain-arithmetic widths/durations) and
+    // independently verify the resize math, frame cadence, and decode
+    // invariants — the codec itself stays the loudly-marked stub.
     "multimodal_decode" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(s, 200)
-      Multimodal.decodePartitioned(media, dims = 8)
+      val media = Multimodal.mediaFromIds(
+        t(s, dir, "documents").where(col("doc_id") < 200)
+          .select(col("doc_id").as("id")))
+      val a = Multimodal.decodePartitioned(media, dims = 8)
+      // same decode under a different physical partitioning: features
+      // must be identical (determinism is the decode contract)
+      val b = Multimodal.decodePartitioned(media.repartition(7), dims = 8)
+        .select(col("media_id"), col("features").as("features_b"))
+      a.join(b, "media_id")
         .select(col("media_id"), col("kind"),
-          round(element_at(col("features"), 1), 4).as("f0"),
-          col("meta.width").as("width"))
+          (size(col("features")) === 8).as("n_dims_ok"),
+          forall(col("features"),
+            x => x >= -1.0f && x < 1.0f).as("in_range"),
+          (col("features") === col("features_b")).as("deterministic"))
         .orderBy("media_id")
     }),
 
     "multimodal_frames" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(s, 60)
+      val media = Multimodal.mediaFromIds(
+        t(s, dir, "documents").where(col("doc_id") < 60)
+          .select(col("doc_id").as("id")))
       Multimodal.sampleFrames(media, everyMs = 10000)
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
         .orderBy("media_id")
     }),
 
     "multimodal_resize" -> ((s, dir) => {
-      val media = Multimodal.syntheticMedia(s, 200)
+      val media = Multimodal.mediaFromIds(
+        t(s, dir, "documents").where(col("doc_id") < 200)
+          .select(col("doc_id").as("id")))
       Multimodal.resize(media, maxW = 256, maxH = 256)
         .select(col("media_id"), col("kind"),
-          col("meta.width").as("width"), col("meta.height").as("height"))
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"))
         .orderBy("media_id")
     }))
 
@@ -1512,6 +1530,38 @@ object SparkEntry {
       """SELECT doc_id, true AS fp_deterministic, true AS fp_sensitive,
          true AS simhash_deterministic
          FROM documents ORDER BY doc_id""",
+
+    // Multimodal: the oracle re-derives the arithmetic metadata and
+    // checks the engine's resize math / frame cadence / decode
+    // invariants independently (the codec stub's bytes are NOT checked).
+    "multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+         true AS n_dims_ok, true AS in_range, true AS deterministic
+         FROM documents WHERE doc_id < 200 ORDER BY media_id""",
+
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id,
+         (doc_id * 97 % 60000 + 999) // 10000 + 1 AS n_frames
+         FROM documents WHERE doc_id < 60 AND doc_id % 3 = 2
+         ORDER BY media_id""",
+
+    "multimodal_resize" ->
+      """WITH m AS (
+           SELECT doc_id AS media_id,
+             (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+             CAST(doc_id * 37 % 1024 + 16 AS INT) AS w,
+             CAST(doc_id * 59 % 768 + 16 AS INT) AS h
+           FROM documents WHERE doc_id < 200
+         )
+         SELECT media_id, kind,
+           CASE WHEN kind = 'image'
+             THEN GREATEST(CAST(ROUND(w * LEAST(256.0 / w, 256.0 / h, 1.0)) AS INT), 1)
+             ELSE w END AS width,
+           CASE WHEN kind = 'image'
+             THEN GREATEST(CAST(ROUND(h * LEAST(256.0 / w, 256.0 / h, 1.0)) AS INT), 1)
+             ELSE h END AS height
+         FROM m ORDER BY media_id""",
 
     "dedup_minhash_lsh" ->
       """SELECT doc_id AS idA, doc_id + 100000 AS idB FROM documents

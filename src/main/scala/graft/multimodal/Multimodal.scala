@@ -99,17 +99,24 @@ object Multimodal {
       fakeDecodeFeatures(col("payload"), dims))
   }
 
-  /** Synthesize a deterministic media table (for tests/benchmarks). */
-  def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Long): DataFrame = {
-    spark.range(n).select(
+  /** Deterministic media bundle per id row. Metadata derives from the id
+    * by PLAIN integer arithmetic (not hashing) so an external SQL oracle
+    * can reproduce width/height/duration independently and cross-check
+    * the resize / frame-cadence math end-to-end. */
+  def mediaFromIds(ids: DataFrame): DataFrame = {
+    ids.select(
       col("id").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col("id"), lit(3)) + 1).cast("int")).as("kind"),
       sha2(col("id").cast("string"), 256).cast("binary").as("payload"),
       struct(
-        (pmod(xxhash64(col("id"), lit(1)), lit(1024)) + 16).cast("int").as("width"),
-        (pmod(xxhash64(col("id"), lit(2)), lit(768)) + 16).cast("int").as("height"),
-        (pmod(xxhash64(col("id"), lit(3)), lit(60000)) + 1000).as("duration_ms"),
+        (pmod(col("id") * 37, lit(1024)) + 16).cast("int").as("width"),
+        (pmod(col("id") * 59, lit(768)) + 16).cast("int").as("height"),
+        (pmod(col("id") * 97, lit(60000)) + 1000).as("duration_ms"),
         lit("fake").as("codec")).as("meta"))
   }
+
+  /** Synthesize a deterministic media table (for tests/benchmarks). */
+  def syntheticMedia(spark: org.apache.spark.sql.SparkSession, n: Long): DataFrame =
+    mediaFromIds(spark.range(n).toDF("id"))
 }
