@@ -139,3 +139,152 @@ case class HyperplaneBucket(child: Expression, planes: Int, seed: Long)
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
 }
+
+/** Centroid matrix broadcast to executors once: flattened row-major
+  * floats plus precomputed L2 norms (so the per-row kernel never
+  * re-derives them). */
+case class CentroidMatrix(flat: Array[Float], norms: Array[Double], dim: Int) {
+  def nlist: Int = norms.length
+}
+
+object CentroidMatrix {
+  def build(centroids: Array[Seq[Float]]): CentroidMatrix = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val dim = centroids.head.length
+    val flat = new Array[Float](centroids.length * dim)
+    val norms = new Array[Double](centroids.length)
+    var c = 0
+    while (c < centroids.length) {
+      val row = centroids(c)
+      var n = 0.0
+      var i = 0
+      while (i < dim && i < row.length) {
+        val v = row(i)
+        flat(c * dim + i) = v
+        n += v.toDouble * v.toDouble
+        i += 1
+      }
+      norms(c) = math.sqrt(n)
+      c += 1
+    }
+    CentroidMatrix(flat, norms, dim)
+  }
+}
+
+/**
+ * Indices of the `probes` nearest centroids (cosine, descending; ties by
+ * lower index) for a float-vector column — ONE expression looping over a
+ * broadcast centroid matrix inside whole-stage codegen. The previous
+ * formulation (`greatest` over nlist inline struct kernels) built an
+ * O(nlist)-ary expression tree: at nlist ~ 31k (a 10^9-vector corpus)
+ * Janino either fails or falls back to interpretation. Here the plan
+ * holds one node at any nlist, and the matrix ships to each executor
+ * once via the broadcast, not per-task in the serialized plan.
+ */
+case class NearestCentroids(
+    child: Expression,
+    matrixBc: org.apache.spark.broadcast.Broadcast[CentroidMatrix],
+    probes: Int) extends UnaryExpression {
+  require(probes > 0, s"probes must be positive, got $probes")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any = {
+    val m = matrixBc.value
+    val x = a.asInstanceOf[ArrayData]
+    val xn = math.min(x.numElements(), m.dim)
+    var qn = 0.0
+    var i = 0
+    while (i < xn) { val v = x.getFloat(i).toDouble; qn += v * v; i += 1 }
+    val qNorm = math.sqrt(qn)
+    val nOut = math.min(probes, m.nlist)
+    val bestScore = Array.fill(nOut)(Double.NegativeInfinity)
+    val bestIdx = Array.fill(nOut)(-1)
+    var c = 0
+    while (c < m.nlist) {
+      var dot = 0.0
+      var j = 0
+      val off = c * m.dim
+      while (j < xn) { dot += x.getFloat(j).toDouble * m.flat(off + j); j += 1 }
+      val denom = qNorm * m.norms(c)
+      val s = if (denom > 0) dot / denom else 0.0
+      if (s > bestScore(nOut - 1)) {
+        var p = nOut - 1
+        while (p > 0 && bestScore(p - 1) < s) {
+          bestScore(p) = bestScore(p - 1); bestIdx(p) = bestIdx(p - 1); p -= 1
+        }
+        bestScore(p) = s; bestIdx(p) = c
+      }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(bestIdx)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val bcRef = ctx.addReferenceObj("centroidsBc", matrixBc,
+        classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+      val m = ctx.freshName("m")
+      val flat = ctx.freshName("flat")
+      val norms = ctx.freshName("norms")
+      val dim = ctx.freshName("dim")
+      val xn = ctx.freshName("xn")
+      val qn = ctx.freshName("qn")
+      val qNorm = ctx.freshName("qNorm")
+      val nOut = ctx.freshName("nOut")
+      val bestScore = ctx.freshName("bestScore")
+      val bestIdx = ctx.freshName("bestIdx")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      val dot = ctx.freshName("dot")
+      val off = ctx.freshName("off")
+      val denom = ctx.freshName("denom")
+      val s = ctx.freshName("s")
+      val v = ctx.freshName("v")
+      val cls = classOf[CentroidMatrix].getName
+      s"""
+        $cls $m = ($cls) $bcRef.value();
+        float[] $flat = $m.flat();
+        double[] $norms = $m.norms();
+        int $dim = $m.dim();
+        int $xn = java.lang.Math.min($a.numElements(), $dim);
+        double $qn = 0.0;
+        for (int $i = 0; $i < $xn; $i++) {
+          double $v = (double) $a.getFloat($i); $qn += $v * $v;
+        }
+        double $qNorm = java.lang.Math.sqrt($qn);
+        int $nOut = java.lang.Math.min($probes, $norms.length);
+        double[] $bestScore = new double[$nOut];
+        int[] $bestIdx = new int[$nOut];
+        java.util.Arrays.fill($bestScore, Double.NEGATIVE_INFINITY);
+        java.util.Arrays.fill($bestIdx, -1);
+        for (int $c = 0; $c < $norms.length; $c++) {
+          double $dot = 0.0;
+          int $off = $c * $dim;
+          for (int $j = 0; $j < $xn; $j++) {
+            $dot += (double) $a.getFloat($j) * $flat[$off + $j];
+          }
+          double $denom = $qNorm * $norms[$c];
+          double $s = $denom > 0 ? $dot / $denom : 0.0;
+          if ($s > $bestScore[$nOut - 1]) {
+            int $p = $nOut - 1;
+            while ($p > 0 && $bestScore[$p - 1] < $s) {
+              $bestScore[$p] = $bestScore[$p - 1];
+              $bestIdx[$p] = $bestIdx[$p - 1];
+              $p--;
+            }
+            $bestScore[$p] = $s;
+            $bestIdx[$p] = $c;
+          }
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray($bestIdx);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+}

@@ -73,8 +73,9 @@ object Similarity {
    * centroid lists. Data-adaptive alternative to the hyperplane LSH
    * buckets: list sizes follow the data distribution, so clustered
    * corpora don't collapse into a few hot hyperplane cells. Assignment
-   * is an argmax over `nlist` codegen'd cosine kernels — the same
-   * per-row cost real IVF pays.
+   * is one codegen'd argmax kernel over the broadcast centroid matrix
+   * ([[graft.expressions.NearestCentroids]]) — O(nlist * dim) per row,
+   * the same cost real IVF pays, with a constant-size plan at any nlist.
    */
   def ivfTopK(
       corpus: DataFrame,
@@ -98,17 +99,18 @@ object Similarity {
       .select(col("cemb"), xxhash64(col("cid")).as("__r"))
       .orderBy("__r").limit(nlist0)
       .collect().map(_.getSeq[Float](0))
-    val scoredCentroids = (emb: Column) => centroids.zipWithIndex.map {
-      case (c, i) => struct(cosine(emb, typedlit(c)).as("s"), lit(i).as("i"))
-    }
-    def nearestList(emb: Column): Column =
-      greatest(scoredCentroids(emb).toSeq: _*).getField("i")
-    val c = base.withColumn("list", nearestList(col("cemb")))
+    // ONE codegen kernel looping over the broadcast matrix — a plan node
+    // of constant size at any nlist (the earlier greatest-of-nlist-structs
+    // form blew up codegen past a few thousand centroids).
+    val matrixBc = corpus.sparkSession.sparkContext.broadcast(
+      graft.expressions.CentroidMatrix.build(centroids))
+    def nearestLists(emb: Column, probes: Int): Column =
+      SparkShims.column(graft.expressions.NearestCentroids(
+        SparkShims.expression(emb), matrixBc, probes))
+    val c = base.withColumn("list", element_at(nearestLists(col("cemb"), 1), 1))
     val probes = math.min(nprobe0, centroids.length)
     val q = queries.select(queryId.as("qid"), queryEmb.as("qemb"))
-      .withColumn("list", explode(slice(transform(
-        sort_array(array(scoredCentroids(col("qemb")).toSeq: _*), asc = false),
-        s => s.getField("i")), 1, probes)))
+      .withColumn("list", explode(nearestLists(col("qemb"), probes)))
     val scored = c.join(broadcast(q), "list")
       .select(col("qid"), col("cid"), cosine(col("qemb"), col("cemb")).as("score"))
     val w = Window.partitionBy(col("qid"))

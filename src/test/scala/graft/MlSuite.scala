@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 import graft.ml.{Dedup, Similarity}
+import graft.expressions.VectorKernels
 
 /** Vector kernels + dedup/similarity operators. */
 class MlSuite extends AnyFunSuite {
@@ -71,6 +72,38 @@ class MlSuite extends AnyFunSuite {
     val pairs = Dedup.embeddingPairs(all, $"vec_id", $"embedding", threshold = 0.999)
       .where($"idB" === $"idA" + 100000)
     assert(pairs.count() === 100)
+  }
+
+  test("IVF at nlist=1024 compiles and agrees with interpreted eval") {
+    import spark.implicits._
+    // The old greatest-of-structs assignment generated a 1024-ary
+    // expression here and died in Janino; the single-kernel form must
+    // plan, codegen, and rank correctly at this width.
+    val dims = 8
+    def emb(seed: Long): Seq[Float] =
+      (0 until dims).map(d =>
+        ((VectorKernels.mix(seed * 31 + d) >>> 11) / 4.503599627370496e15 - 1.0).toFloat)
+    val corpus = spark.range(3000)
+      .map(i => (i, emb(i)))
+      .toDF("cid", "cemb")
+    val queries = spark.range(5).map(i => (i + 100000, emb(i * 7 + 3)))
+      .toDF("qid", "qemb")
+    val got = Similarity.ivfTopK(corpus, col("cid"), col("cemb"),
+        queries, col("qid"), col("qemb"), k = 5, nlist = 1024, nprobe = 256)
+      .select("qid", "cid", "rank").collect()
+    assert(got.length === 25, s"expected 5 queries x top-5, got ${got.length}")
+    // the kernel's interpreted eval must agree with codegen: force an
+    // eval-only pass through a literal row
+    val m = graft.expressions.CentroidMatrix.build(
+      Array(Seq(1f, 0f), Seq(0f, 1f), Seq(-1f, 0f)))
+    val bc = spark.sparkContext.broadcast(m)
+    val e = graft.expressions.NearestCentroids(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(0.9f, 0.1f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      bc, 2)
+    val r = e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(r.toIntArray().toSeq === Seq(0, 1))
   }
 
   test("merge materializes a non-deterministic source exactly once") {
