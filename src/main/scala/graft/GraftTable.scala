@@ -125,18 +125,22 @@ class GraftTable private[graft] (
   /** REORG APPLY (PURGE): materialize deletion vectors into clean files. */
   def reorgPurge(): DataFrame = ReorgCommand.purge(spark, log)
 
-  /** DROP FEATURE: retire a reader-gating feature once no data depends
-    * on it, downgrading the protocol when nothing else needs v2. */
+  /** DROP FEATURE: retire a feature once no data depends on it. The
+    * validation step proves no trace remains (e.g. DVs require a prior
+    * REORG PURGE); the commit then downgrades the protocol to the
+    * minimal versions / feature vectors the REMAINING metadata needs, so
+    * readers that never learned this feature regain access.
+    * (Reference concept: PreDowngradeTableFeatureCommand +
+    * alterDeltaTableCommands.scala:316 — re-designed.) */
   def dropFeature(name: String): Unit = log.withNewTransaction { txn =>
+    import graft.log.TableFeatures
     import graft.schema.ColumnMapping
     val m = txn.snapshot.metadata
-    val actions: Seq[graft.log.Action] = name match {
+    val newMeta: graft.log.Metadata = name match {
       case "deletionVectors" =>
         require(txn.snapshot.allFiles.forall(_.dvPath.isEmpty),
           "table still has deletion vectors; run reorgPurge() first")
-        txn.updateMetadata(m.copy(configuration =
-          m.configuration - "graft.enableDeletionVectors"))
-        if (!ColumnMapping.isEnabled(m)) Seq(graft.log.Protocol(1, 1)) else Nil
+        m.copy(configuration = m.configuration - "graft.enableDeletionVectors")
       case "columnMapping" =>
         require(m.schema.fields.forall(f =>
             ColumnMapping.physicalName(f) == f.name),
@@ -147,15 +151,22 @@ class GraftTable private[graft] (
             .withMetadata(f.metadata).remove(ColumnMapping.PHYS_KEY)
           f.copy(metadata = mb.build())
         }
-        txn.updateMetadata(m.copy(
+        m.copy(
           schemaString = org.apache.spark.sql.types.StructType(stripped).json,
-          configuration = m.configuration - ColumnMapping.MODE_KEY))
-        val dvOn = m.configuration
-          .getOrElse("graft.enableDeletionVectors", "false").toBoolean
-        if (!dvOn) Seq(graft.log.Protocol(1, 1)) else Nil
+          configuration = m.configuration - ColumnMapping.MODE_KEY)
+      case "rowTracking" =>
+        m.copy(configuration = m.configuration - "graft.enableRowTracking")
+      case "changeDataFeed" =>
+        m.copy(configuration = m.configuration - "graft.enableChangeDataFeed")
       case other =>
-        throw new IllegalArgumentException(s"Unknown feature $other")
+        throw new IllegalArgumentException(
+          s"Unknown or undroppable feature $other")
     }
+    txn.updateMetadata(newMeta)
+    val downgraded = TableFeatures.minimalProtocol(
+      TableFeatures.activeFeatures(newMeta))
+    val actions: Seq[graft.log.Action] =
+      if (downgraded != txn.snapshot.protocol) Seq(downgraded) else Nil
     txn.commit(actions, "DROP FEATURE", Map("feature" -> name))
   }
 
@@ -329,9 +340,8 @@ class GraftTable private[graft] (
     * logical names against physically-named parquet). */
   private def protocolBumpFor(
       txn: graft.tx.OptimisticTransaction): Seq[graft.log.Action] =
-    if (txn.snapshot.protocol.minReaderVersion < 2)
-      Seq(graft.log.Protocol(2, 2))
-    else Nil
+    graft.log.TableFeatures.requiredUpgrade(txn.snapshot.protocol,
+      txn.snapshot.metadata, graft.log.TableFeatures.columnMapping).toSeq
 
   def upsertProperties(props: Map[String, String]): Unit =
     log.withNewTransaction { txn =>

@@ -133,8 +133,9 @@ object DeleteCommand {
       // First deletion vector on this table: gate readers that would
       // otherwise ignore the dvPath field and resurrect deleted rows.
       val protocolBump: Seq[Action] =
-        if (adds.exists(_.dvPath.isDefined) &&
-            txn.snapshot.protocol.minReaderVersion < 2) Seq(Protocol(2, 2))
+        if (adds.exists(_.dvPath.isDefined))
+          TableFeatures.requiredUpgrade(txn.snapshot.protocol, m,
+            TableFeatures.deletionVectors).toSeq
         else Nil
       txn.commit(protocolBump ++ removes ++ adds ++ cdcActions, "DELETE",
         operationParameters = condition.map(c => "predicate" -> c.toString).toMap,
@@ -265,7 +266,10 @@ object UpdateCommand {
           Cdc.writeChangeFiles(spark, log, pre.unionByName(post))
         } else Nil
         val protocolBump: Seq[Action] =
-          if (txn.snapshot.protocol.minReaderVersion < 2) Seq(Protocol(2, 2)) else Nil
+          if (dvAdds.nonEmpty)
+            TableFeatures.requiredUpgrade(txn.snapshot.protocol, m,
+              TableFeatures.deletionVectors).toSeq
+          else Nil
         metrics += ("numAddedFiles" -> newAdds.size.toString,
           "numDeletionVectors" -> dvAdds.size.toString,
           "numUpdatedRows" -> updatedCount.toString)

@@ -344,7 +344,10 @@ object MergeCommand {
         val (removes, dvAdds, nChanged) = graft.dv.DeletionVectors
           .writeDeletionVectors(spark, log, rewriteFiles, dvTargets)
         val protocolBump: Seq[Action] =
-          if (txn.snapshot.protocol.minReaderVersion < 2) Seq(Protocol(2, 2)) else Nil
+          if (dvAdds.nonEmpty)
+            TableFeatures.requiredUpgrade(txn.snapshot.protocol, m,
+              TableFeatures.deletionVectors).toSeq
+          else Nil
         val metrics = Map(
           "numDeletionVectors" -> dvAdds.size.toString,
           "numChangedTargetRows" -> nChanged.toString,

@@ -20,11 +20,19 @@ sealed trait Action extends Serializable {
   def wrap: SingleAction
 }
 
-/** Reader/writer protocol versioning (PROTOCOL.md:732-783 analogue). */
+/** Reader/writer protocol versioning (PROTOCOL.md:732-783 analogue).
+  * At (3, 7)+ the numeric versions stop implying capabilities and the
+  * explicit feature-name vectors govern access ([[TableFeatures]]). */
 case class Protocol(
     minReaderVersion: Int = 1,
-    minWriterVersion: Int = 1) extends Action {
+    minWriterVersion: Int = 1,
+    readerFeatures: Option[Seq[String]] = None,
+    writerFeatures: Option[Seq[String]] = None) extends Action {
   def wrap: SingleAction = SingleAction(protocol = this)
+  def readerFeatureNames: Set[String] =
+    readerFeatures.map(_.toSet).getOrElse(Set.empty)
+  def writerFeatureNames: Set[String] =
+    writerFeatures.map(_.toSet).getOrElse(Set.empty)
 }
 
 /** Table metadata: id, schema (JSON StructType), partitioning, config. */

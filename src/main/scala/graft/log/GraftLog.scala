@@ -63,12 +63,18 @@ class GraftLog private (
     }
     // Fail loudly instead of misreading a table whose features we do not
     // understand (e.g. silently ignoring deletion vectors would
-    // resurrect deleted rows).
-    if (currentSnapshot.protocol.minReaderVersion > SUPPORTED_READER_VERSION) {
+    // resurrect deleted rows). Feature-vector protocols gate per listed
+    // reader feature; legacy protocols gate on the numeric version.
+    val proto = currentSnapshot.protocol
+    if (!TableFeatures.readable(proto, SUPPORTED_READER_VERSION,
+        TableFeatures.supportedReaderFeatures)) {
+      val unknown = proto.readerFeatureNames -- TableFeatures.supportedReaderFeatures
       throw new IllegalStateException(
-        s"Table $dataPath requires reader version " +
-          s"${currentSnapshot.protocol.minReaderVersion}; this build " +
-          s"supports up to $SUPPORTED_READER_VERSION")
+        s"Table $dataPath requires reader version ${proto.minReaderVersion}" +
+          (if (unknown.nonEmpty) s" with unsupported reader features $unknown"
+           else "") +
+          s"; this build supports up to $SUPPORTED_READER_VERSION " +
+          s"(features: ${TableFeatures.supportedReaderFeatures.toSeq.sorted.mkString(",")})")
     }
     currentSnapshot
   }
@@ -79,8 +85,9 @@ class GraftLog private (
   }
 
   /** Highest protocol reader version this build understands:
-    * 1 = base log; 2 = deletion vectors + column mapping. */
-  val SUPPORTED_READER_VERSION = 2
+    * 1 = base log; 2 = deletion vectors + column mapping (legacy);
+    * 3 = table-feature vectors (per-feature negotiation). */
+  val SUPPORTED_READER_VERSION = 3
 
   /** Snapshot pinned at `version` (time travel / RESTORE / CDF). */
   def getSnapshotAt(version: Long): Snapshot = {

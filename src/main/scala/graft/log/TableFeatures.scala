@@ -1,0 +1,116 @@
+package graft.log
+
+/**
+ * Table-feature vectors: beyond the legacy numeric versions (reader <= 2,
+ * writer <= 6), capabilities are negotiated per feature — a protocol at
+ * (3, 7) carries explicit `readerFeatures` / `writerFeatures` name lists
+ * and a client may read/write iff it understands every listed feature,
+ * independent of when each feature shipped. DROP FEATURE walks the table
+ * back: once no data depends on a feature, the vectors shrink and the
+ * protocol downgrades to the minimal versions the remaining features
+ * need, so old readers regain access.
+ * (Reference concept: actions/actions.scala:232 protocol feature fields +
+ * TableFeature.scala:352-402 feature registry and
+ * PreDowngradeTableFeatureCommand.scala — re-designed.)
+ */
+object TableFeatures {
+
+  /** Versions at which the protocol switches to explicit feature lists. */
+  val FEATURES_READER_VERSION = 3
+  val FEATURES_WRITER_VERSION = 7
+
+  /** A capability with the minimum legacy versions that imply it.
+    * `minReader >= 2` means readers that ignore it would misread data
+    * (reader-gating); writer-only features never block a reader. */
+  final case class Feature(name: String, minReader: Int, minWriter: Int) {
+    def readerGating: Boolean = minReader >= 2
+  }
+
+  val appendOnly = Feature("appendOnly", 1, 2)
+  val invariants = Feature("invariants", 1, 2)
+  val checkConstraints = Feature("checkConstraints", 1, 3)
+  val changeDataFeed = Feature("changeDataFeed", 1, 4)
+  val generatedColumns = Feature("generatedColumns", 1, 4)
+  val columnMapping = Feature("columnMapping", 2, 5)
+  val identityColumns = Feature("identityColumns", 1, 6)
+  val deletionVectors = Feature("deletionVectors", 3, 7)
+  val rowTracking = Feature("rowTracking", 1, 7)
+  val typeWidening = Feature("typeWidening", 3, 7)
+
+  val all: Seq[Feature] = Seq(appendOnly, invariants, checkConstraints,
+    changeDataFeed, generatedColumns, columnMapping, identityColumns,
+    deletionVectors, rowTracking, typeWidening)
+  val byName: Map[String, Feature] = all.map(f => f.name -> f).toMap
+
+  /** Every reader-gating feature this build understands. */
+  val supportedReaderFeatures: Set[String] =
+    all.filter(_.readerGating).map(_.name).toSet
+
+  /** Features the table's CURRENT metadata actually exercises. */
+  def activeFeatures(m: Metadata): Set[Feature] = {
+    val conf = m.configuration
+    def on(key: String) = conf.getOrElse(key, "false").toBoolean
+    val b = Set.newBuilder[Feature]
+    if (on("graft.enableDeletionVectors")) b += deletionVectors
+    if (conf.contains(graft.schema.ColumnMapping.MODE_KEY)) b += columnMapping
+    if (on("graft.enableChangeDataFeed")) b += changeDataFeed
+    if (on("graft.enableRowTracking")) b += rowTracking
+    if (on("graft.enableTypeWidening")) b += typeWidening
+    if (conf.keys.exists(_.startsWith(graft.constraints.Constraints.PROP_PREFIX)))
+      b += checkConstraints
+    if (m.schemaString != null) {
+      val fields = m.schema.fields
+      if (fields.exists(_.metadata.contains(graft.schema.ColumnDefaults.GEN_KEY)))
+        b += generatedColumns
+      if (fields.exists(_.metadata.contains(graft.schema.ColumnDefaults.ID_START)))
+        b += identityColumns
+    }
+    b.result()
+  }
+
+  /** The minimal protocol supporting `features`: legacy numeric versions
+    * while every feature predates the vectors, explicit vectors once any
+    * feature requires them. */
+  def minimalProtocol(features: Set[Feature]): Protocol = {
+    val minReader = (features.map(_.minReader) + 1).max
+    val minWriter = (features.map(_.minWriter) + 1).max
+    if (minReader < FEATURES_READER_VERSION && minWriter < FEATURES_WRITER_VERSION)
+      Protocol(minReader, minWriter)
+    else Protocol(
+      FEATURES_READER_VERSION, FEATURES_WRITER_VERSION,
+      readerFeatures = Some(features.filter(_.readerGating)
+        .map(_.name).toSeq.sorted),
+      writerFeatures = Some(features.map(_.name).toSeq.sorted))
+  }
+
+  /** The protocol `current` must become so `feature` (plus whatever the
+    * metadata already uses) is supported; None when no commit is needed.
+    * Never lowers versions, never drops an already-listed feature. */
+  def requiredUpgrade(
+      current: Protocol, m: Metadata, feature: Feature): Option[Protocol] = {
+    val target = minimalProtocol(activeFeatures(m) + feature)
+    val merged = Protocol(
+      math.max(current.minReaderVersion, target.minReaderVersion),
+      math.max(current.minWriterVersion, target.minWriterVersion),
+      mergeFeatures(current.readerFeatures, target.readerFeatures),
+      mergeFeatures(current.writerFeatures, target.writerFeatures))
+    if (merged == current) None else Some(merged)
+  }
+
+  private def mergeFeatures(
+      a: Option[Seq[String]], b: Option[Seq[String]]): Option[Seq[String]] =
+    (a, b) match {
+      case (None, None) => None
+      case _ => Some((a.getOrElse(Nil) ++ b.getOrElse(Nil)).distinct.sorted)
+    }
+
+  /** Reader-side gate: can a client at `version` that knows
+    * `supportedFeatures` read a table at `p`? Exactly version 3 means
+    * feature negotiation; anything above is from a future protocol no
+    * feature list can compensate for. */
+  def readable(p: Protocol, version: Int, supportedFeatures: Set[String]): Boolean =
+    if (p.minReaderVersion == FEATURES_READER_VERSION)
+      version >= FEATURES_READER_VERSION &&
+        (p.readerFeatureNames -- supportedFeatures).isEmpty
+    else p.minReaderVersion <= version
+}

@@ -127,7 +127,10 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
       userMetadata = log.spark.conf.getOption("graft.commitInfo.userMetadata"))
     if (isFirstCommit) {
       require(newMetadata.isDefined, "First commit must set table metadata")
-      prefix += Protocol()
+      // Born at the minimal protocol its declared features need — a
+      // table created with DVs enabled starts on feature vectors.
+      prefix += TableFeatures.minimalProtocol(
+        TableFeatures.activeFeatures(newMetadata.get))
     }
     newMetadata.foreach(prefix += _)
     var finalActions: Seq[Action] = prefix.toSeq ++ actions

@@ -526,13 +526,18 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("protocol gates: DV/mapping bump reader version; unknown versions refuse") {
+    // declaring DVs at creation births the table on feature vectors
     val dir = tmpDir()
     Graft.write(spark.range(10).toDF("id"), dir,
       configuration = Map("graft.enableDeletionVectors" -> "true"))
     val log = GraftLog.forTable(spark, dir)
-    assert(log.snapshot.protocol.minReaderVersion === 1)
-    GraftTable.forPath(spark, dir).delete(col("id") === 0)  // first DV
-    assert(log.update().protocol.minReaderVersion === 2)
+    assert(log.snapshot.protocol.minReaderVersion === 3)
+    assert(log.snapshot.protocol.readerFeatureNames === Set("deletionVectors"))
+    // a plain table stays at the base protocol until a feature lands
+    val dirPlain = tmpDir()
+    Graft.write(spark.range(10).toDF("id"), dirPlain)
+    assert(GraftLog.forTable(spark, dirPlain).snapshot.protocol ===
+      graft.log.Protocol(1, 1))
     // a table demanding a future reader version refuses loudly
     val dir2 = tmpDir()
     Graft.write(spark.range(3).toDF("id"), dir2)
@@ -560,23 +565,48 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("DROP FEATURE retires DVs and downgrades the protocol") {
+    import graft.log.TableFeatures
     val dir = tmpDir()
     Graft.write(spark.range(20).toDF("id"), dir,
       configuration = Map("graft.enableDeletionVectors" -> "true"))
     val t = GraftTable.forPath(spark, dir)
     t.delete(col("id") < 5)
-    assert(t.log.update().protocol.minReaderVersion === 2)
+    // DV tables live on table-feature vectors: explicit per-feature
+    // negotiation, not bare numeric versions
+    val p0 = t.log.update().protocol
+    assert(p0.minReaderVersion === 3 && p0.minWriterVersion === 7)
+    assert(p0.readerFeatureNames.contains("deletionVectors"))
+    assert(p0.writerFeatureNames.contains("deletionVectors"))
+    // a reader that knows nothing about DVs must be locked out...
+    assert(!TableFeatures.readable(p0, 3, Set.empty))
+    assert(!TableFeatures.readable(p0, 1, Set.empty))
     // refused while DVs are live
     intercept[IllegalArgumentException] { t.dropFeature("deletionVectors") }
     t.reorgPurge()
     t.dropFeature("deletionVectors")
     val snap = t.log.update()
     assert(snap.protocol.minReaderVersion === 1)
+    assert(snap.protocol.readerFeatures.isEmpty)
     assert(!snap.metadata.configuration.contains("graft.enableDeletionVectors"))
+    // ...and after the downgrade a bare version-1 reader is welcome again
+    assert(TableFeatures.readable(snap.protocol, 1, Set.empty))
     // subsequent deletes rewrite instead of writing DVs
     GraftTable.forPath(spark, dir).delete(col("id") === 5)
     assert(t.log.update().allFiles.forall(_.dvPath.isEmpty))
     assert(Graft.read(spark, dir).count() === 14)
+  }
+
+  test("unknown reader feature in the log blocks the read loudly") {
+    val dir = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dir)
+    val log = GraftLog.forTable(spark, dir)
+    log.store.write(graft.log.FileNames.deltaFile(log.logPath, 1L),
+      graft.log.Actions.serialize(Seq(graft.log.Protocol(3, 7,
+        readerFeatures = Some(Seq("quantumCompression")),
+        writerFeatures = Some(Seq("quantumCompression"))))))
+    GraftLog.clearCache()
+    val e = intercept[IllegalStateException] { Graft.read(spark, dir).count() }
+    assert(e.getMessage.contains("quantumCompression"))
   }
 
   test("history and detail") {
