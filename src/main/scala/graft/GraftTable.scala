@@ -148,12 +148,16 @@ class GraftTable private[graft] (
             "differ, so column mapping cannot be dropped without a rewrite")
         val stripped = m.schema.fields.map { f =>
           val mb = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata).remove(ColumnMapping.PHYS_KEY)
+            .withMetadata(f.metadata)
+            .remove(ColumnMapping.PHYS_KEY)
+            .remove(ColumnMapping.ID_KEY)
+            .remove(ColumnMapping.PARQUET_FIELD_ID)
           f.copy(metadata = mb.build())
         }
         m.copy(
           schemaString = org.apache.spark.sql.types.StructType(stripped).json,
-          configuration = m.configuration - ColumnMapping.MODE_KEY)
+          configuration = m.configuration -
+            ColumnMapping.MODE_KEY - ColumnMapping.MAX_ID_KEY)
       case "rowTracking" =>
         m.copy(configuration = m.configuration - "graft.enableRowTracking")
       case "changeDataFeed" =>
@@ -346,8 +350,23 @@ class GraftTable private[graft] (
   def upsertProperties(props: Map[String, String]): Unit =
     log.withNewTransaction { txn =>
       val m = txn.snapshot.metadata
-      txn.updateMetadata(m.copy(configuration = m.configuration ++ props))
-      txn.commit(Nil, "SET TBLPROPERTIES", props)
+      import graft.schema.ColumnMapping
+      // Switching to id mode retroactively is unsound: files written
+      // before the switch carry no field ids, so id-resolution would
+      // misread (or null-fill) them. Id mode is declared at creation.
+      if (props.get(ColumnMapping.MODE_KEY).contains("id") &&
+          !ColumnMapping.idMode(m)) {
+        require(txn.snapshot.allFiles.isEmpty,
+          "column mapping id mode must be set at table creation " +
+            "(existing data files carry no parquet field ids)")
+      }
+      var updated = m.copy(configuration = m.configuration ++ props)
+      val mappingTurnedOn =
+        ColumnMapping.isEnabled(updated) && !ColumnMapping.isEnabled(m)
+      if (mappingTurnedOn) updated = ColumnMapping.enable(updated)
+      txn.updateMetadata(updated)
+      txn.commit(if (mappingTurnedOn) protocolBumpFor(txn) else Nil,
+        "SET TBLPROPERTIES", props)
     }
 
   def removeProperties(keys: Seq[String]): Unit =

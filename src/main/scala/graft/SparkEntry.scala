@@ -670,6 +670,25 @@ object SparkEntry {
         .orderBy("n_nationkey")
     }),
 
+    // Same rename/drop/re-add flow under ID-mode mapping: files carry
+    // parquet field ids from creation and reads resolve columns by id
+    // (the interop mode), so the whole lifecycle must match the same
+    // oracle as name mode.
+    "graft_rename_drop_id" -> ((s, dir) => {
+      val path = tmp("renameid")
+      Graft.write(t(s, dir, "nation"), path,
+        configuration = Map("graft.columnMapping.mode" -> "id"))
+      val tb = GraftTable.forPath(s, path)
+      tb.renameColumn("n_name", "nation_name")
+      tb.dropColumn("n_regionkey")
+      tb.addColumn(org.apache.spark.sql.types.StructField(
+        "n_regionkey", org.apache.spark.sql.types.IntegerType))
+      tb.update(col("n_nationkey") === 0, Map("n_regionkey" -> lit(77)))
+      Graft.read(s, path)
+        .select("n_nationkey", "nation_name", "n_regionkey")
+        .orderBy("n_nationkey")
+    }),
+
     "graft_schema_evolution" -> ((s, dir) => {
       val path = tmp("evo")
       val n = t(s, dir, "nation")
@@ -1392,6 +1411,11 @@ object SparkEntry {
          ORDER BY s_suppkey, _change_type""",
 
     "graft_rename_drop" ->
+      """SELECT n_nationkey, n_name AS nation_name,
+         CASE WHEN n_nationkey = 0 THEN 77 ELSE CAST(NULL AS INT) END AS n_regionkey
+         FROM nation ORDER BY n_nationkey""",
+
+    "graft_rename_drop_id" ->
       """SELECT n_nationkey, n_name AS nation_name,
          CASE WHEN n_nationkey = 0 THEN 77 ELSE CAST(NULL AS INT) END AS n_regionkey
          FROM nation ORDER BY n_nationkey""",

@@ -69,11 +69,16 @@ object WriteIntoGraft {
       val isNew = txn.readVersion < 0
       val m0 =
         if (isNew) {
-          Metadata(
+          val base = Metadata(
             schemaString = SchemaUtils.toNullable(data.schema).json,
             partitionColumns = partitionBy,
             configuration = configuration,
             createdTime = Some(System.currentTimeMillis()))
+          // Column mapping declared at creation (required for id mode:
+          // every data file must carry field ids from the first write).
+          if (graft.schema.ColumnMapping.isEnabled(base))
+            graft.schema.ColumnMapping.enable(base)
+          else base
         } else txn.snapshot.metadata
       val replacingSchema = !isNew && mode == "overwrite" && overwriteSchema &&
         replaceWhere.isEmpty && !dynamicPartitionOverwrite

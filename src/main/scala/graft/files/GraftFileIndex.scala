@@ -132,6 +132,10 @@ object GraftFileIndex {
       applyDv: Boolean = true): DataFrame = {
     val index = new GraftFileIndex(spark, log, snapshot, pinnedFiles)
     val m = snapshot.metadata
+    // Id-mode tables resolve parquet columns by field id; the flag only
+    // affects read schemas that actually carry field-id metadata.
+    if (graft.schema.ColumnMapping.idMode(m))
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val format =
       if (applyDv) graft.dv.DeletionVectors.readerFormat(log, index.files)
         .getOrElse(new ParquetFileFormat)

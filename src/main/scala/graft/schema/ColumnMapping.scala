@@ -9,28 +9,42 @@ import org.apache.spark.sql.types.{ArrayType, DataType, MapType, MetadataBuilder
 import graft.log.Metadata
 
 /**
- * Name-mode column mapping: each top-level field carries a stable
- * physical name in its metadata, decoupling the user-facing (logical)
- * name from the Parquet column name — so RENAME COLUMN and DROP COLUMN
- * are metadata-only commits, and a re-added name gets a FRESH physical
- * name so dropped data never resurrects.
+ * Column mapping (`name` and `id` modes): each field carries a stable
+ * physical name AND a stable integer column id in its metadata,
+ * decoupling the user-facing (logical) name from the Parquet column —
+ * so RENAME COLUMN and DROP COLUMN are metadata-only commits, and a
+ * re-added name gets a FRESH physical name + id so dropped data never
+ * resurrects.
+ *
+ * `name` mode resolves parquet columns by physical name — always safe
+ * to enable on an existing table (physicalName := current logical name
+ * matches every file already written). `id` mode additionally stamps
+ * `parquet.field.id` on the written file schemas and resolves reads by
+ * field id (Spark's native parquet field-id matching) — the mode other
+ * engines interop with — and must therefore be declared at table
+ * creation, before any id-less data file exists.
  *
  * The physical/logical boundary is one projection: scans read physical
  * schemas (file listing, partition values, stats JSON are all keyed
  * physically) and rename to logical at the top; writes rename logical
- * to physical just before the file write. Enabling is always valid on
- * an existing table because stamping physicalName := current logical
- * name matches every file already written.
+ * to physical just before the file write.
  * (Reference concept: DeltaColumnMapping.scala:986-1008 — re-designed,
- * scoped to top-level fields.)
+ * scoped: ids on top-level fields.)
  */
 object ColumnMapping {
 
   val MODE_KEY = "graft.columnMapping.mode"
   val PHYS_KEY = "graft.columnMapping.physicalName"
+  val ID_KEY = "graft.columnMapping.id"
+  val MAX_ID_KEY = "graft.columnMapping.maxColumnId"
+  /** Spark's parquet reader/writer field-id metadata key. */
+  val PARQUET_FIELD_ID = "parquet.field.id"
 
   def isEnabled(m: Metadata): Boolean =
-    m.configuration.get(MODE_KEY).contains("name")
+    m.configuration.get(MODE_KEY).exists(v => v == "name" || v == "id")
+
+  def idMode(m: Metadata): Boolean =
+    m.configuration.get(MODE_KEY).contains("id")
 
   def physicalName(f: StructField): String =
     if (f.metadata.contains(PHYS_KEY)) f.metadata.getString(PHYS_KEY) else f.name
@@ -57,16 +71,39 @@ object ColumnMapping {
     case other => other
   }
 
-  /** Turn mapping on: stamp unstamped fields with their current names. */
-  def enable(m: Metadata): Metadata =
-    m.copy(schemaString = stampRecursive(m.schema, _.name).json,
-      configuration = m.configuration + (MODE_KEY -> "name"))
+  /** Assign stable integer ids to top-level fields missing one,
+    * continuing from the table's max-column-id watermark. */
+  private def stampIds(m: Metadata): Metadata = {
+    var nextId = m.configuration.get(MAX_ID_KEY).map(_.toLong).getOrElse(0L)
+    val stampedFields = m.schema.fields.map { f =>
+      if (f.metadata.contains(ID_KEY)) f
+      else {
+        nextId += 1
+        f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong(ID_KEY, nextId).build())
+      }
+    }
+    m.copy(schemaString = StructType(stampedFields).json,
+      configuration = m.configuration + (MAX_ID_KEY -> nextId.toString))
+  }
+
+  /** Turn mapping on: stamp unstamped fields with their current names
+    * plus fresh column ids. Keeps an already-set mode; `mode` applies
+    * only when mapping was off. */
+  def enable(m: Metadata, mode: String = "name"): Metadata = {
+    val effective = m.configuration.get(MODE_KEY)
+      .filter(v => v == "name" || v == "id").getOrElse(mode)
+    stampIds(m.copy(
+      schemaString = stampRecursive(m.schema, _.name).json,
+      configuration = m.configuration + (MODE_KEY -> effective)))
+  }
 
   /** Stamp fields added by schema evolution with fresh physical names
-    * (no-op when mapping is off or the field is already stamped). */
+    * and ids (no-op when mapping is off or the field is stamped). */
   def stampNewFields(m: Metadata): Metadata = {
     if (!isEnabled(m)) return m
-    m.copy(schemaString = stampRecursive(m.schema, _ => freshPhysicalName()).json)
+    stampIds(m.copy(
+      schemaString = stampRecursive(m.schema, _ => freshPhysicalName()).json))
   }
 
   /** The fully-physical view of a type: nested struct fields renamed. */
@@ -80,11 +117,22 @@ object ColumnMapping {
   def physicalField(f: StructField): StructField =
     f.copy(name = physicalName(f), dataType = physicalType(f.dataType))
 
-  /** Physical view of the data (non-partition) schema. */
-  def physicalDataSchema(m: Metadata): StructType =
-    StructType(m.schema.fields
+  /** Copy the graft column id into the parquet field-id metadata slot:
+    * Spark's parquet writer then stamps it into file schemas and the
+    * reader (spark.sql.parquet.fieldId.read.enabled) resolves by it. */
+  private def withParquetId(f: StructField): StructField =
+    if (!f.metadata.contains(ID_KEY)) f
+    else f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+      .putLong(PARQUET_FIELD_ID, f.metadata.getLong(ID_KEY)).build())
+
+  /** Physical view of the data (non-partition) schema; under id mode the
+    * fields carry parquet field ids for id-based resolution. */
+  def physicalDataSchema(m: Metadata): StructType = {
+    val fields = m.schema.fields
       .filterNot(f => m.partitionColumns.contains(f.name))
-      .map(physicalField))
+      .map(physicalField)
+    StructType(if (idMode(m)) fields.map(withParquetId) else fields)
+  }
 
   /** Physical view of the partition schema (in partition-column order). */
   def physicalPartitionSchema(m: Metadata): StructType =
@@ -111,13 +159,17 @@ object ColumnMapping {
     * rename, fully codegen'd, no per-row interpretation. */
   def renameToPhysical(df: DataFrame, m: Metadata): DataFrame = {
     if (!isEnabled(m)) return df
+    val ids = idMode(m)
     val byLogical = m.schema.fields.map(f => f.name.toLowerCase -> f).toMap
     val cols: Seq[Column] = df.columns.toSeq.map { c =>
       byLogical.get(c.toLowerCase) match {
         case Some(f) =>
           val pt = physicalType(f.dataType)
           val base = if (pt == f.dataType) col(c) else col(c).cast(pt)
-          base.as(physicalName(f))
+          // id mode: carry the field-id metadata onto the write schema so
+          // the parquet writer stamps it into the file footer
+          if (ids) base.as(physicalName(f), withParquetId(f).metadata)
+          else base.as(physicalName(f))
         case None => col(c)
       }
     }

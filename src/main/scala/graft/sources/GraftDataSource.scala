@@ -137,6 +137,20 @@ class GraftDataSource
         case None => log.update()
       }
     }
+    // Column-mapped tables need the physical->logical projection that
+    // GraftFileIndex.dataFrame builds — a bare relation would read
+    // logical names against physically-named parquet columns.
+    if (graft.schema.ColumnMapping.isEnabled(snapshot.metadata)) {
+      val df = GraftFileIndex.dataFrame(spark, log, snapshot)
+      return new BaseRelation with org.apache.spark.sql.sources.TableScan {
+        override val sqlContext: SQLContext = spark.sqlContext
+        override def schema: StructType = df.schema
+        override def needConversion: Boolean = false
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          df.queryExecution.toRdd
+            .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+      }
+    }
     val index = new GraftFileIndex(spark, log, snapshot)
     // Deletion vectors apply inside the per-file parquet reader — the
     // relation keeps its full filter/projection pushdown surface.

@@ -233,6 +233,44 @@ class FeatureSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).filter(col("id") === 101).count() === 1)
   }
 
+  test("column mapping id mode: field ids in footers, id-resolved reads") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{IntegerType, StructField}
+    val dir = tmpDir()
+    Graft.write(spark.range(10).select(col("id"),
+        concat(lit("v"), col("id")).as("tag")), dir,
+      configuration = Map("graft.columnMapping.mode" -> "id"))
+    val t = GraftTable.forPath(spark, dir)
+    // every written parquet footer carries a field id per column
+    val conf = spark.sessionState.newHadoopConf()
+    t.snapshot.allFiles.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(t.log.dataPath, f.path)
+      val footer = org.apache.parquet.hadoop.ParquetFileReader
+        .readFooter(conf, p)
+      footer.getFileMetaData.getSchema.getFields.forEach { fld =>
+        assert(fld.getId != null, s"missing field id on ${fld.getName} in $p")
+      }
+    }
+    // metadata-only rename/drop/re-add round-trip under id resolution
+    t.renameColumn("tag", "label")
+    assert(Graft.read(spark, dir).filter(col("label") === "v3").count() === 1)
+    t.dropColumn("label")
+    t.addColumn(StructField("label2", IntegerType))
+    assert(Graft.read(spark, dir).filter(col("label2").isNull).count() === 10)
+    // appended files after evolution still resolve by id
+    Graft.write(spark.range(100, 103).toDF("id")
+      .withColumn("label2", lit(7)), dir)
+    assert(Graft.read(spark, dir).filter(col("label2") === 7).count() === 3)
+    // retrofitting id mode onto a table with id-less files is refused
+    val dir2 = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dir2)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.forPath(spark, dir2)
+        .upsertProperties(Map("graft.columnMapping.mode" -> "id"))
+    }
+    assert(e.getMessage.contains("creation"))
+  }
+
   test("change data feed survives column rename (physical-name change files)") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir()
