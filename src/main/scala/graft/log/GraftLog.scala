@@ -238,6 +238,17 @@ class GraftLog private (
   }
 
   /** Write snapshot state as a Parquet checkpoint + `_last_checkpoint`. */
+  /** Action count recorded by `_last_checkpoint` for version `cp` (used
+    * to pick driver-fold vs distributed state reconstruction). */
+  def lastCheckpointSize(cp: Long): Option[Long] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(store.read(FileNames.lastCheckpointFile(logPath)))
+      if (node.path("version").asLong(-1) == cp)
+        Some(node.path("size").asLong(-1)).filter(_ >= 0)
+      else None
+    } catch { case _: Exception => None }
+
   def checkpoint(snap: Snapshot = snapshot): Unit = {
     import spark.implicits._
     val cpPath = FileNames.checkpointFile(logPath, snap.version)
@@ -307,10 +318,12 @@ class Snapshot(
 
   def spark: SparkSession = log.spark
 
-  def allFiles: Seq[AddFile] = filesMap.values.toSeq
+  // Touched on every commit and scan — materialize once per (immutable)
+  // snapshot instead of rebuilding the Seq / re-summing per call.
+  lazy val allFiles: Seq[AddFile] = filesMap.values.toSeq
 
   def numFiles: Long = filesMap.size
-  def sizeInBytes: Long = allFiles.map(_.size).sum
+  lazy val sizeInBytes: Long = allFiles.iterator.map(_.size).sum
 
   /** Distributed view for stats-skipping / VACUUM-scale operations. */
   def allFilesDS: Dataset[AddFile] =
@@ -351,39 +364,78 @@ object Snapshot {
     new Snapshot(log, -1L, Protocol(), Metadata(schemaString = null),
       Map.empty, Map.empty, Nil, 0L)
 
-  /** Cold build: optional Parquet checkpoint (read as a Spark job with
-    * column pruning, STREAMED partition-by-partition to the driver — no
-    * whole-checkpoint collect, so peak driver memory is one partition of
-    * actions plus the final state map) + JSON deltas folded on top. */
+  /** Past this many checkpoint actions, state reconstruction runs as a
+    * distributed Spark job instead of the driver fold. */
+  val DRIVER_FOLD_THRESHOLD_CONF = "spark.graft.stateReconstruction.driverThreshold"
+  val DRIVER_FOLD_THRESHOLD_DEFAULT = 200000L
+
+  /** Cold build: optional Parquet checkpoint + JSON deltas folded on top.
+    *
+    * Small checkpoints stream partition-by-partition to the driver (no
+    * whole-checkpoint collect). Large ones reconstruct DISTRIBUTED: graft
+    * checkpoints are state dumps (one row per live file — the reconcile
+    * the reference replays with repartition+sort, Snapshot.scala:598-655,
+    * already happened at checkpoint time), so executors decode the
+    * parquet in parallel and the driver receives ready AddFile arrays —
+    * one job, no single-threaded action stream, peak driver memory
+    * bounded by the LIVE file state it must hold for planning anyway. */
   def build(log: GraftLog, checkpointVersion: Option[Long],
       deltas: Seq[(Long, Path)], version: Long): Snapshot = {
     val base = checkpointVersion match {
       case Some(cp) =>
         import log.spark.implicits._
+        import org.apache.spark.sql.functions.col
         val cpPath = FileNames.checkpointFile(log.logPath, cp)
         val actions = log.spark.read
           .schema(log.spark.emptyDataset[SingleAction].schema)
           .parquet(cpPath.toString)
           .as[SingleAction]
-        var p = Protocol(); var m: Metadata = null
-        var txns = Map.empty[String, Long]
-        var doms = Map.empty[String, String]
-        val files = scala.collection.mutable.HashMap.empty[String, AddFile]
-        val tombs = scala.collection.mutable.HashMap.empty[String, RemoveFile]
-        val it = actions.toLocalIterator()
-        while (it.hasNext) {
-          it.next().unwrap match {
-            case a: AddFile => files.put(a.path, a)
-            case r: RemoveFile => tombs.put(r.path, r)
-            case meta: Metadata => m = meta
-            case proto: Protocol => p = proto
-            case t: SetTransaction => txns += t.appId -> t.version
-            case d: DomainMetadata =>
-              doms = if (d.removed) doms - d.domain else doms + (d.domain -> d.configuration)
-            case _ =>
+        val threshold = log.spark.conf
+          .getOption(DRIVER_FOLD_THRESHOLD_CONF).map(_.toLong)
+          .getOrElse(DRIVER_FOLD_THRESHOLD_DEFAULT)
+        if (log.lastCheckpointSize(cp).exists(_ > threshold)) {
+          // Distributed: per-kind pruned scans; the non-file actions of a
+          // checkpoint are a handful of rows.
+          var p = Protocol(); var m: Metadata = null
+          var txns = Map.empty[String, Long]
+          var doms = Map.empty[String, String]
+          actions.filter(col("add").isNull && col("remove").isNull)
+            .collect().foreach(_.unwrap match {
+              case meta: Metadata => m = meta
+              case proto: Protocol => p = proto
+              case t: SetTransaction => txns += t.appId -> t.version
+              case d: DomainMetadata =>
+                doms = if (d.removed) doms - d.domain
+                       else doms + (d.domain -> d.configuration)
+              case _ =>
+            })
+          val adds = actions.filter(col("add").isNotNull)
+            .select(col("add.*")).as[AddFile].collect()
+          val tombs = actions.filter(col("remove").isNotNull)
+            .select(col("remove.*")).as[RemoveFile].collect()
+          new Snapshot(log, cp, p, m, txns,
+            adds.map(a => a.path -> a).toMap, tombs.toSeq, 0L, doms)
+        } else {
+          var p = Protocol(); var m: Metadata = null
+          var txns = Map.empty[String, Long]
+          var doms = Map.empty[String, String]
+          val files = scala.collection.mutable.HashMap.empty[String, AddFile]
+          val tombs = scala.collection.mutable.HashMap.empty[String, RemoveFile]
+          val it = actions.toLocalIterator()
+          while (it.hasNext) {
+            it.next().unwrap match {
+              case a: AddFile => files.put(a.path, a)
+              case r: RemoveFile => tombs.put(r.path, r)
+              case meta: Metadata => m = meta
+              case proto: Protocol => p = proto
+              case t: SetTransaction => txns += t.appId -> t.version
+              case d: DomainMetadata =>
+                doms = if (d.removed) doms - d.domain else doms + (d.domain -> d.configuration)
+              case _ =>
+            }
           }
+          new Snapshot(log, cp, p, m, txns, files.toMap, tombs.values.toSeq, 0L, doms)
         }
-        new Snapshot(log, cp, p, m, txns, files.toMap, tombs.values.toSeq, 0L, doms)
       case None => empty(log)
     }
     if (deltas.isEmpty) base else base.advance(deltas)

@@ -54,6 +54,46 @@ class ScaleSuite extends AnyFunSuite {
     assert(log2.snapshot.getAddFile("part-0999999.parquet").isDefined)
   }
 
+  test("distributed and driver-fold state reconstruction agree") {
+    val dir = Files.createTempDirectory("graft-recon").toString
+    Graft.create(spark, dir, new StructType().add("id", LongType))
+    val log = GraftLog.forTable(spark, dir)
+    val meta = log.snapshot.metadata
+    log.writeCommit(1, Seq(CommitInfo(timestamp = 1L, operation = "NOOP")))
+    val n = 5000
+    import spark.implicits._
+    val rows = Seq(Protocol().wrap, meta.wrap,
+        SetTransaction("app1", 7L).wrap,
+        RemoveFile("gone.parquet", Some(1L)).wrap) ++
+      (0 until n).map(i => AddFile(f"part-$i%05d.parquet", Map.empty, 100L,
+        0L, dataChange = true).wrap)
+    spark.createDataset(rows).repartition(4)
+      .write.mode("overwrite")
+      .parquet(FileNames.checkpointFile(log.logPath, 1L).toString)
+    log.store.writeOverwrite(FileNames.lastCheckpointFile(log.logPath),
+      s"""{"version":1,"size":${rows.size}}""")
+    log.store.writeOverwrite(FileNames.checksumFile(log.logPath, 1L),
+      s"""{"tableSizeBytes":${n * 100L},"numFiles":$n}""")
+
+    def coldLoad(threshold: Long): Snapshot = {
+      spark.conf.set(Snapshot.DRIVER_FOLD_THRESHOLD_CONF, threshold.toString)
+      GraftLog.clearCache()
+      GraftLog.forTable(spark, dir).update()
+    }
+    try {
+      val distributed = coldLoad(0)        // everything above 0 -> Spark job
+      val driverFold = coldLoad(Long.MaxValue)
+      assert(distributed.numFiles === driverFold.numFiles)
+      assert(distributed.allFiles.map(_.path).sorted ===
+        driverFold.allFiles.map(_.path).sorted)
+      assert(distributed.tombstones.map(_.path) === driverFold.tombstones.map(_.path))
+      assert(distributed.setTransactions === driverFold.setTransactions)
+      assert(distributed.metadata.id === driverFold.metadata.id)
+    } finally {
+      spark.conf.unset(Snapshot.DRIVER_FOLD_THRESHOLD_CONF)
+    }
+  }
+
   test("LSH hot-bucket cap keeps pathological duplication sub-quadratic") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
