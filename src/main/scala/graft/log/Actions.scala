@@ -141,6 +141,21 @@ case class CommitInfo(
  * state (reference pattern: actions.scala SingleAction + Snapshot
  * stateReconstruction).
  */
+/** Per-version checksum sidecar (.crc): the full fold-state fingerprint a
+  * cold reader re-derives and compares — protocol, metadata, txn map and
+  * domains included, so a tampered or bit-rotted log fails loudly at
+  * load instead of silently misreading (reference concept: Checksum.scala
+  * VersionChecksum — re-designed: state carried verbatim, not hashed,
+  * because it is metadata-scale). Null/empty fields skip validation for
+  * compatibility with sidecars written before a field existed. */
+case class VersionChecksum(
+    tableSizeBytes: Long = -1L,
+    numFiles: Long = -1L,
+    protocol: Protocol = null,
+    metadata: Metadata = null,
+    setTransactions: Map[String, Long] = Map.empty,
+    domainMetadata: Map[String, String] = Map.empty)
+
 case class SingleAction(
     txn: SetTransaction = null,
     add: AddFile = null,
@@ -177,6 +192,11 @@ object Actions {
     mapper.readValue(line, classOf[SingleAction]).unwrap
 
   def statsToJson(m: Any): String = mapper.writeValueAsString(m)
+
+  def checksumToJson(c: VersionChecksum): String = mapper.writeValueAsString(c)
+
+  def checksumFromJson(json: String): VersionChecksum =
+    mapper.readValue(json, classOf[VersionChecksum])
 
   /** Serialize a full commit: one action per line. */
   def serialize(actions: Seq[Action]): String =

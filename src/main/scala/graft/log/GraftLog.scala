@@ -173,30 +173,43 @@ class GraftLog private (
     snap
   }
 
-  /** Per-commit checksum sidecar: aggregate table state invariants that
-    * a cold reader re-derives and compares — cheap corruption detection
-    * for the log fold (reference concept: VersionChecksum /
-    * ChecksumHook — re-designed to the two load-bearing aggregates). */
+  /** Per-commit checksum sidecar: the fold-state fingerprint (aggregates
+    * + protocol + metadata + txn/domain maps) a cold reader re-derives
+    * and compares — corruption detection for the whole log fold
+    * (reference concept: VersionChecksum / ChecksumHook — re-designed). */
   private def writeChecksum(snap: Snapshot): Unit = {
     if (snap.version < 0) return
     store.writeOverwrite(FileNames.checksumFile(logPath, snap.version),
-      s"{\"tableSizeBytes\":${snap.sizeInBytes},\"numFiles\":${snap.numFiles}}")
+      Actions.checksumToJson(VersionChecksum(
+        tableSizeBytes = snap.sizeInBytes,
+        numFiles = snap.numFiles,
+        protocol = snap.protocol,
+        metadata = snap.metadata,
+        setTransactions = snap.setTransactions,
+        domainMetadata = snap.domains)))
   }
 
   private def validateChecksum(snap: Snapshot): Unit = {
     if (snap.version < 0) return
     store.readOpt(FileNames.checksumFile(logPath, snap.version)).foreach { json =>
-      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-      val size = node.path("tableSizeBytes").asLong(-1L)
-      val files = node.path("numFiles").asLong(-1L)
-      if (files >= 0 && files != snap.numFiles ||
-          size >= 0 && size != snap.sizeInBytes) {
+      val crc = Actions.checksumFromJson(json)
+      def fail(what: String, expected: Any, got: Any): Nothing =
         throw new IllegalStateException(
           s"Checksum mismatch at version ${snap.version} of $dataPath: " +
-            s"expected numFiles=$files sizeBytes=$size, " +
-            s"reconstructed ${snap.numFiles}/${snap.sizeInBytes} - " +
+            s"$what expected $expected, reconstructed $got - " +
             "the log or checkpoint is corrupted")
-      }
+      if (crc.numFiles >= 0 && crc.numFiles != snap.numFiles)
+        fail("numFiles", crc.numFiles, snap.numFiles)
+      if (crc.tableSizeBytes >= 0 && crc.tableSizeBytes != snap.sizeInBytes)
+        fail("tableSizeBytes", crc.tableSizeBytes, snap.sizeInBytes)
+      if (crc.protocol != null && crc.protocol != snap.protocol)
+        fail("protocol", crc.protocol, snap.protocol)
+      if (crc.metadata != null && crc.metadata != snap.metadata)
+        fail("metadata", crc.metadata, snap.metadata)
+      if (crc.setTransactions.nonEmpty && crc.setTransactions != snap.setTransactions)
+        fail("setTransactions", crc.setTransactions, snap.setTransactions)
+      if (crc.domainMetadata.nonEmpty && crc.domainMetadata != snap.domains)
+        fail("domainMetadata", crc.domainMetadata, snap.domains)
     }
   }
 

@@ -47,17 +47,42 @@ class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
   }
 }
 
-/** `SELECT * FROM table_changes('name-or-path', startVersion[, endVersion])`
-  * — the SQL face of the change data feed (reference concept:
-  * DeltaTableValueFunctions.scala:45-47 — re-designed over Cdc.changes). */
+/** `SELECT * FROM table_changes('name-or-path', start[, end])` — the SQL
+  * face of the change data feed. Bounds are versions (integer literals)
+  * OR timestamps (string/timestamp literals, resolved to the last commit
+  * at-or-before that time; a string parses as `yyyy-MM-dd[ HH:mm:ss]`).
+  * (Reference concept: DeltaTableValueFunctions.scala:45-60 —
+  * re-designed over Cdc.changes.) */
 object TableChangesFunction {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.catalyst.expressions.Expression
   import org.apache.spark.sql.graftshim.SparkShims
 
+  /** A bound expression -> version: integral = version; timestamp or
+    * date-ish string = version at that wall-clock time. */
+  private def boundVersion(log: graft.log.GraftLog, e: Expression): Long = {
+    val v = e.eval()
+    e.dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType =>
+        String.valueOf(v).toLong
+      case _: org.apache.spark.sql.types.TimestampType =>
+        log.getVersionAtTime(v.asInstanceOf[Long] / 1000L)   // micros -> ms
+      case _ =>
+        val s = String.valueOf(v)
+        if (s.forall(_.isDigit)) s.toLong
+        else {
+          val ts = if (s.length == 10) s + " 00:00:00" else s
+          log.getVersionAtTime(java.sql.Timestamp.valueOf(ts).getTime)
+        }
+    }
+  }
+
   def plan(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 2 || args.size == 3,
-      "table_changes(table, startVersion[, endVersion])")
+      "table_changes(table, start[, end]) — version or timestamp bounds")
     val spark = SparkSession.active
     val target = String.valueOf(args.head.eval())
     val path =
@@ -70,11 +95,10 @@ object TableChangesFunction {
           s"$target is not a graft table")
         meta.location.toString
       }
-    val start = String.valueOf(args(1).eval()).toLong
-    val end = args.lift(2).map(e => String.valueOf(e.eval()).toLong)
-      .getOrElse(Long.MaxValue)
     val log = graft.log.GraftLog.forTable(spark, path)
     log.update()
+    val start = boundVersion(log, args(1))
+    val end = args.lift(2).map(boundVersion(log, _)).getOrElse(Long.MaxValue)
     SparkShims.logicalPlan(graft.commands.Cdc.changes(spark, log, start, end))
   }
 }

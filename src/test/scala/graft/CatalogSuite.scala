@@ -101,6 +101,24 @@ class CatalogSuite extends AnyFunSuite {
     assert(byType === Map("delete" -> 3L))
     val all = spark.sql(s"SELECT count(*) AS n FROM table_changes('$dir/t', 0)").head.getLong(0)
     assert(all === 13L)  // 10 inserts + 3 deletes
+    // timestamp bounds: each bound resolves to the last commit at or
+    // before that wall-clock time (string and typed timestamp forms)
+    val log = graft.log.GraftLog.forTable(spark, s"$dir/t")
+    val t1 = new java.sql.Timestamp(
+      log.listCommitTimestamps().toMap.apply(1L)).toString
+    val byTs = spark.sql(
+      s"SELECT count(*) AS n FROM table_changes('$dir/t', '$t1')").head.getLong(0)
+    assert(byTs === 3L)   // from the delete commit on
+    val byTsTyped = spark.sql(
+      s"SELECT count(*) AS n FROM table_changes('$dir/t', TIMESTAMP'$t1')")
+      .head.getLong(0)
+    assert(byTsTyped === 3L)
+    // mixed bounds: version start, timestamp end spanning everything
+    val future = new java.sql.Timestamp(System.currentTimeMillis() + 60000).toString
+    val mixed = spark.sql(
+      s"SELECT count(*) AS n FROM table_changes('$dir/t', 0, '$future')")
+      .head.getLong(0)
+    assert(mixed === 13L)
     spark.sql(s"DROP TABLE $t")
   }
 

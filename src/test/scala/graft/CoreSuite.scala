@@ -475,6 +475,95 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(Graft.read(spark, dir).count() === 25)
   }
 
+  test("every conflict class fires deterministically (no sleeps, no races)") {
+    // The interleaving is pinned by construction: the victim transaction
+    // stages its intent, the winner commits from the test thread, and the
+    // victim's first write attempt collides and runs the conflict check —
+    // each Concurrent*Exception class provoked exactly, run after run.
+    import graft.tx._
+
+    // 1. ProtocolChangedException: winner upgrades the protocol.
+    locally {
+      val dir = tmpDir()
+      Graft.write(spark.range(10).toDF("id"), dir)
+      val log = GraftLog.forTable(spark, dir)
+      val txn = log.startTransaction()
+      val adds = txn.writeFiles(spark.range(5).toDF("id"))
+      GraftTable.forPath(spark, dir).upgradeTableProtocol(2, 2)
+      intercept[ProtocolChangedException] { txn.commit(adds, "WRITE") }
+    }
+
+    // 2. MetadataChangedException: winner rewrites table metadata.
+    locally {
+      val dir = tmpDir()
+      Graft.write(spark.range(10).toDF("id"), dir)
+      val log = GraftLog.forTable(spark, dir)
+      val txn = log.startTransaction()
+      val adds = txn.writeFiles(spark.range(5).toDF("id"))
+      GraftTable.forPath(spark, dir).upsertProperties(Map("k" -> "v"))
+      intercept[MetadataChangedException] { txn.commit(adds, "WRITE") }
+    }
+
+    // 3. ConcurrentAppendException: winner's added files overlap the
+    //    victim's read set under Serializable.
+    locally {
+      val dir = tmpDir()
+      Graft.write(spark.range(10).toDF("id"), dir)
+      val log = GraftLog.forTable(spark, dir)
+      val txn = log.startTransaction()
+      txn.filterFiles()
+      Graft.write(spark.range(3).toDF("id"), dir)
+      val adds = txn.writeFiles(spark.range(5).toDF("id"))
+      intercept[ConcurrentAppendException] { txn.commit(adds, "WRITE") }
+    }
+
+    // 4. ConcurrentDeleteReadException: winner removes a file the victim
+    //    read.
+    locally {
+      val dir = tmpDir()
+      Graft.write(spark.range(10).toDF("id"), dir)
+      val log = GraftLog.forTable(spark, dir)
+      val txn = log.startTransaction()
+      txn.filterFiles()
+      // whole-table delete: removes only, no rewrite adds (a partial
+      // delete would trip the append-over-reads check first)
+      GraftTable.forPath(spark, dir).delete()
+      val adds = txn.writeFiles(spark.range(5).toDF("id"))
+      intercept[ConcurrentDeleteReadException] { txn.commit(adds, "WRITE") }
+    }
+
+    // 5. ConcurrentDeleteDeleteException: both remove the same file.
+    locally {
+      val dir = tmpDir()
+      Graft.write(spark.range(10).toDF("id"), dir)
+      val log = GraftLog.forTable(spark, dir)
+      val txn = log.startTransaction()
+      // take the file list WITHOUT recording reads, so the delete-read
+      // check (which runs first) stays quiet and delete-delete fires
+      val doomed = txn.snapshot.allFiles
+      GraftTable.forPath(spark, dir).delete()   // removes every file
+      val now = System.currentTimeMillis()
+      intercept[ConcurrentDeleteDeleteException] {
+        txn.commit(doomed.map(_.remove(now)), "DELETE")
+      }
+    }
+
+    // 6. ConcurrentTransactionException: same idempotent appId committed
+    //    by both (covered standalone below, pinned here for completeness).
+    locally {
+      val dir = tmpDir()
+      Graft.write(spark.range(10).toDF("id"), dir)
+      val log = GraftLog.forTable(spark, dir)
+      val txn = log.startTransaction()
+      val adds = txn.writeFiles(spark.range(5).toDF("id"))
+      Graft.write(spark.range(3).toDF("id"), dir,
+        txnAppId = Some("race-app"), txnVersion = Some(1L))
+      intercept[ConcurrentTransactionException] {
+        txn.commit(adds :+ graft.log.SetTransaction("race-app", 1L), "WRITE")
+      }
+    }
+  }
+
   test("concurrent idempotent transactions with the same appId conflict") {
     val dir = tmpDir()
     Graft.write(spark.range(5).toDF("id"), dir)
@@ -607,6 +696,29 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     GraftLog.clearCache()
     val e = intercept[IllegalStateException] { Graft.read(spark, dir).count() }
     assert(e.getMessage.contains("quantumCompression"))
+  }
+
+  test("checksum sidecar catches a tampered metadata fold on cold load") {
+    val dir = tmpDir()
+    Graft.write(spark.range(10).toDF("id"), dir,
+      configuration = Map("k" -> "v1"))
+    Graft.write(spark.range(5).toDF("id"), dir)   // v1, carries the .crc
+    val log = GraftLog.forTable(spark, dir)
+    // tamper the log: rewrite v0's Metadata action with a different
+    // configuration (simulated corruption / malicious edit)
+    val v0 = graft.log.FileNames.deltaFile(log.logPath, 0L)
+    val tampered = graft.log.Actions.deserialize(log.store.read(v0)).map {
+      case m: graft.log.Metadata =>
+        m.copy(configuration = Map("k" -> "EVIL")): graft.log.Action
+      case a => a
+    }
+    log.store.writeOverwrite(v0, graft.log.Actions.serialize(tampered))
+    GraftLog.clearCache()
+    val e = intercept[IllegalStateException] {
+      GraftLog.forTable(spark, dir).update()
+    }
+    assert(e.getMessage.contains("metadata"), e.getMessage)
+    // aggregates alone would NOT have caught this (file counts unchanged)
   }
 
   test("history and detail") {
