@@ -713,6 +713,24 @@ object SparkEntry {
         .orderBy("l_linenumber")
     }),
 
+    // Same replay under V2 checkpoints: the checkpoint is a small
+    // manifest (CheckpointMetadata + SidecarFile pointers) with the file
+    // actions in sidecar parquet — cold load must reconstruct through
+    // manifest, sidecars, and the delta tail.
+    "graft_checkpoint_v2" -> ((s, dir) => {
+      val path = tmp("ckptv2")
+      val li = t(s, dir, "lineitem")
+      (1 to 7).foreach(i =>
+        Graft.write(li.filter(col("l_linenumber") === i), path,
+          configuration = if (i == 1) Map(
+            "graft.checkpointInterval" -> "3",
+            "graft.checkpointPolicy" -> "v2") else Map.empty))
+      graft.log.GraftLog.clearCache()
+      Graft.read(s, path)
+        .groupBy("l_linenumber").agg(count(lit(1)).as("n"))
+        .orderBy("l_linenumber")
+    }),
+
     "graft_convert_parquet" -> ((s, dir) => {
       val path = tmp("convert")
       t(s, dir, "part").write.mode("overwrite").parquet(path)
@@ -1428,6 +1446,10 @@ object SparkEntry {
          ) ORDER BY n_nationkey, n_comment NULLS FIRST""",
 
     "graft_checkpoint_replay" ->
+      """SELECT l_linenumber, count(*) AS n FROM lineitem
+         GROUP BY 1 ORDER BY 1""",
+
+    "graft_checkpoint_v2" ->
       """SELECT l_linenumber, count(*) AS n FROM lineitem
          GROUP BY 1 ORDER BY 1""",
 

@@ -141,6 +141,25 @@ case class CommitInfo(
  * state (reference pattern: actions.scala SingleAction + Snapshot
  * stateReconstruction).
  */
+/** Marks a checkpoint as V2: the manifest holds only metadata-scale
+  * actions plus [[SidecarFile]] pointers; the file actions live in
+  * sidecar parquet under `_sidecars/` (PROTOCOL.md:854-911 analogue:
+  * actions.scala:1816 CheckpointMetadata — re-designed). */
+case class CheckpointMetadata(
+    version: Long,
+    sidecarCount: Long = 0L) extends Action {
+  def wrap: SingleAction = SingleAction(checkpointMetadata = this)
+}
+
+/** One sidecar parquet file of a V2 checkpoint, path relative to the log
+  * directory (actions.scala:1775 SidecarFile analogue). */
+case class SidecarFile(
+    path: String,
+    sizeInBytes: Long = 0L,
+    modificationTime: Long = 0L) extends Action {
+  def wrap: SingleAction = SingleAction(sidecar = this)
+}
+
 /** Per-version checksum sidecar (.crc): the full fold-state fingerprint a
   * cold reader re-derives and compares — protocol, metadata, txn map and
   * domains included, so a tampered or bit-rotted log fails loudly at
@@ -164,7 +183,9 @@ case class SingleAction(
     metaData: Metadata = null,
     protocol: Protocol = null,
     domainMetadata: DomainMetadata = null,
-    commitInfo: CommitInfo = null) {
+    commitInfo: CommitInfo = null,
+    checkpointMetadata: CheckpointMetadata = null,
+    sidecar: SidecarFile = null) {
   def unwrap: Action =
     if (add != null) add
     else if (remove != null) remove
@@ -174,6 +195,8 @@ case class SingleAction(
     else if (cdc != null) cdc
     else if (domainMetadata != null) domainMetadata
     else if (commitInfo != null) commitInfo
+    else if (checkpointMetadata != null) checkpointMetadata
+    else if (sidecar != null) sidecar
     else null
 }
 

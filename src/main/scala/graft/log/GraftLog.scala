@@ -262,22 +262,50 @@ class GraftLog private (
       else None
     } catch { case _: Exception => None }
 
+  /** `classic`: all actions in the checkpoint itself. `v2`: a small
+    * manifest (metadata-scale actions + CheckpointMetadata + SidecarFile
+    * pointers) with the file actions in sidecar parquet under
+    * `_sidecars/` — the layout that lets a 100M-file table checkpoint
+    * incrementally and lets readers fetch state without scanning one
+    * monolithic file (reference: PROTOCOL.md:854-911, actions.scala:1775
+    * SidecarFile — re-designed). */
+  def checkpointPolicy(snap: Snapshot): String =
+    snap.metadata.configuration.getOrElse("graft.checkpointPolicy", "classic")
+
   def checkpoint(snap: Snapshot = snapshot): Unit = {
     import spark.implicits._
     val cpPath = FileNames.checkpointFile(logPath, snap.version)
-    val rows: Seq[SingleAction] =
+    val small: Seq[SingleAction] =
       Seq(snap.protocol.wrap, snap.metadata.wrap) ++
       snap.setTransactions.map { case (app, v) => SetTransaction(app, v).wrap } ++
-      snap.domains.map { case (d, c) => DomainMetadata(d, c).wrap } ++
-      snap.allFiles.map(_.wrap) ++
-      snap.tombstones.map(_.wrap)
+      snap.domains.map { case (d, c) => DomainMetadata(d, c).wrap }
+    val fileRows: Seq[SingleAction] =
+      snap.allFiles.map(_.wrap) ++ snap.tombstones.map(_.wrap)
     // Parallelism: a checkpoint of N files is tiny metadata; one file per
     // ~100k actions keeps both write and cold-read costs bounded.
-    val parts = math.max(1, rows.size / 100000)
-    spark.createDataset(rows).repartition(parts)
-      .write.mode("overwrite").parquet(cpPath.toString)
+    val parts = math.max(1, fileRows.size / 100000)
+    val total = small.size + fileRows.size
+    if (checkpointPolicy(snap) == "v2") {
+      val scDir = FileNames.sidecarDir(logPath, snap.version)
+      spark.createDataset(fileRows).repartition(parts)
+        .write.mode("overwrite").parquet(scDir.toString)
+      val sidecars = store.fs(scDir).listStatus(scDir)
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => SidecarFile(
+          s"_sidecars/${scDir.getName}/${st.getPath.getName}",
+          st.getLen, st.getModificationTime).wrap)
+        .toSeq
+      val manifest = small ++
+        Seq(CheckpointMetadata(snap.version, sidecars.size.toLong).wrap) ++
+        sidecars
+      spark.createDataset(manifest).repartition(1)
+        .write.mode("overwrite").parquet(cpPath.toString)
+    } else {
+      spark.createDataset(small ++ fileRows).repartition(parts)
+        .write.mode("overwrite").parquet(cpPath.toString)
+    }
     store.writeOverwrite(FileNames.lastCheckpointFile(logPath),
-      s"""{"version":${snap.version},"size":${rows.size}}""")
+      s"""{"version":${snap.version},"size":$total}""")
   }
 
   /** Delete log entries older than both retention and the last checkpoint. */
@@ -398,52 +426,55 @@ object Snapshot {
       case Some(cp) =>
         import log.spark.implicits._
         import org.apache.spark.sql.functions.col
+        val schema = log.spark.emptyDataset[SingleAction].schema
         val cpPath = FileNames.checkpointFile(log.logPath, cp)
-        val actions = log.spark.read
-          .schema(log.spark.emptyDataset[SingleAction].schema)
-          .parquet(cpPath.toString)
-          .as[SingleAction]
+        val manifest = log.spark.read.schema(schema)
+          .parquet(cpPath.toString).as[SingleAction]
+        // V2 checkpoints: file actions live in sidecar parquet; the
+        // manifest is metadata-scale (SidecarFile pointers included).
+        val sidecars = manifest.filter(col("sidecar").isNotNull)
+          .select(col("sidecar.*")).as[SidecarFile].collect()
+        val fileActions =
+          if (sidecars.isEmpty) manifest
+          else log.spark.read.schema(schema)
+            .parquet(sidecars.map(s =>
+              new Path(log.logPath, s.path).toString).toIndexedSeq: _*)
+            .as[SingleAction]
+
+        var p = Protocol(); var m: Metadata = null
+        var txns = Map.empty[String, Long]
+        var doms = Map.empty[String, String]
+        manifest.filter(col("add").isNull && col("remove").isNull)
+          .collect().foreach(_.unwrap match {
+            case meta: Metadata => m = meta
+            case proto: Protocol => p = proto
+            case t: SetTransaction => txns += t.appId -> t.version
+            case d: DomainMetadata =>
+              doms = if (d.removed) doms - d.domain
+                     else doms + (d.domain -> d.configuration)
+            case _ =>   // CheckpointMetadata / SidecarFile / CommitInfo
+          })
+
         val threshold = log.spark.conf
           .getOption(DRIVER_FOLD_THRESHOLD_CONF).map(_.toLong)
           .getOrElse(DRIVER_FOLD_THRESHOLD_DEFAULT)
-        if (log.lastCheckpointSize(cp).exists(_ > threshold)) {
-          // Distributed: per-kind pruned scans; the non-file actions of a
-          // checkpoint are a handful of rows.
-          var p = Protocol(); var m: Metadata = null
-          var txns = Map.empty[String, Long]
-          var doms = Map.empty[String, String]
-          actions.filter(col("add").isNull && col("remove").isNull)
-            .collect().foreach(_.unwrap match {
-              case meta: Metadata => m = meta
-              case proto: Protocol => p = proto
-              case t: SetTransaction => txns += t.appId -> t.version
-              case d: DomainMetadata =>
-                doms = if (d.removed) doms - d.domain
-                       else doms + (d.domain -> d.configuration)
-              case _ =>
-            })
-          val adds = actions.filter(col("add").isNotNull)
+        if (sidecars.nonEmpty || log.lastCheckpointSize(cp).exists(_ > threshold)) {
+          // Distributed: executors decode per-kind pruned scans in
+          // parallel; the driver receives ready arrays.
+          val adds = fileActions.filter(col("add").isNotNull)
             .select(col("add.*")).as[AddFile].collect()
-          val tombs = actions.filter(col("remove").isNotNull)
+          val tombs = fileActions.filter(col("remove").isNotNull)
             .select(col("remove.*")).as[RemoveFile].collect()
           new Snapshot(log, cp, p, m, txns,
             adds.map(a => a.path -> a).toMap, tombs.toSeq, 0L, doms)
         } else {
-          var p = Protocol(); var m: Metadata = null
-          var txns = Map.empty[String, Long]
-          var doms = Map.empty[String, String]
           val files = scala.collection.mutable.HashMap.empty[String, AddFile]
           val tombs = scala.collection.mutable.HashMap.empty[String, RemoveFile]
-          val it = actions.toLocalIterator()
+          val it = fileActions.toLocalIterator()
           while (it.hasNext) {
             it.next().unwrap match {
               case a: AddFile => files.put(a.path, a)
               case r: RemoveFile => tombs.put(r.path, r)
-              case meta: Metadata => m = meta
-              case proto: Protocol => p = proto
-              case t: SetTransaction => txns += t.appId -> t.version
-              case d: DomainMetadata =>
-                doms = if (d.removed) doms - d.domain else doms + (d.domain -> d.configuration)
               case _ =>
             }
           }

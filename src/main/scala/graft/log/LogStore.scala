@@ -99,6 +99,8 @@ object FileNames {
     new Path(logPath, "_last_checkpoint")
   def checksumFile(logPath: Path, version: Long): Path =
     new Path(logPath, f"$version%020d.crc")
+  def sidecarDir(logPath: Path, version: Long): Path =
+    new Path(new Path(logPath, "_sidecars"), f"$version%020d-${java.util.UUID.randomUUID}")
 
   private val deltaRe = """(\d{20})\.json""".r
   private val checkpointRe = """(\d{20})\.checkpoint\.parquet""".r

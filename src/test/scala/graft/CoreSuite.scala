@@ -698,6 +698,34 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("quantumCompression"))
   }
 
+  test("v2 checkpoints: sidecar manifest round-trips and cold-loads") {
+    val dir = tmpDir()
+    (1 to 4).foreach { i =>
+      Graft.write(spark.range(i * 10, i * 10 + 10).toDF("id"), dir,
+        configuration = if (i == 1) Map(
+          "graft.checkpointPolicy" -> "v2",
+          "graft.checkpointInterval" -> "2") else Map.empty)
+    }
+    val log = GraftLog.forTable(spark, dir)
+    val cpV = log.update().version - (log.update().version % 2)
+    // the manifest holds pointers, not file actions
+    import spark.implicits._
+    val manifest = spark.read.parquet(
+      graft.log.FileNames.checkpointFile(log.logPath, cpV).toString)
+    assert(manifest.where($"checkpointMetadata".isNotNull).count() === 1)
+    val nSidecars = manifest.where($"sidecar".isNotNull).count()
+    assert(nSidecars >= 1)
+    assert(manifest.where($"add".isNotNull).count() === 0,
+      "v2 manifest must not inline file actions")
+    // cold load reconstructs through manifest + sidecars + delta tail
+    GraftLog.clearCache()
+    val cold = GraftLog.forTable(spark, dir).update()
+    assert(cold.numFiles === log.snapshot.numFiles)
+    assert(Graft.read(spark, dir).count() === 40)
+    // time travel through the v2 checkpoint also works
+    assert(GraftTable.forPath(spark, dir).asOfVersion(1).count() === 20)
+  }
+
   test("checksum sidecar catches a tampered metadata fold on cold load") {
     val dir = tmpDir()
     Graft.write(spark.range(10).toDF("id"), dir,
