@@ -1,0 +1,155 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Whole-document text fingerprint kernels: one codegen'd pass per row
+ * computes the complete minhash signature / simhash fingerprint, so the
+ * dedup pipelines need NO token explode, NO window pass and NO signature
+ * aggregation — on a 100 TB corpus that removes two shuffles whose
+ * volume is a multiple of the text itself. The earlier shape (posexplode
+ * + lead window + k min/sum aggregates) is still linear but pays
+ * explode-row materialization and two hash-shuffles of token-grain rows.
+ *
+ * Tokens are maximal runs of non-whitespace bytes (ASCII whitespace:
+ * space, \t, \n, \x0B, \f, \r — the same class Java's regex \s+ splits
+ * on); hashes are splitmix64 finalizers over FNV-1a byte hashes, stable
+ * across executors and runs. Shingle combining is order-sensitive.
+ * (The reference engine has no such kernels; these are the Spark-native
+ * custom-Expression tier of the task's preference order.)
+ */
+object TextKernels {
+
+  @inline private def isSpace(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** FNV-1a over a byte range, finalized with splitmix64. */
+  private def hashRange(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = from
+    while (i < until) { h = (h ^ (bytes(i) & 0xFFL)) * 0x100000001B3L; i += 1 }
+    VectorKernels.mix(h)
+  }
+
+  /** Full minhash signature of `s`: `k` mins over the document's
+    * `n`-token rolling shingle hashes (documents with fewer than n
+    * tokens contribute one whole-trimmed-text shingle, matching the
+    * pipeline form's short-document rule). Returns null only via the
+    * expression's null handling; an all-whitespace document still gets
+    * the whole-text-shingle signature. */
+  def minhash(s: UTF8String, k: Int, n: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val ring = new Array[Long](n)
+    var tokens = 0
+    var i = 0
+    val len = bytes.length
+
+    def addShingle(sh: Long): Unit = {
+      var j = 0
+      while (j < k) {
+        // per-function remix: cheap, decorrelated across j
+        val v = VectorKernels.mix(sh ^ VectorKernels.mix(0x9E3779B97F4A7C15L * (j + 1)))
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+    }
+
+    while (i < len) {
+      while (i < len && isSpace(bytes(i))) i += 1
+      val start = i
+      while (i < len && !isSpace(bytes(i))) i += 1
+      if (i > start) {
+        ring(tokens % n) = hashRange(bytes, start, i)
+        tokens += 1
+        if (tokens >= n) {
+          // combine the window oldest-first (order-sensitive)
+          var acc = 0x9E3779B97F4A7C15L
+          var w = tokens - n
+          while (w < tokens) { acc = VectorKernels.mix(acc ^ ring(w % n)); w += 1 }
+          addShingle(acc)
+        }
+      }
+    }
+    if (tokens < n) {
+      // whole-trimmed-text shingle
+      var a = 0
+      var b = len
+      while (a < b && isSpace(bytes(a))) a += 1
+      while (b > a && isSpace(bytes(b - 1))) b -= 1
+      addShingle(hashRange(bytes, a, b))
+    }
+    sig
+  }
+
+  /** 64-bit simhash of `s`: per-token hash votes each bit up or down;
+    * bit set iff the vote is positive. Zero tokens -> 0L. */
+  def simhash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    val votes = new Array[Int](64)
+    var i = 0
+    val len = bytes.length
+    var any = false
+    while (i < len) {
+      while (i < len && isSpace(bytes(i))) i += 1
+      val start = i
+      while (i < len && !isSpace(bytes(i))) i += 1
+      if (i > start) {
+        any = true
+        val h = hashRange(bytes, start, i)
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+          bit += 1
+        }
+      }
+    }
+    if (!any) return 0L
+    var fp = 0L
+    var bit = 0
+    while (bit < 64) { if (votes(bit) > 0) fp |= (1L << bit); bit += 1 }
+    fp
+  }
+}
+
+/** array<long> minhash signature of a string column — see
+  * [[TextKernels.minhash]]. */
+case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
+    extends UnaryExpression {
+  require(numHashes > 0 && shingleSize > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      TextKernels.minhash(a.asInstanceOf[UTF8String], numHashes, shingleSize))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(
+          graft.expressions.TextKernels.minhash($a, $numHashes, $shingleSize));
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** 64-bit simhash of a string column — see [[TextKernels.simhash]]. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.simhash(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.TextKernels.simhash($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}

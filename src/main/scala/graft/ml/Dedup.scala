@@ -75,11 +75,12 @@ object Dedup {
   }
 
   /**
-   * MinHash signatures via explode + multi-min aggregation: k codegen'd
-   * `min()` aggregates over cheap re-mixes of the shingle hash, with
-   * map-side partial aggregation. One window pass + one shuffle on doc
-   * id; linear in corpus size — the shape that survives a 1000-executor
-   * 100 TB run.
+   * MinHash signatures in ONE codegen'd kernel per document
+   * ([[graft.expressions.MinHashSignature]]): tokenize, rolling-shingle,
+   * and k mins all inside a single projection — zero shuffles and zero
+   * exploded rows, where the earlier explode + window + k-min-aggregate
+   * pipeline shuffled token-grain rows twice. Null-text documents drop
+   * out (no signature), matching the pipeline form.
    *
    * @return (id, _m0.._m{k-1}) one signature component per column
    */
@@ -89,11 +90,14 @@ object Dedup {
       text: Column,
       numHashes: Int,
       shingleSize: Int): DataFrame = {
-    val hashed = shingleHashes(df, id, text, shingleSize)
-    val aggs = (0 until numHashes).map { i =>
-      min(xxhash64(col("h"), lit(i))).as(s"_m$i")
-    }
-    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    import org.apache.spark.sql.graftshim.SparkShims
+    val sig = SparkShims.column(graft.expressions.MinHashSignature(
+      SparkShims.expression(trim(text)), numHashes, shingleSize))
+    df.select(id.as("id"), sig.as("__sig"))
+      .where(col("__sig").isNotNull)
+      .select(col("id") +:
+        (0 until numHashes).map(i =>
+          element_at(col("__sig"), i + 1).as(s"_m$i")): _*)
   }
 
   /**
@@ -181,22 +185,13 @@ object Dedup {
    * @return (id, fp)
    */
   def simHashes(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val hashed = df
-      .select(id.as("id"), trim(text).as("txt"))
-      .select(col("id"), explode_outer(
-        when(length(col("txt")) > 0, split(col("txt"), "\\s+"))).as("t"))
-      .select(col("id"),
-        when(col("t").isNotNull, xxhash64(col("t"))).as("h"))
-    val aggs = (0 until 64).map { i =>
-      sum(when(col("h").isNull, 0)
-        .when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"_b$i")
-    }
-    hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
-      .select(col("id"),
-        (0 until 64).map { i =>
-          when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-        }.reduce((a, b) => a.bitwiseOR(b)).as("fp"))
+    // One codegen'd pass per document ([[graft.expressions.SimHash64]]):
+    // no token explode, no 64-sum aggregation shuffle. Null/empty text
+    // fingerprints to 0, as before.
+    import org.apache.spark.sql.graftshim.SparkShims
+    val fp = SparkShims.column(graft.expressions.SimHash64(
+      SparkShims.expression(text)))
+    df.select(id.as("id"), coalesce(fp, lit(0L)).as("fp"))
   }
 
   /** SimHash near-dup candidates: equal 16-bit band -> verify Hamming.
