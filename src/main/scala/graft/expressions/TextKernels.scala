@@ -86,6 +86,68 @@ object TextKernels {
     sig
   }
 
+  /** Sorted distinct rolling-shingle hashes of `s` — the exact-verify
+    * companion of [[minhash]] (identical tokenization, hashing and
+    * short-document rule), sorted so set intersection is a linear merge. */
+  def shingleSet(s: UTF8String, n: Int): Array[Long] = {
+    val bytes = s.getBytes
+    val ring = new Array[Long](n)
+    var out = new Array[Long](16)
+    var m = 0
+    def push(v: Long): Unit = {
+      if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
+      out(m) = v; m += 1
+    }
+    var tokens = 0
+    var i = 0
+    val len = bytes.length
+    while (i < len) {
+      while (i < len && isSpace(bytes(i))) i += 1
+      val start = i
+      while (i < len && !isSpace(bytes(i))) i += 1
+      if (i > start) {
+        ring(tokens % n) = hashRange(bytes, start, i)
+        tokens += 1
+        if (tokens >= n) {
+          var acc = 0x9E3779B97F4A7C15L
+          var w = tokens - n
+          while (w < tokens) { acc = VectorKernels.mix(acc ^ ring(w % n)); w += 1 }
+          push(acc)
+        }
+      }
+    }
+    if (tokens < n) {
+      var a = 0
+      var b = len
+      while (a < b && isSpace(bytes(a))) a += 1
+      while (b > a && isSpace(bytes(b - 1))) b -= 1
+      push(hashRange(bytes, a, b))
+    }
+    java.util.Arrays.sort(out, 0, m)
+    // in-place dedup of the sorted prefix
+    var r = 0; var w = 0
+    while (r < m) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    java.util.Arrays.copyOf(out, w)
+  }
+
+  /** Exact Jaccard of two SORTED distinct long arrays: linear merge. */
+  def sortedJaccard(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
   /** 64-bit simhash of `s`: per-token hash votes each bit up or down;
     * bit set iff the vote is positive. Zero tokens -> 0L. */
   def simhash(s: UTF8String): Long = {
@@ -137,6 +199,50 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
+}
+
+/** array<long> sorted distinct shingle set of a string column — see
+  * [[TextKernels.shingleSet]]. */
+case class ShingleSet(child: Expression, shingleSize: Int)
+    extends UnaryExpression {
+  require(shingleSize > 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      TextKernels.shingleSet(a.asInstanceOf[UTF8String], shingleSize))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(
+          graft.expressions.TextKernels.shingleSet($a, $shingleSize));
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+/** Exact Jaccard similarity of two sorted distinct long arrays — see
+  * [[TextKernels.sortedJaccard]]. */
+case class SortedArrayJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.sortedJaccard(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.expressions.TextKernels.sortedJaccard($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedArrayJaccard =
+    copy(left = newLeft, right = newRight)
 }
 
 /** 64-bit simhash of a string column — see [[TextKernels.simhash]]. */

@@ -44,37 +44,6 @@ object Dedup {
   }
 
   /**
-   * Exploded 64-bit shingle hashes per document. Tokens explode once,
-   * each token string is hashed once, and an n-token shingle hash is the
-   * xxhash64 mix of n consecutive token hashes from one window pass —
-   * every operator codegen'd, no per-row higher-order functions, and no
-   * shingle strings ever materialize (the HOF `transform`+`slice`+
-   * `array_join` form is CodegenFallback and allocates a string per
-   * shingle — measured ~3x slower end-to-end). Documents with fewer than
-   * n tokens contribute one whole-text shingle. Duplicate shingles are
-   * NOT deduped: min/collect_set downstream are multiset-insensitive.
-   */
-  private[ml] def shingleHashes(
-      df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
-    val base = df.select(id.as("id"), trim(text).as("txt"))
-    val toks = base
-      .select(col("id"), posexplode(split(col("txt"), "\\s+")))
-      .where(length(col("col")) > 0)
-      .select(col("id"), col("pos"), xxhash64(col("col")).as("h0"))
-    if (n == 1) return toks.select(col("id"), col("h0").as("h"))
-    val w = Window.partitionBy("id").orderBy("pos")
-    val leadCols = (1 until n).map(k => lead(col("h0"), k).over(w).as(s"_l$k"))
-    val full = toks.select(Seq(col("id"), col("h0")) ++ leadCols: _*)
-      .where(col(s"_l${n - 1}").isNotNull)
-      .select(col("id"),
-        xxhash64(col("h0") +: (1 until n).map(k => col(s"_l$k")): _*).as("h"))
-    val shorts = base
-      .where(size(split(col("txt"), "\\s+")) < n)
-      .select(col("id"), xxhash64(col("txt")).as("h"))
-    full.unionByName(shorts)
-  }
-
-  /**
    * MinHash signatures in ONE codegen'd kernel per document
    * ([[graft.expressions.MinHashSignature]]): tokenize, rolling-shingle,
    * and k mins all inside a single projection — zero shuffles and zero
@@ -250,40 +219,37 @@ object Dedup {
     * summed over millions of true pairs — so the verified output equals
     * the exact cross-product answer while the join volume stays banded.
     *
-    * Verification never materializes shingle-set arrays: candidate pairs
-    * explode to (pair, member) rows, join the flat (id, shingle-hash)
-    * stream once, and a two-level aggregation counts each pair's
-    * intersection (hashes seen under both members) and union (distinct
-    * hashes) directly — `countDistinct(member)` also collapses each
-    * member's duplicate shingles, so multiset inputs behave as sets. The
-    * hash-set Jaccard equals the string-set Jaccard up to a ~2^-64
-    * per-pair collision. Only candidate members are re-shingled (semi
-    * join): at corpus scale candidates are a sliver of the corpus, so
-    * the verify pass costs O(candidates), not O(corpus). Everything
-    * shuffles linear-sized rows; nothing is quadratic except the capped
-    * in-bucket pair explode. */
+    * Verification computes each candidate document's sorted distinct
+    * shingle-hash set in ONE codegen'd kernel
+    * ([[graft.expressions.ShingleSet]] — same tokenization and hashing
+    * as the minhash gate) and the exact Jaccard per pair as a linear
+    * sorted-array merge ([[graft.expressions.SortedArrayJaccard]]) — no
+    * shingle-grain rows ever shuffle; the verify joins are doc-grain and
+    * semi-joined down to candidate members only, so the pass costs
+    * O(candidates), not O(corpus). The hash-set Jaccard equals the
+    * string-set Jaccard up to a ~2^-64 per-pair collision. Nothing is
+    * quadratic except the capped in-bucket pair explode. */
   def ngramJaccardPairs(
       df: DataFrame,
       id: Column,
       text: Column,
       n: Int = 3,
       threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.graftshim.SparkShims
     val candidates = bandedCandidates(df, id, text, numHashes = 32,
       bands = 16, shingleSize = n, maxBucketSize = 10000)
-    val members = candidates
-      .select(struct(col("idA"), col("idB")).as("p"),
-        explode(array(col("idA"), col("idB"))).as("id"))
-    val candidateDocs = df.select(id.as("id"), text.as("__t"))
-      .join(members.select("id").distinct(), "id")
-    val sh = shingleHashes(candidateDocs, col("id"), col("__t"), n)
-    members.join(sh, "id")
-      .groupBy(col("p"), col("h"))
-      .agg(countDistinct(col("id")).as("nm"))
-      .groupBy(col("p"))
-      .agg(sum(when(col("nm") === 2, 1).otherwise(0)).as("inter"),
-        count(lit(1)).as("uni"))
-      .select(col("p.idA").as("idA"), col("p.idB").as("idB"),
-        (col("inter").cast("double") / col("uni").cast("double")).as("jaccard"))
+    val memberIds = candidates.select(col("idA").as("id"))
+      .unionByName(candidates.select(col("idB").as("id"))).distinct()
+    val sets = df.select(id.as("id"),
+        SparkShims.column(graft.expressions.ShingleSet(
+          SparkShims.expression(text), n)).as("ss"))
+      .join(memberIds, "id")
+    val jac = SparkShims.column(graft.expressions.SortedArrayJaccard(
+      SparkShims.expression(col("ssA")), SparkShims.expression(col("ssB"))))
+    candidates
+      .join(sets.select(col("id").as("idA"), col("ss").as("ssA")), "idA")
+      .join(sets.select(col("id").as("idB"), col("ss").as("ssB")), "idB")
+      .select(col("idA"), col("idB"), jac.as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
