@@ -1046,6 +1046,33 @@ object SparkEntry {
       Graft.read(s, out).orderBy("digest")
     }),
 
+    // Corpus curation: deterministic split / per-source cap / token-
+    // budget shard packing — the post-dedup bookkeeping of a training
+    // pipeline, each a projection or single window pass.
+    "pipeline_split" -> ((s, dir) => {
+      graft.ml.Curation.deterministicSplit(
+          t(s, dir, "documents"), col("doc_id"))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split")
+    }),
+
+    "pipeline_group_cap" -> ((s, dir) => {
+      graft.ml.Curation.capPerGroup(
+          t(s, dir, "documents"), col("source"),
+          Seq(col("n_chars").desc, col("doc_id")), k = 3)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("source", "doc_id")
+    }),
+
+    "pipeline_pack_shards" -> ((s, dir) => {
+      graft.ml.Curation.packShards(
+          t(s, dir, "documents"), col("lang"), col("doc_id"),
+          col("n_chars"), budget = 50000L)
+        .groupBy("lang", "shard")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("lang", "shard")
+    }),
+
     // Multimodal media ids ride the documents table so the DuckDB oracle
     // can re-derive the metadata (plain-arithmetic widths/durations) and
     // independently verify the resize math, frame cadence, and decode
@@ -1576,6 +1603,30 @@ object SparkEntry {
       """SELECT doc_id, true AS fp_deterministic, true AS fp_sensitive,
          true AS simhash_deterministic
          FROM documents ORDER BY doc_id""",
+
+    "pipeline_split" ->
+      """SELECT CASE WHEN doc_id * 2654435761 % 1000 < 980 THEN 'train'
+                     WHEN doc_id * 2654435761 % 1000 < 990 THEN 'val'
+                     ELSE 'test' END AS split, count(*) AS n
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "pipeline_group_cap" ->
+      """SELECT doc_id, source, n_chars FROM (
+           SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 3 ORDER BY source, doc_id""",
+
+    "pipeline_pack_shards" ->
+      """WITH s AS (
+           SELECT lang, doc_id, n_chars,
+             sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_chars AS strt
+           FROM documents)
+         SELECT lang, CAST(strt // 50000 AS BIGINT) AS shard, count(*) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // Multimodal: the oracle re-derives the arithmetic metadata and
     // checks the engine's resize math / frame cadence / decode

@@ -1,0 +1,81 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Training-corpus curation operators: deterministic splits, per-group
+ * caps, and token-budget shard packing — the bookkeeping every LLM data
+ * pipeline runs after dedup/quality filtering. All are projections or
+ * single-window passes: nothing shuffles more than once, nothing
+ * collects to the driver.
+ * (The reference engine ships no curation operators; these compose
+ * Spark built-ins per the task's custom-operator preference order.)
+ */
+object Curation {
+
+  /**
+   * Deterministic train/val/test assignment by arithmetic hash of a
+   * stable id — pure projection (no shuffle, no RNG state), identical
+   * on every run and every engine. Buckets = Knuth multiplicative hash
+   * mod 1000; `weights` are permille cut points in label order.
+   */
+  def deterministicSplit(
+      df: DataFrame,
+      id: Column,
+      weights: Seq[(String, Int)] = Seq("train" -> 980, "val" -> 10, "test" -> 10)
+  ): DataFrame = {
+    require(weights.map(_._2).sum == 1000, "weights must sum to 1000 permille")
+    val bucket = pmod(id.cast("long") * 2654435761L, lit(1000L))
+    val cuts = weights.scanLeft(0)(_ + _._2).tail
+    val label = weights.zip(cuts).foldRight(lit(weights.last._1): Column) {
+      case (((name, _), cut), els) => when(bucket < cut, name).otherwise(els)
+    }
+    df.withColumn("split", label)
+  }
+
+  /**
+   * Keep at most `k` rows per group, preferring the `order` ranking —
+   * domain/source balancing (a boilerplate-heavy crawl domain cannot
+   * drown the corpus). One hash shuffle on the group key; per-group
+   * work is a local top-k sort.
+   */
+  def capPerGroup(
+      df: DataFrame,
+      group: Column,
+      order: Seq[Column],
+      k: Int): DataFrame = {
+    val w = Window.partitionBy(group).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /**
+   * Token-budget shard packing: within each `partitionBy` group, order
+   * documents deterministically and assign each to the shard its
+   * cumulative start offset falls in — `shard = floor(startOffset /
+   * budget)`. One window pass per group; groups pack in parallel, so
+   * the scale unit is the grouping key (e.g. language), never a global
+   * sort. Deterministic given (group, order).
+   */
+  def packShards(
+      df: DataFrame,
+      partitionBy: Column,
+      order: Column,
+      tokenCount: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0)
+    val w = Window.partitionBy(partitionBy).orderBy(order)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // pure long arithmetic: `/` on longs is double division, which past
+    // 2^53 cumulative tokens would misassign boundary documents
+    val start = col("__start")
+    df.withColumn("__start", sum(tokenCount).over(w) - tokenCount)
+      .withColumn("shard",
+        ((start - pmod(start, lit(budget))).cast("decimal(38,0)")
+          / budget).cast("long"))
+      .drop("__start")
+  }
+}
