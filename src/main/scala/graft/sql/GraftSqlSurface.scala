@@ -595,6 +595,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       resolveGraft(t).map { case (path, ident) =>
         GraftAlterRun(path, ident, _.syncIdentity())
       }
+    case dropFeatureRe(t, feature) =>
+      resolveGraft(t).map { case (path, ident) =>
+        GraftAlterRun(path, ident, _.dropFeature(feature))
+      }
     // Path targets only: named tables route through the DSv2 catalog,
     // which mirrors properties into both the log and the metastore.
     case setPropsRe(t, kvs) if targetPath(t).contains("/") =>
@@ -694,6 +698,9 @@ object GraftSqlParser {
   private val syncIdentityRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($targetOrName)\\s+SYNC\\s+IDENTITY""" +
       """\s*;?\s*$""").r
+  private val dropFeatureRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($targetOrName)\\s+DROP\\s+FEATURE\\s+""" +
+      """`?(\w+)`?(?:\s+TRUNCATE\s+HISTORY)?\s*;?\s*$""").r
   private val showPropsRe =
     s"""(?is)^\\s*SHOW\\s+TBLPROPERTIES\\s+($targetOrName)\\s*;?\\s*$$""".r
   private val createLikeRe =

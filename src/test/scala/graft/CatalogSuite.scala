@@ -89,6 +89,20 @@ class CatalogSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).count() === 6)
   }
 
+  test("ALTER TABLE DROP FEATURE via SQL downgrades the protocol") {
+    val dir = tmpDir()
+    Graft.write(spark.range(20).toDF("id"), dir,
+      configuration = Map("graft.enableDeletionVectors" -> "true"))
+    val t = GraftTable.forPath(spark, dir)
+    t.delete(org.apache.spark.sql.functions.col("id") < 5)
+    assert(t.log.update().protocol.minReaderVersion === 3)
+    t.reorgPurge()
+    spark.sql(s"ALTER TABLE graft.`$dir` DROP FEATURE deletionVectors")
+    val p = t.log.update().protocol
+    assert(p.minReaderVersion === 1 && p.readerFeatures.isEmpty)
+    assert(Graft.read(spark, dir).count() === 15)
+  }
+
   test("table_changes TVF over path and named table") {
     val dir = tmpDir()
     val t = fresh("cat_cdf")
