@@ -89,6 +89,10 @@ class GraftLog private (
     * 3 = table-feature vectors (per-feature negotiation). */
   val SUPPORTED_READER_VERSION = 3
 
+  /** Highest protocol writer version this build maintains (7 = writer
+    * feature vectors). */
+  val SUPPORTED_WRITER_VERSION = 7
+
   /** Snapshot pinned at `version` (time travel / RESTORE / CDF). */
   def getSnapshotAt(version: Long): Snapshot = {
     val listing = store.list(logPath)

@@ -46,6 +46,9 @@ object TableFeatures {
   val supportedReaderFeatures: Set[String] =
     all.filter(_.readerGating).map(_.name).toSet
 
+  /** Every writer feature this build maintains. */
+  val supportedWriterFeatures: Set[String] = all.map(_.name).toSet
+
   /** Features the table's CURRENT metadata actually exercises. */
   def activeFeatures(m: Metadata): Set[Feature] = {
     val conf = m.configuration
@@ -113,4 +116,13 @@ object TableFeatures {
       version >= FEATURES_READER_VERSION &&
         (p.readerFeatureNames -- supportedFeatures).isEmpty
     else p.minReaderVersion <= version
+
+  /** Writer-side gate: writing under a feature this build does not know
+    * could silently break the invariant that feature maintains (e.g. an
+    * unknown index a writer must update) — refuse instead. */
+  def writable(p: Protocol, version: Int, supportedFeatures: Set[String]): Boolean =
+    if (p.minWriterVersion == FEATURES_WRITER_VERSION)
+      version >= FEATURES_WRITER_VERSION &&
+        (p.writerFeatureNames -- supportedFeatures).isEmpty
+    else p.minWriterVersion <= version
 }

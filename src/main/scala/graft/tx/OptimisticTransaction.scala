@@ -104,6 +104,18 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
       operationParameters: Map[String, String] = Map.empty,
       operationMetrics: Map[String, String] = Map.empty): Long = {
     require(!committed, "Transaction already committed")
+    // Writer-side protocol gate: committing under an unknown writer
+    // feature could silently break the invariant that feature maintains.
+    val proto = snapshot.protocol
+    if (snapshot.version >= 0 && !TableFeatures.writable(proto,
+        log.SUPPORTED_WRITER_VERSION, TableFeatures.supportedWriterFeatures)) {
+      val unknown = proto.writerFeatureNames -- TableFeatures.supportedWriterFeatures
+      throw new IllegalStateException(
+        s"Table ${log.dataPath} requires writer version ${proto.minWriterVersion}" +
+          (if (unknown.nonEmpty) s" with unsupported writer features $unknown"
+           else "") +
+          s"; this build supports up to ${log.SUPPORTED_WRITER_VERSION}")
+    }
     // graft.appendOnly tables admit no data-changing removes: DML and
     // overwrites fail; OPTIMIZE/clustering (dataChange=false) still run.
     if (metadata.configuration.getOrElse("graft.appendOnly", "false").toBoolean &&

@@ -726,6 +726,22 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftTable.forPath(spark, dir).asOfVersion(1).count() === 20)
   }
 
+  test("unknown writer feature blocks commits but not reads") {
+    val dir = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dir)
+    val log = GraftLog.forTable(spark, dir)
+    log.store.write(graft.log.FileNames.deltaFile(log.logPath, 1L),
+      graft.log.Actions.serialize(Seq(graft.log.Protocol(1, 7,
+        writerFeatures = Some(Seq("externalIndexMaintenance"))))))
+    GraftLog.clearCache()
+    // reading is fine: the unknown feature gates only writers
+    assert(Graft.read(spark, dir).count() === 5)
+    val e = intercept[IllegalStateException] {
+      Graft.write(spark.range(3).toDF("id"), dir)
+    }
+    assert(e.getMessage.contains("externalIndexMaintenance"))
+  }
+
   test("checksum sidecar catches a tampered metadata fold on cold load") {
     val dir = tmpDir()
     Graft.write(spark.range(10).toDF("id"), dir,

@@ -106,6 +106,40 @@ class MlSuite extends AnyFunSuite {
     assert(r.toIntArray().toSeq === Seq(0, 1))
   }
 
+  test("curation: split is deterministic, cap keeps top-k, pack respects budget") {
+    import graft.ml.Curation
+    val docs = spark.range(1000).select($"id".as("doc_id"),
+      (pmod($"id", lit(5))).cast("string").as("src"),
+      (pmod($"id" * 131, lit(900)) + 100).as("toks"))
+    // split: same assignment on every invocation, all rows labeled
+    val s1 = Curation.deterministicSplit(docs, $"doc_id")
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s2 = Curation.deterministicSplit(docs.repartition(7), $"doc_id")
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(s1 === s2)
+    assert(s1.values.sum === 1000L)
+    assert(s1("train") > 900L)
+    // cap: exactly k rows per group, and they are the top-k by order
+    val capped = Curation.capPerGroup(docs, $"src", Seq($"toks".desc, $"doc_id"), 2)
+    val perGroup = capped.groupBy("src").count().collect().map(_.getLong(1))
+    assert(perGroup.forall(_ === 2L) && perGroup.length === 5)
+    val best = docs.groupBy("src").agg(max($"toks").as("m"))
+    assert(capped.join(best, "src").where($"toks" === $"m").count() === 5)
+    // pack: no shard exceeds budget except via a single oversized doc,
+    // and shard ids are contiguous from 0 within each group
+    val packed = Curation.packShards(docs, $"src", $"doc_id", $"toks", budget = 5000L)
+    val byShard = packed.groupBy("src", "shard").agg(sum($"toks").as("t"),
+      max($"toks").as("mx")).collect()
+    byShard.foreach { r =>
+      assert(r.getLong(2) <= 5000L + r.getLong(3),
+        s"shard overflows budget by more than one doc: $r")
+    }
+    val shards = packed.select("src", "shard").distinct()
+      .groupBy("src").agg(min("shard").as("lo"), countDistinct("shard").as("n"),
+        max("shard").as("hi")).collect()
+    shards.foreach(r => assert(r.getLong(1) === 0L && r.getLong(3) === r.getLong(2) - 1))
+  }
+
   test("merge materializes a non-deterministic source exactly once") {
     val dir = java.nio.file.Files.createTempDirectory("graft-mat").toString
     Graft.write(spark.range(100).select($"id".as("k"), lit(0L).as("v")), dir)
