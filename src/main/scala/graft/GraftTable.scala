@@ -122,6 +122,20 @@ class GraftTable private[graft] (
       }
     }
 
+  /** Explicitly mark a table feature as supported (upgrading to feature
+    * vectors if needed) without enabling its metadata switch — the
+    * reference's DeltaTable.addFeatureSupport. */
+  def addFeatureSupport(name: String): Unit = log.withNewTransaction { txn =>
+    import graft.log.TableFeatures
+    val feature = TableFeatures.byName.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"Unknown feature $name; known: ${TableFeatures.all.map(_.name).sorted.mkString(", ")}"))
+    TableFeatures.requiredUpgrade(txn.snapshot.protocol,
+        txn.snapshot.metadata, feature)
+      .foreach(p => txn.commit(Seq(p), "UPGRADE PROTOCOL",
+        Map("feature" -> name)))
+  }
+
   /** REORG APPLY (PURGE): materialize deletion vectors into clean files. */
   def reorgPurge(): DataFrame = ReorgCommand.purge(spark, log)
 

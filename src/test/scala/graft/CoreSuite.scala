@@ -726,6 +726,21 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftTable.forPath(spark, dir).asOfVersion(1).count() === 20)
   }
 
+  test("addFeatureSupport upgrades the protocol without flipping metadata") {
+    val dir = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dir)
+    val t = GraftTable.forPath(spark, dir)
+    t.addFeatureSupport("deletionVectors")
+    val p = t.log.update().protocol
+    assert(p.minReaderVersion === 3)
+    assert(p.readerFeatureNames.contains("deletionVectors"))
+    // the metadata switch stays off: deletes rewrite, no DVs appear
+    assert(!t.snapshot.metadata.configuration.contains("graft.enableDeletionVectors"))
+    t.delete(col("id") === 0)
+    assert(t.log.update().allFiles.forall(_.dvPath.isEmpty))
+    intercept[IllegalArgumentException] { t.addFeatureSupport("warpDrive") }
+  }
+
   test("unknown writer feature blocks commits but not reads") {
     val dir = tmpDir()
     Graft.write(spark.range(5).toDF("id"), dir)
