@@ -269,12 +269,27 @@ class GraftLog private (
   /** `classic`: all actions in the checkpoint itself. `v2`: a small
     * manifest (metadata-scale actions + CheckpointMetadata + SidecarFile
     * pointers) with the file actions in sidecar parquet under
-    * `_sidecars/` — the layout that lets a 100M-file table checkpoint
-    * incrementally and lets readers fetch state without scanning one
-    * monolithic file (reference: PROTOCOL.md:854-911, actions.scala:1775
-    * SidecarFile — re-designed). */
+    * `_sidecars/`, bucketed by a stable path hash — successive
+    * checkpoints REUSE the sidecars of buckets no commit has touched, so
+    * checkpoint cost scales with the churn since the last checkpoint,
+    * not with total table size (reference: PROTOCOL.md:854-911,
+    * actions.scala:1775 SidecarFile — re-designed; the reference gets
+    * incrementality from its own sidecar reuse rules). */
   def checkpointPolicy(snap: Snapshot): String =
     snap.metadata.configuration.getOrElse("graft.checkpointPolicy", "classic")
+
+  def sidecarBuckets(snap: Snapshot): Int =
+    snap.metadata.configuration
+      .getOrElse("graft.checkpointNumSidecars", "16").toInt
+
+  /** Stable path -> sidecar bucket (FNV-1a + splitmix64, same on every
+    * JVM; a path's add and tombstone always land in the same bucket). */
+  private def sidecarBucket(path: String, k: Int): Int = {
+    var h = 0xCBF29CE484222325L
+    path.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .foreach(b => h = (h ^ (b & 0xFFL)) * 0x100000001B3L)
+    java.lang.Math.floorMod(graft.expressions.VectorKernels.mix(h), k.toLong).toInt
+  }
 
   def checkpoint(snap: Snapshot = snapshot): Unit = {
     import spark.implicits._
@@ -290,27 +305,117 @@ class GraftLog private (
     val parts = math.max(1, fileRows.size / 100000)
     val total = small.size + fileRows.size
     if (checkpointPolicy(snap) == "v2") {
-      val scDir = FileNames.sidecarDir(logPath, snap.version)
-      spark.createDataset(fileRows).repartition(parts)
-        .write.mode("overwrite").parquet(scDir.toString)
-      val sidecars = store.fs(scDir).listStatus(scDir)
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .map(st => SidecarFile(
-          s"_sidecars/${scDir.getName}/${st.getPath.getName}",
-          st.getLen, st.getModificationTime).wrap)
-        .toSeq
+      val k = sidecarBuckets(snap)
+      // Buckets untouched since the previous v2 checkpoint (same bucket
+      // count) keep their existing sidecar files; only churned buckets
+      // rewrite. Changed set = paths in the delta tail since that
+      // checkpoint (the same commits an incremental snapshot folds).
+      val reusable: Map[Int, Seq[SingleAction]] = previousV2Sidecars(snap, k)
+      val changed: Set[Int] =
+        if (reusable.isEmpty) (0 until k).toSet
+        else changedSidecarBuckets(snap, k)
+      def rowPath(r: SingleAction): String =
+        if (r.add != null) r.add.path else r.remove.path
+      val byBucket = fileRows.groupBy(r => sidecarBucket(rowPath(r), k))
+      val toWrite = byBucket.filter { case (b, _) =>
+        changed.contains(b) || !reusable.contains(b)
+      }
+      val written: Seq[SingleAction] =
+        if (toWrite.isEmpty) Nil
+        else {
+          val scDir = FileNames.sidecarDir(logPath, snap.version)
+          val rows = toWrite.toSeq.flatMap { case (b, rs) => rs.map(b -> _) }
+          import org.apache.spark.sql.functions.col
+          spark.createDataset(rows).toDF("bucket", "a")
+            .select(col("bucket"), col("a.*"))
+            .repartition(math.max(parts, toWrite.size min 32), col("bucket"))
+            .write.partitionBy("bucket").mode("overwrite")
+            .parquet(scDir.toString)
+          val fs = store.fs(scDir)
+          toWrite.keys.toSeq.flatMap { b =>
+            val bDir = new Path(scDir, s"bucket=$b")
+            if (!fs.exists(bDir)) Nil
+            else fs.listStatus(bDir).toSeq
+              .filter(_.getPath.getName.endsWith(".parquet"))
+              .map(st => SidecarFile(
+                s"_sidecars/${scDir.getName}/bucket=$b/${st.getPath.getName}",
+                st.getLen, st.getModificationTime).wrap)
+          }
+        }
+      val reused = reusable.collect {
+        case (b, rows) if !changed.contains(b) && byBucket.contains(b) => rows
+      }.flatten.toSeq
+      val sidecars = written ++ reused
       val manifest = small ++
         Seq(CheckpointMetadata(snap.version, sidecars.size.toLong).wrap) ++
         sidecars
       spark.createDataset(manifest).repartition(1)
         .write.mode("overwrite").parquet(cpPath.toString)
+      store.writeOverwrite(FileNames.lastCheckpointFile(logPath),
+        s"""{"version":${snap.version},"size":$total,"sidecarBuckets":$k}""")
     } else {
       spark.createDataset(small ++ fileRows).repartition(parts)
         .write.mode("overwrite").parquet(cpPath.toString)
+      store.writeOverwrite(FileNames.lastCheckpointFile(logPath),
+        s"""{"version":${snap.version},"size":$total}""")
     }
-    store.writeOverwrite(FileNames.lastCheckpointFile(logPath),
-      s"""{"version":${snap.version},"size":$total}""")
   }
+
+  /** SidecarFile rows of the previous checkpoint keyed by bucket id, iff
+    * it was a v2 checkpoint written with the same bucket count. */
+  private def previousV2Sidecars(
+      snap: Snapshot, k: Int): Map[Int, Seq[SingleAction]] = {
+    import spark.implicits._
+    val prev = try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(store.read(FileNames.lastCheckpointFile(logPath)))
+      val v = node.path("version").asLong(-1)
+      val buckets = node.path("sidecarBuckets").asInt(-1)
+      if (v >= 0 && v < snap.version && buckets == k) Some(v) else None
+    } catch { case _: Exception => None }
+    prev match {
+      case None => Map.empty
+      case Some(v) =>
+        val bucketRe = ".*/bucket=(\\d+)/.*".r
+        spark.read.schema(spark.emptyDataset[SingleAction].schema)
+          .parquet(FileNames.checkpointFile(logPath, v).toString)
+          .as[SingleAction].collect()
+          .filter(_.sidecar != null)
+          .groupBy(_.sidecar.path match {
+            case bucketRe(b) => b.toInt
+            case _ => -1
+          })
+          .collect { case (b, rows) if b >= 0 => b -> rows.toSeq }
+          .toMap
+    }
+  }
+
+  /** Buckets whose paths were added/removed by any commit in
+    * (previousCheckpoint, snap.version]; every bucket when the tail
+    * cannot be read (full rewrite is always safe). */
+  private def changedSidecarBuckets(snap: Snapshot, k: Int): Set[Int] =
+    try {
+      val prev = lastCheckpointVersionBefore(snap.version)
+        .getOrElse(return (0 until k).toSet)
+      val out = scala.collection.mutable.Set.empty[Int]
+      var v = prev + 1
+      while (v <= snap.version) {
+        Actions.deserialize(store.read(FileNames.deltaFile(logPath, v))).foreach {
+          case a: AddFile => out += sidecarBucket(a.path, k)
+          case r: RemoveFile => out += sidecarBucket(r.path, k)
+          case _ =>
+        }
+        v += 1
+      }
+      out.toSet
+    } catch { case _: Exception => (0 until k).toSet }
+
+  private def lastCheckpointVersionBefore(version: Long): Option[Long] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(store.read(FileNames.lastCheckpointFile(logPath)))
+      Some(node.path("version").asLong(-1)).filter(v => v >= 0 && v < version)
+    } catch { case _: Exception => None }
 
   /** Delete log entries older than both retention and the last checkpoint. */
   def cleanUpExpiredLogs(retentionMillis: Long): Int = {

@@ -757,6 +757,36 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("externalIndexMaintenance"))
   }
 
+  test("v2 checkpoints reuse sidecars of untouched buckets") {
+    val dir = tmpDir()
+    // single-file commits so each checkpoint interval touches few buckets
+    (1 to 5).foreach { i =>
+      Graft.write(spark.range(i * 10, i * 10 + 10).toDF("id").coalesce(1), dir,
+        configuration = if (i == 1) Map(
+          "graft.checkpointPolicy" -> "v2",
+          "graft.checkpointInterval" -> "2",
+          "graft.checkpointNumSidecars" -> "16") else Map.empty)
+    }
+    // checkpoints exist at v2 and v4; v4's manifest must point some
+    // sidecars back into v2's sidecar directory (unchanged buckets)
+    val log = GraftLog.forTable(spark, dir)
+    import spark.implicits._
+    def sidecarPaths(v: Long): Seq[String] =
+      spark.read.parquet(graft.log.FileNames.checkpointFile(log.logPath, v).toString)
+        .where($"sidecar".isNotNull).select($"sidecar.path").as[String]
+        .collect().toSeq
+    val p2 = sidecarPaths(2L)
+    val p4 = sidecarPaths(4L)
+    assert(p2.nonEmpty && p4.nonEmpty)
+    val reused = p4.toSet.intersect(p2.toSet)
+    assert(reused.nonEmpty, s"no sidecar reuse: v2=$p2 v4=$p4")
+    assert(p4.toSet != p2.toSet, "v4 must also have fresh sidecars")
+    // and the reconstructed state is complete either way
+    GraftLog.clearCache()
+    assert(Graft.read(spark, dir).count() === 50)
+    assert(GraftTable.forPath(spark, dir).asOfVersion(2).count() === 30)
+  }
+
   test("checksum sidecar catches a tampered metadata fold on cold load") {
     val dir = tmpDir()
     Graft.write(spark.range(10).toDF("id"), dir,
