@@ -298,8 +298,21 @@ class GraftLog private (
       Seq(snap.protocol.wrap, snap.metadata.wrap) ++
       snap.setTransactions.map { case (app, v) => SetTransaction(app, v).wrap } ++
       snap.domains.map { case (d, c) => DomainMetadata(d, c).wrap }
+    // Tombstones past the retention window have done their job (VACUUM
+    // eligibility / streaming change detection) — dropping them here
+    // bounds checkpoint state on long-lived high-churn tables. VACUUM
+    // LITE relies on tombstones and thus only covers the retained window
+    // (full VACUUM's filesystem anti-join catches older orphans).
+    // Under incremental v2 checkpoints an expired tombstone lingers
+    // until its bucket next rewrites — harmless, it only delays expiry.
+    val retentionMs = (snap.metadata.configuration
+      .get("graft.deletedFileRetentionHours").map(_.toDouble)
+      .getOrElse(graft.commands.VacuumCommand.defaultRetentionHours) * 3600 * 1000).toLong
+    val tombCutoff = System.currentTimeMillis() - retentionMs
+    val liveTombs = snap.tombstones.filter(
+      _.deletionTimestamp.forall(_ >= tombCutoff))
     val fileRows: Seq[SingleAction] =
-      snap.allFiles.map(_.wrap) ++ snap.tombstones.map(_.wrap)
+      snap.allFiles.map(_.wrap) ++ liveTombs.map(_.wrap)
     // Parallelism: a checkpoint of N files is tiny metadata; one file per
     // ~100k actions keeps both write and cold-read costs bounded.
     val parts = math.max(1, fileRows.size / 100000)

@@ -757,6 +757,22 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("externalIndexMaintenance"))
   }
 
+  test("expired tombstones drop out of checkpoints") {
+    val dir = tmpDir()
+    Graft.write(spark.range(10).toDF("id"), dir,
+      configuration = Map("graft.deletedFileRetentionHours" -> "0.0"))
+    val t = GraftTable.forPath(spark, dir)
+    t.delete(col("id") < 5)          // rewrites: tombstones appear
+    val log = GraftLog.forTable(spark, dir)
+    assert(log.update().tombstones.nonEmpty)
+    log.checkpoint()
+    GraftLog.clearCache()
+    val cold = GraftLog.forTable(spark, dir).update()
+    assert(cold.tombstones.isEmpty,
+      s"expired tombstones survived the checkpoint: ${cold.tombstones}")
+    assert(Graft.read(spark, dir).count() === 5)
+  }
+
   test("v2 checkpoints reuse sidecars of untouched buckets") {
     val dir = tmpDir()
     // single-file commits so each checkpoint interval touches few buckets
