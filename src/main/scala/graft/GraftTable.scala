@@ -84,9 +84,14 @@ class GraftTable private[graft] (
       "graft", s.metadata.id, log.dataPath.toString,
       s.metadata.createdTime.getOrElse(0L), s.version,
       s.metadata.partitionColumns, s.numFiles, s.sizeInBytes,
-      s.metadata.configuration
+      s.metadata.configuration,
+      s.protocol.minReaderVersion, s.protocol.minWriterVersion,
+      s.protocol.readerFeatures.getOrElse(Nil),
+      s.protocol.writerFeatures.getOrElse(Nil)
     ))).toDF("format", "id", "location", "createdTime", "version",
-      "partitionColumns", "numFiles", "sizeInBytes", "properties")
+      "partitionColumns", "numFiles", "sizeInBytes", "properties",
+      "minReaderVersion", "minWriterVersion",
+      "tableReaderFeatures", "tableWriterFeatures")
   }
 
   def showPartitions(): DataFrame = {

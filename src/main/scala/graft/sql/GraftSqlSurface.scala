@@ -457,7 +457,11 @@ case class GraftDetailRun(path: String) extends LeafRunnableCommand {
     AttributeReference("partitionColumns", ArrayType(StringType))(),
     AttributeReference("numFiles", LongType)(),
     AttributeReference("sizeInBytes", LongType)(),
-    AttributeReference("properties", MapType(StringType, StringType))())
+    AttributeReference("properties", MapType(StringType, StringType))(),
+    AttributeReference("minReaderVersion", IntegerType)(),
+    AttributeReference("minWriterVersion", IntegerType)(),
+    AttributeReference("tableReaderFeatures", ArrayType(StringType))(),
+    AttributeReference("tableWriterFeatures", ArrayType(StringType))())
   override def run(spark: SparkSession): Seq[Row] =
     GraftTable.forPath(spark, path).detail().collect().toSeq
 }
