@@ -21,8 +21,14 @@ object CloneCommand {
       case Some(v) => src.getSnapshotAt(v)
       case None => src.update()
     }
+    // Absolutize BOTH the data path and any deletion-vector sidecar: a
+    // relative dvPath would resolve against the clone's root and read a
+    // bitmap that is not there (resurrecting deleted rows at best,
+    // failing the scan at worst).
     val adds = snap.allFiles.map { f =>
-      f.copy(path = new Path(src.dataPath, f.path).toString)
+      f.copy(
+        path = new Path(src.dataPath, f.path).toString,
+        dvPath = f.dvPath.map(dv => new Path(src.dataPath, dv).toString))
     }
     destLog.withNewTransaction { txn =>
       txn.updateMetadata(snap.metadata.copy(

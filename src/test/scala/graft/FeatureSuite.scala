@@ -148,6 +148,25 @@ class FeatureSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).count() === 100)   // source untouched
   }
 
+  test("shallow clone of a DV table resolves sidecars against the source") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir(); val dest = tmpDir() + "/dvclone"
+    Graft.write(spark.range(100).toDF("id"), dir,
+      configuration = Map("graft.enableDeletionVectors" -> "true"))
+    GraftTable.forPath(spark, dir).delete(col("id") < 30)
+    val cloned = GraftTable.forPath(spark, dir).shallowCloneTo(dest)
+    // deleted rows must STAY deleted through the clone's absolute dvPath
+    assert(cloned.toDF.count() === 70)
+    assert(Graft.read(spark, dest).agg(min(col("id"))).head.getLong(0) === 30L)
+    // the clone inherits the DV-bearing protocol
+    val p = graft.log.GraftLog.forTable(spark, dest).update().protocol
+    assert(p.readerFeatureNames.contains("deletionVectors"))
+    // and a delete on the clone merges with the source-rooted bitmap
+    GraftTable.forPath(spark, dest).delete(col("id") === 99)
+    assert(Graft.read(spark, dest).count() === 69)
+    assert(Graft.read(spark, dir).count() === 70)    // source untouched
+  }
+
   test("metadata-only count and limit pushdown rules") {
     val ext = spark   // TestSpark registers GraftSparkSessionExtension
     val dir = tmpDir()
