@@ -519,10 +519,16 @@ object RestoreCommand {
     log.withNewTransaction { txn =>
       val current = txn.snapshot
       val target = log.getSnapshotAt(version)
-      val currentPaths = current.allFiles.map(_.path).toSet
+      val currentByPath = current.allFiles.map(f => f.path -> f).toMap
       val targetPaths = target.allFiles.map(_.path).toSet
       val now = System.currentTimeMillis()
-      val adds = target.allFiles.filterNot(f => currentPaths.contains(f.path))
+      // Diff on the FULL file entry, not the path alone: the same path
+      // can carry a different deletion vector across versions (a DV
+      // delete rewrites no file), and restoring must re-commit the
+      // target's entry so those rows resurrect. Re-adding overwrites the
+      // path in the log fold, so no paired remove is needed.
+      val adds = target.allFiles.filterNot(f =>
+        currentByPath.get(f.path).contains(f))
       val removes = current.allFiles.filterNot(f => targetPaths.contains(f.path))
         .map(_.remove(now))
       txn.readWholeTable()

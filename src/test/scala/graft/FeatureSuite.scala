@@ -148,6 +148,20 @@ class FeatureSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).count() === 100)   // source untouched
   }
 
+  test("RESTORE across a DV delete resurrects the rows") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir()
+    Graft.write(spark.range(50).toDF("id"), dir,
+      configuration = Map("graft.enableDeletionVectors" -> "true"))
+    val t = GraftTable.forPath(spark, dir)
+    t.delete(col("id") < 20)             // v1: DV only, no file rewrite
+    assert(Graft.read(spark, dir).count() === 30)
+    t.restoreToVersion(0)
+    // the same data file now carries NO deletion vector again
+    assert(Graft.read(spark, dir).count() === 50)
+    assert(t.log.update().allFiles.forall(_.dvPath.isEmpty))
+  }
+
   test("shallow clone of a DV table resolves sidecars against the source") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir(); val dest = tmpDir() + "/dvclone"
