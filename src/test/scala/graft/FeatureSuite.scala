@@ -148,6 +148,26 @@ class FeatureSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).count() === 100)   // source untouched
   }
 
+  test("deletion vectors compose with column mapping renames") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir()
+    Graft.write(spark.range(40).select(col("id"), (col("id") * 2).as("v")), dir,
+      configuration = Map("graft.enableDeletionVectors" -> "true"))
+    val t = GraftTable.forPath(spark, dir)
+    t.renameColumn("v", "value")               // physical name stays "v"
+    t.delete(col("value") < 20)                // DV delete via LOGICAL name
+    assert(Graft.read(spark, dir).count() === 30)
+    assert(t.log.update().allFiles.exists(_.dvPath.isDefined),
+      "expected a DV, not a rewrite")
+    t.update(col("value") === 40, Map("value" -> lit(999L)))
+    assert(Graft.read(spark, dir).where(col("value") === 999L).count() === 1)
+    assert(Graft.read(spark, dir).count() === 30)
+    // compaction purges the DV rows under the mapped schema
+    t.optimize().executeCompaction()
+    assert(t.log.update().allFiles.forall(_.dvPath.isEmpty))
+    assert(Graft.read(spark, dir).count() === 30)
+  }
+
   test("RESTORE across a DV delete resurrects the rows") {
     import org.apache.spark.sql.functions._
     val dir = tmpDir()
