@@ -113,16 +113,31 @@ class GraftTable private[graft] (
     RestoreCommand.run(spark, log,
       log.getVersionAtTime(java.sql.Timestamp.valueOf(ts).getTime))
 
-  /** Raise the table's protocol versions (never lowers them). */
+  /** Raise the table's protocol versions (never lowers them). Feature
+    * vectors already on the protocol — and the features the metadata
+    * implies — carry over; a bare version bump must never silently drop
+    * the deletionVectors reader gate off a DV-carrying table. */
   def upgradeTableProtocol(minReaderVersion: Int, minWriterVersion: Int): Unit =
     log.withNewTransaction { txn =>
+      import graft.log.TableFeatures
       val p = txn.snapshot.protocol
       require(minReaderVersion >= p.minReaderVersion &&
         minWriterVersion >= p.minWriterVersion,
         s"cannot downgrade protocol ($p) — use dropFeature")
       if (minReaderVersion > p.minReaderVersion ||
           minWriterVersion > p.minWriterVersion) {
-        txn.commit(Seq(graft.log.Protocol(minReaderVersion, minWriterVersion)),
+        val features = TableFeatures.vectorFeatures(p) ++
+          TableFeatures.activeFeatures(txn.snapshot.metadata)
+        txn.commit(Seq(graft.log.Protocol(
+          minReaderVersion, minWriterVersion,
+          readerFeatures =
+            if (minReaderVersion >= TableFeatures.FEATURES_READER_VERSION)
+              Some(features.filter(_.readerGating).map(_.name).toSeq.sorted)
+            else None,
+          writerFeatures =
+            if (minWriterVersion >= TableFeatures.FEATURES_WRITER_VERSION)
+              Some(features.map(_.name).toSeq.sorted)
+            else None)),
           "UPGRADE PROTOCOL")
       }
     }
@@ -186,8 +201,13 @@ class GraftTable private[graft] (
           s"Unknown or undroppable feature $other")
     }
     txn.updateMetadata(newMeta)
-    val downgraded = TableFeatures.minimalProtocol(
-      TableFeatures.activeFeatures(newMeta))
+    // Remaining = everything the protocol explicitly listed (including
+    // addFeatureSupport-only markers) plus whatever the new metadata
+    // still exercises, minus the dropped feature.
+    val dropped = TableFeatures.byName.get(name).toSet
+    val remaining = (TableFeatures.vectorFeatures(txn.snapshot.protocol) ++
+      TableFeatures.activeFeatures(newMeta)) -- dropped
+    val downgraded = TableFeatures.minimalProtocol(remaining)
     val actions: Seq[graft.log.Action] =
       if (downgraded != txn.snapshot.protocol) Seq(downgraded) else Nil
     txn.commit(actions, "DROP FEATURE", Map("feature" -> name))
@@ -353,9 +373,17 @@ class GraftTable private[graft] (
         s"${newType.simpleString}: not a lossless widening")
       val fields = m.schema.fields.map(f =>
         if (f.name.equalsIgnoreCase(name)) f.copy(dataType = newType) else f)
-      txn.updateMetadata(m.copy(
-        schemaString = org.apache.spark.sql.types.StructType(fields).json))
-      txn.commit(Nil, "CHANGE COLUMN",
+      // The widened logical schema now decodes NARROWER parquet files: a
+      // reader unaware of widening would misread them, so the commit
+      // flips the feature switch and installs its reader gate.
+      val widened = m.copy(
+        schemaString = org.apache.spark.sql.types.StructType(fields).json,
+        configuration = m.configuration + ("graft.enableTypeWidening" -> "true"))
+      txn.updateMetadata(widened)
+      txn.commit(
+        graft.log.TableFeatures
+          .requiredUpgradeForMetadata(txn.snapshot.protocol, widened).toSeq,
+        "CHANGE COLUMN",
         Map("column" -> name, "type" -> newType.simpleString))
     }
 
@@ -380,12 +408,15 @@ class GraftTable private[graft] (
             "(existing data files carry no parquet field ids)")
       }
       var updated = m.copy(configuration = m.configuration ++ props)
-      val mappingTurnedOn =
-        ColumnMapping.isEnabled(updated) && !ColumnMapping.isEnabled(m)
-      if (mappingTurnedOn) updated = ColumnMapping.enable(updated)
+      if (ColumnMapping.isEnabled(updated) && !ColumnMapping.isEnabled(m))
+        updated = ColumnMapping.enable(updated)
       txn.updateMetadata(updated)
-      txn.commit(if (mappingTurnedOn) protocolBumpFor(txn) else Nil,
-        "SET TBLPROPERTIES", props)
+      // Any feature the new properties switch on (mapping, CDF, row
+      // tracking, append-only, v2 checkpoints, ...) installs its
+      // reader/writer gate in the same commit.
+      val bump = graft.log.TableFeatures
+        .requiredUpgradeForMetadata(txn.snapshot.protocol, updated)
+      txn.commit(bump.toSeq, "SET TBLPROPERTIES", props)
     }
 
   def removeProperties(keys: Seq[String]): Unit =

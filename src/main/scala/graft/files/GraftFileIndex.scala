@@ -132,8 +132,12 @@ object GraftFileIndex {
       applyDv: Boolean = true): DataFrame = {
     val index = new GraftFileIndex(spark, log, snapshot, pinnedFiles)
     val m = snapshot.metadata
-    // Id-mode tables resolve parquet columns by field id; the flag only
-    // affects read schemas that actually carry field-id metadata.
+    // Id-mode tables resolve parquet columns by field id. The flag is
+    // session-wide by Spark's design (the reference REQUIREs users to
+    // enable it globally for id mode, DeltaParquetFileFormat.scala:99-105;
+    // we set it on first use instead) and only affects read schemas that
+    // actually carry field-id metadata — which graft only stamps on
+    // id-mode tables.
     if (graft.schema.ColumnMapping.idMode(m))
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val format =

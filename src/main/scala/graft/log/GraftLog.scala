@@ -266,6 +266,18 @@ class GraftLog private (
       else None
     } catch { case _: Exception => None }
 
+  /** Whether `_last_checkpoint` says checkpoint `cp` is v2 (sidecars);
+    * None when the pointer is missing, stale or unreadable — callers
+    * must then probe the checkpoint itself. */
+  def lastCheckpointIsV2(cp: Long): Option[Boolean] =
+    try {
+      val node = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(store.read(FileNames.lastCheckpointFile(logPath)))
+      if (node.path("version").asLong(-1) == cp)
+        Some(node.has("sidecarBuckets"))
+      else None
+    } catch { case _: Exception => None }
+
   /** `classic`: all actions in the checkpoint itself. `v2`: a small
     * manifest (metadata-scale actions + CheckpointMetadata + SidecarFile
     * pointers) with the file actions in sidecar parquet under
@@ -554,35 +566,39 @@ object Snapshot {
           .parquet(cpPath.toString).as[SingleAction]
         // V2 checkpoints: file actions live in sidecar parquet; the
         // manifest is metadata-scale (SidecarFile pointers included).
-        val sidecars = manifest.filter(col("sidecar").isNotNull)
-          .select(col("sidecar.*")).as[SidecarFile].collect()
-        val fileActions =
-          if (sidecars.isEmpty) manifest
-          else log.spark.read.schema(schema)
-            .parquet(sidecars.map(s =>
-              new Path(log.logPath, s.path).toString).toIndexedSeq: _*)
-            .as[SingleAction]
-
-        var p = Protocol(); var m: Metadata = null
-        var txns = Map.empty[String, Long]
-        var doms = Map.empty[String, String]
-        manifest.filter(col("add").isNull && col("remove").isNull)
-          .collect().foreach(_.unwrap match {
-            case meta: Metadata => m = meta
-            case proto: Protocol => p = proto
-            case t: SetTransaction => txns += t.appId -> t.version
-            case d: DomainMetadata =>
-              doms = if (d.removed) doms - d.domain
-                     else doms + (d.domain -> d.configuration)
-            case _ =>   // CheckpointMetadata / SidecarFile / CommitInfo
-          })
+        // The `_last_checkpoint` hint lets classic checkpoints skip the
+        // probe job; only an absent/stale pointer forces one.
+        val sidecars =
+          if (log.lastCheckpointIsV2(cp).contains(false)) Array.empty[SidecarFile]
+          else manifest.filter(col("sidecar").isNotNull)
+            .select(col("sidecar.*")).as[SidecarFile].collect()
 
         val threshold = log.spark.conf
           .getOption(DRIVER_FOLD_THRESHOLD_CONF).map(_.toLong)
           .getOrElse(DRIVER_FOLD_THRESHOLD_DEFAULT)
         if (sidecars.nonEmpty || log.lastCheckpointSize(cp).exists(_ > threshold)) {
           // Distributed: executors decode per-kind pruned scans in
-          // parallel; the driver receives ready arrays.
+          // parallel; the driver receives ready arrays. The non-file
+          // actions always come from the manifest (metadata-scale).
+          var p = Protocol(); var m: Metadata = null
+          var txns = Map.empty[String, Long]
+          var doms = Map.empty[String, String]
+          manifest.filter(col("add").isNull && col("remove").isNull)
+            .collect().foreach(_.unwrap match {
+              case meta: Metadata => m = meta
+              case proto: Protocol => p = proto
+              case t: SetTransaction => txns += t.appId -> t.version
+              case d: DomainMetadata =>
+                doms = if (d.removed) doms - d.domain
+                       else doms + (d.domain -> d.configuration)
+              case _ =>   // CheckpointMetadata / SidecarFile / CommitInfo
+            })
+          val fileActions =
+            if (sidecars.isEmpty) manifest
+            else log.spark.read.schema(schema)
+              .parquet(sidecars.map(s =>
+                new Path(log.logPath, s.path).toString).toIndexedSeq: _*)
+              .as[SingleAction]
           val adds = fileActions.filter(col("add").isNotNull)
             .select(col("add.*")).as[AddFile].collect()
           val tombs = fileActions.filter(col("remove").isNotNull)
@@ -590,13 +606,24 @@ object Snapshot {
           new Snapshot(log, cp, p, m, txns,
             adds.map(a => a.path -> a).toMap, tombs.toSeq, 0L, doms)
         } else {
+          // Small classic checkpoint: ONE streamed pass folds every
+          // action kind (no extra jobs on the cold-load path).
+          var p = Protocol(); var m: Metadata = null
+          var txns = Map.empty[String, Long]
+          var doms = Map.empty[String, String]
           val files = scala.collection.mutable.HashMap.empty[String, AddFile]
           val tombs = scala.collection.mutable.HashMap.empty[String, RemoveFile]
-          val it = fileActions.toLocalIterator()
+          val it = manifest.toLocalIterator()
           while (it.hasNext) {
             it.next().unwrap match {
               case a: AddFile => files.put(a.path, a)
               case r: RemoveFile => tombs.put(r.path, r)
+              case meta: Metadata => m = meta
+              case proto: Protocol => p = proto
+              case t: SetTransaction => txns += t.appId -> t.version
+              case d: DomainMetadata =>
+                doms = if (d.removed) doms - d.domain
+                       else doms + (d.domain -> d.configuration)
               case _ =>
             }
           }

@@ -36,10 +36,11 @@ object TableFeatures {
   val deletionVectors = Feature("deletionVectors", 3, 7)
   val rowTracking = Feature("rowTracking", 1, 7)
   val typeWidening = Feature("typeWidening", 3, 7)
+  val v2Checkpoint = Feature("v2Checkpoint", 3, 7)
 
   val all: Seq[Feature] = Seq(appendOnly, invariants, checkConstraints,
     changeDataFeed, generatedColumns, columnMapping, identityColumns,
-    deletionVectors, rowTracking, typeWidening)
+    deletionVectors, rowTracking, typeWidening, v2Checkpoint)
   val byName: Map[String, Feature] = all.map(f => f.name -> f).toMap
 
   /** Every reader-gating feature this build understands. */
@@ -59,6 +60,10 @@ object TableFeatures {
     if (on("graft.enableChangeDataFeed")) b += changeDataFeed
     if (on("graft.enableRowTracking")) b += rowTracking
     if (on("graft.enableTypeWidening")) b += typeWidening
+    if (on("graft.appendOnly")) b += appendOnly
+    // A v2-checkpoint table must lock out readers that would fold the
+    // small manifest as if it were the whole state (silently empty).
+    if (conf.get("graft.checkpointPolicy").contains("v2")) b += v2Checkpoint
     if (conf.keys.exists(_.startsWith(graft.constraints.Constraints.PROP_PREFIX)))
       b += checkConstraints
     if (m.schemaString != null) {
@@ -72,18 +77,44 @@ object TableFeatures {
   }
 
   /** The minimal protocol supporting `features`: legacy numeric versions
-    * while every feature predates the vectors, explicit vectors once any
-    * feature requires them. */
+    * while every feature predates the vectors; the reader version rises
+    * to 3 ONLY for reader-gating vector features — a writer-only vector
+    * feature (e.g. rowTracking) yields (legacyReader, 7) so old readers
+    * keep access (the reference's readerFeatures-only-at-3 rule). */
   def minimalProtocol(features: Set[Feature]): Protocol = {
-    val minReader = (features.map(_.minReader) + 1).max
-    val minWriter = (features.map(_.minWriter) + 1).max
-    if (minReader < FEATURES_READER_VERSION && minWriter < FEATURES_WRITER_VERSION)
-      Protocol(minReader, minWriter)
+    val legacyReader = (features.map(_.minReader) + 1).max
+    val needsReaderVectors = legacyReader >= FEATURES_READER_VERSION
+    val needsWriterVectors =
+      (features.map(_.minWriter) + 1).max >= FEATURES_WRITER_VERSION
+    if (!needsReaderVectors && !needsWriterVectors)
+      Protocol(legacyReader, (features.map(_.minWriter) + 1).max)
     else Protocol(
-      FEATURES_READER_VERSION, FEATURES_WRITER_VERSION,
-      readerFeatures = Some(features.filter(_.readerGating)
-        .map(_.name).toSeq.sorted),
+      if (needsReaderVectors) FEATURES_READER_VERSION else legacyReader,
+      FEATURES_WRITER_VERSION,
+      readerFeatures =
+        if (needsReaderVectors)
+          Some(features.filter(_.readerGating).map(_.name).toSeq.sorted)
+        else None,
       writerFeatures = Some(features.map(_.name).toSeq.sorted))
+  }
+
+  /** The features `p` lists explicitly (vector features only). */
+  def vectorFeatures(p: Protocol): Set[Feature] =
+    (p.readerFeatureNames ++ p.writerFeatureNames).flatMap(byName.get)
+
+  /** Upgrade `current` so everything the metadata exercises is
+    * supported; None when no commit is needed. Vector features already
+    * listed are preserved. */
+  def requiredUpgradeForMetadata(
+      current: Protocol, m: Metadata): Option[Protocol] = {
+    val target = minimalProtocol(
+      activeFeatures(m) ++ vectorFeatures(current))
+    val merged = Protocol(
+      math.max(current.minReaderVersion, target.minReaderVersion),
+      math.max(current.minWriterVersion, target.minWriterVersion),
+      mergeFeatures(current.readerFeatures, target.readerFeatures),
+      mergeFeatures(current.writerFeatures, target.writerFeatures))
+    if (merged == current) None else Some(merged)
   }
 
   /** The protocol `current` must become so `feature` (plus whatever the
@@ -91,7 +122,8 @@ object TableFeatures {
     * Never lowers versions, never drops an already-listed feature. */
   def requiredUpgrade(
       current: Protocol, m: Metadata, feature: Feature): Option[Protocol] = {
-    val target = minimalProtocol(activeFeatures(m) + feature)
+    val target = minimalProtocol(
+      activeFeatures(m) ++ vectorFeatures(current) + feature)
     val merged = Protocol(
       math.max(current.minReaderVersion, target.minReaderVersion),
       math.max(current.minWriterVersion, target.minWriterVersion),

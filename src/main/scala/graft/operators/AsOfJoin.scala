@@ -53,9 +53,23 @@ object AsOfJoin {
     // Final __rpay sort key: when several right rows share (key, ts),
     // `last` must not pick an arbitrary one — order the ties by the full
     // right payload (structs compare field-by-field) so the greatest
-    // payload deterministically wins, run after run.
+    // payload deterministically wins, run after run. Payloads containing
+    // non-orderable types (maps) tie-break on a hash of their JSON form
+    // instead: still deterministic, just not "greatest-payload".
+    def orderable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.forall(f => orderable(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => orderable(a.elementType)
+      case _: org.apache.spark.sql.types.MapType => false
+      case u: org.apache.spark.sql.types.UserDefinedType[_] => orderable(u.sqlType)
+      case _ => true
+    }
+    val payloadKey =
+      if (right.schema.fields.filter(f => rightCols.contains(f.name))
+            .forall(f => orderable(f.dataType))) col("__rpay")
+      else xxhash64(to_json(col("__rpay")))
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts").asc, col("__isR").desc, col("__rpay").asc)
+      .orderBy(col("__ts").asc, col("__isR").desc, payloadKey.asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = unioned
       .withColumn("__m", last(col("__rpay"), ignoreNulls = true).over(w))

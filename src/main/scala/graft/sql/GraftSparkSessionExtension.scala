@@ -58,8 +58,11 @@ object TableChangesFunction {
   import org.apache.spark.sql.catalyst.expressions.Expression
   import org.apache.spark.sql.graftshim.SparkShims
 
-  /** A bound expression -> version: integral = version; timestamp or
-    * date-ish string = version at that wall-clock time. */
+  /** A bound expression -> version: integer literals are versions;
+    * timestamps (typed, NTZ, or date/timestamp strings) resolve to the
+    * last commit at or before that wall-clock time. Strings are ALWAYS
+    * timestamps — '1700000000' is a malformed timestamp, never version
+    * 1700000000 (the reference's typed-argument rule). */
   private def boundVersion(log: graft.log.GraftLog, e: Expression): Long = {
     val v = e.eval()
     e.dataType match {
@@ -68,15 +71,22 @@ object TableChangesFunction {
            org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.LongType =>
         String.valueOf(v).toLong
-      case _: org.apache.spark.sql.types.TimestampType =>
+      case _: org.apache.spark.sql.types.TimestampType |
+           _: org.apache.spark.sql.types.TimestampNTZType =>
         log.getVersionAtTime(v.asInstanceOf[Long] / 1000L)   // micros -> ms
+      case _: org.apache.spark.sql.types.DateType =>
+        log.getVersionAtTime(v.asInstanceOf[Int].toLong * 86400000L)
       case _ =>
         val s = String.valueOf(v)
-        if (s.forall(_.isDigit)) s.toLong
-        else {
-          val ts = if (s.length == 10) s + " 00:00:00" else s
-          log.getVersionAtTime(java.sql.Timestamp.valueOf(ts).getTime)
-        }
+        val ts = if (s.length == 10) s + " 00:00:00" else s
+        val parsed =
+          try java.sql.Timestamp.valueOf(ts)
+          catch { case _: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"table_changes bound '$s' is neither an integer version nor " +
+                "a 'yyyy-MM-dd[ HH:mm:ss]' timestamp")
+          }
+        log.getVersionAtTime(parsed.getTime)
     }
   }
 

@@ -726,6 +726,60 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(GraftTable.forPath(spark, dir).asOfVersion(1).count() === 20)
   }
 
+  test("feature gates install wherever a feature turns on") {
+    import graft.log.TableFeatures
+    // v2 checkpoints are reader-gating: a build that would fold the
+    // manifest as full state must be locked out
+    val dirV2 = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dirV2,
+      configuration = Map("graft.checkpointPolicy" -> "v2"))
+    val pV2 = GraftLog.forTable(spark, dirV2).update().protocol
+    assert(pV2.readerFeatureNames.contains("v2Checkpoint"))
+
+    // writer-only features stay readable by legacy readers: (1, 7)
+    val dirRt = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dirRt,
+      configuration = Map("graft.enableRowTracking" -> "true"))
+    val pRt = GraftLog.forTable(spark, dirRt).update().protocol
+    assert(pRt.minReaderVersion === 1 && pRt.minWriterVersion === 7)
+    assert(pRt.readerFeatures.isEmpty)
+    assert(pRt.writerFeatureNames.contains("rowTracking"))
+    assert(TableFeatures.readable(pRt, 1, Set.empty))
+
+    // enabling CDF via SET TBLPROPERTIES installs its writer gate
+    val dirCdf = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dirCdf)
+    GraftTable.forPath(spark, dirCdf)
+      .upsertProperties(Map("graft.enableChangeDataFeed" -> "true"))
+    val pCdf = GraftLog.forTable(spark, dirCdf).update().protocol
+    assert(pCdf.minWriterVersion >= 4)
+
+    // type widening flips its switch and reader gate in the same commit
+    val dirTw = tmpDir()
+    Graft.write(spark.range(5).select(col("id").cast("int").as("v")), dirTw)
+    GraftTable.forPath(spark, dirTw)
+      .alterColumnType("v", org.apache.spark.sql.types.LongType)
+    val twSnap = GraftLog.forTable(spark, dirTw).update()
+    assert(twSnap.metadata.configuration
+      .get("graft.enableTypeWidening").contains("true"))
+    assert(twSnap.protocol.readerFeatureNames.contains("typeWidening"))
+    assert(Graft.read(spark, dirTw).count() === 5)
+
+    // addFeatureSupport markers survive dropping an unrelated feature,
+    // and a bare version upgrade keeps the vectors
+    val dirKeep = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dirKeep,
+      configuration = Map("graft.enableChangeDataFeed" -> "true"))
+    val tk = GraftTable.forPath(spark, dirKeep)
+    tk.addFeatureSupport("deletionVectors")
+    tk.dropFeature("changeDataFeed")
+    val pKeep = tk.log.update().protocol
+    assert(pKeep.readerFeatureNames.contains("deletionVectors"),
+      s"support marker lost on unrelated drop: $pKeep")
+    tk.upgradeTableProtocol(3, 7)
+    assert(tk.log.update().protocol.readerFeatureNames.contains("deletionVectors"))
+  }
+
   test("addFeatureSupport upgrades the protocol without flipping metadata") {
     val dir = tmpDir()
     Graft.write(spark.range(5).toDF("id"), dir)

@@ -293,6 +293,16 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
     assert(picks.toSet === Set("c"), s"nondeterministic tie-break: $picks")
   }
 
+  test("asOf join tolerates non-orderable right columns (maps)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 5L, Map("a" -> "1")), (1L, 8L, Map("b" -> "2")))
+      .toDF("k", "t", "attrs")
+    val got = graft.operators.AsOfJoin.asOf(left, right, "k", "t", "m_")
+      .select("m_t").head.getLong(0)
+    assert(got === 8L)   // latest prior row, map payload intact
+  }
+
   test("asOf join: inclusive bound, no-match nulls, per-key isolation") {
     import spark.implicits._
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
