@@ -191,6 +191,21 @@ object SparkEntry {
         .orderBy("event_type", "k_bucket")
     }),
 
+    // VARIANT path: the same extraction through Spark's native variant
+    // type (parse_json -> variant_get) — semi-structured data without a
+    // declared schema, the reference's variantType feature surface.
+    "q_variant" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"),
+          expr("variant_get(parse_json(props), '$.tag', 'string')").as("tag"))
+        .where(col("k").isNotNull)
+        .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          count(col("tag")).as("n_tagged"))
+        .orderBy("event_type", "k_bucket")
+    }),
+
     "q_percentiles" -> ((s, dir) => {
       // exact interpolated percentiles: Spark's percentile and DuckDB's
       // quantile_cont share the (n-1)p linear-interpolation definition,
@@ -1205,6 +1220,16 @@ object SparkEntry {
            CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
            count(*) AS n,
            CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+         FROM events
+         WHERE json_extract(props, '$.k') IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_variant" ->
+      """SELECT event_type,
+           CAST(json_extract(props, '$.k') AS INT) % 10 AS k_bucket,
+           count(*) AS n,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           count(json_extract_string(props, '$.tag')) AS n_tagged
          FROM events
          WHERE json_extract(props, '$.k') IS NOT NULL
          GROUP BY 1, 2 ORDER BY 1, 2""",
