@@ -53,40 +53,63 @@ object Cdc {
     val end = math.min(endVersion, snap.version)
     val schema = snap.metadata.schema
     val timestamps = log.listCommitTimestamps().toMap
-    val frames = (startVersion to end).flatMap { v =>
+
+    // ONE scan per change class for the whole range — a per-version
+    // union would grow the plan linearly with the range (a 10k-commit
+    // CDF read must not build a 20k-way union). Per-file commit version
+    // and timestamp attach via a broadcast lookup on the file path.
+    val cdcF = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val addF = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val remF = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    (startVersion to end).foreach { v =>
       val actions = log.readCommit(v)
-      val ts = new java.sql.Timestamp(timestamps.getOrElse(v, 0L))
+      val ts = timestamps.getOrElse(v, 0L)
       val cdcFiles = actions.collect { case c: AddCdcFile => c }
-      val tag = (df: DataFrame, tpe: Option[String]) => {
-        val base = tpe.map(t => df.withColumn(CHANGE_TYPE, lit(t))).getOrElse(df)
-        base.withColumn(COMMIT_VERSION, lit(v))
-          .withColumn(COMMIT_TIMESTAMP, lit(ts))
+      if (cdcFiles.nonEmpty) cdcFiles.foreach(c => cdcF += ((c.path, v, ts)))
+      else {
+        actions.collect { case a: AddFile if a.dataChange => a }
+          .foreach(a => addF += ((a.path, v, ts)))
+        actions.collect { case r: RemoveFile if r.dataChange => r }
+          .foreach(r => remF += ((r.path, v, ts)))
       }
-      if (cdcFiles.nonEmpty) {
-        import graft.schema.ColumnMapping
-        val m = snap.metadata
-        val paths = cdcFiles.map(c => new Path(log.dataPath, c.path).toString)
-        val physFull = StructType(m.schema.fields.map(ColumnMapping.physicalField))
-        val df = spark.read
-          .schema(StructType(physFull.fields :+ StructField(CHANGE_TYPE, StringType)))
-          .parquet(paths: _*)
-          .select((m.schema.fields.toSeq.map(f =>
-            col(ColumnMapping.physicalName(f)).as(f.name)) :+ col(CHANGE_TYPE)): _*)
-        Seq(tag(df, None))
-      } else {
-        val adds = actions.collect { case a: AddFile if a.dataChange => a }
-        val removes = actions.collect { case r: RemoveFile if r.dataChange => r }
-        val insertDf =
-          if (adds.isEmpty) Nil
-          // adds in this commit, read with the current schema
-          else Seq(tag(readFiles(spark, log, schema, adds.map(_.path)), Some("insert")))
-        val deleteDf =
-          if (removes.isEmpty) Nil
-          else Seq(tag(readFiles(spark, log, schema, removes.map(_.path),
-            removes.map(r => r.path -> Option(r.partitionValues).getOrElse(Map.empty)).toMap),
-            Some("delete")))
-        insertDf ++ deleteDf
-      }
+    }
+
+    def attach(df: DataFrame, entries: Seq[(String, Long, Long)]): DataFrame = {
+      import spark.implicits._
+      val lookup = broadcast(entries.map { case (rel, v, ts) =>
+        (new Path(log.dataPath, rel).toUri.getPath, v, ts)
+      }.toDF("__p", "__v", "__ts"))
+      df.withColumn("__np",
+          graft.dv.DeletionVectors.normFileCol(input_file_name()))
+        .join(lookup, col("__np") === col("__p"))
+        .withColumn(COMMIT_VERSION, col("__v"))
+        .withColumn(COMMIT_TIMESTAMP, timestamp_millis(col("__ts")))
+        .drop("__np", "__p", "__v", "__ts")
+    }
+
+    val frames = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    if (cdcF.nonEmpty) {
+      import graft.schema.ColumnMapping
+      val m = snap.metadata
+      val physFull = StructType(m.schema.fields.map(ColumnMapping.physicalField))
+      val df = spark.read
+        .schema(StructType(physFull.fields :+ StructField(CHANGE_TYPE, StringType)))
+        .parquet(cdcF.map(e => new Path(log.dataPath, e._1).toString).distinct.toSeq: _*)
+        .select((m.schema.fields.toSeq.map(f =>
+          col(ColumnMapping.physicalName(f)).as(f.name)) :+ col(CHANGE_TYPE)): _*)
+      frames += attach(df, cdcF.toSeq)
+    }
+    if (addF.nonEmpty) {
+      frames += attach(
+        readFiles(spark, log, schema, addF.map(_._1).distinct.toSeq)
+          .withColumn(CHANGE_TYPE, lit("insert")),
+        addF.toSeq)
+    }
+    if (remF.nonEmpty) {
+      frames += attach(
+        readFiles(spark, log, schema, remF.map(_._1).distinct.toSeq)
+          .withColumn(CHANGE_TYPE, lit("delete")),
+        remF.toSeq)
     }
     val empty = {
       val s = StructType(schema.fields ++ Seq(
