@@ -38,6 +38,16 @@ class ConcurrentTransactionException(msg: String)
  */
 class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
 
+  /** Deterministic-interleaving test hook: invoked with the attempt
+    * version immediately before each physical commit attempt (including
+    * retries). A test injects a winning commit here to provoke each
+    * conflict class at an exact phase boundary — the reference's
+    * phase-locking observer concept
+    * (fuzzer/PhaseLockingTransactionExecutionObserver.scala), re-designed
+    * as a single-threaded callback: same determinism, no barriers or
+    * sleeps. Production leaves it a no-op. */
+  private[graft] var onCommitAttempt: Long => Unit = _ => ()
+
   private var newMetadata: Option[Metadata] = None
   private val readPartitionPredicates = mutable.ArrayBuffer.empty[Seq[Expression]]
   private var readWholeTableFlag = false
@@ -162,6 +172,7 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
         val attempt =
           if (rowTracking) RowTracking.stampCommitVersion(finalActions, attemptVersion)
           else finalActions
+        onCommitAttempt(attemptVersion)
         log.writeCommit(attemptVersion, attempt)
         committed = true
         return attemptVersion
