@@ -1088,6 +1088,74 @@ object SparkEntry {
         .orderBy("lang", "shard")
     }),
 
+    // Stratified hash sampling: per-language keep rates as a pure
+    // arithmetic filter — reproducible on any engine from the formula.
+    "pipeline_sample_stratified" -> ((s, dir) => {
+      graft.ml.Curation.stratifiedHashSample(
+          t(s, dir, "documents"), col("doc_id"), col("lang"),
+          Map("en" -> 100, "de" -> 300), defaultPermille = 500)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
+    // PII scrubbing over text with PLANTED pii (synthetic docs carry
+    // none): an email, an IPv4, and a 9-digit account number derived
+    // from doc_id are appended, scrubbed, and the result hashed — a
+    // broken pattern or replacement order changes the digest.
+    "pipeline_pii_scrub" -> ((s, dir) => {
+      val planted = concat(col("text"),
+        lit(" contact u"), col("doc_id"), lit("@ex.com ip 10.1.2."),
+        pmod(col("doc_id"), lit(256)), lit(" acct "),
+        lpad(col("doc_id").cast("string"), 9, "0"))
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          md5(graft.text.TextFunctions.scrubPii(planted)).as("scrub_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "pipeline_vocab_topk" -> ((s, dir) => {
+      graft.text.TextFunctions.vocabTopK(
+        t(s, dir, "documents"), col("doc_id"), col("text"), k = 100)
+    }),
+
+    // K-means assignment step against a deterministic centroid set (the
+    // 8 lowest vec_ids): exercises the broadcast-matrix argmax kernel;
+    // the oracle recomputes every cosine in SQL.
+    "cluster_kmeans_assign" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.orderBy("vec_id").limit(8)
+        .select("vec_id", "embedding").collect()
+      val vecIds = cents.map(_.getLong(0))
+      val matrix = cents.map(_.getSeq[Float](1))
+      e.select(col("vec_id"),
+          element_at(typedLit(vecIds),
+            graft.ml.Clustering.assign(e, col("embedding"), matrix) + 1)
+            .as("cluster_id"))
+        .orderBy("vec_id")
+    }),
+
+    // Near-dup clusters: connected components over a two-key overlap
+    // graph (shared 100-char prefix OR shared 100-char suffix — the
+    // union is what makes components non-trivially transitive). The
+    // oracle recomputes the fixpoint with a recursive CTE.
+    "dedup_clusters" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val keys = d.select(col("doc_id"),
+          substring(col("text"), 1, 100).as("k"))
+        .unionByName(d.select(col("doc_id"),
+          col("text").substr(
+            greatest(lit(1), length(col("text")) - 99), lit(100)).as("k")))
+      val mins = keys.groupBy("k").agg(min("doc_id").as("v"))
+      val star = keys.join(mins, "k")
+        .where(col("doc_id") =!= col("v"))
+        .select(col("doc_id").as("u"), col("v"))
+      val comps = graft.ml.Clustering.dedupClusters(star)
+      d.join(comps, d("doc_id") === comps("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .orderBy("doc_id")
+    }),
+
     // Multimodal media ids ride the documents table so the DuckDB oracle
     // can re-derive the metadata (plain-arithmetic widths/durations) and
     // independently verify the resize math, frame cadence, and decode
@@ -1652,6 +1720,57 @@ object SparkEntry {
          SELECT lang, CAST(strt // 50000 AS BIGINT) AS shard, count(*) AS n,
            CAST(sum(n_chars) AS BIGINT) AS chars
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "pipeline_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE doc_id * 2654435761 % 1000 <
+           CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300 ELSE 500 END
+         ORDER BY doc_id""",
+
+    "pipeline_pii_scrub" ->
+      """SELECT doc_id, md5(
+           regexp_replace(regexp_replace(regexp_replace(
+             text || ' contact u' || doc_id || '@ex.com ip 10.1.2.' ||
+               (doc_id % 256) || ' acct ' || lpad(CAST(doc_id AS VARCHAR), 9, '0'),
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '[EMAIL]', 'g'),
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+             '[0-9]{7,}', '[NUM]', 'g')) AS scrub_md5
+         FROM documents ORDER BY doc_id""",
+
+    "pipeline_vocab_topk" ->
+      """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+         FROM (SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+               FROM documents)
+         WHERE token <> '' GROUP BY token ORDER BY tf DESC, token LIMIT 100""",
+
+    "cluster_kmeans_assign" ->
+      """WITH c AS (SELECT vec_id, embedding FROM embeddings
+                    ORDER BY vec_id LIMIT 8)
+         SELECT e.vec_id,
+           (SELECT c.vec_id FROM c
+            ORDER BY list_cosine_similarity(e.embedding, c.embedding) DESC,
+                     c.vec_id LIMIT 1) AS cluster_id
+         FROM embeddings e ORDER BY e.vec_id""",
+
+    "dedup_clusters" ->
+      """WITH RECURSIVE
+         d AS (SELECT doc_id, text FROM documents),
+         keys AS (
+           SELECT doc_id, substr(text, 1, 100) AS k FROM d
+           UNION ALL
+           SELECT doc_id,
+             substr(text, greatest(1, length(text) - 99), 100) FROM d),
+         mins AS (SELECT k, min(doc_id) AS v FROM keys GROUP BY k),
+         star AS (SELECT keys.doc_id AS u, mins.v FROM keys
+                  JOIN mins USING (k) WHERE keys.doc_id <> mins.v),
+         edges AS (SELECT u, v FROM star UNION SELECT v, u FROM star),
+         cc(u, l) AS (
+           SELECT doc_id, doc_id FROM d
+           UNION
+           SELECT e.u, c.l FROM edges e JOIN cc c ON c.u = e.v)
+         SELECT u AS doc_id, min(l) AS component FROM cc GROUP BY u
+         ORDER BY doc_id""",
 
     // Multimodal: the oracle re-derives the arithmetic metadata and
     // checks the engine's resize math / frame cadence / decode

@@ -1,0 +1,150 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.graftshim.SparkShims
+
+/**
+ * Corpus-structure operators: connected components (the step that turns
+ * near-duplicate PAIRS into duplicate CLUSTERS so one canonical document
+ * survives per group) and k-means over embedding columns (topic/quality
+ * bucketing at corpus scale).
+ *
+ * Both are built from shuffle-on-key primitives only — no driver-side
+ * graph, no cross product, centroid state bounded by k*dim:
+ *
+ *  - connectedComponents: iterated min-label propagation with a label
+ *    path-compression round after every neighbor round, the
+ *    alternating-contraction shape (cf. Kiveris et al., "Connected
+ *    Components in MapReduce and Beyond", SoCC'14) that converges in
+ *    O(log diameter) rounds instead of O(diameter).
+ *  - kMeans: Lloyd's iterations where assignment is the single codegen'd
+ *    [[graft.expressions.NearestCentroids]] kernel over a broadcast
+ *    centroid matrix (constant plan size at any k) and the centroid
+ *    update is one groupBy over (cluster, dimension) — k*dim rows to the
+ *    driver per iteration, independent of corpus size.
+ *
+ * (The reference engine ships neither operator; these compose Spark
+ * built-ins per the task's custom-operator preference order.)
+ */
+object Clustering {
+
+  /**
+   * Connected components of an undirected graph given as an edge list.
+   * Output: one row per distinct vertex appearing in `edges`, with the
+   * minimum vertex id reachable from it as its `component`.
+   *
+   * Each round is two hash shuffles (neighbor-min join + compression
+   * join) over the CURRENT label frontier; `localCheckpoint` truncates
+   * the growing lineage so round N doesn't replay rounds 1..N-1.
+   * Isolated vertices (not in any edge) are the caller's concern — union
+   * them in as self-loops if they must appear.
+   *
+   * @param edges two-column DataFrame; column names taken positionally
+   *              as (u, v), any integral type
+   */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val Array(uc, vc) = edges.columns.take(2)
+    // Undirected: keep each edge both ways; self-loops drop out.
+    val half = edges.select(col(uc).cast("long").as("u"),
+      col(vc).cast("long").as("v")).where(col("u") =!= col("v"))
+    val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = e.select(col("u").as("id")).distinct()
+      .withColumn("cc", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // 1. Neighbor round: every vertex adopts the min label among its
+      //    neighbors and itself.
+      val nbrMin = e.join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy("u").agg(min("cc").as("nmin"))
+        .withColumnRenamed("u", "id")
+      val afterNbr = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("cc"), coalesce(col("nmin"), col("cc"))).as("cc"))
+      // 2. Compression round: labels are vertex ids, so chase one hop of
+      //    the label graph (cc -> label(cc)) — the pointer-doubling step
+      //    that collapses long chains logarithmically.
+      val byId = afterNbr.select(col("id").as("cc"), col("cc").as("cc2"))
+      val compressed = afterNbr.join(byId, Seq("cc"), "left")
+        .select(col("id"), coalesce(col("cc2"), col("cc")).as("cc"))
+        .localCheckpoint(true)
+      converged = compressed.join(labels.withColumnRenamed("cc", "old"), "id")
+        .where(col("cc") =!= col("old")).limit(1).isEmpty
+      labels = compressed
+      iter += 1
+    }
+    labels.select(col("id"), col("cc").as("component"))
+  }
+
+  /**
+   * Collapse near-duplicate PAIRS (idA, idB) into clusters and pick the
+   * canonical survivor (min id) per cluster: the standard tail of every
+   * LSH dedup pipeline. Returns (id, component) for every id in a pair.
+   */
+  def dedupClusters(pairs: DataFrame): DataFrame = connectedComponents(pairs)
+
+  /** Assignment step: nearest centroid by cosine, ties to the earliest
+    * centroid in `centroids` order. One codegen'd kernel, no shuffle. */
+  def assign(
+      df: DataFrame,
+      emb: Column,
+      centroids: Array[Seq[Float]]): Column = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val bc = df.sparkSession.sparkContext.broadcast(
+      graft.expressions.CentroidMatrix.build(centroids))
+    (element_at(SparkShims.column(graft.expressions.NearestCentroids(
+      SparkShims.expression(emb), bc, 1)), 1))
+  }
+
+  /**
+   * Lloyd's k-means by cosine similarity. Deterministic: initial
+   * centroids are the k corpus rows with the lowest `xxhash64(id)` (a
+   * seeded uniform sample, same on every run), and every later step is
+   * a deterministic aggregation.
+   *
+   * Returns (id, cluster) with cluster in [0, k). Per iteration: one
+   * kernel-projection pass + one shuffle keyed on (cluster, dim) whose
+   * output is k*dim rows — the only driver-side state, independent of
+   * corpus size.
+   */
+  def kMeans(
+      df: DataFrame,
+      id: Column,
+      emb: Column,
+      k: Int,
+      maxIter: Int = 10): DataFrame = {
+    require(k > 0)
+    val base = df.select(id.as("__id"), emb.as("__emb"))
+      .where(col("__emb").isNotNull)
+    var centroids: Array[Seq[Float]] = base
+      .select(col("__emb"), xxhash64(col("__id")).as("__r"))
+      .orderBy("__r").limit(k)
+      .collect().map(_.getSeq[Float](0))
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val assigned = base.withColumn("__c", assign(base, col("__emb"), centroids))
+      // Mean per (cluster, dimension): posexplode -> partial-agg shuffle.
+      val means = assigned
+        .select(col("__c"), posexplode(col("__emb")).as(Seq("__d", "__x")))
+        .groupBy("__c", "__d").agg(avg("__x").as("__m"))
+        .collect()
+      val next = centroids.zipWithIndex.map { case (old, c) =>
+        val dims = means.filter(_.getInt(0) == c)
+        if (dims.isEmpty) old // empty cluster keeps its centroid
+        else dims.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+      }
+      moved = next.zip(centroids).exists { case (a, b) =>
+        a.zip(b).exists { case (x, y) => math.abs(x - y) > 1e-6f }
+      }
+      centroids = next
+      iter += 1
+    }
+    base.withColumn("cluster", assign(base, col("__emb"), centroids))
+      .select(col("__id").as("id"), col("cluster"))
+  }
+}

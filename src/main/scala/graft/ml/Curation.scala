@@ -53,6 +53,36 @@ object Curation {
   }
 
   /**
+   * Deterministic Bernoulli sample by arithmetic hash: keep a row iff
+   * its id's Knuth-hash bucket (mod 1000) falls below `permille`. Pure
+   * filter — no shuffle, no RNG state, reproducible on any engine from
+   * the formula alone (unlike `df.sample`, whose output depends on
+   * partition layout).
+   */
+  def hashSample(df: DataFrame, id: Column, permille: Int): DataFrame = {
+    require(permille >= 0 && permille <= 1000)
+    df.where(pmod(id.cast("long") * 2654435761L, lit(1000L)) < permille)
+  }
+
+  /**
+   * Stratified variant: per-stratum keep rates (permille), e.g. downsample
+   * an over-represented language while keeping all of a rare one. Same
+   * zero-shuffle hash filter; the stratum column only selects the rate.
+   */
+  def stratifiedHashSample(
+      df: DataFrame,
+      id: Column,
+      stratum: Column,
+      rates: Map[String, Int],
+      defaultPermille: Int): DataFrame = {
+    require((defaultPermille +: rates.values.toSeq).forall(r => r >= 0 && r <= 1000))
+    val rate = rates.foldRight(lit(defaultPermille): Column) {
+      case ((s, r), els) => when(stratum === s, r).otherwise(els)
+    }
+    df.where(pmod(id.cast("long") * 2654435761L, lit(1000L)) < rate)
+  }
+
+  /**
    * Token-budget shard packing: within each `partitionBy` group, order
    * documents deterministically and assign each to the shard its
    * cumulative start offset falls in — `shard = floor(startOffset /

@@ -140,4 +140,43 @@ object TextFunctions {
       .join(docFreq, "term")
       .select(col("doc_id"), col("term"), col("tf"), col("df"))
   }
+
+  /**
+   * PII scrubbing: replace emails, IPv4 addresses, and long digit runs
+   * (account/phone-shaped) with typed placeholder tokens. Patterns use
+   * only portable regex constructs (classes, bounded repetition) so the
+   * same expressions run identically on other engines; applied in
+   * specificity order — emails before digit runs, so 'a7654321@x.com'
+   * scrubs as one [EMAIL], not an [EMAIL] with a [NUM] inside.
+   * Pure projection, codegen'd, no shuffle.
+   */
+  def scrubPii(text: Column): Column = {
+    val email = regexp_replace(text,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "[EMAIL]")
+    val ip = regexp_replace(email,
+      "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "[IP]")
+    regexp_replace(ip, "[0-9]{7,}", "[NUM]")
+  }
+
+  /**
+   * Corpus vocabulary: the `k` most frequent lowercase alphanumeric
+   * tokens with their total and document frequencies. One partial-agg
+   * shuffle on the token (map-side combine absorbs the per-document
+   * repetition) and a global top-k — Spark plans the final ordering as
+   * TakeOrderedAndProject, so only k rows ever reach the driver side of
+   * the limit, never the full vocabulary.
+   */
+  def vocabTopK(
+      df: org.apache.spark.sql.DataFrame,
+      id: Column,
+      text: Column,
+      k: Int = 100): org.apache.spark.sql.DataFrame = {
+    df.select(id.as("__doc"),
+        explode(filter(split(lower(text), "[^a-z0-9]+"), t => length(t) > 0))
+          .as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("__doc")).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(k)
+  }
 }

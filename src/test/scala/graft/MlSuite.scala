@@ -303,6 +303,79 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
     assert(got === 8L)   // latest prior row, map payload intact
   }
 
+  test("connected components: chain, triangle, isolated pair, determinism") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), triangle 10-11-12, pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (21L, 20L)).toDF("u", "v")
+    val got = graft.ml.Clustering.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // second run identical (no RNG, no partition-order dependence)
+    val again = graft.ml.Clustering.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
+
+  test("connected components: long path converges within the log-round budget") {
+    import spark.implicits._
+    // path of 200 vertices: plain min-propagation would need ~200 rounds;
+    // the compression step must finish well under maxIter=25.
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("u", "v")
+    val got = graft.ml.Clustering.connectedComponents(edges, maxIter = 25)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === 200 && got.forall(_._2 === 0L))
+  }
+
+  test("kMeans: separable clusters recovered, deterministic across runs") {
+    import spark.implicits._
+    // two tight cones around orthogonal axes
+    val rows = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(1.0f, 0.01f * (i % 5), 0.0f)
+                 else Array(0.0f, 0.01f * (i % 5), 1.0f)
+      (i.toLong, base)
+    }
+    val df = rows.toDF("id", "emb")
+    val r1 = graft.ml.Clustering.kMeans(df, col("id"), col("emb"), k = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // all even ids together, all odd ids together, in different clusters
+    val evens = r1.filter(_._1 % 2 == 0).values.toSet
+    val odds = r1.filter(_._1 % 2 == 1).values.toSet
+    assert(evens.size === 1 && odds.size === 1 && evens != odds)
+    val r2 = graft.ml.Clustering.kMeans(df, col("id"), col("emb"), k = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(r2 === r1)
+  }
+
+  test("stratified hash sample: rate-proportional, deterministic, pure filter") {
+    // spark.range (not a local Seq): ConvertToLocalRelation would fold a
+    // LocalRelation's filter away and hide the plan shape under test.
+    val df = spark.range(2000).select(col("id"),
+      when(col("id") % 2 === 0, "en").otherwise("xx").as("lang"))
+    val s = graft.ml.Curation.stratifiedHashSample(
+      df, col("id"), col("lang"), Map("en" -> 100), defaultPermille = 900)
+    val byLang = s.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 1000 candidates per stratum at 10% / 90%
+    assert(byLang("en") > 50 && byLang("en") < 150)
+    assert(byLang("xx") > 850 && byLang("xx") < 950)
+    assert(s.queryExecution.executedPlan.toString.contains("Filter"))
+    assert(!s.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("scrubPii: email/ip/number replacement and ordering") {
+    import spark.implicits._
+    val got = Seq("mail bob.smith+x@corp.example.org here",
+        "ip 192.168.254.3 and acct 123456789",
+        "short 123456 stays").toDF("t")
+      .select(graft.text.TextFunctions.scrubPii(col("t")))
+      .as[String].collect()
+    assert(got(0) === "mail [EMAIL] here")
+    assert(got(1) === "ip [IP] and acct [NUM]")
+    assert(got(2) === "short 123456 stays") // under the 7-digit floor
+  }
+
   test("asOf join: inclusive bound, no-match nulls, per-key isolation") {
     import spark.implicits._
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
