@@ -171,4 +171,36 @@ class PlanAuditSuite extends AnyFunSuite {
     val got = Graft.read(spark, dir).agg(min($"l_quantity")).head.getDouble(0)
     assert(got >= 10.0, s"deleted row resurfaced: min quantity $got")
   }
+
+  test("hash sampling is a pushed scan filter — no shuffle, no UDF") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val s = graft.ml.Curation.stratifiedHashSample(
+      docs, $"doc_id", $"lang", Map("en" -> 100), defaultPermille = 500)
+    val plan = s.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling shuffled:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"sampling fell off codegen:\n$plan")
+    assert(plan.contains("Filter"), s"no filter node:\n$plan")
+  }
+
+  test("vocab top-k plans as TakeOrderedAndProject, not a global sort") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val v = graft.text.TextFunctions.vocabTopK(docs, $"doc_id", $"text", k = 50)
+    val plan = v.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k became a full sort:\n$plan")
+  }
+
+  test("k-means assignment is a single projection — no shuffle, constant plan size") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = emb.orderBy("vec_id").limit(64)
+      .select("embedding").collect().map(_.getSeq[Float](0))
+    val a = emb.select($"vec_id",
+      graft.ml.Clustering.assign(emb, $"embedding", cents).as("c"))
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment shuffled:\n$plan")
+    // 64 centroids must not appear as 64 plan expressions: the kernel
+    // holds them in one broadcast reference.
+    assert(plan.length < 6000, s"plan grows with nlist (len=${plan.length})")
+  }
 }
