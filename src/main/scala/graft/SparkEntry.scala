@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -1088,6 +1088,43 @@ object SparkEntry {
         .orderBy("lang", "shard")
     }),
 
+    // Streaming MERGE upsert (the foreachBatch CDC-apply pattern): the
+    // event stream splits into multiple microbatches (maxFilesPerTrigger),
+    // each batch pre-aggregates per user and MERGEs into a running
+    // per-user rollup — matched rows accumulate, new users insert. The
+    // final state is batch-split-invariant (exact decimal sums), so the
+    // oracle is a plain one-shot aggregate of the whole event table.
+    "stream_merge_upsert" -> ((s, dir) => {
+      val src = tmp("smsrc"); val tgt = tmp("smtgt"); val ckpt = tmp("smckpt")
+      val ev = t(s, dir, "events").select("event_id", "user_id", "value")
+      Graft.write(ev.repartition(8), src)
+      def rollup(df: DataFrame) = df.groupBy("user_id").agg(
+        sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)").as("total"),
+        count(lit(1)).as("n_events"))
+      Graft.write(rollup(ev.limit(0)), tgt)
+      val q = s.readStream.format("graft")
+        .option("maxFilesPerTrigger", "2").load(src)
+        .writeStream
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          GraftTable.forPath(s, tgt)
+            .merge(rollup(batch.toDF()), expr("t.user_id = s.user_id"))
+            .whenMatched().update(Map(
+              "total" -> expr("CAST(t.total + s.total AS DECIMAL(38,6))"),
+              "n_events" -> expr("t.n_events + s.n_events")))
+            .whenNotMatched().insertAll()
+            .execute()
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      Graft.read(s, tgt)
+        .select(col("user_id"), round(col("total"), 4).cast("double").as("total"),
+          col("n_events"))
+        .orderBy("user_id")
+    }),
+
     // Stratified hash sampling: per-language keep rates as a pure
     // arithmetic filter — reproducible on any engine from the formula.
     "pipeline_sample_stratified" -> ((s, dir) => {
@@ -1720,6 +1757,12 @@ object SparkEntry {
          SELECT lang, CAST(strt // 50000 AS BIGINT) AS shard, count(*) AS n,
            CAST(sum(n_chars) AS BIGINT) AS chars
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "stream_merge_upsert" ->
+      """SELECT user_id,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total,
+           count(*) AS n_events
+         FROM events GROUP BY user_id ORDER BY user_id""",
 
     "pipeline_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
