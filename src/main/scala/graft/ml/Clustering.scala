@@ -96,8 +96,10 @@ object Clustering {
     require(centroids.nonEmpty, "need at least one centroid")
     val bc = df.sparkSession.sparkContext.broadcast(
       graft.expressions.CentroidMatrix.build(centroids))
+    // Kernel reads float elements; double-typed embedding columns (the
+    // other common corpus encoding) narrow here instead of crashing.
     (element_at(SparkShims.column(graft.expressions.NearestCentroids(
-      SparkShims.expression(emb), bc, 1)), 1))
+      SparkShims.expression(emb.cast("array<float>")), bc, 1)), 1))
   }
 
   /**
@@ -118,7 +120,7 @@ object Clustering {
       k: Int,
       maxIter: Int = 10): DataFrame = {
     require(k > 0)
-    val base = df.select(id.as("__id"), emb.as("__emb"))
+    val base = df.select(id.as("__id"), emb.cast("array<float>").as("__emb"))
       .where(col("__emb").isNotNull)
     var centroids: Array[Seq[Float]] = base
       .select(col("__emb"), xxhash64(col("__id")).as("__r"))

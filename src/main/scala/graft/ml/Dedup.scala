@@ -72,17 +72,21 @@ object Dedup {
   /**
    * MinHash-LSH candidate duplicate pairs.
    *
-   * Pair generation is a bucket group-by, not a self-join: each (band,
-   * bucket) group collects its members once and explodes the in-bucket
-   * pairs locally. A self-join would feed two copies of the whole
-   * signature pipeline (AQE does not reuse the exchange across the two
-   * join sides — measured: every scan/window/agg ran twice), while this
-   * shape computes the upstream exactly once and turns the hot-bucket
-   * skew guard into a free `size(ms) <= cap` filter instead of a
-   * count-and-join. Group payload is bounded by the cap, so the local
-   * n^2 explode is too. The signature agreement count is a codegen'd sum
-   * of element comparisons (the `zip_with`/`filter` HOF form is
-   * CodegenFallback — interpreted per candidate pair).
+   * Two phases. Pair generation is an ids-only bucket group-by
+   * ([[bandedCandidates]]): each (band, bucket) group collects just its
+   * member IDS and explodes the in-bucket pairs locally, then distincts
+   * pairs that collided in several bands. Verification joins the
+   * signatures back onto the (deduped) candidates. Keeping the 64-long
+   * signatures OUT of the explode matters: the first posexplode
+   * duplicates the whole bucket payload onto every output row, so
+   * signatures-in-bucket materializes O(sum bucketSize^2 * sigBytes) —
+   * measured 2.7x slower at 100k docs with 20-way near-dup families
+   * (36 s -> 11-14 s) than exploding bare ids and re-joining. A
+   * self-join instead of the group-by would be worse still: AQE does
+   * not reuse the exchange across two join sides of the signature
+   * pipeline (measured: every scan/agg ran twice). The signature
+   * agreement count is a codegen'd sum of element comparisons (the
+   * `zip_with`/`filter` HOF form is CodegenFallback — interpreted).
    *
    * @return (idA, idB, estJaccard) with idA < idB, estJaccard >= threshold
    */
@@ -96,27 +100,20 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
+    val cand = bandedCandidates(df, id, text, numHashes, bands, shingleSize,
+      maxBucketSize)
     val sigs = minHashSignatures(df, id, text, numHashes, shingleSize)
-    // Band bucket = hash of the band's signature slice, straight off the
-    // aggregate columns (fixed-arity xxhash64, fully codegen'd).
-    val bucketCols = (0 until bands).map { bId =>
-      xxhash64(lit(bId) +: (0 until rows).map(r => col(s"_m${bId * rows + r}")): _*)
-    }
-    val sigCol = array((0 until numHashes).map(i => col(s"_m$i")): _*)
-    val banded = sigs
-      .select(col("id"), sigCol.as("sig"), posexplode(array(bucketCols: _*)))
-      .select(col("id"), col("sig"), col("pos").as("band"), col("col").as("bucket"))
+    val sigArr = sigs.select(col("id"),
+      array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
     val agree = (0 until numHashes).map { i =>
-      when(col("a.sig").getItem(i) === col("b.sig").getItem(i), 1).otherwise(0)
+      when(col("sigA").getItem(i) === col("sigB").getItem(i), 1).otherwise(0)
     }.reduce(_ + _)
-    bucketPairs(banded, struct(col("id"), col("sig")), maxBucketSize)
-      .select(
-        least(col("a.id"), col("b.id")).as("idA"),
-        greatest(col("a.id"), col("b.id")).as("idB"),
+    cand
+      .join(sigArr.select(col("id").as("idA"), col("sig").as("sigA")), "idA")
+      .join(sigArr.select(col("id").as("idB"), col("sig").as("sigB")), "idB")
+      .select(col("idA"), col("idB"),
         (agree.cast("double") / numHashes).as("estJaccard"))
       .where(col("estJaccard") >= threshold)
-      .distinct()
   }
 
   /** The shared LSH pair-generation shape: one shuffle on (band, bucket),

@@ -87,7 +87,10 @@ object Similarity {
       k: Int,
       nlist: Int = -1,
       nprobe: Int = -1): DataFrame = {
-    val base = corpus.select(corpusId.as("cid"), corpusEmb.as("cemb"))
+    // Centroid collection and the argmax kernel read float elements;
+    // double-typed embedding columns narrow here instead of crashing.
+    val base = corpus.select(corpusId.as("cid"),
+      corpusEmb.cast("array<float>").as("cemb"))
     // Auto-tuning (when not pinned): nlist ~ sqrt(n) keeps list size and
     // centroid-scan cost balanced; probing nlist/4 lists holds recall as
     // the corpus grows. One count job, amortized over the search.
@@ -109,7 +112,8 @@ object Similarity {
         SparkShims.expression(emb), matrixBc, probes))
     val c = base.withColumn("list", element_at(nearestLists(col("cemb"), 1), 1))
     val probes = math.min(nprobe0, centroids.length)
-    val q = queries.select(queryId.as("qid"), queryEmb.as("qemb"))
+    val q = queries.select(queryId.as("qid"),
+        queryEmb.cast("array<float>").as("qemb"))
       .withColumn("list", explode(nearestLists(col("qemb"), probes)))
     val scored = c.join(broadcast(q), "list")
       .select(col("qid"), col("cid"), cosine(col("qemb"), col("cemb")).as("score"))
