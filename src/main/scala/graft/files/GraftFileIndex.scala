@@ -54,7 +54,7 @@ class GraftFileIndex(
       files, partitionSchema, partitionFilters ++ inferred)
     val skipped = StatsSkipping.filterFiles(spark, pruned,
       graft.schema.ColumnMapping.physicalDataSchema(metadata), dataFilters,
-      GraftFileIndex.numIndexedCols(metadata))
+      GraftFileIndex.statsColumns(metadata))
     skipped.groupBy(_.partitionValues).map { case (pv, fs) =>
       PartitionDirectory(
         GraftFileIndex.partitionRow(pv, partitionSchema),
@@ -85,6 +85,23 @@ object GraftFileIndex {
   def numIndexedCols(m: Metadata): Int =
     m.configuration.getOrElse("graft.dataSkippingNumIndexedCols",
       graft.stats.FooterStats.MAX_INDEXED_COLS.toString).toInt
+
+  /** The table's stats-column policy: an explicit
+    * `graft.dataSkippingStatsColumns` list (logical names, translated to
+    * physical so it survives renames under column mapping) wins over the
+    * first-`graft.dataSkippingNumIndexedCols` default. */
+  def statsColumns(m: Metadata): graft.stats.FooterStats.StatsColumns = {
+    val explicit = m.configuration.get("graft.dataSkippingStatsColumns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .map(_.map { logical =>
+        m.schema.fields.find(_.name.equalsIgnoreCase(logical)) match {
+          case Some(f) => graft.schema.ColumnMapping.physicalName(f)
+          case None => throw new IllegalArgumentException(
+            s"graft.dataSkippingStatsColumns names unknown column '$logical'")
+        }
+      })
+    graft.stats.FooterStats.StatsColumns(numIndexedCols(m), explicit)
+  }
 
   /** Cast a partition-value string map into the typed InternalRow. */
   def partitionRow(pv: Map[String, String], partitionSchema: StructType): InternalRow = {

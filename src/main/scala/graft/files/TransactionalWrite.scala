@@ -37,7 +37,7 @@ object TransactionalWrite {
       dataSchema: StructType,
       collectStats: Boolean = true,
       optimizeWrite: Boolean = true,
-      numIndexedCols: Int = FooterStats.MAX_INDEXED_COLS): Seq[AddFile] = {
+      statsColumns: FooterStats.StatsColumns = FooterStats.StatsColumns()): Seq[AddFile] = {
     val classic = spark.asInstanceOf[ClassicSession]
     val resolver = spark.sessionState.analyzer.resolver
 
@@ -84,7 +84,7 @@ object TransactionalWrite {
 
     val adds = committer.addedFiles
     if (collectStats)
-      FooterStats.withStats(spark, tablePath, adds, dataSchema, numIndexedCols)
+      FooterStats.withStats(spark, tablePath, adds, dataSchema, statsColumns)
     else adds
   }
 }

@@ -28,6 +28,26 @@ object FooterStats {
   val MAX_INDEXED_COLS = 32
   val MAX_STRING_LEN = 64
 
+  /**
+   * Which columns carry stats: the first `numIndexed` schema fields by
+   * default, or an explicit physical-name list when the table sets
+   * `graft.dataSkippingStatsColumns` (reference concept:
+   * delta.dataSkippingStatsColumns, StatisticsCollection.scala
+   * statsColumnSpec — re-designed). An explicit list both trims write
+   * cost on wide tables AND extends skipping to columns past the
+   * first-N cutoff.
+   */
+  case class StatsColumns(
+      numIndexed: Int = MAX_INDEXED_COLS,
+      explicit: Option[Seq[String]] = None) {
+    def select(schema: StructType): Array[StructField] = explicit match {
+      case Some(names) =>
+        val wanted = names.map(_.toLowerCase).toSet
+        schema.fields.filter(f => wanted(f.name.toLowerCase))
+      case None => schema.fields.take(numIndexed)
+    }
+  }
+
   /** A small write's footers read faster on the driver than the fixed
     * cost of scheduling a Spark job; large writes distribute. */
   val DRIVER_READ_MAX_FILES = 32
@@ -40,9 +60,9 @@ object FooterStats {
       tablePath: Path,
       files: Seq[AddFile],
       dataSchema: StructType,
-      numIndexedCols: Int = MAX_INDEXED_COLS): Seq[AddFile] = {
+      statsColumns: StatsColumns = StatsColumns()): Seq[AddFile] = {
     if (files.isEmpty) return files
-    val statCols = dataSchema.fields.take(numIndexedCols)
+    val statCols = statsColumns.select(dataSchema)
       .filter(f => supported(f.dataType)).map(f => f.name -> f.dataType).toVector
     val root = tablePath.toString
     val statsByPath: Map[String, String] =

@@ -44,12 +44,12 @@ object StatsSkipping {
       files: Seq[AddFile],
       dataSchema: StructType,
       dataFilters: Seq[Expression],
-      numIndexedCols: Int = FooterStats.MAX_INDEXED_COLS): Seq[AddFile] = {
+      statsColumns: FooterStats.StatsColumns = FooterStats.StatsColumns()): Seq[AddFile] = {
     if (files.isEmpty || dataFilters.isEmpty) return files
-    // Only the first numIndexedCols fields carry stats; truncating the
-    // schema here keeps compile() from emitting stats-space predicates
-    // for columns that were never collected.
-    val statsVisible = StructType(dataSchema.fields.take(numIndexedCols))
+    // Only the stats-carrying fields are visible here; truncating the
+    // schema keeps compile() from emitting stats-space predicates for
+    // columns that were never collected.
+    val statsVisible = StructType(statsColumns.select(dataSchema))
     val preds = dataFilters.flatMap(f => compile(f, statsVisible))
     if (preds.isEmpty) return files
     import spark.implicits._

@@ -84,7 +84,7 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
       snapshot.allFiles, partSchema, pf)
     val skipped = StatsSkipping.filterFiles(
       log.spark, pruned, graft.schema.ColumnMapping.physicalDataSchema(m), df,
-      graft.files.GraftFileIndex.numIndexedCols(m))
+      graft.files.GraftFileIndex.statsColumns(m))
     if (partitionFilters.isEmpty && dataFilters.isEmpty) readWholeTableFlag = true
     else readPartitionPredicates += pf
     readFilePaths ++= skipped.map(_.path)
@@ -101,9 +101,7 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
       graft.schema.ColumnMapping.physicalDataSchema(m),
       optimizeWrite = m.configuration
         .getOrElse("graft.optimizeWrite", "true").toBoolean,
-      numIndexedCols = m.configuration
-        .getOrElse("graft.dataSkippingNumIndexedCols",
-          graft.stats.FooterStats.MAX_INDEXED_COLS.toString).toInt)
+      statsColumns = graft.files.GraftFileIndex.statsColumns(m))
     if (dataChange) adds else adds.map(_.copy(dataChange = false))
   }
 

@@ -414,4 +414,40 @@ class FeatureSuite extends AnyFunSuite {
     }
     assert(paths.size.toLong === t.snapshot.numFiles)
   }
+
+  test("dataSkippingStatsColumns: explicit list controls collection and skipping") {
+    val dir = tmpDir()
+    // 40-column-wide table: y sits past the 32-col default cutoff, x is
+    // inside it but EXCLUDED by the explicit list.
+    val wide = spark.range(100).select(
+      (col("id").as("x") +: (0 until 37).map(i => lit(i).as(s"pad$i"))) :+
+        col("id").multiply(2).as("y"): _*)
+    Graft.write(wide, dir,
+      configuration = Map("graft.dataSkippingStatsColumns" -> "y"))
+    val t = GraftTable.forPath(spark, dir)
+    val stats = t.snapshot.allFiles.flatMap(f => Option(f.stats))
+    assert(stats.nonEmpty)
+    assert(stats.forall(s => s.contains("\"y\"") && !s.contains("\"x\"") &&
+      !s.contains("pad0")), s"unexpected stats: ${stats.head}")
+    // more files with disjoint y ranges -> a y predicate must prune
+    Graft.write(spark.range(100, 200).select(
+      (col("id").as("x") +: (0 until 37).map(i => lit(i).as(s"pad$i"))) :+
+        col("id").multiply(2).as("y"): _*), dir)
+    val log = graft.log.GraftLog.forTable(spark, dir)
+    val txn = log.startTransaction()
+    val yPred = org.apache.spark.sql.catalyst.expressions.LessThan(
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "y", LongType)(),
+      org.apache.spark.sql.catalyst.expressions.Literal(100L))
+    val pruned = txn.filterFiles(dataFilters = Seq(yPred))
+    assert(pruned.size < log.update().numFiles,
+      "y predicate did not prune despite explicit stats column")
+    // unknown column in the list fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      Graft.write(wide, tmpDir(),
+        configuration = Map("graft.dataSkippingStatsColumns" -> "nope"))
+    }
+    // correctness unchanged
+    assert(Graft.read(spark, dir).where(col("y") < 100).count() === 50)
+  }
 }
