@@ -77,6 +77,18 @@ object StatsSkipping {
     case _ => None
   }
 
+  /** Stats min/max are byte-ordered (parquet footer order). A string
+    * column under a non-default collation (e.g. UTF8_LCASE) orders
+    * differently, so a stats-space comparison could wrongly prune a
+    * file whose matches sort outside the byte range — those columns are
+    * invisible to skipping (the reference makes the same choice for
+    * collated columns in its skipping logic). */
+  private def statsComparable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case st: StringType => st == StringType
+      case _ => true
+    }
+
   private def attrName(e: Expression, schema: StructType): Option[String] = {
     val name = e match {
       case a: AttributeReference => Some(a.name)
@@ -84,7 +96,8 @@ object StatsSkipping {
         Some(u.nameParts.last)
       case _ => None
     }
-    name.flatMap(n => schema.fieldNames.find(_.equalsIgnoreCase(n)))
+    name.flatMap(n => schema.fields.find(_.name.equalsIgnoreCase(n))
+      .filter(f => statsComparable(f.dataType)).map(_.name))
   }
 
   /**

@@ -450,4 +450,38 @@ class FeatureSuite extends AnyFunSuite {
     // correctness unchanged
     assert(Graft.read(spark, dir).where(col("y") < 100).count() === 50)
   }
+
+  test("collated string columns: round-trip, and stats skipping stands down") {
+    val dir = tmpDir()
+    // two files with byte-disjoint ranges: under UTF8_LCASE, 'A' matches
+    // the 'a' file even though 'A' < min('a') in byte order — pruning on
+    // byte-ordered stats would silently drop the match.
+    Graft.write(spark.range(1).select(
+      expr("collate('a', 'UTF8_LCASE')").as("s"), lit(1L).as("id")), dir)
+    Graft.write(spark.range(1).select(
+      expr("collate('B', 'UTF8_LCASE')").as("s"), lit(2L).as("id")), dir)
+    val back = Graft.read(spark, dir)
+    assert(back.schema("s").dataType.sql.contains("COLLATE"),
+      s"collation lost in round-trip: ${back.schema("s").dataType.sql}")
+    assert(back.where(col("s") === expr("collate('A', 'UTF8_LCASE')"))
+      .count() === 1)
+    // the skipping compiler must refuse collated comparisons outright
+    val collated = StructType(Seq(StructField("s",
+      back.schema("s").dataType), StructField("id", LongType)))
+    val pred = org.apache.spark.sql.catalyst.expressions.EqualTo(
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "s", back.schema("s").dataType)(),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        org.apache.spark.unsafe.types.UTF8String.fromString("A"),
+        back.schema("s").dataType))
+    assert(graft.stats.StatsSkipping.compile(pred, collated).isEmpty,
+      "stats compiler emitted a byte-order predicate for a collated column")
+    // default-collation strings still compile (skipping not lost generally)
+    val plain = StructType(Seq(StructField("s", StringType)))
+    val plainPred = org.apache.spark.sql.catalyst.expressions.EqualTo(
+      org.apache.spark.sql.catalyst.expressions.AttributeReference(
+        "s", StringType)(),
+      org.apache.spark.sql.catalyst.expressions.Literal("A"))
+    assert(graft.stats.StatsSkipping.compile(plainPred, plain).isDefined)
+  }
 }
