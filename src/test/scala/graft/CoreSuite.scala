@@ -890,4 +890,29 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(h.head.getAs[String]("operation") === "DELETE")
     assert(t.detail().head.getAs[Long]("numFiles") === t.snapshot.numFiles)
   }
+
+  test("torn tail commit fails loudly; orphan temp files are invisible") {
+    // A truncated commit JSON (torn write; cannot happen through the
+    // LogStore's link(2) protocol, but can through operator error or a
+    // broken copy tool) must fail the read loudly — never silently
+    // serve the pre-torn state as if the commit didn't exist.
+    val dir = tmpDir()
+    Graft.write(lineitem.limit(5), dir)
+    Graft.write(lineitem.limit(5), dir)
+    val torn = new java.io.File(dir, "_graft_log/00000000000000000002.json")
+    val w = new java.io.FileWriter(torn)
+    w.write("""{"add":{"path":"x.parquet","si""")
+    w.close()
+    GraftLog.clearCache()
+    val e = intercept[Exception] { Graft.read(spark, dir).count() }
+    assert(e.getMessage != null)
+
+    // A temp file that was never linked into place is not a commit.
+    val dir2 = tmpDir()
+    Graft.write(lineitem.limit(5), dir2)
+    val tmp = new java.io.File(dir2, "_graft_log/.00000000000000000001.json.tmp")
+    val w2 = new java.io.FileWriter(tmp); w2.write("{\"add\":{"); w2.close()
+    GraftLog.clearCache()
+    assert(Graft.read(spark, dir2).count() === 5)
+  }
 }
