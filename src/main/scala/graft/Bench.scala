@@ -29,6 +29,20 @@ object Bench {
         try SparkEntry.queries.get(q).foreach(_(spark, sfDir).count())
         catch { case _: Throwable => }
       }
+      // DML warm-up on a 100-row throwaway table: the first DELETE /
+      // UPDATE / MERGE otherwise pays the one-time command-pipeline and
+      // codegen costs (measured ~6 s) inside whichever DML query the
+      // alphabet puts first.
+      try {
+        import org.apache.spark.sql.functions._
+        val p = java.nio.file.Files.createTempDirectory("benchwarm").toString
+        Graft.write(spark.range(100).toDF("id"), p)
+        spark.sql(s"DELETE FROM graft.`$p` WHERE id < 10")
+        spark.sql(s"UPDATE graft.`$p` SET id = id + 0 WHERE id > 90")
+        GraftTable.forPath(spark, p)
+          .merge(spark.range(90, 110).toDF("id"), expr("t.id = s.id"))
+          .whenMatched().updateAll().whenNotMatched().insertAll().execute()
+      } catch { case _: Throwable => }
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
