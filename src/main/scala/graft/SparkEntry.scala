@@ -148,6 +148,49 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "q_collect_array" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("event_type"))).as("types"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")
+    }),
+
+    "q_date_arith" -> ((s, dir) => {
+      t(s, dir, "orders").select(
+          col("o_orderkey"),
+          date_add(to_date(col("o_orderdate")), 30).as("due"),
+          quarter(col("o_orderdate")).as("q"),
+          datediff(lit("1998-12-31").cast("date"),
+            to_date(col("o_orderdate"))).as("age_days"),
+          last_day(col("o_orderdate")).as("month_end"),
+          date_trunc("week", col("o_orderdate")).cast("date").as("week_start"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_regexp" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          regexp_extract(col("text"), "([A-Za-z]+)", 1).as("first_word"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            .as("n_numbers"),
+          regexp_replace(col("text"), "\\s+", " ").substr(1, 40).as("head40"))
+        .orderBy("doc_id")
+    }),
+
+    "q_conditional_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count_if(col("l_quantity") > 25).as("n_big"),
+          count(when(col("l_discount") > 0.05, 1)).as("n_disc"),
+          max(when(col("l_quantity") > 25, col("l_extendedprice")))
+            .as("max_big_price"),
+          (sum(when(col("l_quantity") > 25, col("l_quantity")).otherwise(0))
+            .cast("double") / sum(col("l_quantity"))).as("big_share"))
+        .orderBy("l_returnflag")
+    }),
+
     "q_events_rollup" -> ((s, dir) => {
       // ts arrives as raw nanos (nanosAsLong): convert to micros timestamp
       // (integer div — long / long is double division in Spark)
@@ -1757,6 +1800,36 @@ object SparkEntry {
          SELECT lang, CAST(strt // 50000 AS BIGINT) AS shard, count(*) AS n,
            CAST(sum(n_chars) AS BIGINT) AS chars
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_collect_array" ->
+      """SELECT user_id, list(event_type ORDER BY event_type) AS types,
+         count(*) AS n
+         FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + 30 AS due,
+           quarter(o_orderdate) AS q,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS age_days,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start
+         FROM orders ORDER BY o_orderkey""",
+
+    "q_regexp" ->
+      """SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+           len(regexp_extract_all(text, '[0-9]+', 0)) AS n_numbers,
+           substr(regexp_replace(text, '\s+', ' ', 'g'), 1, 40) AS head40
+         FROM documents ORDER BY doc_id""",
+
+    "q_conditional_agg" ->
+      """SELECT l_returnflag,
+           count(*) FILTER (l_quantity > 25) AS n_big,
+           count(*) FILTER (l_discount > 0.05) AS n_disc,
+           max(l_extendedprice) FILTER (l_quantity > 25) AS max_big_price,
+           CAST(sum(CASE WHEN l_quantity > 25 THEN l_quantity ELSE 0 END)
+             AS DOUBLE) / sum(l_quantity) AS big_share
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "stream_merge_upsert" ->
       """SELECT user_id,
