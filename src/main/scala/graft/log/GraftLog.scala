@@ -296,7 +296,7 @@ class GraftLog private (
 
   /** Stable path -> sidecar bucket (FNV-1a + splitmix64, same on every
     * JVM; a path's add and tombstone always land in the same bucket). */
-  private def sidecarBucket(path: String, k: Int): Int = {
+  private[graft] def sidecarBucket(path: String, k: Int): Int = {
     var h = 0xCBF29CE484222325L
     path.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       .foreach(b => h = (h ^ (b & 0xFFL)) * 0x100000001B3L)

@@ -37,10 +37,15 @@ object TableFeatures {
   val rowTracking = Feature("rowTracking", 1, 7)
   val typeWidening = Feature("typeWidening", 3, 7)
   val v2Checkpoint = Feature("v2Checkpoint", 3, 7)
+  val domainMetadata = Feature("domainMetadata", 1, 7)
+  val clustering = Feature("clustering", 1, 7)
+  val timestampNtz = Feature("timestampNtz", 3, 7)
+  val variantType = Feature("variantType", 3, 7)
 
   val all: Seq[Feature] = Seq(appendOnly, invariants, checkConstraints,
     changeDataFeed, generatedColumns, columnMapping, identityColumns,
-    deletionVectors, rowTracking, typeWidening, v2Checkpoint)
+    deletionVectors, rowTracking, typeWidening, v2Checkpoint,
+    domainMetadata, clustering, timestampNtz, variantType)
   val byName: Map[String, Feature] = all.map(f => f.name -> f).toMap
 
   /** Every reader-gating feature this build understands. */
@@ -58,7 +63,10 @@ object TableFeatures {
     if (on("graft.enableDeletionVectors")) b += deletionVectors
     if (conf.contains(graft.schema.ColumnMapping.MODE_KEY)) b += columnMapping
     if (on("graft.enableChangeDataFeed")) b += changeDataFeed
-    if (on("graft.enableRowTracking")) b += rowTracking
+    // Row tracking keeps its id watermark in a metadata domain, so the
+    // domainMetadata writer capability travels with it.
+    if (on("graft.enableRowTracking")) { b += rowTracking; b += domainMetadata }
+    if (conf.contains("graft.clusterBy")) b += clustering
     if (on("graft.enableTypeWidening")) b += typeWidening
     if (on("graft.appendOnly")) b += appendOnly
     // A v2-checkpoint table must lock out readers that would fold the
@@ -72,6 +80,24 @@ object TableFeatures {
         b += generatedColumns
       if (fields.exists(_.metadata.contains(graft.schema.ColumnDefaults.ID_START)))
         b += identityColumns
+      // Type-gated READER features: a foreign reader that cannot decode
+      // these physical types must be locked out by the protocol, not by
+      // a runtime decode error.
+      def hasType(dt: org.apache.spark.sql.types.DataType,
+          pred: org.apache.spark.sql.types.DataType => Boolean): Boolean = dt match {
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fields.exists(f => hasType(f.dataType, pred))
+        case a: org.apache.spark.sql.types.ArrayType => hasType(a.elementType, pred)
+        case mp: org.apache.spark.sql.types.MapType =>
+          hasType(mp.keyType, pred) || hasType(mp.valueType, pred)
+        case other => pred(other)
+      }
+      if (hasType(m.schema,
+          _.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType]))
+        b += timestampNtz
+      if (hasType(m.schema,
+          _.isInstanceOf[org.apache.spark.sql.types.VariantType]))
+        b += variantType
     }
     b.result()
   }

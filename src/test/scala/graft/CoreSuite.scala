@@ -848,9 +848,20 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     val p2 = sidecarPaths(2L)
     val p4 = sidecarPaths(4L)
     assert(p2.nonEmpty && p4.nonEmpty)
+    // Deterministic expectation from the actual bucket function: a v2
+    // sidecar is reused iff no v3/v4 file hashed into its bucket. (UUID
+    // file names make a fixed "some bucket survived" assertion flaky —
+    // two new files CAN cover every occupied bucket.)
+    val k = 16
+    val f2 = log.getSnapshotAt(2L).allFiles.map(_.path).toSet
+    val newFiles = log.getSnapshotAt(4L).allFiles.map(_.path).toSet -- f2
+    assert(newFiles.size === 2)
+    val touched = newFiles.map(log.sidecarBucket(_, k))
+    val survivors = f2.map(log.sidecarBucket(_, k)) -- touched
     val reused = p4.toSet.intersect(p2.toSet)
-    assert(reused.nonEmpty, s"no sidecar reuse: v2=$p2 v4=$p4")
-    assert(p4.toSet != p2.toSet, "v4 must also have fresh sidecars")
+    assert(reused.nonEmpty === survivors.nonEmpty,
+      s"reuse mismatch: survivors=$survivors v2=$p2 v4=$p4")
+    assert(p4.toSet != p2.toSet, "v4 must write fresh sidecars for new files")
     // and the reconstructed state is complete either way
     GraftLog.clearCache()
     assert(Graft.read(spark, dir).count() === 50)

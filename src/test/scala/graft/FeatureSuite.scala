@@ -451,6 +451,36 @@ class FeatureSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).where(col("y") < 100).count() === 50)
   }
 
+  test("type- and config-gated features land in the protocol vectors") {
+    import graft.log.TableFeatures
+    // timestamp_ntz is reader-gating: foreign readers that cannot decode
+    // it must be locked out by protocol, not by a runtime decode error
+    val dir = tmpDir()
+    Graft.write(spark.range(3).select(col("id"),
+      expr("timestamp_ntz '2024-01-02 03:04:05'").as("ts")), dir)
+    val p = GraftTable.forPath(spark, dir).snapshot.protocol
+    assert(p.minReaderVersion === 3)
+    assert(p.readerFeatureNames.contains("timestampNtz"))
+    assert(p.writerFeatureNames.contains("timestampNtz"))
+    assert(Graft.read(spark, dir).count() === 3)
+
+    // clustering + rowTracking are writer-only: readers stay legacy
+    val dir2 = tmpDir()
+    Graft.write(spark.range(3).toDF("id"), dir2, configuration = Map(
+      "graft.clusterBy" -> "id", "graft.enableRowTracking" -> "true"))
+    val p2 = GraftTable.forPath(spark, dir2).snapshot.protocol
+    assert(p2.minReaderVersion === 1)
+    assert(p2.writerFeatureNames.contains("clustering"))
+    assert(p2.writerFeatureNames.contains("rowTracking"))
+    assert(p2.writerFeatureNames.contains("domainMetadata"))
+
+    // activeFeatures sees variant inside nested types
+    val m = graft.log.Metadata(schemaString = StructType(Seq(
+      StructField("a", ArrayType(StructType(Seq(
+        StructField("v", VariantType))))))).json)
+    assert(TableFeatures.activeFeatures(m).map(_.name).contains("variantType"))
+  }
+
   test("collated string columns: round-trip, and stats skipping stands down") {
     val dir = tmpDir()
     // two files with byte-disjoint ranges: under UTF8_LCASE, 'A' matches
