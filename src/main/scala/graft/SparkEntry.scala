@@ -1168,6 +1168,23 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // The full curation tail as ONE composed plan: exact dedup ->
+    // length filter -> deterministic split -> token-budget shard
+    // packing -> shard manifest. Exercises operator composition (the
+    // oracle recomputes the whole chain in chained CTEs).
+    "pipeline_end_to_end" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val deduped = Dedup.exact(docs, md5(col("text")), col("doc_id"))
+      val filtered = deduped.where(col("n_chars").between(100, 550))
+      val split = graft.ml.Curation.deterministicSplit(filtered, col("doc_id"))
+      val packed = graft.ml.Curation.packShards(split,
+        concat_ws("|", col("lang"), col("split")), col("doc_id"),
+        col("n_chars"), budget = 20000L)
+      packed.groupBy("lang", "split", "shard")
+        .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("chars"))
+        .orderBy("lang", "split", "shard")
+    }),
+
     // Stratified hash sampling: per-language keep rates as a pure
     // arithmetic filter — reproducible on any engine from the formula.
     "pipeline_sample_stratified" -> ((s, dir) => {
@@ -1836,6 +1853,27 @@ object SparkEntry {
            CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total,
            count(*) AS n_events
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "pipeline_end_to_end" ->
+      """WITH dedup AS (
+           SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         ), base AS (
+           SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+           JOIN dedup USING (doc_id)
+           WHERE d.n_chars BETWEEN 100 AND 550
+         ), labeled AS (
+           SELECT *, CASE WHEN doc_id * 2654435761 % 1000 < 980 THEN 'train'
+                          WHEN doc_id * 2654435761 % 1000 < 990 THEN 'val'
+                          ELSE 'test' END AS split FROM base
+         ), packed AS (
+           SELECT lang, split, n_chars,
+             sum(n_chars) OVER (PARTITION BY lang, split ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_chars AS strt
+           FROM labeled
+         )
+         SELECT lang, split, CAST(strt // 20000 AS BIGINT) AS shard,
+           count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+         FROM packed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
     "pipeline_sample_stratified" ->
       """SELECT doc_id, lang FROM documents
