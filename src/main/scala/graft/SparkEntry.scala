@@ -191,6 +191,22 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // Salted skew join: events are heavily skewed on user_id (few users,
+    // many events). The salted result must equal a plain join exactly —
+    // the oracle is the unsalted SQL join.
+    "q_skew_join" -> ((s, dir) => {
+      val users = t(s, dir, "events").select("user_id").distinct()
+        .withColumn("user_tier",
+          when(col("user_id") % 3 === 0, "gold").otherwise("std"))
+      graft.operators.SkewJoin.saltedJoin(
+          t(s, dir, "events").select("event_id", "user_id", "event_type"),
+          users, "user_id", salt = 8)
+        .groupBy("user_id", "d_user_tier")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_type")).as("n_types"))
+        .orderBy("user_id")
+    }),
+
     "q_events_rollup" -> ((s, dir) => {
       // ts arrives as raw nanos (nanosAsLong): convert to micros timestamp
       // (integer div — long / long is double division in Spark)
@@ -1817,6 +1833,16 @@ object SparkEntry {
          SELECT lang, CAST(strt // 50000 AS BIGINT) AS shard, count(*) AS n,
            CAST(sum(n_chars) AS BIGINT) AS chars
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_skew_join" ->
+      """WITH users AS (
+           SELECT DISTINCT user_id,
+             CASE WHEN user_id % 3 = 0 THEN 'gold' ELSE 'std' END AS user_tier
+           FROM events)
+         SELECT e.user_id, u.user_tier AS d_user_tier, count(*) AS n,
+           count(DISTINCT e.event_type) AS n_types
+         FROM events e JOIN users u USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1""",
 
     "q_collect_array" ->
       """SELECT user_id, list(event_type ORDER BY event_type) AS types,

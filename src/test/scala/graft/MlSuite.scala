@@ -376,6 +376,26 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
     assert(got(2) === "short 123456 stays") // under the 7-digit floor
   }
 
+  test("salted join equals the plain join and spreads the hot key") {
+    import spark.implicits._
+    // 10k rows on ONE key + a handful elsewhere
+    val fact = spark.range(10000).select(
+      when(col("id") < 9990, 1L).otherwise(col("id")).as("k"),
+      col("id").as("v"))
+    val dim = Seq((1L, "hot"), (9995L, "cold")).toDF("k", "name")
+    val salted = graft.operators.SkewJoin.saltedJoin(fact, dim, "k", salt = 8)
+    val plain = fact.join(
+      dim.select(col("k"), col("name").as("d_name")), "k")
+    assert(salted.count() === plain.count())
+    assert(salted.agg(sum("v")).head.getLong(0) ===
+      plain.agg(sum("v")).head.getLong(0))
+    // the hot key's rows really scatter across sub-keys
+    val spread = fact.where(col("k") === 1L)
+      .select(pmod(xxhash64(struct(col("k"), col("v"))), lit(8L)).as("s"))
+      .distinct().count()
+    assert(spread === 8L, s"hot key only used $spread of 8 salts")
+  }
+
   test("asOf join: inclusive bound, no-match nulls, per-key isolation") {
     import spark.implicits._
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
