@@ -46,15 +46,19 @@ object Clustering {
    */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val Array(uc, vc) = edges.columns.take(2)
+    // Materialize each round and truncate lineage: reliable checkpoint
+    // when the app configured a checkpoint dir (survives executor loss —
+    // the right choice on a real cluster), localCheckpoint otherwise.
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def mat(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // Undirected: keep each edge both ways; self-loops drop out.
     val half = edges.select(col(uc).cast("long").as("u"),
       col(vc).cast("long").as("v")).where(col("u") =!= col("v"))
-    val e = half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
-      .localCheckpoint(true)
-    var labels = e.select(col("u").as("id")).distinct()
-      .withColumn("cc", col("id"))
-      .localCheckpoint(true)
+    val e = mat(half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+      .distinct())
+    var labels = mat(e.select(col("u").as("id")).distinct()
+      .withColumn("cc", col("id")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -69,9 +73,8 @@ object Clustering {
       //    the label graph (cc -> label(cc)) — the pointer-doubling step
       //    that collapses long chains logarithmically.
       val byId = afterNbr.select(col("id").as("cc"), col("cc").as("cc2"))
-      val compressed = afterNbr.join(byId, Seq("cc"), "left")
-        .select(col("id"), coalesce(col("cc2"), col("cc")).as("cc"))
-        .localCheckpoint(true)
+      val compressed = mat(afterNbr.join(byId, Seq("cc"), "left")
+        .select(col("id"), coalesce(col("cc2"), col("cc")).as("cc")))
       converged = compressed.join(labels.withColumnRenamed("cc", "old"), "id")
         .where(col("cc") =!= col("old")).limit(1).isEmpty
       labels = compressed
