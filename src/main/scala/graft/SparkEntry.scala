@@ -989,6 +989,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_repetition" -> ((s, dir) => {
+      import graft.text.TextFunctions.{dupTokenFrac, topNgramFrac}
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        dupTokenFrac(col("text")).as("dup_word_frac"),
+        topNgramFrac(col("text"), 1).as("top_word_frac"),
+        topNgramFrac(col("text"), 2).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // Plant contaminated training docs (benchmark text embedded behind a
+    // prefix) the way the other dedup queries plant near-dups: every doc
+    // whose id % 97 == 0 becomes a benchmark item, and a +200000-id train
+    // copy carries its text — so each planted copy must surface with a
+    // deterministic shared-gram count, and (at this corpus) no natural
+    // doc shares an 8-gram with the benchmark.
+    "dedup_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val bench = d.where(col("doc_id") % 97 === 0)
+        .select(col("doc_id"), col("text"))
+      val planted = bench.select((col("doc_id") + 200000).as("doc_id"),
+        concat(lit("copied: "), col("text")).as("text"))
+      val train = d.where(col("doc_id") % 97 =!= 0)
+        .select("doc_id", "text").unionByName(planted)
+      Dedup.decontaminate(train, bench, col("doc_id"), col("text"), n = 8)
+        .orderBy("doc_id")
+    }),
+
     "dedup_exact" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val doubled = d.unionByName(
@@ -2034,6 +2062,67 @@ object SparkEntry {
 
     "stream_dedup" ->
       "SELECT DISTINCT md5(text) AS digest FROM documents ORDER BY digest",
+
+    "text_repetition" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> len(x) > 0) AS t
+           FROM documents
+         ), g AS (
+           SELECT doc_id,
+             CASE WHEN len(t) >= 1 THEN t ELSE [''] END AS g1,
+             CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+               ELSE [array_to_string(t, ' ')] END AS g2,
+             t
+           FROM toks
+         )
+         SELECT doc_id,
+           CASE WHEN len(t) > 0
+             THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+             ELSE 0.0 END AS dup_word_frac,
+           CAST(list_max(list_transform(list_distinct(g1),
+               w -> len(list_filter(g1, x -> x = w)))) AS DOUBLE)
+             / CAST(len(g1) AS DOUBLE) AS top_word_frac,
+           CAST(list_max(list_transform(list_distinct(g2),
+               w -> len(list_filter(g2, x -> x = w)))) AS DOUBLE)
+             / CAST(len(g2) AS DOUBLE) AS top_bigram_frac
+         FROM g ORDER BY doc_id""",
+
+    "dedup_decontaminate" ->
+      """WITH bench_docs AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0
+         ), train_docs AS (
+           SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0
+           UNION ALL
+           SELECT doc_id + 200000 AS doc_id, 'copied: ' || text AS text
+           FROM bench_docs
+         ), bt AS (
+           SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+             x -> len(x) > 0) AS t
+           FROM bench_docs
+         ), tt AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> len(x) > 0) AS t
+           FROM train_docs
+         ), bg AS (
+           SELECT DISTINCT unnest(CASE WHEN len(t) >= 8
+             THEN list_transform(range(1, len(t) - 6),
+                    i -> array_to_string(t[i:i+7], ' '))
+             ELSE [array_to_string(t, ' ')] END) AS g
+           FROM bt
+         ), tg AS (
+           SELECT doc_id, unnest(CASE WHEN len(t) >= 8
+             THEN list_transform(range(1, len(t) - 6),
+                    i -> array_to_string(t[i:i+7], ' '))
+             ELSE [array_to_string(t, ' ')] END) AS g
+           FROM tt
+         )
+         SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_hit_grams
+         FROM tg JOIN bg USING (g)
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "dedup_exact" ->
       """SELECT doc_id, n_chars FROM (

@@ -274,4 +274,34 @@ object Dedup {
       .distinct()
       .where(col("cosine") >= threshold)
   }
+
+  /**
+   * Benchmark decontamination: flag training documents that share any
+   * word n-gram with a benchmark/eval set — the public 13-gram overlap
+   * recipe (GPT-3 appendix C / The Pile), with `n` a parameter. Returns
+   * `(doc_id, n_hit_grams)` for every contaminated training document.
+   *
+   * 100 TB shape: eval sets are tiny relative to the corpus, so the
+   * benchmark's distinct-gram set builds locally and broadcasts; the
+   * corpus side is one scan projection + explode into a broadcast hash
+   * semi-join (no shuffle of corpus data), and the only shuffle is the
+   * final per-document hit count, keyed by doc id (unskewed). Documents
+   * shorter than `n` tokens contribute their whole text as one gram
+   * (same fallback as [[graft.text.TextFunctions.shingles]]).
+   */
+  def decontaminate(
+      train: DataFrame,
+      bench: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 13): DataFrame = {
+    import graft.text.TextFunctions.{shingles, tokens}
+    def grams(c: Column): Column = shingles(tokens(lower(c)), n)
+    val benchGrams = bench.select(explode(grams(text)).as("__g")).distinct()
+    train
+      .select(id.as("doc_id"), explode(grams(text)).as("__g"))
+      .join(broadcast(benchGrams), "__g")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("__g")).as("n_hit_grams"))
+  }
 }

@@ -117,6 +117,34 @@ object TextFunctions {
       .otherwise(array(array_join(toks, " ")))
 
   /**
+   * Gopher-style repetition signals (Rae et al. 2021, appendix A1.1):
+   * documents dominated by repeated tokens or n-grams are boilerplate and
+   * get filtered before training. Both are pure codegen'd projections over
+   * the token array — no shuffle, no UDFs, linear per document.
+   */
+  /** Fraction of tokens that repeat an earlier token: 1 - distinct/total. */
+  def dupTokenFrac(text: Column): Column = {
+    val tk = tokens(lower(text))
+    when(size(tk) > 0,
+      lit(1.0) - size(array_distinct(tk)).cast("double") /
+        size(tk).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /** Fraction of a document's word n-grams taken by its single most
+    * frequent n-gram (n=1: the most common word). Work is O(distinct *
+    * total) per document — fine for web-document lengths, still a scan
+    * projection at corpus scale. */
+  def topNgramFrac(text: Column, n: Int): Column = {
+    val grams = shingles(tokens(lower(text)), n)
+    when(size(grams) > 0,
+      array_max(transform(array_distinct(grams),
+        g => size(filter(grams, x => x === g)))).cast("double") /
+        size(grams).cast("double"))
+      .otherwise(lit(0.0))
+  }
+
+  /**
    * Per-document term statistics — the integer-exact core of TF-IDF:
    * each document's `topK` terms by term frequency (ties broken by term),
    * joined with the corpus document frequency. Two shuffles (doc-term

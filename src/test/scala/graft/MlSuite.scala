@@ -411,4 +411,43 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
       (1L, 20L, "p2", Some("r15")),   // latest prior, not first
       (2L, 5L, "p3", None)))          // right row is later -> no match
   }
+
+  test("repetition signals: hand-computed fractions, short-doc fallbacks") {
+    import spark.implicits._
+    import graft.text.TextFunctions.{dupTokenFrac, topNgramFrac}
+    val docs = Seq(
+      (1L, "a a a b"),          // dup 1-2/4=.5, top word 3/4, top bigram "a a" 2/3
+      (2L, "x y z"),            // all distinct
+      (3L, "w"),                // 1 token: bigram falls back to whole doc
+      (4L, "A a")               // case-folded before counting
+    ).toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+        dupTokenFrac($"text").as("d"),
+        topNgramFrac($"text", 1).as("w"),
+        topNgramFrac($"text", 2).as("b"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(1L) === ((0.5, 0.75, 2.0 / 3.0)))
+    assert(got(2L) === ((0.0, 1.0 / 3.0, 0.5)))
+    assert(got(3L) === ((0.0, 1.0, 1.0)))
+    assert(got(4L) === ((0.5, 1.0, 1.0)))
+  }
+
+  test("decontaminate: only gram-sharing train docs flagged, counts exact") {
+    import spark.implicits._
+    val bench = Seq((100L, "one two three four five")).toDF("id", "text")
+    val train = Seq(
+      (1L, "zzz one two three four five yyy"), // contains all 2 bench 5-grams? n=5: bench grams: 1
+      (2L, "one two three xxx four five"),     // shares no full 5-gram
+      (3L, "totally different words here now")
+    ).toDF("id", "text")
+    val got = Dedup.decontaminate(train, bench, col("id"), col("text"), n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bench has exactly one 5-gram; only doc 1 contains it
+    assert(got === Map(1L -> 1L))
+    // plan shape: the bench gram set must broadcast, not shuffle the corpus
+    val plan = Dedup.decontaminate(train, bench, col("id"), col("text"), n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
 }
