@@ -1239,6 +1239,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Mixture weights are powers of two, so every budget computation
+    // (T_s / p_s, floor(p_s * N)) is IEEE-exact on both engines and the
+    // oracle can recompute the budgets from scratch in SQL.
+    "pipeline_mixture" -> ((s, dir) => {
+      graft.ml.Curation.mixtureSample(
+          t(s, dir, "documents"), col("doc_id"), col("source"),
+          col("n_chars"),
+          Map("src0" -> 0.5, "src1" -> 0.25,
+            "src2" -> 0.125, "src3" -> 0.125))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // PII scrubbing over text with PLANTED pii (synthetic docs carry
     // none): an email, an IPv4, and a 9-digit account number derived
     // from doc_id are appended, scrubbed, and the result hashed — a
@@ -1934,6 +1947,36 @@ object SparkEntry {
          WHERE doc_id * 2654435761 % 1000 <
            CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300 ELSE 500 END
          ORDER BY doc_id""",
+
+    "pipeline_mixture" ->
+      """WITH w AS (
+           SELECT * FROM (VALUES
+             ('src0', CAST(0.5 AS DOUBLE)), ('src1', CAST(0.25 AS DOUBLE)),
+             ('src2', CAST(0.125 AS DOUBLE)), ('src3', CAST(0.125 AS DOUBLE)))
+             AS v(source, p)
+         ), t AS (
+           SELECT doc_id, d.source, n_chars, p
+           FROM documents d JOIN w ON d.source = w.source
+         ), tot AS (
+           SELECT source, CAST(sum(n_chars) AS BIGINT) AS st,
+             any_value(p) AS p
+           FROM t GROUP BY source
+         ), nval AS (
+           SELECT min(st / p) AS n FROM tot
+         ), b AS (
+           SELECT source,
+             CAST(floor(p * (SELECT n FROM nval)) AS BIGINT) AS budget
+           FROM tot
+         ), c AS (
+           SELECT doc_id, source, n_chars,
+             sum(n_chars) OVER (PARTITION BY source
+               ORDER BY doc_id * 2654435761 % 1000000007, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM t
+         )
+         SELECT doc_id, c.source, n_chars
+         FROM c JOIN b ON c.source = b.source
+         WHERE cum <= budget ORDER BY doc_id""",
 
     "pipeline_pii_scrub" ->
       """SELECT doc_id, md5(

@@ -108,4 +108,48 @@ object Curation {
           / budget).cast("long"))
       .drop("__start")
   }
+
+  /**
+   * Corpus mixture sampling: select documents so the output matches a
+   * target per-source token mixture (the Pile/LLaMA-style "data recipe").
+   * The achievable corpus is capped by the scarcest source relative to
+   * its weight — N = min over sources of T_s / p_s — and each source
+   * contributes a token budget of floor(p_s * N), filled by taking its
+   * documents in deterministic Knuth-hash order until the budget is hit
+   * (the first document crossing the budget is excluded). Sources not in
+   * `weights` are dropped.
+   *
+   * Shape: one aggregate for per-source totals (rows = |sources|,
+   * driver-sized by contract), budgets folded back in as a literal CASE,
+   * then one window pass per source for the running sum. The window
+   * partitions by source, so the parallel unit is the source — fine for
+   * recipe-sized mixtures (tens of sources); for a single giant source,
+   * pre-bucket by hash range the way [[packShards]] groups do.
+   */
+  def mixtureSample(
+      df: DataFrame,
+      id: Column,
+      source: Column,
+      tokenCount: Column,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0))
+    val norm = weights.values.sum
+    val p = weights.map { case (s, w) => s -> w / norm }
+    val totals = df.where(source.isInCollection(p.keys.toSeq))
+      .groupBy(source.as("__src")).agg(sum(tokenCount).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = p.collect {
+      case (s, w) if totals.contains(s) => totals(s) / w
+    }.min
+    val budgetCol = p.foldRight(lit(-1L): Column) { case ((s, w), els) =>
+      when(source === s, lit(math.floor(w * n).toLong)).otherwise(els)
+    }
+    val hashOrd = pmod(id.cast("long") * 2654435761L, lit(1000000007L))
+    val w = Window.partitionBy(source).orderBy(hashOrd, id)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.where(source.isInCollection(p.keys.toSeq))
+      .withColumn("__cum", sum(tokenCount).over(w))
+      .where(col("__cum") <= budgetCol)
+      .drop("__cum")
+  }
 }

@@ -450,4 +450,26 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
+
+  test("mixtureSample: budgets follow weights, scarcest source caps N") {
+    import spark.implicits._
+    // a: 40 tokens over 4 docs, b: 400 over 4 docs; weights 50/50 ->
+    // N = min(40/.5, 400/.5) = 80; budget 40 each: ALL of a, 40 tokens of b
+    val docs = (1L to 4L).map(i => (i, "a", 10L)) ++
+      (11L to 14L).map(i => (i, "b", 100L)) ++
+      Seq((99L, "c", 1000L))                       // unlisted source dropped
+    val df = docs.toDF("id", "src", "tok")
+    val got = graft.ml.Curation.mixtureSample(
+      df, col("id"), col("src"), col("tok"), Map("a" -> 0.5, "b" -> 0.5))
+    val bySrc = got.groupBy("src").agg(sum("tok").as("t"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bySrc("a") === ((40L, 4L)))
+    assert(bySrc.get("c").isEmpty)
+    // b fills exactly to its 40-token budget: 0 docs fit (first doc is 100)
+    assert(!bySrc.contains("b") || bySrc("b")._1 <= 40L)
+    // deterministic: same output both runs
+    val again = graft.ml.Curation.mixtureSample(
+      df, col("id"), col("src"), col("tok"), Map("a" -> 0.5, "b" -> 0.5))
+    assert(got.collect().toSet === again.collect().toSet)
+  }
 }
