@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, Trigger}
 
 import graft.ml.{Dedup, Similarity}
 import graft.multimodal.Multimodal
@@ -1212,6 +1212,84 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // Watermarked tumbling-window aggregation over the streaming source:
+    // event-time windows + a watermark, emitted Complete-mode into the
+    // graft sink. Bounded input + AvailableNow makes the final state
+    // deterministic, so the oracle is the equivalent batch day-rollup.
+    "stream_windowed_agg" -> ((s, dir) => {
+      val src = tmp("swsrc"); val out = tmp("swout"); val ckpt = tmp("swckpt")
+      val ev = t(s, dir, "events")
+        .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+          col("event_type"), col("value"))
+      Graft.write(ev.repartition(8), src)
+      val q = s.readStream.format("graft")
+        .option("maxFilesPerTrigger", "2").load(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,6)")).cast("decimal(38,6)")
+            .as("sv"))
+        .select(col("window.start").as("day_start"), col("event_type"),
+          col("n"), col("sv"))
+        .writeStream.format("graft")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination(300000)
+      Graft.read(s, out)
+        .select(to_date(col("day_start")).as("day"), col("event_type"),
+          col("n"), round(col("sv"), 4).cast("double").as("sum_value"))
+        .orderBy("day", "event_type")
+    }),
+
+    // Custom streaming state via mapGroupsWithState: per-user running
+    // (count, max, min) — all order-independent accumulators, so the
+    // final state is deterministic regardless of file admission order.
+    // Update-mode output lands in a graft table through a foreachBatch
+    // MERGE (the update-mode bridge the sink itself doesn't take).
+    "stream_stateful_agg" -> ((s, dir) => {
+      import s.implicits._
+      val src = tmp("sfsrc"); val tgt = tmp("sftgt"); val ckpt = tmp("sfckpt")
+      val ev = t(s, dir, "events").select("user_id", "value")
+      Graft.write(ev.repartition(8), src)
+      Graft.write(ev.limit(0).select(col("user_id"),
+        lit(0L).as("n_events"), col("value").as("max_value"),
+        col("value").as("min_value")).limit(0), tgt)
+      val q = s.readStream.format("graft")
+        .option("maxFilesPerTrigger", "2").load(src)
+        .select("user_id", "value").as[(Long, Double)]
+        .groupByKey(_._1)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+          (uid: Long, rows: Iterator[(Long, Double)],
+           st: GroupState[(Long, Double, Double)]) =>
+            val vs = rows.map(_._2).toArray
+            val (n0, mx0, mn0) = st.getOption
+              .getOrElse((0L, Double.NegativeInfinity, Double.PositiveInfinity))
+            val upd = (n0 + vs.length, math.max(mx0, vs.max),
+              math.min(mn0, vs.min))
+            st.update(upd)
+            (uid, upd._1, upd._2, upd._3)
+        }
+        .toDF("user_id", "n_events", "max_value", "min_value")
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: Dataset[Row], _: Long) =>
+          GraftTable.forPath(s, tgt)
+            .merge(batch.toDF(), expr("t.user_id = s.user_id"))
+            .whenMatched().updateAll()
+            .whenNotMatched().insertAll()
+            .execute()
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(300000)
+      Graft.read(s, tgt)
+        .select("user_id", "n_events", "max_value", "min_value")
+        .orderBy("user_id")
+    }),
+
     // The full curation tail as ONE composed plan: exact dedup ->
     // length filter -> deterministic split -> token-budget shard
     // packing -> shard manifest. Exercises operator composition (the
@@ -1920,6 +1998,17 @@ object SparkEntry {
            CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total,
            count(*) AS n_events
          FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "stream_windowed_agg" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE)
+             AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "stream_stateful_agg" ->
+      """SELECT user_id, count(*) AS n_events, max(value) AS max_value,
+           min(value) AS min_value
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     "pipeline_end_to_end" ->
       """WITH dedup AS (
