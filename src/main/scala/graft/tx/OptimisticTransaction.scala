@@ -49,7 +49,9 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
   private[graft] var onCommitAttempt: Long => Unit = _ => ()
 
   private var newMetadata: Option[Metadata] = None
-  private val readPartitionPredicates = mutable.ArrayBuffer.empty[Seq[Expression]]
+  // (partitionFilters, dataFilters) per filterFiles call, physical names.
+  private val readPredicates =
+    mutable.ArrayBuffer.empty[(Seq[Expression], Seq[Expression])]
   private var readWholeTableFlag = false
   private val readFilePaths = mutable.Set.empty[String]
   private var committed = false
@@ -86,7 +88,7 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
       log.spark, pruned, graft.schema.ColumnMapping.physicalDataSchema(m), df,
       graft.files.GraftFileIndex.statsColumns(m))
     if (partitionFilters.isEmpty && dataFilters.isEmpty) readWholeTableFlag = true
-    else readPartitionPredicates += pf
+    else readPredicates += ((pf, df))
     readFilePaths ++= skipped.map(_.path)
     skipped
   }
@@ -247,15 +249,29 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
   }
 
   /** Would any of these concurrently-added files fall in our read set?
+    * Predicate-level granularity, matching the reference's
+    * ConflictChecker.checkForAddedFilesThatShouldHaveBeenReadByCurrentTxn:
+    * partition predicates prune on partitionValues, then data predicates
+    * run in stats space over the winning files' min/max — a concurrent
+    * append whose stats provably miss every read predicate does not
+    * conflict, so disjoint-range writers retry cleanly instead of
+    * aborting. Files without stats stay conservative (conflict).
     * (Recorded predicates are in physical column space, matching the
-    * AddFiles' partitionValues keys.) */
+    * AddFiles' partitionValues and stats keys.) */
   private def readsAny(adds: Seq[AddFile]): Boolean = {
     if (readWholeTableFlag) return true
-    if (readPartitionPredicates.isEmpty) return false
-    val partSchema = graft.schema.ColumnMapping.physicalPartitionSchema(metadata)
-    readPartitionPredicates.exists { filters =>
-      if (filters.isEmpty) true  // data-only predicate: partition-conservative
-      else GraftFileIndex.prunePartitions(adds, partSchema, filters).nonEmpty
+    if (readPredicates.isEmpty) return false
+    val m = metadata
+    val partSchema = graft.schema.ColumnMapping.physicalPartitionSchema(m)
+    readPredicates.exists { case (pf, df) =>
+      val partSurvivors =
+        if (pf.isEmpty) adds
+        else GraftFileIndex.prunePartitions(adds, partSchema, pf)
+      if (partSurvivors.isEmpty) false
+      else if (df.isEmpty) true
+      else StatsSkipping.filterFiles(
+        log.spark, partSurvivors, graft.schema.ColumnMapping.physicalDataSchema(m),
+        df, GraftFileIndex.statsColumns(m)).nonEmpty
     }
   }
 

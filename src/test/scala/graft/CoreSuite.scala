@@ -374,6 +374,32 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(log.update().version === 16)         // v0 create + 16 appends
   }
 
+  test("predicate-level conflicts: disjoint-range append retries, overlap aborts") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, LessThan, Literal}
+    import org.apache.spark.sql.types.LongType
+    val dir = tmpDir()
+    Graft.write(spark.range(100).toDF("id").repartition(1), dir)
+    val log = GraftLog.forTable(spark, dir)
+    val id = AttributeReference("id", LongType)()
+
+    // Victim reads id < 100; winner appends ids 1000-1999, whose stats
+    // provably miss the read predicate — no logical conflict, the victim
+    // lands on retry (partition-granular checking would have aborted).
+    val txn = log.startTransaction()
+    txn.filterFiles(dataFilters = Seq(LessThan(id, Literal(100L))))
+    Graft.write(spark.range(1000, 2000).toDF("id").repartition(1), dir)
+    val adds = txn.writeFiles(spark.range(100, 200).toDF("id"))
+    txn.commit(adds, "WRITE")
+    assert(Graft.read(spark, dir).count() === 1200)
+
+    // Same shape but the winner's range overlaps the read predicate.
+    val txn2 = log.startTransaction()
+    txn2.filterFiles(dataFilters = Seq(LessThan(id, Literal(100L))))
+    Graft.write(spark.range(50, 60).toDF("id").repartition(1), dir)
+    val adds2 = txn2.writeFiles(spark.range(200, 300).toDF("id"))
+    intercept[graft.tx.ConcurrentAppendException] { txn2.commit(adds2, "WRITE") }
+  }
+
   test("concurrent append conflict detection") {
     val dir = tmpDir()
     Graft.write(spark.range(10).toDF("id"), dir)
