@@ -334,6 +334,22 @@ object SparkEntry {
           col("n"), col("qty"))
         .orderBy(col("l_returnflag").asc_nulls_first,
           col("l_linestatus").asc_nulls_first)
+    }),
+
+    "q_correlated_subquery" -> ((s, dir) => {
+      // Correlated scalar subquery: customers with a big order count.
+      // Catalyst decorrelates this into an aggregate + join — the plan a
+      // hand-written rewrite would produce, with no per-row re-execution.
+      t(s, dir, "customer").createOrReplaceTempView("v_customer")
+      t(s, dir, "orders").createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT c_custkey, c_name,
+               (SELECT count(*) FROM v_orders o
+                WHERE o.o_custkey = c.c_custkey) AS n_orders
+        FROM v_customer c
+        WHERE (SELECT count(*) FROM v_orders o
+               WHERE o.o_custkey = c.c_custkey) >= 15
+        ORDER BY c_custkey""")
     }))
 
   // ==========================================================================
@@ -1175,6 +1191,18 @@ object SparkEntry {
         .orderBy("lang", "shard")
     }),
 
+    "pipeline_chunk" -> ((s, dir) => {
+      // 64-token windows advancing by 48 (16-token overlap); md5 of the
+      // joined chunk makes the full content oracle-checkable without
+      // hauling chunk text through the compare.
+      graft.ml.Curation.chunk(
+          t(s, dir, "documents"), col("text"), size = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).as("n_words"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
     // Streaming MERGE upsert (the foreachBatch CDC-apply pattern): the
     // event stream splits into multiple microbatches (maxFilesPerTrigger),
     // each batch pre-aggregates per user and MERGEs into a running
@@ -1581,6 +1609,13 @@ object SparkEntry {
          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
 
+    "q_correlated_subquery" ->
+      """SELECT c_custkey, c_name,
+         (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+         FROM customer c
+         WHERE (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) >= 15
+         ORDER BY c_custkey""",
+
     // -- engine round-trips: the oracle states the expected END STATE ------
     "graft_append_read" ->
       """SELECT l_returnflag, count(*) AS n,
@@ -1952,6 +1987,22 @@ object SparkEntry {
          SELECT lang, CAST(strt // 50000 AS BIGINT) AS shard, count(*) AS n,
            CAST(sum(n_chars) AS BIGINT) AS chars
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "pipeline_chunk" ->
+      """WITH w AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+           FROM documents WHERE len(trim(text)) > 0),
+         i AS (
+           SELECT doc_id, w, unnest(generate_series(0,
+             CAST(floor((len(w)-1)/48.0) AS BIGINT))) AS i
+           FROM w),
+         c AS (
+           SELECT doc_id, CAST(i AS INT) AS chunk_id,
+             w[(i*48+1):(i*48+64)] AS chunk
+           FROM i)
+         SELECT doc_id, chunk_id, CAST(len(chunk) AS INT) AS n_words,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_id""",
 
     "q_skew_join" ->
       """WITH users AS (

@@ -152,4 +152,32 @@ object Curation {
       .where(col("__cum") <= budgetCol)
       .drop("__cum")
   }
+
+  /**
+   * Sliding-window document chunking: split `text` into whitespace
+   * tokens and emit one row per window of `size` tokens advancing by
+   * `stride` (overlap = size - stride), the standard
+   * training-sample-construction step before packing. Every token is
+   * covered; the final chunk may be short. Pure projection + explode —
+   * no shuffle, no UDF; chunk count per document is
+   * floor((tokens-1)/stride)+1 so output scales linearly with corpus
+   * token count at any document length.
+   *
+   * Output: input columns plus `chunk_id` (0-based) and `chunk`
+   * (array of tokens).
+   */
+  def chunk(df: DataFrame, text: Column, size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size")
+    val words = split(trim(text), "\\s+")
+    // token counts are far below 2^53: double floor-div is exact here
+    val lastChunk = floor(((org.apache.spark.sql.functions.size(col("__w")) - 1)
+      .cast("double")) / stride).cast("int")
+    df.where(length(trim(text)) > 0)
+      .withColumn("__w", words)
+      .withColumn("chunk_id", explode(sequence(lit(0), lastChunk)))
+      .withColumn("chunk",
+        slice(col("__w"), col("chunk_id") * stride + 1, lit(size)))
+      .drop("__w")
+  }
 }

@@ -472,4 +472,31 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
       df, col("id"), col("src"), col("tok"), Map("a" -> 0.5, "b" -> 0.5))
     assert(got.collect().toSet === again.collect().toSet)
   }
+
+  test("chunk: full coverage, overlap, short tail, empty docs dropped") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")),  // 10 words
+      (2L, "single"),                                   // 1 word
+      (3L, "   "),                                      // whitespace only
+      (4L, (1 to 4).map(i => s"x$i").mkString("  "))    // multi-space sep
+    ).toDF("id", "text")
+    val got = graft.ml.Curation.chunk(docs, col("text"), size = 4, stride = 3)
+      .select($"id", $"chunk_id", $"chunk")
+      .as[(Long, Int, Seq[String])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    // doc 1: starts 0,3,6,9 -> windows of 4,4,4,1
+    assert(got(1L).map(_._3) === Seq(
+      Seq("w1", "w2", "w3", "w4"), Seq("w4", "w5", "w6", "w7"),
+      Seq("w7", "w8", "w9", "w10"), Seq("w10")))
+    // every token covered; consecutive chunks overlap by size-stride
+    assert(got(1L).flatMap(_._3).distinct.size === 10)
+    assert(got(2L).map(_._3) === Seq(Seq("single")))
+    assert(!got.contains(3L))
+    assert(got(4L).map(_._3) === Seq(Seq("x1", "x2", "x3", "x4"), Seq("x4")))
+    // no shuffle: pure projection + explode
+    val plan = graft.ml.Curation.chunk(docs, col("text"), 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunk must not shuffle:\n$plan")
+  }
 }
