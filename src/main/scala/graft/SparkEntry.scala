@@ -1456,6 +1456,30 @@ object SparkEntry {
           col("meta.width").cast("long").as("width"),
           col("meta.height").cast("long").as("height"))
         .orderBy("media_id")
+    }),
+
+    "multimodal_bmp_roundtrip" -> ((s, dir) => {
+      // REAL codec end-to-end: synthesize genuine 24-bpp BMP bytes, parse
+      // the header back, walk the pixel rows for channel sums, resize
+      // through the pixel array with integer nearest-neighbor, decode the
+      // resized payload again. The oracle recomputes every pixel from the
+      // (id, x, y) arithmetic independently — no trust in the codec.
+      import graft.multimodal.BmpFunctions._
+      t(s, dir, "documents")
+        .where(col("doc_id") < 200 && col("doc_id") % 3 === 0)
+        .select(col("doc_id").as("media_id"),
+          (lit(16) + pmod(col("doc_id"), lit(5)) * 8).cast("int").as("w"),
+          (lit(12) + pmod(col("doc_id"), lit(7)) * 6).cast("int").as("h"))
+        .withColumn("payload", bmpSynth(col("media_id"), col("w"), col("h")))
+        .withColumn("st", bmpStats(col("payload")))
+        .withColumn("rz", bmpStats(bmpResizeFit(col("payload"), lit(32))))
+        .select(col("media_id"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          col("st.sum_b").as("sum_b"), col("st.sum_g").as("sum_g"),
+          col("st.sum_r").as("sum_r"),
+          col("rz.width").as("rs_width"), col("rz.height").as("rs_height"),
+          col("rz.sum_b").as("rs_sum_b"))
+        .orderBy("media_id")
     }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2194,6 +2218,43 @@ object SparkEntry {
              THEN GREATEST(CAST(ROUND(h * LEAST(256.0 / w, 256.0 / h, 1.0)) AS INT), 1)
              ELSE h END AS height
          FROM m ORDER BY media_id""",
+
+    "multimodal_bmp_roundtrip" ->
+      """WITH img AS (
+           SELECT doc_id AS id,
+             16 + (doc_id % 5) * 8 AS w,
+             12 + (doc_id % 7) * 6 AS h
+           FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0),
+         ys AS (SELECT id, w, h, unnest(generate_series(0, h - 1)) AS y FROM img),
+         xy AS (SELECT id, w, h, y, unnest(generate_series(0, w - 1)) AS x FROM ys),
+         orig AS (
+           SELECT id, w, h,
+             sum((x*7 + y*13 + id*31) % 256) AS sum_b,
+             sum((x*11 + y*17 + id*43) % 256) AS sum_g,
+             sum((x*19 + y*23 + id*59) % 256) AS sum_r
+           FROM xy GROUP BY 1, 2, 3),
+         rdim AS (
+           SELECT id, w, h,
+             CASE WHEN greatest(w, h) <= 32 THEN w
+                  ELSE greatest(1, w * 32 // greatest(w, h)) END AS tw,
+             CASE WHEN greatest(w, h) <= 32 THEN h
+                  ELSE greatest(1, h * 32 // greatest(w, h)) END AS th
+           FROM img),
+         rys AS (SELECT id, w, h, tw, th,
+                   unnest(generate_series(0, th - 1)) AS y2 FROM rdim),
+         rxy AS (SELECT id, w, h, tw, th, y2,
+                   unnest(generate_series(0, tw - 1)) AS x2 FROM rys),
+         rs AS (
+           SELECT id, tw, th,
+             sum(((x2 * w // tw)*7 + (y2 * h // th)*13 + id*31) % 256) AS rs_sum_b
+           FROM rxy GROUP BY 1, 2, 3)
+         SELECT o.id AS media_id,
+           CAST(o.w AS INT) AS width, CAST(o.h AS INT) AS height,
+           CAST(o.sum_b AS BIGINT) AS sum_b, CAST(o.sum_g AS BIGINT) AS sum_g,
+           CAST(o.sum_r AS BIGINT) AS sum_r,
+           CAST(r.tw AS INT) AS rs_width, CAST(r.th AS INT) AS rs_height,
+           CAST(r.rs_sum_b AS BIGINT) AS rs_sum_b
+         FROM orig o JOIN rs r USING (id) ORDER BY media_id""",
 
     "dedup_minhash_lsh" ->
       """SELECT doc_id AS idA, doc_id + 100000 AS idB FROM documents

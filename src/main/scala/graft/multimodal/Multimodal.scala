@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
  * feature-extraction runs per-partition so a real codec binds once per
  * task, not once per row.
  *
- * The actual codecs (image/audio/video libraries) are NOT available in
- * this environment — `fakeDecode*` below are clearly-marked deterministic
+ * A REAL image codec lives in [[BmpCodec]] (pure-JVM 24-bpp BMP encode /
+ * decode / resize, pixel-exact under an external oracle). The compressed
+ * formats (JPEG/PNG/audio/video) need native libraries this environment
+ * does not ship — `fakeDecode*` below are clearly-marked deterministic
  * stand-ins with the same shapes (bytes -> fixed-length float features,
  * video -> frame samples), so the Spark-side schema, partitioning and
- * batch shape are real and tested while the codec is swappable.
+ * batch shape are real and tested while those codecs stay swappable.
  */
 object Multimodal {
 

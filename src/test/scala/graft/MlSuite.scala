@@ -219,6 +219,35 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
   import org.apache.spark.sql.functions._
   import graft.multimodal.Multimodal
 
+  test("BMP codec: encode/decode roundtrip, padding, resize, rejects garbage") {
+    import graft.multimodal.BmpCodec
+    // odd width exercises the 4-byte row padding path
+    val bytes = BmpCodec.synth(id = 7L, w = 5, h = 3)
+    val d = BmpCodec.decode(bytes)
+    assert(d.width === 5 && d.height === 3)
+    // every pixel survives the roundtrip exactly
+    for (y <- 0 until 3; x <- 0 until 5) {
+      val expB = ((x * 7 + y * 13 + 7L * 31) % 256).toInt
+      val expG = ((x * 11 + y * 17 + 7L * 43) % 256).toInt
+      val expR = ((x * 19 + y * 23 + 7L * 59) % 256).toInt
+      assert(d.bgr(x, y) === (expB | (expG << 8) | (expR << 16)),
+        s"pixel ($x,$y)")
+    }
+    // in-box images pass through byte-identical; larger ones downscale
+    assert(BmpCodec.resizeFit(bytes, 32) eq bytes)
+    val big = BmpCodec.synth(id = 9L, w = 64, h = 16)
+    val rs = BmpCodec.decode(BmpCodec.resizeFit(big, 32))
+    assert(rs.width === 32 && rs.height === 8)  // 16*32/64, aspect kept
+    // nearest-neighbor: resized (0,0) samples source (0,0)
+    assert(rs.bgr(0, 0) === BmpCodec.decode(big).bgr(0, 0))
+    intercept[IllegalArgumentException] {
+      BmpCodec.decode("not a bitmap at all".getBytes)
+    }
+    intercept[IllegalArgumentException] {  // truncated: header says more data
+      BmpCodec.decode(bytes.take(bytes.length - 4))
+    }
+  }
+
   test("resize fits images inside the box, preserves aspect, skips non-images") {
     val media = Multimodal.syntheticMedia(spark, 100)
     val out = Multimodal.resize(media, maxW = 128, maxH = 128)
