@@ -191,6 +191,22 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
   private def isolationLevel: String =
     metadata.configuration.getOrElse("graft.isolationLevel", "Serializable")
 
+  /** Per-commit effective level (reference concept:
+    * OptimisticTransaction.getIsolationLevelToUse): commits that change
+    * no data — OPTIMIZE/clustering rearrangements, metadata-only commits
+    * — run at SnapshotIsolation regardless of the table level, so
+    * background compaction never aborts on concurrent appends or on
+    * deletes of files it read but does not rewrite (delete/delete on the
+    * files it DOES rewrite still conflicts at every level). */
+  private def effectiveIsolation: String = {
+    val dataChanged = stagedActions.exists {
+      case a: AddFile => a.dataChange
+      case r: RemoveFile => r.dataChange
+      case _ => false
+    }
+    if (!dataChanged) "SnapshotIsolation" else isolationLevel
+  }
+
   /**
    * Logical conflict check against one winning commit, in the reference's
    * severity order: protocol, metadata, appends vs our reads, deletes vs
@@ -208,7 +224,8 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
       case _ =>
     }
     val winningAdds = winning.collect { case a: AddFile if a.dataChange => a }
-    if (winningAdds.nonEmpty && isolationLevel == "Serializable" && readsAny(winningAdds)) {
+    if (winningAdds.nonEmpty && effectiveIsolation == "Serializable" &&
+        readsAny(winningAdds)) {
       throw new ConcurrentAppendException(
         s"Files added by concurrent commit $winningVersion overlap the read set " +
           s"(e.g. ${winningAdds.head.path})")
@@ -219,7 +236,7 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
       // against concurrent deletes (appends-over-reads are already only
       // checked under Serializable above). Delete-delete stays fatal at
       // every level — both txns would tombstone the same file.
-      if (isolationLevel != "SnapshotIsolation" &&
+      if (effectiveIsolation != "SnapshotIsolation" &&
           (readFilePaths.contains(r.path) || readWholeTableFlag)) {
         throw new ConcurrentDeleteReadException(
           s"File ${r.path} read by this transaction was removed by commit $winningVersion")

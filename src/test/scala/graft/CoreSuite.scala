@@ -400,6 +400,28 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     intercept[graft.tx.ConcurrentAppendException] { txn2.commit(adds2, "WRITE") }
   }
 
+  test("dataChange=false rearrangement lands over a concurrent append") {
+    // OPTIMIZE-shaped commit: reads the whole table, rewrites its rows
+    // into new files with dataChange=false. A concurrent append must NOT
+    // abort it (effective SnapshotIsolation for no-data-change commits);
+    // both the compacted rows and the appended rows survive.
+    val dir = tmpDir()
+    Graft.write(spark.range(100).toDF("id"), dir)
+    Graft.write(spark.range(100, 200).toDF("id"), dir)
+    val log = GraftLog.forTable(spark, dir)
+    val txn = log.startTransaction()
+    val files = txn.filterFiles() // whole-table read, like bin-packing
+    Graft.write(spark.range(200, 300).toDF("id"), dir) // winner lands first
+    val adds = txn.writeFiles(spark.range(200).toDF("id"), dataChange = false)
+    val removes = files.map(f => graft.log.RemoveFile(
+      f.path, Some(System.currentTimeMillis()), dataChange = false,
+      partitionValues = f.partitionValues, size = Some(f.size)))
+    txn.commit(adds ++ removes, "OPTIMIZE")
+    val got = Graft.read(spark, dir)
+    assert(got.count() === 300)
+    assert(got.distinct().count() === 300)
+  }
+
   test("concurrent append conflict detection") {
     val dir = tmpDir()
     Graft.write(spark.range(10).toDF("id"), dir)
