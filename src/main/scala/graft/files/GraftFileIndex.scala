@@ -50,9 +50,8 @@ class GraftFileIndex(
     // fires on e.g. `WHERE ts >= X` for a table partitioned by day(ts).
     val inferred = graft.schema.PartitionInference
       .inferPartitionFilters(spark, metadata, dataFilters)
-    val pruned = GraftFileIndex.prunePartitions(
-      files, partitionSchema, partitionFilters ++ inferred)
-    val skipped = StatsSkipping.filterFiles(spark, pruned,
+    val skipped = StatsSkipping.pruneAndFilter(spark, snapshot, pinnedFiles,
+      partitionSchema, partitionFilters ++ inferred,
       graft.schema.ColumnMapping.physicalDataSchema(metadata), dataFilters,
       GraftFileIndex.statsColumns(metadata))
     skipped.groupBy(_.partitionValues).map { case (pv, fs) =>

@@ -53,6 +53,7 @@ class GraftLog private (
       // Incremental: fold only the new tail onto the cached state.
       val tail = deltas.filter(_._1 > cached.version).sortBy(_._1)
       currentSnapshot = cached.advance(tail)
+      cached.invalidateSkippingView()
     } else {
       val checkpoints = listing.flatMap(s =>
         FileNames.checkpointVersion(s.getPath.getName))
@@ -60,6 +61,7 @@ class GraftLog private (
       val tail = deltas.filter(d => cp.forall(d._1 > _)).sortBy(_._1)
       currentSnapshot = Snapshot.build(this, cp, tail, latest)
       validateChecksum(currentSnapshot)
+      if (cached != null) cached.invalidateSkippingView()
     }
     // Fail loudly instead of misreading a table whose features we do not
     // understand (e.g. silently ignoring deletion vectors would
@@ -503,6 +505,34 @@ class Snapshot(
   /** Distributed view for stats-skipping / VACUUM-scale operations. */
   def allFilesDS: Dataset[AddFile] =
     spark.createDataset(allFiles)(org.apache.spark.sql.Encoders.product[AddFile])
+
+  /** Cached distributed skipping state: one row per live file with the
+    * stats JSON pre-parsed, persisted once per (immutable) snapshot so
+    * repeated queries against a large table skip the per-query
+    * serialize-and-parse pass over the whole file list (reference
+    * concept: DataSkippingReader over the cached state dataset,
+    * util/StateCache.scala). The stats schema is metadata-determined and
+    * metadata is snapshot-fixed, so the first caller's schema is THE
+    * schema for this snapshot. */
+  @transient private var skippingViewCache: org.apache.spark.sql.DataFrame = _
+  private[graft] def skippingView(
+      statsVisible: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.DataFrame = synchronized {
+    if (skippingViewCache == null) {
+      import org.apache.spark.sql.functions.{col, from_json}
+      skippingViewCache = allFilesDS
+        .withColumn("_parsed", from_json(col("stats"),
+          graft.stats.StatsSkipping.statsSchema(statsVisible)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    skippingViewCache
+  }
+  private[graft] def invalidateSkippingView(): Unit = synchronized {
+    if (skippingViewCache != null) {
+      skippingViewCache.unpersist(blocking = false)
+      skippingViewCache = null
+    }
+  }
 
   def getAddFile(path: String): Option[AddFile] = filesMap.get(path)
 

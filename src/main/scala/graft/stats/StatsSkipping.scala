@@ -64,6 +64,77 @@ object StatsSkipping {
       .toSeq
   }
 
+  /** Unified file selection: partition pruning + stats skipping, choosing
+    * the execution venue by file count. Below the threshold (or for a
+    * pinned DML candidate subset) the driver path runs — a tight local
+    * loop plus one small local job. At or above it, both phases run as
+    * ONE distributed filter over the snapshot's cached parsed-stats view,
+    * so a 10M-file table neither re-serializes its file list per query
+    * nor prunes partitions in a single driver thread. */
+  def pruneAndFilter(
+      spark: SparkSession,
+      snapshot: graft.log.Snapshot,
+      pinned: Option[Seq[AddFile]],
+      partitionSchema: StructType,
+      partitionFilters: Seq[Expression],
+      dataSchema: StructType,
+      dataFilters: Seq[Expression],
+      statsColumns: FooterStats.StatsColumns = FooterStats.StatsColumns())
+      : Seq[AddFile] = {
+    val files = pinned.getOrElse(snapshot.allFiles)
+    val threshold = spark.conf.getOption("spark.graft.distributedSkipping.threshold")
+      .map(_.toInt).getOrElse(100000)
+    if (pinned.isEmpty && files.size >= threshold) {
+      pruneAndFilterDistributed(spark, snapshot, partitionSchema,
+        partitionFilters, dataSchema, dataFilters, statsColumns)
+    } else {
+      val pruned = graft.files.GraftFileIndex.prunePartitions(
+        files, partitionSchema, partitionFilters)
+      filterFiles(spark, pruned, dataSchema, dataFilters, statsColumns)
+    }
+  }
+
+  private[stats] def pruneAndFilterDistributed(
+      spark: SparkSession,
+      snapshot: graft.log.Snapshot,
+      partitionSchema: StructType,
+      partitionFilters: Seq[Expression],
+      dataSchema: StructType,
+      dataFilters: Seq[Expression],
+      statsColumns: FooterStats.StatsColumns): Seq[AddFile] = {
+    import org.apache.spark.sql.graftshim.SparkShims
+    val statsVisible = StructType(statsColumns.select(dataSchema))
+    val view = snapshot.skippingView(statsVisible)
+    val conds = Seq.newBuilder[Column]
+    if (partitionFilters.nonEmpty && partitionSchema.nonEmpty) {
+      // Same predicate the driver path binds, with each partition
+      // attribute replaced by a UTC-cast map lookup (null partition
+      // values and unknown attributes resolve exactly as the driver
+      // path's Predicate.eval: null drops, unknown keeps).
+      val pvCol = view("partitionValues")
+      val mapped = partitionFilters.reduce(And).transform {
+        case a: AttributeReference =>
+          val idx = partitionSchema.indexWhere(f => f.name.equalsIgnoreCase(a.name))
+          if (idx < 0) Literal(true)
+          else Cast(
+            SparkShims.expression(element_at(pvCol, partitionSchema(idx).name)),
+            partitionSchema(idx).dataType, Some("UTC"))
+      }
+      conds += SparkShims.column(mapped)
+    }
+    val preds = dataFilters.flatMap(f => compile(f, statsVisible))
+    if (preds.nonEmpty) {
+      val keep = preds.map(p => coalesce(p, lit(true))).reduce(_ && _)
+      conds += (col("_parsed").isNull || col("stats").isNull || keep)
+    }
+    val all = conds.result()
+    // Nothing compiled to a pushable condition: the answer is the full
+    // file list we already hold — do not round-trip it through a job.
+    if (all.isEmpty) return snapshot.allFiles
+    import spark.implicits._
+    view.where(all.reduce(_ && _)).drop("_parsed").as[AddFile].collect().toSeq
+  }
+
   private def stat(section: String, name: String): Column =
     col("_parsed").getField(section).getField(name)
 

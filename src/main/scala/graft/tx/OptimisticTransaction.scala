@@ -82,10 +82,9 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
     val pf = partitionFilters.map(graft.schema.ColumnMapping.toPhysicalExpr(_, m))
     val df = dataFilters.map(graft.schema.ColumnMapping.toPhysicalExpr(_, m))
     val partSchema = graft.schema.ColumnMapping.physicalPartitionSchema(m)
-    val pruned = GraftFileIndex.prunePartitions(
-      snapshot.allFiles, partSchema, pf)
-    val skipped = StatsSkipping.filterFiles(
-      log.spark, pruned, graft.schema.ColumnMapping.physicalDataSchema(m), df,
+    val skipped = StatsSkipping.pruneAndFilter(
+      log.spark, snapshot, None, partSchema, pf,
+      graft.schema.ColumnMapping.physicalDataSchema(m), df,
       graft.files.GraftFileIndex.statsColumns(m))
     if (partitionFilters.isEmpty && dataFilters.isEmpty) readWholeTableFlag = true
     else readPredicates += ((pf, df))

@@ -13,6 +13,55 @@ import graft.log._
 class ScaleSuite extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
+  test("distributed skipping path selects the same files as the driver path") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThan, Literal}
+    import org.apache.spark.sql.types.StringType
+    val dir = Files.createTempDirectory("graft-distsk").toString
+    // partitioned table with a NULL partition value and per-file stats
+    val df = spark.range(400).toDF("id")
+      .withColumn("p", when(col("id") % 4 === 3, lit(null: String))
+        .otherwise(concat(lit("p"), (col("id") % 4).cast("string"))))
+    // one file per (partition, id-range) so both phases have work to do
+    (0 until 4).foreach { i =>
+      Graft.write(df.where(col("id") >= i * 100 && col("id") < (i + 1) * 100)
+        .repartition(1), dir, partitionBy = Seq("p"))
+    }
+    val log = GraftLog.forTable(spark, dir)
+    val snap = log.update()
+    assert(snap.allFiles.size >= 12)
+    val p = AttributeReference("p", StringType)()
+    val id = AttributeReference("id", LongType)()
+    val cases = Seq(
+      (Seq(EqualTo(p, Literal("p1"))), Seq[org.apache.spark.sql.catalyst.expressions.Expression]()),
+      (Seq(EqualTo(p, Literal("p1"))), Seq(GreaterThan(id, Literal(250L)))),
+      (Nil, Seq(GreaterThan(id, Literal(350L)))),
+      (Seq(EqualTo(p, Literal("nope"))), Nil))
+    val partSchema = new StructType().add("p", StringType)
+    val dataSchema = new StructType().add("id", LongType).add("p", StringType)
+    cases.foreach { case (pf, dfilters) =>
+      val driver = graft.stats.StatsSkipping.pruneAndFilter(
+        spark, snap, None, partSchema, pf, dataSchema, dfilters)
+      spark.conf.set("spark.graft.distributedSkipping.threshold", "1")
+      val dist = try graft.stats.StatsSkipping.pruneAndFilter(
+        spark, snap, None, partSchema, pf, dataSchema, dfilters)
+      finally spark.conf.unset("spark.graft.distributedSkipping.threshold")
+      assert(dist.map(_.path).toSet === driver.map(_.path).toSet,
+        s"paths diverged for pf=$pf df=$dfilters")
+      assert(dist.nonEmpty || pf.exists(_.toString.contains("nope")))
+    }
+    // end-to-end: a filtered read through the distributed path returns
+    // the same rows as the driver path
+    val expect = Graft.read(spark, dir)
+      .where(col("p") === "p2" && col("id") > 42).count()
+    spark.conf.set("spark.graft.distributedSkipping.threshold", "1")
+    try {
+      val got = Graft.read(spark, dir)
+        .where(col("p") === "p2" && col("id") > 42).count()
+      assert(got === expect)
+    } finally spark.conf.unset("spark.graft.distributedSkipping.threshold")
+  }
+
   test("1M-AddFile checkpoint cold-loads and advances without collect") {
     val dir = Files.createTempDirectory("graft-scale").toString
     Graft.create(spark, dir, new StructType().add("id", LongType))
