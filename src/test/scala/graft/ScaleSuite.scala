@@ -75,7 +75,9 @@ class ScaleSuite extends AnyFunSuite {
     import spark.implicits._
     val adds = (0 until n).iterator
       .map(i => AddFile(f"part-$i%07d.parquet", Map.empty, 100L, 0L,
-        dataChange = true).wrap)
+        dataChange = true,
+        stats = s"""{"numRecords":10,"minValues":{"id":${i * 10L}},""" +
+          s""""maxValues":{"id":${i * 10L + 9}},"nullCount":{"id":0}}""").wrap)
     val cpRows = Iterator(Protocol().wrap, meta.wrap) ++ adds
     spark.createDataset(cpRows.toSeq).repartition(8)
       .write.mode("overwrite")
@@ -94,6 +96,28 @@ class ScaleSuite extends AnyFunSuite {
     assert(cold.numFiles === n)
     info(f"cold 1M-file checkpoint load: $loadSecs%.1f s")
     assert(loadSecs < 120.0, s"checkpoint load too slow: $loadSecs s")
+
+    // Distributed stats skipping over the 1M-file snapshot: point lookup
+    // must pick exactly the one file whose min/max bracket the key, and
+    // stay fast (first call also builds + persists the parsed view).
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    val idAttr = AttributeReference("id", LongType)()
+    val t1 = System.nanoTime()
+    val kept = graft.stats.StatsSkipping.pruneAndFilter(
+      spark, cold, None, new StructType(), Nil,
+      new StructType().add("id", LongType),
+      Seq(EqualTo(idAttr, Literal(4999995L))))
+    val coldSkip = (System.nanoTime() - t1) / 1e9
+    assert(kept.map(_.path) === Seq("part-0499999.parquet"))
+    val t2 = System.nanoTime()
+    val kept2 = graft.stats.StatsSkipping.pruneAndFilter(
+      spark, cold, None, new StructType(), Nil,
+      new StructType().add("id", LongType),
+      Seq(EqualTo(idAttr, Literal(7L))))
+    val warmSkip = (System.nanoTime() - t2) / 1e9
+    assert(kept2.map(_.path) === Seq("part-0000000.parquet"))
+    info(f"1M-file distributed skipping: cold $coldSkip%.1f s, warm $warmSkip%.2f s")
+    assert(coldSkip < 120.0 && warmSkip < 30.0)
 
     // Incremental advance on top of the large state stays incremental.
     val log2 = GraftLog.forTable(spark, dir)
