@@ -975,6 +975,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_entropy" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        round(charEntropy(col("text")), 4).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
     // Fingerprint values are 64-bit hashes DuckDB cannot reproduce, so the
     // query emits the oracle-checkable INVARIANTS instead: a fingerprint is
     // deterministic (identical text -> identical fp, for both the rolling
@@ -1961,6 +1968,18 @@ object SparkEntry {
                   ELSE 'de' END
            ELSE 'und' END AS lang_pred
          FROM scores ORDER BY doc_id""",
+
+    "text_entropy" ->
+      """WITH chars AS (
+           SELECT doc_id, unnest(string_split(text, '')) AS ch
+           FROM documents),
+         freq AS (
+           SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS n
+           FROM chars GROUP BY 1, 2),
+         tot AS (SELECT doc_id, sum(n) AS t FROM freq GROUP BY 1)
+         SELECT f.doc_id, round(-sum((n/t) * log2(n/t)), 4) AS entropy
+         FROM freq f JOIN tot USING (doc_id)
+         GROUP BY f.doc_id ORDER BY f.doc_id""",
 
     "text_termstats" ->
       """WITH toks AS (

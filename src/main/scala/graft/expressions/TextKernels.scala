@@ -150,6 +150,31 @@ object TextKernels {
 
   /** 64-bit simhash of `s`: per-token hash votes each bit up or down;
     * bit set iff the vote is positive. Zero tokens -> 0L. */
+  /** Shannon entropy (bits per character) over the string's Unicode code
+    * points — the cheap "is this natural text or noise/boilerplate"
+    * quality signal. Summed in ascending code-point order so the result
+    * is deterministic run to run. Empty input is 0. */
+  def charEntropy(s: UTF8String): Double = {
+    val str = s.toString
+    if (str.isEmpty) return 0.0
+    val counts = new java.util.TreeMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      i += Character.charCount(cp)
+      n += 1
+    }
+    var h = 0.0
+    val it = counts.values.iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      h -= p * math.log(p)
+    }
+    h / math.log(2.0)
+  }
+
   def simhash(s: UTF8String): Long = {
     val bytes = s.getBytes
     val votes = new Array[Int](64)
@@ -243,6 +268,21 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedArrayJaccard =
     copy(left = newLeft, right = newRight)
+}
+
+/** Character-entropy of a string column — see [[TextKernels.charEntropy]]. */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.charEntropy(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.expressions.TextKernels.charEntropy($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
 }
 
 /** 64-bit simhash of a string column — see [[TextKernels.simhash]]. */

@@ -67,6 +67,14 @@ object TextFunctions {
     round(lenScore * 0.4 + wordScore * 0.3 + punctScore * 0.2 + upperScore * 0.1, 4)
   }
 
+  /** Shannon entropy in bits per character — low for repetitive noise
+    * and boilerplate, ~4-4.5 for natural English. One codegen'd kernel
+    * pass per document ([[graft.expressions.CharEntropy]]). */
+  def charEntropy(text: Column): Column =
+    org.apache.spark.sql.graftshim.SparkShims.column(
+      graft.expressions.CharEntropy(
+        org.apache.spark.sql.graftshim.SparkShims.expression(text)))
+
   /** N-gram heuristic language id over stopword hit-rates; returns the
     * best-scoring language code or 'und'. */
   def langId(text: Column): Column = {

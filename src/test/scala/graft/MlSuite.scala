@@ -197,6 +197,23 @@ class MlSuite extends AnyFunSuite {
     assert(ops.contains("OPTIMIZE HILBERT"))
   }
 
+  test("charEntropy: hand-computed values, empty/null, codegen = kernel") {
+    import graft.expressions.TextKernels
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(TextKernels.charEntropy(UTF8String.fromString("aabb")) === 1.0)
+    assert(TextKernels.charEntropy(UTF8String.fromString("abcd")) === 2.0)
+    assert(TextKernels.charEntropy(UTF8String.fromString("aaaa")) === 0.0)
+    assert(TextKernels.charEntropy(UTF8String.fromString("")) === 0.0)
+    val docs = Seq((1L, "aabb"), (2L, ""), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = docs.select($"doc_id",
+        graft.text.TextFunctions.charEntropy($"text").as("h"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L) === Some(1.0))
+    assert(got(2L) === Some(0.0))
+    assert(got(3L) === None) // null in, null out
+  }
+
   test("simhash of empty and null text is 0") {
     val docs = Seq((1L, "some actual text here"), (2L, ""), (3L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
