@@ -436,6 +436,21 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    "graft_replace_where_data" -> ((s, dir) => {
+      // Arbitrary (non-partition) replaceWhere: rows matching the data
+      // predicate are replaced; rows sharing files with them survive via
+      // rewrite.
+      val path = tmp("rwd")
+      Graft.write(t(s, dir, "lineitem"), path)
+      val repl = t(s, dir, "lineitem")
+        .filter(col("l_quantity") < 5 && col("l_linenumber") === 1)
+      Graft.write(repl, path, mode = "overwrite",
+        replaceWhere = Some("l_quantity < 5"))
+      Graft.read(s, path)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+
     "graft_delete" -> ((s, dir) => {
       val path = tmp("delete")
       Graft.write(t(s, dir, "lineitem"), path)
@@ -1682,6 +1697,13 @@ object SparkEntry {
            UNION ALL
            SELECT * FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
          ) GROUP BY 1 ORDER BY 1""",
+
+    "graft_replace_where_data" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM (
+           SELECT * FROM lineitem WHERE NOT (l_quantity < 5)
+           UNION ALL
+           SELECT * FROM lineitem WHERE l_quantity < 5 AND l_linenumber = 1
+         ) ORDER BY l_orderkey, l_linenumber""",
 
     "graft_delete" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

@@ -146,27 +146,43 @@ object WriteIntoGraft {
         .foreach(txn.updateMetadata)
       val now = System.currentTimeMillis()
 
-      val removes: Seq[RemoveFile] = mode match {
-        case "append" => Nil
+      val (removes: Seq[RemoveFile], survivorAdds: Seq[AddFile]) = mode match {
+        case "append" => (Nil, Nil)
         case "overwrite" =>
           replaceWhere match {
             case Some(cond) =>
               val condition = spark.sessionState.sqlParser.parseExpression(cond)
               val (partF, dataF) = splitPredicates(condition, m)
-              txn.filterFiles(partF, dataF).map(_.remove(now))
+              val candidates = txn.filterFiles(partF, dataF)
+              if (dataF.isEmpty) (candidates.map(_.remove(now)), Nil)
+              else {
+                // Arbitrary (non-partition) replaceWhere deletes only the
+                // rows MATCHING the predicate: candidate files also hold
+                // non-matching rows (stats selection is conservative and
+                // file bounds rarely align with the predicate), so rewrite
+                // the survivors instead of dropping them with the file.
+                val log = txn.log
+                val condCol = expr(cond)
+                val touched = Dml.findTouchedFiles(
+                  spark, log, txn, candidates, condCol)
+                val kept = txn.writeFiles(
+                  Dml.scanFiles(spark, log, txn, touched)
+                    .filter(!coalesce(condCol, lit(false))))
+                (touched.map(_.remove(now)), kept)
+              }
             case None if dynamicPartitionOverwrite =>
               // Register the touched partitions as READ so a concurrent
               // append into an overwritten partition raises a conflict
               // instead of being silently lost.
               val touched = adds.map(_.partitionValues).toSet
-              if (touched.isEmpty) Nil
+              if (touched.isEmpty) (Nil, Nil)
               else {
                 val pred = touchedPartitionPredicate(touched.toSeq, m)
-                txn.filterFiles(Seq(pred), Nil).map(_.remove(now))
+                (txn.filterFiles(Seq(pred), Nil).map(_.remove(now)), Nil)
               }
             case None =>
               txn.readWholeTable()
-              txn.snapshot.allFiles.map(_.remove(now, dataChange))
+              (txn.snapshot.allFiles.map(_.remove(now, dataChange)), Nil)
           }
         case other => throw new IllegalArgumentException(s"Unknown mode $other")
       }
@@ -175,7 +191,7 @@ object WriteIntoGraft {
         yield SetTransaction(app, v, Some(now))
 
       txn.commit(
-        adds ++ removes ++ txnAction.toSeq,
+        adds ++ survivorAdds ++ removes ++ txnAction.toSeq,
         operation = if (mode == "append") "WRITE" else "OVERWRITE",
         operationParameters = Map(
           "mode" -> mode) ++ replaceWhere.map("replaceWhere" -> _),

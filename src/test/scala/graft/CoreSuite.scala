@@ -133,6 +133,45 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.count() === lineitem.count())
   }
 
+  test("arbitrary replaceWhere preserves non-matching rows sharing a file") {
+    val dir = tmpDir()
+    // one file holding BOTH matching (id < 10) and non-matching rows
+    Graft.write(spark.range(100).toDF("id").repartition(1), dir)
+    Graft.write(spark.range(5).toDF("id"), dir,
+      mode = "overwrite", replaceWhere = Some("id < 10"))
+    val got = Graft.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).sorted
+    // 90 surviving originals + 5 replacements; rows 10..99 NOT lost
+    assert(got === ((0L until 5L) ++ (10L until 100L)).toArray)
+    // files without any matching row are untouched (not rewritten)
+    val dir2 = tmpDir()
+    Graft.write(spark.range(50).toDF("id").repartition(1), dir2)
+    Graft.write(spark.range(100, 150).toDF("id").repartition(1), dir2)
+    val before = GraftLog.forTable(spark, dir2).update().allFiles.map(_.path).toSet
+    Graft.write(spark.range(7).toDF("id"), dir2,
+      mode = "overwrite", replaceWhere = Some("id < 10"))
+    val after = GraftLog.forTable(spark, dir2).update().allFiles.map(_.path).toSet
+    assert(after.intersect(before).size === 1, "untouched file must survive")
+    assert(Graft.read(spark, dir2).count() === 100 - 10 + 7)
+  }
+
+  test("UPDATE that changes a partition column moves rows across partitions") {
+    val dir = tmpDir()
+    val df = spark.range(100).toDF("id")
+      .withColumn("p", (col("id") % 2).cast("string"))
+    Graft.write(df, dir, partitionBy = Seq("p"))
+    GraftTable.forPath(spark, dir).update(col("id") < 10, Map("p" -> lit("9")))
+    val got = Graft.read(spark, dir)
+    assert(got.count() === 100)
+    assert(got.where(col("p") === "9").count() === 10)
+    assert(got.where(col("p") === "0").count() === 45)
+    // moved rows are physically in the new partition: pruning on p=9
+    // alone must find them
+    val pruned = Graft.read(spark, dir).where(col("p") === "9")
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(pruned === (0L until 10L).toArray)
+  }
+
   test("merge upsert") {
     val dir = tmpDir()
     val target = spark.range(10).select(col("id"), lit("old").as("v"))
