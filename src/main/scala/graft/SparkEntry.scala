@@ -23,8 +23,35 @@ import graft.text.TextFunctions._
  */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Converted-fixture cache: fixture parquet → graft table path, once per
+    * JVM. Every query therefore reads through the engine's own scan path
+    * (GraftFileIndex → stats skipping → GraftParquetFileFormat), not
+    * `spark.read.parquet` — the green rows certify the engine, not Spark.
+    * Hardlink the immutable fixture into a temp dir (copy if cross-device)
+    * and CONVERT in place: no data rewrite, footer stats only. */
+  private val graftTables =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val path = graftTables.computeIfAbsent(s"$dir/$name", _ => {
+      val gp = Files.createTempDirectory(s"graft-tbl-$name")
+      val src = java.nio.file.Paths.get(s"$dir/$name.parquet")
+      def place(p: java.nio.file.Path, idx: Int): Unit = {
+        val dst = gp.resolve(f"part-$idx%05d-$name.parquet")
+        try Files.createLink(dst, p)
+        catch { case _: Exception => Files.copy(p, dst) }
+      }
+      if (Files.isDirectory(src)) {
+        import scala.jdk.CollectionConverters._
+        Files.list(src).iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (p, i) => place(p, i) }
+      } else place(src, 0)
+      Graft.convertFromParquet(s, gp.toString)
+      gp.toString
+    })
+    s.read.format("graft").load(path)
+  }
 
   private def tmp(prefix: String): String =
     Files.createTempDirectory(s"graft-$prefix").toString
@@ -151,7 +178,10 @@ object SparkEntry {
     "q_collect_array" -> ((s, dir) => {
       t(s, dir, "events")
         .groupBy("user_id")
-        .agg(sort_array(collect_list(col("event_type"))).as("types"),
+        // joined to a scalar so the oracle harness can sort/hash the column
+        // (pandas cannot factorize list cells)
+        .agg(array_join(sort_array(collect_list(col("event_type"))), ",")
+            .as("types"),
           count(lit(1)).as("n"))
         .orderBy("user_id")
     }),
@@ -208,11 +238,10 @@ object SparkEntry {
     }),
 
     "q_events_rollup" -> ((s, dir) => {
-      // ts arrives as raw nanos (nanosAsLong): convert to micros timestamp
-      // (integer div — long / long is double division in Spark)
+      // events.ts is timestamp[us]; day truncation matches DuckDB's
+      // CAST(ts AS DATE) under the UTC session
       t(s, dir, "events")
-        .groupBy(col("event_type"),
-          to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(
           count(lit(1)).as("n"),
           countDistinct(col("user_id")).as("users"),
@@ -285,10 +314,8 @@ object SparkEntry {
       // sessionize per user with a 30-minute inactivity gap; Spark's
       // session_window works identically in batch and streaming, so this
       // exact query also runs over readStream with a watermark
-      // integer `div`, not `/`: long / long is double division in Spark
-      // and the rounding disagrees with DuckDB's epoch_us truncation
       val ev = t(s, dir, "events").select(col("user_id"),
-        timestamp_micros(expr("ts div 1000")).as("tsm"))
+        col("ts").cast("timestamp").as("tsm"))
       ev.groupBy(col("user_id"), session_window(col("tsm"), "30 minutes").as("w"))
         .agg(count(lit(1)).as("n"))
         .select(col("user_id"),
@@ -299,14 +326,15 @@ object SparkEntry {
 
     "q_band_join" -> ((s, dir) => {
       // clicks within +-1 hour of each purchase, across ALL users — a
-      // pure range join with no equi key (ts arrives as raw nanos)
+      // pure range join with no equi key (epoch-micros arithmetic)
       val ev = t(s, dir, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("ts"))
+        .select(col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts"))
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("ts").as("c_ts"))
+        .select(unix_micros(col("ts").cast("timestamp")).as("c_ts"))
       graft.operators.RangeJoin.band(purchases, clicks, "ts", "c_ts",
-          width = 3600L * 1000000000L, rightPrefix = "r_")
+          width = 3600L * 1000000L, rightPrefix = "r_")
         .groupBy("event_id").agg(count(lit(1)).as("n_clicks"))
         .orderBy("event_id")
     }),
@@ -381,12 +409,13 @@ object SparkEntry {
     "graft_partition_inference" -> ((s, dir) => {
       val path = tmp("pinf")
       val raw = t(s, dir, "events")
-      // events.ts arrives as raw nanos (nanosAsLong); cutoff computed in
-      // micros so Spark and the oracle truncate identically
-      val maxNanos = raw.agg(max("ts")).head.getLong(0)
-      val cutMicros = maxNanos / 1000 - 2L * 86400 * 1000000
-      val ev = raw.withColumn("ts",
-        timestamp_micros((col("ts") / 1000).cast("long")))
+      // cutoff computed in epoch micros so Spark and the oracle truncate
+      // identically; ts normalized to session-TZ timestamp (UTC session →
+      // identical instants to DuckDB's ntz view of the same file)
+      val maxMicros =
+        raw.agg(max(unix_micros(col("ts").cast("timestamp")))).head.getLong(0)
+      val cutMicros = maxMicros - 2L * 86400 * 1000000
+      val ev = raw.withColumn("ts", col("ts").cast("timestamp"))
       val schema = org.apache.spark.sql.types.StructType(
         graft.schema.SchemaUtils.toNullable(ev.schema).fields :+
           graft.schema.ColumnDefaults.generatedField("d",
@@ -968,47 +997,27 @@ object SparkEntry {
   // ==========================================================================
 
   private val pipeline: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_stats" -> ((s, dir) => {
-      t(s, dir, "documents").select(
+    // All per-document scalar signals as ONE wide projection (token/BPE
+    // counts, quality, language id, entropy, repetition fractions) plus
+    // the fingerprint determinism/sensitivity invariants — one row per
+    // doc, every text kernel oracle-checked as a column. Folded from six
+    // single-signal queries to keep the declared set under the driver's
+    // 100-entry cap; at 100 TB this is also the shape a curation pass
+    // actually runs (one scan, many codegen'd signal columns).
+    "text_signals" -> ((s, dir) => {
+      import graft.text.TextFunctions.{dupTokenFrac, topNgramFrac}
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val signals = d.select(
         col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
         bpeTokenCount(col("text")).as("n_bpe"),
-        length(col("text")).as("n_chars_calc"))
-        .orderBy("doc_id")
-    }),
-
-    "text_quality" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id")
-    }),
-
-    "text_langid" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"), langId(col("text")).as("lang_pred"))
-        .orderBy("doc_id")
-    }),
-
-    "text_entropy" -> ((s, dir) => {
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        round(charEntropy(col("text")), 4).as("entropy"))
-        .orderBy("doc_id")
-    }),
-
-    // Fingerprint values are 64-bit hashes DuckDB cannot reproduce, so the
-    // query emits the oracle-checkable INVARIANTS instead: a fingerprint is
-    // deterministic (identical text -> identical fp, for both the rolling
-    // hash and the simhash) and content-sensitive (appended token -> new fp).
-    "text_termstats" -> ((s, dir) => {
-      graft.text.TextFunctions.termStats(
-        t(s, dir, "documents"), col("doc_id"), col("text"), topK = 3)
-        .orderBy("doc_id", "term")
-    }),
-
-    "text_fingerprint" -> ((s, dir) => {
-      val d = t(s, dir, "documents").select("doc_id", "text")
+        length(col("text")).as("n_chars_calc"),
+        qualityScore(col("text")).as("quality"),
+        langId(col("text")).as("lang_pred"),
+        round(charEntropy(col("text")), 4).as("entropy"),
+        dupTokenFrac(col("text")).as("dup_word_frac"),
+        topNgramFrac(col("text"), 1).as("top_word_frac"),
+        topNgramFrac(col("text"), 2).as("top_bigram_frac"))
       val variants = d
         .withColumn("copy_fp", docFingerprint(col("text")))
         .withColumn("pert_fp", docFingerprint(concat(col("text"), lit(" zzz"))))
@@ -1019,22 +1028,22 @@ object SparkEntry {
         d.select((col("doc_id") + 100000).as("doc_id"), col("text")),
         col("doc_id"), col("text"))
         .select((col("id") - 100000).as("doc_id"), col("fp").as("sim2"))
-      variants.join(sim, "doc_id").join(simCopy, "doc_id")
+      val fps = variants.join(sim, "doc_id").join(simCopy, "doc_id")
         .select(col("doc_id"),
           (col("fp") === col("copy_fp")).as("fp_deterministic"),
           (col("fp") =!= col("pert_fp")).as("fp_sensitive"),
           (col("sim1") === col("sim2")).as("simhash_deterministic"))
-        .orderBy("doc_id")
+      signals.join(fps, "doc_id").orderBy("doc_id")
     }),
 
-    "text_repetition" -> ((s, dir) => {
-      import graft.text.TextFunctions.{dupTokenFrac, topNgramFrac}
-      t(s, dir, "documents").select(
-        col("doc_id"),
-        dupTokenFrac(col("text")).as("dup_word_frac"),
-        topNgramFrac(col("text"), 1).as("top_word_frac"),
-        topNgramFrac(col("text"), 2).as("top_bigram_frac"))
-        .orderBy("doc_id")
+    // Fingerprint values are 64-bit hashes DuckDB cannot reproduce, so the
+    // query emits the oracle-checkable INVARIANTS instead: a fingerprint is
+    // deterministic (identical text -> identical fp, for both the rolling
+    // hash and the simhash) and content-sensitive (appended token -> new fp).
+    "text_termstats" -> ((s, dir) => {
+      graft.text.TextFunctions.termStats(
+        t(s, dir, "documents"), col("doc_id"), col("text"), topK = 3)
+        .orderBy("doc_id", "term")
     }),
 
     // Plant contaminated training docs (benchmark text embedded behind a
@@ -1269,7 +1278,7 @@ object SparkEntry {
     "stream_windowed_agg" -> ((s, dir) => {
       val src = tmp("swsrc"); val out = tmp("swout"); val ckpt = tmp("swckpt")
       val ev = t(s, dir, "events")
-        .select(timestamp_micros(expr("ts div 1000")).as("ts"),
+        .select(col("ts").cast("timestamp").as("ts"),
           col("event_type"), col("value"))
       Graft.write(ev.repartition(8), src)
       val q = s.readStream.format("graft")
@@ -1302,10 +1311,17 @@ object SparkEntry {
       import s.implicits._
       val src = tmp("sfsrc"); val tgt = tmp("sftgt"); val ckpt = tmp("sfckpt")
       val ev = t(s, dir, "events").select("user_id", "value")
-      Graft.write(ev.repartition(8), src)
+      Graft.write(ev.repartition(4), src)
       Graft.write(ev.limit(0).select(col("user_id"),
         lit(0L).as("n_events"), col("value").as("max_value"),
         col("value").as("min_value")).limit(0), tgt)
+      // State-store task count follows shuffle.partitions at stream start;
+      // size it to the stream (15 distinct users), not the session-wide 32
+      // — a 32-partition state store per micro-batch benches fixed
+      // overhead, not the operator. Restored after the stream finishes.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
       val q = s.readStream.format("graft")
         .option("maxFilesPerTrigger", "2").load(src)
         .select("user_id", "value").as[(Long, Double)]
@@ -1335,6 +1351,7 @@ object SparkEntry {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination(300000)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       Graft.read(s, tgt)
         .select("user_id", "n_events", "max_value", "min_value")
         .orderBy("user_id")
@@ -1442,7 +1459,10 @@ object SparkEntry {
     // can re-derive the metadata (plain-arithmetic widths/durations) and
     // independently verify the resize math, frame cadence, and decode
     // invariants — the codec itself stays the loudly-marked stub.
-    "multimodal_decode" -> ((s, dir) => {
+    // Decode invariants + resize metadata in one row per media item
+    // (folded from two single-facet queries; the stubbed featurizer's
+    // determinism/range plus the real fit-box arithmetic, joined).
+    "multimodal_transform" -> ((s, dir) => {
       val media = Multimodal.mediaFromIds(
         t(s, dir, "documents").where(col("doc_id") < 200)
           .select(col("doc_id").as("id")))
@@ -1451,13 +1471,17 @@ object SparkEntry {
       // must be identical (determinism is the decode contract)
       val b = Multimodal.decodePartitioned(media.repartition(7), dims = 8)
         .select(col("media_id"), col("features").as("features_b"))
-      a.join(b, "media_id")
+      val dec = a.join(b, "media_id")
         .select(col("media_id"), col("kind"),
           (size(col("features")) === 8).as("n_dims_ok"),
           forall(col("features"),
             x => x >= -1.0f && x < 1.0f).as("in_range"),
           (col("features") === col("features_b")).as("deterministic"))
-        .orderBy("media_id")
+      val rz = Multimodal.resize(media, maxW = 256, maxH = 256)
+        .select(col("media_id"),
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"))
+      dec.join(rz, "media_id").orderBy("media_id")
     }),
 
     "multimodal_frames" -> ((s, dir) => {
@@ -1466,17 +1490,6 @@ object SparkEntry {
           .select(col("doc_id").as("id")))
       Multimodal.sampleFrames(media, everyMs = 10000)
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
-        .orderBy("media_id")
-    }),
-
-    "multimodal_resize" -> ((s, dir) => {
-      val media = Multimodal.mediaFromIds(
-        t(s, dir, "documents").where(col("doc_id") < 200)
-          .select(col("doc_id").as("id")))
-      Multimodal.resize(media, maxW = 256, maxH = 256)
-        .select(col("media_id"), col("kind"),
-          col("meta.width").cast("long").as("width"),
-          col("meta.height").cast("long").as("height"))
         .orderBy("media_id")
     }),
 
@@ -1639,7 +1652,7 @@ object SparkEntry {
       """SELECT l.event_id, count(*) AS n_clicks
          FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') l
          JOIN (SELECT ts AS c_ts FROM events WHERE event_type = 'click') r
-           ON abs(epoch_ns(l.ts) - epoch_ns(r.c_ts)) <= 3600000000000
+           ON abs(epoch_us(l.ts) - epoch_us(r.c_ts)) <= 3600000000
          GROUP BY 1 ORDER BY 1""",
 
     "q_pivot" ->
@@ -1939,15 +1952,18 @@ object SparkEntry {
          FROM lineitem""",
 
     // -- pipeline operators -----------------------------------------------
-    "text_stats" ->
-      """SELECT doc_id,
+    "text_signals" ->
+      """SELECT st.doc_id, st.n_tokens, st.n_bpe, st.n_chars_calc,
+           q.quality, l.lang_pred, e.entropy,
+           r.dup_word_frac, r.top_word_frac, r.top_bigram_frac,
+           true AS fp_deterministic, true AS fp_sensitive,
+           true AS simhash_deterministic
+         FROM (SELECT doc_id,
          CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS INT) AS n_tokens,
          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS n_bpe,
          CAST(len(text) AS INT) AS n_chars_calc
-         FROM documents ORDER BY doc_id""",
-
-    "text_quality" ->
-      """SELECT doc_id, round(
+         FROM documents) st
+         JOIN (SELECT doc_id, round(
            least(len(text) / 200.0, 1.0) * 0.4 +
            (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) > 0
                  AND len(text) / CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> len(x) > 0)) AS DOUBLE) BETWEEN 3.0 AND 12.0
@@ -1955,21 +1971,8 @@ object SparkEntry {
            (CASE WHEN len(regexp_extract_all(text, '[\.,;:!\?''"]')) / CAST(len(text) AS DOUBLE) < 0.2 THEN 1.0 ELSE 0.4 END) * 0.2 +
            (CASE WHEN len(regexp_extract_all(text, '[A-Z]')) / CAST(len(text) AS DOUBLE) < 0.3 THEN 1.0 ELSE 0.5 END) * 0.1,
            4) AS quality
-         FROM documents ORDER BY doc_id""",
-
-    "ann_bruteforce" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-         scored AS (
-           SELECT q.qid, e.vec_id AS cid,
-                  list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score
-           FROM q CROSS JOIN embeddings e),
-         ranked AS (
-           SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
-           FROM scored)
-         SELECT qid, rank, cid FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
-
-    "text_langid" ->
-      """WITH toks AS (
+         FROM documents) q USING (doc_id)
+         JOIN (WITH toks AS (
            SELECT doc_id,
              list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> len(x) > 0) AS t
            FROM documents
@@ -1989,10 +1992,8 @@ object SparkEntry {
                   WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
                   ELSE 'de' END
            ELSE 'und' END AS lang_pred
-         FROM scores ORDER BY doc_id""",
-
-    "text_entropy" ->
-      """WITH chars AS (
+         FROM scores) l USING (doc_id)
+         JOIN (WITH chars AS (
            SELECT doc_id, unnest(string_split(text, '')) AS ch
            FROM documents),
          freq AS (
@@ -2001,7 +2002,44 @@ object SparkEntry {
          tot AS (SELECT doc_id, sum(n) AS t FROM freq GROUP BY 1)
          SELECT f.doc_id, round(-sum((n/t) * log2(n/t)), 4) AS entropy
          FROM freq f JOIN tot USING (doc_id)
-         GROUP BY f.doc_id ORDER BY f.doc_id""",
+         GROUP BY f.doc_id) e USING (doc_id)
+         JOIN (WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> len(x) > 0) AS t
+           FROM documents
+         ), g AS (
+           SELECT doc_id,
+             CASE WHEN len(t) >= 1 THEN t ELSE [''] END AS g1,
+             CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+               ELSE [array_to_string(t, ' ')] END AS g2,
+             t
+           FROM toks
+         )
+         SELECT doc_id,
+           CASE WHEN len(t) > 0
+             THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+             ELSE 0.0 END AS dup_word_frac,
+           CAST(list_max(list_transform(list_distinct(g1),
+               w -> len(list_filter(g1, x -> x = w)))) AS DOUBLE)
+             / CAST(len(g1) AS DOUBLE) AS top_word_frac,
+           CAST(list_max(list_transform(list_distinct(g2),
+               w -> len(list_filter(g2, x -> x = w)))) AS DOUBLE)
+             / CAST(len(g2) AS DOUBLE) AS top_bigram_frac
+         FROM g) r USING (doc_id)
+         ORDER BY st.doc_id""",
+
+    "ann_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.qid, e.vec_id AS cid,
+                  list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS score
+           FROM q CROSS JOIN embeddings e),
+         ranked AS (
+           SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
+           FROM scored)
+         SELECT qid, rank, cid FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
 
     "text_termstats" ->
       """WITH toks AS (
@@ -2023,11 +2061,6 @@ object SparkEntry {
          SELECT t.doc_id, t.term, t.tf, d.df
          FROM topk t JOIN docfreq d USING (term)
          WHERE t.rn <= 3 ORDER BY t.doc_id, t.term""",
-
-    "text_fingerprint" ->
-      """SELECT doc_id, true AS fp_deterministic, true AS fp_sensitive,
-         true AS simhash_deterministic
-         FROM documents ORDER BY doc_id""",
 
     "pipeline_split" ->
       """SELECT CASE WHEN doc_id * 2654435761 % 1000 < 980 THEN 'train'
@@ -2080,7 +2113,8 @@ object SparkEntry {
          GROUP BY 1, 2 ORDER BY 1""",
 
     "q_collect_array" ->
-      """SELECT user_id, list(event_type ORDER BY event_type) AS types,
+      """SELECT user_id,
+         string_agg(event_type, ',' ORDER BY event_type) AS types,
          count(*) AS n
          FROM events GROUP BY user_id ORDER BY user_id""",
 
@@ -2231,19 +2265,7 @@ object SparkEntry {
     // Multimodal: the oracle re-derives the arithmetic metadata and
     // checks the engine's resize math / frame cadence / decode
     // invariants independently (the codec stub's bytes are NOT checked).
-    "multimodal_decode" ->
-      """SELECT doc_id AS media_id,
-         (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
-         true AS n_dims_ok, true AS in_range, true AS deterministic
-         FROM documents WHERE doc_id < 200 ORDER BY media_id""",
-
-    "multimodal_frames" ->
-      """SELECT doc_id AS media_id,
-         (doc_id * 97 % 60000 + 999) // 10000 + 1 AS n_frames
-         FROM documents WHERE doc_id < 60 AND doc_id % 3 = 2
-         ORDER BY media_id""",
-
-    "multimodal_resize" ->
+    "multimodal_transform" ->
       """WITH m AS (
            SELECT doc_id AS media_id,
              (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
@@ -2252,6 +2274,7 @@ object SparkEntry {
            FROM documents WHERE doc_id < 200
          )
          SELECT media_id, kind,
+           true AS n_dims_ok, true AS in_range, true AS deterministic,
            CASE WHEN kind = 'image'
              THEN GREATEST(CAST(ROUND(w * LEAST(256.0 / w, 256.0 / h, 1.0)) AS INT), 1)
              ELSE w END AS width,
@@ -2259,6 +2282,12 @@ object SparkEntry {
              THEN GREATEST(CAST(ROUND(h * LEAST(256.0 / w, 256.0 / h, 1.0)) AS INT), 1)
              ELSE h END AS height
          FROM m ORDER BY media_id""",
+
+    "multimodal_frames" ->
+      """SELECT doc_id AS media_id,
+         (doc_id * 97 % 60000 + 999) // 10000 + 1 AS n_frames
+         FROM documents WHERE doc_id < 60 AND doc_id % 3 = 2
+         ORDER BY media_id""",
 
     "multimodal_bmp_roundtrip" ->
       """WITH img AS (
@@ -2347,33 +2376,6 @@ object SparkEntry {
 
     "stream_dedup" ->
       "SELECT DISTINCT md5(text) AS digest FROM documents ORDER BY digest",
-
-    "text_repetition" ->
-      """WITH toks AS (
-           SELECT doc_id,
-             list_filter(string_split_regex(trim(lower(text)), '\s+'),
-               x -> len(x) > 0) AS t
-           FROM documents
-         ), g AS (
-           SELECT doc_id,
-             CASE WHEN len(t) >= 1 THEN t ELSE [''] END AS g1,
-             CASE WHEN len(t) >= 2
-               THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
-               ELSE [array_to_string(t, ' ')] END AS g2,
-             t
-           FROM toks
-         )
-         SELECT doc_id,
-           CASE WHEN len(t) > 0
-             THEN 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
-             ELSE 0.0 END AS dup_word_frac,
-           CAST(list_max(list_transform(list_distinct(g1),
-               w -> len(list_filter(g1, x -> x = w)))) AS DOUBLE)
-             / CAST(len(g1) AS DOUBLE) AS top_word_frac,
-           CAST(list_max(list_transform(list_distinct(g2),
-               w -> len(list_filter(g2, x -> x = w)))) AS DOUBLE)
-             / CAST(len(g2) AS DOUBLE) AS top_bigram_frac
-         FROM g ORDER BY doc_id""",
 
     "dedup_decontaminate" ->
       """WITH bench_docs AS (

@@ -10,12 +10,11 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.SerializableConfiguration
-import org.roaringbitmap.RoaringBitmap
 
 import graft.log.{AddFile, GraftLog, Metadata, Snapshot}
 
 /**
- * Deletion vectors: per-file RoaringBitmap sidecars of deleted row
+ * Deletion vectors: per-file [[Bitmap64]] sidecars of deleted row
  * indexes under `_dv/`, so a point DELETE on a 1 GB file writes a few-KB
  * bitmap instead of rewriting the file. Read-side application is spliced
  * into the parquet reader itself ([[GraftParquetFileFormat]]): each task
@@ -46,7 +45,7 @@ object DeletionVectors {
 
   // ---- sidecar IO ---------------------------------------------------------
 
-  def writeBitmap(path: Path, conf: Configuration, bm: RoaringBitmap): Long = {
+  def writeBitmap(path: Path, conf: Configuration, bm: Bitmap64): Long = {
     bm.runOptimize()
     val fs = path.getFileSystem(conf)
     fs.mkdirs(path.getParent)
@@ -55,10 +54,10 @@ object DeletionVectors {
     fs.getFileStatus(path).getLen
   }
 
-  def readBitmap(path: Path, conf: Configuration): RoaringBitmap = {
+  def readBitmap(path: Path, conf: Configuration): Bitmap64 = {
     val fs = path.getFileSystem(conf)
     val in = new DataInputStream(fs.open(path))
-    try { val bm = new RoaringBitmap(); bm.deserialize(in); bm } finally in.close()
+    try Bitmap64.deserialize(in) finally in.close()
   }
 
   // ---- read path ----------------------------------------------------------
@@ -79,12 +78,12 @@ object DeletionVectors {
     * same file (or retries) load the sidecar once. Bitmaps are immutable
     * after load. */
   private val bitmapCache =
-    new java.util.LinkedHashMap[String, RoaringBitmap](64, 0.75f, true) {
+    new java.util.LinkedHashMap[String, Bitmap64](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, RoaringBitmap]): Boolean = size() > 256
+          e: java.util.Map.Entry[String, Bitmap64]): Boolean = size() > 256
     }
 
-  def cachedBitmap(root: String, rel: String, conf: Configuration): RoaringBitmap = {
+  def cachedBitmap(root: String, rel: String, conf: Configuration): Bitmap64 = {
     val key = s"$root/$rel"
     bitmapCache.synchronized {
       val hit = bitmapCache.get(key)
@@ -125,18 +124,18 @@ object DeletionVectors {
         val conf = confBc.value
         val out = mutable.ArrayBuffer.empty[(String, String, Long)]
         var current: String = null
-        var bm: RoaringBitmap = null
+        var bm: Bitmap64 = null
         def flush(): Unit = if (current != null) {
           oldDvBc.value.get(current).foreach { oldRel =>
             bm.or(readBitmap(new Path(new Path(root), oldRel), conf))
           }
           val rel = s"$DIR/dv-${UUID.randomUUID}.bin"
           writeBitmap(new Path(new Path(root), rel), conf, bm)
-          out += ((current, rel, bm.getLongCardinality))
+          out += ((current, rel, bm.cardinality))
         }
         it.foreach { case (f, i) =>
-          if (f != current) { flush(); current = f; bm = new RoaringBitmap() }
-          bm.add(i.toInt)
+          if (f != current) { flush(); current = f; bm = new Bitmap64() }
+          bm.add(i)
         }
         flush()
         out.iterator

@@ -14,7 +14,7 @@ import org.apache.spark.util.SerializableConfiguration
 /**
  * A `ParquetFileFormat` that applies deletion vectors INSIDE the per-file
  * reader: each task looks up its file in a broadcast `Map[path -> dv
- * sidecar]`, loads the RoaringBitmap (executor-cached), and drops rows
+ * sidecar]`, loads the 64-bit bitmap (executor-cached), and drops rows
  * whose file row index is set — so DV application is a narrow per-split
  * filter with zero joins and zero shuffles at ANY deleted-row
  * cardinality. Row indexes come from Spark's own parquet row-index
@@ -74,7 +74,7 @@ class GraftParquetFileFormat(
       val filtered = dvBc.value.get(file.toPath.toUri.getPath) match {
         case Some(rel) =>
           val bm = DeletionVectors.cachedBitmap(root, rel, confBc.value.value)
-          rows.filter(r => !bm.contains(r.getLong(idxOrdinal).toInt))
+          rows.filter(r => !bm.contains(r.getLong(idxOrdinal)))
         case None => rows
       }
       if (!appended) filtered

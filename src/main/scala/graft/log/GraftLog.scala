@@ -21,12 +21,22 @@ import graft.tx.OptimisticTransaction
  * the cached snapshot are parsed.
  */
 class GraftLog private (
-    @transient val spark: SparkSession,
+    @transient private val creatorSpark: SparkSession,
     val dataPath: Path) extends Serializable {
+
+  /** Logs are cached per-path for the life of the JVM (like the
+    * reference's DeltaLog cache), so they must not pin the session that
+    * first opened them: resolve the live session at use, falling back to
+    * the creator only if no session is active (e.g. during teardown). */
+  @transient def spark: SparkSession =
+    SparkSession.getActiveSession.filterNot(_.sparkContext.isStopped)
+      .orElse(SparkSession.getDefaultSession
+        .filterNot(_.sparkContext.isStopped))
+      .getOrElse(creatorSpark)
 
   val logPath: Path = new Path(dataPath, "_graft_log")
   @transient val store = new LogStore(
-    spark.sessionState.newHadoopConf())
+    creatorSpark.sessionState.newHadoopConf())
 
   @volatile private var currentSnapshot: Snapshot = _
 
@@ -298,15 +308,26 @@ class GraftLog private (
 
   /** Stable path -> sidecar bucket (FNV-1a + splitmix64, same on every
     * JVM; a path's add and tombstone always land in the same bucket). */
-  private[graft] def sidecarBucket(path: String, k: Int): Int = {
-    var h = 0xCBF29CE484222325L
-    path.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      .foreach(b => h = (h ^ (b & 0xFFL)) * 0x100000001B3L)
-    java.lang.Math.floorMod(graft.expressions.VectorKernels.mix(h), k.toLong).toInt
-  }
+  private[graft] def sidecarBucket(path: String, k: Int): Int =
+    GraftLog.sidecarBucketOf(path, k)
+
+  /** How the last checkpoint write assembled its file rows
+    * ("driver" | "distributed") — observable for scale tests. */
+  @transient private[graft] var lastCheckpointMode: String = ""
+
+  /** Above this many file-state rows, checkpoint writes assemble their
+    * rows on the EXECUTORS (previous checkpoint parquet + delta-tail
+    * fold) instead of serializing a driver-side Seq through
+    * createDataset — at 10M files the driver Seq is multi-GB and one
+    * serialization choke point (reference concept:
+    * Checkpoints.scala:363 writeCheckpointFiles over the cached state
+    * dataset — re-designed). */
+  val DISTRIBUTED_CHECKPOINT_CONF = "spark.graft.checkpoint.driverThreshold"
 
   def checkpoint(snap: Snapshot = snapshot): Unit = {
-    import spark.implicits._
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val cpPath = FileNames.checkpointFile(logPath, snap.version)
     val small: Seq[SingleAction] =
       Seq(snap.protocol.wrap, snap.metadata.wrap) ++
@@ -325,12 +346,20 @@ class GraftLog private (
     val tombCutoff = System.currentTimeMillis() - retentionMs
     val liveTombs = snap.tombstones.filter(
       _.deletionTimestamp.forall(_ >= tombCutoff))
-    val fileRows: Seq[SingleAction] =
-      snap.allFiles.map(_.wrap) ++ liveTombs.map(_.wrap)
+    val fileCount = snap.numFiles + liveTombs.size
+    val distThreshold = session.conf
+      .getOption(DISTRIBUTED_CHECKPOINT_CONF).map(_.toLong).getOrElse(200000L)
+    val (fileRowsDF, mode) =
+      if (fileCount < distThreshold) {
+        val rows: Seq[SingleAction] =
+          snap.allFiles.map(_.wrap) ++ liveTombs.map(_.wrap)
+        (session.createDataset(rows).toDF, "driver")
+      } else (distributedStateRows(snap, tombCutoff), "distributed")
+    lastCheckpointMode = mode
     // Parallelism: a checkpoint of N files is tiny metadata; one file per
     // ~100k actions keeps both write and cold-read costs bounded.
-    val parts = math.max(1, fileRows.size / 100000)
-    val total = small.size + fileRows.size
+    val parts = math.max(1, (fileCount / 100000).toInt)
+    val total = small.size + fileCount
     if (checkpointPolicy(snap) == "v2") {
       val k = sidecarBuckets(snap)
       // Buckets untouched since the previous v2 checkpoint (same bucket
@@ -341,25 +370,26 @@ class GraftLog private (
       val changed: Set[Int] =
         if (reusable.isEmpty) (0 until k).toSet
         else changedSidecarBuckets(snap, k)
-      def rowPath(r: SingleAction): String =
-        if (r.add != null) r.add.path else r.remove.path
-      val byBucket = fileRows.groupBy(r => sidecarBucket(rowPath(r), k))
-      val toWrite = byBucket.filter { case (b, _) =>
-        changed.contains(b) || !reusable.contains(b)
-      }
+      val toWrite: Set[Int] =
+        (0 until k).filter(b => changed.contains(b) || !reusable.contains(b)).toSet
+      // Static helper, not the instance method: a closure over `this`
+      // would drag the whole cached Snapshot into the task binary.
+      val kLocal = k
+      val bucketOf = org.apache.spark.sql.functions.udf(
+        (p: String) => GraftLog.sidecarBucketOf(p, kLocal))
       val written: Seq[SingleAction] =
         if (toWrite.isEmpty) Nil
         else {
           val scDir = FileNames.sidecarDir(logPath, snap.version)
-          val rows = toWrite.toSeq.flatMap { case (b, rs) => rs.map(b -> _) }
-          import org.apache.spark.sql.functions.col
-          spark.createDataset(rows).toDF("bucket", "a")
-            .select(col("bucket"), col("a.*"))
+          fileRowsDF
+            .withColumn("bucket",
+              bucketOf(coalesce(col("add.path"), col("remove.path"))))
+            .where(col("bucket").isin(toWrite.toSeq: _*))
             .repartition(math.max(parts, toWrite.size min 32), col("bucket"))
             .write.partitionBy("bucket").mode("overwrite")
             .parquet(scDir.toString)
           val fs = store.fs(scDir)
-          toWrite.keys.toSeq.flatMap { b =>
+          toWrite.toSeq.flatMap { b =>
             val bDir = new Path(scDir, s"bucket=$b")
             if (!fs.exists(bDir)) Nil
             else fs.listStatus(bDir).toSeq
@@ -369,30 +399,92 @@ class GraftLog private (
                 st.getLen, st.getModificationTime).wrap)
           }
         }
+      // An unchanged reusable bucket kept its rows (churn would have put
+      // it in `changed`), so its previous sidecar carries over as-is.
       val reused = reusable.collect {
-        case (b, rows) if !changed.contains(b) && byBucket.contains(b) => rows
+        case (b, rows) if !changed.contains(b) => rows
       }.flatten.toSeq
       val sidecars = written ++ reused
       val manifest = small ++
         Seq(CheckpointMetadata(snap.version, sidecars.size.toLong).wrap) ++
         sidecars
-      spark.createDataset(manifest).repartition(1)
+      session.createDataset(manifest).repartition(1)
         .write.mode("overwrite").parquet(cpPath.toString)
       store.writeOverwrite(FileNames.lastCheckpointFile(logPath),
         s"""{"version":${snap.version},"size":$total,"sidecarBuckets":$k}""")
     } else {
-      spark.createDataset(small ++ fileRows).repartition(parts)
+      session.createDataset(small).toDF.unionByName(fileRowsDF)
+        .repartition(parts)
         .write.mode("overwrite").parquet(cpPath.toString)
       store.writeOverwrite(FileNames.lastCheckpointFile(logPath),
         s"""{"version":${snap.version},"size":$total}""")
     }
   }
 
+  /** File-action rows (live adds + retained tombstones) of `snap`,
+    * reconstructed on the executors: the previous checkpoint's parquet
+    * (manifest or v2 sidecars) is read distributed, the delta tail —
+    * metadata-scale JSON the driver parses for snapshots anyway — joins
+    * it as one small dataset, and a single per-path last-writer-wins
+    * shuffle reconciles. The driver never holds or serializes the
+    * per-file row set. */
+  private def distributedStateRows(
+      snap: Snapshot, tombCutoff: Long): org.apache.spark.sql.DataFrame = {
+    val session = spark
+    import session.implicits._
+    import org.apache.spark.sql.functions.{coalesce, col, lit, row_number}
+    val schema = session.emptyDataset[SingleAction].schema
+    val listing = store.list(logPath)
+    val baseCp = listing
+      .flatMap(st => FileNames.checkpointVersion(st.getPath.getName))
+      .filter(_ < snap.version).maxOption
+    val tailVersions = listing
+      .flatMap(st => FileNames.deltaVersion(st.getPath.getName))
+      .filter(v => baseCp.forall(v > _) && v <= snap.version).sorted
+    val tailRows: Seq[(Long, SingleAction)] = tailVersions.flatMap { v =>
+      Actions.deserialize(store.read(FileNames.deltaFile(logPath, v))).collect {
+        case a: AddFile => v -> a.wrap
+        case r: RemoveFile => v -> r.wrap
+      }
+    }
+    val names = schema.fieldNames.toSeq
+    val cols = names.map(col)
+    val baseDF = baseCp match {
+      case None =>
+        session.emptyDataset[SingleAction].toDF.withColumn("__v", lit(-1L))
+      case Some(v) =>
+        val manifest = session.read.schema(schema)
+          .parquet(FileNames.checkpointFile(logPath, v).toString)
+        val sidecarPaths = manifest.where(col("sidecar").isNotNull)
+          .select(col("sidecar.path")).as[String].collect()
+        val fileSrc =
+          if (sidecarPaths.isEmpty) manifest
+          else session.read.schema(schema)
+            .parquet(sidecarPaths.map(pp => new Path(logPath, pp).toString): _*)
+        fileSrc
+          .where(col("add").isNotNull || col("remove").isNotNull)
+          .withColumn("__v", lit(v))
+    }
+    val tailDF = session.createDataset(tailRows).toDF("__v", "a")
+      .select(names.map(n => col(s"a.$n").as(n)) :+ col("__v"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__p").orderBy(col("__v").desc)
+    baseDF.select(cols :+ col("__v"): _*)
+      .unionByName(tailDF)
+      .withColumn("__p", coalesce(col("add.path"), col("remove.path")))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .where(col("add").isNotNull ||
+        coalesce(col("remove.deletionTimestamp"), lit(Long.MaxValue)) >= tombCutoff)
+      .drop("__rn", "__v", "__p")
+  }
+
   /** SidecarFile rows of the previous checkpoint keyed by bucket id, iff
     * it was a v2 checkpoint written with the same bucket count. */
   private def previousV2Sidecars(
       snap: Snapshot, k: Int): Map[Int, Seq[SingleAction]] = {
-    import spark.implicits._
+    val session = spark
+    import session.implicits._
     val prev = try {
       val node = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(store.read(FileNames.lastCheckpointFile(logPath)))
@@ -466,6 +558,15 @@ class GraftLog private (
 
 object GraftLog {
   private val cache = new ConcurrentHashMap[String, GraftLog]()
+
+  /** Stable path -> sidecar bucket; static so executor closures don't
+    * capture a GraftLog (and with it the cached snapshot). */
+  private[graft] def sidecarBucketOf(path: String, k: Int): Int = {
+    var h = 0xCBF29CE484222325L
+    path.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      .foreach(b => h = (h ^ (b & 0xFFL)) * 0x100000001B3L)
+    java.lang.Math.floorMod(graft.expressions.VectorKernels.mix(h), k.toLong).toInt
+  }
 
   def forTable(spark: SparkSession, path: String): GraftLog = {
     val p = new Path(path)
@@ -588,9 +689,10 @@ object Snapshot {
       deltas: Seq[(Long, Path)], version: Long): Snapshot = {
     val base = checkpointVersion match {
       case Some(cp) =>
-        import log.spark.implicits._
+        val session = log.spark
+        import session.implicits._
         import org.apache.spark.sql.functions.col
-        val schema = log.spark.emptyDataset[SingleAction].schema
+        val schema = session.emptyDataset[SingleAction].schema
         val cpPath = FileNames.checkpointFile(log.logPath, cp)
         val manifest = log.spark.read.schema(schema)
           .parquet(cpPath.toString).as[SingleAction]

@@ -1013,4 +1013,32 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     GraftLog.clearCache()
     assert(Graft.read(spark, dir2).count() === 5)
   }
+
+  test("Bitmap64 DV bitmap handles row indexes past 2^31") {
+    import graft.dv.Bitmap64
+    val bm = new Bitmap64()
+    val big = Seq(0L, 5L, Int.MaxValue.toLong, Int.MaxValue.toLong + 1,
+      (1L << 33) + 7, (1L << 40) - 1)
+    big.foreach(bm.add)
+    big.foreach(i => assert(bm.contains(i), s"missing $i"))
+    assert(!bm.contains(1L))
+    assert(!bm.contains(Int.MaxValue.toLong + 2))
+    assert(bm.cardinality === big.size)
+    // 32-bit truncation collision check: (2^33+7).toInt == 7
+    assert(!bm.contains(7L))
+    // serialize -> deserialize roundtrip preserves high buckets
+    val bos = new java.io.ByteArrayOutputStream()
+    bm.runOptimize()
+    bm.serialize(new java.io.DataOutputStream(bos))
+    val back = Bitmap64.deserialize(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray)))
+    big.foreach(i => assert(back.contains(i)))
+    assert(back.cardinality === big.size)
+    // merge across buckets
+    val other = new Bitmap64()
+    other.add(1L); other.add((1L << 35) + 2)
+    back.or(other)
+    assert(back.cardinality === big.size + 2)
+    assert(back.contains((1L << 35) + 2) && back.contains(1L))
+  }
 }
