@@ -67,6 +67,23 @@ class GraftTable private[graft] (
   def merge(source: DataFrame, condition: Column): MergeBuilder =
     new MergeBuilder(this, source, condition)
 
+  // ---- Java/py4j-friendly overloads (the Python API binds these; py4j
+  // cannot see Scala default arguments or build Scala Maps) --------------
+  def updateExpr(condition: String, set: java.util.Map[String, String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    updateExpr(condition, set.asScala.toMap)
+  }
+  def updateAllExpr(set: java.util.Map[String, String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    updateAll(set.asScala.toMap.map { case (k, v) => k -> expr(v) })
+  }
+  def merge(source: DataFrame, condition: String): MergeBuilder =
+    merge(source, expr(condition))
+  def history(): DataFrame = history(Int.MaxValue)
+  def vacuum(retentionHours: Double): DataFrame =
+    vacuum(retentionHours, dryRun = false)
+  def vacuum(): DataFrame = vacuum(7 * 24.0)
+
   def history(limit: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
     spark.createDataset(log.history(limit).map { ci =>

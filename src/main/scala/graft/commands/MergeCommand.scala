@@ -54,6 +54,10 @@ class MergeBuilder(
     def update(set: Map[String, Column]): MergeBuilder = b.add(MatchedUpdate(cond, set))
     def updateExpr(set: Map[String, String]): MergeBuilder =
       update(set.map { case (k, v) => k -> expr(v) })
+    def updateExpr(set: java.util.Map[String, String]): MergeBuilder = {
+      import scala.jdk.CollectionConverters._
+      updateExpr(set.asScala.toMap)
+    }
     def delete(): MergeBuilder = b.add(MatchedDelete(cond))
   }
   class NotMatchedActions(b: MergeBuilder, cond: Option[Column]) {
@@ -62,6 +66,10 @@ class MergeBuilder(
       b.add(NotMatchedInsert(cond, values))
     def insertExpr(values: Map[String, String]): MergeBuilder =
       insert(values.map { case (k, v) => k -> expr(v) })
+    def insertExpr(values: java.util.Map[String, String]): MergeBuilder = {
+      import scala.jdk.CollectionConverters._
+      insertExpr(values.asScala.toMap)
+    }
   }
   class NotMatchedBySourceActions(b: MergeBuilder, cond: Option[Column]) {
     def update(set: Map[String, Column]): MergeBuilder =

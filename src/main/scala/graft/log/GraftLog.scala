@@ -47,9 +47,28 @@ class GraftLog private (
       store.list(logPath).exists(s =>
         FileNames.deltaVersion(s.getPath.getName).isDefined)
 
-  /** Latest snapshot, refreshed from the filesystem. */
+  /** Latest snapshot, refreshed from the filesystem. With a cached
+    * snapshot the listing is ANCHORED at the next delta name
+    * (LogStore.listFrom), so a refresh costs O(commits since the cache),
+    * not O(log history) — the shape object stores need; only a gap in
+    * the tail (log cleanup raced us) falls back to the full listing. */
   def update(): Snapshot = synchronized {
     val cached = currentSnapshot
+    if (cached != null && cached.version >= 0) {
+      val anchor = FileNames.deltaFile(logPath, cached.version + 1).getName
+      val tail = store.listFrom(logPath, anchor)
+        .flatMap(s =>
+          FileNames.deltaVersion(s.getPath.getName).map(v => v -> s.getPath))
+        .filter(_._1 > cached.version).sortBy(_._1)
+      if (tail.isEmpty) return cached
+      if (tail.head._1 == cached.version + 1) {
+        // Incremental: fold only the new tail onto the cached state.
+        currentSnapshot = cached.advance(tail)
+        cached.invalidateSkippingView()
+        return checkedCurrent()
+      }
+      // fall through: tail starts past version+1 — rebuild from scratch
+    }
     val listing = store.list(logPath)
     val deltas = listing.flatMap(s =>
       FileNames.deltaVersion(s.getPath.getName).map(v => v -> s.getPath))
@@ -59,24 +78,22 @@ class GraftLog private (
     }
     val latest = deltas.map(_._1).max
     if (cached != null && cached.version == latest) return cached
-    if (cached != null && cached.version >= 0 && deltas.exists(_._1 == cached.version + 1)) {
-      // Incremental: fold only the new tail onto the cached state.
-      val tail = deltas.filter(_._1 > cached.version).sortBy(_._1)
-      currentSnapshot = cached.advance(tail)
-      cached.invalidateSkippingView()
-    } else {
-      val checkpoints = listing.flatMap(s =>
-        FileNames.checkpointVersion(s.getPath.getName))
-      val cp = checkpoints.filter(_ <= latest).maxOption
-      val tail = deltas.filter(d => cp.forall(d._1 > _)).sortBy(_._1)
-      currentSnapshot = Snapshot.build(this, cp, tail, latest)
-      validateChecksum(currentSnapshot)
-      if (cached != null) cached.invalidateSkippingView()
-    }
-    // Fail loudly instead of misreading a table whose features we do not
-    // understand (e.g. silently ignoring deletion vectors would
-    // resurrect deleted rows). Feature-vector protocols gate per listed
-    // reader feature; legacy protocols gate on the numeric version.
+    val checkpoints = listing.flatMap(s =>
+      FileNames.checkpointVersion(s.getPath.getName))
+    val cp = checkpoints.filter(_ <= latest).maxOption
+    val tail = deltas.filter(d => cp.forall(d._1 > _)).sortBy(_._1)
+    currentSnapshot = Snapshot.build(this, cp, tail, latest)
+    validateChecksum(currentSnapshot)
+    if (cached != null) cached.invalidateSkippingView()
+    checkedCurrent()
+  }
+
+  /** Protocol-gate the freshly installed snapshot: fail loudly instead
+    * of misreading a table whose features we do not understand (e.g.
+    * silently ignoring deletion vectors would resurrect deleted rows).
+    * Feature-vector protocols gate per listed reader feature; legacy
+    * protocols gate on the numeric version. */
+  private def checkedCurrent(): Snapshot = {
     val proto = currentSnapshot.protocol
     if (!TableFeatures.readable(proto, SUPPORTED_READER_VERSION,
         TableFeatures.supportedReaderFeatures)) {

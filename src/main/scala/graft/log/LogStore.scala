@@ -83,6 +83,15 @@ class LogStore(hadoopConf: Configuration) extends Serializable {
     catch { case _: FileNotFoundException => Nil }
   }
 
+  /** Entries of `dir` whose name sorts >= `startName`, ascending — the
+    * object-store "list with start marker" shape (reference concept:
+    * LogStore.listFrom). Filesystems without server-side markers filter
+    * a full listing; an object-store LogStore overrides this with a
+    * marker-anchored LIST so refreshing a cached snapshot costs
+    * O(new commits), not O(log history). */
+  def listFrom(dir: Path, startName: String): Seq[FileStatus] =
+    list(dir).dropWhile(_.getPath.getName < startName)
+
   def exists(path: Path): Boolean = fs(path).exists(path)
 
   def delete(path: Path): Boolean = fs(path).delete(path, false)

@@ -34,6 +34,26 @@ class PlanAuditSuite extends AnyFunSuite {
     // by graft_data_skipping); here we only pin the scan-level contract
   }
 
+  test("SparkEntry relational queries scan through the graft file index") {
+    // The correctness tier must certify the ENGINE's scan path, not
+    // spark.read.parquet: q1's executed plan has to carry the log-backed
+    // GraftFileIndex location and still push filters down through it.
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    val fileIndexes = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.getClass.getSimpleName
+          case other => other.getClass.getSimpleName
+        }
+    }
+    assert(fileIndexes.nonEmpty && fileIndexes.forall(_ == "GraftFileIndex"),
+      s"relational tier not reading graft tables: $fileIndexes")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"pushdown lost through the graft scan:\n$plan")
+  }
+
   test("small dimension side of a join broadcasts") {
     val dir = tmpDir()
     Graft.write(spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"), dir)
