@@ -198,7 +198,31 @@ class GraftLog private (
 
   /** Write the put-if-absent commit file; returns the new snapshot. */
   private[graft] def writeCommit(version: Long, actions: Seq[Action]): Snapshot = {
-    store.write(FileNames.deltaFile(logPath, version), Actions.serialize(actions))
+    // Coordinated commits: when the table names a coordinator, commit
+    // arbitration goes through it instead of the store's put-if-absent
+    // (the metadata may arrive IN this commit, so check both places).
+    val coordinatorName = actions.collectFirst { case m: Metadata => m }
+      .orElse(Option(currentSnapshot).filter(_.version >= 0).map(_.metadata))
+      .flatMap(_.configuration.get("graft.coordinatedCommits.coordinator"))
+    coordinatorName match {
+      case Some(name) =>
+        val coordinator = graft.tx.CommitCoordinators.get(name).getOrElse(
+          throw new IllegalStateException(
+            s"Table $dataPath requires commit coordinator '$name', which is " +
+              "not registered in this client — writing without it would " +
+              "break the table's commit exclusion"))
+        try coordinator.commit(this, version, Actions.serialize(actions))
+        catch {
+          case e: graft.tx.CoordinatedCommitConflictException =>
+            // surface as the same signal the put-if-absent path produces
+            // so the transaction's conflict-checked retry loop applies
+            throw new java.nio.file.FileAlreadyExistsException(
+              FileNames.deltaFile(logPath, e.version).toString)
+        }
+      case None =>
+        store.write(FileNames.deltaFile(logPath, version),
+          Actions.serialize(actions))
+    }
     val snap = update()
     writeChecksum(snap)
     maybeCheckpoint(snap)

@@ -38,6 +38,10 @@ object TableFeatures {
   val typeWidening = Feature("typeWidening", 3, 7)
   val v2Checkpoint = Feature("v2Checkpoint", 3, 7)
   val domainMetadata = Feature("domainMetadata", 1, 7)
+  // Writer-gating only: backfill is synchronous, so plain readers read
+  // the published log; a writer without the coordinator must be locked
+  // out or it would bypass the table's commit arbitration.
+  val coordinatedCommits = Feature("coordinatedCommits", 1, 7)
   val clustering = Feature("clustering", 1, 7)
   val timestampNtz = Feature("timestampNtz", 3, 7)
   val variantType = Feature("variantType", 3, 7)
@@ -45,7 +49,8 @@ object TableFeatures {
   val all: Seq[Feature] = Seq(appendOnly, invariants, checkConstraints,
     changeDataFeed, generatedColumns, columnMapping, identityColumns,
     deletionVectors, rowTracking, typeWidening, v2Checkpoint,
-    domainMetadata, clustering, timestampNtz, variantType)
+    domainMetadata, clustering, timestampNtz, variantType,
+    coordinatedCommits)
   val byName: Map[String, Feature] = all.map(f => f.name -> f).toMap
 
   /** Every reader-gating feature this build understands. */
@@ -72,6 +77,8 @@ object TableFeatures {
     // A v2-checkpoint table must lock out readers that would fold the
     // small manifest as if it were the whole state (silently empty).
     if (conf.get("graft.checkpointPolicy").contains("v2")) b += v2Checkpoint
+    if (conf.contains("graft.coordinatedCommits.coordinator"))
+      b += coordinatedCommits
     if (conf.keys.exists(_.startsWith(graft.constraints.Constraints.PROP_PREFIX)))
       b += checkConstraints
     if (m.schemaString != null) {

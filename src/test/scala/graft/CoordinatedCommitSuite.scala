@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.log.{FileNames, GraftLog, TableFeatures}
+import graft.tx.{CommitCoordinator, CommitCoordinators, CoordinatedCommitConflictException}
+
+class CoordinatedCommitSuite extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-coord").toString
+
+  private val COORD_PROP = "graft.coordinatedCommits.coordinator"
+
+  test("commits on a coordinated table flow through the coordinator") {
+    // counting wrapper around the in-process coordinator
+    val count = new java.util.concurrent.atomic.AtomicInteger()
+    CommitCoordinators.register("counting", new CommitCoordinator {
+      override def commit(log: GraftLog, version: Long, content: String): Unit = {
+        count.incrementAndGet()
+        graft.tx.InProcessCoordinator.commit(log, version, content)
+      }
+    })
+    val dir = tmp()
+    Graft.write(spark.range(10).toDF("id"), dir,
+      configuration = Map(COORD_PROP -> "counting"))
+    GraftTable.forPath(spark, dir).delete(col("id") < 3)
+    assert(count.get() === 2, "create + delete must both arbitrate")
+    assert(Graft.read(spark, dir).count() === 7)
+    // synchronous backfill: a plain cold reader sees the published log
+    GraftLog.clearCache()
+    assert(Graft.read(spark, dir).count() === 7)
+  }
+
+  test("coordinated table carries the writer-gating feature") {
+    val dir = tmp()
+    Graft.write(spark.range(5).toDF("id"), dir,
+      configuration = Map(COORD_PROP -> "in-process"))
+    val proto = GraftLog.forTable(spark, dir).update().protocol
+    assert(proto.writerFeatureNames.contains("coordinatedCommits"))
+    // a writer that lacks the feature is locked out by the protocol gate
+    assert(!TableFeatures.writable(proto, 7,
+      TableFeatures.supportedWriterFeatures - "coordinatedCommits"))
+    // readers need no coordinator (backfill is synchronous)
+    assert(TableFeatures.readable(proto, 3,
+      TableFeatures.supportedReaderFeatures))
+  }
+
+  test("unregistered coordinator fails the write loudly") {
+    val dir = tmp()
+    val e = intercept[Exception] {
+      Graft.write(spark.range(5).toDF("id"), dir,
+        configuration = Map(COORD_PROP -> "no-such-coordinator"))
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => Option(c.getMessage)
+        .exists(_.contains("no-such-coordinator"))), e.toString)
+  }
+
+  test("8 racing appenders all land through coordinator arbitration") {
+    val dir = tmp()
+    Graft.write(spark.range(0).toDF("id"), dir,
+      configuration = Map(COORD_PROP -> "in-process"))
+    val pool = Executors.newFixedThreadPool(8)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (0 until 8).map { i =>
+        Future {
+          Graft.write(
+            spark.range(i * 100, i * 100 + 100).toDF("id"), dir)
+        }
+      }
+      Await.result(Future.sequence(futures), 120.seconds)
+    } finally pool.shutdown()
+    val snap = GraftLog.forTable(spark, dir).update()
+    assert(snap.version === 8L, s"expected 9 sequential commits, got ${snap.version}")
+    assert(Graft.read(spark, dir).count() === 800)
+    assert(Graft.read(spark, dir).agg(sum(col("id"))).head.getLong(0) ===
+      (0L until 800L).map(i => (i / 100) * 100 + i % 100).sum)
+  }
+
+  test("coordinator conflict surfaces as a retryable version clash") {
+    val dir = tmp()
+    Graft.write(spark.range(5).toDF("id"), dir,
+      configuration = Map(COORD_PROP -> "in-process"))
+    val log = GraftLog.forTable(spark, dir)
+    intercept[CoordinatedCommitConflictException] {
+      // version 1 == next; write it twice directly through the coordinator
+      graft.tx.InProcessCoordinator.commit(log, 0L, "{}")
+    }
+  }
+}
