@@ -65,6 +65,16 @@ object OptimizeCommand {
   /** Files already laid out by incremental clustering carry this tag. */
   val CLUSTERED_TAG = "clustered"
 
+  /** Cube id tag: every incremental clustering pass stamps its output
+    * with one fresh cube id. A cube whose files total at least
+    * `graft.cluster.targetCubeSize` is STABLE and never revisited by
+    * incremental OPTIMIZE; smaller cubes stay eligible, so successive
+    * passes merge undersized cubes with fresh writes instead of freezing
+    * early small layouts forever — steady-state cost still tracks
+    * ingest, but locality converges to target-size cubes. (Reference
+    * concept: clustering ZCUBEs — re-designed onto AddFile tags.) */
+  val CUBE_TAG = "clusterCube"
+
   def compact(table: GraftTable, predicate: Option[String],
       full: Boolean = false): DataFrame = {
     val spark = table.spark
@@ -80,18 +90,40 @@ object OptimizeCommand {
       val clusterBy = m.configuration.get("graft.clusterBy")
         .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).filter(_.nonEmpty)
       clusterBy.foreach { cols =>
-        // FULL ignores the incremental tag: everything re-clusters (the
-        // way to recover global locality after many incremental passes,
-        // or after ALTER ... CLUSTER BY changed the columns).
-        val candidates = selectFiles(spark, txn, m, predicate).filter(f =>
-          full || f.tags == null || !f.tags.get(CLUSTERED_TAG).contains("true"))
+        // FULL ignores cube state: everything re-clusters (the way to
+        // recover global locality after ALTER ... CLUSTER BY changed the
+        // columns). Incremental passes rewrite unclustered files PLUS
+        // any undersized (unstable) cubes, merging them into one new
+        // cube; stable cubes are never touched.
+        val selected = selectFiles(spark, txn, m, predicate)
+        val targetCube = conf(m, "graft.cluster.targetCubeSize",
+          10L * 1024 * 1024 * 1024)
+        def cubeOf(f: AddFile): Option[String] =
+          Option(f.tags).flatMap(_.get(CUBE_TAG))
+        val cubeSizes: Map[String, Long] = selected
+          .flatMap(f => cubeOf(f).map(_ -> f.size))
+          .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).sum }
+        def stableCube(f: AddFile): Boolean =
+          cubeOf(f).exists(c => cubeSizes(c) >= targetCube)
+        // Untagged files (and legacy clustered-without-cube files) have
+        // no cube, hence are never stable, hence always eligible.
+        val eligible = if (full) selected else selected.filterNot(stableCube)
+        // No-op guard: when every eligible file already sits in the SAME
+        // cube and nothing new arrived, a rewrite would churn bytes for
+        // zero locality gain.
+        val cubes = eligible.flatMap(cubeOf).distinct
+        val noGain = !full && eligible.nonEmpty &&
+          eligible.forall(f => cubeOf(f).isDefined) && cubes.size == 1
+        val candidates = if (noGain) Nil else eligible
+        val newCube = java.util.UUID.randomUUID().toString
         val metrics =
           if (candidates.isEmpty) Map("numFilesClustered" -> "0")
           else {
             val adds = clusterRewrite(spark, log, txn, m, candidates, cols,
                 hilbert = true)
               .map(a => a.copy(tags =
-                Option(a.tags).getOrElse(Map.empty) + (CLUSTERED_TAG -> "true")))
+                Option(a.tags).getOrElse(Map.empty) +
+                  (CLUSTERED_TAG -> "true") + (CUBE_TAG -> newCube)))
             val now = System.currentTimeMillis()
             val removes = candidates.map(_.remove(now, dataChange = false))
             val mm = Map(

@@ -42,6 +42,11 @@ object TableFeatures {
   // the published log; a writer without the coordinator must be locked
   // out or it would bypass the table's commit arbitration.
   val coordinatedCommits = Feature("coordinatedCommits", 1, 7)
+  // Writer-gating: a writer unaware of collations would strip the
+  // __COLLATIONS schema metadata on its next metadata commit and
+  // silently change the table's comparison semantics. Reads are safe —
+  // the collation rides in the schema JSON itself.
+  val collations = Feature("collations", 1, 7)
   val clustering = Feature("clustering", 1, 7)
   val timestampNtz = Feature("timestampNtz", 3, 7)
   val variantType = Feature("variantType", 3, 7)
@@ -50,7 +55,7 @@ object TableFeatures {
     changeDataFeed, generatedColumns, columnMapping, identityColumns,
     deletionVectors, rowTracking, typeWidening, v2Checkpoint,
     domainMetadata, clustering, timestampNtz, variantType,
-    coordinatedCommits)
+    coordinatedCommits, collations)
   val byName: Map[String, Feature] = all.map(f => f.name -> f).toMap
 
   /** Every reader-gating feature this build understands. */
@@ -105,6 +110,12 @@ object TableFeatures {
       if (hasType(m.schema,
           _.isInstanceOf[org.apache.spark.sql.types.VariantType]))
         b += variantType
+      if (hasType(m.schema, {
+          case st: org.apache.spark.sql.types.StringType =>
+            st != org.apache.spark.sql.types.StringType
+          case _ => false
+        }))
+        b += collations
     }
     b.result()
   }
