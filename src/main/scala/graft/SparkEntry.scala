@@ -1280,7 +1280,14 @@ object SparkEntry {
       val ev = t(s, dir, "events")
         .select(col("ts").cast("timestamp").as("ts"),
           col("event_type"), col("value"))
-      Graft.write(ev.repartition(8), src)
+      Graft.write(ev.repartition(4), src)
+      // Complete mode rewrites the WHOLE result per micro-batch, so the
+      // bench cost is (batches x state shuffle x full rewrite): size the
+      // state store to the stream and keep the batch count at 2 — still
+      // exercising multi-batch state accumulation, not fixed overhead.
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
       val q = s.readStream.format("graft")
         .option("maxFilesPerTrigger", "2").load(src)
         .withWatermark("ts", "10 minutes")
@@ -1296,6 +1303,7 @@ object SparkEntry {
         .trigger(Trigger.AvailableNow())
         .start(out)
       q.awaitTermination(300000)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       Graft.read(s, out)
         .select(to_date(col("day_start")).as("day"), col("event_type"),
           col("n"), round(col("sv"), 4).cast("double").as("sum_value"))

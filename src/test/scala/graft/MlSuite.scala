@@ -232,6 +232,44 @@ object MergeSourceEvals {
 }
 
 class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
+  test("WAV codec: synth -> decode -> stats -> resample roundtrip") {
+    val spark2 = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import graft.multimodal.WavFunctions._
+    import graft.multimodal.WavCodec
+    // driver-side reference for one clip
+    val ref = WavCodec.decode(WavCodec.synth(3L, 1000, 16000))
+    assert(ref.rate === 16000 && ref.n === 1000)
+    assert(ref.sample(0) === ((3 * 31 % 65536) - 32768))
+    // distributed: synth real bytes, decode + stats in a projection
+    val df = spark2.range(20).select(col("id"),
+        wavSynth(col("id"), lit(800) + (col("id") % 5).cast("int") * 100,
+          lit(8000)).as("payload"))
+      .withColumn("st", wavStats(col("payload")))
+      .withColumn("rs", wavStats(wavResample(col("payload"), lit(4000))))
+    val rows = df.select(col("id"),
+      col("st.sample_rate"), col("st.n_samples"), col("st.sum_s"),
+      col("rs.sample_rate").as("rs_rate"), col("rs.n_samples").as("rs_n"))
+      .collect()
+    rows.foreach { r =>
+      val id = r.getLong(0); val n = 800 + (id % 5).toInt * 100
+      assert(r.getInt(1) === 8000)
+      assert(r.getInt(2) === n)
+      // oracle sum recomputed with plain arithmetic
+      val sum = (0 until n).map(i => ((id * 31 + i.toLong * 17) % 65536L) - 32768L).sum
+      assert(r.getLong(3) === sum, s"id=$id")
+      // half the rate -> half the samples (floor), duration preserved
+      assert(r.getInt(4) === 4000)
+      assert(r.getInt(5) === n * 4000L / 8000L)
+    }
+    // resample to the same rate is byte-identical (pass-through)
+    val same = spark2.range(3).select(
+      wavSynth(col("id"), lit(100), lit(8000)).as("p"))
+      .select((col("p") === wavResample(col("p"), lit(8000))).as("eq"))
+      .collect()
+    assert(same.forall(_.getBoolean(0)))
+  }
+
   lazy val spark = TestSpark.spark
   import org.apache.spark.sql.functions._
   import graft.multimodal.Multimodal
