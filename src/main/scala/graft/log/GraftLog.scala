@@ -35,8 +35,7 @@ class GraftLog private (
       .getOrElse(creatorSpark)
 
   val logPath: Path = new Path(dataPath, "_graft_log")
-  @transient val store = new LogStore(
-    creatorSpark.sessionState.newHadoopConf())
+  @transient val store = LogStore.create(creatorSpark)
 
   @volatile private var currentSnapshot: Snapshot = _
 
@@ -636,6 +635,13 @@ class Snapshot(
     val domains: Map[String, String] = Map.empty) extends Serializable {
 
   def spark: SparkSession = log.spark
+
+  /** Same file state viewed through a different read schema — the
+    * streaming source's schema-tracking pin (batches resolve columns
+    * against the TRACKED metadata, not the table head's). */
+  private[graft] def withReadMetadata(m: Metadata): Snapshot =
+    new Snapshot(log, version, protocol, m, setTransactions, filesMap,
+      tombstones, timestampMillis, domains)
 
   // Touched on every commit and scan — materialize once per (immutable)
   // snapshot instead of rebuilding the Seq / re-summing per call.

@@ -99,6 +99,22 @@ class LogStore(hadoopConf: Configuration) extends Serializable {
   def mkdirs(path: Path): Boolean = fs(path).mkdirs(path)
 }
 
+object LogStore {
+  /** Pluggable store implementation: `spark.graft.logStore.impl` names a
+    * LogStore subclass with a (Configuration) constructor — e.g.
+    * [[graft.log.ExternalLogStore]] for object stores without native
+    * put-if-absent. Default: filesystem-atomic [[LogStore]]. */
+  def create(spark: org.apache.spark.sql.SparkSession): LogStore = {
+    val conf = spark.sessionState.newHadoopConf()
+    spark.conf.getOption("spark.graft.logStore.impl") match {
+      case Some(cls) =>
+        Class.forName(cls).getConstructor(classOf[Configuration])
+          .newInstance(conf).asInstanceOf[LogStore]
+      case None => new LogStore(conf)
+    }
+  }
+}
+
 object FileNames {
   def deltaFile(logPath: Path, version: Long): Path =
     new Path(logPath, f"$version%020d.json")

@@ -211,7 +211,14 @@ class GraftDataSource
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val log = GraftLog.forTable(sqlContext.sparkSession, pathOf(parameters))
-    val base = log.update().metadata.schema
+    // With schema tracking, the analyzed stream schema is the TRACKED one
+    // (last adopted), which may lag the table head until the stream
+    // drains up to the change and adopts it.
+    val tracked = parameters.get("schemaTrackingLocation").flatMap { loc =>
+      new graft.streaming.SchemaTrackingLog(log.store,
+        new org.apache.hadoop.fs.Path(loc)).latest().map(_.metadata.schema)
+    }
+    val base = tracked.getOrElse(log.update().metadata.schema)
     val s =
       if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
         StructType(base.fields ++ Seq(

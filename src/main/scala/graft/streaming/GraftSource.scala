@@ -107,51 +107,101 @@ class GraftSource(
 
   /**
    * Schema tracking (reference concept: DeltaSource schemaTrackingLocation
-   * — re-designed): the stream reads with the schema pinned at query
-   * start. A mid-stream schema change that old-schema reads cannot absorb
-   * fails the batch with a restart instruction; on restart the source
-   * pins the evolved schema and old files null-fill. With
-   * `schemaTrackingLocation` set, each adopted schema is persisted there
-   * (version + JSON), giving operators an auditable schema history for
-   * the checkpoint.
+   * + DeltaSourceMetadataTrackingLog — re-designed): with
+   * `schemaTrackingLocation` set, the stream reads with the LATEST schema
+   * recorded in a persistent [[SchemaTrackingLog]] (seeded with the
+   * table's schema at query start). When the commit tail reaches a
+   * metadata action whose schema differs from the tracked one, the source
+   * first DRAINS every file before that version under the old schema,
+   * then appends the new schema to the tracking log and fails the query
+   * with a restart instruction; the restarted query pins the adopted
+   * schema from the log and continues past the change. Additive changes
+   * adopt freely; renames/drops/retypes require
+   * `allowSourceColumnRenameAndDrop` (data before the change replays
+   * null-filled for columns the old files lack). Without a tracking
+   * location any schema change fails the stream permanently at that
+   * version, matching the reference's default.
    */
-  private val schemaTracking: Option[org.apache.hadoop.fs.Path] =
-    options.get("schemaTrackingLocation")
-      .map(p => new org.apache.hadoop.fs.Path(p, "_graft_schema"))
-  schemaTracking.foreach { p =>
-    val store = log.store
-    val current = snapshotAtInit.metadata.schemaString
-    val stored = store.readOpt(p).map { json =>
-      new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-        .path("schemaString").asText()
+  private val trackingLog: Option[SchemaTrackingLog] =
+    options.get("schemaTrackingLocation").map { p =>
+      new SchemaTrackingLog(log.store, new org.apache.hadoop.fs.Path(p))
     }
-    if (!stored.contains(current)) {
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      store.writeOverwrite(p, mapper.writeValueAsString(
-        java.util.Map.of(
-          "version", java.lang.Long.valueOf(snapshotAtInit.version),
-          "schemaString", current)))
+  private val allowRenameDrop =
+    options.get("allowSourceColumnRenameAndDrop").exists(_.toBoolean) ||
+      spark.conf.getOption("spark.graft.streaming.allowSourceColumnRenameAndDrop")
+        .exists(_.toBoolean)
+
+  /** The metadata whose schema this stream reads with: the tracked entry
+    * if a tracking log exists (seeded at first start), else the table
+    * schema pinned at source creation. */
+  private val readMeta: Metadata = trackingLog match {
+    case Some(tl) =>
+      tl.latest().getOrElse(
+        tl.append(snapshotAtInit.version, snapshotAtInit.metadata)).metadata
+    case None => snapshotAtInit.metadata
+  }
+  /** Snapshot view carrying the READ schema: batches over admitted files
+    * resolve columns (and column-mapping physical names) against the
+    * tracked metadata, not whatever the table head evolved to. */
+  private val readSnapshot =
+    if (readMeta eq snapshotAtInit.metadata) snapshotAtInit
+    else snapshotAtInit.withReadMetadata(readMeta)
+
+  private def sameReadSchema(a: org.apache.spark.sql.types.StructType,
+      b: org.apache.spark.sql.types.StructType): Boolean =
+    graft.schema.SchemaUtils.isWriteCompatible(a, b) &&
+      graft.schema.SchemaUtils.isWriteCompatible(b, a)
+
+  /** Set when the commit walk stopped at a schema-change barrier:
+    * (version, new metadata). Reset per fileChanges() walk. */
+  @volatile private var pendingSchemaChange: Option[(Long, Metadata)] = None
+
+  /** React to a metadata action at `version`. Returns true when the walk
+    * must stop BEFORE this version's files (schema-change barrier). */
+  private def checkSchemaChange(version: Long, meta: Metadata): Boolean = {
+    if (meta.schemaString == null) return false
+    if (sameReadSchema(readMeta.schema, meta.schema)) return false
+    trackingLog match {
+      case Some(_) =>
+        pendingSchemaChange = Some((version, meta))
+        true
+      case None =>
+        throw new UnsupportedOperationException(
+          s"Schema change at version $version of ${log.dataPath} cannot be " +
+            "read with the schema this stream started with. Restart the " +
+            "query to adopt the new schema (set schemaTrackingLocation to " +
+            "track adopted schemas across restarts).")
     }
   }
 
-  /** Throw when a commit's schema cannot be read with the stream's pinned
-    * schema (e.g. a column the pinned schema lacks would be dropped). */
-  private def checkSchemaChange(version: Long, meta: Metadata): Unit = {
-    if (meta.schemaString == null) return
-    if (!graft.schema.SchemaUtils.isWriteCompatible(
-        snapshotAtInit.metadata.schema, meta.schema)) {
+  /** Called once the stream is fully drained up to a schema-change
+    * barrier: persist the new schema and fail with a restart instruction
+    * (the restarted query reads it back via the tracking log). */
+  private def adoptSchemaChange(version: Long, meta: Metadata): Nothing = {
+    val additive = graft.schema.SchemaUtils.isWriteCompatible(
+      meta.schema, readMeta.schema)
+    if (!additive && !allowRenameDrop) {
       throw new UnsupportedOperationException(
-        s"Schema change at version $version of ${log.dataPath} cannot be " +
-          "read with the schema this stream started with. Restart the " +
-          "query to adopt the new schema" +
-          (if (schemaTracking.isEmpty)
-            " (set schemaTrackingLocation to record adopted schemas)"
-          else "") + ".")
+        s"Schema change at version $version of ${log.dataPath} drops, " +
+          "renames, or retypes a column the stream is reading. Set " +
+          "allowSourceColumnRenameAndDrop=true (or " +
+          "spark.graft.streaming.allowSourceColumnRenameAndDrop) to adopt " +
+          "it on restart.")
     }
+    val tl = trackingLog.get
+    val latestTracked = tl.latest()
+    if (!latestTracked.exists(t =>
+        t.tableVersion == version && sameReadSchema(t.metadata.schema, meta.schema))) {
+      tl.append(version, meta)
+    }
+    throw new UnsupportedOperationException(
+      s"Schema change at version $version of ${log.dataPath} recorded in " +
+        "the schema tracking log. Restart the query to continue with the " +
+        "new schema.")
   }
 
   private def cdfSchema: StructType = StructType(
-    snapshotAtInit.metadata.schema.fields ++ Seq(
+    readMeta.schema.fields ++ Seq(
       org.apache.spark.sql.types.StructField(Cdc.CHANGE_TYPE,
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField(Cdc.COMMIT_VERSION,
@@ -160,7 +210,7 @@ class GraftSource(
         org.apache.spark.sql.types.TimestampType, nullable = false)))
 
   override def schema: StructType =
-    if (readChangeFeed) cdfSchema else snapshotAtInit.metadata.schema
+    if (readChangeFeed) cdfSchema else readMeta.schema
 
   private def initialPosition: GraftSourceOffset = startingVersion match {
     case Some(v) => GraftSourceOffset(v, -1L, isInitialSnapshot = false)
@@ -177,8 +227,11 @@ class GraftSource(
     availableNowCapVersion = Some(log.update().version)
   }
 
-  /** All file changes strictly after `from`, in stream order. */
+  /** All file changes strictly after `from`, in stream order. Stops at a
+    * schema-change barrier (recorded in `pendingSchemaChange`) so every
+    * pre-change file drains under the old schema first. */
   private def fileChanges(from: GraftSourceOffset): Iterator[IndexedFile] = {
+    pendingSchemaChange = None
     val latest = availableNowCapVersion.getOrElse(log.update().version)
     val snapshotPart: Iterator[IndexedFile] =
       if (from.isInitialSnapshot) {
@@ -191,12 +244,16 @@ class GraftSource(
     val tailStart =
       if (from.isInitialSnapshot) from.reservoirVersion + 1
       else from.reservoirVersion
-    val tailPart = (tailStart to latest).iterator.flatMap { v =>
+    var barrier = false
+    val tailPart = (tailStart to latest).iterator
+      .takeWhile(_ => !barrier)
+      .flatMap { v =>
       val actions = log.readCommit(v)
       actions.foreach {
-        case meta: Metadata => checkSchemaChange(v, meta)
+        case meta: Metadata => if (checkSchemaChange(v, meta)) barrier = true
         case _ =>
       }
+      if (barrier) Iterator.empty else {
       if (readChangeFeed) {
         // CDF tail is version-granular: one admission unit per commit
         // that changed data; update/delete commits are the POINT of the
@@ -239,6 +296,7 @@ class GraftSource(
             .map { case (f, i) => IndexedFile(v, i, isInitialSnapshot = false, f) }
         }
       }
+      }
     }
     snapshotPart ++ tailPart
   }
@@ -269,6 +327,8 @@ class GraftSource(
       last = f
     }
     if (last == null) {
+      // Fully drained up to a schema-change barrier: adopt and restart.
+      pendingSchemaChange.foreach { case (v, meta) => adoptSchemaChange(v, meta) }
       if (startOffset == null) null else startOffset
     } else {
       GraftSourceOffset(last.version, last.index, last.isInitialSnapshot)
@@ -296,7 +356,7 @@ class GraftSource(
     // Deletion vectors pinned on the admitted AddFiles apply inside the
     // parquet reader (stateless, retry-deterministic: the DV sidecar
     // paths ride the offset's file list, not the live table).
-    GraftFileIndex.dataFrame(spark, log, snapshotAtInit, Some(files),
+    GraftFileIndex.dataFrame(spark, log, readSnapshot, Some(files),
       isStreaming = true)
   }
 
@@ -304,7 +364,7 @@ class GraftSource(
     * Cdc.changes over the commit range — wrapped back into a streaming
     * plan (getBatch must return isStreaming=true). */
   private def getCdfBatch(from: GraftSourceOffset, to: GraftSourceOffset): DataFrame = {
-    val order = snapshotAtInit.metadata.schema.fieldNames.toSeq ++
+    val order = readMeta.schema.fieldNames.toSeq ++
       Seq(Cdc.CHANGE_TYPE, Cdc.COMMIT_VERSION, Cdc.COMMIT_TIMESTAMP)
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (from.isInitialSnapshot) {

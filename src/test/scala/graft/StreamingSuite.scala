@@ -10,6 +10,16 @@ class StreamingSuite extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   def tmpDir(): String = Files.createTempDirectory("graft-stream").toString
 
+  /** getBatch returns a streaming plan; flip the flag so a test can run
+    * actions on it outside a streaming query. */
+  private def materialize(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val plan = df.queryExecution.logical.transform {
+      case lr: LogicalRelation if lr.isStreaming => lr.copy(isStreaming = false)
+    }
+    org.apache.spark.sql.graftshim.SparkShims.ofRows(spark, plan)
+  }
+
   test("format(graft) batch write and read with time travel options") {
     val dir = tmpDir()
     spark.range(10).toDF("id").write.format("graft").save(dir)
@@ -261,30 +271,54 @@ class StreamingSuite extends AnyFunSuite {
       === Set(10L, 11L, 12L))
   }
 
-  test("schema change mid-stream fails the source; restart adopts it") {
+  test("schema change mid-stream drains, records in the tracking log, restart adopts") {
     import org.apache.spark.sql.connector.read.streaming.ReadLimit
     val src = tmpDir(); val out = tmpDir(); val ckpt = tmpDir()
     Graft.write(spark.range(5).toDF("id"), src)
-    // a long-lived source instance pins the schema at creation
+    // a long-lived source instance pins the schema at creation and seeds
+    // the tracking log with it
     val source = new graft.streaming.GraftSource(spark,
       graft.log.GraftLog.forTable(spark, src),
       Map("schemaTrackingLocation" -> ckpt))
     val end = source.latestOffset(null, ReadLimit.allAvailable())
     assert(end != null)
+    // one more old-schema commit, THEN the schema change: the source must
+    // drain the old-schema files before adopting
+    Graft.write(spark.range(100, 102).toDF("id"), src, mode = "append")
     Graft.write(spark.range(5, 8).toDF("id").withColumn("extra", lit("x")),
       src, mergeSchema = true)
+    // first call admits the pre-change commit (no failure yet)
+    val mid = source.latestOffset(end, ReadLimit.allAvailable())
+    assert(graft.streaming.GraftSourceOffset.convert(mid)
+      .reservoirVersion < 2 ||
+      graft.streaming.GraftSourceOffset.convert(mid).json != end.json)
+    assert(materialize(source.getBatch(Some(end.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.Offset]),
+      mid.asInstanceOf[org.apache.spark.sql.execution.streaming.Offset]))
+      .count() === 2)
+    // drained: the next call hits the barrier, persists, and fails
     val err = intercept[UnsupportedOperationException] {
-      source.latestOffset(end, ReadLimit.allAvailable())
+      source.latestOffset(mid, ReadLimit.allAvailable())
     }
     assert(err.getMessage.contains("Schema change"))
-    // restart: a fresh source pins the evolved schema, old files null-fill
+    assert(err.getMessage.contains("Restart"))
+    // restart: a fresh source pins the ADOPTED schema from the log
     val restarted = new graft.streaming.GraftSource(spark,
       graft.log.GraftLog.forTable(spark, src),
       Map("schemaTrackingLocation" -> ckpt))
     assert(restarted.schema.fieldNames.contains("extra"))
-    val tracked = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(ckpt, "_graft_schema")))
-    assert(tracked.contains("extra"))
+    val tl = new graft.streaming.SchemaTrackingLog(
+      graft.log.GraftLog.forTable(spark, src).store,
+      new org.apache.hadoop.fs.Path(ckpt))
+    val latest = tl.latest().get
+    assert(latest.seqNum === 1L)
+    assert(latest.metadata.schema.fieldNames.contains("extra"))
+    // the restarted source serves the post-change commit with new schema
+    val end2 = restarted.latestOffset(mid, ReadLimit.allAvailable())
+    val batch = restarted.getBatch(Some(mid.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.Offset]),
+      end2.asInstanceOf[org.apache.spark.sql.execution.streaming.Offset])
+    assert(batch.columns.contains("extra"))
     // end-to-end: a restarted query drains everything under the new schema
     val q = spark.readStream.format("graft").load(src)
       .writeStream.format("graft").option("path", out)
@@ -293,9 +327,54 @@ class StreamingSuite extends AnyFunSuite {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
     val result = Graft.read(spark, out)
-    assert(result.count() === 8)
+    assert(result.count() === 10)
     assert(result.columns.contains("extra"))
-    assert(result.filter(col("extra").isNull).count() === 5)
+    assert(result.filter(col("extra").isNull).count() === 7)
+  }
+
+  test("non-additive schema change requires allowSourceColumnRenameAndDrop") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val src = tmpDir(); val ckpt = tmpDir()
+    Graft.write(spark.range(5).toDF("id").withColumn("tag", lit("a")), src)
+    val source = new graft.streaming.GraftSource(spark,
+      graft.log.GraftLog.forTable(spark, src),
+      Map("schemaTrackingLocation" -> ckpt))
+    val end = source.latestOffset(null, ReadLimit.allAvailable())
+    // drop `tag`
+    GraftTable.forPath(spark, src).dropColumn("tag")
+    Graft.write(spark.range(5, 7).toDF("id"), src, mode = "append")
+    // without the unblock option, adoption is refused with a clear error
+    val refused = intercept[UnsupportedOperationException] {
+      source.latestOffset(end, ReadLimit.allAvailable())
+    }
+    assert(refused.getMessage.contains("allowSourceColumnRenameAndDrop"))
+    // tracking log still holds only the seed entry
+    val tl = new graft.streaming.SchemaTrackingLog(
+      graft.log.GraftLog.forTable(spark, src).store,
+      new org.apache.hadoop.fs.Path(ckpt))
+    assert(tl.latest().get.seqNum === 0L)
+    // with the option, the change is recorded and the stream restarts
+    val unblocked = new graft.streaming.GraftSource(spark,
+      graft.log.GraftLog.forTable(spark, src),
+      Map("schemaTrackingLocation" -> ckpt,
+        "allowSourceColumnRenameAndDrop" -> "true"))
+    val adopted = intercept[UnsupportedOperationException] {
+      unblocked.latestOffset(end, ReadLimit.allAvailable())
+    }
+    assert(adopted.getMessage.contains("Restart"))
+    assert(tl.latest().get.seqNum === 1L)
+    assert(!tl.latest().get.metadata.schema.fieldNames.contains("tag"))
+    // restart serves the post-drop commit with the adopted (narrower) schema
+    val restarted = new graft.streaming.GraftSource(spark,
+      graft.log.GraftLog.forTable(spark, src),
+      Map("schemaTrackingLocation" -> ckpt))
+    assert(restarted.schema.fieldNames.toSeq === Seq("id"))
+    val end2 = restarted.latestOffset(end, ReadLimit.allAvailable())
+    val batch = restarted.getBatch(Some(end.asInstanceOf[
+        org.apache.spark.sql.execution.streaming.Offset]),
+      end2.asInstanceOf[org.apache.spark.sql.execution.streaming.Offset])
+    assert(batch.columns.toSeq === Seq("id"))
+    assert(materialize(batch).count() === 2)
   }
 
   test("source fails on change commits unless skipChangeCommits") {
