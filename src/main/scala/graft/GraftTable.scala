@@ -535,11 +535,18 @@ object Graft {
     val log = graft.log.GraftLog.forTable(spark, path)
     require(!log.tableExists, s"graft table $path already exists")
     log.withNewTransaction { txn =>
-      txn.updateMetadata(graft.log.Metadata(
-        schemaString = graft.schema.SchemaUtils.toNullable(schema).json,
+      // A schema captured from another table's frame must not import that
+      // table's column-mapping bookkeeping; this table assigns its own.
+      val base = graft.log.Metadata(
+        schemaString = graft.schema.SchemaUtils.toNullable(
+          graft.schema.ColumnMapping.stripMappingMetadata(schema)).json,
         partitionColumns = partitionBy,
         configuration = configuration,
-        createdTime = Some(System.currentTimeMillis())))
+        createdTime = Some(System.currentTimeMillis()))
+      txn.updateMetadata(
+        if (graft.schema.ColumnMapping.isEnabled(base))
+          graft.schema.ColumnMapping.enable(base)
+        else base)
       txn.commit(Nil, "CREATE TABLE")
     }
     new GraftTable(spark, log)

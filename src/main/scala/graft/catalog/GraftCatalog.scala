@@ -286,17 +286,24 @@ class GraftCatalog extends DelegatingCatalogExtension with StagingTableCatalog {
       val now = System.currentTimeMillis()
       txn.readWholeTable()
       val removes = txn.snapshot.allFiles.map(_.remove(now))
-      val schema = data.map(_.schema).getOrElse(declaredSchema)
+      // CTAS/RTAS source frames may carry another table's column-mapping
+      // bookkeeping; the new definition assigns its own.
+      val schema = graft.schema.ColumnMapping.stripMappingMetadata(
+        data.map(_.schema).getOrElse(declaredSchema))
       require(schema.nonEmpty, s"REPLACE TABLE needs a schema or a query")
       val keepId =
         if (txn.readVersion >= 0) txn.snapshot.metadata.id
         else java.util.UUID.randomUUID.toString
-      txn.updateMetadata(Metadata(
+      val base = Metadata(
         id = keepId,
         schemaString = SchemaUtils.toNullable(schema).json,
         partitionColumns = partCols,
         configuration = config,
-        createdTime = Some(now)))
+        createdTime = Some(now))
+      txn.updateMetadata(
+        if (graft.schema.ColumnMapping.isEnabled(base))
+          graft.schema.ColumnMapping.enable(base)
+        else base)
       val adds = data.map(d => txn.writeFiles(d)).getOrElse(Nil)
       txn.commit(adds ++ removes, "REPLACE TABLE",
         operationMetrics = Map(

@@ -67,10 +67,15 @@ object WriteIntoGraft {
         if (txn.txnVersion(app) >= v) return txn.readVersion
       }
       val isNew = txn.readVersion < 0
+      // The incoming frame may carry column-mapping bookkeeping from the
+      // table it was READ from (physical names, field ids). The target
+      // table owns its mapping; inherited metadata would alias new
+      // columns onto foreign physical names.
+      val dataSchema = graft.schema.ColumnMapping.stripMappingMetadata(data.schema)
       val m0 =
         if (isNew) {
           val base = Metadata(
-            schemaString = SchemaUtils.toNullable(data.schema).json,
+            schemaString = SchemaUtils.toNullable(dataSchema).json,
             partitionColumns = partitionBy,
             configuration = configuration,
             createdTime = Some(System.currentTimeMillis()))
@@ -93,7 +98,7 @@ object WriteIntoGraft {
           // partitioning wholesale. Old columns' mapping ids are dropped
           // with the old files; new fields get fresh physical names.
           graft.schema.ColumnMapping.stampNewFields(m0.copy(
-            schemaString = SchemaUtils.toNullable(data.schema).json,
+            schemaString = SchemaUtils.toNullable(dataSchema).json,
             partitionColumns =
               if (partitionBy.nonEmpty) partitionBy else m0.partitionColumns))
         }
@@ -102,12 +107,12 @@ object WriteIntoGraft {
             configuration.isEmpty) {
           graft.schema.ColumnMapping.stampNewFields(
             m0.copy(schemaString = SchemaUtils.toNullable(
-              SchemaUtils.mergeSchemas(m0.schema, data.schema)).json))
+              SchemaUtils.mergeSchemas(m0.schema, dataSchema)).json))
         } else if (!SchemaUtils.isWriteCompatible(m0.schema, data.schema)) {
           if (mergeSchema)
             graft.schema.ColumnMapping.stampNewFields(
               m0.copy(schemaString = SchemaUtils.toNullable(
-                SchemaUtils.mergeSchemas(m0.schema, data.schema)).json))
+                SchemaUtils.mergeSchemas(m0.schema, dataSchema)).json))
           else throw new IllegalArgumentException(
             s"Schema mismatch writing to $path:\n table: ${m0.schema.simpleString}\n" +
               s" data: ${data.schema.simpleString}\nSet mergeSchema=true to evolve.")

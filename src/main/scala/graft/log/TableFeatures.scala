@@ -50,12 +50,19 @@ object TableFeatures {
   val clustering = Feature("clustering", 1, 7)
   val timestampNtz = Feature("timestampNtz", 3, 7)
   val variantType = Feature("variantType", 3, 7)
+  // Writer-gating: monotone CommitInfo-sourced timestamps only stay
+  // monotone if every writer stamps them; an unaware writer would fork
+  // the table's time-travel ordering back to file mtimes.
+  val inCommitTimestamp = Feature("inCommitTimestamp", 1, 7)
+  // Both-sides gate ensuring clients honor tombstone retention before
+  // vacuuming — protects tables shared with readers that pin old files.
+  val vacuumProtocolCheck = Feature("vacuumProtocolCheck", 3, 7)
 
   val all: Seq[Feature] = Seq(appendOnly, invariants, checkConstraints,
     changeDataFeed, generatedColumns, columnMapping, identityColumns,
     deletionVectors, rowTracking, typeWidening, v2Checkpoint,
     domainMetadata, clustering, timestampNtz, variantType,
-    coordinatedCommits, collations)
+    coordinatedCommits, collations, inCommitTimestamp, vacuumProtocolCheck)
   val byName: Map[String, Feature] = all.map(f => f.name -> f).toMap
 
   /** Every reader-gating feature this build understands. */
@@ -84,6 +91,7 @@ object TableFeatures {
     if (conf.get("graft.checkpointPolicy").contains("v2")) b += v2Checkpoint
     if (conf.contains("graft.coordinatedCommits.coordinator"))
       b += coordinatedCommits
+    if (on("graft.enableInCommitTimestamps")) b += inCommitTimestamp
     if (conf.keys.exists(_.startsWith(graft.constraints.Constraints.PROP_PREFIX)))
       b += checkConstraints
     if (m.schemaString != null) {

@@ -90,6 +90,26 @@ object ColumnMapping {
   /** Turn mapping on: stamp unstamped fields with their current names
     * plus fresh column ids. Keeps an already-set mode; `mode` applies
     * only when mapping was off. */
+  /** Remove mapping bookkeeping (physical name, column id, parquet field
+    * id) from every nested field. An incoming DataFrame — e.g. a stream
+    * read from a MAPPED table feeding an unmapped sink table — must never
+    * dictate the target table's physical names; the target assigns its
+    * own on enable/stampNewFields. */
+  def stripMappingMetadata(schema: StructType): StructType = {
+    def clean(md: org.apache.spark.sql.types.Metadata)
+        : org.apache.spark.sql.types.Metadata =
+      new MetadataBuilder().withMetadata(md)
+        .remove(PHYS_KEY).remove(ID_KEY).remove(PARQUET_FIELD_ID).build()
+    def walk(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = walk(f.dataType), metadata = clean(f.metadata))))
+      case ArrayType(e, n) => ArrayType(walk(e), n)
+      case MapType(k, v, n) => MapType(walk(k), walk(v), n)
+      case other => other
+    }
+    walk(schema).asInstanceOf[StructType]
+  }
+
   def enable(m: Metadata, mode: String = "name"): Metadata = {
     val effective = m.configuration.get(MODE_KEY)
       .filter(v => v == "name" || v == "id").getOrElse(mode)

@@ -514,6 +514,39 @@ class FeatureSuite extends AnyFunSuite {
       StructField("a", ArrayType(StructType(Seq(
         StructField("v", VariantType))))))).json)
     assert(TableFeatures.activeFeatures(m).map(_.name).contains("variantType"))
+
+    // inCommitTimestamps is writer-gating via its table property;
+    // vacuumProtocolCheck enables protocol-only (no metadata trigger)
+    val dir3 = tmpDir()
+    Graft.write(spark.range(3).toDF("id"), dir3, configuration = Map(
+      "graft.enableInCommitTimestamps" -> "true"))
+    val t3 = GraftTable.forPath(spark, dir3)
+    assert(t3.snapshot.protocol.writerFeatureNames.contains("inCommitTimestamp"))
+    assert(t3.snapshot.protocol.minReaderVersion === 1)
+    t3.addFeatureSupport("vacuumProtocolCheck")
+    val p3 = t3.snapshot.protocol
+    assert(p3.minReaderVersion === 3)
+    assert(p3.readerFeatureNames.contains("vacuumProtocolCheck"))
+    assert(Graft.read(spark, dir3).count() === 3)
+  }
+
+  test("frames read from a mapped table create clean target tables") {
+    // Regression: the stream/CTAS output of a column-mapped table carries
+    // physicalName/field-id metadata in its schema; a target table that
+    // inherits it aliases logical columns onto foreign physical names
+    // (observed: a renamed column reverting to its physical name in the
+    // sink table).
+    val src = tmpDir(); val dst = tmpDir()
+    Graft.write(spark.range(5).select(col("id"),
+        concat(lit("t"), col("id")).as("tag")), src,
+      configuration = Map("graft.columnMapping.mode" -> "name"))
+    GraftTable.forPath(spark, src).renameColumn("tag", "label")
+    Graft.write(Graft.read(spark, src), dst) // unmapped target
+    val out = Graft.read(spark, dst)
+    assert(out.columns.toSeq === Seq("id", "label"))
+    assert(out.schema.fields.forall(f =>
+      !f.metadata.contains(graft.schema.ColumnMapping.PHYS_KEY)))
+    assert(out.where(col("label") === "t3").count() === 1)
   }
 
   test("collated string columns: round-trip, and stats skipping stands down") {
