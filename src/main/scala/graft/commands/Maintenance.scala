@@ -350,6 +350,19 @@ object VacuumCommand {
       inventory: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val snap = log.update()
+    // vacuumProtocolCheck: deleting files is a write even though it never
+    // commits, so a table carrying the feature demands the full writer
+    // gate — a client ignorant of some writer feature (say, an index it
+    // should maintain) must not be the one unlinking data files.
+    if (snap.protocol.writerFeatureNames.contains("vacuumProtocolCheck") ||
+        snap.protocol.readerFeatureNames.contains("vacuumProtocolCheck")) {
+      require(graft.log.TableFeatures.writable(snap.protocol,
+        graft.log.TableFeatures.FEATURES_WRITER_VERSION,
+        graft.log.TableFeatures.supportedWriterFeatures),
+        s"VACUUM on ${log.dataPath} requires writer features " +
+          s"${snap.protocol.writerFeatureNames.mkString(", ")} " +
+          "(vacuumProtocolCheck is active)")
+    }
     val checkEnabled =
       spark.conf.getOption(retentionCheckConf).forall(_.toBoolean)
     val minRetention = snap.metadata.configuration

@@ -530,6 +530,27 @@ class FeatureSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir3).count() === 3)
   }
 
+  test("vacuumProtocolCheck runs the full writer gate before deleting") {
+    val dir = tmpDir()
+    Graft.write(spark.range(10).toDF("id"), dir)
+    val t = GraftTable.forPath(spark, dir)
+    t.addFeatureSupport("vacuumProtocolCheck")
+    // every listed feature is known -> vacuum proceeds
+    t.vacuum(7 * 24, dryRun = true)
+    // a future client lists a writer feature this build does not know;
+    // with vacuumProtocolCheck active we must refuse to unlink files
+    val log = graft.log.GraftLog.forTable(spark, dir)
+    val v = log.update().version + 1
+    log.store.write(graft.log.FileNames.deltaFile(log.logPath, v),
+      graft.log.Actions.toJson(graft.log.Protocol(3, 7,
+        readerFeatures = Some(Seq("vacuumProtocolCheck")),
+        writerFeatures = Some(Seq("futureIndexFeature", "vacuumProtocolCheck")))))
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.forPath(spark, dir).vacuum(7 * 24, dryRun = true)
+    }
+    assert(e.getMessage.contains("vacuumProtocolCheck"))
+  }
+
   test("frames read from a mapped table create clean target tables") {
     // Regression: the stream/CTAS output of a column-mapped table carries
     // physicalName/field-id metadata in its schema; a target table that
