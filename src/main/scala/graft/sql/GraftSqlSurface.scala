@@ -95,6 +95,24 @@ object GraftDml {
       val source = rewrite(session, m.sourceTable, substituteRelations = true)
       GraftMergeRun(path, targetAlias.getOrElse("__graft_tgt"), source,
         sourceAlias, toColumn(m.mergeCondition), clauses, m.withSchemaEvolution)
+    // SQL time travel (VERSION AS OF / TIMESTAMP AS OF): Spark resolves
+    // these through the DSv2 loadTable(ident, version) path, which never
+    // reaches v1-registered relations — analysis would fail with
+    // UNSUPPORTED_FEATURE.TIME_TRAVEL before any injected rule runs, so
+    // the parser hook substitutes the pinned-version scan directly.
+    case org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+        u: UnresolvedRelation, tsExpr, verOpt)
+        if substituteRelations && timeTravelTarget(session, u).isDefined =>
+      val path = timeTravelTarget(session, u).get
+      val table = GraftTable.forPath(session, path)
+      val df = verOpt match {
+        case Some(v) => table.asOfVersion(v.toLong)
+        case None =>
+          table.asOfTimestamp(timestampString(tsExpr.getOrElse(
+            throw new IllegalArgumentException(
+              "time travel needs VERSION AS OF or TIMESTAMP AS OF"))))
+      }
+      SubqueryAlias(u.multipartIdentifier.last, SparkShims.logicalPlan(df))
     case u: UnresolvedRelation if substituteRelations &&
         GraftTarget.unapply(u).isDefined =>
       graftRelation(session, GraftTarget.unapply(u).get._1)
@@ -180,6 +198,30 @@ object GraftDml {
   }
 
   /** Log-backed scan relation for `graft`.`/path` in plain queries. */
+  /** The graft location a time-travel relation points at: a `graft.`
+    * path or a metastore table registered with the graft provider. */
+  private def timeTravelTarget(
+      session: SparkSession, u: UnresolvedRelation): Option[String] =
+    u.multipartIdentifier match {
+      case Seq(g, p) if g.equalsIgnoreCase("graft") && p.contains("/") =>
+        Some(p)
+      case parts if parts.length <= 2 =>
+        namedGraftLocation(session, parts).map(_._1)
+      case _ => None
+    }
+
+  /** Evaluate a TIMESTAMP AS OF operand to a `Timestamp.valueOf`-shaped
+    * string (date-only literals gain midnight). */
+  private def timestampString(e: Expression): String = {
+    val s = e.eval(null) match {
+      case u8: org.apache.spark.unsafe.types.UTF8String => u8.toString
+      case micros: java.lang.Long =>
+        new java.sql.Timestamp(micros / 1000L).toString
+      case other => String.valueOf(other)
+    }
+    if (s.matches("""\d{4}-\d{2}-\d{2}""")) s + " 00:00:00" else s
+  }
+
   def graftRelation(session: SparkSession, path: String): LogicalPlan = {
     val log = GraftLog.forTable(session, path)
     require(log.tableExists, s"$path is not a graft table")

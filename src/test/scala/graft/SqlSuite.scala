@@ -20,6 +20,33 @@ class SqlSuite extends AnyFunSuite {
     assert(n === 10)
   }
 
+  test("SQL time travel: VERSION AS OF / TIMESTAMP AS OF on paths and named tables") {
+    val dir = tmpDir()
+    Graft.write(spark.range(2).toDF("id"), dir)   // v0
+    Graft.write(spark.range(2, 5).toDF("id"), dir) // v1
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir` VERSION AS OF 0")
+      .head.getLong(0) === 2)
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft.`$dir` VERSION AS OF 1")
+      .head.getLong(0) === 5)
+    // a timestamp beyond the last commit resolves to the latest version
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM graft.`$dir` TIMESTAMP AS OF '2999-01-01'")
+      .head.getLong(0) === 5)
+    val tbl = "graft_tt_" + (System.nanoTime() % 1000000)
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$dir'")
+    try {
+      assert(spark.sql(s"SELECT count(*) AS n FROM $tbl VERSION AS OF 0")
+        .head.getLong(0) === 2)
+      assert(spark.sql(
+        s"SELECT count(*) AS n FROM $tbl TIMESTAMP AS OF '2999-01-01 00:00:00'")
+        .head.getLong(0) === 5)
+      // joins of two travel points of the same table resolve independently
+      assert(spark.sql(
+        s"""SELECT count(*) AS n FROM $tbl VERSION AS OF 1 a
+            JOIN $tbl VERSION AS OF 0 b USING (id)""").head.getLong(0) === 2)
+    } finally spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("sql DELETE with and without WHERE") {
     val dir = tmpDir()
     Graft.write(spark.range(10).select($"id", ($"id" % 2).as("p")), dir)
