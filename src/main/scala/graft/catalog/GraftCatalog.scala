@@ -149,6 +149,41 @@ class GraftCatalog extends DelegatingCatalogExtension with StagingTableCatalog {
     })
   }
 
+  /** Graft tables surface as DSv2 tables (with v1 fallback wiring inside)
+    * so `df.writeTo` and DSv2 time travel resolve; everything else stays
+    * the delegate's V1Table. */
+  override def loadTable(ident: Identifier): Table =
+    wrapIfGraft(super.loadTable(ident), None)
+
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = super.loadTable(ident)
+    if (asGraft(t).isDefined) wrapIfGraft(t, Some(version.toLong))
+    else super.loadTable(ident, version)
+  }
+
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = super.loadTable(ident)
+    asGraft(t) match {
+      case Some(ct) =>
+        // DSv2 passes micros; the log resolves to the version current at
+        // that wall-clock instant.
+        val log = GraftLog.forTable(spark, ct.location.toString)
+        wrapIfGraft(t, Some(log.getVersionAtTime(timestamp / 1000L)))
+      case None => super.loadTable(ident, timestamp)
+    }
+  }
+
+  private def asGraft(t: Table): Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] =
+    org.apache.spark.sql.graftshim.SparkShims.v1CatalogTable(t)
+      .filter(_.provider.exists(_.equalsIgnoreCase("graft")))
+
+  private def wrapIfGraft(t: Table, version: Option[Long]): Table =
+    asGraft(t) match {
+      case Some(ct) =>
+        new GraftTableV2(spark, ct.location.toString, ct, version)
+      case None => t
+    }
+
   /** Location of an existing graft table registered under `ident`, if any. */
   private def graftLocation(ident: Identifier): Option[String] =
     try {

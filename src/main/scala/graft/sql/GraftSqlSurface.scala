@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 import org.apache.spark.sql.graftshim.SparkShims
 import org.apache.spark.sql.types._
 
@@ -46,7 +47,7 @@ object GraftDml {
       session: SparkSession,
       plan: LogicalPlan,
       substituteRelations: Boolean): LogicalPlan = plan.transformDown {
-    case InsertIntoStatement(GraftTarget(path, _), partitionSpec, userCols,
+    case InsertIntoStatement(GraftWriteTarget(path, _), partitionSpec, userCols,
         query, overwrite, _, byName) =>
       // Without this rewrite, Spark's InsertIntoHadoopFsRelationCommand
       // writes parquet straight into the directory BEHIND the log —
@@ -55,13 +56,13 @@ object GraftDml {
         overwrite, byName,
         staticPartitions = partitionSpec.collect { case (k, Some(v)) => k -> v },
         userCols = userCols)
-    case DeleteFromTable(GraftTarget(path, _), cond) =>
+    case DeleteFromTable(GraftWriteTarget(path, _), cond) =>
       GraftDeleteRun(path, nonTrivial(cond).map(toColumn))
-    case UpdateTable(GraftTarget(path, _), assignments, cond) =>
+    case UpdateTable(GraftWriteTarget(path, _), assignments, cond) =>
       GraftUpdateRun(path, cond.flatMap(nonTrivial).map(toColumn),
         assignments.map(a => keyPath(a.key) -> toColumn(a.value)).toMap)
-    case m: MergeIntoTable if GraftTarget.unapply(m.targetTable).isDefined =>
-      val Some((path, targetAlias)) = GraftTarget.unapply(m.targetTable)
+    case m: MergeIntoTable if GraftWriteTarget.unapply(m.targetTable).isDefined =>
+      val Some((path, targetAlias)) = GraftWriteTarget.unapply(m.targetTable)
       val sourceAlias = m.sourceTable match {
         case SubqueryAlias(id, _) => id.name
         case _ => "__graft_src"
@@ -116,6 +117,46 @@ object GraftDml {
     case u: UnresolvedRelation if substituteRelations &&
         GraftTarget.unapply(u).isDefined =>
       graftRelation(session, GraftTarget.unapply(u).get._1)
+    // DSv2 writes (df.writeTo, or SQL inserts resolved through the v2
+    // path) over graft tables: route into the transactional write.
+    case AppendData(r: DataSourceV2Relation, query, _, isByName, _, _)
+        if graftV2Path(r).isDefined =>
+      GraftInsertRun(graftV2Path(r).get,
+        rewrite(session, query, substituteRelations = true),
+        overwrite = false, byName = isByName)
+    case OverwriteByExpression(r: DataSourceV2Relation, deleteExpr, query,
+        _, isByName, _, _) if graftV2Path(r).isDefined =>
+      GraftInsertRun(graftV2Path(r).get,
+        rewrite(session, query, substituteRelations = true),
+        overwrite = true, byName = isByName,
+        v2ReplaceWhere = nonTrivial(deleteExpr).map(_.sql))
+    case OverwritePartitionsDynamic(r: DataSourceV2Relation, query, _, isByName, _)
+        if graftV2Path(r).isDefined =>
+      GraftInsertRun(graftV2Path(r).get,
+        rewrite(session, query, substituteRelations = true),
+        overwrite = true, byName = isByName, dynamicOverwrite = true)
+    // DSv2 reads of named graft tables: swap in the log-backed v1 scan
+    // relation (honoring a loadTable-pinned time-travel version). Parents
+    // may already be resolved against the v2 relation's attribute ids, so
+    // the replacement MUST present exactly those ids — a fresh relation's
+    // ids would orphan every reference above (MISSING_ATTRIBUTES).
+    case r: DataSourceV2Relation
+        if r.table.isInstanceOf[graft.catalog.GraftTableV2] =>
+      val gt = r.table.asInstanceOf[graft.catalog.GraftTableV2]
+      val log = GraftLog.forTable(session, gt.path)
+      val snap = gt.timeTravelVersion.map(log.getSnapshotAt)
+        .getOrElse(log.update())
+      val converted = SparkShims.logicalPlan(
+        GraftFileIndex.dataFrame(session, log, snap))
+      val byName = converted.output.map(a => a.name.toLowerCase -> a).toMap
+      if (r.output.forall(o => byName.contains(o.name.toLowerCase))) {
+        val aliases = r.output.map { out =>
+          val src = byName(out.name.toLowerCase)
+          org.apache.spark.sql.catalyst.expressions.Alias(src, out.name)(
+            exprId = out.exprId, qualifier = out.qualifier)
+        }
+        Project(aliases, converted)
+      } else converted
     // TBLPROPERTIES must land in the log (the v1 AlterTableSetProperties
     // command would otherwise touch only the metastore).
     case s @ SetTableProperties(t, props) =>
@@ -179,7 +220,7 @@ object GraftDml {
     case _ => None
   }
 
-  private def namedGraftLocation(
+  private[sql] def namedGraftLocation(
       session: SparkSession,
       ident: Seq[String]): Option[(String, Option[TableIdentifier])] = {
     try {
@@ -196,6 +237,12 @@ object GraftDml {
       else None
     } catch { case _: Exception => None }
   }
+
+  private def graftV2Path(r: DataSourceV2Relation): Option[String] =
+    r.table match {
+      case gt: graft.catalog.GraftTableV2 => Some(gt.path)
+      case _ => None
+    }
 
   /** Log-backed scan relation for `graft`.`/path` in plain queries. */
   /** The graft location a time-travel relation points at: a `graft.`
@@ -263,6 +310,31 @@ object GraftDml {
   * whose provider is graft (named tables resolve to
   * UnresolvedCatalogRelation during the main resolution batch — the
   * LogicalRelation conversion happens post-hoc, after our rule). */
+/** DML / INSERT target matcher: everything [[GraftTarget]] accepts,
+  * plus parse-time resolution of NAMED graft tables. A DML target can
+  * never be a CTE (and temp views are checked explicitly), so the
+  * name -> catalog lookup that would be unsafe for general relations —
+  * CTEs shadow table names — is safe in target position. */
+object GraftWriteTarget {
+  def unapply(plan: LogicalPlan): Option[(String, Option[String])] = plan match {
+    case SubqueryAlias(id, child) =>
+      unapply(child).map { case (p, _) => (p, Some(id.name)) }
+    case u: UnresolvedRelation =>
+      GraftTarget.unapply(u).orElse {
+        val session = SparkSession.active
+        val noTempShadow = u.multipartIdentifier match {
+          case Seq(t) => session.sessionState.catalog.getTempView(t).isEmpty
+          case _ => true
+        }
+        if (noTempShadow)
+          GraftDml.namedGraftLocation(session, u.multipartIdentifier)
+            .map { case (p, _) => (p, None) }
+        else None
+      }
+    case other => GraftTarget.unapply(other)
+  }
+}
+
 object GraftTarget {
   def unapply(plan: LogicalPlan): Option[(String, Option[String])] = plan match {
     case SubqueryAlias(id, child) =>
@@ -280,6 +352,10 @@ object GraftTarget {
     case r: org.apache.spark.sql.catalyst.catalog.UnresolvedCatalogRelation
         if r.tableMeta.provider.exists(_.equalsIgnoreCase("graft")) =>
       Some((r.tableMeta.location.toString, None))
+    case r: DataSourceV2Relation => r.table match {
+      case gt: graft.catalog.GraftTableV2 => Some((gt.path, None))
+      case _ => None
+    }
     case _ => None
   }
 }
@@ -305,7 +381,9 @@ case class GraftDeleteRun(path: String, cond: Option[Column])
 case class GraftInsertRun(
     path: String, query: LogicalPlan, overwrite: Boolean, byName: Boolean,
     staticPartitions: Map[String, String] = Map.empty,
-    userCols: Seq[String] = Nil)
+    userCols: Seq[String] = Nil,
+    v2ReplaceWhere: Option[String] = None,
+    dynamicOverwrite: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
@@ -361,7 +439,8 @@ case class GraftInsertRun(
       else None
     WriteIntoGraft(spark, path, casted,
       mode = if (overwrite) "overwrite" else "append",
-      replaceWhere = replaceWhere)
+      replaceWhere = replaceWhere.orElse(v2ReplaceWhere),
+      dynamicPartitionOverwrite = dynamicOverwrite)
     GraftCatalogCache.invalidate(spark)
     Nil
   }

@@ -57,3 +57,9 @@ object SparkShims {
     spark.asInstanceOf[ClassicSession]
       .internalCreateDataFrame(rows, schema, isStreaming)
 }
+
+/** Bridge for the sql-private streaming v1-fallback marker: a v2 table
+  * extending this falls back to its v1 CatalogTable (DSv1 source) for
+  * streaming reads. */
+trait GraftV1FallbackTable
+  extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback

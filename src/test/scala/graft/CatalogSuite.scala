@@ -316,4 +316,53 @@ class CatalogSuite extends AnyFunSuite {
       === Seq("x", "y"))
     spark.sql(s"DROP TABLE $t")
   }
+  test("DataFrameWriterV2: append, overwrite by filter, dynamic overwrite") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir()
+    val t = fresh("cat_wv2")
+    spark.sql(s"CREATE TABLE $t (id BIGINT, p STRING) USING graft " +
+      s"PARTITIONED BY (p) LOCATION '$dir/t'")
+    try {
+      spark.range(3).select(col("id"), lit("a").as("p")).writeTo(t).append()
+      spark.range(3, 5).select(col("id"), lit("b").as("p")).writeTo(t).append()
+      assert(spark.table(t).count() === 5)
+      // overwrite by filter = transactional replaceWhere
+      spark.range(10, 12).select(col("id"), lit("a").as("p"))
+        .writeTo(t).overwrite(col("p") === "a")
+      assert(spark.table(t).where(col("p") === "a").select("id")
+        .as[Long].collect().sorted.toSeq === Seq(10L, 11L))
+      assert(spark.table(t).where(col("p") === "b").count() === 2)
+      // dynamic partition overwrite touches only partitions in the data
+      spark.range(20, 21).select(col("id"), lit("b").as("p"))
+        .writeTo(t).overwritePartitions()
+      assert(spark.table(t).where(col("p") === "a").count() === 2)
+      assert(spark.table(t).where(col("p") === "b").select("id")
+        .as[Long].head === 20L)
+      // every v2 write committed through the log
+      val hist = GraftTable.forPath(spark, s"$dir/t").history()
+      assert(hist.count() >= 5)
+    } finally spark.sql(s"DROP TABLE $t")
+  }
+
+  test("spark.read.table with versionAsOf; readStream.table v1 fallback") {
+    import org.apache.spark.sql.functions._
+    val dir = tmpDir()
+    val t = fresh("cat_ttv2")
+    spark.sql(s"CREATE TABLE $t (id BIGINT) USING graft LOCATION '$dir/t'")
+    try {
+      spark.sql(s"INSERT INTO $t VALUES (1), (2)") // v1
+      spark.sql(s"INSERT INTO $t VALUES (3)")      // v2
+      assert(spark.read.option("versionAsOf", "1").table(t).count() === 2)
+      assert(spark.read.table(t).count() === 3)
+      // streaming from the NAMED table falls back to the DSv1 source
+      val ckpt = tmpDir()
+      val q = spark.readStream.table(t)
+        .writeStream.format("memory").queryName("cat_ttv2_rows")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+      assert(spark.table("cat_ttv2_rows").count() === 3)
+    } finally spark.sql(s"DROP TABLE $t")
+  }
+
 }
