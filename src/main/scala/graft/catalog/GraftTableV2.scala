@@ -33,7 +33,16 @@ class GraftTableV2(
     val path: String,
     val v1CatalogTable: CatalogTable,
     val timeTravelVersion: Option[Long] = None) extends Table
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
     with org.apache.spark.sql.graftshim.GraftV1FallbackTable {
+
+  /** SQL TRUNCATE TABLE: a transactional whole-table delete (remove
+    * actions; files stay for time travel until VACUUM). */
+  override def truncateTable(): Boolean = {
+    graft.GraftTable.forPath(spark, path).truncate()
+    graft.sql.GraftCatalogCache.invalidate(spark)
+    true
+  }
 
   lazy val log: GraftLog = GraftLog.forTable(spark, path)
   private lazy val snapshot =

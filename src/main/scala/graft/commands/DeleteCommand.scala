@@ -18,16 +18,28 @@ object Dml {
       log: GraftLog,
       txn: OptimisticTransaction,
       candidates: Seq[AddFile],
-      condition: Column): Seq[AddFile] = {
-    if (candidates.isEmpty) return Nil
+      condition: Column): Seq[AddFile] =
+    findTouchedFilesWithCount(spark, log, txn, candidates, condition)._1
+
+  /** Same single scan, but also returns the exact matched-row count (the
+    * per-file counts ride the distinct-file aggregation for free) — this
+    * is where UPDATE's numUpdatedRows comes from without a second pass. */
+  def findTouchedFilesWithCount(
+      spark: SparkSession,
+      log: GraftLog,
+      txn: OptimisticTransaction,
+      candidates: Seq[AddFile],
+      condition: Column): (Seq[AddFile], Long) = {
+    if (candidates.isEmpty) return (Nil, 0L)
     val df = GraftFileIndex.dataFrame(spark, log, txn.snapshot, Some(candidates))
-    val touched = df.filter(condition)
-      .select(input_file_name().as("f")).distinct().collect().map(_.getString(0))
+    val perFile = df.filter(condition)
+      .groupBy(input_file_name().as("f")).count().collect()
     val byPath = candidates.map(f =>
       new Path(new Path(log.dataPath, f.path).toUri.getPath).toString -> f).toMap
-    touched.flatMap { uri =>
-      byPath.get(new Path(new java.net.URI(uri).getPath).toString)
+    val touched = perFile.flatMap { r =>
+      byPath.get(new Path(new java.net.URI(r.getString(0)).getPath).toString)
     }.toSeq
+    (touched, perFile.map(_.getLong(1)).sum)
   }
 
   def scanFiles(
@@ -36,6 +48,19 @@ object Dml {
       txn: OptimisticTransaction,
       files: Seq[AddFile]): DataFrame =
     GraftFileIndex.dataFrame(spark, log, txn.snapshot, Some(files))
+
+  /** Exact row count of `files` from their numRecords stats — no scan.
+    * None when any file lacks stats (converted tables, foreign writers). */
+  def statsRowCount(files: Seq[AddFile]): Option[Long] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val counts = files.map { f =>
+      Option(f.stats).flatMap { j =>
+        val n = mapper.readTree(j).path("numRecords")
+        if (n.isNumber) Some(n.asLong) else None
+      }
+    }
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+  }
 }
 
 /**
@@ -66,7 +91,8 @@ object DeleteCommand {
               allRows.withColumn(Cdc.CHANGE_TYPE, lit("delete")))
           } else Nil
           (all.map(_.remove(now)), Nil, cdc,
-            Map("numRemovedFiles" -> all.size.toString))
+            Map("numRemovedFiles" -> all.size.toString) ++
+              Dml.statsRowCount(all).map("numDeletedRows" -> _.toString))
         case Some(cond) =>
           val condExpr = SparkShims.expression(cond)
           val (partF, dataF) = WriteIntoGraft.splitPredicates(condExpr, m)
@@ -79,7 +105,8 @@ object DeleteCommand {
                 rows.withColumn(Cdc.CHANGE_TYPE, lit("delete")))
             } else Nil
             (files.map(_.remove(now)), Nil, cdc,
-              Map("numRemovedFiles" -> files.size.toString))
+              Map("numRemovedFiles" -> files.size.toString) ++
+                Dml.statsRowCount(files).map("numDeletedRows" -> _.toString))
           } else if (graft.dv.DeletionVectors.isEnabled(m)) {
             // DV path: mark matching row indexes in a bitmap sidecar per
             // touched file; NO data file is rewritten. No findTouchedFiles
@@ -125,7 +152,12 @@ object DeleteCommand {
               } else Nil
               (touched.map(_.remove(now)), newAdds, cdc,
                 Map("numRemovedFiles" -> touched.size.toString,
-                    "numAddedFiles" -> newAdds.size.toString))
+                    "numAddedFiles" -> newAdds.size.toString) ++
+                  // exact deleted-row count with zero extra scans: rows in
+                  // the removed files minus rows in their rewrites
+                  (for { r <- Dml.statsRowCount(touched)
+                         a <- Dml.statsRowCount(newAdds) }
+                    yield "numDeletedRows" -> (r - a).toString))
             }
           }
       }
@@ -239,7 +271,7 @@ object UpdateCommand {
       val metrics = scala.collection.mutable.Map.empty[String, String]
 
       if (candidates.isEmpty) {
-        metrics += "numUpdatedFiles" -> "0"
+        metrics += ("numUpdatedFiles" -> "0", "numUpdatedRows" -> "0")
         txn.commit(Nil, "UPDATE", operationMetrics = metrics.toMap)
       } else if (graft.dv.DeletionVectors.isEnabled(m)) {
         // DV path: mark the old versions of matched rows deleted via
@@ -281,8 +313,10 @@ object UpdateCommand {
         // Rewrite path MUST narrow to files that actually contain matches
         // (it rewrites whole files, so an un-matched candidate would be
         // needlessly copied).
-        val touched = Dml.findTouchedFiles(spark, log, txn, candidates, cond)
-        metrics += "numUpdatedFiles" -> touched.size.toString
+        val (touched, matchedRows) =
+          Dml.findTouchedFilesWithCount(spark, log, txn, candidates, cond)
+        metrics += ("numUpdatedFiles" -> touched.size.toString,
+          "numUpdatedRows" -> matchedRows.toString)
         if (touched.isEmpty) {
           txn.commit(Nil, "UPDATE", operationMetrics = metrics.toMap)
         } else {

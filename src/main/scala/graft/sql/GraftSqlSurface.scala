@@ -368,13 +368,32 @@ object GraftCatalogCache {
     spark.sessionState.catalog.invalidateAllCachedTables()
 }
 
+
+/** num_affected_rows for SQL DML results (the reference's DELETE/UPDATE/
+  * MERGE SQL output): read from the just-committed version's CommitInfo
+  * metrics — metadata-scale, no data scan. -1 when the command recorded
+  * no row count (e.g. whole-table delete by file removal). */
+object GraftDmlMetrics {
+  private val rowAttr = AttributeReference("num_affected_rows",
+    LongType, nullable = false)()
+  def output: Seq[Attribute] = Seq(rowAttr)
+  def affected(spark: SparkSession, path: String, keys: Seq[String]): Seq[Row] = {
+    val log = GraftLog.forTable(spark, path)
+    val metrics = log.readCommit(log.update().version).collectFirst {
+      case ci: graft.log.CommitInfo => ci.operationMetrics
+    }.getOrElse(Map.empty)
+    val n = keys.flatMap(k => metrics.get(k).map(_.toLong)).sum
+    Seq(Row(if (keys.exists(metrics.contains)) n else -1L))
+  }
+}
+
 case class GraftDeleteRun(path: String, cond: Option[Column])
     extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = Nil
+  override val output: Seq[Attribute] = GraftDmlMetrics.output
   override def run(spark: SparkSession): Seq[Row] = {
     DeleteCommand.run(spark, path, cond)
     GraftCatalogCache.invalidate(spark)
-    Nil
+    GraftDmlMetrics.affected(spark, path, Seq("numDeletedRows"))
   }
 }
 
@@ -449,11 +468,11 @@ case class GraftInsertRun(
 case class GraftUpdateRun(
     path: String, cond: Option[Column], set: Map[String, Column])
     extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = Nil
+  override val output: Seq[Attribute] = GraftDmlMetrics.output
   override def run(spark: SparkSession): Seq[Row] = {
     UpdateCommand.run(spark, path, cond, set)
     GraftCatalogCache.invalidate(spark)
-    Nil
+    GraftDmlMetrics.affected(spark, path, Seq("numUpdatedRows"))
   }
 }
 

@@ -47,6 +47,27 @@ class SqlSuite extends AnyFunSuite {
     } finally spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("SQL DML returns num_affected_rows") {
+    val dir = tmpDir()
+    Graft.write(spark.range(100).toDF("id"), dir)
+    assert(spark.sql(s"DELETE FROM graft.`$dir` WHERE id < 30")
+      .head.getLong(0) === 30)
+    assert(spark.sql(s"UPDATE graft.`$dir` SET id = id + 1000 WHERE id >= 90")
+      .head.getLong(0) === 10)
+    assert(spark.sql(s"UPDATE graft.`$dir` SET id = 0 WHERE id = -5")
+      .head.getLong(0) === 0)
+    // DV paths report exact counts too
+    val dvDir = tmpDir()
+    Graft.write(spark.range(50).toDF("id"), dvDir,
+      configuration = Map("graft.enableDeletionVectors" -> "true"))
+    assert(spark.sql(s"DELETE FROM graft.`$dvDir` WHERE id % 5 = 0")
+      .head.getLong(0) === 10)
+    assert(spark.sql(s"UPDATE graft.`$dvDir` SET id = id + 100 WHERE id = 1")
+      .head.getLong(0) === 1)
+    // whole-table delete: counted from file stats, no scan
+    assert(spark.sql(s"DELETE FROM graft.`$dir`").head.getLong(0) === 70)
+  }
+
   test("sql DELETE with and without WHERE") {
     val dir = tmpDir()
     Graft.write(spark.range(10).select($"id", ($"id" % 2).as("p")), dir)
