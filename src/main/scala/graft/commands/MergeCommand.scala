@@ -190,8 +190,10 @@ object MergeCommand {
           Cdc.writeChangeFiles(spark, log,
             rows.withColumn(Cdc.CHANGE_TYPE, lit("insert")))
         } else Nil
-        val metrics = Map("numTargetRowsInserted" -> "?",
-          "numTargetFilesAdded" -> adds.size.toString)
+        val metrics = Map(
+          "numTargetFilesAdded" -> adds.size.toString,
+          "numTargetRowsUpdated" -> "0", "numTargetRowsDeleted" -> "0") ++
+          Dml.statsRowCount(adds).map("numTargetRowsInserted" -> _.toString)
         txn.commit(adds ++ cdc, "MERGE", operationMetrics = metrics)
         return metrics
       }
@@ -201,9 +203,27 @@ object MergeCommand {
         .withColumn(FILE, input_file_name())
         .withColumn(RID, monotonically_increasing_id())
       val joinedInner = targetScan.alias(targetAlias).join(src, condition, "inner")
+      // First-applicable-clause op per matched row, evaluated on the SAME
+      // phase-1 aggregation — exact numTargetRowsUpdated/Deleted for free.
+      val matchedOp: Column = {
+        var acc: Column = lit("none")
+        matchedClauses.zipWithIndex.reverse.foreach { case (c, _) =>
+          val cc = c.condition.map(coalesce(_, lit(false))).getOrElse(lit(true))
+          val tag = c match {
+            case _: MatchedUpdate => "mu"
+            case _: MatchedDelete => "del"
+          }
+          acc = when(cc, lit(tag)).otherwise(acc)
+        }
+        acc
+      }
       val fileAndMatches = joinedInner
-        .groupBy(col(FILE)).agg(count(lit(1)).as("n"), countDistinct(col(RID)).as("d"))
+        .groupBy(col(FILE)).agg(count(lit(1)).as("n"), countDistinct(col(RID)).as("d"),
+          sum(when(matchedOp === "mu", 1L).otherwise(0L)).as("mu"),
+          sum(when(matchedOp === "del", 1L).otherwise(0L)).as("del"))
         .collect()
+      val matchedUpdated = fileAndMatches.map(_.getLong(3)).sum
+      val matchedDeleted = fileAndMatches.map(_.getLong(4)).sum
       if (matchedClauses.nonEmpty &&
           fileAndMatches.exists(r => r.getLong(1) > r.getLong(2))) {
         throw new IllegalStateException(
@@ -356,18 +376,39 @@ object MergeCommand {
             TableFeatures.requiredUpgrade(txn.snapshot.protocol, m,
               TableFeatures.deletionVectors).toSeq
           else Nil
+        // With no NOT-MATCHED-BY-SOURCE clauses, every written row is an
+        // update or an insert, so inserted = written - updated (footer
+        // stats; deleted rows are bitmap-marked, never written).
+        val rowMetrics: Map[String, String] =
+          if (nmbsClauses.isEmpty) {
+            Map("numTargetRowsUpdated" -> matchedUpdated.toString,
+              "numTargetRowsDeleted" -> matchedDeleted.toString) ++
+              Dml.statsRowCount(adds).map(a =>
+                "numTargetRowsInserted" -> (a - matchedUpdated).toString)
+          } else Map.empty
         val metrics = Map(
           "numDeletionVectors" -> dvAdds.size.toString,
           "numChangedTargetRows" -> nChanged.toString,
-          "numTargetFilesAdded" -> adds.size.toString)
+          "numTargetFilesAdded" -> adds.size.toString) ++ rowMetrics
         txn.commit(protocolBump ++ removes ++ dvAdds ++ adds ++ cdcActions,
           "MERGE", operationMetrics = metrics)
         metrics
       } else {
         val removes = rewriteFiles.map(_.remove(now))
+        // inserted = rows written - rows copied forward, where copied =
+        // rows-before - updated - deleted; all from footer stats.
+        val rowMetrics: Map[String, String] =
+          if (nmbsClauses.isEmpty) {
+            Map("numTargetRowsUpdated" -> matchedUpdated.toString,
+              "numTargetRowsDeleted" -> matchedDeleted.toString) ++
+              (for { a <- Dml.statsRowCount(adds)
+                     b <- Dml.statsRowCount(rewriteFiles) }
+                yield "numTargetRowsInserted" ->
+                  (a - b + matchedDeleted).toString)
+          } else Map.empty
         val metrics = Map(
           "numTargetFilesRemoved" -> removes.size.toString,
-          "numTargetFilesAdded" -> adds.size.toString)
+          "numTargetFilesAdded" -> adds.size.toString) ++ rowMetrics
         txn.commit(removes ++ adds ++ cdcActions, "MERGE", operationMetrics = metrics)
         metrics
       }

@@ -377,6 +377,24 @@ object GraftDmlMetrics {
   private val rowAttr = AttributeReference("num_affected_rows",
     LongType, nullable = false)()
   def output: Seq[Attribute] = Seq(rowAttr)
+  def mergeOutput: Seq[Attribute] = Seq(
+    AttributeReference("num_affected_rows", LongType, nullable = false)(),
+    AttributeReference("num_updated_rows", LongType, nullable = false)(),
+    AttributeReference("num_deleted_rows", LongType, nullable = false)(),
+    AttributeReference("num_inserted_rows", LongType, nullable = false)())
+  /** MERGE result row from the just-committed metrics (reference SQL
+    * output shape); -1 for counts the command could not derive. */
+  def mergeAffected(spark: SparkSession, path: String): Seq[Row] = {
+    val log = GraftLog.forTable(spark, path)
+    val metrics = log.readCommit(log.update().version).collectFirst {
+      case ci: graft.log.CommitInfo => ci.operationMetrics
+    }.getOrElse(Map.empty)
+    def g(k: String): Long = metrics.get(k).map(_.toLong).getOrElse(-1L)
+    val (u, d, i) = (g("numTargetRowsUpdated"), g("numTargetRowsDeleted"),
+      g("numTargetRowsInserted"))
+    val total = if (u >= 0 && d >= 0 && i >= 0) u + d + i else -1L
+    Seq(Row(total, u, d, i))
+  }
   def affected(spark: SparkSession, path: String, keys: Seq[String]): Seq[Row] = {
     val log = GraftLog.forTable(spark, path)
     val metrics = log.readCommit(log.update().version).collectFirst {
@@ -485,14 +503,14 @@ case class GraftMergeRun(
     clauses: Seq[MergeClause],
     schemaEvolution: Boolean = false)
     extends LeafRunnableCommand {
-  override val output: Seq[Attribute] = Nil
+  override val output: Seq[Attribute] = GraftDmlMetrics.mergeOutput
   override def run(spark: SparkSession): Seq[Row] = {
     val table = GraftTable.forPath(spark, path)
     val source = SparkShims.ofRows(spark, sourcePlan)
     MergeCommand.run(table, source, condition, clauses, targetAlias,
       sourceAlias, schemaEvolution)
     GraftCatalogCache.invalidate(spark)
-    Nil
+    GraftDmlMetrics.mergeAffected(spark, path)
   }
 }
 

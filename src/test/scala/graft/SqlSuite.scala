@@ -66,6 +66,24 @@ class SqlSuite extends AnyFunSuite {
       .head.getLong(0) === 1)
     // whole-table delete: counted from file stats, no scan
     assert(spark.sql(s"DELETE FROM graft.`$dir`").head.getLong(0) === 70)
+    // MERGE returns (affected, updated, deleted, inserted) — exact on
+    // both rewrite and DV paths
+    for (conf <- Seq(Map.empty[String, String],
+        Map("graft.enableDeletionVectors" -> "true"))) {
+      val md = tmpDir()
+      Graft.write(spark.range(5).select($"id", lit("old").as("tag")), md,
+        configuration = conf)
+      spark.range(3, 8).select($"id", lit("new").as("tag"))
+        .createOrReplaceTempView("cnt_src")
+      val r = spark.sql(
+        s"""MERGE INTO graft.`$md` t USING cnt_src s ON t.id = s.id
+           |WHEN MATCHED AND t.id = 4 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET tag = s.tag
+           |WHEN NOT MATCHED THEN INSERT *
+           |""".stripMargin).head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+        ((5L, 1L, 1L, 3L)), s"conf=$conf")
+    }
   }
 
   test("sql DELETE with and without WHERE") {
