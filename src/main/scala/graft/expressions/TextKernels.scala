@@ -133,6 +133,19 @@ object TextKernels {
     java.util.Arrays.copyOf(out, w)
   }
 
+  /** Count of `s`'s n-token shingle hashes present in `sorted` (a sorted
+    * distinct array): binary search per shingle, O(|doc| log |bench|). */
+  def broadcastHits(s: UTF8String, sorted: Array[Long], n: Int): Long = {
+    val mine = shingleSet(s, n)
+    var i = 0
+    var hits = 0L
+    while (i < mine.length) {
+      if (java.util.Arrays.binarySearch(sorted, mine(i)) >= 0) hits += 1
+      i += 1
+    }
+    hits
+  }
+
   /** Exact Jaccard of two SORTED distinct long arrays: linear merge. */
   def sortedJaccard(a: org.apache.spark.sql.catalyst.util.ArrayData,
       b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
@@ -297,5 +310,35 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.expressions.TextKernels.simhash($a);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Per-document benchmark-contamination hit count against a broadcast
+  * sorted shingle-hash array: ONE kernel call per document — no gram
+  * explosion, no join, no shuffle before the caller's final projection.
+  * The bench set ships to each executor once via the broadcast, not
+  * per-task in the serialized plan. */
+case class BroadcastShingleHits(
+    child: Expression,
+    benchBc: org.apache.spark.broadcast.Broadcast[Array[Long]],
+    shingleSize: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.broadcastHits(
+      a.asInstanceOf[UTF8String], benchBc.value, shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val bcRef = ctx.addReferenceObj("benchBc", benchBc,
+        classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+      s"""
+      ${ev.value} = graft.expressions.TextKernels.broadcastHits(
+        $a, (long[]) $bcRef.value(), $shingleSize);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BroadcastShingleHits =
     copy(child = newChild)
 }

@@ -295,13 +295,23 @@ object Dedup {
       id: Column,
       text: Column,
       n: Int = 13): DataFrame = {
-    import graft.text.TextFunctions.{shingles, tokens}
-    def grams(c: Column): Column = shingles(tokens(lower(c)), n)
-    val benchGrams = bench.select(explode(grams(text)).as("__g")).distinct()
+    import org.apache.spark.sql.graftshim.SparkShims
+    val spark = train.sparkSession
+    // Benchmark shingle hashes (distinct, sorted) broadcast once: bench
+    // suites are tiny next to the corpus, so the driver collect is
+    // metadata-scale. The corpus side is then ONE kernel projection per
+    // document — no gram explosion, no join, no shuffle: the shape that
+    // survives a 100 TB train set.
+    val benchHashes = bench
+      .select(explode(SparkShims.column(graft.expressions.ShingleSet(
+        SparkShims.expression(lower(text)), n))).as("__h"))
+      .distinct()
+      .collect().map(_.getLong(0)).sorted
+    val bc = spark.sparkContext.broadcast(benchHashes)
     train
-      .select(id.as("doc_id"), explode(grams(text)).as("__g"))
-      .join(broadcast(benchGrams), "__g")
-      .groupBy("doc_id")
-      .agg(count_distinct(col("__g")).as("n_hit_grams"))
+      .select(id.as("doc_id"),
+        SparkShims.column(graft.expressions.BroadcastShingleHits(
+          SparkShims.expression(lower(text)), bc, n)).as("n_hit_grams"))
+      .where(col("n_hit_grams") > 0)
   }
 }
