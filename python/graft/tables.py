@@ -98,6 +98,24 @@ class GraftTable:
     def restoreToVersion(self, version):
         self._jt.restoreToVersion(int(version))
 
+    def asOfTimestamp(self, ts):
+        return DataFrame(self._jt.asOfTimestamp(ts), self._spark)
+
+    def truncate(self):
+        self._jt.truncate()
+
+    def shallowCloneTo(self, dest):
+        return GraftTable(self._spark, self._jt.shallowCloneTo(dest))
+
+    def generateSymlinkManifest(self):
+        self._jt.generateSymlinkManifest()
+
+    def addFeatureSupport(self, name):
+        self._jt.addFeatureSupport(name)
+
+    def dropFeature(self, name):
+        self._jt.dropFeature(name)
+
 
 class GraftMergeBuilder:
     def __init__(self, spark, jbuilder):

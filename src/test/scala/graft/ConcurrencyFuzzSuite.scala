@@ -41,9 +41,19 @@ class ConcurrencyFuzzSuite extends AnyFunSuite {
   case class Update(mod: Int, rem: Int) extends Op
   case object Optimize extends Op
 
-  for (seed <- Seq(11, 42, 20260813)) test(s"fuzz seed=$seed") {
+  // Last config re-runs the program space under DV marking + external
+  // commit-store arbitration: the cross-feature composition single-config
+  // fuzzing cannot reach.
+  for ((seed, dv, ext) <- Seq((11, false, false), (42, false, false),
+      (20260813, false, false), (7, true, true)))
+  test(s"fuzz seed=$seed dv=$dv externalStore=$ext") {
     val dir = Files.createTempDirectory(s"graft-fuzz$seed").toString
-    Graft.write(spark.range(0).select(col("id"), lit(0L).as("v")), dir)
+    if (ext) spark.conf.set("spark.graft.logStore.impl",
+      "graft.log.ExternalLogStore")
+    try {
+    Graft.write(spark.range(0).select(col("id"), lit(0L).as("v")), dir,
+      configuration =
+        if (dv) Map("graft.enableDeletionVectors" -> "true") else Map.empty)
 
     // generate each thread's serial program up front (deterministic)
     val rng = new Random(seed)
@@ -133,5 +143,6 @@ class ConcurrencyFuzzSuite extends AnyFunSuite {
     val coldRows = Graft.read(spark, dir)
       .select("id", "v").as[(Long, Long)].collect().toMap
     assert(coldRows === got)
+    } finally if (ext) spark.conf.unset("spark.graft.logStore.impl")
   }
 }

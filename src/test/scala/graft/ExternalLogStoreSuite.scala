@@ -82,6 +82,34 @@ class ExternalLogStoreSuite extends AnyFunSuite {
     assert(reader.read(p2) === """{"v":2}""")
   }
 
+  test("concurrent table appends through the external store all land") {
+    val dir = Files.createTempDirectory("graft-extls-conc").toString
+    spark.conf.set("spark.graft.logStore.impl", "graft.log.ExternalLogStore")
+    try {
+      Graft.write(spark.range(1).toDF("id"), dir)
+      val pool = Executors.newFixedThreadPool(6)
+      val start = new CountDownLatch(1)
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (0 until 6).foreach { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            start.await()
+            try Graft.write(
+              spark.range(i * 100, i * 100 + 10).toDF("id"), dir)
+            catch { case t: Throwable => failures.add(t); () }
+          }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(120, TimeUnit.SECONDS))
+      assert(failures.isEmpty, s"concurrent appends failed: ${failures.peek()}")
+      // every append retried through arbitration and landed exactly once
+      assert(Graft.read(spark, dir).count() === 61)
+      assert(graft.log.GraftLog.forTable(spark, dir).update().version === 6L)
+    } finally spark.conf.unset("spark.graft.logStore.impl")
+  }
+
   test("end-to-end: graft commits arbitrate through the external store") {
     val dir = Files.createTempDirectory("graft-extls-e2e").toString
     spark.conf.set("spark.graft.logStore.impl", "graft.log.ExternalLogStore")
