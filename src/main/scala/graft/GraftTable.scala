@@ -48,7 +48,7 @@ class GraftTable private[graft] (
 
   /** Time travel by timestamp (millis or SQL timestamp string). */
   def asOfTimestamp(ts: String): DataFrame =
-    asOfVersion(log.getVersionAtTime(java.sql.Timestamp.valueOf(ts).getTime))
+    asOfVersion(log.getVersionAtTime(graft.log.GraftLog.parseUserTimestamp(ts)))
 
   def version: Long = snapshot.version
 
@@ -128,7 +128,7 @@ class GraftTable private[graft] (
 
   def restoreToTimestamp(ts: String): Unit =
     RestoreCommand.run(spark, log,
-      log.getVersionAtTime(java.sql.Timestamp.valueOf(ts).getTime))
+      log.getVersionAtTime(graft.log.GraftLog.parseUserTimestamp(ts)))
 
   /** Raise the table's protocol versions (never lowers them). Feature
     * vectors already on the protocol — and the features the metadata

@@ -599,6 +599,15 @@ class GraftLog private (
 object GraftLog {
   private val cache = new ConcurrentHashMap[String, GraftLog]()
 
+  /** User-supplied time-travel timestamp -> epoch millis. Accepts
+    * 'yyyy-MM-dd[ HH:mm:ss[.f...]]' — a date-only literal means midnight,
+    * matching the reference's timestampAsOf behavior. */
+  def parseUserTimestamp(s: String): Long = {
+    val t = s.trim
+    val full = if (t.matches("""\d{4}-\d{2}-\d{2}""")) t + " 00:00:00" else t
+    java.sql.Timestamp.valueOf(full).getTime
+  }
+
   /** Stable path -> sidecar bucket; static so executor closures don't
     * capture a GraftLog (and with it the cached snapshot). */
   private[graft] def sidecarBucketOf(path: String, k: Int): Int = {

@@ -111,12 +111,12 @@ class GraftDataSource
     if (parameters.get("readChangeFeed").exists(_.toBoolean)) {
       val start = parameters.get("startingVersion").map(_.toLong)
         .orElse(parameters.get("startingTimestamp").map(ts =>
-          log.getVersionAtTime(java.sql.Timestamp.valueOf(ts).getTime)))
+          log.getVersionAtTime(GraftLog.parseUserTimestamp(ts))))
         .getOrElse(throw new IllegalArgumentException(
           "readChangeFeed requires startingVersion or startingTimestamp"))
       val end = parameters.get("endingVersion").map(_.toLong)
         .orElse(parameters.get("endingTimestamp").map(ts =>
-          log.getVersionAtTime(java.sql.Timestamp.valueOf(ts).getTime)))
+          log.getVersionAtTime(GraftLog.parseUserTimestamp(ts))))
         .getOrElse(Long.MaxValue)
       val df = graft.commands.Cdc.changes(spark, log, start, end)
       return new BaseRelation with org.apache.spark.sql.sources.TableScan {
@@ -133,7 +133,7 @@ class GraftDataSource
       case None => parameters.get("timestampAsOf") match {
         case Some(ts) =>
           log.getSnapshotAt(log.getVersionAtTime(
-            java.sql.Timestamp.valueOf(ts).getTime))
+            GraftLog.parseUserTimestamp(ts)))
         case None => log.update()
       }
     }

@@ -80,7 +80,7 @@ object TableChangesFunction {
         val s = String.valueOf(v)
         val ts = if (s.length == 10) s + " 00:00:00" else s
         val parsed =
-          try java.sql.Timestamp.valueOf(ts)
+          try new java.sql.Timestamp(graft.log.GraftLog.parseUserTimestamp(ts))
           catch { case _: IllegalArgumentException =>
             throw new IllegalArgumentException(
               s"table_changes bound '$s' is neither an integer version nor " +

@@ -681,7 +681,7 @@ case class GraftRestoreTsRun(path: String, timestamp: String)
   override def run(spark: SparkSession): Seq[Row] = {
     val log = GraftLog.forTable(spark, path)
     val v = log.getVersionAtTime(
-      java.sql.Timestamp.valueOf(timestamp).getTime)
+      graft.log.GraftLog.parseUserTimestamp(timestamp))
     GraftTable.forPath(spark, path).restoreToVersion(v)
     GraftCatalogCache.invalidate(spark)
     Nil

@@ -73,7 +73,7 @@ class GraftSource(
       case "latest" => snapshotAtInit.version + 1
       case v => v.toLong
     }.orElse(options.get("startingTimestamp").map { ts =>
-      val tsMillis = java.sql.Timestamp.valueOf(ts).getTime
+      val tsMillis = GraftLog.parseUserTimestamp(ts)
       log.listCommitTimestamps().filter(_._2 >= tsMillis).map(_._1)
         .minOption.getOrElse(snapshotAtInit.version + 1)
     })

@@ -529,10 +529,13 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // bench has exactly one 5-gram; only doc 1 contains it
     assert(got === Map(1L -> 1L))
-    // plan shape: the bench gram set must broadcast, not shuffle the corpus
+    // plan shape: the corpus side is a single kernel projection — no
+    // join, no exchange, no gram explosion at any corpus size
     val plan = Dedup.decontaminate(train, bench, col("id"), col("text"), n = 5)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Exchange") &&
+      !plan.contains("Generate"),
+      s"expected a join/shuffle/explode-free corpus plan:\n$plan")
   }
 
   test("mixtureSample: budgets follow weights, scarcest source caps N") {
