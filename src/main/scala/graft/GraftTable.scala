@@ -183,6 +183,27 @@ class GraftTable private[graft] (
     * readers that never learned this feature regain access.
     * (Reference concept: PreDowngradeTableFeatureCommand +
     * alterDeltaTableCommands.scala:316 — re-designed.) */
+  /** DROP FEATURE ... TRUNCATE HISTORY: drop the feature, then seal the
+    * log — checkpoint the downgraded state, mark everything below it
+    * protected (`checkpointProtection` feature), and remove the history
+    * that still carries the dropped feature's traces. Readers cold-load
+    * from the boundary checkpoint; time travel below it is gone by
+    * design. */
+  def dropFeature(name: String, truncateHistory: Boolean): Unit = {
+    dropFeature(name)
+    if (truncateHistory) {
+      val vd = log.update().version
+      upsertProperties(Map(
+        "graft.requireCheckpointProtectionBeforeVersion" -> (vd + 1).toString))
+      val sealedAt = log.update()
+      log.checkpoint(sealedAt)
+      // Negative retention => cutoff in the future: every pre-boundary
+      // file is expired, so the all-or-nothing sweep below the boundary
+      // fires in this call.
+      log.cleanUpExpiredLogs(retentionMillis = -60000L)
+    }
+  }
+
   def dropFeature(name: String): Unit = log.withNewTransaction { txn =>
     import graft.log.TableFeatures
     import graft.schema.ColumnMapping
@@ -281,9 +302,61 @@ class GraftTable private[graft] (
             .putString(ColumnMapping.PHYS_KEY, ColumnMapping.freshPhysicalName())
             .build())
         } else f0
-      txn.updateMetadata(m.copy(schemaString =
-        org.apache.spark.sql.types.StructType(m.schema.fields :+ f).json))
-      txn.commit(Nil, "ADD COLUMNS", Map("column" -> field.name))
+      val updated = m.copy(schemaString =
+        org.apache.spark.sql.types.StructType(m.schema.fields :+ f).json)
+      txn.updateMetadata(updated)
+      // A new column can switch on a feature by itself (DEFAULT metadata,
+      // TIMESTAMP_NTZ / VARIANT / collated types) — its gate installs in
+      // the same commit.
+      txn.commit(
+        graft.log.TableFeatures
+          .requiredUpgradeForMetadata(txn.snapshot.protocol, updated).toSeq,
+        "ADD COLUMNS", Map("column" -> field.name))
+    }
+
+  /** ALTER TABLE ALTER COLUMN ... SET DEFAULT / DROP DEFAULT. The default
+    * is a constant SQL expression applied when a writer omits the column;
+    * existing rows are untouched (metadata-only). Setting one switches on
+    * the `allowColumnDefaults` writer feature. (Reference concept: Delta's
+    * allowColumnDefaults writer feature — re-designed onto Spark's
+    * CURRENT_DEFAULT column metadata.) */
+  def alterColumnDefault(name: String, sqlText: Option[String]): Unit =
+    log.withNewTransaction { txn =>
+      import org.apache.spark.sql.types._
+      val m = txn.snapshot.metadata
+      val field = m.schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(s"Column $name does not exist"))
+      require(!field.metadata.contains(graft.schema.ColumnDefaults.GEN_KEY) &&
+        !field.metadata.contains(graft.schema.ColumnDefaults.ID_START),
+        s"Column $name is generated/identity; it cannot also carry a DEFAULT")
+      sqlText.foreach { sql =>
+        // Constant expressions only: analyzing over a zero-column frame
+        // rejects any column reference; the cast must also be legal.
+        try spark.emptyDataFrame
+          .select(org.apache.spark.sql.functions.expr(sql).cast(field.dataType))
+          .queryExecution.analyzed
+        catch { case e: Exception => throw new IllegalArgumentException(
+          s"DEFAULT for $name must be a constant expression castable to " +
+            s"${field.dataType.simpleString}: ${e.getMessage}") }
+      }
+      val fields = m.schema.fields.map { f =>
+        if (f.name.equalsIgnoreCase(name)) {
+          val mb = new MetadataBuilder().withMetadata(f.metadata)
+          sqlText match {
+            case Some(sql) =>
+              mb.putString(graft.schema.ColumnDefaults.DEFAULT_KEY, sql)
+            case None => mb.remove(graft.schema.ColumnDefaults.DEFAULT_KEY)
+          }
+          f.copy(metadata = mb.build())
+        } else f
+      }
+      val updated = m.copy(schemaString = StructType(fields).json)
+      txn.updateMetadata(updated)
+      txn.commit(
+        graft.log.TableFeatures
+          .requiredUpgradeForMetadata(txn.snapshot.protocol, updated).toSeq,
+        "ALTER COLUMN",
+        Map("column" -> name, "default" -> sqlText.getOrElse("<dropped>")))
     }
 
   /** Apply `fn` to the struct containing the leaf named by `path`
@@ -576,7 +649,9 @@ class GraftColumnBuilder private[graft] (name: String) {
   def generatedAlwaysAs(sql: String): this.type = { genExpr = Some(sql); this }
   def generatedAlwaysAsIdentity(start: Long = 1, step: Long = 1): this.type =
     { identity = Some((start, step)); this }
+  def defaultValue(sql: String): this.type = { defaultSql = Some(sql); this }
   def comment(c: String): this.type = { commentOpt = Some(c); this }
+  private var defaultSql: Option[String] = None
 
   def build(): StructField = {
     require(dt != null, s"column $name needs a dataType")
@@ -585,10 +660,14 @@ class GraftColumnBuilder private[graft] (name: String) {
       case (None, Some((s, st))) =>
         require(dt == LongType, s"identity column $name must be BIGINT")
         graft.schema.ColumnDefaults.identityField(name, s, st)
-      case (None, None) => StructField(name, dt, isNullable)
+      case (None, None) => defaultSql
+        .map(graft.schema.ColumnDefaults.defaultField(name, dt, _))
+        .getOrElse(StructField(name, dt, isNullable))
       case _ => throw new IllegalArgumentException(
         s"column $name cannot be both generated and identity")
     }
+    require(defaultSql.isEmpty || (genExpr.isEmpty && identity.isEmpty),
+      s"column $name cannot combine DEFAULT with generated/identity")
     val f1 = f0.copy(nullable = isNullable && identity.isEmpty)
     commentOpt.map(f1.withComment).getOrElse(f1)
   }

@@ -968,6 +968,23 @@ object SparkEntry {
       Graft.read(s, path).select("rid").orderBy("rid")
     }),
 
+    "graft_column_defaults" -> ((s, dir) => {
+      val path = tmp("defcol")
+      Graft.create(s, path, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        graft.schema.ColumnDefaults.defaultField("source",
+          org.apache.spark.sql.types.StringType, "'seed'"))))
+      // omitted column -> creation-time default fills
+      Graft.write(t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long").as("id")), path)
+      // defaults are re-assignable; later appends take the new one
+      GraftTable.forPath(s, path).alterColumnDefault("source", Some("'late'"))
+      Graft.write(t(s, dir, "region")
+        .select((col("r_regionkey").cast("long") + 100).as("id")), path)
+      Graft.read(s, path).orderBy("id")
+    }),
+
     "graft_auto_compact" -> ((s, dir) => {
       val path = tmp("autoc")
       val li = t(s, dir, "lineitem").filter(col("l_linenumber") <= 2)
@@ -1948,6 +1965,12 @@ object SparkEntry {
     "graft_identity_read" ->
       """SELECT 5 * CAST(row_number() OVER () AS BIGINT) AS rid
          FROM nation ORDER BY rid""",
+
+    "graft_column_defaults" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS id, 'seed' AS source FROM nation
+         UNION ALL
+         SELECT CAST(r_regionkey AS BIGINT) + 100 AS id, 'late' AS source
+         FROM region ORDER BY id""",
 
     "graft_auto_compact" ->
       """SELECT l_linenumber, count(*) AS n FROM lineitem

@@ -102,14 +102,16 @@ class ExternalLogStore(
     * final copy (step 2 -> 3 crash window). */
   @volatile private[graft] var crashBeforeCopy: Boolean = false
 
-  /** Plain overwrite write — models an object-store PUT (no atomicity,
-    * no put-if-absent assumed). */
-  private def putObject(path: Path, content: String): Unit = {
-    val f = fs(path)
-    val out = f.create(path, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  /** Overwrite PUT — models an object-store PUT: no put-if-absent, but
+    * ATOMIC VISIBILITY (a GET sees either nothing or the whole object,
+    * never a prefix — S3/GCS/ABFS all guarantee this). The local-FS model
+    * must preserve that: a plain create() exposes the file EMPTY between
+    * create and close, and a concurrent snapshot refresh that caught a
+    * commit in that window would fold it as a no-op and silently drop its
+    * AddFiles from the cached state. Temp-sibling + atomic rename keeps
+    * the visibility contract honest. */
+  private def putObject(path: Path, content: String): Unit =
+    writeOverwrite(path, content)
 
   override def write(path: Path, content: String): Unit = {
     val dir = path.getParent

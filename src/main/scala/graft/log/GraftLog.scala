@@ -576,22 +576,49 @@ class GraftLog private (
       Some(node.path("version").asLong(-1)).filter(v => v >= 0 && v < version)
     } catch { case _: Exception => None }
 
-  /** Delete log entries older than both retention and the last checkpoint. */
+  /** Delete log entries older than both retention and the last checkpoint.
+    *
+    * Classic-policy checkpoint files below the latest checkpoint expire
+    * like commits (v2 manifests/sidecars are never deleted here:
+    * incremental checkpoints SHARE sidecar files, so an old manifest's
+    * parts may back the newest checkpoint).
+    *
+    * Under the `checkpointProtection` feature, versions below the
+    * protected boundary B (`graft.requireCheckpointProtectionBeforeVersion`)
+    * are removed all-or-nothing: either every log file below B is expired
+    * AND a checkpoint at >= B exists — then the whole prefix goes in one
+    * sweep — or nothing below B is touched. Partial deletion below B
+    * could strand a reader between a dropped feature's traces and the
+    * boundary checkpoint. (Reference concept: checkpointProtection table
+    * feature — re-designed.) */
   def cleanUpExpiredLogs(retentionMillis: Long): Int = {
     val listing = store.list(logPath)
     val cp = listing.flatMap(s => FileNames.checkpointVersion(s.getPath.getName))
       .maxOption.getOrElse(return 0)
     val cutoff = System.currentTimeMillis() - retentionMillis
-    var n = 0
-    listing.foreach { s =>
+    val snap = update()
+    val classicPolicy = checkpointPolicy(snap) != "v2"
+    val boundary = snap.metadata.configuration
+      .get("graft.requireCheckpointProtectionBeforeVersion").map(_.toLong)
+    // (version, path, expired) for every version-carrying log file that is
+    // at all deletable: commits/checksums below the latest checkpoint,
+    // plus (classic policy) superseded checkpoint files.
+    val entries = listing.flatMap { s =>
       val name = s.getPath.getName
-      FileNames.deltaVersion(name).orElse(FileNames.checksumVersion(name))
-        .foreach { v =>
-          if (v < cp && s.getModificationTime < cutoff) {
-            store.delete(s.getPath); n += 1
-          }
-        }
+      val commitV = FileNames.deltaVersion(name)
+        .orElse(FileNames.checksumVersion(name))
+      val cpV = if (classicPolicy) FileNames.checkpointVersion(name) else None
+      commitV.orElse(cpV).filter(v => v < cp)
+        .map(v => (v, s.getPath, s.getModificationTime < cutoff))
     }
+    val (below, above) = boundary match {
+      case Some(b) => entries.partition(_._1 < b)
+      case None => (Seq.empty, entries)
+    }
+    val belowSweepOk = boundary.forall(b => cp >= b) && below.forall(_._3)
+    var n = 0
+    (above.filter(_._3) ++ (if (belowSweepOk) below else Seq.empty))
+      .foreach { case (_, p, _) => store.delete(p); n += 1 }
     n
   }
 }
@@ -706,7 +733,13 @@ class Snapshot(
     tail.foreach { case (_, deltaPath) =>
       val status = log.store.fs(deltaPath).getFileStatus(deltaPath)
       ts = status.getModificationTime
-      Actions.deserialize(log.store.read(deltaPath)).foreach {
+      val acts = Actions.deserialize(log.store.read(deltaPath))
+      // A legal commit always carries at least CommitInfo. An empty read
+      // means we caught a non-atomic writer mid-PUT — folding it as a
+      // no-op would drop its actions from the cached state forever.
+      if (acts.isEmpty) throw new IllegalStateException(
+        s"Commit file $deltaPath read back empty — torn or in-flight write")
+      acts.foreach {
         case a: AddFile => files += a.path -> a; tombs -= a.path
         case r: RemoveFile => files -= r.path; tombs += r.path -> r
         case meta: Metadata => m = meta

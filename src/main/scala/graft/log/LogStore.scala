@@ -42,10 +42,20 @@ class LogStore(hadoopConf: Configuration) extends Serializable {
         }
       } finally Files.deleteIfExists(tmp)
     } else {
+      // HDFS-like: create(overwrite=false) alone is put-if-absent but NOT
+      // atomically visible (the file reads empty until close) — a
+      // concurrent snapshot refresh could fold a torn commit. Write a
+      // temp sibling, then rename without overwrite: atomic visibility
+      // AND existence check in one namespace operation.
       val f = fs(path)
-      val out = f.create(path, /* overwrite = */ false)
+      val temp = new Path(path.getParent,
+        s".${path.getName}.${java.util.UUID.randomUUID.toString.take(12)}.tmp")
+      val out = f.create(temp, false)
       try out.write(content.getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      try {
+        if (!f.rename(temp, path)) throw new FileAlreadyExistsException(path.toString)
+      } finally if (f.exists(temp)) f.delete(temp, false)
     }
   }
 

@@ -57,12 +57,21 @@ object TableFeatures {
   // Both-sides gate ensuring clients honor tombstone retention before
   // vacuuming — protects tables shared with readers that pin old files.
   val vacuumProtocolCheck = Feature("vacuumProtocolCheck", 3, 7)
+  // Writer-gating: a writer unaware of defaults would null-fill omitted
+  // columns where the table contract says "fill with the default".
+  val allowColumnDefaults = Feature("allowColumnDefaults", 1, 7)
+  // Writer-gating: after DROP FEATURE ... TRUNCATE HISTORY the checkpoint
+  // at the boundary version is the only readable table root — a cleaner
+  // unaware of the boundary could delete it (or part of the history
+  // below it) and strand readers mid-replay.
+  val checkpointProtection = Feature("checkpointProtection", 1, 7)
 
   val all: Seq[Feature] = Seq(appendOnly, invariants, checkConstraints,
     changeDataFeed, generatedColumns, columnMapping, identityColumns,
     deletionVectors, rowTracking, typeWidening, v2Checkpoint,
     domainMetadata, clustering, timestampNtz, variantType,
-    coordinatedCommits, collations, inCommitTimestamp, vacuumProtocolCheck)
+    coordinatedCommits, collations, inCommitTimestamp, vacuumProtocolCheck,
+    allowColumnDefaults, checkpointProtection)
   val byName: Map[String, Feature] = all.map(f => f.name -> f).toMap
 
   /** Every reader-gating feature this build understands. */
@@ -92,6 +101,8 @@ object TableFeatures {
     if (conf.contains("graft.coordinatedCommits.coordinator"))
       b += coordinatedCommits
     if (on("graft.enableInCommitTimestamps")) b += inCommitTimestamp
+    if (conf.contains("graft.requireCheckpointProtectionBeforeVersion"))
+      b += checkpointProtection
     if (conf.keys.exists(_.startsWith(graft.constraints.Constraints.PROP_PREFIX)))
       b += checkConstraints
     if (m.schemaString != null) {
@@ -100,6 +111,8 @@ object TableFeatures {
         b += generatedColumns
       if (fields.exists(_.metadata.contains(graft.schema.ColumnDefaults.ID_START)))
         b += identityColumns
+      if (fields.exists(_.metadata.contains(graft.schema.ColumnDefaults.DEFAULT_KEY)))
+        b += allowColumnDefaults
       // Type-gated READER features: a foreign reader that cannot decode
       // these physical types must be locked out by the protocol, not by
       // a runtime decode error.

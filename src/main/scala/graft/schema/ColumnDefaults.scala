@@ -23,6 +23,9 @@ object ColumnDefaults {
   val GEN_KEY = "graft.generationExpression"
   val ID_START = "graft.identity.start"
   val ID_STEP = "graft.identity.step"
+  /** Spark's standard default-value metadata key, so `DESCRIBE` and the
+    * DSv2 column API surface the default without translation. */
+  val DEFAULT_KEY = "CURRENT_DEFAULT"
 
   def generatedField(name: String, dt: DataType, sql: String): StructField =
     StructField(name, dt, nullable = true,
@@ -36,6 +39,14 @@ object ColumnDefaults {
     if (f.metadata.contains(GEN_KEY)) Some(f.metadata.getString(GEN_KEY)) else None
 
   def isIdentity(f: StructField): Boolean = f.metadata.contains(ID_START)
+
+  def defaultExpr(f: StructField): Option[String] =
+    if (f.metadata.contains(DEFAULT_KEY)) Some(f.metadata.getString(DEFAULT_KEY))
+    else None
+
+  def defaultField(name: String, dt: DataType, sql: String): StructField =
+    StructField(name, dt, nullable = true,
+      new MetadataBuilder().putString(DEFAULT_KEY, sql).build())
 
   private def watermarkKey(col: String) = s"graft.identity.$col.highWatermark"
 
@@ -59,6 +70,14 @@ object ColumnDefaults {
           checks :+= (s"generated column ${f.name}",
             col(f.name) <=> expr(sql).cast(f.dataType))
         case None =>
+      }
+      // DEFAULT fills only when the writer omits the column (a provided
+      // value — even null — wins; unlike generated columns there is no
+      // equality constraint on provided values).
+      defaultExpr(f) match {
+        case Some(sql) if !provided.exists(resolver(_, f.name)) =>
+          out = out.withColumn(f.name, expr(sql).cast(f.dataType))
+        case _ =>
       }
       if (isIdentity(f) && !provided.exists(resolver(_, f.name))) {
         val start = f.metadata.getLong(ID_START)

@@ -189,12 +189,28 @@ object GraftDml {
         GraftAlterRun(path, ident, tbl =>
           changes.foreach { case (c, dt) => tbl.alterColumnType(c, dt) }): LogicalPlan
       }.getOrElse(ac)
+    // ALTER COLUMN ... SET DEFAULT <expr> / DROP DEFAULT
+    case ac @ AlterColumns(t, specs)
+        if specs.forall(s => s.newDataType.isEmpty && s.newNullability.isEmpty &&
+          s.newComment.isEmpty && s.newPosition.isEmpty &&
+          (s.newDefaultExpression.isDefined || s.dropDefault) &&
+          s.column.name.length == 1) =>
+      alterTarget(session, t).map { case (path, ident) =>
+        val changes = specs.map(s => s.column.name.head ->
+          (if (s.dropDefault) None else s.newDefaultExpression.map(_.originalSQL)))
+        GraftAlterRun(path, ident, tbl =>
+          changes.foreach { case (c, d) => tbl.alterColumnDefault(c, d) }): LogicalPlan
+      }.getOrElse(ac)
     case a @ AddColumns(t, cols) =>
       alterTarget(session, t).map { case (path, ident) =>
         val fields = cols.map { c =>
-          require(c.path.isEmpty && c.position.isEmpty && c.default.isEmpty,
+          require(c.path.isEmpty && c.position.isEmpty,
             "only plain top-level ADD COLUMN is supported for graft tables")
-          org.apache.spark.sql.types.StructField(c.colName, c.dataType)
+          val base = org.apache.spark.sql.types.StructField(c.colName, c.dataType)
+          c.default.map(d => base.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .putString(graft.schema.ColumnDefaults.DEFAULT_KEY, d.originalSQL)
+              .build())).getOrElse(base)
         }
         GraftAlterRun(path, ident, tbl => fields.foreach(tbl.addColumn)): LogicalPlan
       }.getOrElse(a)
@@ -757,9 +773,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       resolveGraft(t).map { case (path, ident) =>
         GraftAlterRun(path, ident, _.syncIdentity())
       }
-    case dropFeatureRe(t, feature) =>
+    case dropFeatureRe(t, feature, trunc) =>
       resolveGraft(t).map { case (path, ident) =>
-        GraftAlterRun(path, ident, _.dropFeature(feature))
+        GraftAlterRun(path, ident, _.dropFeature(feature, trunc != null))
       }
     // Path targets only: named tables route through the DSv2 catalog,
     // which mirrors properties into both the log and the metastore.
@@ -862,7 +878,7 @@ object GraftSqlParser {
       """\s*;?\s*$""").r
   private val dropFeatureRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($targetOrName)\\s+DROP\\s+FEATURE\\s+""" +
-      """`?(\w+)`?(?:\s+TRUNCATE\s+HISTORY)?\s*;?\s*$""").r
+      """`?(\w+)`?(\s+TRUNCATE\s+HISTORY)?\s*;?\s*$""").r
   private val showPropsRe =
     s"""(?is)^\\s*SHOW\\s+TBLPROPERTIES\\s+($targetOrName)\\s*;?\\s*$$""".r
   private val createLikeRe =
