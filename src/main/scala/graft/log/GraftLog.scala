@@ -659,36 +659,106 @@ object GraftLog {
  * fold of actions (last metadata/protocol wins; last action per file path
  * wins; removes become tombstones) — reference rules PROTOCOL.md:913-934.
  */
+/**
+ * Deferred file state for checkpoint-backed snapshots: the driver holds
+ * only the commit TAIL since the checkpoint (paths added/removed after
+ * it); the base file set stays in the checkpoint's parquet until — if
+ * ever — a caller forces full materialization. Reads plan through
+ * `allFilesDS` (checkpoint scan + overlay), so a 10M-file table is
+ * queryable with driver memory bounded by the post-skipping survivors,
+ * not the table's file count.
+ */
+case class LazyFileState(
+    manifestPaths: Seq[String],
+    tailAdds: Map[String, AddFile],
+    tailRemovedPaths: Set[String]) {
+
+  /** Base ∪ overlay as one driver map (the full-materialization path). */
+  def materialize(spark: SparkSession): Map[String, AddFile] = {
+    import org.apache.spark.sql.functions.col
+    val schema = spark.emptyDataset[SingleAction](
+      org.apache.spark.sql.Encoders.product[SingleAction]).schema
+    val base = spark.read.schema(schema).parquet(manifestPaths: _*)
+      .where(col("add").isNotNull).select(col("add.*"))
+      .as[AddFile](org.apache.spark.sql.Encoders.product[AddFile])
+      .collect().iterator.map(a => a.path -> a).toMap
+    base -- tailRemovedPaths ++ tailAdds
+  }
+
+  /** Base ∪ overlay as a Dataset (planning path — never driver-wide). */
+  def toDS(spark: SparkSession): Dataset[AddFile] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val enc = org.apache.spark.sql.Encoders.product[AddFile]
+    val schema = spark.emptyDataset[SingleAction](
+      org.apache.spark.sql.Encoders.product[SingleAction]).schema
+    val base = spark.read.schema(schema).parquet(manifestPaths: _*)
+      .where(col("add").isNotNull).select(col("add.*")).as[AddFile](enc)
+    val overlayKeys = (tailAdds.keySet ++ tailRemovedPaths).toSeq
+    val masked =
+      if (overlayKeys.isEmpty) base
+      else {
+        import spark.implicits._
+        base.join(broadcast(spark.createDataset(overlayKeys).toDF("path")),
+          Seq("path"), "left_anti").as[AddFile](enc)
+      }
+    if (tailAdds.isEmpty) masked
+    else masked.unionByName(spark.createDataset(tailAdds.values.toSeq)(enc))
+  }
+}
+
 class Snapshot(
     @transient val log: GraftLog,
     val version: Long,
     val protocol: Protocol,
     val metadata: Metadata,
     val setTransactions: Map[String, Long],
-    filesMap: Map[String, AddFile],
+    filesMap0: => Map[String, AddFile],
     val tombstones: Seq[RemoveFile],
     val timestampMillis: Long,
-    val domains: Map[String, String] = Map.empty) extends Serializable {
+    val domains: Map[String, String] = Map.empty,
+    @transient private[log] val lazyBase: Option[LazyFileState] = None)
+  extends Serializable {
 
   def spark: SparkSession = log.spark
+
+  @volatile private[graft] var materialized = lazyBase.isEmpty
+  private[log] lazy val filesMap: Map[String, AddFile] = {
+    val m = filesMap0; materialized = true; m
+  }
 
   /** Same file state viewed through a different read schema — the
     * streaming source's schema-tracking pin (batches resolve columns
     * against the TRACKED metadata, not the table head's). */
   private[graft] def withReadMetadata(m: Metadata): Snapshot =
     new Snapshot(log, version, protocol, m, setTransactions, filesMap,
-      tombstones, timestampMillis, domains)
+      tombstones, timestampMillis, domains, lazyBase)
 
   // Touched on every commit and scan — materialize once per (immutable)
   // snapshot instead of rebuilding the Seq / re-summing per call.
   lazy val allFiles: Seq[AddFile] = filesMap.values.toSeq
 
-  def numFiles: Long = filesMap.size
-  lazy val sizeInBytes: Long = allFiles.iterator.map(_.size).sum
+  // Aggregates of a lazy snapshot come from ONE distributed pass over the
+  // checkpoint instead of forcing the whole file map onto the driver.
+  @transient private lazy val lazyStats: (Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, sum}
+    val r = allFilesDS.toDF
+      .agg(count(lit(1)), coalesce(sum(col("size")), lit(0L))).head
+    (r.getLong(0), r.getLong(1))
+  }
+  def numFiles: Long =
+    if (!materialized && lazyBase.isDefined) lazyStats._1 else filesMap.size
+  lazy val sizeInBytes: Long =
+    if (!materialized && lazyBase.isDefined) lazyStats._2
+    else allFiles.iterator.map(_.size).sum
 
-  /** Distributed view for stats-skipping / VACUUM-scale operations. */
-  def allFilesDS: Dataset[AddFile] =
-    spark.createDataset(allFiles)(org.apache.spark.sql.Encoders.product[AddFile])
+  /** Distributed view for stats-skipping / VACUUM-scale operations. For a
+    * checkpoint-backed lazy snapshot this scans the checkpoint parquet on
+    * the executors — the driver never holds the file rows. */
+  def allFilesDS: Dataset[AddFile] = lazyBase match {
+    case Some(b) if !materialized => b.toDS(spark)
+    case _ =>
+      spark.createDataset(allFiles)(org.apache.spark.sql.Encoders.product[AddFile])
+  }
 
   /** Cached distributed skipping state: one row per live file with the
     * stats JSON pre-parsed, persisted once per (immutable) snapshot so
@@ -722,11 +792,17 @@ class Snapshot(
 
   def txnVersion(appId: String): Long = setTransactions.getOrElse(appId, -1L)
 
-  /** Fold `tail` commit files on top of this snapshot (incremental update). */
+  /** Fold `tail` commit files on top of this snapshot (incremental
+    * update). A still-lazy checkpoint-backed snapshot stays lazy: the new
+    * commits extend the driver-held OVERLAY (O(tail), not O(files)), so
+    * read-only refreshes of a huge table never materialize the base. */
   private[log] def advance(tail: Seq[(Long, Path)]): Snapshot = {
     var p = protocol; var m = metadata
     var txns = setTransactions
-    var files = filesMap
+    val stayLazy = lazyBase.isDefined && !materialized
+    var files: Map[String, AddFile] = if (stayLazy) Map.empty else filesMap
+    var tailAdds = lazyBase.map(_.tailAdds).getOrElse(Map.empty)
+    var tailRemoved = lazyBase.map(_.tailRemovedPaths).getOrElse(Set.empty)
     var tombs = tombstones.map(r => r.path -> r).toMap
     var ts = timestampMillis
     var doms = domains
@@ -740,8 +816,14 @@ class Snapshot(
       if (acts.isEmpty) throw new IllegalStateException(
         s"Commit file $deltaPath read back empty — torn or in-flight write")
       acts.foreach {
-        case a: AddFile => files += a.path -> a; tombs -= a.path
-        case r: RemoveFile => files -= r.path; tombs += r.path -> r
+        case a: AddFile =>
+          if (stayLazy) { tailAdds += a.path -> a; tailRemoved -= a.path }
+          else files += a.path -> a
+          tombs -= a.path
+        case r: RemoveFile =>
+          if (stayLazy) { tailAdds -= r.path; tailRemoved += r.path }
+          else files -= r.path
+          tombs += r.path -> r
         case meta: Metadata => m = meta
         case proto: Protocol => p = proto
         case t: SetTransaction => txns += t.appId -> t.version
@@ -750,7 +832,14 @@ class Snapshot(
         case _ =>
       }
     }
-    new Snapshot(log, tail.last._1, p, m, txns, files, tombs.values.toSeq, ts, doms)
+    if (stayLazy) {
+      val nb = lazyBase.get.copy(tailAdds = tailAdds, tailRemovedPaths = tailRemoved)
+      new Snapshot(log, tail.last._1, p, m, txns, nb.materialize(log.spark),
+        tombs.values.toSeq, ts, doms, Some(nb))
+    } else {
+      new Snapshot(log, tail.last._1, p, m, txns, files,
+        tombs.values.toSeq, ts, doms)
+    }
   }
 }
 
@@ -820,12 +909,20 @@ object Snapshot {
               .parquet(sidecars.map(s =>
                 new Path(log.logPath, s.path).toString).toIndexedSeq: _*)
               .as[SingleAction]
-          val adds = fileActions.filter(col("add").isNotNull)
-            .select(col("add.*")).as[AddFile].collect()
+          // Live adds stay IN the checkpoint parquet: the snapshot holds a
+          // LazyFileState pointer and materializes the driver map only if
+          // a whole-state caller forces it — planning/skipping runs over
+          // the executor-side scan. Tombstones (retention-bounded, far
+          // smaller than the live set) come to the driver eagerly for
+          // VACUUM/CDF.
+          val manifestPaths =
+            if (sidecars.isEmpty) Seq(cpPath.toString)
+            else sidecars.map(s => new Path(log.logPath, s.path).toString).toSeq
           val tombs = fileActions.filter(col("remove").isNotNull)
             .select(col("remove.*")).as[RemoveFile].collect()
-          new Snapshot(log, cp, p, m, txns,
-            adds.map(a => a.path -> a).toMap, tombs.toSeq, 0L, doms)
+          val lazyState = LazyFileState(manifestPaths, Map.empty, Set.empty)
+          new Snapshot(log, cp, p, m, txns, lazyState.materialize(log.spark),
+            tombs.toSeq, 0L, doms, Some(lazyState))
         } else {
           // Small classic checkpoint: ONE streamed pass folds every
           // action kind (no extra jobs on the cold-load path).

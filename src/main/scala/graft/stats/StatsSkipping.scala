@@ -81,15 +81,17 @@ object StatsSkipping {
       dataFilters: Seq[Expression],
       statsColumns: FooterStats.StatsColumns = FooterStats.StatsColumns())
       : Seq[AddFile] = {
-    val files = pinned.getOrElse(snapshot.allFiles)
     val threshold = spark.conf.getOption("spark.graft.distributedSkipping.threshold")
       .map(_.toInt).getOrElse(100000)
-    if (pinned.isEmpty && files.size >= threshold) {
+    // numFiles, not allFiles.size: on a lazy checkpoint-backed snapshot
+    // the count is one distributed agg — touching allFiles here would
+    // force the whole file map onto the driver before the venue choice.
+    if (pinned.isEmpty && snapshot.numFiles >= threshold) {
       pruneAndFilterDistributed(spark, snapshot, partitionSchema,
         partitionFilters, dataSchema, dataFilters, statsColumns)
     } else {
       val pruned = graft.files.GraftFileIndex.prunePartitions(
-        files, partitionSchema, partitionFilters)
+        pinned.getOrElse(snapshot.allFiles), partitionSchema, partitionFilters)
       filterFiles(spark, pruned, dataSchema, dataFilters, statsColumns)
     }
   }

@@ -41,11 +41,13 @@ class ConcurrencyFuzzSuite extends AnyFunSuite {
   case class Update(mod: Int, rem: Int) extends Op
   case object Optimize extends Op
 
-  // Last config re-runs the program space under DV marking + external
-  // commit-store arbitration: the cross-feature composition single-config
-  // fuzzing cannot reach.
+  // Later configs re-run the program space under DV marking and/or
+  // external commit-store arbitration: cross-feature compositions
+  // single-config fuzzing cannot reach. (seed=7 dv+ext caught a real
+  // torn-PUT data-loss race in round 6.)
   for ((seed, dv, ext) <- Seq((11, false, false), (42, false, false),
-      (20260813, false, false), (7, true, true)))
+      (20260813, false, false), (13, true, false), (99, false, true),
+      (7, true, true), (2027, true, true)))
   test(s"fuzz seed=$seed dv=$dv externalStore=$ext") {
     val dir = Files.createTempDirectory(s"graft-fuzz$seed").toString
     if (ext) spark.conf.set("spark.graft.logStore.impl",

@@ -128,12 +128,20 @@ class ScaleSuite extends AnyFunSuite {
     info(f"1M-file distributed skipping: cold $coldSkip%.1f s, warm $warmSkip%.2f s")
     assertPerf(coldSkip < 120.0 && warmSkip < 30.0,
       f"skipping too slow: cold $coldSkip%.1f s, warm $warmSkip%.1f s")
+    // The whole read path so far — cold load, checksum validation, counts,
+    // two skipping queries — must run off the checkpoint parquet without
+    // ever pulling the 1M-entry file map onto the driver.
+    assert(!cold.materialized,
+      "read-only cold load + skipping materialized the 1M-file map")
 
-    // Incremental advance on top of the large state stays incremental.
+    // Incremental advance on top of the large state stays incremental —
+    // and stays LAZY: new commits extend the driver-held overlay only.
     val log2 = GraftLog.forTable(spark, dir)
     log2.writeCommit(2, Seq(AddFile("extra.parquet", Map.empty, 1L, 0L,
       dataChange = true)))
     assert(log2.snapshot.numFiles === n + 1)
+    assert(!log2.snapshot.materialized,
+      "advancing a lazy snapshot materialized the base file map")
     assert(log2.snapshot.getAddFile("part-0999999.parquet").isDefined)
 
     // Checkpoint WRITE at 1M files: must assemble rows on the executors
