@@ -1506,15 +1506,15 @@ object SparkEntry {
         .select(col("media_id"),
           col("meta.width").cast("long").as("width"),
           col("meta.height").cast("long").as("height"))
-      dec.join(rz, "media_id").orderBy("media_id")
-    }),
-
-    "multimodal_frames" -> ((s, dir) => {
-      val media = Multimodal.mediaFromIds(
-        t(s, dir, "documents").where(col("doc_id") < 60)
-          .select(col("doc_id").as("id")))
-      Multimodal.sampleFrames(media, everyMs = 10000)
+      // frame sampling rides the same row (video media only; left join
+      // null-fills the rest) — one query certifies the whole stub
+      // decode / resize / frame-sample plumbing
+      val fr = Multimodal.sampleFrames(
+        Multimodal.mediaFromIds(
+          t(s, dir, "documents").where(col("doc_id") < 60)
+            .select(col("doc_id").as("id"))), everyMs = 10000)
         .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+      dec.join(rz, "media_id").join(fr, Seq("media_id"), "left")
         .orderBy("media_id")
     }),
 
@@ -1525,6 +1525,7 @@ object SparkEntry {
       // resized payload again. The oracle recomputes every pixel from the
       // (id, x, y) arithmetic independently — no trust in the codec.
       import graft.multimodal.BmpFunctions._
+      import graft.multimodal.PngFunctions._
       t(s, dir, "documents")
         .where(col("doc_id") < 200 && col("doc_id") % 3 === 0)
         .select(col("doc_id").as("media_id"),
@@ -1533,13 +1534,49 @@ object SparkEntry {
         .withColumn("payload", bmpSynth(col("media_id"), col("w"), col("h")))
         .withColumn("st", bmpStats(col("payload")))
         .withColumn("rz", bmpStats(bmpResizeFit(col("payload"), lit(32))))
+        // the PNG codec (zlib-compressed, per-row scanline filters) must
+        // reproduce the identical pixel aggregates, before and after an
+        // identical integer resize — the compressed codec is verified
+        // against the uncompressed one on every row
+        .withColumn("png", pngSynth(col("media_id"), col("w"), col("h")))
+        .withColumn("pst", pngStats(col("png")))
+        .withColumn("prz", pngStats(pngResizeFit(col("png"), lit(32))))
         .select(col("media_id"),
           col("st.width").as("width"), col("st.height").as("height"),
           col("st.sum_b").as("sum_b"), col("st.sum_g").as("sum_g"),
           col("st.sum_r").as("sum_r"),
           col("rz.width").as("rs_width"), col("rz.height").as("rs_height"),
-          col("rz.sum_b").as("rs_sum_b"))
+          col("rz.sum_b").as("rs_sum_b"),
+          (col("pst.width") === col("st.width") &&
+            col("pst.height") === col("st.height") &&
+            col("pst.sum_r") === col("st.sum_r") &&
+            col("pst.sum_g") === col("st.sum_g") &&
+            col("pst.sum_b") === col("st.sum_b")).as("png_matches_bmp"),
+          (col("prz.width") === col("rz.width") &&
+            col("prz.height") === col("rz.height") &&
+            col("prz.sum_b") === col("rz.sum_b")).as("png_resize_matches"))
         .orderBy("media_id")
+    }),
+
+    "dedup_paragraphs" -> ((s, dir) => {
+      // Paragraph-grain exact dedup (boilerplate removal): documents are
+      // assembled as header \n own-text \n borrowed-text \n footer, so
+      // the shared header/footer survive only in their first host doc and
+      // every borrowed paragraph collapses onto its origin.
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val borrowed = d.select((col("doc_id")).as("src_id"),
+        col("text").as("borrowed"))
+      val pages = d
+        .withColumn("src_id", pmod(col("doc_id"), lit(50)))
+        .join(borrowed, "src_id")
+        .select(col("doc_id"), concat_ws("\n",
+          lit("SHARED LICENSE HEADER PARAGRAPH COMMON TO EVERY DOCUMENT"),
+          col("text"), col("borrowed"),
+          lit("SHARED FOOTER PARAGRAPH WITH CONTACT AND COPYRIGHT")).as("page"))
+      Dedup.dedupParagraphs(pages, col("doc_id"), col("page"))
+        .select(col("doc_id"), col("n_paras_kept"),
+          length(col("text")).as("n_chars2"), md5(col("text")).as("fp"))
+        .orderBy("doc_id")
     }))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -2311,14 +2348,11 @@ object SparkEntry {
              ELSE w END AS width,
            CASE WHEN kind = 'image'
              THEN GREATEST(CAST(ROUND(h * LEAST(256.0 / w, 256.0 / h, 1.0)) AS INT), 1)
-             ELSE h END AS height
+             ELSE h END AS height,
+           CASE WHEN kind = 'video' AND media_id < 60
+             THEN (media_id * 97 % 60000 + 999) // 10000 + 1
+             ELSE NULL END AS n_frames
          FROM m ORDER BY media_id""",
-
-    "multimodal_frames" ->
-      """SELECT doc_id AS media_id,
-         (doc_id * 97 % 60000 + 999) // 10000 + 1 AS n_frames
-         FROM documents WHERE doc_id < 60 AND doc_id % 3 = 2
-         ORDER BY media_id""",
 
     "multimodal_bmp_roundtrip" ->
       """WITH img AS (
@@ -2354,8 +2388,32 @@ object SparkEntry {
            CAST(o.sum_b AS BIGINT) AS sum_b, CAST(o.sum_g AS BIGINT) AS sum_g,
            CAST(o.sum_r AS BIGINT) AS sum_r,
            CAST(r.tw AS INT) AS rs_width, CAST(r.th AS INT) AS rs_height,
-           CAST(r.rs_sum_b AS BIGINT) AS rs_sum_b
+           CAST(r.rs_sum_b AS BIGINT) AS rs_sum_b,
+           true AS png_matches_bmp, true AS png_resize_matches
          FROM orig o JOIN rs r USING (id) ORDER BY media_id""",
+
+    "dedup_paragraphs" ->
+      """WITH pages AS (
+           SELECT d.doc_id,
+             'SHARED LICENSE HEADER PARAGRAPH COMMON TO EVERY DOCUMENT'
+               || chr(10) || d.text || chr(10) || b.text || chr(10) ||
+               'SHARED FOOTER PARAGRAPH WITH CONTACT AND COPYRIGHT' AS page
+           FROM documents d JOIN documents b ON b.doc_id = d.doc_id % 50),
+         split AS (SELECT doc_id, string_split(page, chr(10)) AS parts FROM pages),
+         paras AS (
+           SELECT s.doc_id, gs.i AS pos, s.parts[gs.i] AS para
+           FROM split s, LATERAL (
+             SELECT unnest(generate_series(1, len(s.parts))) AS i) gs),
+         ranked AS (
+           SELECT doc_id, pos, para,
+             row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+           FROM paras)
+         SELECT doc_id,
+           count(*) AS n_paras_kept,
+           CAST(len(string_agg(para, chr(10) ORDER BY pos)) AS INT) AS n_chars2,
+           md5(string_agg(para, chr(10) ORDER BY pos)) AS fp
+         FROM ranked WHERE rn = 1
+         GROUP BY doc_id ORDER BY doc_id""",
 
     "dedup_minhash_lsh" ->
       """SELECT doc_id AS idA, doc_id + 100000 AS idB FROM documents

@@ -314,4 +314,45 @@ object Dedup {
           SparkShims.expression(lower(text)), bc, n)).as("n_hit_grams"))
       .where(col("n_hit_grams") > 0)
   }
+
+  /**
+   * Paragraph-grain exact dedup (boilerplate removal, the CCNet-style
+   * pass): split each document on `sep`, keep only the corpus-wide FIRST
+   * occurrence (by doc id, then position) of every distinct paragraph,
+   * and reassemble documents in original paragraph order. Paragraphs
+   * shorter than `minLen` chars (blank lines, markup stubs) are exempt —
+   * deduping them would weld unrelated documents' structure together.
+   *
+   * Scale shape: ONE shuffle, keyed by the 64-bit paragraph hash (the
+   * exchange hashes 8 bytes + the row, never a multi-KB string key); the
+   * hash is a distribution key only — the window partitions on
+   * (hash, paragraph), so a hash collision between distinct paragraphs
+   * costs co-location, not correctness. Reassembly groups by doc id with
+   * an in-group sort, the second (doc-grain, unskewed) shuffle.
+   *
+   * Returns (doc_id, text, n_paras_kept).
+   */
+  def dedupParagraphs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      sep: String = "\n",
+      minLen: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paras = df.select(id.as("doc_id"),
+        posexplode(split(text, java.util.regex.Pattern.quote(sep)))
+          .as(Seq("__pos", "__para")))
+    val w = Window
+      .partitionBy(xxhash64(col("__para")), col("__para"))
+      .orderBy(col("doc_id"), col("__pos"))
+    paras
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 || length(col("__para")) < minLen)
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__para")))),
+          x => x.getField("__para")), sep).as("text"),
+        count(lit(1)).as("n_paras_kept"))
+  }
 }

@@ -586,4 +586,22 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunk must not shuffle:\n$plan")
   }
+
+  test("paragraph dedup keeps first occurrence, preserves order and short lines") {
+    import graft.ml.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "HEADER\nalpha body one\n\nFOOTER"),
+      (2L, "HEADER\nbeta body two\n\nFOOTER"),
+      (3L, "HEADER\nalpha body one\nunique tail\nFOOTER")).toDF("id", "text")
+    val out = Dedup.dedupParagraphs(docs, col("id"), col("text"), minLen = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    // doc 1 hosts the first HEADER/FOOTER and the first "alpha body one";
+    // the empty line (< minLen) survives everywhere it appears
+    assert(out(0) === ((1L, "HEADER\nalpha body one\n\nFOOTER", 4L)))
+    assert(out(1) === ((2L, "beta body two\n", 2L)))
+    // doc 3's duplicate of doc 1's paragraph collapses; its unique line stays
+    assert(out(2) === ((3L, "unique tail", 1L)))
+  }
 }
