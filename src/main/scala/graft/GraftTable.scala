@@ -597,6 +597,12 @@ object Graft {
   def convertFromParquet(spark: SparkSession, path: String): GraftTable =
     ConvertCommand.run(spark, path)
 
+  /** CONVERT an existing Delta Lake table in place (zero data copy):
+    * fold its `_delta_log` and register the live files, schema,
+    * partitioning, stats, and translated properties as graft commit 0. */
+  def convertFromDelta(spark: SparkSession, path: String): GraftTable =
+    ConvertFromDeltaCommand.run(spark, path)
+
   /** CREATE TABLE: empty table with an explicit schema (the way to declare
     * generated/identity columns or constraints up front). */
   def create(

@@ -1,0 +1,244 @@
+package graft.commands
+
+import scala.collection.mutable
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DataType, Metadata => FieldMetadata, MetadataBuilder, StructField, StructType}
+
+import graft.GraftTable
+import graft.log._
+
+/**
+ * CONVERT FROM DELTA: register an existing Delta Lake table as a graft
+ * table by folding its `_delta_log` — the `_last_checkpoint`-named
+ * classic checkpoint (single or multi-part parquet) plus the newer JSON
+ * commits — into graft commit 0. Data files are never copied or
+ * rewritten: per-file stats come across verbatim (same min/max/nullCount
+ * JSON shape, so skipping works immediately), schema and partitioning
+ * carry over, and table configuration / column metadata translate
+ * key-for-key (column mapping physical names and field ids, generated /
+ * identity / DEFAULT columns, CHECK constraints, append-only, CDF).
+ *
+ * The fold follows the PUBLIC Delta protocol spec (reference
+ * PROTOCOL.md; log replay rules :913-934) — no Delta code is involved.
+ *
+ * Guardrails: live files carrying deletion vectors abort the convert
+ * (run PURGE on the source first — rewriting them here would copy
+ * data, which CONVERT promises not to do); unknown reader features
+ * abort rather than risk misreading the data layout. Row tracking
+ * watermarks and in-commit timestamps do not carry over (the graft
+ * table starts its own history).
+ */
+object ConvertFromDeltaCommand {
+
+  private val mapper = new ObjectMapper()
+
+  def run(spark: SparkSession, path: String): GraftTable = {
+    val log = GraftLog.forTable(spark, path)
+    require(!log.tableExists, s"$path is already a graft table")
+    val deltaLog = new Path(log.dataPath, "_delta_log")
+    val fs = log.store.fs(deltaLog)
+    require(fs.exists(deltaLog), s"$path has no _delta_log — not a Delta table")
+
+    // ---- checkpoint base (optional) ------------------------------------
+    val lastCp: Option[JsonNode] =
+      try Some(mapper.readTree(log.store.read(new Path(deltaLog, "_last_checkpoint"))))
+      catch { case _: Exception => None }
+    val cpVersion = lastCp.map(_.path("version").asLong(-1)).filter(_ >= 0)
+    val adds = mutable.LinkedHashMap.empty[String, AddFile]
+    var metaNode: JsonNode = null
+    var protoNode: JsonNode = null
+
+    cpVersion.foreach { v =>
+      val parts = lastCp.map(_.path("parts").asInt(0)).getOrElse(0)
+      val cpFiles: Seq[String] =
+        if (parts > 0) (1 to parts).map(i =>
+          new Path(deltaLog, f"$v%020d.checkpoint.$i%010d.$parts%010d.parquet").toString)
+        else Seq(new Path(deltaLog, f"$v%020d.checkpoint.parquet").toString)
+      cpFiles.foreach(p => require(fs.exists(new Path(p)),
+        s"_last_checkpoint names $p but it does not exist"))
+      // Generic parquet read; only the action columns matter. toJSON gives
+      // the same shape as the JSON commits, so one fold path serves both.
+      spark.read.parquet(cpFiles: _*).toJSON.collect().foreach { line =>
+        applyAction(mapper.readTree(line), adds,
+          m => metaNode = m, p => protoNode = p)
+      }
+      require(adds.nonEmpty || metaNode != null,
+        s"checkpoint at $v held no actions — v2/sidecar checkpoints are " +
+          "not supported by CONVERT FROM DELTA; delete _last_checkpoint " +
+          "to fold the JSON log directly")
+    }
+
+    // ---- JSON tail ------------------------------------------------------
+    val deltaVersions = fs.listStatus(deltaLog).toSeq
+      .flatMap(st => FileNames.deltaVersion(st.getPath.getName))
+      .filter(v => cpVersion.forall(v > _)).sorted
+    require(cpVersion.isDefined || deltaVersions.headOption.contains(0L),
+      s"Delta log at $path is truncated (no checkpoint and no version 0)")
+    deltaVersions.foreach { v =>
+      log.store.read(new Path(deltaLog, f"$v%020d.json"))
+        .linesIterator.filter(_.nonEmpty)
+        .foreach(line => applyAction(mapper.readTree(line), adds,
+          m => metaNode = m, p => protoNode = p))
+    }
+    require(metaNode != null, s"Delta log at $path carries no metaData action")
+
+    // ---- protocol gate --------------------------------------------------
+    val understood = Set("columnMapping", "timestampNtz", "variantType",
+      "typeWidening", "v2Checkpoint", "deletionVectors")
+    if (protoNode != null) {
+      val rf = Option(protoNode.get("readerFeatures")).toSeq
+        .flatMap(n => (0 until n.size()).map(n.get(_).asText()))
+      val unknown = rf.toSet -- understood
+      require(unknown.isEmpty,
+        s"Delta table requires reader features $unknown this convert " +
+          "does not understand — converting could misread the data layout")
+      require(protoNode.path("minReaderVersion").asInt(1) <= 3,
+        "Delta reader version beyond 3 is not supported")
+    }
+
+    // ---- translate metadata --------------------------------------------
+    val schemaString = metaNode.path("schemaString").asText(null)
+    require(schemaString != null, "Delta metaData has no schemaString")
+    val schema = DataType.fromJson(schemaString).asInstanceOf[StructType]
+    val partitionCols = Option(metaNode.get("partitionColumns")).toSeq
+      .flatMap(n => (0 until n.size()).map(n.get(_).asText()))
+    val deltaConf = Option(metaNode.get("configuration")).map { n =>
+      import scala.jdk.CollectionConverters._
+      n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
+
+    val translated = Metadata(
+      schemaString = translateSchema(schema).json,
+      partitionColumns = partitionCols,
+      configuration = translateConfig(deltaConf),
+      createdTime = Some(System.currentTimeMillis()))
+
+    val files = adds.values.toSeq
+    log.withNewTransaction { txn =>
+      txn.updateMetadata(translated)
+      txn.commit(files, "CONVERT FROM DELTA",
+        operationMetrics = Map(
+          "numConvertedFiles" -> files.size.toString,
+          "sourceVersion" ->
+            (deltaVersions.lastOption.orElse(cpVersion).getOrElse(0L)).toString))
+    }
+    new GraftTable(spark, log)
+  }
+
+  /** Fold one delta action (JSON tree) into the running state. */
+  private def applyAction(
+      node: JsonNode,
+      adds: mutable.LinkedHashMap[String, AddFile],
+      onMeta: JsonNode => Unit,
+      onProto: JsonNode => Unit): Unit = {
+    val add = node.get("add")
+    val remove = node.get("remove")
+    val meta = node.get("metaData")
+    val proto = node.get("protocol")
+    if (add != null && !add.isNull) {
+      val dv = add.get("deletionVector")
+      require(dv == null || dv.isNull || dv.path("cardinality").asLong(0) == 0,
+        s"file ${add.path("path").asText()} carries a live deletion vector; " +
+          "PURGE the Delta table first (CONVERT never rewrites data)")
+      val pv = Option(add.get("partitionValues")).map { n =>
+        import scala.jdk.CollectionConverters._
+        n.properties().asScala.map(e => e.getKey ->
+          (if (e.getValue.isNull) null else e.getValue.asText())).toMap
+      }.getOrElse(Map.empty[String, String])
+      val path = add.path("path").asText()
+      adds(path) = AddFile(
+        path = path,
+        partitionValues = pv,
+        size = add.path("size").asLong(0),
+        modificationTime = add.path("modificationTime").asLong(0),
+        dataChange = true,
+        stats = Option(add.get("stats")).filterNot(_.isNull)
+          .map(_.asText()).orNull)
+    } else if (remove != null && !remove.isNull) {
+      adds.remove(remove.path("path").asText())
+    } else if (meta != null && !meta.isNull) {
+      onMeta(meta)
+    } else if (proto != null && !proto.isNull) {
+      onProto(proto)
+    }
+  }
+
+  /** delta.* table properties -> graft equivalents (unknown keys carry
+    * over untouched — provenance beats silent loss). */
+  private[commands] def translateConfig(c: Map[String, String]): Map[String, String] = {
+    val renames = Map(
+      "delta.appendOnly" -> "graft.appendOnly",
+      "delta.enableChangeDataFeed" -> "graft.enableChangeDataFeed",
+      "delta.enableDeletionVectors" -> "graft.enableDeletionVectors",
+      "delta.checkpointInterval" -> "graft.checkpointInterval",
+      "delta.columnMapping.mode" -> graft.schema.ColumnMapping.MODE_KEY,
+      "delta.columnMapping.maxColumnId" -> graft.schema.ColumnMapping.MAX_ID_KEY,
+      "delta.dataSkippingNumIndexedCols" -> "graft.dataSkippingNumIndexedCols",
+      "delta.deletedFileRetentionDuration" -> "", // duration syntax differs; drop
+      "delta.enableRowTracking" -> "", // watermarks do not carry over
+      "delta.enableInCommitTimestamps" -> "") // fresh history, fresh clock
+    c.flatMap {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        Some(graft.constraints.Constraints.PROP_PREFIX +
+          k.stripPrefix("delta.constraints.") -> v)
+      case (k, v) => renames.get(k) match {
+        case Some("") => None
+        case Some(nk) => Some(nk -> v)
+        case None => Some(k -> v)
+      }
+    }
+  }
+
+  /** Per-field metadata keys -> graft equivalents, recursively. */
+  private def translateSchema(s: StructType): StructType =
+    StructType(s.fields.map(translateField))
+
+  private def translateField(f: StructField): StructField = {
+    val dt = f.dataType match {
+      case st: StructType => translateSchema(st)
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.elementType match {
+          case st: StructType => a.copy(elementType = translateSchema(st))
+          case _ => a
+        }
+      case m: org.apache.spark.sql.types.MapType =>
+        m.valueType match {
+          case st: StructType => m.copy(valueType = translateSchema(st))
+          case _ => m
+        }
+      case other => other
+    }
+    f.copy(dataType = dt, metadata = translateFieldMeta(f.metadata))
+  }
+
+  private def translateFieldMeta(m: FieldMetadata): FieldMetadata = {
+    val renames = Map(
+      "delta.columnMapping.physicalName" -> graft.schema.ColumnMapping.PHYS_KEY,
+      "delta.generationExpression" -> graft.schema.ColumnDefaults.GEN_KEY,
+      "delta.identity.start" -> graft.schema.ColumnDefaults.ID_START,
+      "delta.identity.step" -> graft.schema.ColumnDefaults.ID_STEP)
+    var changed = false
+    val mb = new MetadataBuilder().withMetadata(m)
+    renames.foreach { case (dk, gk) =>
+      if (m.contains(dk)) {
+        changed = true
+        // values are strings (physicalName, generation SQL) or longs
+        // (identity start/step); copy through json round-trip to keep type
+        val json = mapper.readTree(m.json)
+        val v = json.get(dk)
+        if (v.isNumber) mb.putLong(gk, v.asLong) else mb.putString(gk, v.asText())
+        mb.remove(dk)
+      }
+    }
+    if (m.contains("delta.columnMapping.id")) {
+      changed = true
+      val id = mapper.readTree(m.json).get("delta.columnMapping.id").asLong
+      mb.putLong(graft.schema.ColumnMapping.ID_KEY, id)
+      mb.remove("delta.columnMapping.id")
+    }
+    if (changed) mb.build() else m
+  }
+}

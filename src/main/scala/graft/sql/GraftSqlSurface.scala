@@ -590,10 +590,13 @@ case class GraftAlterRun(
   }
 }
 
-case class GraftConvertRun(path: String) extends LeafRunnableCommand {
+case class GraftConvertRun(path: String, provider: String = "parquet")
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
-    graft.Graft.convertFromParquet(spark, path)
+    if (provider.equalsIgnoreCase("delta"))
+      graft.Graft.convertFromDelta(spark, path)
+    else graft.Graft.convertFromParquet(spark, path)
     Nil
   }
 }
@@ -863,7 +866,7 @@ object GraftSqlParser {
     (s"""(?is)^\\s*REORG\\s+(?:TABLE\\s+)?($targetOrName)\\s+""" +
       """APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
   private val convertRe =
-    (s"""(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\s+(?:parquet\\.)?($target)""" +
+    (s"""(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\s+(?:(parquet|delta)\\.)?($target)""" +
       """\s*;?\s*$""").r
   private val generateRe =
     (s"""(?is)^\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+""" +
@@ -908,7 +911,8 @@ object GraftSqlParser {
   def parseMaintenance(
       sqlText: String,
       resolve: String => Option[String]): Option[LogicalPlan] = sqlText match {
-    case convertRe(t) => Some(GraftConvertRun(targetPath(t)))
+    case convertRe(provider, t) => Some(GraftConvertRun(targetPath(t),
+      if (provider == null) "parquet" else provider.toLowerCase))
     case generateRe(t) =>
       resolve(t).map(GraftGenerateRun.apply)
     case showPartsRe(t) =>

@@ -1,0 +1,236 @@
+package graft
+
+import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * CONVERT FROM DELTA against hand-authored `_delta_log` directories that
+ * follow the PUBLIC Delta protocol layout (JSON commits, classic and
+ * multi-part checkpoints, delta.* table properties, column-mapping field
+ * metadata) — no Delta library involved on either side.
+ */
+class DeltaConvertSuite extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    JFiles.createTempDirectory("graft-deltacnv").toString
+
+  /** Write `df` as exactly one parquet file at tableDir/name. */
+  private def writeFile(df: DataFrame, tableDir: String, name: String): Long = {
+    val t = JFiles.createTempDirectory("dcnv-part").toString
+    df.coalesce(1).write.mode("overwrite").parquet(t)
+    val part = new java.io.File(t).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dest = Paths.get(tableDir, name)
+    JFiles.createDirectories(dest.getParent)
+    JFiles.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+    JFiles.size(dest)
+  }
+
+  private def writeLog(tableDir: String, version: Long, lines: Seq[String]): Unit = {
+    val log = Paths.get(tableDir, "_delta_log")
+    JFiles.createDirectories(log)
+    JFiles.writeString(log.resolve(f"$version%020d.json"),
+      lines.mkString("", "\n", "\n"))
+  }
+
+  private def protoLine(r: Int = 1, w: Int = 2): String =
+    s"""{"protocol":{"minReaderVersion":$r,"minWriterVersion":$w}}"""
+
+  private def metaLine(schema: StructType, partCols: Seq[String] = Nil,
+      conf: Map[String, String] = Map.empty): String = {
+    val confJson = conf.map { case (k, v) => s""""$k":"$v"""" }.mkString(",")
+    val pc = partCols.map(c => s""""$c"""").mkString(",")
+    s"""{"metaData":{"id":"11111111-2222-3333-4444-555555555555",""" +
+      s""""format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder.build
+        .writeValueAsString(schema.json)},""" +
+      s""""partitionColumns":[$pc],"configuration":{$confJson},""" +
+      s""""createdTime":1700000000000}}"""
+  }
+
+  private def addLine(path: String, size: Long, stats: String = null,
+      pv: String = "{}"): String = {
+    val statsPart = if (stats == null) ""
+      else s""","stats":${com.fasterxml.jackson.databind.json.JsonMapper.builder.build
+        .writeValueAsString(stats)}"""
+    s"""{"add":{"path":"$path","partitionValues":$pv,"size":$size,""" +
+      s""""modificationTime":1700000000000,"dataChange":true$statsPart}}"""
+  }
+
+  test("two-commit delta table converts zero-copy and stays fully writable") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType).add("v", StringType)
+    val s1 = writeFile(spark.range(0, 10).select($"id", concat(lit("a"), $"id").as("v")), dir, "f1.parquet")
+    val s2 = writeFile(spark.range(10, 30).select($"id", concat(lit("b"), $"id").as("v")), dir, "f2.parquet")
+    val s3 = writeFile(spark.range(30, 35).select($"id", concat(lit("c"), $"id").as("v")), dir, "f3.parquet")
+    writeLog(dir, 0, Seq(
+      """{"commitInfo":{"timestamp":1700000000000,"operation":"WRITE"}}""",
+      protoLine(), metaLine(schema),
+      addLine("f1.parquet", s1,
+        """{"numRecords":10,"minValues":{"id":0},"maxValues":{"id":9},"nullCount":{"id":0}}"""),
+      addLine("f2.parquet", s2,
+        """{"numRecords":20,"minValues":{"id":10},"maxValues":{"id":29},"nullCount":{"id":0}}""")))
+    writeLog(dir, 1, Seq(
+      """{"commitInfo":{"timestamp":1700000001000,"operation":"DELETE"}}""",
+      """{"remove":{"path":"f1.parquet","deletionTimestamp":1700000001000,"dataChange":true}}""",
+      addLine("f3.parquet", s3,
+        """{"numRecords":5,"minValues":{"id":30},"maxValues":{"id":34},"nullCount":{"id":0}}""")))
+
+    val t = Graft.convertFromDelta(spark, dir)
+    assert(t.snapshot.numFiles === 2)
+    val got = Graft.read(spark, dir).orderBy("id").as[(Long, String)].collect()
+    assert(got.map(_._1).toSeq === ((10L until 35L).toSeq))
+    assert(got.head === ((10L, "b10")))
+    // carried-over stats drive skipping immediately
+    val kept = graft.stats.StatsSkipping.pruneAndFilter(
+      spark, t.snapshot, None, new StructType(), Nil,
+      new StructType().add("id", LongType),
+      Seq(org.apache.spark.sql.catalyst.expressions.EqualTo(
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "id", LongType)(), org.apache.spark.sql.catalyst.expressions.Literal(33L))))
+    assert(kept.map(_.path) === Seq("f3.parquet"))
+    // the converted table is a first-class graft table: DML on it works
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id >= 30")
+    assert(Graft.read(spark, dir).count() === 20)
+  }
+
+  test("classic multi-part checkpoint + JSON tail fold correctly") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 5).toDF("id"), dir, "a.parquet")
+    val s2 = writeFile(spark.range(5, 9).toDF("id"), dir, "b.parquet")
+    val s3 = writeFile(spark.range(9, 12).toDF("id"), dir, "c.parquet")
+    // checkpoint at v1 covering {a,b} (delta-shaped columns via JSON read)
+    val cpSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", StringType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType))))))
+    val part1 = Seq(protoLine(), metaLine(schema))
+    val part2 = Seq(addLine("a.parquet", s1), addLine("b.parquet", s2))
+    // part files must carry delta's exact multi-part names
+    writeFileAs(spark.read.schema(cpSchema).json(part1.toDS), dir,
+      f"_delta_log/${1L}%020d.checkpoint.${1}%010d.${2}%010d.parquet")
+    writeFileAs(spark.read.schema(cpSchema).json(part2.toDS), dir,
+      f"_delta_log/${1L}%020d.checkpoint.${2}%010d.${2}%010d.parquet")
+    JFiles.writeString(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":1,"size":4,"parts":2}""")
+    // tail commit: drop a, add c
+    writeLog(dir, 2, Seq(
+      """{"remove":{"path":"a.parquet","deletionTimestamp":1700000002000,"dataChange":true}}""",
+      addLine("c.parquet", s3)))
+
+    Graft.convertFromDelta(spark, dir)
+    assert(Graft.read(spark, dir).orderBy("id").as[Long].collect().toSeq ===
+      ((5L until 12L).toSeq))
+  }
+
+  private def writeFileAs(df: DataFrame, tableDir: String, rel: String): Unit =
+    writeFile(df, tableDir, rel)
+
+  test("partitioned delta table incl. null partition value") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType).add("p", StringType)
+    // delta data files exclude partition columns
+    val s1 = writeFile(spark.range(0, 3).toDF("id"), dir, "p=x/f1.parquet")
+    val s2 = writeFile(spark.range(3, 5).toDF("id"), dir, "p=y/f2.parquet")
+    val s3 = writeFile(spark.range(5, 6).toDF("id"), dir, "np/f3.parquet")
+    writeLog(dir, 0, Seq(
+      protoLine(), metaLine(schema, partCols = Seq("p")),
+      addLine("p=x/f1.parquet", s1, pv = """{"p":"x"}"""),
+      addLine("p=y/f2.parquet", s2, pv = """{"p":"y"}"""),
+      addLine("np/f3.parquet", s3, pv = """{"p":null}""")))
+    Graft.convertFromDelta(spark, dir)
+    val got = Graft.read(spark, dir).orderBy("id")
+      .as[(Long, Option[String])].collect()
+    assert(got.map(_._2).toSeq === Seq(Some("x"), Some("x"), Some("x"),
+      Some("y"), Some("y"), None))
+    // partition pruning through the log's partitionValues
+    assert(Graft.read(spark, dir).where($"p" === "y").count() === 2)
+  }
+
+  test("column mapping (name mode) translates physical names") {
+    val dir = tmpDir()
+    // physical column name differs from the logical one
+    writeFile(spark.range(0, 4).select($"id".as("col-abc123")), dir, "m1.parquet")
+    val s1 = JFiles.size(Paths.get(dir, "m1.parquet"))
+    val mapped = StructField("renamed_id", LongType, nullable = true,
+      new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", "col-abc123")
+        .putLong("delta.columnMapping.id", 1L).build())
+    writeLog(dir, 0, Seq(
+      protoLine(2, 5), metaLine(StructType(Seq(mapped)),
+        conf = Map("delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" -> "1")),
+      addLine("m1.parquet", s1)))
+    val t = Graft.convertFromDelta(spark, dir)
+    assert(Graft.read(spark, dir).columns.toSeq === Seq("renamed_id"))
+    assert(Graft.read(spark, dir).agg(sum($"renamed_id")).head.getLong(0) === 6L)
+    // mapping survives further graft DDL
+    t.renameColumn("renamed_id", "rid2")
+    assert(Graft.read(spark, dir).columns.toSeq === Seq("rid2"))
+  }
+
+  test("live deletion vectors abort the convert; properties translate") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 3).toDF("id"), dir, "d1.parquet")
+    writeLog(dir, 0, Seq(
+      protoLine(3, 7), metaLine(schema),
+      s"""{"add":{"path":"d1.parquet","partitionValues":{},"size":$s1,""" +
+        """"modificationTime":1,"dataChange":true,"deletionVector":""" +
+        """{"storageType":"u","pathOrInlineDv":"ab^-aqEH.-t@S}K{vb[*k","offset":1,"sizeInBytes":36,"cardinality":2}}}"""))
+    val e = intercept[IllegalArgumentException] {
+      Graft.convertFromDelta(spark, dir)
+    }
+    assert(e.getMessage.contains("deletion vector"))
+
+    // fresh table: appendOnly + constraint translation
+    val dir2 = tmpDir()
+    val s2 = writeFile(spark.range(1, 4).toDF("id"), dir2, "ok.parquet")
+    writeLog(dir2, 0, Seq(
+      protoLine(1, 3), metaLine(schema, conf = Map(
+        "delta.appendOnly" -> "true",
+        "delta.constraints.positive" -> "id > 0")),
+      addLine("ok.parquet", s2)))
+    Graft.convertFromDelta(spark, dir2)
+    val snap = GraftTable.forPath(spark, dir2).snapshot
+    assert(snap.metadata.configuration("graft.appendOnly") === "true")
+    assert(snap.metadata.configuration(
+      graft.constraints.Constraints.PROP_PREFIX + "positive") === "id > 0")
+    // CHECK enforced on new writes; append-only blocks deletes
+    intercept[Exception] { Graft.write(Seq(-5L).toDF("id"), dir2) }
+    intercept[Exception] {
+      GraftTable.forPath(spark, dir2).delete($"id" === 1L)
+    }
+    Graft.write(Seq(9L).toDF("id"), dir2)
+    assert(Graft.read(spark, dir2).count() === 4)
+  }
+
+  test("SQL surface: CONVERT TO GRAFT delta.`path`") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 7).toDF("id"), dir, "q.parquet")
+    writeLog(dir, 0, Seq(protoLine(), metaLine(schema),
+      addLine("q.parquet", s1)))
+    spark.sql(s"CONVERT TO GRAFT delta.`$dir`")
+    assert(Graft.read(spark, dir).count() === 7)
+  }
+}
