@@ -1,0 +1,220 @@
+package graft.commands
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types.{DataType, MetadataBuilder, StructField, StructType}
+
+import graft.log._
+
+/**
+ * Delta-format mirror (the UniForm idea, pointed at Delta itself): with
+ * `graft.universalFormat.enabledFormats=delta`, every graft commit also
+ * writes a Delta-protocol-conformant JSON commit under `_delta_log/`, so
+ * ANY Delta reader can read the graft table without conversion. Data
+ * files are shared; only metadata is doubled.
+ *
+ * Versioning: mirror version = graft version − base, where base is the
+ * graft version at enablement (recorded in mirror commit 0's
+ * commitInfo). The mapping is deterministic, so racing post-commit hooks
+ * write DISJOINT mirror files and the fold order always matches the
+ * graft order — a concurrent writer can only leave a transient gap at
+ * the tail, never a misordered fold. Mirror commit 0 is a full state
+ * snapshot (protocol, metaData, every live add), so readers need no
+ * graft history.
+ *
+ * Guardrails: deletion-vector commits abort mirroring loudly (our DV
+ * sidecars are not the Delta DV format — a Delta reader would resurrect
+ * deleted rows). The mirror is JSON-only (no Delta checkpoints); readers
+ * replay the log, which is correct if slower for very long histories.
+ */
+object DeltaMirror {
+
+  val PROP = "graft.universalFormat.enabledFormats"
+  private val mapper = new ObjectMapper()
+
+  def enabled(m: Metadata): Boolean =
+    m.configuration.get(PROP).exists(_.split(",").map(_.trim).contains("delta"))
+
+  /** Post-commit hook body: mirror graft commit `version` (its `actions`)
+    * into `_delta_log`. `snap` is a snapshot AT OR PAST `version`. */
+  def mirror(log: GraftLog, version: Long, actions: Seq[Action],
+      snap: Snapshot): Unit = {
+    val deltaLog = new Path(log.dataPath, "_delta_log")
+    val base = baseVersion(log, deltaLog)
+    actions.foreach {
+      case a: AddFile => require(a.dvPath.isEmpty,
+        "cannot mirror a deletion-vector commit to the Delta format " +
+          s"(graft DV sidecars are not Delta DVs); disable $PROP or purge")
+      case _ =>
+    }
+    base match {
+      case None =>
+        // Bootstrap: full state at this version becomes mirror commit 0.
+        val lines = Seq(
+          commitInfoJson(version, "GRAFT MIRROR BOOTSTRAP", version),
+          protocolJson(snap.metadata),
+          metaDataJson(snap.metadata)) ++
+          snap.allFiles.map(addJson)
+        writeMirror(log, deltaLog, 0L, lines)
+      case Some(b) if version > b =>
+        val mv = version - b
+        val translated = actions.flatMap {
+          case a: AddFile => Some(addJson(a))
+          case r: RemoveFile => Some(removeJson(r))
+          case m: Metadata => Some(metaDataJson(m))
+          case t: SetTransaction => Some(
+            s"""{"txn":{"appId":${q(t.appId)},"version":${t.version}}}""")
+          case c: CommitInfo =>
+            Some(commitInfoJson(version, c.operation, -1L, c.timestamp))
+          case c: AddCdcFile => Some(
+            s"""{"cdc":{"path":${q(c.path)},"partitionValues":${pvJson(c.partitionValues)},""" +
+              s""""size":${c.size},"dataChange":false}}""")
+          case _: Protocol => Some(protocolJson(snap.metadata))
+          case _ => None // graft-internal actions (domains, sidecars)
+        }
+        writeMirror(log, deltaLog, mv, translated)
+      case _ => // commit predates the bootstrap snapshot; already covered
+    }
+  }
+
+  /** Graft version the mirror's commit 0 snapshotted, from its
+    * commitInfo; None when no mirror exists yet. */
+  private def baseVersion(log: GraftLog, deltaLog: Path): Option[Long] =
+    log.store.readOpt(new Path(deltaLog, f"${0L}%020d.json")).flatMap { c =>
+      c.linesIterator.map(mapper.readTree).collectFirst {
+        case n if n.has("commitInfo") &&
+            n.path("commitInfo").path("operationParameters")
+              .has("graftBaseVersion") =>
+          n.path("commitInfo").path("operationParameters")
+            .path("graftBaseVersion").asText().toLong
+      }
+    }
+
+  private def writeMirror(log: GraftLog, deltaLog: Path, version: Long,
+      lines: Seq[String]): Unit = {
+    try log.store.write(new Path(deltaLog, f"$version%020d.json"),
+      lines.mkString("", "\n", "\n"))
+    catch {
+      // Put-if-absent loss means this mirror version is already written —
+      // deterministic mapping makes the contents equivalent.
+      case _: java.nio.file.FileAlreadyExistsException =>
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+    }
+  }
+
+  private def q(s: String): String = mapper.writeValueAsString(s)
+
+  private def pvJson(pv: Map[String, String]): String = {
+    if (pv == null || pv.isEmpty) "{}"
+    else pv.map { case (k, v) =>
+      s"${q(k)}:${if (v == null) "null" else q(v)}" }.mkString("{", ",", "}")
+  }
+
+  private def commitInfoJson(graftVersion: Long, op: String,
+      baseV: Long, ts: Long = System.currentTimeMillis()): String =
+    s"""{"commitInfo":{"timestamp":$ts,"operation":${q(op)},""" +
+      s""""operationParameters":{${
+        if (baseV >= 0) s""""graftBaseVersion":"$baseV",""" else ""
+      }"graftVersion":"$graftVersion"}}}"""
+
+  /** Minimal Delta protocol covering the features the metadata uses. */
+  private def protocolJson(m: Metadata): String = {
+    val feats = TableFeatures.activeFeatures(m).map(_.name)
+    var (r, w) = (1, 2)
+    if (feats("checkConstraints")) w = math.max(w, 3)
+    if (feats("generatedColumns") || feats("changeDataFeed")) w = math.max(w, 4)
+    if (feats("columnMapping")) { r = math.max(r, 2); w = math.max(w, 5) }
+    if (feats("identityColumns")) w = math.max(w, 6)
+    s"""{"protocol":{"minReaderVersion":$r,"minWriterVersion":$w}}"""
+  }
+
+  private def addJson(a: AddFile): String = {
+    val stats = Option(a.stats).map(s => s""","stats":${q(s)}""").getOrElse("")
+    s"""{"add":{"path":${q(a.path)},"partitionValues":${pvJson(a.partitionValues)},""" +
+      s""""size":${a.size},"modificationTime":${a.modificationTime},""" +
+      s""""dataChange":${a.dataChange}$stats}}"""
+  }
+
+  private def removeJson(r: RemoveFile): String =
+    s"""{"remove":{"path":${q(r.path)},"deletionTimestamp":${
+      r.deletionTimestamp.getOrElse(System.currentTimeMillis())},""" +
+      s""""dataChange":${r.dataChange}}}"""
+
+  private def metaDataJson(m: Metadata): String = {
+    val node = mapper.createObjectNode()
+    node.put("id", m.id)
+    val fmt = node.putObject("format")
+    fmt.put("provider", "parquet"); fmt.putObject("options")
+    node.put("schemaString", toDeltaSchema(m).json)
+    val pc = node.putArray("partitionColumns")
+    m.partitionColumns.foreach(pc.add)
+    val conf = node.putObject("configuration")
+    toDeltaConfig(m.configuration).foreach { case (k, v) => conf.put(k, v) }
+    node.put("createdTime", m.createdTime.getOrElse(System.currentTimeMillis()))
+    val wrapper = mapper.createObjectNode()
+    wrapper.set[ObjectNode]("metaData", node)
+    mapper.writeValueAsString(wrapper)
+  }
+
+  /** graft.* table properties -> delta.* (reverse of the convert map);
+    * graft-internal bookkeeping stays private. */
+  private[commands] def toDeltaConfig(c: Map[String, String]): Map[String, String] = {
+    val renames = Map(
+      "graft.appendOnly" -> "delta.appendOnly",
+      "graft.enableChangeDataFeed" -> "delta.enableChangeDataFeed",
+      "graft.checkpointInterval" -> "delta.checkpointInterval",
+      graft.schema.ColumnMapping.MODE_KEY -> "delta.columnMapping.mode",
+      graft.schema.ColumnMapping.MAX_ID_KEY -> "delta.columnMapping.maxColumnId",
+      "graft.dataSkippingNumIndexedCols" -> "delta.dataSkippingNumIndexedCols")
+    c.flatMap {
+      case (k, v) if k.startsWith(graft.constraints.Constraints.PROP_PREFIX) =>
+        Some("delta.constraints." +
+          k.stripPrefix(graft.constraints.Constraints.PROP_PREFIX) -> v)
+      case (k, v) => renames.get(k) match {
+        case Some(nk) => Some(nk -> v)
+        case None if k.startsWith("graft.") => None
+        case None => Some(k -> v)
+      }
+    }
+  }
+
+  /** Per-field metadata keys -> delta names, recursively. */
+  private def toDeltaSchema(m: Metadata): StructType = {
+    def walk(s: StructType): StructType = StructType(s.fields.map { f =>
+      val dt = f.dataType match {
+        case st: StructType => walk(st)
+        case a: org.apache.spark.sql.types.ArrayType => a.elementType match {
+          case st: StructType => a.copy(elementType = walk(st))
+          case _ => a
+        }
+        case mp: org.apache.spark.sql.types.MapType => mp.valueType match {
+          case st: StructType => mp.copy(valueType = walk(st))
+          case _ => mp
+        }
+        case other => other
+      }
+      f.copy(dataType = dt, metadata = fieldMeta(f))
+    })
+    walk(m.schema)
+  }
+
+  private def fieldMeta(f: StructField) = {
+    val renames = Map(
+      graft.schema.ColumnMapping.PHYS_KEY -> "delta.columnMapping.physicalName",
+      graft.schema.ColumnMapping.ID_KEY -> "delta.columnMapping.id",
+      graft.schema.ColumnDefaults.GEN_KEY -> "delta.generationExpression",
+      graft.schema.ColumnDefaults.ID_START -> "delta.identity.start",
+      graft.schema.ColumnDefaults.ID_STEP -> "delta.identity.step")
+    val mb = new MetadataBuilder().withMetadata(f.metadata)
+    val json = mapper.readTree(f.metadata.json)
+    renames.foreach { case (gk, dk) =>
+      if (f.metadata.contains(gk)) {
+        val v = json.get(gk)
+        if (v.isNumber) mb.putLong(dk, v.asLong) else mb.putString(dk, v.asText())
+        mb.remove(gk)
+      }
+    }
+    mb.build()
+  }
+}

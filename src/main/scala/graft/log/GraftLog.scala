@@ -226,6 +226,10 @@ class GraftLog private (
     writeChecksum(snap)
     maybeCheckpoint(snap)
     maybeAutoCompact(snap)
+    // Delta-format mirror (UniForm-style): failures here surface loudly
+    // but the graft commit above is already durable.
+    if (graft.commands.DeltaMirror.enabled(snap.metadata))
+      graft.commands.DeltaMirror.mirror(this, version, actions, snap)
     snap
   }
 

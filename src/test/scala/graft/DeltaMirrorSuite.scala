@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.{Files => JFiles, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Delta-format mirror: every graft commit doubles as a Delta JSON
+  * commit; proven by round-tripping the mirror through CONVERT FROM
+  * DELTA into a fresh table. */
+class DeltaMirrorSuite extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    JFiles.createTempDirectory("graft-mirror").toString
+
+  /** Hardlink the data files + _delta_log (NOT _graft_log) of `src` into
+    * a fresh dir — what a pure Delta reader of the mirror would see. */
+  private def deltaViewOf(src: String): String = {
+    val dst = tmpDir()
+    def walk(rel: String): Unit = {
+      val d = new java.io.File(s"$src/$rel")
+      d.listFiles().foreach { f =>
+        val r = if (rel.isEmpty) f.getName else s"$rel/${f.getName}"
+        if (f.isDirectory) {
+          if (r != "_graft_log") { JFiles.createDirectories(Paths.get(dst, r)); walk(r) }
+        } else if (!r.startsWith("_graft_log")) {
+          try JFiles.createLink(Paths.get(dst, r), f.toPath)
+          catch { case _: Exception => JFiles.copy(f.toPath, Paths.get(dst, r)) }
+        }
+      }
+    }
+    walk("")
+    dst
+  }
+
+  test("mirrored commits round-trip through CONVERT FROM DELTA") {
+    val dir = tmpDir()
+    Graft.write(spark.range(0, 50).select($"id", ($"id" % 5).as("k")), dir,
+      configuration = Map(graft.commands.DeltaMirror.PROP -> "delta"))
+    Graft.write(spark.range(50, 80).select($"id", ($"id" % 5).as("k")), dir)
+    GraftTable.forPath(spark, dir).delete($"id" >= 70)
+    val mirrors = new java.io.File(s"$dir/_delta_log").listFiles()
+      .map(_.getName).filter(_.endsWith(".json")).sorted
+    assert(mirrors.length === 3, s"expected 3 mirror commits, got ${mirrors.toSeq}")
+
+    val view = deltaViewOf(dir)
+    Graft.convertFromDelta(spark, view)
+    val a = Graft.read(spark, dir).orderBy("id").as[(Long, Long)].collect().toSeq
+    val b = Graft.read(spark, view).orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(a === b)
+    assert(a.map(_._1) === (0L until 70L))
+  }
+
+  test("late enablement bootstraps a full-state mirror commit 0") {
+    val dir = tmpDir()
+    Graft.write(spark.range(0, 20).toDF("id"), dir)
+    Graft.write(spark.range(20, 30).toDF("id"), dir)
+    assert(!new java.io.File(s"$dir/_delta_log").exists())
+    GraftTable.forPath(spark, dir).upsertProperties(
+      Map(graft.commands.DeltaMirror.PROP -> "delta"))
+    // bootstrap happened at the property commit; a later append mirrors too
+    Graft.write(spark.range(30, 33).toDF("id"), dir)
+    val view = deltaViewOf(dir)
+    Graft.convertFromDelta(spark, view)
+    assert(Graft.read(spark, view).orderBy("id").as[Long].collect().toSeq ===
+      (0L until 33L))
+  }
+
+  test("deletion-vector commits refuse to mirror, loudly") {
+    val dir = tmpDir()
+    Graft.write(spark.range(0, 40).toDF("id"), dir,
+      configuration = Map(
+        graft.commands.DeltaMirror.PROP -> "delta",
+        "graft.enableDeletionVectors" -> "true"))
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.forPath(spark, dir).delete($"id" < 5)
+    }
+    assert(e.getMessage.contains("deletion-vector"))
+    // the graft commit itself landed before the mirror refused
+    graft.log.GraftLog.clearCache()
+    assert(Graft.read(spark, dir).count() === 35)
+  }
+
+  test("constraints and appendOnly survive the round trip") {
+    val dir = tmpDir()
+    Graft.write(spark.range(1, 10).toDF("id"), dir,
+      configuration = Map(
+        graft.commands.DeltaMirror.PROP -> "delta",
+        "graft.appendOnly" -> "true",
+        graft.constraints.Constraints.PROP_PREFIX + "pos" -> "id > 0"))
+    val mirror0 = JFiles.readString(
+      Paths.get(dir, "_delta_log", f"${0L}%020d.json"))
+    assert(mirror0.contains("delta.constraints.pos"))
+    assert(mirror0.contains("delta.appendOnly"))
+    val view = deltaViewOf(dir)
+    Graft.convertFromDelta(spark, view)
+    intercept[Exception] { Graft.write(Seq(-1L).toDF("id"), view) }
+    intercept[Exception] {
+      GraftTable.forPath(spark, view).delete($"id" === 1L)
+    }
+  }
+}
