@@ -44,6 +44,12 @@ class GraftTable:
         spark._sc._jvm.graft.Graft.convertFromParquet(spark._jsparkSession, path)
         return cls.forPath(spark, path)
 
+    @classmethod
+    def convertFromDelta(cls, spark, path):
+        """Zero-copy: register an existing Delta table as a graft table."""
+        spark._sc._jvm.graft.Graft.convertFromDelta(spark._jsparkSession, path)
+        return cls.forPath(spark, path)
+
     # ---- reads -----------------------------------------------------------
 
     def toDF(self):

@@ -50,6 +50,10 @@ object TableFeatures {
   val clustering = Feature("clustering", 1, 7)
   val timestampNtz = Feature("timestampNtz", 3, 7)
   val variantType = Feature("variantType", 3, 7)
+  // Reader-gating: shredded files store variant paths as typed parquet
+  // sub-columns; a reader unaware of shredding sees a struct where the
+  // schema says VARIANT and fails (or worse, misreads).
+  val variantShredding = Feature("variantShredding", 3, 7)
   // Writer-gating: monotone CommitInfo-sourced timestamps only stay
   // monotone if every writer stamps them; an unaware writer would fork
   // the table's time-travel ordering back to file mtimes.
@@ -69,7 +73,7 @@ object TableFeatures {
   val all: Seq[Feature] = Seq(appendOnly, invariants, checkConstraints,
     changeDataFeed, generatedColumns, columnMapping, identityColumns,
     deletionVectors, rowTracking, typeWidening, v2Checkpoint,
-    domainMetadata, clustering, timestampNtz, variantType,
+    domainMetadata, clustering, timestampNtz, variantType, variantShredding,
     coordinatedCommits, collations, inCommitTimestamp, vacuumProtocolCheck,
     allowColumnDefaults, checkpointProtection)
   val byName: Map[String, Feature] = all.map(f => f.name -> f).toMap
@@ -129,8 +133,10 @@ object TableFeatures {
           _.isInstanceOf[org.apache.spark.sql.types.TimestampNTZType]))
         b += timestampNtz
       if (hasType(m.schema,
-          _.isInstanceOf[org.apache.spark.sql.types.VariantType]))
+          _.isInstanceOf[org.apache.spark.sql.types.VariantType])) {
         b += variantType
+        if (on("graft.enableVariantShredding")) b += variantShredding
+      }
       if (hasType(m.schema, {
           case st: org.apache.spark.sql.types.StringType =>
             st != org.apache.spark.sql.types.StringType

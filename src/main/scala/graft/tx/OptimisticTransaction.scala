@@ -96,13 +96,37 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
   def writeFiles(data: DataFrame, dataChange: Boolean = true): Seq[AddFile] = {
     val m = metadata
     val physical = graft.schema.ColumnMapping.renameToPhysical(data, m)
-    val adds = TransactionalWrite.writeFiles(
-      log.spark, log.dataPath, physical,
-      graft.schema.ColumnMapping.physicalPartitionColumns(m),
-      graft.schema.ColumnMapping.physicalDataSchema(m),
-      optimizeWrite = m.configuration
-        .getOrElse("graft.optimizeWrite", "true").toBoolean,
-      statsColumns = graft.files.GraftFileIndex.statsColumns(m))
+    // Variant shredding (graft.enableVariantShredding): variant columns
+    // write as typed parquet sub-columns via Spark's own shredding writer
+    // — reads reassemble transparently; the reader-gating feature locks
+    // out clients that would misread the shredded layout.
+    val hasVariant = m.schema.exists(_.dataType
+      .isInstanceOf[org.apache.spark.sql.types.VariantType])
+    val shred = m.configuration
+      .getOrElse("graft.enableVariantShredding", "false").toBoolean && hasVariant
+    val conf = log.spark.conf
+    // Spark 4.1 shreds by default — a table that has NOT declared the
+    // reader-gating feature must write unshredded, or readers without the
+    // feature would be handed a layout the protocol never announced.
+    val prev =
+      if (hasVariant) Seq(
+        "spark.sql.variant.writeShredding.enabled",
+        "spark.sql.variant.inferShreddingSchema")
+        .map(k => k -> conf.getOption(k))
+      else Nil
+    prev.foreach { case (k, _) => conf.set(k, shred.toString) }
+    val adds =
+      try TransactionalWrite.writeFiles(
+        log.spark, log.dataPath, physical,
+        graft.schema.ColumnMapping.physicalPartitionColumns(m),
+        graft.schema.ColumnMapping.physicalDataSchema(m),
+        optimizeWrite = m.configuration
+          .getOrElse("graft.optimizeWrite", "true").toBoolean,
+        statsColumns = graft.files.GraftFileIndex.statsColumns(m))
+      finally prev.foreach {
+        case (k, Some(v)) => conf.set(k, v)
+        case (k, None) => conf.unset(k)
+      }
     if (dataChange) adds else adds.map(_.copy(dataChange = false))
   }
 
