@@ -51,31 +51,42 @@ object ConvertFromDeltaCommand {
     var metaNode: JsonNode = null
     var protoNode: JsonNode = null
 
+    var cpUsed: Option[Long] = None
     cpVersion.foreach { v =>
       val parts = lastCp.map(_.path("parts").asInt(0)).getOrElse(0)
       val cpFiles: Seq[String] =
         if (parts > 0) (1 to parts).map(i =>
           new Path(deltaLog, f"$v%020d.checkpoint.$i%010d.$parts%010d.parquet").toString)
         else Seq(new Path(deltaLog, f"$v%020d.checkpoint.parquet").toString)
-      cpFiles.foreach(p => require(fs.exists(new Path(p)),
-        s"_last_checkpoint names $p but it does not exist"))
-      // Generic parquet read; only the action columns matter. toJSON gives
-      // the same shape as the JSON commits, so one fold path serves both.
-      spark.read.parquet(cpFiles: _*).toJSON.collect().foreach { line =>
-        applyAction(mapper.readTree(line), adds,
-          m => metaNode = m, p => protoNode = p)
+      val classicPresent = cpFiles.forall(p => fs.exists(new Path(p)))
+      if (classicPresent) {
+        // Generic parquet read; only the action columns matter. toJSON
+        // gives the same shape as the JSON commits, so one fold path
+        // serves both.
+        spark.read.parquet(cpFiles: _*).toJSON.collect().foreach { line =>
+          applyAction(mapper.readTree(line), adds,
+            m => metaNode = m, p => protoNode = p)
+        }
+        if (adds.nonEmpty || metaNode != null) cpUsed = Some(v)
+        else require(fs.exists(new Path(deltaLog, f"${0L}%020d.json")),
+          s"checkpoint at $v held no foldable actions (v2/sidecar layout) " +
+            "and the JSON history does not reach version 0 — cannot fold")
+      } else {
+        // v2/UUID-named checkpoint (or missing parts): fold the JSON log
+        // from version 0 instead, which must then be complete.
+        require(fs.exists(new Path(deltaLog, f"${0L}%020d.json")),
+          s"_last_checkpoint names a checkpoint layout this convert does " +
+            "not read (v2/sidecar) and the JSON history does not reach " +
+            "version 0 — cannot fold")
       }
-      require(adds.nonEmpty || metaNode != null,
-        s"checkpoint at $v held no actions — v2/sidecar checkpoints are " +
-          "not supported by CONVERT FROM DELTA; delete _last_checkpoint " +
-          "to fold the JSON log directly")
     }
+    val cpVersionUsed = cpUsed
 
     // ---- JSON tail ------------------------------------------------------
     val deltaVersions = fs.listStatus(deltaLog).toSeq
       .flatMap(st => FileNames.deltaVersion(st.getPath.getName))
-      .filter(v => cpVersion.forall(v > _)).sorted
-    require(cpVersion.isDefined || deltaVersions.headOption.contains(0L),
+      .filter(v => cpVersionUsed.forall(v > _)).sorted
+    require(cpVersionUsed.isDefined || deltaVersions.headOption.contains(0L),
       s"Delta log at $path is truncated (no checkpoint and no version 0)")
     deltaVersions.foreach { v =>
       log.store.read(new Path(deltaLog, f"$v%020d.json"))

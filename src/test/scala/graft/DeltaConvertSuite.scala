@@ -224,6 +224,21 @@ class DeltaConvertSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir2).count() === 4)
   }
 
+  test("v2/UUID checkpoint falls back to full JSON replay") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 6).toDF("id"), dir, "v.parquet")
+    writeLog(dir, 0, Seq(protoLine(), metaLine(schema),
+      addLine("v.parquet", s1)))
+    writeLog(dir, 1, Seq(addLine("v.parquet", s1))) // idempotent re-add
+    // _last_checkpoint names a v2 checkpoint whose classic-name file does
+    // not exist (UUID-named manifests are not read by this convert)
+    JFiles.writeString(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":1,"size":3,"v2Checkpoint":true}""")
+    Graft.convertFromDelta(spark, dir)
+    assert(Graft.read(spark, dir).count() === 6)
+  }
+
   test("SQL surface: CONVERT TO GRAFT delta.`path`") {
     val dir = tmpDir()
     val schema = new StructType().add("id", LongType)
