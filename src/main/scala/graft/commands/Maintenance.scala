@@ -479,16 +479,17 @@ object VacuumCommand {
       confBc: org.apache.spark.util.SerializableConfiguration,
       qualify: String => String): DataFrame = {
     import spark.implicits._
-    // Survivors = current files + tombstones still inside retention,
-    // all as fully-qualified URIs matching the listing's format.
-    val liveDS = snap.allFilesDS.select($"path").as[String].map(qualify)
+    // Survivors = current files (+ their DV sidecars) + tombstones still
+    // inside retention, all as fully-qualified URIs matching the
+    // listing's format. One executor-side pass over the file state — on a
+    // lazy checkpoint-backed snapshot the driver never holds it.
+    val liveDS = snap.allFilesDS
+      .flatMap(f => f.dvPath.toSeq :+ f.path).map(qualify)
     val keptTombstones = snap.tombstones
       .filter(_.deletionTimestamp.forall(_ >= cutoff))
       .map(r => qualify(r.path))
-    // Deletion-vector sidecars referenced by live files are live too.
-    val liveDvs = snap.allFiles.flatMap(_.dvPath).map(qualify)
     val keep = liveDS
-      .union(spark.createDataset(keptTombstones ++ liveDvs)).toDF("path")
+      .union(spark.createDataset(keptTombstones)).toDF("path")
 
     val candidates = listed
       .join(keep, Seq("path"), "left_anti")
