@@ -111,4 +111,54 @@ class DmlMatrixSuite extends AnyFunSuite {
     GraftLog.clearCache()
     assert(Graft.read(spark, path).count() === m.size)
   }
+
+  test("everything-on composite: dv+cdf+mapping+DEFAULT+shredded variant") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val path = tmp()
+    Graft.create(spark, path, StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", DoubleType),
+      graft.schema.ColumnDefaults.defaultField("src", StringType, "'web'"),
+      StructField("payload", VariantType))),
+      configuration = Map(
+        "graft.enableDeletionVectors" -> "true",
+        "graft.enableChangeDataFeed" -> "true",
+        "graft.columnMapping.mode" -> "name",
+        "graft.enableVariantShredding" -> "true"))
+    // append OMITS src -> the default fills under mapping + shredding
+    Graft.write(spark.range(40).select($"id", $"id".cast("double").as("v"),
+      parse_json(concat(lit("""{"n":"""), $"id", lit("}"))).as("payload")), path)
+    GraftTable.forPath(spark, path).renameColumn("src", "origin")
+    GraftTable.forPath(spark, path).delete($"id" % 4 === 1)
+    GraftTable.forPath(spark, path)
+      .update($"id" % 5 === 0, Map("v" -> ($"v" + 1000)))
+    val mergeSrc = spark.range(35, 45).select($"id",
+      lit(-1.0).as("v"), lit("api").as("origin"),
+      parse_json(concat(lit("""{"n":"""), $"id", lit("}"))).as("payload"))
+    GraftTable.forPath(spark, path).merge(mergeSrc, expr("t.id = s.id"))
+      .whenMatched().updateAll().whenNotMatched().insertAll().execute()
+
+    var m: Map[Long, (Double, String)] =
+      (0L until 40L).map(id => id -> ((id.toDouble, "web"))).toMap
+    m = m.filter { case (id, _) => id % 4 != 1 }
+    m = m.map { case (id, (v, s)) =>
+      id -> (if (id % 5 == 0) (v + 1000, s) else (v, s)) }
+    (35L until 45L).foreach(id => m += id -> ((-1.0, "api")))
+
+    val got = Graft.read(spark, path)
+      .select($"id", $"v", $"origin",
+        variant_get($"payload", "$.n", "long").as("n"))
+      .as[(Long, Double, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === m.toSeq.map { case (id, (v, s)) => (id, v, s, id) }.sortBy(_._1))
+    // protocol carries the whole feature stack
+    val p = GraftTable.forPath(spark, path).snapshot.protocol
+    Seq("deletionVectors", "changeDataFeed", "columnMapping",
+      "allowColumnDefaults", "variantShredding").foreach(f =>
+      assert(p.writerFeatureNames.contains(f) || p.readerFeatureNames.contains(f),
+        s"missing $f in $p"))
+    // CDF across the stack resolves logical names
+    assert(GraftTable.forPath(spark, path).changes(0, 100)
+      .columns.contains("origin"))
+  }
 }
