@@ -24,12 +24,12 @@ import graft.log._
  * The fold follows the PUBLIC Delta protocol spec (reference
  * PROTOCOL.md; log replay rules :913-934) — no Delta code is involved.
  *
- * Guardrails: live files carrying deletion vectors abort the convert
- * (run PURGE on the source first — rewriting them here would copy
- * data, which CONVERT promises not to do); unknown reader features
- * abort rather than risk misreading the data layout. Row tracking
- * watermarks and in-commit timestamps do not carry over (the graft
- * table starts its own history).
+ * Live deletion vectors import too: each descriptor (inline / relative /
+ * absolute, per the spec's Z85 + portable-bitmap formats) re-encodes
+ * into a graft `_dv/` sidecar — metadata-scale bytes, never a data
+ * rewrite. Unknown reader features abort rather than risk misreading
+ * the data layout. Row tracking watermarks and in-commit timestamps do
+ * not carry over (the graft table starts its own history).
  */
 object ConvertFromDeltaCommand {
 
@@ -65,7 +65,8 @@ object ConvertFromDeltaCommand {
         // serves both.
         spark.read.parquet(cpFiles: _*).toJSON.collect().foreach { line =>
           applyAction(mapper.readTree(line), adds,
-            m => metaNode = m, p => protoNode = p)
+            m => metaNode = m, p => protoNode = p,
+            log.dataPath, spark.sessionState.newHadoopConf())
         }
         if (adds.nonEmpty || metaNode != null) cpUsed = Some(v)
         else require(fs.exists(new Path(deltaLog, f"${0L}%020d.json")),
@@ -92,7 +93,8 @@ object ConvertFromDeltaCommand {
       log.store.read(new Path(deltaLog, f"$v%020d.json"))
         .linesIterator.filter(_.nonEmpty)
         .foreach(line => applyAction(mapper.readTree(line), adds,
-          m => metaNode = m, p => protoNode = p))
+          m => metaNode = m, p => protoNode = p,
+          log.dataPath, spark.sessionState.newHadoopConf()))
     }
     require(metaNode != null, s"Delta log at $path carries no metaData action")
 
@@ -121,10 +123,16 @@ object ConvertFromDeltaCommand {
       n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
 
+    // Imported DVs need the feature gate even if the source table's
+    // config never declared it explicitly.
+    val dvExtra =
+      if (adds.values.exists(_.dvPath.isDefined))
+        Map("graft.enableDeletionVectors" -> "true")
+      else Map.empty[String, String]
     val translated = Metadata(
       schemaString = translateSchema(schema).json,
       partitionColumns = partitionCols,
-      configuration = translateConfig(deltaConf),
+      configuration = translateConfig(deltaConf) ++ dvExtra,
       createdTime = Some(System.currentTimeMillis()))
 
     val files = adds.values.toSeq
@@ -139,21 +147,42 @@ object ConvertFromDeltaCommand {
     new GraftTable(spark, log)
   }
 
-  /** Fold one delta action (JSON tree) into the running state. */
+  /** Fold one delta action (JSON tree) into the running state. A live
+    * deletion vector re-encodes into a graft `_dv/` sidecar (a few KB of
+    * metadata, not a data rewrite) via the spec's Z85 / portable-bitmap
+    * formats. */
   private def applyAction(
       node: JsonNode,
       adds: mutable.LinkedHashMap[String, AddFile],
       onMeta: JsonNode => Unit,
-      onProto: JsonNode => Unit): Unit = {
+      onProto: JsonNode => Unit,
+      dataRoot: Path = null,
+      hadoopConf: org.apache.hadoop.conf.Configuration = null): Unit = {
     val add = node.get("add")
     val remove = node.get("remove")
     val meta = node.get("metaData")
     val proto = node.get("protocol")
     if (add != null && !add.isNull) {
       val dv = add.get("deletionVector")
-      require(dv == null || dv.isNull || dv.path("cardinality").asLong(0) == 0,
-        s"file ${add.path("path").asText()} carries a live deletion vector; " +
-          "PURGE the Delta table first (CONVERT never rewrites data)")
+      val imported: Option[(String, Long)] =
+        if (dv == null || dv.isNull || dv.path("cardinality").asLong(0) == 0) None
+        else {
+          require(dataRoot != null && hadoopConf != null,
+            "internal: DV import needs the table root")
+          val bm = graft.dv.DeltaDvCodec.readDescriptor(
+            dataRoot, hadoopConf,
+            dv.path("storageType").asText(),
+            dv.path("pathOrInlineDv").asText(),
+            dv.path("offset").asInt(0),
+            dv.path("sizeInBytes").asInt(0))
+          val card = bm.cardinality
+          require(card == dv.path("cardinality").asLong(0),
+            s"delta DV cardinality mismatch for ${add.path("path").asText()}")
+          val rel = s"${graft.dv.DeletionVectors.DIR}/dv-${java.util.UUID.randomUUID}.bin"
+          graft.dv.DeletionVectors.writeBitmap(
+            new Path(dataRoot, rel), hadoopConf, bm)
+          Some((rel, card))
+        }
       val pv = Option(add.get("partitionValues")).map { n =>
         import scala.jdk.CollectionConverters._
         n.properties().asScala.map(e => e.getKey ->
@@ -167,7 +196,9 @@ object ConvertFromDeltaCommand {
         modificationTime = add.path("modificationTime").asLong(0),
         dataChange = true,
         stats = Option(add.get("stats")).filterNot(_.isNull)
-          .map(_.asText()).orNull)
+          .map(_.asText()).orNull,
+        dvPath = imported.map(_._1),
+        dvCardinality = imported.map(_._2))
     } else if (remove != null && !remove.isNull) {
       adds.remove(remove.path("path").asText())
     } else if (meta != null && !meta.isNull) {

@@ -37,17 +37,15 @@ object DeltaMirror {
     m.configuration.get(PROP).exists(_.split(",").map(_.trim).contains("delta"))
 
   /** Post-commit hook body: mirror graft commit `version` (its `actions`)
-    * into `_delta_log`. `snap` is a snapshot AT OR PAST `version`. */
+    * into `_delta_log`. `snap` is a snapshot AT OR PAST `version`.
+    * Graft DV sidecars re-encode into spec-format Delta DV files at
+    * mirror time (metadata-scale; data files are still shared). */
   def mirror(log: GraftLog, version: Long, actions: Seq[Action],
       snap: Snapshot): Unit = {
     val deltaLog = new Path(log.dataPath, "_delta_log")
     val base = baseVersion(log, deltaLog)
-    actions.foreach {
-      case a: AddFile => require(a.dvPath.isEmpty,
-        "cannot mirror a deletion-vector commit to the Delta format " +
-          s"(graft DV sidecars are not Delta DVs); disable $PROP or purge")
-      case _ =>
-    }
+    val conf = log.spark.sessionState.newHadoopConf()
+    def addJsonDv(a: AddFile): String = addJson(a, dvDescriptor(log, conf, a))
     base match {
       case None =>
         // Bootstrap: full state at this version becomes mirror commit 0.
@@ -55,12 +53,12 @@ object DeltaMirror {
           commitInfoJson(version, "GRAFT MIRROR BOOTSTRAP", version),
           protocolJson(snap.metadata),
           metaDataJson(snap.metadata)) ++
-          snap.allFiles.map(addJson)
+          snap.allFiles.map(addJsonDv)
         writeMirror(log, deltaLog, 0L, lines)
       case Some(b) if version > b =>
         val mv = version - b
         val translated = actions.flatMap {
-          case a: AddFile => Some(addJson(a))
+          case a: AddFile => Some(addJsonDv(a))
           case r: RemoveFile => Some(removeJson(r))
           case m: Metadata => Some(metaDataJson(m))
           case t: SetTransaction => Some(
@@ -118,22 +116,51 @@ object DeltaMirror {
         if (baseV >= 0) s""""graftBaseVersion":"$baseV",""" else ""
       }"graftVersion":"$graftVersion"}}}"""
 
-  /** Minimal Delta protocol covering the features the metadata uses. */
+  /** Minimal Delta protocol covering the features the metadata uses.
+    * Deletion vectors force the (3, 7) feature-vector form; everything
+    * else stays on the widest-compatible legacy numeric versions. */
   private def protocolJson(m: Metadata): String = {
     val feats = TableFeatures.activeFeatures(m).map(_.name)
-    var (r, w) = (1, 2)
-    if (feats("checkConstraints")) w = math.max(w, 3)
-    if (feats("generatedColumns") || feats("changeDataFeed")) w = math.max(w, 4)
-    if (feats("columnMapping")) { r = math.max(r, 2); w = math.max(w, 5) }
-    if (feats("identityColumns")) w = math.max(w, 6)
-    s"""{"protocol":{"minReaderVersion":$r,"minWriterVersion":$w}}"""
+    if (feats("deletionVectors")) {
+      val readerVec = Seq("deletionVectors") ++
+        (if (feats("columnMapping")) Seq("columnMapping") else Nil) ++
+        (if (feats("timestampNtz")) Seq("timestampNtz") else Nil) ++
+        (if (feats("variantType")) Seq("variantType") else Nil)
+      val writerVec = (readerVec ++ Seq("appendOnly", "invariants",
+        "checkConstraints", "changeDataFeed", "generatedColumns",
+        "identityColumns").filter(feats)).distinct
+      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":[${readerVec.map(q).mkString(",")}],""" +
+        s""""writerFeatures":[${writerVec.map(q).mkString(",")}]}}"""
+    } else {
+      var (r, w) = (1, 2)
+      if (feats("checkConstraints")) w = math.max(w, 3)
+      if (feats("generatedColumns") || feats("changeDataFeed")) w = math.max(w, 4)
+      if (feats("columnMapping")) { r = math.max(r, 2); w = math.max(w, 5) }
+      if (feats("identityColumns")) w = math.max(w, 6)
+      s"""{"protocol":{"minReaderVersion":$r,"minWriterVersion":$w}}"""
+    }
   }
 
-  private def addJson(a: AddFile): String = {
+  /** graft `_dv/` sidecar -> spec-format Delta DV file + descriptor JSON
+    * fragment (storageType 'u': uuid-named file in the table root). */
+  private def dvDescriptor(log: GraftLog,
+      conf: org.apache.hadoop.conf.Configuration, a: AddFile): Option[String] =
+    a.dvPath.map { rel =>
+      val bm = graft.dv.DeletionVectors.readBitmap(
+        new Path(log.dataPath, rel), conf)
+      val (pathOrInline, offset, size) =
+        graft.dv.DeltaDvCodec.writeFile(log.dataPath, conf, bm)
+      s""""deletionVector":{"storageType":"u","pathOrInlineDv":${q(pathOrInline)},""" +
+        s""""offset":$offset,"sizeInBytes":$size,"cardinality":${bm.cardinality}}"""
+    }
+
+  private def addJson(a: AddFile, dvJson: Option[String] = None): String = {
     val stats = Option(a.stats).map(s => s""","stats":${q(s)}""").getOrElse("")
+    val dv = dvJson.map("," + _).getOrElse("")
     s"""{"add":{"path":${q(a.path)},"partitionValues":${pvJson(a.partitionValues)},""" +
       s""""size":${a.size},"modificationTime":${a.modificationTime},""" +
-      s""""dataChange":${a.dataChange}$stats}}"""
+      s""""dataChange":${a.dataChange}$stats$dv}}"""
   }
 
   private def removeJson(r: RemoveFile): String =

@@ -77,6 +77,83 @@ final class Bitmap64 private (
 object Bitmap64 {
   private[dv] val MAGIC = 0x47B6D001 // "graft bitmap64 v1"
 
+  /** Magics of Delta's two 64-bit bitmap serializations (public spec:
+    * PROTOCOL.md "Deletion Vector Format" documents the portable form;
+    * the spec's own inline example and older writers use the "native"
+    * form — magic, 32-bit count, then per DENSE bucket a 32-bit length +
+    * a standard roaring bitmap, the bucket key being the array index). */
+  private[dv] val DELTA_MAGIC_PORTABLE = 1681511377
+  private[dv] val DELTA_MAGIC_NATIVE = 1681511376
+
+  /** Parse Delta 64-bit bitmap bytes, either serialization. The framing
+    * fields (magic, counts, sizes, keys) appear little-endian from
+    * current writers but big-endian in the spec's own worked example —
+    * the magic's byte order discriminates, and the roaring payload is
+    * always the standard (LE) format either way. Our bucket structure IS
+    * the portable structure, so this is a streaming parse, not a
+    * conversion. */
+  def fromDeltaPortable(bytes: Array[Byte]): Bitmap64 = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var magic = buf.getInt
+    if (magic != DELTA_MAGIC_PORTABLE && magic != DELTA_MAGIC_NATIVE) {
+      val beMagic = Integer.reverseBytes(magic)
+      if (beMagic == DELTA_MAGIC_PORTABLE || beMagic == DELTA_MAGIC_NATIVE) {
+        buf.order(java.nio.ByteOrder.BIG_ENDIAN)
+        magic = beMagic
+      }
+    }
+    val bm = new Bitmap64()
+    magic match {
+      case DELTA_MAGIC_PORTABLE =>
+        val n = buf.getLong
+        var k = 0L
+        while (k < n) {
+          val key = buf.getInt
+          require(key >= 0, s"negative delta DV bucket key $key")
+          val rb = new RoaringBitmap()
+          rb.deserialize(buf)
+          buf.position(buf.position() + rb.serializedSizeInBytes())
+          bm.buckets.put(Integer.valueOf(key), rb)
+          k += 1
+        }
+      case DELTA_MAGIC_NATIVE =>
+        val n = buf.getInt
+        var key = 0
+        while (key < n) {
+          val size = buf.getInt
+          val rb = new RoaringBitmap()
+          rb.deserialize(buf)
+          buf.position(buf.position() + size)
+          if (!rb.isEmpty) bm.buckets.put(Integer.valueOf(key), rb)
+          key += 1
+        }
+      case other =>
+        throw new IllegalArgumentException(s"bad delta DV magic $other")
+    }
+    bm
+  }
+
+  /** Serialize to Delta's portable 64-bit format (inverse of
+    * [[fromDeltaPortable]]). */
+  def toDeltaPortable(bm: Bitmap64): Array[Byte] = {
+    bm.runOptimize()
+    var size = 4 + 8
+    val it0 = bm.buckets.values().iterator()
+    while (it0.hasNext) size += 4 + it0.next().serializedSizeInBytes()
+    val buf = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(DELTA_MAGIC_PORTABLE)
+    buf.putLong(bm.buckets.size().toLong)
+    val it = bm.buckets.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      buf.putInt(e.getKey.intValue())
+      e.getValue.serialize(buf)
+    }
+    buf.array()
+  }
+
   def deserialize(in: DataInputStream): Bitmap64 = {
     val magic = in.readInt()
     require(magic == MAGIC, f"bad DV sidecar magic 0x$magic%08x")

@@ -188,20 +188,33 @@ class DeltaConvertSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).columns.toSeq === Seq("rid2"))
   }
 
-  test("live deletion vectors abort the convert; properties translate") {
+  test("live inline deletion vectors import as graft DV sidecars") {
     val dir = tmpDir()
     val schema = new StructType().add("id", LongType)
-    val s1 = writeFile(spark.range(0, 3).toDF("id"), dir, "d1.parquet")
+    val s1 = writeFile(spark.range(0, 20).toDF("id"), dir, "d1.parquet")
+    // DV over rows {3, 4, 7}: inline descriptor built with the same
+    // spec formats the importer decodes
+    val bm = new graft.dv.Bitmap64()
+    Seq(3L, 4L, 7L).foreach(bm.add)
+    val data = graft.dv.Bitmap64.toDeltaPortable(bm)
+    val inline = graft.dv.DeltaDvCodec.z85Encode(data)
     writeLog(dir, 0, Seq(
       protoLine(3, 7), metaLine(schema),
       s"""{"add":{"path":"d1.parquet","partitionValues":{},"size":$s1,""" +
-        """"modificationTime":1,"dataChange":true,"deletionVector":""" +
-        """{"storageType":"u","pathOrInlineDv":"ab^-aqEH.-t@S}K{vb[*k","offset":1,"sizeInBytes":36,"cardinality":2}}}"""))
-    val e = intercept[IllegalArgumentException] {
-      Graft.convertFromDelta(spark, dir)
-    }
-    assert(e.getMessage.contains("deletion vector"))
+        s""""modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":20}","deletionVector":""" +
+        s"""{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":${data.length},"cardinality":3}}}"""))
+    val t = Graft.convertFromDelta(spark, dir)
+    assert(t.snapshot.allFiles.head.dvPath.isDefined)
+    assert(t.snapshot.protocol.readerFeatureNames.contains("deletionVectors"))
+    assert(Graft.read(spark, dir).orderBy("id").as[Long].collect().toSeq ===
+      (0L until 20L).filterNot(Seq(3L, 4L, 7L).contains))
+    // the converted table keeps DV-deleting
+    GraftTable.forPath(spark, dir).delete($"id" === 10L)
+    assert(Graft.read(spark, dir).count() === 16)
+  }
 
+  test("properties translate (appendOnly + constraints)") {
+    val schema = new StructType().add("id", LongType)
     // fresh table: appendOnly + constraint translation
     val dir2 = tmpDir()
     val s2 = writeFile(spark.range(1, 4).toDF("id"), dir2, "ok.parquet")

@@ -68,19 +68,25 @@ class DeltaMirrorSuite extends AnyFunSuite {
       (0L until 33L))
   }
 
-  test("deletion-vector commits refuse to mirror, loudly") {
+  test("deletion-vector commits mirror as spec-format Delta DVs") {
     val dir = tmpDir()
     Graft.write(spark.range(0, 40).toDF("id"), dir,
       configuration = Map(
         graft.commands.DeltaMirror.PROP -> "delta",
         "graft.enableDeletionVectors" -> "true"))
-    val e = intercept[IllegalArgumentException] {
-      GraftTable.forPath(spark, dir).delete($"id" < 5)
-    }
-    assert(e.getMessage.contains("deletion-vector"))
-    // the graft commit itself landed before the mirror refused
-    graft.log.GraftLog.clearCache()
-    assert(Graft.read(spark, dir).count() === 35)
+    GraftTable.forPath(spark, dir).delete($"id" < 5)
+    // a delta-format DV file landed next to the data
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("deletion_vector_")))
+    val mirror1 = JFiles.readString(
+      Paths.get(dir, "_delta_log", f"${1L}%020d.json"))
+    assert(mirror1.contains(""""storageType":"u""""))
+    assert(mirror1.contains(""""cardinality":5"""))
+    // the whole mirror (incl. the DV) reads back through the importer
+    val view = deltaViewOf(dir)
+    Graft.convertFromDelta(spark, view)
+    assert(Graft.read(spark, view).orderBy("id").as[Long].collect().toSeq ===
+      (5L until 40L))
   }
 
   test("constraints and appendOnly survive the round trip") {
