@@ -50,6 +50,8 @@ object ConvertFromDeltaCommand {
     val adds = mutable.LinkedHashMap.empty[String, AddFile]
     var metaNode: JsonNode = null
     var protoNode: JsonNode = null
+    val txns = mutable.LinkedHashMap.empty[String, Long]
+    val domains = mutable.LinkedHashMap.empty[String, String]
 
     var cpUsed: Option[Long] = None
     cpVersion.foreach { v =>
@@ -66,7 +68,7 @@ object ConvertFromDeltaCommand {
         spark.read.parquet(cpFiles: _*).toJSON.collect().foreach { line =>
           applyAction(mapper.readTree(line), adds,
             m => metaNode = m, p => protoNode = p,
-            log.dataPath, spark.sessionState.newHadoopConf())
+            log.dataPath, spark.sessionState.newHadoopConf(), txns, domains)
         }
         if (adds.nonEmpty || metaNode != null) cpUsed = Some(v)
         else require(fs.exists(new Path(deltaLog, f"${0L}%020d.json")),
@@ -94,7 +96,7 @@ object ConvertFromDeltaCommand {
         .linesIterator.filter(_.nonEmpty)
         .foreach(line => applyAction(mapper.readTree(line), adds,
           m => metaNode = m, p => protoNode = p,
-          log.dataPath, spark.sessionState.newHadoopConf()))
+          log.dataPath, spark.sessionState.newHadoopConf(), txns, domains))
     }
     require(metaNode != null, s"Delta log at $path carries no metaData action")
 
@@ -136,9 +138,28 @@ object ConvertFromDeltaCommand {
       createdTime = Some(System.currentTimeMillis()))
 
     val files = adds.values.toSeq
+    // Row tracking imports only when EVERY live file carries a base row
+    // id — a partial import would hand out fresh ids that collide with
+    // the source's. Idempotent-writer watermarks (txn actions) always
+    // carry over, so a streaming writer switching engines cannot
+    // double-apply its last batch.
+    val allTracked = files.nonEmpty && files.forall(_.baseRowId.isDefined)
+    val rtDomain = if (allTracked)
+      domains.get("delta.rowTracking")
+        .map(c => DomainMetadata(RowTracking.DOMAIN, c)).toSeq
+      else Nil
+    val rtConf =
+      if (rtDomain.nonEmpty) Map("graft.enableRowTracking" -> "true")
+      else Map.empty[String, String]
+    val txnActions = txns.map { case (app, v) => SetTransaction(app, v) }.toSeq
+    val finalMeta = translated.copy(
+      configuration = translated.configuration ++ rtConf)
+    val strippedFiles =
+      if (rtDomain.nonEmpty) files
+      else files.map(_.copy(baseRowId = None, defaultRowCommitVersion = None))
     log.withNewTransaction { txn =>
-      txn.updateMetadata(translated)
-      txn.commit(files, "CONVERT FROM DELTA",
+      txn.updateMetadata(finalMeta)
+      txn.commit(strippedFiles ++ txnActions ++ rtDomain, "CONVERT FROM DELTA",
         operationMetrics = Map(
           "numConvertedFiles" -> files.size.toString,
           "sourceVersion" ->
@@ -157,11 +178,24 @@ object ConvertFromDeltaCommand {
       onMeta: JsonNode => Unit,
       onProto: JsonNode => Unit,
       dataRoot: Path = null,
-      hadoopConf: org.apache.hadoop.conf.Configuration = null): Unit = {
+      hadoopConf: org.apache.hadoop.conf.Configuration = null,
+      txns: mutable.LinkedHashMap[String, Long] = mutable.LinkedHashMap.empty,
+      domains: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap.empty)
+      : Unit = {
     val add = node.get("add")
     val remove = node.get("remove")
     val meta = node.get("metaData")
     val proto = node.get("protocol")
+    val txn = node.get("txn")
+    val dom = node.get("domainMetadata")
+    if (txn != null && !txn.isNull)
+      txns(txn.path("appId").asText()) = txn.path("version").asLong()
+    if (dom != null && !dom.isNull) {
+      if (dom.path("removed").asBoolean(false))
+        domains.remove(dom.path("domain").asText())
+      else domains(dom.path("domain").asText()) =
+        dom.path("configuration").asText("{}")
+    }
     if (add != null && !add.isNull) {
       val dv = add.get("deletionVector")
       val imported: Option[(String, Long)] =
@@ -198,7 +232,12 @@ object ConvertFromDeltaCommand {
         stats = Option(add.get("stats")).filterNot(_.isNull)
           .map(_.asText()).orNull,
         dvPath = imported.map(_._1),
-        dvCardinality = imported.map(_._2))
+        dvCardinality = imported.map(_._2),
+        baseRowId = Option(add.get("baseRowId")).filterNot(_.isNull)
+          .map(_.asLong()),
+        defaultRowCommitVersion =
+          Option(add.get("defaultRowCommitVersion")).filterNot(_.isNull)
+            .map(_.asLong()))
     } else if (remove != null && !remove.isNull) {
       adds.remove(remove.path("path").asText())
     } else if (meta != null && !meta.isNull) {

@@ -252,6 +252,35 @@ class DeltaConvertSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).count() === 6)
   }
 
+  test("row tracking and idempotent-writer watermarks import") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 10).toDF("id"), dir, "r1.parquet")
+    val s2 = writeFile(spark.range(10, 15).toDF("id"), dir, "r2.parquet")
+    writeLog(dir, 0, Seq(
+      protoLine(1, 7), metaLine(schema,
+        conf = Map("delta.enableRowTracking" -> "true")),
+      """{"txn":{"appId":"stream-42","version":17}}""",
+      """{"domainMetadata":{"domain":"delta.rowTracking","configuration":"{\"rowIdHighWaterMark\":14}","removed":false}}""",
+      s"""{"add":{"path":"r1.parquet","partitionValues":{},"size":$s1,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":10}","baseRowId":0,"defaultRowCommitVersion":3}}""",
+      s"""{"add":{"path":"r2.parquet","partitionValues":{},"size":$s2,"modificationTime":1,"dataChange":true,"stats":"{\\"numRecords\\":5}","baseRowId":10,"defaultRowCommitVersion":5}}"""))
+    val t = Graft.convertFromDelta(spark, dir)
+    val snap = t.snapshot
+    // idempotent watermark survives: a writer at version <= 17 must skip
+    assert(snap.txnVersion("stream-42") === 17L)
+    // row ids carry over file-for-file; the watermark domain translates
+    assert(graft.log.RowTracking.highWaterMark(snap.domains) === 14L)
+    val ids = t.toDFWithRowIds.select("id", "_graft_row_id")
+      .as[(Long, Long)].collect().toMap
+    assert(ids(0L) === 0L && ids(9L) === 9L && ids(10L) === 10L && ids(14L) === 14L)
+    // fresh appends take ids ABOVE the imported watermark
+    Graft.write(spark.range(100, 103).toDF("id"), dir)
+    val ids2 = GraftTable.forPath(spark, dir).toDFWithRowIds
+      .select("id", "_graft_row_id").as[(Long, Long)].collect().toMap
+    assert(Seq(100L, 101L, 102L).map(ids2).forall(_ > 14L))
+    assert(ids2.values.toSeq.distinct.size === ids2.size, "row id collision")
+  }
+
   test("SQL surface: CONVERT TO GRAFT delta.`path`") {
     val dir = tmpDir()
     val schema = new StructType().add("id", LongType)
