@@ -223,12 +223,58 @@ class MlSuite extends AnyFunSuite {
     assert(fps(2L) === 0L)
     assert(fps(3L) === 0L)
   }
+
+  test("weak-supervision quality model separates clean text from corruption") {
+    import graft.ml.QualityModel
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = QualityModel.train(docs, col("doc_id"), col("text"))
+    val scored = docs.select(col("doc_id"),
+      QualityModel.score(docs, col("text"), model).as("s_clean"),
+      QualityModel.score(docs,
+        concat_ws(" ", array_repeat(substring(col("text"), 1, 18), 40)),
+        model).as("s_corrupt"))
+    val rows = scored.as[(Long, Double, Double)].collect()
+    assert(rows.forall { case (_, c, k) => c >= 0.0 && c <= 1.0 && k >= 0.0 && k <= 1.0 })
+    val wins = rows.count { case (_, c, k) => c > k }
+    assert(wins >= rows.length * 0.95,
+      s"model separates only $wins/${rows.length} docs")
+    val meanClean = rows.map(_._2).sum / rows.length
+    val meanCorrupt = rows.map(_._3).sum / rows.length
+    assert(meanClean - meanCorrupt > 0.3,
+      f"weak separation: clean $meanClean%.2f vs corrupt $meanCorrupt%.2f")
+    // scoring is a pure projection — no shuffle, no UDF
+    val plan = docs.select(QualityModel.score(docs, col("text"), model))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("BatchEvalPython"),
+      s"scoring must be a single projection:\n$plan")
+  }
+
+  test("paragraph dedup keeps first occurrence, preserves order and short lines") {
+    import graft.ml.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "HEADER\nalpha body one\n\nFOOTER"),
+      (2L, "HEADER\nbeta body two\n\nFOOTER"),
+      (3L, "HEADER\nalpha body one\nunique tail\nFOOTER")).toDF("id", "text")
+    val out = Dedup.dedupParagraphs(docs, col("id"), col("text"), minLen = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect()
+    // doc 1 hosts the first HEADER/FOOTER and the first "alpha body one";
+    // the empty line (< minLen) survives everywhere it appears
+    assert(out(0) === ((1L, "HEADER\nalpha body one\n\nFOOTER", 4L)))
+    assert(out(1) === ((2L, "beta body two\n", 2L)))
+    // doc 3's duplicate of doc 1's paragraph collapses; its unique line stays
+    assert(out(2) === ((3L, "unique tail", 1L)))
+  }
 }
 
 /** JVM-global evaluation counter for the merge-materialization test
   * (local mode: executors share the test JVM). */
 object MergeSourceEvals {
   val count = new java.util.concurrent.atomic.AtomicInteger(0)
+
+
 }
 
 class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
@@ -587,21 +633,4 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
     assert(!plan.contains("Exchange"), s"chunk must not shuffle:\n$plan")
   }
 
-  test("paragraph dedup keeps first occurrence, preserves order and short lines") {
-    import graft.ml.Dedup
-    import spark.implicits._
-    val docs = Seq(
-      (1L, "HEADER\nalpha body one\n\nFOOTER"),
-      (2L, "HEADER\nbeta body two\n\nFOOTER"),
-      (3L, "HEADER\nalpha body one\nunique tail\nFOOTER")).toDF("id", "text")
-    val out = Dedup.dedupParagraphs(docs, col("id"), col("text"), minLen = 2)
-      .orderBy("doc_id")
-      .as[(Long, String, Long)].collect()
-    // doc 1 hosts the first HEADER/FOOTER and the first "alpha body one";
-    // the empty line (< minLen) survives everywhere it appears
-    assert(out(0) === ((1L, "HEADER\nalpha body one\n\nFOOTER", 4L)))
-    assert(out(1) === ((2L, "beta body two\n", 2L)))
-    // doc 3's duplicate of doc 1's paragraph collapses; its unique line stays
-    assert(out(2) === ((3L, "unique tail", 1L)))
-  }
 }
