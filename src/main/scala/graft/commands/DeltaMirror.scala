@@ -43,36 +43,50 @@ object DeltaMirror {
   def mirror(log: GraftLog, version: Long, actions: Seq[Action],
       snap: Snapshot): Unit = {
     val deltaLog = new Path(log.dataPath, "_delta_log")
-    val base = baseVersion(log, deltaLog)
     val conf = log.spark.sessionState.newHadoopConf()
     def addJsonDv(a: AddFile): String = addJson(a, dvDescriptor(log, conf, a))
-    base match {
-      case None =>
-        // Bootstrap: full state at this version becomes mirror commit 0.
-        val lines = Seq(
-          commitInfoJson(version, "GRAFT MIRROR BOOTSTRAP", version),
-          protocolJson(snap.metadata),
-          metaDataJson(snap.metadata)) ++
-          snap.allFiles.map(addJsonDv)
-        writeMirror(log, deltaLog, 0L, lines)
-      case Some(b) if version > b =>
-        val mv = version - b
-        val translated = actions.flatMap {
-          case a: AddFile => Some(addJsonDv(a))
-          case r: RemoveFile => Some(removeJson(r))
-          case m: Metadata => Some(metaDataJson(m))
-          case t: SetTransaction => Some(
-            s"""{"txn":{"appId":${q(t.appId)},"version":${t.version}}}""")
-          case c: CommitInfo =>
-            Some(commitInfoJson(version, c.operation, -1L, c.timestamp))
-          case c: AddCdcFile => Some(
-            s"""{"cdc":{"path":${q(c.path)},"partitionValues":${pvJson(c.partitionValues)},""" +
-              s""""size":${c.size},"dataChange":false}}""")
-          case _: Protocol => Some(protocolJson(snap.metadata))
-          case _ => None // graft-internal actions (domains, sidecars)
-        }
-        writeMirror(log, deltaLog, mv, translated)
-      case _ => // commit predates the bootstrap snapshot; already covered
+    def translate(graftVersion: Long, acts: Seq[Action]): Seq[String] =
+      acts.flatMap {
+        case a: AddFile => Some(addJsonDv(a))
+        case r: RemoveFile => Some(removeJson(r))
+        case m: Metadata => Some(metaDataJson(m))
+        case t: SetTransaction => Some(
+          s"""{"txn":{"appId":${q(t.appId)},"version":${t.version}}}""")
+        case c: CommitInfo =>
+          Some(commitInfoJson(graftVersion, c.operation, -1L, c.timestamp))
+        case c: AddCdcFile => Some(
+          s"""{"cdc":{"path":${q(c.path)},"partitionValues":${pvJson(c.partitionValues)},""" +
+            s""""size":${c.size},"dataChange":false}}""")
+        case _: Protocol => Some(protocolJson(snap.metadata))
+        case _ => None // graft-internal actions (domains, sidecars)
+      }
+    var base = baseVersion(log, deltaLog)
+    if (base.isEmpty) {
+      // Bootstrap: full state at this version becomes mirror commit 0.
+      // A racing hook may win the bootstrap — re-read the base it chose
+      // and fall through so THIS commit still mirrors incrementally.
+      val lines = Seq(
+        commitInfoJson(version, "GRAFT MIRROR BOOTSTRAP", version),
+        protocolJson(snap.metadata),
+        metaDataJson(snap.metadata)) ++
+        snap.allFiles.map(addJsonDv)
+      writeMirror(log, deltaLog, 0L, lines)
+      base = baseVersion(log, deltaLog)
+    }
+    base.filter(version > _).foreach { b =>
+      // Delta readers need a CONTIGUOUS version range; a racing or
+      // crashed hook must not leave a permanent hole, so each hook
+      // backfills every missing mirror version up to its own from the
+      // graft commits (deterministic mapping makes duplicates identical
+      // and put-if-absent drops them).
+      val existing = log.store.list(deltaLog)
+        .flatMap(s => FileNames.deltaVersion(s.getPath.getName))
+        .maxOption.getOrElse(0L)
+      ((existing + 1) to (version - b)).foreach { mv =>
+        val gv = b + mv
+        val acts = if (gv == version) actions else log.readCommit(gv)
+        writeMirror(log, deltaLog, mv, translate(gv, acts))
+      }
     }
   }
 

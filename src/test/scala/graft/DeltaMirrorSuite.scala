@@ -89,6 +89,23 @@ class DeltaMirrorSuite extends AnyFunSuite {
       (5L until 40L))
   }
 
+  test("a lost mirror commit backfills on the next commit (no permanent hole)") {
+    val dir = tmpDir()
+    Graft.write(spark.range(0, 10).toDF("id"), dir,
+      configuration = Map(graft.commands.DeltaMirror.PROP -> "delta"))
+    Graft.write(spark.range(10, 20).toDF("id"), dir)
+    // simulate a hook that died after its graft commit: mirror 1 vanishes
+    val lost = Paths.get(dir, "_delta_log", f"${1L}%020d.json")
+    assert(JFiles.deleteIfExists(lost))
+    Graft.write(spark.range(20, 25).toDF("id"), dir)
+    // the next hook backfilled the hole from the graft commit
+    assert(JFiles.exists(lost), "mirror hole was not backfilled")
+    val view = deltaViewOf(dir)
+    Graft.convertFromDelta(spark, view)
+    assert(Graft.read(spark, view).orderBy("id").as[Long].collect().toSeq ===
+      (0L until 25L))
+  }
+
   test("constraints and appendOnly survive the round trip") {
     val dir = tmpDir()
     Graft.write(spark.range(1, 10).toDF("id"), dir,
