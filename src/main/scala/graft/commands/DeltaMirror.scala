@@ -87,7 +87,45 @@ object DeltaMirror {
         val acts = if (gv == version) actions else log.readCommit(gv)
         writeMirror(log, deltaLog, mv, translate(gv, acts))
       }
+      // Only checkpoint when the snapshot is exactly at the mirrored
+      // version — a later snapshot would leak future state into the
+      // checkpoint and corrupt time travel over the mirror.
+      if (snap.version == version) maybeCheckpointMirror(log, deltaLog, snap, version - b)
     }
+  }
+
+  /** Every 10 mirror commits, write a classic Delta checkpoint parquet +
+    * `_last_checkpoint` so Delta readers of a long mirror cold-load from
+    * state instead of replaying the whole JSON log. DV-bearing state is
+    * skipped (a checkpoint would re-export every DV file); JSON replay
+    * remains fully correct there. */
+  private def maybeCheckpointMirror(log: GraftLog, deltaLog: Path,
+      snap: Snapshot, mirrorVersion: Long): Unit = {
+    if (mirrorVersion <= 0 || mirrorVersion % 10 != 0) return
+    if (snap.allFiles.exists(_.dvPath.isDefined)) return
+    val cpPath = new Path(deltaLog, f"$mirrorVersion%020d.checkpoint.parquet")
+    if (log.store.exists(cpPath)) return
+    val session = log.spark
+    import session.implicits._
+    val lines = Seq(protocolJson(snap.metadata), metaDataJson(snap.metadata)) ++
+      snap.setTransactions.map { case (app, v) =>
+        s"""{"txn":{"appId":${q(app)},"version":$v}}""" } ++
+      snap.allFiles.map(a => addJson(a))
+    val schema = org.apache.spark.sql.types.DataType.fromDDL(
+      """protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT,
+           readerFeatures: ARRAY<STRING>, writerFeatures: ARRAY<STRING>>,
+         metaData STRUCT<id: STRING, name: STRING, description: STRING,
+           format: STRUCT<provider: STRING, options: MAP<STRING, STRING>>,
+           schemaString: STRING, partitionColumns: ARRAY<STRING>,
+           configuration: MAP<STRING, STRING>, createdTime: BIGINT>,
+         txn STRUCT<appId: STRING, version: BIGINT>,
+         add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>,
+           size: BIGINT, modificationTime: BIGINT, dataChange: BOOLEAN,
+           stats: STRING>""").asInstanceOf[org.apache.spark.sql.types.StructType]
+    session.read.schema(schema).json(lines.toDS)
+      .repartition(1).write.mode("overwrite").parquet(cpPath.toString)
+    log.store.writeOverwrite(new Path(deltaLog, "_last_checkpoint"),
+      s"""{"version":$mirrorVersion,"size":${lines.size}}""")
   }
 
   /** Graft version the mirror's commit 0 snapshotted, from its

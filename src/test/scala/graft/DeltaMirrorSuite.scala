@@ -106,6 +106,26 @@ class DeltaMirrorSuite extends AnyFunSuite {
       (0L until 25L))
   }
 
+  test("long mirrors checkpoint; importer cold-loads past cleaned JSON") {
+    val dir = tmpDir()
+    Graft.write(spark.range(0, 5).toDF("id"), dir,
+      configuration = Map(graft.commands.DeltaMirror.PROP -> "delta"))
+    (1 until 12).foreach(i =>
+      Graft.write(spark.range(i * 5L, i * 5L + 5).toDF("id"), dir))
+    val logDir = new java.io.File(s"$dir/_delta_log")
+    assert(logDir.listFiles().exists(_.getName.endsWith(".checkpoint.parquet")),
+      "no mirror checkpoint written")
+    assert(JFiles.exists(Paths.get(dir, "_delta_log", "_last_checkpoint")))
+    // delta-style metadata cleanup: pre-checkpoint JSON commits removed
+    logDir.listFiles().filter { f =>
+      graft.log.FileNames.deltaVersion(f.getName).exists(_ < 10)
+    }.foreach(_.delete())
+    val view = deltaViewOf(dir)
+    Graft.convertFromDelta(spark, view)
+    assert(Graft.read(spark, view).orderBy("id").as[Long].collect().toSeq ===
+      (0L until 60L))
+  }
+
   test("constraints and appendOnly survive the round trip") {
     val dir = tmpDir()
     Graft.write(spark.range(1, 10).toDF("id"), dir,
