@@ -122,10 +122,22 @@ object DeltaMirror {
          add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>,
            size: BIGINT, modificationTime: BIGINT, dataChange: BOOLEAN,
            stats: STRING>""").asInstanceOf[org.apache.spark.sql.types.StructType]
+    // Delta checkpoints are single parquet FILES, not directories — write
+    // to a scratch dir and move the one part file onto the exact name.
+    val scratch = new Path(deltaLog,
+      s".cp-scratch-${java.util.UUID.randomUUID.toString.take(8)}")
     session.read.schema(schema).json(lines.toDS)
-      .repartition(1).write.mode("overwrite").parquet(cpPath.toString)
-    log.store.writeOverwrite(new Path(deltaLog, "_last_checkpoint"),
-      s"""{"version":$mirrorVersion,"size":${lines.size}}""")
+      .repartition(1).write.mode("overwrite").parquet(scratch.toString)
+    val fs = log.store.fs(scratch)
+    val part = fs.listStatus(scratch)
+      .find(_.getPath.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException("checkpoint write produced no part"))
+    if (!fs.rename(part.getPath, cpPath)) fs.delete(scratch, true)
+    else {
+      fs.delete(scratch, true)
+      log.store.writeOverwrite(new Path(deltaLog, "_last_checkpoint"),
+        s"""{"version":$mirrorVersion,"size":${lines.size}}""")
+    }
   }
 
   /** Graft version the mirror's commit 0 snapshotted, from its
