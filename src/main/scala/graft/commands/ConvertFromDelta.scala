@@ -52,6 +52,7 @@ object ConvertFromDeltaCommand {
     var protoNode: JsonNode = null
     val txns = mutable.LinkedHashMap.empty[String, Long]
     val domains = mutable.LinkedHashMap.empty[String, String]
+    val pendingDvs = mutable.LinkedHashMap.empty[String, DvRef]
 
     var cpUsed: Option[Long] = None
     cpVersion.foreach { v =>
@@ -67,8 +68,7 @@ object ConvertFromDeltaCommand {
         // serves both.
         spark.read.parquet(cpFiles: _*).toJSON.collect().foreach { line =>
           applyAction(mapper.readTree(line), adds,
-            m => metaNode = m, p => protoNode = p,
-            log.dataPath, spark.sessionState.newHadoopConf(), txns, domains)
+            m => metaNode = m, p => protoNode = p, pendingDvs, txns, domains)
         }
         if (adds.nonEmpty || metaNode != null) cpUsed = Some(v)
         else require(fs.exists(new Path(deltaLog, f"${0L}%020d.json")),
@@ -95,8 +95,7 @@ object ConvertFromDeltaCommand {
       log.store.read(new Path(deltaLog, f"$v%020d.json"))
         .linesIterator.filter(_.nonEmpty)
         .foreach(line => applyAction(mapper.readTree(line), adds,
-          m => metaNode = m, p => protoNode = p,
-          log.dataPath, spark.sessionState.newHadoopConf(), txns, domains))
+          m => metaNode = m, p => protoNode = p, pendingDvs, txns, domains))
     }
     require(metaNode != null, s"Delta log at $path carries no metaData action")
 
@@ -125,6 +124,22 @@ object ConvertFromDeltaCommand {
       n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
 
+    // Every gate has passed — only now re-encode live DVs into graft
+    // sidecars (an aborted convert must never write into the source).
+    val hconf = spark.sessionState.newHadoopConf()
+    pendingDvs.foreach { case (p, d) =>
+      if (adds.contains(p)) {
+        val bm = graft.dv.DeltaDvCodec.readDescriptor(log.dataPath, hconf,
+          d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes)
+        require(bm.cardinality == d.cardinality,
+          s"delta DV cardinality mismatch for $p")
+        val rel =
+          s"${graft.dv.DeletionVectors.DIR}/dv-${java.util.UUID.randomUUID}.bin"
+        graft.dv.DeletionVectors.writeBitmap(new Path(log.dataPath, rel), hconf, bm)
+        adds(p) = adds(p).copy(dvPath = Some(rel),
+          dvCardinality = Some(d.cardinality))
+      }
+    }
     // Imported DVs need the feature gate even if the source table's
     // config never declared it explicitly.
     val dvExtra =
@@ -168,17 +183,30 @@ object ConvertFromDeltaCommand {
     new GraftTable(spark, log)
   }
 
-  /** Fold one delta action (JSON tree) into the running state. A live
-    * deletion vector re-encodes into a graft `_dv/` sidecar (a few KB of
-    * metadata, not a data rewrite) via the spec's Z85 / portable-bitmap
-    * formats. */
+  /** Delta log paths are RFC 2396 URIs (percent-encoded); graft AddFile
+    * paths are plain filesystem paths. */
+  private[commands] def decodePath(p: String): String =
+    try {
+      val uri = new java.net.URI(p)
+      if (uri.getScheme != null) new Path(uri).toString
+      else if (uri.getPath != null) uri.getPath
+      else p
+    } catch { case _: java.net.URISyntaxException => p }
+
+  /** Pending DV descriptor for one add, resolved AFTER validation. */
+  private[commands] final case class DvRef(storageType: String,
+      pathOrInlineDv: String, offset: Int, sizeInBytes: Int, cardinality: Long)
+
+  /** Fold one delta action (JSON tree) into the running state. Live
+    * deletion vectors are only RECORDED here ([[DvRef]]); re-encoding
+    * into graft `_dv/` sidecars happens after every validation gate has
+    * passed, so an aborted convert never writes into the source table. */
   private def applyAction(
       node: JsonNode,
       adds: mutable.LinkedHashMap[String, AddFile],
       onMeta: JsonNode => Unit,
       onProto: JsonNode => Unit,
-      dataRoot: Path = null,
-      hadoopConf: org.apache.hadoop.conf.Configuration = null,
+      pendingDvs: mutable.LinkedHashMap[String, DvRef] = mutable.LinkedHashMap.empty,
       txns: mutable.LinkedHashMap[String, Long] = mutable.LinkedHashMap.empty,
       domains: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap.empty)
       : Unit = {
@@ -197,32 +225,21 @@ object ConvertFromDeltaCommand {
         dom.path("configuration").asText("{}")
     }
     if (add != null && !add.isNull) {
+      val path = decodePath(add.path("path").asText())
       val dv = add.get("deletionVector")
-      val imported: Option[(String, Long)] =
-        if (dv == null || dv.isNull || dv.path("cardinality").asLong(0) == 0) None
-        else {
-          require(dataRoot != null && hadoopConf != null,
-            "internal: DV import needs the table root")
-          val bm = graft.dv.DeltaDvCodec.readDescriptor(
-            dataRoot, hadoopConf,
-            dv.path("storageType").asText(),
-            dv.path("pathOrInlineDv").asText(),
-            dv.path("offset").asInt(0),
-            dv.path("sizeInBytes").asInt(0))
-          val card = bm.cardinality
-          require(card == dv.path("cardinality").asLong(0),
-            s"delta DV cardinality mismatch for ${add.path("path").asText()}")
-          val rel = s"${graft.dv.DeletionVectors.DIR}/dv-${java.util.UUID.randomUUID}.bin"
-          graft.dv.DeletionVectors.writeBitmap(
-            new Path(dataRoot, rel), hadoopConf, bm)
-          Some((rel, card))
-        }
+      if (dv == null || dv.isNull || dv.path("cardinality").asLong(0) == 0)
+        pendingDvs.remove(path)
+      else pendingDvs(path) = DvRef(
+        dv.path("storageType").asText(),
+        dv.path("pathOrInlineDv").asText(),
+        dv.path("offset").asInt(0),
+        dv.path("sizeInBytes").asInt(0),
+        dv.path("cardinality").asLong(0))
       val pv = Option(add.get("partitionValues")).map { n =>
         import scala.jdk.CollectionConverters._
         n.properties().asScala.map(e => e.getKey ->
           (if (e.getValue.isNull) null else e.getValue.asText())).toMap
       }.getOrElse(Map.empty[String, String])
-      val path = add.path("path").asText()
       adds(path) = AddFile(
         path = path,
         partitionValues = pv,
@@ -231,15 +248,15 @@ object ConvertFromDeltaCommand {
         dataChange = true,
         stats = Option(add.get("stats")).filterNot(_.isNull)
           .map(_.asText()).orNull,
-        dvPath = imported.map(_._1),
-        dvCardinality = imported.map(_._2),
         baseRowId = Option(add.get("baseRowId")).filterNot(_.isNull)
           .map(_.asLong()),
         defaultRowCommitVersion =
           Option(add.get("defaultRowCommitVersion")).filterNot(_.isNull)
             .map(_.asLong()))
     } else if (remove != null && !remove.isNull) {
-      adds.remove(remove.path("path").asText())
+      val path = decodePath(remove.path("path").asText())
+      adds.remove(path)
+      pendingDvs.remove(path)
     } else if (meta != null && !meta.isNull) {
       onMeta(meta)
     } else if (proto != null && !proto.isNull) {

@@ -23,10 +23,10 @@ import graft.log._
  * snapshot (protocol, metaData, every live add), so readers need no
  * graft history.
  *
- * Guardrails: deletion-vector commits abort mirroring loudly (our DV
- * sidecars are not the Delta DV format — a Delta reader would resurrect
- * deleted rows). The mirror is JSON-only (no Delta checkpoints); readers
- * replay the log, which is correct if slower for very long histories.
+ * Graft DV sidecars re-encode into spec-format Delta DV files at mirror
+ * time (deterministic file names, so retries dedupe). Every 10 mirror
+ * commits a classic Delta checkpoint file is written so long mirrors
+ * cold-load from state.
  */
 object DeltaMirror {
 
@@ -55,7 +55,7 @@ object DeltaMirror {
         case c: CommitInfo =>
           Some(commitInfoJson(graftVersion, c.operation, -1L, c.timestamp))
         case c: AddCdcFile => Some(
-          s"""{"cdc":{"path":${q(c.path)},"partitionValues":${pvJson(c.partitionValues)},""" +
+          s"""{"cdc":{"path":${q(encodePath(c.path))},"partitionValues":${pvJson(c.partitionValues)},""" +
             s""""size":${c.size},"dataChange":false}}""")
         case _: Protocol => Some(protocolJson(snap.metadata))
         case _ => None // graft-internal actions (domains, sidecars)
@@ -65,8 +65,11 @@ object DeltaMirror {
       // Bootstrap: full state at this version becomes mirror commit 0.
       // A racing hook may win the bootstrap — re-read the base it chose
       // and fall through so THIS commit still mirrors incrementally.
+      // The bootstrap snapshots `snap`, which may be PAST `version` when a
+      // concurrent commit already folded — label it with snap.version so
+      // mirror history never shows future state under an older version.
       val lines = Seq(
-        commitInfoJson(version, "GRAFT MIRROR BOOTSTRAP", version),
+        commitInfoJson(snap.version, "GRAFT MIRROR BOOTSTRAP", snap.version),
         protocolJson(snap.metadata),
         metaDataJson(snap.metadata)) ++
         snap.allFiles.map(addJsonDv)
@@ -167,6 +170,12 @@ object DeltaMirror {
 
   private def q(s: String): String = mapper.writeValueAsString(s)
 
+  /** Delta log paths are RFC 2396 URIs — percent-encode what the graft
+    * log stores as plain filesystem paths. */
+  private def encodePath(p: String): String =
+    try new java.net.URI(null, null, p, null).toASCIIString
+    catch { case _: java.net.URISyntaxException => p }
+
   private def pvJson(pv: Map[String, String]): String = {
     if (pv == null || pv.isEmpty) "{}"
     else pv.map { case (k, v) =>
@@ -181,15 +190,17 @@ object DeltaMirror {
       }"graftVersion":"$graftVersion"}}}"""
 
   /** Minimal Delta protocol covering the features the metadata uses.
-    * Deletion vectors force the (3, 7) feature-vector form; everything
-    * else stays on the widest-compatible legacy numeric versions. */
+    * ANY reader-gating vector feature (DVs, NTZ timestamps, variants,
+    * shredding, type widening) forces the (3, 7) feature-vector form so
+    * readers that cannot decode the physical layout are locked out;
+    * everything else stays on the widest-compatible legacy versions. */
   private def protocolJson(m: Metadata): String = {
     val feats = TableFeatures.activeFeatures(m).map(_.name)
-    if (feats("deletionVectors")) {
-      val readerVec = Seq("deletionVectors") ++
-        (if (feats("columnMapping")) Seq("columnMapping") else Nil) ++
-        (if (feats("timestampNtz")) Seq("timestampNtz") else Nil) ++
-        (if (feats("variantType")) Seq("variantType") else Nil)
+    val readerGating = Seq("deletionVectors", "timestampNtz", "variantType",
+      "variantShredding", "typeWidening").filter(feats)
+    if (readerGating.nonEmpty) {
+      val readerVec = readerGating ++
+        (if (feats("columnMapping")) Seq("columnMapping") else Nil)
       val writerVec = (readerVec ++ Seq("appendOnly", "invariants",
         "checkConstraints", "changeDataFeed", "generatedColumns",
         "identityColumns").filter(feats)).distinct
@@ -213,8 +224,12 @@ object DeltaMirror {
     a.dvPath.map { rel =>
       val bm = graft.dv.DeletionVectors.readBitmap(
         new Path(log.dataPath, rel), conf)
+      // UUID derived from the graft sidecar path: racing hooks and
+      // backfills regenerate the SAME delta DV file instead of leaking a
+      // fresh orphan per translation.
       val (pathOrInline, offset, size) =
-        graft.dv.DeltaDvCodec.writeFile(log.dataPath, conf, bm)
+        graft.dv.DeltaDvCodec.writeFile(log.dataPath, conf, bm,
+          java.util.UUID.nameUUIDFromBytes(rel.getBytes("UTF-8")))
       s""""deletionVector":{"storageType":"u","pathOrInlineDv":${q(pathOrInline)},""" +
         s""""offset":$offset,"sizeInBytes":$size,"cardinality":${bm.cardinality}}"""
     }
@@ -222,13 +237,13 @@ object DeltaMirror {
   private def addJson(a: AddFile, dvJson: Option[String] = None): String = {
     val stats = Option(a.stats).map(s => s""","stats":${q(s)}""").getOrElse("")
     val dv = dvJson.map("," + _).getOrElse("")
-    s"""{"add":{"path":${q(a.path)},"partitionValues":${pvJson(a.partitionValues)},""" +
+    s"""{"add":{"path":${q(encodePath(a.path))},"partitionValues":${pvJson(a.partitionValues)},""" +
       s""""size":${a.size},"modificationTime":${a.modificationTime},""" +
       s""""dataChange":${a.dataChange}$stats$dv}}"""
   }
 
   private def removeJson(r: RemoveFile): String =
-    s"""{"remove":{"path":${q(r.path)},"deletionTimestamp":${
+    s"""{"remove":{"path":${q(encodePath(r.path))},"deletionTimestamp":${
       r.deletionTimestamp.getOrElse(System.currentTimeMillis())},""" +
       s""""dataChange":${r.dataChange}}}"""
 

@@ -436,12 +436,14 @@ object VacuumCommand {
     // executor. Skips the log, the CDC directory, and hidden files.
     val rootStatuses = fs.listStatus(log.dataPath).filterNot { st =>
       val n = st.getPath.getName
-      st.isDirectory && (n == "_graft_log" || n == "_change_data")
+      st.isDirectory && (n == "_graft_log" || n == "_change_data" ||
+        n == "_delta_log")
     }
     val (dirs, plainFiles) = rootStatuses.partition(_.isDirectory)
     val rootFiles = plainFiles.toSeq
       .filterNot(st => st.getPath.getName.startsWith(".") ||
-        st.getPath.getName.startsWith("_"))
+        st.getPath.getName.startsWith("_") ||
+        st.getPath.getName.startsWith("deletion_vector_"))
       .map(st => (st.getPath.toString, st.getModificationTime))
     val dirPaths = dirs.map(_.getPath.toString).toSeq
     val walked =
@@ -456,8 +458,15 @@ object VacuumCommand {
             efs.listStatus(stack.pop()).foreach { st =>
               val name = st.getPath.getName
               if (st.isDirectory) {
-                if (name != "_graft_log" && name != "_change_data") stack.push(st.getPath)
-              } else if (!name.startsWith(".") && !name.startsWith("_")) {
+                // _delta_log is the Delta-format mirror / a converted
+                // table's original log — VACUUM must never eat it.
+                if (name != "_graft_log" && name != "_change_data" &&
+                  name != "_delta_log") stack.push(st.getPath)
+              } else if (!name.startsWith(".") && !name.startsWith("_") &&
+                  // spec-format Delta DV files written by the mirror are
+                  // referenced from _delta_log, which the survivor set
+                  // does not model — leave them out of candidacy.
+                  !name.startsWith("deletion_vector_")) {
                 out += ((st.getPath.toString, st.getModificationTime))
               }
             }

@@ -103,24 +103,26 @@ object DeltaDvCodec {
     } finally in.close()
   }
 
-  /** Write one DV as a fresh single-DV Delta file under `tableRoot`;
-    * returns (relativePathOrInlineDv for storageType 'u', offset,
-    * sizeInBytes). */
-  def writeFile(tableRoot: Path, conf: Configuration,
-      bm: Bitmap64): (String, Int, Int) = {
-    val uuid = UUID.randomUUID()
+  /** Write one DV as a single-DV Delta file under `tableRoot`; returns
+    * (pathOrInlineDv for storageType 'u', offset, sizeInBytes). A caller
+    * passing a DETERMINISTIC uuid makes the write idempotent — an
+    * existing file of that name is reused (same source, same bytes). */
+  def writeFile(tableRoot: Path, conf: Configuration, bm: Bitmap64,
+      uuid: UUID = UUID.randomUUID()): (String, Int, Int) = {
     val name = s"deletion_vector_$uuid.bin"
     val path = new Path(tableRoot, name)
     val data = Bitmap64.toDeltaPortable(bm)
     val fs = path.getFileSystem(conf)
-    val out = fs.create(path, false)
-    try {
-      out.write(1) // file format version
-      out.write(ByteBuffer.allocate(4).putInt(data.length).array())
-      out.write(data)
-      val crc = new CRC32; crc.update(data)
-      out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
-    } finally out.close()
+    if (!fs.exists(path)) {
+      val out = fs.create(path, true)
+      try {
+        out.write(1) // file format version
+        out.write(ByteBuffer.allocate(4).putInt(data.length).array())
+        out.write(data)
+        val crc = new CRC32; crc.update(data)
+        out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      } finally out.close()
+    }
     val uuidBytes = ByteBuffer.allocate(16)
       .putLong(uuid.getMostSignificantBits)
       .putLong(uuid.getLeastSignificantBits).array()

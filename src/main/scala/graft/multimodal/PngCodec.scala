@@ -63,10 +63,18 @@ object PngCodec {
     * all are spec-legal everywhere; 0 is the fast default, the others
     * exist so tests can drive each decoder unfilter path). */
   def encode(w: Int, h: Int, rgb: (Int, Int) => Int,
-      filterType: Int = 0): Array[Byte] = {
+      filterType: Int = 0): Array[Byte] =
+    encodeChannels(w, h, 3, (x, y) => rgb(x, y), filterType)
+
+  /** RGBA variant: `argb(x, y)` returns packed 0xAARRGGBB. */
+  def encodeArgb(w: Int, h: Int, argb: (Int, Int) => Int,
+      filterType: Int = 0): Array[Byte] =
+    encodeChannels(w, h, 4, argb, filterType)
+
+  private def encodeChannels(w: Int, h: Int, bpp: Int,
+      px: (Int, Int) => Int, filterType: Int): Array[Byte] = {
     require(w > 0 && h > 0, s"bad dims ${w}x$h")
     require(filterType >= 0 && filterType <= 4, s"bad filter $filterType")
-    val bpp = 3
     val raw = new Array[Byte]((w * bpp + 1) * h)
     val prior = new Array[Byte](w * bpp) // previous UNFILTERED scanline
     val cur = new Array[Byte](w * bpp)
@@ -75,10 +83,11 @@ object PngCodec {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val p = rgb(x, y)
+        val p = px(x, y)
         cur(x * bpp) = ((p >> 16) & 0xff).toByte
         cur(x * bpp + 1) = ((p >> 8) & 0xff).toByte
         cur(x * bpp + 2) = (p & 0xff).toByte
+        if (bpp == 4) cur(x * bpp + 3) = ((p >>> 24) & 0xff).toByte
         x += 1
       }
       raw(o) = filterType.toByte; o += 1
@@ -103,8 +112,9 @@ object PngCodec {
     }
     val out = new ByteArrayOutputStream()
     out.write(Signature)
+    val colorType = if (bpp == 4) 6 else 2 // 8-bit RGBA / RGB
     val ihdr = ByteBuffer.allocate(13)
-      .putInt(w).putInt(h).put(8.toByte).put(2.toByte) // 8-bit, RGB
+      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte).array()
     chunk(out, "IHDR", ihdr)
     val deflater = new Deflater(Deflater.BEST_SPEED)
@@ -213,7 +223,8 @@ object PngCodec {
     }, filterType = (id % 5).toInt)
 
   /** Fit inside a `box` x `box` square preserving aspect ratio (integer
-    * floor math, nearest-neighbor), re-encoded as PNG. Images already
+    * floor math, nearest-neighbor), re-encoded as PNG. The channel count
+    * is preserved — RGBA input keeps its alpha plane. Images already
     * inside the box pass through byte-identical. */
   def resizeFit(bytes: Array[Byte], box: Int): Array[Byte] = {
     val d = decode(bytes)
@@ -222,7 +233,12 @@ object PngCodec {
     else {
       val tw = math.max(1, d.width * box / m)
       val th = math.max(1, d.height * box / m)
-      encode(tw, th, (x, y) => d.rgb(x * d.width / tw, y * d.height / th))
+      if (d.channels == 4)
+        encodeArgb(tw, th, (x, y) => {
+          val sx = x * d.width / tw; val sy = y * d.height / th
+          (d.alpha(sx, sy) << 24) | d.rgb(sx, sy)
+        })
+      else encode(tw, th, (x, y) => d.rgb(x * d.width / tw, y * d.height / th))
     }
   }
 }

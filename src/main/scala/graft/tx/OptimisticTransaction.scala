@@ -100,32 +100,45 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
     // write as typed parquet sub-columns via Spark's own shredding writer
     // — reads reassemble transparently; the reader-gating feature locks
     // out clients that would misread the shredded layout.
-    val hasVariant = m.schema.exists(_.dataType
-      .isInstanceOf[org.apache.spark.sql.types.VariantType])
+    // Recursive: a variant nested inside a struct/array/map shreds too.
+    def anyVariant(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.VariantType => true
+      case s: org.apache.spark.sql.types.StructType =>
+        s.fields.exists(f => anyVariant(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => anyVariant(a.elementType)
+      case mp: org.apache.spark.sql.types.MapType =>
+        anyVariant(mp.keyType) || anyVariant(mp.valueType)
+      case _ => false
+    }
+    val hasVariant = m.schema.fields.exists(f => anyVariant(f.dataType))
     val shred = m.configuration
       .getOrElse("graft.enableVariantShredding", "false").toBoolean && hasVariant
-    val conf = log.spark.conf
-    // Spark 4.1 shreds by default — a table that has NOT declared the
-    // reader-gating feature must write unshredded, or readers without the
-    // feature would be handed a layout the protocol never announced.
-    val prev =
-      if (hasVariant) Seq(
-        "spark.sql.variant.writeShredding.enabled",
-        "spark.sql.variant.inferShreddingSchema")
-        .map(k => k -> conf.getOption(k))
-      else Nil
-    prev.foreach { case (k, _) => conf.set(k, shred.toString) }
+    def doWrite() = TransactionalWrite.writeFiles(
+      log.spark, log.dataPath, physical,
+      graft.schema.ColumnMapping.physicalPartitionColumns(m),
+      graft.schema.ColumnMapping.physicalDataSchema(m),
+      optimizeWrite = m.configuration
+        .getOrElse("graft.optimizeWrite", "true").toBoolean,
+      statsColumns = graft.files.GraftFileIndex.statsColumns(m))
     val adds =
-      try TransactionalWrite.writeFiles(
-        log.spark, log.dataPath, physical,
-        graft.schema.ColumnMapping.physicalPartitionColumns(m),
-        graft.schema.ColumnMapping.physicalDataSchema(m),
-        optimizeWrite = m.configuration
-          .getOrElse("graft.optimizeWrite", "true").toBoolean,
-        statsColumns = graft.files.GraftFileIndex.statsColumns(m))
-      finally prev.foreach {
-        case (k, Some(v)) => conf.set(k, v)
-        case (k, None) => conf.unset(k)
+      if (!hasVariant) doWrite()
+      else OptimisticTransaction.variantWriteLock.synchronized {
+        // Spark 4.1 shreds by default — a table that has NOT declared the
+        // reader-gating feature must write unshredded, or readers without
+        // the feature would be handed a layout the protocol never
+        // announced. The session conf is shared, so concurrent
+        // variant-table writes serialize through this lock rather than
+        // racing each other's layout flags.
+        val conf = log.spark.conf
+        val keys = Seq("spark.sql.variant.writeShredding.enabled",
+          "spark.sql.variant.inferShreddingSchema")
+        val prev = keys.map(k => k -> conf.getOption(k))
+        keys.foreach(conf.set(_, shred.toString))
+        try doWrite()
+        finally prev.foreach {
+          case (k, Some(v)) => conf.set(k, v)
+          case (k, None) => conf.unset(k)
+        }
       }
     if (dataChange) adds else adds.map(_.copy(dataChange = false))
   }
@@ -325,4 +338,11 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
     stagedActions.collect { case r: RemoveFile => r.path }.toSet
   private def stagedTxnAppIds: Set[String] =
     stagedActions.collect { case t: SetTransaction => t.appId }.toSet
+}
+
+object OptimisticTransaction {
+  /** Variant-layout conf flags are session-global; concurrent writes of
+    * variant tables serialize here so one table's shredding choice never
+    * leaks into another table's files. */
+  private[tx] val variantWriteLock = new Object
 }

@@ -126,6 +126,49 @@ class DeltaMirrorSuite extends AnyFunSuite {
       (0L until 60L))
   }
 
+  test("VACUUM never eats the mirror log or its DV files") {
+    val dir = tmpDir()
+    Graft.write(spark.range(0, 40).toDF("id"), dir,
+      configuration = Map(
+        graft.commands.DeltaMirror.PROP -> "delta",
+        "graft.enableDeletionVectors" -> "true"))
+    GraftTable.forPath(spark, dir).delete($"id" < 5)
+    // an orphan data file that SHOULD be vacuumed, to prove vacuum ran
+    JFiles.writeString(Paths.get(dir, "part-orphan.parquet"), "junk")
+    JFiles.setLastModifiedTime(Paths.get(dir, "part-orphan.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 100000))
+    spark.conf.set("spark.graft.vacuum.retentionCheck.enabled", "false")
+    try GraftTable.forPath(spark, dir).vacuum(retentionHours = 0.0)
+    finally spark.conf.unset("spark.graft.vacuum.retentionCheck.enabled")
+    assert(!JFiles.exists(Paths.get(dir, "part-orphan.parquet")),
+      "vacuum did not run")
+    assert(new java.io.File(s"$dir/_delta_log").listFiles().nonEmpty,
+      "vacuum deleted the mirror log")
+    assert(new java.io.File(dir).listFiles()
+      .exists(_.getName.startsWith("deletion_vector_")),
+      "vacuum deleted the mirror's Delta DV file")
+    // the mirror still imports after vacuum
+    val view = deltaViewOf(dir)
+    Graft.convertFromDelta(spark, view)
+    assert(Graft.read(spark, view).count() === 35)
+  }
+
+  test("paths with spaces survive the mirror round trip URI-encoded") {
+    val dir = tmpDir()
+    Graft.write(spark.range(0, 12).selectExpr("id", "id % 2 AS `p v`"), dir,
+      partitionBy = Seq("p v"),
+      configuration = Map(graft.commands.DeltaMirror.PROP -> "delta"))
+    val mirror0 = JFiles.readString(
+      Paths.get(dir, "_delta_log", f"${0L}%020d.json"))
+    // partition dir "p v=0" must appear percent-encoded in the delta path
+    assert(mirror0.contains("p%20v="), s"path not URI-encoded:\n$mirror0")
+    val view = deltaViewOf(dir)
+    Graft.convertFromDelta(spark, view)
+    assert(Graft.read(spark, view).count() === 12)
+    assert(Graft.read(spark, view).where($"`p v`" === 1).count() === 6)
+  }
+
   test("constraints and appendOnly survive the round trip") {
     val dir = tmpDir()
     Graft.write(spark.range(1, 10).toDF("id"), dir,

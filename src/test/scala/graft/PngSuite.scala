@@ -90,6 +90,20 @@ class PngSuite extends AnyFunSuite {
     assert(dec.alpha(1, 1) === 8)
   }
 
+  test("resizeFit preserves the alpha plane of RGBA input") {
+    val big = PngCodec.encodeArgb(24, 12, (x, y) =>
+      (((x * 11 + y * 3) % 256) << 24) | (((x * 19) % 256) << 16) |
+        (((y * 23) % 256) << 8) | ((x + y) % 256))
+    val small = PngCodec.decode(PngCodec.resizeFit(big, 6))
+    assert(small.channels === 4)
+    assert(small.width === 6 && small.height === 3)
+    val src = PngCodec.decode(big)
+    for (y <- 0 until 3; x <- 0 until 6) {
+      assert(small.rgb(x, y) === src.rgb(x * 4, y * 4))
+      assert(small.alpha(x, y) === src.alpha(x * 4, y * 4), s"alpha ($x,$y)")
+    }
+  }
+
   test("resizeFit downsamples with exact nearest-neighbor sampling") {
     val big = PngCodec.synth(3L, 40, 20)
     val small = PngCodec.decode(PngCodec.resizeFit(big, 10))
