@@ -494,11 +494,11 @@ object VacuumCommand {
     // lazy checkpoint-backed snapshot the driver never holds it.
     val liveDS = snap.allFilesDS
       .flatMap(f => f.dvPath.toSeq :+ f.path).map(qualify)
-    val keptTombstones = snap.tombstones
-      .filter(_.deletionTimestamp.forall(_ >= cutoff))
+    val keptTombstones = snap.tombstonesDS
+      .filter((r: graft.log.RemoveFile) =>
+        r.deletionTimestamp.forall(_ >= cutoff))
       .map(r => qualify(r.path))
-    val keep = liveDS
-      .union(spark.createDataset(keptTombstones)).toDF("path")
+    val keep = liveDS.union(keptTombstones).toDF("path")
 
     val candidates = listed
       .join(keep, Seq("path"), "left_anti")
@@ -543,10 +543,11 @@ object VacuumCommand {
       else if (p.toUri.getScheme != null) p.toString
       else new Path(rootUri.getScheme, rootUri.getAuthority, p.toUri.getPath).toString
     }
-    val expired = snap.tombstones
-      .filter(_.deletionTimestamp.exists(_ < cutoff))
+    val expired = snap.tombstonesDS
+      .filter((r: graft.log.RemoveFile) =>
+        r.deletionTimestamp.exists(_ < cutoff))
       .map(r => qualify(r.path))
-    val candidates = spark.createDataset(expired).toDF("path").persist()
+    val candidates = expired.toDF("path").persist()
     candidates.count()
     if (!dryRun) {
       val confBc = new org.apache.spark.util.SerializableConfiguration(

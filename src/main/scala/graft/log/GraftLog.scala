@@ -388,13 +388,20 @@ class GraftLog private (
       .get("graft.deletedFileRetentionHours").map(_.toDouble)
       .getOrElse(graft.commands.VacuumCommand.defaultRetentionHours) * 3600 * 1000).toLong
     val tombCutoff = System.currentTimeMillis() - retentionMs
-    val liveTombs = snap.tombstones.filter(
-      _.deletionTimestamp.forall(_ >= tombCutoff))
-    val fileCount = snap.numFiles + liveTombs.size
+    // Lazy snapshots count tombstones with a distributed agg; the driver
+    // branch below (small tables only) is the one place that pulls them.
+    val liveTombCount =
+      if (snap.lazyBase.isDefined && !snap.tombsMaterialized)
+        snap.tombstonesDS.where(coalesce(col("deletionTimestamp"),
+          lit(Long.MaxValue)) >= tombCutoff).count()
+      else snap.tombstones.count(_.deletionTimestamp.forall(_ >= tombCutoff))
+    val fileCount = snap.numFiles + liveTombCount
     val distThreshold = session.conf
       .getOption(DISTRIBUTED_CHECKPOINT_CONF).map(_.toLong).getOrElse(200000L)
     val (fileRowsDF, mode) =
       if (fileCount < distThreshold) {
+        val liveTombs = snap.tombstones.filter(
+          _.deletionTimestamp.forall(_ >= tombCutoff))
         val rows: Seq[SingleAction] =
           snap.allFiles.map(_.wrap) ++ liveTombs.map(_.wrap)
         (session.createDataset(rows).toDF, "driver")
@@ -675,15 +682,32 @@ object GraftLog {
 case class LazyFileState(
     manifestPaths: Seq[String],
     tailAdds: Map[String, AddFile],
-    tailRemovedPaths: Set[String]) {
+    tailRemovedPaths: Set[String],
+    tailTombs: Map[String, RemoveFile] = Map.empty,
+    tailUntombed: Set[String] = Set.empty) {
 
-  /** Base ∪ overlay as one driver map (the full-materialization path). */
-  def materialize(spark: SparkSession): Map[String, AddFile] = {
+  private def actionDS(spark: SparkSession, kind: String) = {
     import org.apache.spark.sql.functions.col
     val schema = spark.emptyDataset[SingleAction](
       org.apache.spark.sql.Encoders.product[SingleAction]).schema
-    val base = spark.read.schema(schema).parquet(manifestPaths: _*)
-      .where(col("add").isNotNull).select(col("add.*"))
+    spark.read.schema(schema).parquet(manifestPaths: _*)
+      .where(col(kind).isNotNull).select(col(s"$kind.*"))
+  }
+
+  private def masked[T](spark: SparkSession,
+      base: Dataset[T], keys: Seq[String],
+      enc: org.apache.spark.sql.Encoder[T]): Dataset[T] =
+    if (keys.isEmpty) base
+    else {
+      import org.apache.spark.sql.functions.broadcast
+      import spark.implicits._
+      base.join(broadcast(spark.createDataset(keys).toDF("path")),
+        Seq("path"), "left_anti").as[T](enc)
+    }
+
+  /** Base ∪ overlay as one driver map (the full-materialization path). */
+  def materialize(spark: SparkSession): Map[String, AddFile] = {
+    val base = actionDS(spark, "add")
       .as[AddFile](org.apache.spark.sql.Encoders.product[AddFile])
       .collect().iterator.map(a => a.path -> a).toMap
     base -- tailRemovedPaths ++ tailAdds
@@ -691,22 +715,28 @@ case class LazyFileState(
 
   /** Base ∪ overlay as a Dataset (planning path — never driver-wide). */
   def toDS(spark: SparkSession): Dataset[AddFile] = {
-    import org.apache.spark.sql.functions.{broadcast, col}
     val enc = org.apache.spark.sql.Encoders.product[AddFile]
-    val schema = spark.emptyDataset[SingleAction](
-      org.apache.spark.sql.Encoders.product[SingleAction]).schema
-    val base = spark.read.schema(schema).parquet(manifestPaths: _*)
-      .where(col("add").isNotNull).select(col("add.*")).as[AddFile](enc)
-    val overlayKeys = (tailAdds.keySet ++ tailRemovedPaths).toSeq
-    val masked =
-      if (overlayKeys.isEmpty) base
-      else {
-        import spark.implicits._
-        base.join(broadcast(spark.createDataset(overlayKeys).toDF("path")),
-          Seq("path"), "left_anti").as[AddFile](enc)
-      }
-    if (tailAdds.isEmpty) masked
-    else masked.unionByName(spark.createDataset(tailAdds.values.toSeq)(enc))
+    val base = masked(spark, actionDS(spark, "add").as[AddFile](enc),
+      (tailAdds.keySet ++ tailRemovedPaths).toSeq, enc)
+    if (tailAdds.isEmpty) base
+    else base.unionByName(spark.createDataset(tailAdds.values.toSeq)(enc))
+  }
+
+  /** Checkpoint tombstones ∪ overlay, materialized to the driver. */
+  def materializeTombs(spark: SparkSession): Seq[RemoveFile] = {
+    val base = actionDS(spark, "remove")
+      .as[RemoveFile](org.apache.spark.sql.Encoders.product[RemoveFile])
+      .collect().iterator.map(r => r.path -> r).toMap
+    (base -- tailUntombed ++ tailTombs).values.toSeq
+  }
+
+  /** Tombstones as a Dataset (VACUUM / checkpoint-scale paths). */
+  def tombsDS(spark: SparkSession): Dataset[RemoveFile] = {
+    val enc = org.apache.spark.sql.Encoders.product[RemoveFile]
+    val base = masked(spark, actionDS(spark, "remove").as[RemoveFile](enc),
+      (tailTombs.keySet ++ tailUntombed).toSeq, enc)
+    if (tailTombs.isEmpty) base
+    else base.unionByName(spark.createDataset(tailTombs.values.toSeq)(enc))
   }
 }
 
@@ -717,7 +747,7 @@ class Snapshot(
     val metadata: Metadata,
     val setTransactions: Map[String, Long],
     filesMap0: => Map[String, AddFile],
-    val tombstones: Seq[RemoveFile],
+    tombstones0: => Seq[RemoveFile],
     val timestampMillis: Long,
     val domains: Map[String, String] = Map.empty,
     @transient private[log] val lazyBase: Option[LazyFileState] = None)
@@ -728,6 +758,18 @@ class Snapshot(
   @volatile private[graft] var materialized = lazyBase.isEmpty
   private[log] lazy val filesMap: Map[String, AddFile] = {
     val m = filesMap0; materialized = true; m
+  }
+  @volatile private[graft] var tombsMaterialized = lazyBase.isEmpty
+  lazy val tombstones: Seq[RemoveFile] = {
+    val t = tombstones0; tombsMaterialized = true; t
+  }
+
+  /** Tombstones as a Dataset: on a lazy checkpoint-backed snapshot this
+    * scans the checkpoint's remove rows on the executors. */
+  def tombstonesDS: Dataset[RemoveFile] = lazyBase match {
+    case Some(b) if !tombsMaterialized => b.tombsDS(spark)
+    case _ => spark.createDataset(tombstones)(
+      org.apache.spark.sql.Encoders.product[RemoveFile])
   }
 
   /** Same file state viewed through a different read schema — the
@@ -803,11 +845,14 @@ class Snapshot(
   private[log] def advance(tail: Seq[(Long, Path)]): Snapshot = {
     var p = protocol; var m = metadata
     var txns = setTransactions
-    val stayLazy = lazyBase.isDefined && !materialized
+    val stayLazy = lazyBase.isDefined && !materialized && !tombsMaterialized
     var files: Map[String, AddFile] = if (stayLazy) Map.empty else filesMap
     var tailAdds = lazyBase.map(_.tailAdds).getOrElse(Map.empty)
     var tailRemoved = lazyBase.map(_.tailRemovedPaths).getOrElse(Set.empty)
-    var tombs = tombstones.map(r => r.path -> r).toMap
+    var tombs: Map[String, RemoveFile] =
+      if (stayLazy) Map.empty else tombstones.map(r => r.path -> r).toMap
+    var tailTombs = lazyBase.map(_.tailTombs).getOrElse(Map.empty)
+    var tailUntombed = lazyBase.map(_.tailUntombed).getOrElse(Set.empty)
     var ts = timestampMillis
     var doms = domains
     tail.foreach { case (_, deltaPath) =>
@@ -821,13 +866,15 @@ class Snapshot(
         s"Commit file $deltaPath read back empty — torn or in-flight write")
       acts.foreach {
         case a: AddFile =>
-          if (stayLazy) { tailAdds += a.path -> a; tailRemoved -= a.path }
-          else files += a.path -> a
-          tombs -= a.path
+          if (stayLazy) {
+            tailAdds += a.path -> a; tailRemoved -= a.path
+            tailTombs -= a.path; tailUntombed += a.path
+          } else { files += a.path -> a; tombs -= a.path }
         case r: RemoveFile =>
-          if (stayLazy) { tailAdds -= r.path; tailRemoved += r.path }
-          else files -= r.path
-          tombs += r.path -> r
+          if (stayLazy) {
+            tailAdds -= r.path; tailRemoved += r.path
+            tailTombs += r.path -> r; tailUntombed -= r.path
+          } else { files -= r.path; tombs += r.path -> r }
         case meta: Metadata => m = meta
         case proto: Protocol => p = proto
         case t: SetTransaction => txns += t.appId -> t.version
@@ -837,9 +884,11 @@ class Snapshot(
       }
     }
     if (stayLazy) {
-      val nb = lazyBase.get.copy(tailAdds = tailAdds, tailRemovedPaths = tailRemoved)
+      val nb = lazyBase.get.copy(tailAdds = tailAdds,
+        tailRemovedPaths = tailRemoved, tailTombs = tailTombs,
+        tailUntombed = tailUntombed)
       new Snapshot(log, tail.last._1, p, m, txns, nb.materialize(log.spark),
-        tombs.values.toSeq, ts, doms, Some(nb))
+        nb.materializeTombs(log.spark), ts, doms, Some(nb))
     } else {
       new Snapshot(log, tail.last._1, p, m, txns, files,
         tombs.values.toSeq, ts, doms)
@@ -913,20 +962,16 @@ object Snapshot {
               .parquet(sidecars.map(s =>
                 new Path(log.logPath, s.path).toString).toIndexedSeq: _*)
               .as[SingleAction]
-          // Live adds stay IN the checkpoint parquet: the snapshot holds a
-          // LazyFileState pointer and materializes the driver map only if
-          // a whole-state caller forces it — planning/skipping runs over
-          // the executor-side scan. Tombstones (retention-bounded, far
-          // smaller than the live set) come to the driver eagerly for
-          // VACUUM/CDF.
+          // Live adds AND tombstones stay IN the checkpoint parquet: the
+          // snapshot holds a LazyFileState pointer and materializes the
+          // driver maps only if a whole-state caller forces them —
+          // planning/skipping/VACUUM run over the executor-side scans.
           val manifestPaths =
             if (sidecars.isEmpty) Seq(cpPath.toString)
             else sidecars.map(s => new Path(log.logPath, s.path).toString).toSeq
-          val tombs = fileActions.filter(col("remove").isNotNull)
-            .select(col("remove.*")).as[RemoveFile].collect()
           val lazyState = LazyFileState(manifestPaths, Map.empty, Set.empty)
           new Snapshot(log, cp, p, m, txns, lazyState.materialize(log.spark),
-            tombs.toSeq, 0L, doms, Some(lazyState))
+            lazyState.materializeTombs(log.spark), 0L, doms, Some(lazyState))
         } else {
           // Small classic checkpoint: ONE streamed pass folds every
           // action kind (no extra jobs on the cold-load path).

@@ -87,12 +87,18 @@ class ScaleSuite extends AnyFunSuite {
         dataChange = true,
         stats = s"""{"numRecords":10,"minValues":{"id":${i * 10L}},""" +
           s""""maxValues":{"id":${i * 10L + 9}},"nullCount":{"id":0}}""").wrap)
-    val cpRows = Iterator(Protocol().wrap, meta.wrap) ++ adds
+    // plus 50k retained tombstones: the lazy state must keep these in
+    // checkpoint parquet too, not on the driver
+    val nTombs = 50000
+    val tombs = (0 until nTombs).iterator.map(i =>
+      RemoveFile(f"gone-$i%07d.parquet",
+        Some(System.currentTimeMillis()), dataChange = true).wrap)
+    val cpRows = Iterator(Protocol().wrap, meta.wrap) ++ adds ++ tombs
     spark.createDataset(cpRows.toSeq).repartition(8)
       .write.mode("overwrite")
       .parquet(FileNames.checkpointFile(log.logPath, 1L).toString)
     log.store.writeOverwrite(FileNames.lastCheckpointFile(log.logPath),
-      s"""{"version":1,"size":${n + 2}}""")
+      s"""{"version":1,"size":${n + nTombs + 2}}""")
     // keep the fabricated state consistent with v1's checksum sidecar
     log.store.writeOverwrite(FileNames.checksumFile(log.logPath, 1L),
       s"""{"tableSizeBytes":${n * 100L},"numFiles":$n}""")
@@ -133,6 +139,9 @@ class ScaleSuite extends AnyFunSuite {
     // ever pulling the 1M-entry file map onto the driver.
     assert(!cold.materialized,
       "read-only cold load + skipping materialized the 1M-file map")
+    assert(cold.tombstonesDS.count() === nTombs)
+    assert(!cold.tombsMaterialized,
+      "read path pulled the tombstone set onto the driver")
 
     // Incremental advance on top of the large state stays incremental —
     // and stays LAZY: new commits extend the driver-held overlay only.
@@ -142,6 +151,8 @@ class ScaleSuite extends AnyFunSuite {
     assert(log2.snapshot.numFiles === n + 1)
     assert(!log2.snapshot.materialized,
       "advancing a lazy snapshot materialized the base file map")
+    assert(!log2.snapshot.tombsMaterialized,
+      "advancing a lazy snapshot materialized the tombstone set")
     assert(log2.snapshot.getAddFile("part-0999999.parquet").isDefined)
 
     // Checkpoint WRITE at 1M files: must assemble rows on the executors
