@@ -217,20 +217,43 @@ object MergeCommand {
         }
         acc
       }
+      // Per-file aggregation: join-row count vs distinct target rows
+      // detects multi-matches; per-target-row distinct op counts give the
+      // exact update/delete metrics even when duplicates are legal.
       val fileAndMatches = joinedInner
         .groupBy(col(FILE)).agg(count(lit(1)).as("n"), countDistinct(col(RID)).as("d"),
-          sum(when(matchedOp === "mu", 1L).otherwise(0L)).as("mu"),
-          sum(when(matchedOp === "del", 1L).otherwise(0L)).as("del"))
+          countDistinct(when(matchedOp === "mu", col(RID))).as("mu"),
+          countDistinct(when(matchedOp === "del", col(RID))).as("del"),
+          max(when(matchedOp =!= "none", 1).otherwise(0)).as("anyApplied"))
         .collect()
       val matchedUpdated = fileAndMatches.map(_.getLong(3)).sum
       val matchedDeleted = fileAndMatches.map(_.getLong(4)).sum
-      if (matchedClauses.nonEmpty &&
-          fileAndMatches.exists(r => r.getLong(1) > r.getLong(2))) {
+      // Duplicate matches are unambiguous ONLY when the sole matched
+      // clause is an unconditional DELETE: every matched row pair deletes,
+      // so the duplicates change nothing (reference concept:
+      // MergeIntoCommandBase.scala:267-283 isOnlyOneUnconditionalDelete —
+      // re-designed). Any other clause set — including none, where the
+      // outer join would emit duplicate copies — is an error.
+      val isOnlyOneUnconditionalDelete =
+        matchedClauses == Seq(MatchedDelete(None))
+      val hasMultipleMatches =
+        fileAndMatches.exists(r => r.getLong(1) > r.getLong(2))
+      if (hasMultipleMatches && !isOnlyOneUnconditionalDelete) {
         throw new IllegalStateException(
-          "MERGE failed: a target row matched multiple source rows with " +
-            "WHEN MATCHED clauses — results would be ambiguous")
+          "MERGE failed: a target row matched multiple source rows — " +
+            "results would be ambiguous (duplicate matches are only " +
+            "allowed when the sole WHEN MATCHED clause is an " +
+            "unconditional DELETE)")
       }
-      val touchedPaths = fileAndMatches.map(_.getString(0)).toSet
+      // Matched-only merges rewrite only files where some row actually
+      // satisfies a matched clause condition; a file whose matches all
+      // fail every clause keeps its rows and needs no rewrite (reference
+      // concept: ClassicMergeExecutor.scala:105-110 matchedPredicate
+      // pruning — re-designed).
+      val matchedOnly = insertClauses.isEmpty && nmbsClauses.isEmpty
+      val touchedPaths = fileAndMatches
+        .filter(r => !matchedOnly || r.getInt(5) == 1)
+        .map(_.getString(0)).toSet
       val byPath = candidates.map(f =>
         new org.apache.hadoop.fs.Path(
           new org.apache.hadoop.fs.Path(log.dataPath, f.path).toUri.getPath).toString -> f
@@ -249,6 +272,9 @@ object MergeCommand {
       val useDv = graft.dv.DeletionVectors.isEnabled(m)
       val joinType =
         if (insertClauses.nonEmpty) "full_outer" else "left_outer"
+      // Row identity rides the rewrite scan so a legal duplicate match
+      // (single unconditional DELETE) can collapse its per-pair CDF
+      // delete rows back to one per target row.
       val rewriteScan = pad(
         if (useDv) {
           // DV-filtered scan (in-reader bitmap splice) with row identity.
@@ -258,6 +284,7 @@ object MergeCommand {
               col("_metadata.file_path")))
             .withColumn("__i", col("_metadata.row_index"))
         } else Dml.scanFiles(spark, log, txn, rewriteFiles))
+        .withColumn(RID, monotonically_increasing_id())
       val srcMarked = source.withColumn(SRC, lit(true)).alias(sourceAlias)
       val joined = rewriteScan.withColumn("__tgt_exists", lit(true))
         .alias(targetAlias)
@@ -353,7 +380,13 @@ object MergeCommand {
           .select((schema.fieldNames.map(outCol) :+
             when(col(OP).startsWith("ins"), lit("insert"))
               .otherwise(lit("update_postimage")).as(Cdc.CHANGE_TYPE)).toIndexedSeq: _*)
-        val del = changeRows.filter(col(OP) === "del")
+        // Legal duplicate matches (sole unconditional DELETE) join each
+        // deleted target row to several source rows — one CDF delete per
+        // target row, not per pair (reference concept:
+        // DeduplicateCDFDeletes — re-designed via the scan row id).
+        val delPairs = changeRows.filter(col(OP) === "del")
+        val del = (if (hasMultipleMatches) delPairs.dropDuplicates(RID)
+                   else delPairs)
           .select(schema.fieldNames.map(n => col(s"$targetAlias.$n").as(n)).toIndexedSeq: _*)
           .withColumn(Cdc.CHANGE_TYPE, lit("delete"))
         // pre-images only belong to updates, not inserts; deletes emitted once

@@ -611,16 +611,20 @@ class GraftLog private (
     val classicPolicy = checkpointPolicy(snap) != "v2"
     val boundary = snap.metadata.configuration
       .get("graft.requireCheckpointProtectionBeforeVersion").map(_.toLong)
-    // (version, path, expired) for every version-carrying log file that is
-    // at all deletable: commits/checksums below the latest checkpoint,
-    // plus (classic policy) superseded checkpoint files.
+    // (version, path, expired, isCheckpoint) for every version-carrying
+    // log file that is at all deletable: commits/checksums below the
+    // latest checkpoint, plus (classic policy) superseded checkpoint
+    // files. Checkpoints are Spark-written DIRECTORIES — they delete
+    // recursively, and LAST, so a failure mid-sweep cannot strand a
+    // commit prefix whose checkpoint is already gone.
     val entries = listing.flatMap { s =>
       val name = s.getPath.getName
       val commitV = FileNames.deltaVersion(name)
         .orElse(FileNames.checksumVersion(name))
       val cpV = if (classicPolicy) FileNames.checkpointVersion(name) else None
+      val isCp = commitV.isEmpty && cpV.isDefined
       commitV.orElse(cpV).filter(v => v < cp)
-        .map(v => (v, s.getPath, s.getModificationTime < cutoff))
+        .map(v => (v, s.getPath, s.getModificationTime < cutoff, isCp))
     }
     val (below, above) = boundary match {
       case Some(b) => entries.partition(_._1 < b)
@@ -629,7 +633,11 @@ class GraftLog private (
     val belowSweepOk = boundary.forall(b => cp >= b) && below.forall(_._3)
     var n = 0
     (above.filter(_._3) ++ (if (belowSweepOk) below else Seq.empty))
-      .foreach { case (_, p, _) => store.delete(p); n += 1 }
+      .sortBy(_._4) // commits/checksums first, checkpoint dirs last
+      .foreach { case (_, p, _, isCp) =>
+        if (isCp) store.deleteRecursive(p) else store.delete(p)
+        n += 1
+      }
     n
   }
 }

@@ -106,6 +106,12 @@ class LogStore(hadoopConf: Configuration) extends Serializable {
 
   def delete(path: Path): Boolean = fs(path).delete(path, false)
 
+  /** Recursive delete — for log entries that are DIRECTORIES (graft
+    * checkpoints are Spark-written parquet dirs; a non-recursive delete
+    * throws "Directory is not empty" on HDFS/local and would abort a
+    * cleanup sweep half-done). */
+  def deleteRecursive(path: Path): Boolean = fs(path).delete(path, true)
+
   def mkdirs(path: Path): Boolean = fs(path).mkdirs(path)
 }
 

@@ -535,6 +535,22 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(Graft.read(spark, dir).count() === 60)
   }
 
+  test("log cleanup deletes superseded checkpoint DIRECTORIES recursively") {
+    val dir = tmpDir()
+    // checkpoints at v10 and v20; the v10 checkpoint is a Spark-written
+    // parquet directory that must delete recursively, not throw
+    (0 until 22).foreach(_ => Graft.write(spark.range(3).toDF("id"), dir))
+    val log = GraftLog.forTable(spark, dir)
+    val cpDir = new java.io.File(s"$dir/_graft_log",
+      f"${10L}%020d.checkpoint.parquet")
+    assert(cpDir.isDirectory, s"expected checkpoint dir at $cpDir")
+    val removed = log.cleanUpExpiredLogs(retentionMillis = 0L)
+    assert(removed > 0)
+    assert(!cpDir.exists, "superseded checkpoint directory survived cleanup")
+    GraftLog.clearCache()
+    assert(Graft.read(spark, dir).count() === 66)
+  }
+
   test("show partitions and truncate") {
     val dir = tmpDir()
     Graft.write(spark.range(10).selectExpr("id", "id % 3 AS p"), dir,

@@ -161,4 +161,110 @@ class DmlMatrixSuite extends AnyFunSuite {
     assert(GraftTable.forPath(spark, path).changes(0, 100)
       .columns.contains("origin"))
   }
+
+  // ---- MERGE multi-match semantics (reference:
+  // MergeIntoCommandBase.scala:267-283, ClassicMergeExecutor.scala:158-180)
+
+  for (dv <- Seq(false, true)) {
+    def mkTable(cdf: Boolean = false): String = {
+      import spark.implicits._
+      val path = tmp()
+      val conf = Map.newBuilder[String, String]
+      if (dv) conf += "graft.enableDeletionVectors" -> "true"
+      if (cdf) conf += "graft.enableChangeDataFeed" -> "true"
+      Graft.write(spark.range(10).select(col("id"),
+        col("id").cast("double").as("v")), path, configuration = conf.result())
+      path
+    }
+    // source with ids 3 and 5 duplicated
+    def dupSource = {
+      import spark.implicits._
+      Seq(3L, 3L, 5L, 5L, 7L).toDF("id")
+        .withColumn("v", lit(-1.0))
+    }
+
+    test(s"merge multi-match: sole unconditional DELETE is legal (dv=$dv)") {
+      import spark.implicits._
+      val path = mkTable()
+      val metrics = GraftTable.forPath(spark, path)
+        .merge(dupSource, expr("t.id = s.id"))
+        .whenMatched().delete()
+        .execute()
+      val left = Graft.read(spark, path).select("id").as[Long].collect().sorted
+      assert(left.toSeq === Seq(0L, 1L, 2L, 4L, 6L, 8L, 9L))
+      // each duplicated target row deletes ONCE in the metrics
+      assert(metrics("numTargetRowsDeleted") === "3")
+    }
+
+    test(s"merge multi-match: update clause still throws (dv=$dv)") {
+      val path = mkTable()
+      val e = intercept[IllegalStateException] {
+        GraftTable.forPath(spark, path)
+          .merge(dupSource, expr("t.id = s.id"))
+          .whenMatched().update(Map("v" -> lit(0.0)))
+          .execute()
+      }
+      assert(e.getMessage.contains("multiple source rows"))
+    }
+
+    test(s"merge multi-match: CONDITIONAL delete still throws (dv=$dv)") {
+      val path = mkTable()
+      val e = intercept[IllegalStateException] {
+        GraftTable.forPath(spark, path)
+          .merge(dupSource, expr("t.id = s.id"))
+          .whenMatched(expr("s.v < 0")).delete()
+          .execute()
+      }
+      assert(e.getMessage.contains("multiple source rows"))
+    }
+
+    test(s"merge multi-match: NMBS-only merge throws, no duplicate copies (dv=$dv)") {
+      val path = mkTable()
+      intercept[IllegalStateException] {
+        GraftTable.forPath(spark, path)
+          .merge(dupSource, expr("t.id = s.id"))
+          .whenNotMatchedBySource().delete()
+          .execute()
+      }
+      // table untouched by the failed merge
+      assert(Graft.read(spark, path).count() === 10)
+    }
+
+    test(s"merge multi-match delete-only: CDF emits one delete per target row (dv=$dv)") {
+      import spark.implicits._
+      val path = mkTable(cdf = true)
+      GraftTable.forPath(spark, path)
+        .merge(dupSource, expr("t.id = s.id"))
+        .whenMatched().delete()
+        .execute()
+      val types = GraftTable.forPath(spark, path).changes(1, 1)
+        .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+      assert(types === Map("delete" -> 3L))
+    }
+  }
+
+  test("merge matched-only: file whose matches all fail the clause condition is not rewritten") {
+    import spark.implicits._
+    val path = tmp()
+    // two files: ids 0-4 (small v) and 100-104 (big v)
+    Graft.write(spark.range(5).select(col("id"), col("id").cast("double").as("v"))
+      .repartition(1), path)
+    Graft.write(spark.range(100, 105).select(col("id"), col("id").cast("double").as("v"))
+      .repartition(1), path, mode = "append")
+    val before = GraftLog.forTable(spark, path).update().allFiles.map(_.path).toSet
+    // source matches rows in BOTH files, but the clause condition only
+    // holds for the big-v file
+    val src = Seq(2L, 102L).toDF("id")
+    GraftTable.forPath(spark, path)
+      .merge(src, expr("t.id = s.id"))
+      .whenMatched(expr("t.v >= 100")).update(Map("v" -> lit(0.0)))
+      .execute()
+    val after = GraftLog.forTable(spark, path).update().allFiles.map(_.path).toSet
+    // the small-v file survived untouched
+    assert(before.intersect(after).size === 1,
+      s"expected exactly one untouched file, before=$before after=$after")
+    val got = Graft.read(spark, path).select("id", "v")
+      .as[(Long, Double)].collect().toMap
+    assert(got(2L) === 2.0 && got(102L) === 0.0)
+  }
 }
