@@ -134,13 +134,52 @@ class GraftLog private (
     Snapshot.build(this, cp, deltas.filter(d => cp.forall(d._1 > _)), version)
   }
 
-  /** Latest commit whose timestamp is <= ts (time travel by timestamp). */
+  /** Above this many commits, timestamp->version resolution binary-
+    * searches the log instead of reading every commit's CommitInfo. */
+  private val TS_BINARY_SEARCH_MIN = 64
+
+  /** Latest commit whose timestamp is <= ts (time travel by timestamp).
+    *
+    * Small logs read every commit's CommitInfo once (cached). Large logs
+    * BINARY-SEARCH: commit timestamps are written non-decreasing (the
+    * monotonic clamp in [[listCommitTimestamps]] only repairs clock skew
+    * between writers), so O(log n) commit-file reads find the boundary —
+    * a 100k-commit log resolves a first-touch timestamp query in ~17
+    * reads, not 100k (reference concept: DeltaHistoryManager.scala:230
+    * windowed search — re-designed as a direct bisection over the cached
+    * per-commit timestamp). */
   def getVersionAtTime(tsMillis: Long): Long = {
-    val commits = listCommitTimestamps()
-    val eligible = commits.filter(_._2 <= tsMillis)
-    require(eligible.nonEmpty,
-      s"No commit at or before timestamp $tsMillis (earliest: ${commits.headOption})")
-    eligible.map(_._1).max
+    val raw = store.list(logPath).flatMap { s =>
+      FileNames.deltaVersion(s.getPath.getName).map(v => (v, s))
+    }.sortBy(_._1)
+    require(raw.nonEmpty, s"No commits in $logPath")
+    if (raw.size <= TS_BINARY_SEARCH_MIN) {
+      val commits = listCommitTimestamps()
+      val eligible = commits.filter(_._2 <= tsMillis)
+      require(eligible.nonEmpty,
+        s"No commit at or before timestamp $tsMillis (earliest: ${commits.headOption})")
+      eligible.map(_._1).max
+    } else {
+      def tsAt(i: Int): Long = {
+        val (v, status) = raw(i)
+        commitTsCache.computeIfAbsent(v, { _ =>
+          val t: Long = Actions.deserialize(store.read(status.getPath))
+            .collectFirst { case ci: CommitInfo if ci.timestamp > 0 => ci.timestamp }
+            .getOrElse(status.getModificationTime)
+          java.lang.Long.valueOf(t)
+        }).longValue()
+      }
+      require(tsAt(0) <= tsMillis,
+        s"No commit at or before timestamp $tsMillis " +
+          s"(earliest: ${(raw.head._1, tsAt(0))})")
+      var lo = 0
+      var hi = raw.size - 1
+      while (lo < hi) {
+        val mid = (lo + hi + 1) >>> 1
+        if (tsAt(mid) <= tsMillis) lo = mid else hi = mid - 1
+      }
+      raw(lo)._1
+    }
   }
 
   /** Committed files are immutable, so their CommitInfo timestamp is
@@ -148,6 +187,10 @@ class GraftLog private (
     * calls cost one listing, not O(versions) commit-file reads. */
   @transient private lazy val commitTsCache =
     new ConcurrentHashMap[Long, java.lang.Long]()
+
+  /** Commit files whose timestamp has been read — observable proxy for
+    * the I/O cost of timestamp resolution in scale tests. */
+  private[graft] def commitTsReads: Int = commitTsCache.size
 
   /** (version, timestampMillis) per commit, ascending — from each
     * commit's OWN CommitInfo timestamp (file mtimes change under copy /

@@ -91,19 +91,79 @@ class GraftSource(
   private def excluded(path: String): Boolean =
     excludeRegex.exists(_.findFirstIn(path).isDefined)
 
-  /** Initial-snapshot files (pinned at a version) in a stable order.
-    * On restart the offset's reservoirVersion — not the current table
-    * version — identifies the snapshot being replayed. */
-  private val initialFilesCache =
-    scala.collection.mutable.Map.empty[Long, Vector[AddFile]]
-  private def initialFiles(version: Long): Vector[AddFile] =
-    initialFilesCache.getOrElseUpdate(version, {
+  /** Initial-snapshot files (pinned at a version) in a stable
+    * (modificationTime, path) order. On restart the offset's
+    * reservoirVersion — not the current table version — identifies the
+    * snapshot being replayed.
+    *
+    * Below [[snapshotDriverThreshold]] files the sorted list lives in a
+    * driver Vector. Above it the snapshot is built as a DISTRIBUTED
+    * sorted + indexed dataset (sort job + zipWithIndex, persisted), and
+    * iteration streams only the admitted index range to the driver via
+    * toLocalIterator — starting a stream on a 10M-file table never
+    * materializes the file list (reference concept:
+    * files/DeltaSourceSnapshot.scala:62-95 — re-designed). */
+  private def snapshotDriverThreshold: Long =
+    spark.conf.getOption("spark.graft.streaming.snapshotDriverThreshold")
+      .map(_.toLong).getOrElse(100000L)
+
+  private val snapshotFilesCache = scala.collection.mutable.Map
+    .empty[Long, Either[Vector[AddFile], org.apache.spark.sql.Dataset[(AddFile, Long)]]]
+
+  private def snapshotAccess(version: Long)
+      : Either[Vector[AddFile], org.apache.spark.sql.Dataset[(AddFile, Long)]] =
+    snapshotFilesCache.getOrElseUpdate(version, {
       val snap =
         if (version == snapshotAtInit.version) snapshotAtInit
         else log.getSnapshotAt(version)
-      snap.allFiles.filterNot(f => excluded(f.path))
-        .sortBy(f => (f.modificationTime, f.path)).toVector
+      if (snap.numFiles < snapshotDriverThreshold) {
+        Left(snap.allFiles.filterNot(f => excluded(f.path))
+          .sortBy(f => (f.modificationTime, f.path)).toVector)
+      } else {
+        val excl = excludeRegex
+        var ds = snap.allFilesDS
+        excl.foreach(r => ds = ds.filter(a => r.findFirstIn(a.path).isEmpty))
+        val sorted = ds.sort(col("modificationTime"), col("path"))
+        val enc = org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.product[AddFile],
+          org.apache.spark.sql.Encoders.scalaLong)
+        Right(spark.createDataset(sorted.rdd.zipWithIndex())(enc)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
     })
+
+  /** Initial-snapshot files with index > afterIdx, in index order. The
+    * distributed branch pushes the index filter into the persisted scan
+    * and pulls partitions lazily, so admission-bounded consumers fetch
+    * only the files they admit. */
+  private def snapshotIterator(version: Long, afterIdx: Long): Iterator[IndexedFile] =
+    snapshotAccess(version) match {
+      case Left(files) =>
+        files.iterator.zipWithIndex
+          .filter(_._2 > afterIdx)
+          .map { case (f, i) =>
+            IndexedFile(version, i, isInitialSnapshot = true, f)
+          }
+      case Right(ds) =>
+        import scala.jdk.CollectionConverters._
+        ds.filter(col("_2") > afterIdx).toLocalIterator().asScala
+          .map { case (f, i) =>
+            IndexedFile(version, i, isInitialSnapshot = true, f)
+          }
+    }
+
+  /** Initial-snapshot files with fromExcl < index <= toIncl (CDF batch
+    * assembly) — a bounded, admission-sized range. */
+  private def snapshotRange(version: Long, fromExcl: Long, toIncl: Long): Seq[AddFile] =
+    snapshotAccess(version) match {
+      case Left(files) =>
+        files.iterator.zipWithIndex
+          .filter { case (_, i) => i > fromExcl && i <= toIncl }
+          .map(_._1).toSeq
+      case Right(ds) =>
+        ds.filter(col("_2") > fromExcl && col("_2") <= toIncl)
+          .collect().sortBy(_._2).map(_._1).toSeq
+    }
 
   /**
    * Schema tracking (reference concept: DeltaSource schemaTrackingLocation
@@ -234,13 +294,8 @@ class GraftSource(
     pendingSchemaChange = None
     val latest = availableNowCapVersion.getOrElse(log.update().version)
     val snapshotPart: Iterator[IndexedFile] =
-      if (from.isInitialSnapshot) {
-        initialFiles(from.reservoirVersion).iterator.zipWithIndex
-          .filter(_._2 > from.index)
-          .map { case (f, i) =>
-            IndexedFile(from.reservoirVersion, i, isInitialSnapshot = true, f)
-          }
-      } else Iterator.empty
+      if (from.isInitialSnapshot) snapshotIterator(from.reservoirVersion, from.index)
+      else Iterator.empty
     val tailStart =
       if (from.isInitialSnapshot) from.reservoirVersion + 1
       else from.reservoirVersion
@@ -369,9 +424,7 @@ class GraftSource(
     val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     if (from.isInitialSnapshot) {
       val maxIdx = if (to.isInitialSnapshot) to.index else Long.MaxValue
-      val files = initialFiles(from.reservoirVersion).zipWithIndex
-        .filter { case (_, i) => i > from.index && i <= maxIdx }
-        .map(_._1)
+      val files = snapshotRange(from.reservoirVersion, from.index, maxIdx)
       if (files.nonEmpty) {
         val ts = new java.sql.Timestamp(
           log.listCommitTimestamps().toMap.getOrElse(from.reservoirVersion, 0L))
@@ -396,7 +449,11 @@ class GraftSource(
       combined.queryExecution.toRdd, combined.schema, isStreaming = true)
   }
 
-  override def stop(): Unit = ()
+  override def stop(): Unit =
+    snapshotFilesCache.values.foreach {
+      case Right(ds) => ds.unpersist(blocking = false)
+      case _ =>
+    }
 
   override def toString: String = s"GraftSource[${log.dataPath}]"
 }

@@ -172,6 +172,74 @@ class ScaleSuite extends AnyFunSuite {
     assert(reloaded.getAddFile("part-0999999.parquet").isDefined)
   }
 
+  test("stream start on a 100k-file snapshot stays off the driver") {
+    val dir = Files.createTempDirectory("graft-streamscale").toString
+    Graft.create(spark, dir, new StructType().add("id", LongType))
+    val log = GraftLog.forTable(spark, dir)
+    val meta = log.snapshot.metadata
+    log.writeCommit(1, Seq(CommitInfo(timestamp = 1L, operation = "NOOP")))
+    // fabricated 150k-file checkpoint (over the 100k driver threshold)
+    val n = 150000
+    import spark.implicits._
+    val rows = Iterator(Protocol().wrap, meta.wrap) ++
+      (0 until n).iterator.map(i => AddFile(f"part-$i%06d.parquet",
+        Map.empty, 100L, i.toLong % 977, dataChange = true).wrap)
+    spark.createDataset(rows.toSeq).repartition(8)
+      .write.mode("overwrite")
+      .parquet(FileNames.checkpointFile(log.logPath, 1L).toString)
+    log.store.writeOverwrite(FileNames.lastCheckpointFile(log.logPath),
+      s"""{"version":1,"size":${n + 2}}""")
+    log.store.writeOverwrite(FileNames.checksumFile(log.logPath, 1L),
+      s"""{"tableSizeBytes":${n * 100L},"numFiles":$n}""")
+    GraftLog.clearCache()
+    // force the lazy checkpoint-backed snapshot (the default driver-fold
+    // threshold is 200k; the 1M-file test covers it at natural scale)
+    spark.conf.set(Snapshot.DRIVER_FOLD_THRESHOLD_CONF, "1000")
+    val coldLog = GraftLog.forTable(spark, dir)
+    val source = new graft.streaming.GraftSource(spark, coldLog, Map.empty)
+    // first trigger admits the default 1000 files: index 0..999 of the
+    // (modificationTime, path)-sorted order, built as a distributed job
+    val off1 = source.latestOffset(null,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles(1000))
+      .asInstanceOf[graft.streaming.GraftSourceOffset]
+    assert(off1.isInitialSnapshot && off1.index === 999L)
+    val batch = source.getBatch(None, off1)
+    assert(batch.isStreaming)
+    // a later trigger resumes mid-snapshot by index
+    val off2 = source.latestOffset(off1,
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.maxFiles(500))
+      .asInstanceOf[graft.streaming.GraftSourceOffset]
+    assert(off2.isInitialSnapshot && off2.index === 1499L)
+    // the snapshot backing the stream never materialized its file map
+    assert(!coldLog.snapshot.materialized,
+      "stream start materialized the 150k-file map on the driver")
+    source.stop()
+    spark.conf.unset(Snapshot.DRIVER_FOLD_THRESHOLD_CONF)
+  }
+
+  test("timestamp time travel on a long log reads O(log n) commit files") {
+    val dir = Files.createTempDirectory("graft-tslog").toString
+    val log = GraftLog.forTable(spark, dir)
+    // fabricate a 512-commit log with increasing CommitInfo timestamps
+    // (building it with real writes would dominate the suite's runtime;
+    // the resolution path can't tell)
+    val schemaJson = new StructType().add("id", LongType).json
+    log.store.write(FileNames.deltaFile(log.logPath, 0L),
+      Actions.serialize(Seq(Protocol(), Metadata(schemaString = schemaJson),
+        CommitInfo(timestamp = 1000L, operation = "CREATE"))))
+    (1 to 511).foreach { v =>
+      log.store.write(FileNames.deltaFile(log.logPath, v.toLong),
+        Actions.serialize(Seq(
+          CommitInfo(timestamp = 1000L * (v + 1), operation = "NOOP"))))
+    }
+    assert(log.getVersionAtTime(1000L * 301 + 5) === 300L)
+    assert(log.commitTsReads <= 24,
+      s"timestamp search read ${log.commitTsReads} commit files (expected ~log2(512))")
+    assert(log.getVersionAtTime(1000L * 512) === 511L)
+    assert(log.getVersionAtTime(1000L) === 0L)
+    intercept[IllegalArgumentException] { log.getVersionAtTime(10L) }
+  }
+
   test("driver and distributed checkpoint writes produce identical state") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-cpw").toString
