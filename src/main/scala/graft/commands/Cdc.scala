@@ -39,7 +39,7 @@ object Cdc {
     val dir = new Path(log.dataPath, "_change_data")
     val adds = TransactionalWrite.writeFiles(
       spark, dir, phys, partitionColumns = Nil,
-      dataSchema = phys.schema, collectStats = false, optimizeWrite = false)
+      dataSchema = phys.schema, collectStats = false, optimizeWrite = Some(false))
     adds.map(a => AddCdcFile(s"_change_data/${a.path}", a.partitionValues, a.size))
   }
 

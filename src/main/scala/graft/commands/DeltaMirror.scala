@@ -36,12 +36,20 @@ object DeltaMirror {
   def enabled(m: Metadata): Boolean =
     m.configuration.get(PROP).exists(_.split(",").map(_.trim).contains("delta"))
 
+  /** Test hook: simulates a filesystem failure inside the mirror hook
+    * (the commit must survive; the next hook must backfill). */
+  @volatile private[graft] var failNextMirror: Boolean = false
+
   /** Post-commit hook body: mirror graft commit `version` (its `actions`)
     * into `_delta_log`. `snap` is a snapshot AT OR PAST `version`.
     * Graft DV sidecars re-encode into spec-format Delta DV files at
     * mirror time (metadata-scale; data files are still shared). */
   def mirror(log: GraftLog, version: Long, actions: Seq[Action],
       snap: Snapshot): Unit = {
+    if (failNextMirror) {
+      failNextMirror = false
+      throw new RuntimeException("injected mirror failure (test hook)")
+    }
     val deltaLog = new Path(log.dataPath, "_delta_log")
     val conf = log.spark.sessionState.newHadoopConf()
     def addJsonDv(a: AddFile): String = addJson(a, dvDescriptor(log, conf, a))
@@ -68,12 +76,16 @@ object DeltaMirror {
       // The bootstrap snapshots `snap`, which may be PAST `version` when a
       // concurrent commit already folded — label it with snap.version so
       // mirror history never shows future state under an older version.
-      val lines = Seq(
+      // File rows STREAM from the snapshot's dataset view straight into
+      // the commit file: enabling the mirror on a checkpoint-scale lazy
+      // snapshot never pulls the file list onto the driver.
+      import scala.jdk.CollectionConverters._
+      val header = Iterator(
         commitInfoJson(snap.version, "GRAFT MIRROR BOOTSTRAP", snap.version),
         protocolJson(snap.metadata),
-        metaDataJson(snap.metadata)) ++
-        snap.allFiles.map(addJsonDv)
-      writeMirror(log, deltaLog, 0L, lines)
+        metaDataJson(snap.metadata))
+      val fileLines = snap.allFilesDS.toLocalIterator().asScala.map(addJsonDv)
+      writeMirrorStream(log, deltaLog, 0L, header ++ fileLines)
       base = baseVersion(log, deltaLog)
     }
     base.filter(version > _).foreach { b =>
@@ -101,19 +113,38 @@ object DeltaMirror {
     * `_last_checkpoint` so Delta readers of a long mirror cold-load from
     * state instead of replaying the whole JSON log. DV-bearing state is
     * skipped (a checkpoint would re-export every DV file); JSON replay
-    * remains fully correct there. */
+    * remains fully correct there.
+    *
+    * Per the spec a checkpoint carries the UNEXPIRED remove tombstones
+    * alongside the live adds (a reader that cold-loads from it must
+    * still see what VACUUM may not yet delete), and every file action in
+    * a checkpoint writes `dataChange=false` (PROTOCOL.md:272). File rows
+    * assemble as a distributed job over the snapshot's dataset views —
+    * checkpointing a huge mirror never materializes state on the
+    * driver. */
   private def maybeCheckpointMirror(log: GraftLog, deltaLog: Path,
       snap: Snapshot, mirrorVersion: Long): Unit = {
     if (mirrorVersion <= 0 || mirrorVersion % 10 != 0) return
-    if (snap.allFiles.exists(_.dvPath.isDefined)) return
+    val session = log.spark
+    import org.apache.spark.sql.functions.col
+    import session.implicits._
+    if (!snap.allFilesDS.where(col("dvPath").isNotNull).isEmpty) return
     val cpPath = new Path(deltaLog, f"$mirrorVersion%020d.checkpoint.parquet")
     if (log.store.exists(cpPath)) return
-    val session = log.spark
-    import session.implicits._
-    val lines = Seq(protocolJson(snap.metadata), metaDataJson(snap.metadata)) ++
+    val retentionMs = (snap.metadata.configuration
+      .get("graft.deletedFileRetentionHours").map(_.toDouble)
+      .getOrElse(VacuumCommand.defaultRetentionHours) * 3600 * 1000).toLong
+    val tombCutoff = System.currentTimeMillis() - retentionMs
+    val header = Seq(protocolJson(snap.metadata), metaDataJson(snap.metadata)) ++
       snap.setTransactions.map { case (app, v) =>
-        s"""{"txn":{"appId":${q(app)},"version":$v}}""" } ++
-      snap.allFiles.map(a => addJson(a))
+        s"""{"txn":{"appId":${q(app)},"version":$v}}""" }
+    val addLines = snap.allFilesDS
+      .map(a => addJson(a, None, checkpointRow = true))
+    val tombs = snap.tombstonesDS
+      .filter((r: graft.log.RemoveFile) => r.deletionTimestamp.forall(_ >= tombCutoff))
+    val tombCount = tombs.count()
+    val tombLines = tombs.map(r => removeJson(r, checkpointRow = true))
+    val lines = session.createDataset(header).union(addLines).union(tombLines)
     val schema = org.apache.spark.sql.types.DataType.fromDDL(
       """protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT,
            readerFeatures: ARRAY<STRING>, writerFeatures: ARRAY<STRING>>,
@@ -124,12 +155,14 @@ object DeltaMirror {
          txn STRUCT<appId: STRING, version: BIGINT>,
          add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>,
            size: BIGINT, modificationTime: BIGINT, dataChange: BOOLEAN,
-           stats: STRING>""").asInstanceOf[org.apache.spark.sql.types.StructType]
+           stats: STRING>,
+         remove STRUCT<path: STRING, deletionTimestamp: BIGINT,
+           dataChange: BOOLEAN>""").asInstanceOf[org.apache.spark.sql.types.StructType]
     // Delta checkpoints are single parquet FILES, not directories — write
     // to a scratch dir and move the one part file onto the exact name.
     val scratch = new Path(deltaLog,
       s".cp-scratch-${java.util.UUID.randomUUID.toString.take(8)}")
-    session.read.schema(schema).json(lines.toDS)
+    session.read.schema(schema).json(lines)
       .repartition(1).write.mode("overwrite").parquet(scratch.toString)
     val fs = log.store.fs(scratch)
     val part = fs.listStatus(scratch)
@@ -139,7 +172,7 @@ object DeltaMirror {
     else {
       fs.delete(scratch, true)
       log.store.writeOverwrite(new Path(deltaLog, "_last_checkpoint"),
-        s"""{"version":$mirrorVersion,"size":${lines.size}}""")
+        s"""{"version":$mirrorVersion,"size":${header.size + snap.numFiles + tombCount}}""")
     }
   }
 
@@ -157,9 +190,13 @@ object DeltaMirror {
     }
 
   private def writeMirror(log: GraftLog, deltaLog: Path, version: Long,
-      lines: Seq[String]): Unit = {
+      lines: Seq[String]): Unit =
+    writeMirrorStream(log, deltaLog, version, lines.iterator)
+
+  private def writeMirrorStream(log: GraftLog, deltaLog: Path, version: Long,
+      lines: Iterator[String]): Unit = {
     try log.store.write(new Path(deltaLog, f"$version%020d.json"),
-      lines.mkString("", "\n", "\n"))
+      lines.map(_ + "\n"))
     catch {
       // Put-if-absent loss means this mirror version is already written —
       // deterministic mapping makes the contents equivalent.
@@ -234,18 +271,23 @@ object DeltaMirror {
         s""""offset":$offset,"sizeInBytes":$size,"cardinality":${bm.cardinality}}"""
     }
 
-  private def addJson(a: AddFile, dvJson: Option[String] = None): String = {
+  /** `checkpointRow`: file actions inside a checkpoint always write
+    * `dataChange=false` — a reader folding the checkpoint must not treat
+    * the state dump as fresh changes (PROTOCOL.md:272). */
+  private def addJson(a: AddFile, dvJson: Option[String] = None,
+      checkpointRow: Boolean = false): String = {
     val stats = Option(a.stats).map(s => s""","stats":${q(s)}""").getOrElse("")
     val dv = dvJson.map("," + _).getOrElse("")
+    val dc = if (checkpointRow) false else a.dataChange
     s"""{"add":{"path":${q(encodePath(a.path))},"partitionValues":${pvJson(a.partitionValues)},""" +
       s""""size":${a.size},"modificationTime":${a.modificationTime},""" +
-      s""""dataChange":${a.dataChange}$stats$dv}}"""
+      s""""dataChange":$dc$stats$dv}}"""
   }
 
-  private def removeJson(r: RemoveFile): String =
+  private def removeJson(r: RemoveFile, checkpointRow: Boolean = false): String =
     s"""{"remove":{"path":${q(encodePath(r.path))},"deletionTimestamp":${
       r.deletionTimestamp.getOrElse(System.currentTimeMillis())},""" +
-      s""""dataChange":${r.dataChange}}}"""
+      s""""dataChange":${if (checkpointRow) false else r.dataChange}}}"""
 
   private def metaDataJson(m: Metadata): String = {
     val node = mapper.createObjectNode()

@@ -23,11 +23,29 @@ import graft.stats.FooterStats
  */
 object TransactionalWrite {
 
+  /** Target shuffle-bytes per output file for optimized writes (shuffle
+    * rows are uncompressed, so ~512 MB of shuffle data lands near the
+    * reference's default parquet file target; reference concept:
+    * perf/DeltaOptimizedWriterExec.scala:94-126 bin-packing of shuffle
+    * blocks — re-designed on AQE's rebalance operator). */
+  val BIN_SIZE_CONF = "spark.graft.optimizeWrite.binSizeBytes"
+  val BIN_SIZE_DEFAULT: Long = 512L * 1024 * 1024
+
   /**
-   * @param optimizeWrite when true and the table is partitioned, shuffle
-   *   rows by partition key first so each table-partition is written by a
-   *   bounded number of tasks instead of (tasks × partitions) small files.
-   *   At 100 TB this is the difference between 1e5 and 1e8 files.
+   * @param optimizeWrite None = table default: partitioned writes
+   *   rebalance on the partition key (each table-partition written by a
+   *   bounded number of size-targeted tasks instead of (tasks ×
+   *   partitions) small files — at 100 TB the difference between 1e5 and
+   *   1e8 files); unpartitioned writes keep their natural parallelism.
+   *   Some(true) = rebalance every write, including unpartitioned
+   *   (small-task coalescing); Some(false) = never shuffle.
+   *
+   * The rebalance is AQE's: rows hash-shuffle on the key into
+   * `spark.sql.shuffle.partitions` blocks, and the runtime re-plan
+   * coalesces small blocks / splits skewed ones to the advisory size —
+   * so a hot partition writes totalSize/binSize files, not one giant
+   * one, and a 2000-partition trickle insert writes a few bin-packed
+   * files, not 2000 tiny ones.
    */
   def writeFiles(
       spark: SparkSession,
@@ -36,17 +54,29 @@ object TransactionalWrite {
       partitionColumns: Seq[String],
       dataSchema: StructType,
       collectStats: Boolean = true,
-      optimizeWrite: Boolean = true,
+      optimizeWrite: Option[Boolean] = None,
       statsColumns: FooterStats.StatsColumns = FooterStats.StatsColumns()): Seq[AddFile] = {
     val classic = spark.asInstanceOf[ClassicSession]
     val resolver = spark.sessionState.analyzer.resolver
 
-    val df =
-      if (optimizeWrite && partitionColumns.nonEmpty) {
-        // One shuffle keyed on the partition columns: map-side this also
-        // gives AQE a chance to coalesce tiny partitions.
-        data.repartition(partitionColumns.map(col): _*)
-      } else data
+    val df = {
+      // Build RebalancePartitions directly (not the REBALANCE hint, whose
+      // parameter parser mangles column names with spaces/dots).
+      def rebalance(on: Seq[String]): DataFrame = {
+        val analyzed = data.queryExecution.analyzed
+        val attrs = on.map(name => analyzed.output
+          .find(a => resolver(a.name, name)).getOrElse(
+            throw new IllegalArgumentException(
+              s"Partition column $name not found in ${analyzed.output.map(_.name)}")))
+        org.apache.spark.sql.graftshim.SparkShims.ofRows(spark,
+          org.apache.spark.sql.catalyst.plans.logical.RebalancePartitions(
+            attrs, analyzed))
+      }
+      if (optimizeWrite.contains(false)) data
+      else if (partitionColumns.nonEmpty) rebalance(partitionColumns)
+      else if (optimizeWrite.contains(true)) rebalance(Nil)
+      else data
+    }
 
     val qe = df.queryExecution
     val output: Seq[Attribute] = qe.analyzed.output
@@ -63,6 +93,14 @@ object TransactionalWrite {
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val prevTs = spark.conf.getOption(tsKey)
     spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    // Size-target the rebalance: AQE coalesces/splits shuffle blocks to
+    // the advisory size, which here is the write's bin size.
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val rebalanced = df ne data
+    val prevAdvisory = spark.conf.getOption(advisoryKey)
+    if (rebalanced) spark.conf.set(advisoryKey,
+      spark.conf.getOption(BIN_SIZE_CONF).map(_.toLong)
+        .getOrElse(BIN_SIZE_DEFAULT).toString)
     try {
       FileFormatWriter.write(
         sparkSession = classic,
@@ -79,6 +117,10 @@ object TransactionalWrite {
       prevTs match {
         case Some(v) => spark.conf.set(tsKey, v)
         case None => spark.conf.unset(tsKey)
+      }
+      if (rebalanced) prevAdvisory match {
+        case Some(v) => spark.conf.set(advisoryKey, v)
+        case None => spark.conf.unset(advisoryKey)
       }
     }
 

@@ -113,6 +113,11 @@ class ExternalLogStore(
   private def putObject(path: Path, content: String): Unit =
     writeOverwrite(path, content)
 
+  /** The coordinated protocol needs the whole object per PUT (claim +
+    * copy), so streamed writes assemble here before entering it. */
+  override def write(path: Path, chunks: Iterator[String]): Unit =
+    write(path, chunks.mkString)
+
   override def write(path: Path, content: String): Unit = {
     val dir = path.getParent
     fixup(dir)

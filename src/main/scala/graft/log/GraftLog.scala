@@ -269,10 +269,20 @@ class GraftLog private (
     writeChecksum(snap)
     maybeCheckpoint(snap)
     maybeAutoCompact(snap)
-    // Delta-format mirror (UniForm-style): failures here surface loudly
-    // but the graft commit above is already durable.
-    if (graft.commands.DeltaMirror.enabled(snap.metadata))
-      graft.commands.DeltaMirror.mirror(this, version, actions, snap)
+    // Delta-format mirror (UniForm-style): BEST-EFFORT. The graft commit
+    // above is already durable, so a mirror failure must not surface as
+    // a failed write — the caller would retry and double-apply the data.
+    // The next commit's hook backfills whatever this one missed
+    // (deterministic version mapping makes the repair exact).
+    if (graft.commands.DeltaMirror.enabled(snap.metadata)) {
+      try graft.commands.DeltaMirror.mirror(this, version, actions, snap)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(classOf[GraftLog]).warn(
+            s"Delta mirror of $dataPath@$version failed; the next commit " +
+              s"will backfill it: $e")
+      }
+    }
     snap
   }
 

@@ -28,13 +28,20 @@ class LogStore(hadoopConf: Configuration) extends Serializable {
   }
 
   /** Write `content` to `path`; throws FileAlreadyExistsException if present. */
-  def write(path: Path, content: String): Unit = {
+  def write(path: Path, content: String): Unit =
+    write(path, Iterator.single(content))
+
+  /** Streaming put-if-absent: `chunks` are written to the temp sibling
+    * one at a time, so a multi-million-line file (e.g. a mirror
+    * bootstrap commit) never assembles as one driver string. */
+  def write(path: Path, chunks: Iterator[String]): Unit = {
     if (isLocal(path)) {
       val target = Paths.get(path.toUri.getPath)
       Files.createDirectories(target.getParent)
       val tmp = Files.createTempFile(target.getParent, s".${target.getFileName}", ".tmp")
       try {
-        Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+        val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+        try chunks.foreach(w.write) finally w.close()
         try Files.createLink(target, tmp)
         catch { case _: FileAlreadyExistsException | _: java.nio.file.FileSystemException
             if Files.exists(target) =>
@@ -51,7 +58,7 @@ class LogStore(hadoopConf: Configuration) extends Serializable {
       val temp = new Path(path.getParent,
         s".${path.getName}.${java.util.UUID.randomUUID.toString.take(12)}.tmp")
       val out = f.create(temp, false)
-      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      try chunks.foreach(c => out.write(c.getBytes(StandardCharsets.UTF_8)))
       finally out.close()
       try {
         if (!f.rename(temp, path)) throw new FileAlreadyExistsException(path.toString)

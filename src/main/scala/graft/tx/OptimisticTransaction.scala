@@ -118,7 +118,7 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
       graft.schema.ColumnMapping.physicalPartitionColumns(m),
       graft.schema.ColumnMapping.physicalDataSchema(m),
       optimizeWrite = m.configuration
-        .getOrElse("graft.optimizeWrite", "true").toBoolean,
+        .get("graft.optimizeWrite").map(_.toBoolean),
       statsColumns = graft.files.GraftFileIndex.statsColumns(m))
     val adds =
       if (!hasVariant) doWrite()

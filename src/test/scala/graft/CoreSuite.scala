@@ -535,6 +535,27 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(Graft.read(spark, dir).count() === 60)
   }
 
+  test("optimized write bin-packs: hot partition splits, trickle partitions stay single-file") {
+    val dir = tmpDir()
+    // tiny bin so the hot partition spans several bins at test scale
+    spark.conf.set(graft.files.TransactionalWrite.BIN_SIZE_CONF,
+      (256 * 1024).toString)
+    try {
+      val df = spark.range(300000)
+        .select(lit(0).as("p"), col("id"), rand(7).as("v"))
+        .unionAll(spark.range(90)
+          .select((col("id") % 9 + 1).cast("int").as("p"), col("id"),
+            rand(8).as("v")))
+      Graft.write(df, dir, partitionBy = Seq("p"))
+      val byPart = GraftLog.forTable(spark, dir).update().allFiles
+        .groupBy(_.partitionValues("p")).view.mapValues(_.size).toMap
+      assert(byPart("0") > 1,
+        s"hot partition wrote one giant file instead of size-targeted bins: $byPart")
+      (1 to 9).foreach(i => assert(byPart(i.toString) === 1,
+        s"trickle partition $i fragmented into ${byPart(i.toString)} files"))
+    } finally spark.conf.unset(graft.files.TransactionalWrite.BIN_SIZE_CONF)
+  }
+
   test("log cleanup deletes superseded checkpoint DIRECTORIES recursively") {
     val dir = tmpDir()
     // checkpoints at v10 and v20; the v10 checkpoint is a Spark-written

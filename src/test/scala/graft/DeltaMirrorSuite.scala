@@ -106,6 +106,46 @@ class DeltaMirrorSuite extends AnyFunSuite {
       (0L until 25L))
   }
 
+  test("mirror hook is best-effort: a mirror failure never fails the commit") {
+    val dir = tmpDir()
+    Graft.write(spark.range(0, 10).toDF("id"), dir,
+      configuration = Map(graft.commands.DeltaMirror.PROP -> "delta"))
+    graft.commands.DeltaMirror.failNextMirror = true
+    // the graft commit must succeed even though its mirror hook blows up
+    Graft.write(spark.range(10, 20).toDF("id"), dir)
+    assert(Graft.read(spark, dir).count() === 20)
+    assert(!JFiles.exists(Paths.get(dir, "_delta_log", f"${1L}%020d.json")),
+      "test hook did not suppress the mirror write")
+    // the next commit's hook repairs the hole
+    Graft.write(spark.range(20, 25).toDF("id"), dir)
+    assert(JFiles.exists(Paths.get(dir, "_delta_log", f"${1L}%020d.json")))
+    assert(JFiles.exists(Paths.get(dir, "_delta_log", f"${2L}%020d.json")))
+    val view = deltaViewOf(dir)
+    Graft.convertFromDelta(spark, view)
+    assert(Graft.read(spark, view).orderBy("id").as[Long].collect().toSeq ===
+      (0L until 25L))
+  }
+
+  test("mirror checkpoint carries unexpired tombstones, dataChange=false") {
+    val dir = tmpDir()
+    Graft.write(spark.range(0, 30).toDF("id"), dir,
+      configuration = Map(graft.commands.DeltaMirror.PROP -> "delta"))
+    GraftTable.forPath(spark, dir).delete(col("id") < 10)
+    (0 until 10).foreach(i =>
+      Graft.write(spark.range(100 + i * 5L, 105 + i * 5L).toDF("id"), dir))
+    val logDir = new java.io.File(s"$dir/_delta_log")
+    val cp = logDir.listFiles().find(_.getName.endsWith(".checkpoint.parquet"))
+      .getOrElse(fail("no mirror checkpoint written"))
+    val cpDF = spark.read.parquet(cp.getPath)
+    import org.apache.spark.sql.functions.{col => c}
+    // the DELETE's tombstones are present (retention window is 7 days)
+    assert(cpDF.where(c("remove").isNotNull).count() > 0,
+      "mirror checkpoint dropped the remove tombstones")
+    // every file action in a checkpoint is dataChange=false
+    assert(cpDF.where(c("add.dataChange") === true).count() === 0)
+    assert(cpDF.where(c("remove.dataChange") === true).count() === 0)
+  }
+
   test("long mirrors checkpoint; importer cold-loads past cleaned JSON") {
     val dir = tmpDir()
     Graft.write(spark.range(0, 5).toDF("id"), dir,

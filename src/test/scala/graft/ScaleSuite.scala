@@ -217,6 +217,48 @@ class ScaleSuite extends AnyFunSuite {
     spark.conf.unset(Snapshot.DRIVER_FOLD_THRESHOLD_CONF)
   }
 
+  test("mirror bootstrap on a 150k-file lazy snapshot stays off the driver") {
+    val dir = Files.createTempDirectory("graft-mirrorscale").toString
+    Graft.create(spark, dir, new StructType().add("id", LongType))
+    val log = GraftLog.forTable(spark, dir)
+    val meta = log.snapshot.metadata
+    log.writeCommit(1, Seq(CommitInfo(timestamp = 1L, operation = "NOOP")))
+    val n = 150000
+    import spark.implicits._
+    val rows = Iterator(Protocol().wrap, meta.wrap) ++
+      (0 until n).iterator.map(i => AddFile(f"part-$i%06d.parquet",
+        Map.empty, 100L, 0L, dataChange = true).wrap)
+    spark.createDataset(rows.toSeq).repartition(8)
+      .write.mode("overwrite")
+      .parquet(FileNames.checkpointFile(log.logPath, 1L).toString)
+    log.store.writeOverwrite(FileNames.lastCheckpointFile(log.logPath),
+      s"""{"version":1,"size":${n + 2}}""")
+    log.store.writeOverwrite(FileNames.checksumFile(log.logPath, 1L),
+      s"""{"tableSizeBytes":${n * 100L},"numFiles":$n}""")
+    GraftLog.clearCache()
+    spark.conf.set(Snapshot.DRIVER_FOLD_THRESHOLD_CONF, "1000")
+    try {
+      val log2 = GraftLog.forTable(spark, dir)
+      val snap = log2.update()
+      assert(!snap.materialized)
+      // enabling the Delta mirror triggers the full-state bootstrap hook
+      log2.writeCommit(2, Seq(meta.copy(configuration = meta.configuration +
+        (graft.commands.DeltaMirror.PROP -> "delta")),
+        CommitInfo(timestamp = 2L, operation = "SET TBLPROPERTIES")))
+      assert(!log2.snapshot.materialized,
+        "mirror bootstrap materialized the 150k-file map on the driver")
+      val mirror0 = new java.io.File(s"$dir/_delta_log",
+        f"${0L}%020d.json")
+      assert(mirror0.exists, "mirror commit 0 missing")
+      val lineCount = {
+        val src = scala.io.Source.fromFile(mirror0)
+        try src.getLines().count(_.nonEmpty) finally src.close()
+      }
+      assert(lineCount === n + 3,
+        s"mirror bootstrap carried $lineCount lines, expected ${n + 3}")
+    } finally spark.conf.unset(Snapshot.DRIVER_FOLD_THRESHOLD_CONF)
+  }
+
   test("timestamp time travel on a long log reads O(log n) commit files") {
     val dir = Files.createTempDirectory("graft-tslog").toString
     val log = GraftLog.forTable(spark, dir)
