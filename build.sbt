@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// sbt's logger prefixes forked-run output lines with "[info] ", which
+// breaks machine parsing of Bench/Verify's final JSON line — stream the
+// forked process's stdout raw instead.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

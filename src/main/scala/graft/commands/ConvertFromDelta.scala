@@ -1,19 +1,25 @@
 package graft.commands
 
+import java.util.UUID
+
 import scala.collection.mutable
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count, from_json, lit, row_number, sum, when}
 import org.apache.spark.sql.types.{DataType, Metadata => FieldMetadata, MetadataBuilder, StructField, StructType}
+import org.apache.spark.util.SerializableConfiguration
 
 import graft.GraftTable
 import graft.log._
 
 /**
  * CONVERT FROM DELTA: register an existing Delta Lake table as a graft
- * table by folding its `_delta_log` — the `_last_checkpoint`-named
- * classic checkpoint (single or multi-part parquet) plus the newer JSON
+ * table by folding its `_delta_log` — the latest complete checkpoint
+ * (classic single-file, classic multi-part, v2 classic-named or
+ * uuid-named with sidecars, per PROTOCOL.md:854-911) plus the newer JSON
  * commits — into graft commit 0. Data files are never copied or
  * rewritten: per-file stats come across verbatim (same min/max/nullCount
  * JSON shape, so skipping works immediately), schema and partitioning
@@ -22,18 +28,133 @@ import graft.log._
  * identity / DEFAULT columns, CHECK constraints, append-only, CDF).
  *
  * The fold follows the PUBLIC Delta protocol spec (reference
- * PROTOCOL.md; log replay rules :913-934) — no Delta code is involved.
+ * PROTOCOL.md; log replay rules :913-934 — file actions reconcile by
+ * (path, deletionVector.uniqueId), so a commit that adds (path, dvNew)
+ * and removes (path, dvOld) keeps the live file no matter the line
+ * order). No Delta code is involved.
+ *
+ * Scale: below [[DRIVER_CONVERT_THRESHOLD_CONF]] checkpoint actions the
+ * fold streams through the driver (one pass, no whole-checkpoint
+ * collect). Above it the ENTIRE pipeline is distributed: checkpoint and
+ * sidecar parquet fold as a Spark job (last-writer-wins window over
+ * (path, dvUid)), DV re-encoding runs on the executors, graft commit 0
+ * streams to disk partition-by-partition, and a graft checkpoint at
+ * version 0 is written distributed so the first snapshot load is lazy —
+ * converting a 10M-file table never materializes its file list on the
+ * driver.
  *
  * Live deletion vectors import too: each descriptor (inline / relative /
  * absolute, per the spec's Z85 + portable-bitmap formats) re-encodes
- * into a graft `_dv/` sidecar — metadata-scale bytes, never a data
- * rewrite. Unknown reader features abort rather than risk misreading
- * the data layout. Row tracking watermarks and in-commit timestamps do
- * not carry over (the graft table starts its own history).
+ * into a graft `_dv/` sidecar with a DETERMINISTIC name derived from the
+ * source descriptor — metadata-scale bytes, never a data rewrite, and
+ * idempotent under retry or recomputation. Unknown reader features abort
+ * rather than risk misreading the data layout. Row tracking watermarks
+ * and in-commit timestamps do not carry over (the graft table starts its
+ * own history).
  */
 object ConvertFromDeltaCommand {
 
   private val mapper = new ObjectMapper()
+
+  /** Above this many checkpoint actions, convert folds distributed and
+    * streams the graft commit + checkpoint. */
+  val DRIVER_CONVERT_THRESHOLD_CONF = "spark.graft.convert.driverThreshold"
+  val DRIVER_CONVERT_THRESHOLD_DEFAULT = 200000L
+
+  // ---- Delta checkpoint layouts --------------------------------------
+
+  private val classicRe = """(\d{20})\.checkpoint\.parquet""".r
+  private val multipartRe = """(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet""".r
+  private val uuidRe = """(\d{20})\.checkpoint\.([A-Za-z0-9\-]+)\.(parquet|json)""".r
+
+  private case class CpSpec(version: Long, files: Seq[String], isJson: Boolean)
+
+  /** Latest complete checkpoint: the `_last_checkpoint` pointer first,
+    * else the newest complete set in the listing (a stale or missing
+    * pointer must not hide a perfectly good checkpoint). A version is
+    * served by a classic single file, a COMPLETE multi-part set, or any
+    * one uuid-named v2 checkpoint (each is self-complete). */
+  private def discoverCheckpoint(
+      deltaLog: Path, names: Seq[String], lastCp: Option[JsonNode]): Option[CpSpec] = {
+    def specAt(v: Long): Option[CpSpec] = {
+      val classic = f"$v%020d.checkpoint.parquet"
+      if (names.contains(classic))
+        Some(CpSpec(v, Seq(new Path(deltaLog, classic).toString), isJson = false))
+      else {
+        val parts = names.flatMap {
+          case n @ multipartRe(vv, i, total) if vv.toLong == v =>
+            Some((i.toInt, total.toInt, n))
+          case _ => None
+        }
+        if (parts.nonEmpty && parts.map(_._2).distinct.size == 1 &&
+            parts.map(_._1).distinct.size == parts.head._2)
+          Some(CpSpec(v,
+            parts.sortBy(_._1).map(p => new Path(deltaLog, p._3).toString),
+            isJson = false))
+        else {
+          val uuids = names.flatMap {
+            case n @ uuidRe(vv, _, fmt) if vv.toLong == v => Some((n, fmt))
+            case _ => None
+          }
+          uuids.sorted.lastOption.map { case (n, fmt) =>
+            CpSpec(v, Seq(new Path(deltaLog, n).toString), isJson = fmt == "json")
+          }
+        }
+      }
+    }
+    lastCp.map(_.path("version").asLong(-1)).filter(_ >= 0).flatMap(specAt)
+      .orElse {
+        val versions = names.flatMap {
+          case classicRe(v) => Some(v.toLong)
+          case multipartRe(v, _, _) => Some(v.toLong)
+          case uuidRe(v, _, _) => Some(v.toLong)
+          case _ => None
+        }.distinct.sorted.reverse
+        versions.iterator.flatMap(specAt).nextOption()
+      }
+  }
+
+  /** Projected read schema for delta actions: only the fields the fold
+    * uses; anything else in the files prunes away, anything missing
+    * null-fills (schema evolution both ways). */
+  private val DV_DDL = "STRUCT<storageType: STRING, pathOrInlineDv: STRING, " +
+    "offset: INT, sizeInBytes: INT, cardinality: BIGINT>"
+  private[commands] lazy val actionReadSchema: StructType = DataType.fromDDL(
+    s"""add STRUCT<path: STRING, partitionValues: MAP<STRING,STRING>, size: BIGINT,
+          modificationTime: BIGINT, dataChange: BOOLEAN, stats: STRING,
+          baseRowId: BIGINT, defaultRowCommitVersion: BIGINT, deletionVector: $DV_DDL>,
+        remove STRUCT<path: STRING, deletionVector: $DV_DDL>,
+        metaData STRUCT<id: STRING, name: STRING, description: STRING,
+          format: STRUCT<provider: STRING, options: MAP<STRING,STRING>>,
+          schemaString: STRING, partitionColumns: ARRAY<STRING>,
+          configuration: MAP<STRING,STRING>, createdTime: BIGINT>,
+        protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT,
+          readerFeatures: ARRAY<STRING>, writerFeatures: ARRAY<STRING>>,
+        txn STRUCT<appId: STRING, version: BIGINT>,
+        domainMetadata STRUCT<domain: STRING, configuration: STRING, removed: BOOLEAN>,
+        sidecar STRUCT<path: STRING, sizeInBytes: BIGINT, modificationTime: BIGINT>"""
+  ).asInstanceOf[StructType]
+
+  // ---- fold state -----------------------------------------------------
+
+  /** One live file candidate in the driver fold, keyed by
+    * (path, dv uniqueId) per the spec's replay rules. */
+  private case class FoldedAdd(add: AddFile, dv: Option[DvRef], seq: Long)
+
+  private final class FoldState {
+    val adds = mutable.LinkedHashMap.empty[(String, String), FoldedAdd]
+    var metaNode: JsonNode = null
+    var protoNode: JsonNode = null
+    val txns = mutable.LinkedHashMap.empty[String, Long]
+    val domains = mutable.LinkedHashMap.empty[String, String]
+    var seq = 0L
+  }
+
+  /** The spec's uniqueId for a DV descriptor; "" = no deletion vector. */
+  private def dvUidOf(dv: JsonNode): String =
+    if (dv == null || dv.isNull || dv.path("cardinality").asLong(0) <= 0) ""
+    else s"${dv.path("storageType").asText("")}|${dv.path("pathOrInlineDv").asText("")}|" +
+      s"${dv.path("offset").asInt(0)}"
 
   def run(spark: SparkSession, path: String): GraftTable = {
     val log = GraftLog.forTable(spark, path)
@@ -41,65 +162,85 @@ object ConvertFromDeltaCommand {
     val deltaLog = new Path(log.dataPath, "_delta_log")
     val fs = log.store.fs(deltaLog)
     require(fs.exists(deltaLog), s"$path has no _delta_log — not a Delta table")
+    val names = fs.listStatus(deltaLog).toSeq.map(_.getPath.getName)
 
     // ---- checkpoint base (optional) ------------------------------------
     val lastCp: Option[JsonNode] =
       try Some(mapper.readTree(log.store.read(new Path(deltaLog, "_last_checkpoint"))))
       catch { case _: Exception => None }
-    val cpVersion = lastCp.map(_.path("version").asLong(-1)).filter(_ >= 0)
-    val adds = mutable.LinkedHashMap.empty[String, AddFile]
-    var metaNode: JsonNode = null
-    var protoNode: JsonNode = null
-    val txns = mutable.LinkedHashMap.empty[String, Long]
-    val domains = mutable.LinkedHashMap.empty[String, String]
-    val pendingDvs = mutable.LinkedHashMap.empty[String, DvRef]
+    val cpSpec = discoverCheckpoint(deltaLog, names, lastCp)
+    val state = new FoldState
 
-    var cpUsed: Option[Long] = None
-    cpVersion.foreach { v =>
-      val parts = lastCp.map(_.path("parts").asInt(0)).getOrElse(0)
-      val cpFiles: Seq[String] =
-        if (parts > 0) (1 to parts).map(i =>
-          new Path(deltaLog, f"$v%020d.checkpoint.$i%010d.$parts%010d.parquet").toString)
-        else Seq(new Path(deltaLog, f"$v%020d.checkpoint.parquet").toString)
-      val classicPresent = cpFiles.forall(p => fs.exists(new Path(p)))
-      if (classicPresent) {
-        // Generic parquet read; only the action columns matter. toJSON
-        // gives the same shape as the JSON commits, so one fold path
-        // serves both.
-        spark.read.parquet(cpFiles: _*).toJSON.collect().foreach { line =>
-          applyAction(mapper.readTree(line), adds,
-            m => metaNode = m, p => protoNode = p, pendingDvs, txns, domains)
-        }
-        if (adds.nonEmpty || metaNode != null) cpUsed = Some(v)
-        else require(fs.exists(new Path(deltaLog, f"${0L}%020d.json")),
-          s"checkpoint at $v held no foldable actions (v2/sidecar layout) " +
-            "and the JSON history does not reach version 0 — cannot fold")
-      } else {
-        // v2/UUID-named checkpoint (or missing parts): fold the JSON log
-        // from version 0 instead, which must then be complete.
-        require(fs.exists(new Path(deltaLog, f"${0L}%020d.json")),
-          s"_last_checkpoint names a checkpoint layout this convert does " +
-            "not read (v2/sidecar) and the JSON history does not reach " +
-            "version 0 — cannot fold")
-      }
+    // Manifest read: non-file actions always fold on the driver (a
+    // handful of rows); sidecar pointers say where the file actions live.
+    val fileActionsDF: Option[DataFrame] = cpSpec.map { cp =>
+      val mdf =
+        if (cp.isJson) spark.read.schema(actionReadSchema).json(cp.files: _*)
+        else spark.read.schema(actionReadSchema).parquet(cp.files: _*)
+      mdf.where(col("add").isNull && col("remove").isNull)
+        .toJSON.collect()
+        .foreach(line => applyMetaAction(mapper.readTree(line), state))
+      val sidecars = mdf.where(col("sidecar.path").isNotNull)
+        .select(col("sidecar.path")).collect().map(_.getString(0))
+      val fdf =
+        if (sidecars.isEmpty) mdf
+        else spark.read.schema(actionReadSchema).parquet(
+          sidecars.map(n => new Path(new Path(deltaLog, "_sidecars"), n).toString)
+            .toIndexedSeq: _*)
+      fdf.where(col("add").isNotNull || col("remove").isNotNull)
     }
-    val cpVersionUsed = cpUsed
+    val cpVersionUsed = cpSpec.map(_.version)
 
     // ---- JSON tail ------------------------------------------------------
-    val deltaVersions = fs.listStatus(deltaLog).toSeq
-      .flatMap(st => FileNames.deltaVersion(st.getPath.getName))
+    val deltaVersions = names.flatMap(FileNames.deltaVersion)
       .filter(v => cpVersionUsed.forall(v > _)).sorted
     require(cpVersionUsed.isDefined || deltaVersions.headOption.contains(0L),
-      s"Delta log at $path is truncated (no checkpoint and no version 0)")
-    deltaVersions.foreach { v =>
-      log.store.read(new Path(deltaLog, f"$v%020d.json"))
-        .linesIterator.filter(_.nonEmpty)
-        .foreach(line => applyAction(mapper.readTree(line), adds,
-          m => metaNode = m, p => protoNode = p, pendingDvs, txns, domains))
-    }
-    require(metaNode != null, s"Delta log at $path carries no metaData action")
+      s"Delta log at $path is truncated (no readable checkpoint and no version 0)" +
+        lastCp.map(n => s" — _last_checkpoint names version ${n.path("version").asLong(-1)} " +
+          "but no complete checkpoint at any version was found").getOrElse(""))
 
-    // ---- protocol gate --------------------------------------------------
+    // ---- fold venue -----------------------------------------------------
+    val threshold = spark.conf.getOption(DRIVER_CONVERT_THRESHOLD_CONF)
+      .map(_.toLong).getOrElse(DRIVER_CONVERT_THRESHOLD_DEFAULT)
+    val cpActionCount: Long = fileActionsDF.map { fdf =>
+      lastCp.map(_.path("size").asLong(-1)).filter(_ > 0).getOrElse(fdf.count())
+    }.getOrElse(0L)
+    val distributed = cpActionCount > threshold
+
+    if (!distributed) {
+      // One streamed pass over the checkpoint rows, then the tail.
+      fileActionsDF.foreach { fdf =>
+        val it = fdf.toJSON.toLocalIterator()
+        while (it.hasNext) applyAction(mapper.readTree(it.next()), state)
+      }
+      deltaVersions.foreach { v =>
+        log.store.read(new Path(deltaLog, f"$v%020d.json"))
+          .linesIterator.filter(_.nonEmpty)
+          .foreach(line => applyAction(mapper.readTree(line), state))
+      }
+      convertSmall(spark, log, state, deltaVersions, cpVersionUsed)
+    } else {
+      // Tail non-file actions still fold on the driver (metadata-scale);
+      // file actions ride the distributed fold below.
+      val tailLines = mutable.ArrayBuffer.empty[(Long, Long, String)]
+      deltaVersions.foreach { v =>
+        var i = 0L
+        log.store.read(new Path(deltaLog, f"$v%020d.json"))
+          .linesIterator.filter(_.nonEmpty).foreach { line =>
+            val node = mapper.readTree(line)
+            if (node.has("add") || node.has("remove")) {
+              tailLines += ((v, i, line)); i += 1
+            } else applyMetaAction(node, state)
+          }
+      }
+      convertLarge(spark, log, state, fileActionsDF.get, tailLines.toSeq,
+        deltaVersions, cpVersionUsed)
+    }
+  }
+
+  // ---- shared gates + metadata translation ----------------------------
+
+  private def protocolGate(path: Path, protoNode: JsonNode): Unit = {
     val understood = Set("columnMapping", "timestampNtz", "variantType",
       "typeWidening", "v2Checkpoint", "deletionVectors")
     if (protoNode != null) {
@@ -112,8 +253,10 @@ object ConvertFromDeltaCommand {
       require(protoNode.path("minReaderVersion").asInt(1) <= 3,
         "Delta reader version beyond 3 is not supported")
     }
+  }
 
-    // ---- translate metadata --------------------------------------------
+  private def translatedMetadata(path: Path, metaNode: JsonNode): Metadata = {
+    require(metaNode != null, s"Delta log at $path carries no metaData action")
     val schemaString = metaNode.path("schemaString").asText(null)
     require(schemaString != null, "Delta metaData has no schemaString")
     val schema = DataType.fromJson(schemaString).asInstanceOf[StructType]
@@ -123,36 +266,45 @@ object ConvertFromDeltaCommand {
       import scala.jdk.CollectionConverters._
       n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
+    Metadata(
+      schemaString = translateSchema(schema).json,
+      partitionColumns = partitionCols,
+      configuration = translateConfig(deltaConf),
+      createdTime = Some(System.currentTimeMillis()))
+  }
+
+  // ---- small venue: driver fold + normal transaction ------------------
+
+  private def convertSmall(
+      spark: SparkSession,
+      log: GraftLog,
+      state: FoldState,
+      deltaVersions: Seq[Long],
+      cpVersion: Option[Long]): GraftTable = {
+    protocolGate(log.dataPath, state.protoNode)
+    val translated = translatedMetadata(log.dataPath, state.metaNode)
+
+    // Survivors: per (path, dvUid) the fold already reconciled; a legal
+    // state has one entry per path — keep the latest-folded otherwise.
+    val survivors: Seq[FoldedAdd] = state.adds.values
+      .groupBy(_.add.path).values.map(_.maxBy(_.seq)).toSeq
+      .sortBy(_.seq)
 
     // Every gate has passed — only now re-encode live DVs into graft
     // sidecars (an aborted convert must never write into the source).
     val hconf = spark.sessionState.newHadoopConf()
-    pendingDvs.foreach { case (p, d) =>
-      if (adds.contains(p)) {
-        val bm = graft.dv.DeltaDvCodec.readDescriptor(log.dataPath, hconf,
-          d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes)
-        require(bm.cardinality == d.cardinality,
-          s"delta DV cardinality mismatch for $p")
-        val rel =
-          s"${graft.dv.DeletionVectors.DIR}/dv-${java.util.UUID.randomUUID}.bin"
-        graft.dv.DeletionVectors.writeBitmap(new Path(log.dataPath, rel), hconf, bm)
-        adds(p) = adds(p).copy(dvPath = Some(rel),
-          dvCardinality = Some(d.cardinality))
+    val files = survivors.map { f =>
+      f.dv match {
+        case Some(d) =>
+          val (rel, card) = reencodeDv(log.dataPath, hconf, d, f.add.path)
+          f.add.copy(dvPath = Some(rel), dvCardinality = Some(card))
+        case None => f.add
       }
     }
-    // Imported DVs need the feature gate even if the source table's
-    // config never declared it explicitly.
     val dvExtra =
-      if (adds.values.exists(_.dvPath.isDefined))
+      if (files.exists(_.dvPath.isDefined))
         Map("graft.enableDeletionVectors" -> "true")
       else Map.empty[String, String]
-    val translated = Metadata(
-      schemaString = translateSchema(schema).json,
-      partitionColumns = partitionCols,
-      configuration = translateConfig(deltaConf) ++ dvExtra,
-      createdTime = Some(System.currentTimeMillis()))
-
-    val files = adds.values.toSeq
     // Row tracking imports only when EVERY live file carries a base row
     // id — a partial import would hand out fresh ids that collide with
     // the source's. Idempotent-writer watermarks (txn actions) always
@@ -160,15 +312,15 @@ object ConvertFromDeltaCommand {
     // double-apply its last batch.
     val allTracked = files.nonEmpty && files.forall(_.baseRowId.isDefined)
     val rtDomain = if (allTracked)
-      domains.get("delta.rowTracking")
+      state.domains.get("delta.rowTracking")
         .map(c => DomainMetadata(RowTracking.DOMAIN, c)).toSeq
       else Nil
     val rtConf =
       if (rtDomain.nonEmpty) Map("graft.enableRowTracking" -> "true")
       else Map.empty[String, String]
-    val txnActions = txns.map { case (app, v) => SetTransaction(app, v) }.toSeq
+    val txnActions = state.txns.map { case (app, v) => SetTransaction(app, v) }.toSeq
     val finalMeta = translated.copy(
-      configuration = translated.configuration ++ rtConf)
+      configuration = translated.configuration ++ dvExtra ++ rtConf)
     val strippedFiles =
       if (rtDomain.nonEmpty) files
       else files.map(_.copy(baseRowId = None, defaultRowCommitVersion = None))
@@ -181,6 +333,191 @@ object ConvertFromDeltaCommand {
             (deltaVersions.lastOption.orElse(cpVersion).getOrElse(0L)).toString))
     }
     new GraftTable(spark, log)
+  }
+
+  // ---- large venue: distributed fold + streamed commit + checkpoint ---
+
+  /** Typed view of a surviving delta add row. */
+  private[commands] case class DvNode(storageType: String, pathOrInlineDv: String,
+      offset: Option[Int], sizeInBytes: Option[Int], cardinality: Option[Long])
+  private[commands] case class SrcAdd(path: String,
+      partitionValues: Option[Map[String, String]],
+      size: Option[Long], modificationTime: Option[Long], stats: Option[String],
+      baseRowId: Option[Long], defaultRowCommitVersion: Option[Long],
+      deletionVector: Option[DvNode])
+
+  private def convertLarge(
+      spark: SparkSession,
+      log: GraftLog,
+      state: FoldState,
+      cpFilesDF: DataFrame,
+      tailLines: Seq[(Long, Long, String)],
+      deltaVersions: Seq[Long],
+      cpVersion: Option[Long]): GraftTable = {
+    import spark.implicits._
+    protocolGate(log.dataPath, state.protoNode)
+    val translated = translatedMetadata(log.dataPath, state.metaNode)
+
+    // Last-writer-wins over (path, dv uniqueId): the checkpoint rows are
+    // version -1 (already-reconciled state), the tail rides its real
+    // (version, line) order on top. Survivors then reconcile per path.
+    val base = cpFilesDF.select(col("add"), col("remove"))
+      .withColumn("__v", lit(-1L)).withColumn("__seq", lit(0L))
+    val tail =
+      if (tailLines.isEmpty) base.limit(0)
+      else spark.createDataset(tailLines).toDF("__v", "__seq", "__json")
+        .select(from_json(col("__json"), actionReadSchema).as("a"),
+          col("__v"), col("__seq"))
+        .select(col("a.add").as("add"), col("a.remove").as("remove"),
+          col("__v"), col("__seq"))
+        .where(col("add").isNotNull || col("remove").isNotNull)
+    def uidOf(dv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(dv.isNull || coalesce(dv.getField("cardinality"), lit(0L)) <= 0, lit(""))
+        .otherwise(concat_ws("|", coalesce(dv.getField("storageType"), lit("")),
+          coalesce(dv.getField("pathOrInlineDv"), lit("")),
+          coalesce(dv.getField("offset"), lit(0)).cast("string")))
+    val keyed = base.unionByName(tail)
+      .withColumn("__p", coalesce(col("add.path"), col("remove.path")))
+      .withColumn("__uid", when(col("add").isNotNull, uidOf(col("add.deletionVector")))
+        .otherwise(uidOf(col("remove.deletionVector"))))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("__p", "__uid").orderBy(col("__v").desc, col("__seq").desc)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("__p").orderBy(col("__v").desc, col("__seq").desc)
+    val survivors = keyed
+      .withColumn("__rn", row_number().over(w1))
+      .where(col("__rn") === 1 && col("add").isNotNull)
+      .withColumn("__rn2", row_number().over(w2))
+      .where(col("__rn2") === 1)
+      .select(col("add.*"))
+
+    // One distributed pass for every aggregate gate.
+    val aggRow = survivors.agg(
+      count(lit(1)), count(col("baseRowId")),
+      sum(when(col("deletionVector").isNotNull &&
+        coalesce(col("deletionVector.cardinality"), lit(0L)) > 0, 1L)
+        .otherwise(0L)),
+      coalesce(sum(col("size")), lit(0L))).head
+    val n = aggRow.getLong(0)
+    val allTracked = n > 0 && aggRow.getLong(1) == n
+    val anyDv = aggRow.getLong(2) > 0
+    val totalBytes = aggRow.getLong(3)
+
+    val dvExtra =
+      if (anyDv) Map("graft.enableDeletionVectors" -> "true")
+      else Map.empty[String, String]
+    val rtDomain = if (allTracked)
+      state.domains.get("delta.rowTracking")
+        .map(c => DomainMetadata(RowTracking.DOMAIN, c)).toSeq
+      else Nil
+    val rtConf =
+      if (rtDomain.nonEmpty) Map("graft.enableRowTracking" -> "true")
+      else Map.empty[String, String]
+    val finalMeta = translated.copy(
+      configuration = translated.configuration ++ dvExtra ++ rtConf)
+    val txnActions = state.txns.map { case (app, v) => SetTransaction(app, v) }.toSeq
+    val domainsMap = state.domains.toMap
+
+    // Executor-side conversion: URI decode, DV re-encode (deterministic
+    // sidecar names — recomputation and retries are idempotent), row-id
+    // strip when tracking does not import.
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableConfiguration(spark.sessionState.newHadoopConf()))
+    val rootStr = log.dataPath.toString
+    val keepIds = rtDomain.nonEmpty
+    val finalDS = survivors.as[SrcAdd].mapPartitions { it =>
+      val conf = confBc.value.value
+      val root = new Path(rootStr)
+      it.map(s => toGraftAdd(s, root, conf, keepIds))
+    }(org.apache.spark.sql.Encoders.product[AddFile])
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    try {
+      import scala.jdk.CollectionConverters._
+      val proto = TableFeatures.minimalProtocol(TableFeatures.activeFeatures(finalMeta))
+      val metrics = Map(
+        "numConvertedFiles" -> n.toString,
+        "sourceVersion" ->
+          (deltaVersions.lastOption.orElse(cpVersion).getOrElse(0L)).toString)
+      val head: Seq[Action] = Seq(
+        CommitInfo(timestamp = System.currentTimeMillis(),
+          operation = "CONVERT FROM DELTA", operationMetrics = metrics),
+        proto, finalMeta) ++ txnActions ++ rtDomain
+      // Commit 0 streams to disk: the driver holds one partition of
+      // AddFiles at a time, never the whole table.
+      log.store.write(FileNames.deltaFile(log.logPath, 0L),
+        head.iterator.map(a => Actions.serialize(Seq(a))) ++
+          finalDS.toLocalIterator().asScala.map(a => Actions.serialize(Seq(a))))
+
+      // Graft checkpoint at version 0, written distributed, so the first
+      // snapshot load of the converted table is lazy checkpoint-backed
+      // instead of a driver fold of a multi-million-line commit.
+      val small: Seq[SingleAction] = Seq(proto.wrap, finalMeta.wrap) ++
+        txnActions.map(_.wrap) ++ rtDomain.map(_.wrap)
+      val parts = math.max(1, (n / 100000).toInt)
+      spark.createDataset(small).toDF
+        .unionByName(finalDS.map(_.wrap)(
+          org.apache.spark.sql.Encoders.product[SingleAction]).toDF)
+        .repartition(parts)
+        .write.mode("overwrite")
+        .parquet(FileNames.checkpointFile(log.logPath, 0L).toString)
+      log.store.writeOverwrite(FileNames.lastCheckpointFile(log.logPath),
+        s"""{"version":0,"size":${small.size + n}}""")
+      log.store.writeOverwrite(FileNames.checksumFile(log.logPath, 0L),
+        Actions.checksumToJson(VersionChecksum(
+          tableSizeBytes = totalBytes,
+          numFiles = n,
+          protocol = proto,
+          metadata = finalMeta,
+          setTransactions = state.txns.toMap,
+          domainMetadata =
+            rtDomain.map(d => d.domain -> d.configuration).toMap)))
+    } finally finalDS.unpersist(blocking = false)
+    log.update()
+    new GraftTable(spark, log)
+  }
+
+  /** Delta DV descriptor -> graft `_dv/` sidecar; the name derives from
+    * the source descriptor so retries regenerate the same file. */
+  private def reencodeDv(root: Path, conf: Configuration, d: DvRef,
+      forPath: String): (String, Long) = {
+    val bm = graft.dv.DeltaDvCodec.readDescriptor(root, conf,
+      d.storageType, d.pathOrInlineDv, d.offset, d.sizeInBytes)
+    require(bm.cardinality == d.cardinality,
+      s"delta DV cardinality mismatch for $forPath")
+    val uid = s"${d.storageType}|${d.pathOrInlineDv}|${d.offset}"
+    val rel = s"${graft.dv.DeletionVectors.DIR}/dv-" +
+      s"${UUID.nameUUIDFromBytes(uid.getBytes("UTF-8"))}.bin"
+    val target = new Path(root, rel)
+    val fs = target.getFileSystem(conf)
+    if (!fs.exists(target))
+      graft.dv.DeletionVectors.writeBitmap(target, conf, bm)
+    (rel, bm.cardinality)
+  }
+
+  private def toGraftAdd(s: SrcAdd, root: Path, conf: Configuration,
+      keepIds: Boolean): AddFile = {
+    val dv = s.deletionVector.filter(_.cardinality.exists(_ > 0))
+    val (dvPath, dvCard) = dv match {
+      case Some(d) =>
+        val ref = DvRef(d.storageType, d.pathOrInlineDv,
+          d.offset.getOrElse(0), d.sizeInBytes.getOrElse(0),
+          d.cardinality.getOrElse(0L))
+        val (rel, card) = reencodeDv(root, conf, ref, s.path)
+        (Some(rel), Some(card))
+      case None => (None, None)
+    }
+    AddFile(
+      path = decodePath(s.path),
+      partitionValues = s.partitionValues.getOrElse(Map.empty),
+      size = s.size.getOrElse(0L),
+      modificationTime = s.modificationTime.getOrElse(0L),
+      dataChange = true,
+      stats = s.stats.orNull,
+      dvPath = dvPath,
+      dvCardinality = dvCard,
+      baseRowId = if (keepIds) s.baseRowId else None,
+      defaultRowCommitVersion = if (keepIds) s.defaultRowCommitVersion else None)
   }
 
   /** Delta log paths are RFC 2396 URIs (percent-encoded); graft AddFile
@@ -197,50 +534,57 @@ object ConvertFromDeltaCommand {
   private[commands] final case class DvRef(storageType: String,
       pathOrInlineDv: String, offset: Int, sizeInBytes: Int, cardinality: Long)
 
-  /** Fold one delta action (JSON tree) into the running state. Live
-    * deletion vectors are only RECORDED here ([[DvRef]]); re-encoding
-    * into graft `_dv/` sidecars happens after every validation gate has
-    * passed, so an aborted convert never writes into the source table. */
-  private def applyAction(
-      node: JsonNode,
-      adds: mutable.LinkedHashMap[String, AddFile],
-      onMeta: JsonNode => Unit,
-      onProto: JsonNode => Unit,
-      pendingDvs: mutable.LinkedHashMap[String, DvRef] = mutable.LinkedHashMap.empty,
-      txns: mutable.LinkedHashMap[String, Long] = mutable.LinkedHashMap.empty,
-      domains: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap.empty)
-      : Unit = {
-    val add = node.get("add")
-    val remove = node.get("remove")
+  /** Fold one NON-FILE delta action (metaData / protocol / txn /
+    * domainMetadata) into the running state; file actions are ignored. */
+  private def applyMetaAction(node: JsonNode, state: FoldState): Unit = {
     val meta = node.get("metaData")
     val proto = node.get("protocol")
     val txn = node.get("txn")
     val dom = node.get("domainMetadata")
     if (txn != null && !txn.isNull)
-      txns(txn.path("appId").asText()) = txn.path("version").asLong()
+      state.txns(txn.path("appId").asText()) = txn.path("version").asLong()
     if (dom != null && !dom.isNull) {
       if (dom.path("removed").asBoolean(false))
-        domains.remove(dom.path("domain").asText())
-      else domains(dom.path("domain").asText()) =
+        state.domains.remove(dom.path("domain").asText())
+      else state.domains(dom.path("domain").asText()) =
         dom.path("configuration").asText("{}")
     }
+    if (meta != null && !meta.isNull) state.metaNode = meta
+    else if (proto != null && !proto.isNull) state.protoNode = proto
+  }
+
+  /** Fold one delta action (JSON tree) into the running state. File
+    * actions reconcile by (path, deletionVector.uniqueId) — the spec's
+    * replay key (PROTOCOL.md:921) — so a DV-rewriting commit's
+    * add(path, dvNew) + remove(path, dvOld) keeps the live file
+    * regardless of line order. Live deletion vectors are only RECORDED
+    * here ([[DvRef]]); re-encoding into graft `_dv/` sidecars happens
+    * after every validation gate has passed, so an aborted convert never
+    * writes into the source table. */
+  private def applyAction(node: JsonNode, state: FoldState): Unit = {
+    applyMetaAction(node, state)
+    val add = node.get("add")
+    val remove = node.get("remove")
     if (add != null && !add.isNull) {
-      val path = decodePath(add.path("path").asText())
+      val rawPath = add.path("path").asText()
+      val path = decodePath(rawPath)
       val dv = add.get("deletionVector")
-      if (dv == null || dv.isNull || dv.path("cardinality").asLong(0) == 0)
-        pendingDvs.remove(path)
-      else pendingDvs(path) = DvRef(
-        dv.path("storageType").asText(),
-        dv.path("pathOrInlineDv").asText(),
-        dv.path("offset").asInt(0),
-        dv.path("sizeInBytes").asInt(0),
-        dv.path("cardinality").asLong(0))
+      val uid = dvUidOf(dv)
+      val dvRef =
+        if (uid.isEmpty) None
+        else Some(DvRef(
+          dv.path("storageType").asText(),
+          dv.path("pathOrInlineDv").asText(),
+          dv.path("offset").asInt(0),
+          dv.path("sizeInBytes").asInt(0),
+          dv.path("cardinality").asLong(0)))
       val pv = Option(add.get("partitionValues")).map { n =>
         import scala.jdk.CollectionConverters._
         n.properties().asScala.map(e => e.getKey ->
           (if (e.getValue.isNull) null else e.getValue.asText())).toMap
       }.getOrElse(Map.empty[String, String])
-      adds(path) = AddFile(
+      state.seq += 1
+      state.adds((path, uid)) = FoldedAdd(AddFile(
         path = path,
         partitionValues = pv,
         size = add.path("size").asLong(0),
@@ -252,15 +596,10 @@ object ConvertFromDeltaCommand {
           .map(_.asLong()),
         defaultRowCommitVersion =
           Option(add.get("defaultRowCommitVersion")).filterNot(_.isNull)
-            .map(_.asLong()))
+            .map(_.asLong())), dvRef, state.seq)
     } else if (remove != null && !remove.isNull) {
       val path = decodePath(remove.path("path").asText())
-      adds.remove(path)
-      pendingDvs.remove(path)
-    } else if (meta != null && !meta.isNull) {
-      onMeta(meta)
-    } else if (proto != null && !proto.isNull) {
-      onProto(proto)
+      state.adds.remove((path, dvUidOf(remove.get("deletionVector"))))
     }
   }
 

@@ -268,7 +268,7 @@ class GraftLog private (
     val snap = update()
     writeChecksum(snap)
     maybeCheckpoint(snap)
-    maybeAutoCompact(snap)
+    maybeAutoCompact(snap, actions)
     // Delta-format mirror (UniForm-style): BEST-EFFORT. The graft commit
     // above is already durable, so a mirror failure must not surface as
     // a failed write — the caller would retry and double-apply the data.
@@ -330,26 +330,60 @@ class GraftLog private (
     override def initialValue: java.lang.Boolean = false
   }
 
+  /** Small-file pressure per partition, accumulated from the AddFiles of
+    * recent commits (reference concept:
+    * stats/AutoCompactPartitionStats.scala — re-designed as a per-log
+    * in-memory accumulator). Commit-driven, so the hook never scans the
+    * snapshot: cost is O(files in this commit), and on a lazy
+    * checkpoint-backed snapshot nothing materializes. */
+  @transient private lazy val autoCompactPressure =
+    new ConcurrentHashMap[Map[String, String], java.lang.Integer]()
+
   /** Post-commit hook: with `graft.autoCompact=true`, compact inline when
-    * small files pile past `graft.autoCompact.minNumFiles` (default 50).
-    * The compaction's own commit is guarded against re-entry; it raises
-    * the small-file count back under the threshold, so the hook
-    * terminates. (Reference concept: hooks/AutoCompact.scala:44-80 —
-    * re-designed as an inline post-commit call.) */
-  private def maybeAutoCompact(snap: Snapshot): Unit = {
+    * a PARTITION's accumulated small-file count passes
+    * `graft.autoCompact.minNumFiles` (default 50) — only the pressured
+    * partitions rewrite; a high-churn partition cannot force re-scans of
+    * the cold ones. The compaction's own commit is guarded against
+    * re-entry and writes dataChange=false files that do not re-feed the
+    * pressure counter, so the hook terminates. */
+  private def maybeAutoCompact(snap: Snapshot, actions: Seq[Action]): Unit = {
     if (inAutoCompact.get) return
     val conf = snap.metadata.configuration
     if (!conf.getOrElse("graft.autoCompact", "false").toBoolean) return
     val minNumFiles = conf.getOrElse("graft.autoCompact.minNumFiles", "50").toInt
     val smallSize = conf.get("graft.optimize.minFileSize").map(_.toLong)
       .getOrElse(graft.commands.OptimizeCommand.defaultMaxFileSize / 2)
-    val smalls = snap.allFiles.count(_.size < smallSize)
-    if (smalls >= minNumFiles) {
-      inAutoCompact.set(true)
-      try graft.commands.OptimizeCommand.compact(
-        new graft.GraftTable(spark, this), None)
-      finally inAutoCompact.set(false)
+    val newSmall = actions.collect {
+      case a: AddFile if a.dataChange && a.size < smallSize => a.partitionValues
     }
+    if (newSmall.isEmpty) return
+    newSmall.groupBy(identity).foreach { case (pv, xs) =>
+      autoCompactPressure.merge(pv, xs.size,
+        (a, b) => Integer.valueOf(a.intValue + b.intValue))
+    }
+    import scala.jdk.CollectionConverters._
+    val pressured = autoCompactPressure.entrySet.asScala
+      .filter(_.getValue >= minNumFiles).map(_.getKey).toSeq
+    if (pressured.isEmpty) return
+    val partCols = snap.metadata.partitionColumns
+    // The OPTIMIZE predicate evaluates without the analyzer's implicit
+    // casts, so literals must carry the partition column's exact type.
+    val typeOf = snap.metadata.schema.map(f => f.name -> f.dataType.sql).toMap
+    val predicate: Option[String] =
+      if (partCols.isEmpty) None
+      else Some(pressured.map(pv => partCols.map { c =>
+        pv.get(c) match {
+          case Some(v) if v != null =>
+            s"`$c` = CAST('${v.replace("'", "''")}' AS ${typeOf.getOrElse(c, "STRING")})"
+          case _ => s"`$c` IS NULL"
+        }
+      }.mkString("(", " AND ", ")")).mkString(" OR "))
+    inAutoCompact.set(true)
+    try {
+      graft.commands.OptimizeCommand.compact(
+        new graft.GraftTable(spark, this), predicate)
+      pressured.foreach(autoCompactPressure.remove)
+    } finally inAutoCompact.set(false)
   }
 
   def checkpointInterval: Int =

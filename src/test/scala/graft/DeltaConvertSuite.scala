@@ -237,6 +237,120 @@ class DeltaConvertSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir2).count() === 4)
   }
 
+  /** Protocol-shaped action schema for hand-authored checkpoint parquet
+    * (PROTOCOL.md checkpoint schema, projected). */
+  private val actionDdl =
+    """add STRUCT<path: STRING, partitionValues: MAP<STRING,STRING>, size: BIGINT,
+         modificationTime: BIGINT, dataChange: BOOLEAN, stats: STRING>,
+       remove STRUCT<path: STRING, deletionTimestamp: BIGINT, dataChange: BOOLEAN>,
+       metaData STRUCT<id: STRING, format: STRUCT<provider: STRING,
+         options: MAP<STRING,STRING>>, schemaString: STRING,
+         partitionColumns: ARRAY<STRING>, configuration: MAP<STRING,STRING>,
+         createdTime: BIGINT>,
+       protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT,
+         readerFeatures: ARRAY<STRING>, writerFeatures: ARRAY<STRING>>,
+       checkpointMetadata STRUCT<version: BIGINT>,
+       sidecar STRUCT<path: STRING, sizeInBytes: BIGINT, modificationTime: BIGINT>"""
+
+  /** Write action JSON `lines` as ONE parquet file at _delta_log/name
+    * (name may contain a subdirectory, e.g. _sidecars/...). */
+  private def writeActionParquet(tableDir: String, name: String,
+      lines: Seq[String]): Long = {
+    val schema = DataType.fromDDL(actionDdl).asInstanceOf[StructType]
+    val t = JFiles.createTempDirectory("dcnv-cp").toString
+    spark.read.schema(schema).json(lines.toDS)
+      .coalesce(1).write.mode("overwrite").parquet(t)
+    val part = new java.io.File(t).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dest = Paths.get(tableDir, "_delta_log", name)
+    JFiles.createDirectories(dest.getParent)
+    JFiles.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+    JFiles.size(dest)
+  }
+
+  test("uuid-named v2 checkpoint with sidecars converts past truncated history") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 6).toDF("id"), dir, "a.parquet")
+    val s2 = writeFile(spark.range(6, 10).toDF("id"), dir, "b.parquet")
+    val s3 = writeFile(spark.range(10, 13).toDF("id"), dir, "c.parquet")
+    val scSize = writeActionParquet(dir, "_sidecars/sc-001.parquet",
+      Seq(addLine("a.parquet", s1), addLine("b.parquet", s2)))
+    writeActionParquet(dir,
+      "00000000000000000001.checkpoint.80a083e8-7026-4e79-81be-64bd76c43a11.parquet",
+      Seq(protoLine(3, 7), metaLine(schema),
+        """{"checkpointMetadata":{"version":1}}""",
+        s"""{"sidecar":{"path":"sc-001.parquet","sizeInBytes":$scSize,"modificationTime":1}}"""))
+    JFiles.writeString(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":1,"size":4}""")
+    // history CLEANED past version 1: only the tail commit exists
+    writeLog(dir, 2, Seq(addLine("c.parquet", s3)))
+    Graft.convertFromDelta(spark, dir)
+    assert(Graft.read(spark, dir).orderBy("id").as[Long].collect().toSeq ===
+      (0L until 13L))
+  }
+
+  test("classic-NAMED v2 checkpoint (sidecar layout) reads its sidecars") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 8).toDF("id"), dir, "x.parquet")
+    val s2 = writeFile(spark.range(8, 11).toDF("id"), dir, "y.parquet")
+    // the spec allows a v2 checkpoint under the CLASSIC name: manifest
+    // carries protocol+metaData+pointers, file actions live in sidecars
+    val scSize = writeActionParquet(dir, "_sidecars/sc-x.parquet",
+      Seq(addLine("x.parquet", s1)))
+    writeActionParquet(dir, "00000000000000000001.checkpoint.parquet",
+      Seq(protoLine(3, 7), metaLine(schema),
+        """{"checkpointMetadata":{"version":1}}""",
+        s"""{"sidecar":{"path":"sc-x.parquet","sizeInBytes":$scSize,"modificationTime":1}}"""))
+    JFiles.writeString(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":1,"size":3}""")
+    writeLog(dir, 2, Seq(addLine("y.parquet", s2)))
+    Graft.convertFromDelta(spark, dir)
+    // the sidecar-held base file must NOT be silently dropped
+    assert(Graft.read(spark, dir).orderBy("id").as[Long].collect().toSeq ===
+      (0L until 11L))
+  }
+
+  test("stale _last_checkpoint: newest complete checkpoint found by listing") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 5).toDF("id"), dir, "l1.parquet")
+    writeActionParquet(dir, "00000000000000000001.checkpoint.parquet",
+      Seq(protoLine(), metaLine(schema), addLine("l1.parquet", s1)))
+    // pointer names version 9, which has no checkpoint and no JSON either
+    JFiles.writeString(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":9,"size":3}""")
+    Graft.convertFromDelta(spark, dir)
+    assert(Graft.read(spark, dir).count() === 5)
+  }
+
+  test("DV-rewriting commit keeps the live file regardless of line order") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 20).toDF("id"), dir, "d1.parquet")
+    val bm = new graft.dv.Bitmap64()
+    Seq(3L, 4L, 7L).foreach(bm.add)
+    val data = graft.dv.Bitmap64.toDeltaPortable(bm)
+    val inline = graft.dv.DeltaDvCodec.z85Encode(data)
+    writeLog(dir, 0, Seq(protoLine(3, 7), metaLine(schema),
+      addLine("d1.parquet", s1)))
+    // the replay key is (path, dv uniqueId): the add carries the new DV,
+    // the remove supersedes only the DV-less version — and the add line
+    // legally comes FIRST
+    writeLog(dir, 1, Seq(
+      s"""{"add":{"path":"d1.parquet","partitionValues":{},"size":$s1,""" +
+        s""""modificationTime":1,"dataChange":true,"deletionVector":""" +
+        s"""{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":${data.length},"cardinality":3}}}""",
+      """{"remove":{"path":"d1.parquet","deletionTimestamp":1700000001000,"dataChange":true}}"""))
+    val t = Graft.convertFromDelta(spark, dir)
+    assert(t.snapshot.numFiles === 1)
+    assert(t.snapshot.allFiles.head.dvPath.isDefined,
+      "the DV-bearing live version was dropped by the fold")
+    assert(Graft.read(spark, dir).orderBy("id").as[Long].collect().toSeq ===
+      (0L until 20L).filterNot(Seq(3L, 4L, 7L).contains))
+  }
+
   test("v2/UUID checkpoint falls back to full JSON replay") {
     val dir = tmpDir()
     val schema = new StructType().add("id", LongType)

@@ -433,6 +433,30 @@ class FeatureSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).count() === 60)
   }
 
+  test("auto compact targets only the pressured partition") {
+    val dir = tmpDir()
+    // seed both partitions, then churn ONLY p=0
+    Graft.write(spark.range(20).selectExpr("id", "id % 2 AS p").repartition(1),
+      dir, partitionBy = Seq("p"), configuration = Map(
+        "graft.autoCompact" -> "true",
+        "graft.autoCompact.minNumFiles" -> "6"))
+    (0 until 6).foreach { i =>
+      Graft.write(spark.range(100 + i * 5L, 105 + i * 5L)
+        .selectExpr("id", "CAST(0 AS BIGINT) AS p").repartition(1), dir)
+    }
+    val t = GraftTable.forPath(spark, dir)
+    val ops = t.history().collect()
+    val opt = ops.find(_.getAs[String]("operation") == "OPTIMIZE")
+    assert(opt.isDefined, "auto compact never fired")
+    val byPart = t.snapshot.allFiles.groupBy(_.partitionValues("p"))
+    // the churned partition compacted; the cold one kept its single file
+    assert(byPart("0").size <= 2,
+      s"hot partition not compacted: ${byPart("0").size} files")
+    assert(byPart("1").size === 1,
+      s"cold partition was rewritten: ${byPart("1").map(_.path)}")
+    assert(Graft.read(spark, dir).count() === 50)
+  }
+
   test("manifest generation lists all live files") {
     val dir = tmpDir()
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

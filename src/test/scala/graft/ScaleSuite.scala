@@ -162,6 +162,13 @@ class ScaleSuite extends AnyFunSuite {
     val cpSecs = (System.nanoTime() - t3) / 1e9
     assert(log2.lastCheckpointMode === "distributed",
       "1M-file checkpoint used the driver-Seq write path")
+    // classic checkpoints of large states write MULTI-PART (one parquet
+    // part per ~100k actions, in parallel) — a single-file write would be
+    // a straggler at 10M+ actions
+    val cpDir2 = new java.io.File(s"$dir/_graft_log",
+      f"${2L}%020d.checkpoint.parquet")
+    assert(cpDir2.listFiles().count(_.getName.endsWith(".parquet")) > 1,
+      "1M-action classic checkpoint was written as a single part")
     info(f"1M-file distributed checkpoint write: $cpSecs%.1f s")
     assertPerf(cpSecs < 120.0, f"checkpoint write too slow: $cpSecs%.1f s")
     GraftLog.clearCache()
@@ -215,6 +222,62 @@ class ScaleSuite extends AnyFunSuite {
       "stream start materialized the 150k-file map on the driver")
     source.stop()
     spark.conf.unset(Snapshot.DRIVER_FOLD_THRESHOLD_CONF)
+  }
+
+  test("1M-file delta table converts distributed; first graft load is lazy") {
+    import org.apache.spark.sql.functions.{concat, lit => flit}
+    val dir = Files.createTempDirectory("graft-cnvscale").toString
+    val deltaLog = new java.io.File(dir, "_delta_log")
+    deltaLog.mkdirs()
+    // fabricate a delta table whose classic checkpoint holds 1M adds
+    val n = 1000000
+    import spark.implicits._
+    val schemaJson = com.fasterxml.jackson.databind.json.JsonMapper.builder.build
+      .writeValueAsString(new StructType().add("id", LongType).json)
+    val header = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"11111111-2222-3333-4444-555555555555","format":""" +
+        s"""{"provider":"parquet","options":{}},"schemaString":$schemaJson,""" +
+        """"partitionColumns":[],"configuration":{},"createdTime":1700000000000}}""")
+    val addLines = spark.range(n).select(concat(
+      flit("""{"add":{"path":"part-"""), $"id",
+      flit(""".parquet","partitionValues":{},"size":100,"modificationTime":0,""" +
+        """"dataChange":true}}""")).as("line")).as[String]
+    val actionSchema = org.apache.spark.sql.types.DataType.fromDDL(
+      """add STRUCT<path: STRING, partitionValues: MAP<STRING,STRING>,
+           size: BIGINT, modificationTime: BIGINT, dataChange: BOOLEAN>,
+         metaData STRUCT<id: STRING, format: STRUCT<provider: STRING,
+           options: MAP<STRING,STRING>>, schemaString: STRING,
+           partitionColumns: ARRAY<STRING>, configuration: MAP<STRING,STRING>,
+           createdTime: BIGINT>,
+         protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT>"""
+    ).asInstanceOf[StructType]
+    val scratch = Files.createTempDirectory("graft-cnvcp").toString
+    spark.read.schema(actionSchema).json(header.toDS.union(addLines))
+      .coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = new java.io.File(scratch).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(deltaLog, f"${1L}%020d.checkpoint.parquet").toPath)
+    java.nio.file.Files.writeString(
+      new java.io.File(deltaLog, "_last_checkpoint").toPath,
+      s"""{"version":1,"size":${n + 2}}""")
+
+    val t0 = System.nanoTime()
+    val t = Graft.convertFromDelta(spark, dir)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"1M-file distributed convert: $secs%.1f s")
+    assert(t.snapshot.numFiles === n)
+    // the fold, the graft commit, and the graft checkpoint all ran
+    // distributed: the first snapshot is lazy checkpoint-backed
+    assert(!t.snapshot.materialized,
+      "converting a 1M-file delta table materialized the file map")
+    val cpDir = new java.io.File(s"$dir/_graft_log",
+      f"${0L}%020d.checkpoint.parquet")
+    assert(cpDir.isDirectory &&
+      cpDir.listFiles().count(_.getName.endsWith(".parquet")) > 1,
+      "graft checkpoint 0 was not written multi-part")
+    assertPerf(secs < 180.0, f"convert too slow: $secs%.1f s")
   }
 
   test("mirror bootstrap on a 150k-file lazy snapshot stays off the driver") {
