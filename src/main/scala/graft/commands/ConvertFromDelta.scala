@@ -202,8 +202,14 @@ object ConvertFromDeltaCommand {
     // ---- fold venue -----------------------------------------------------
     val threshold = spark.conf.getOption(DRIVER_CONVERT_THRESHOLD_CONF)
       .map(_.toLong).getOrElse(DRIVER_CONVERT_THRESHOLD_DEFAULT)
+    // The pointer's size hint is only trusted when it describes the
+    // checkpoint discovery actually picked — a stale pointer must not
+    // steer a 5M-action fold through the driver.
     val cpActionCount: Long = fileActionsDF.map { fdf =>
-      lastCp.map(_.path("size").asLong(-1)).filter(_ > 0).getOrElse(fdf.count())
+      cpSpec.flatMap(c =>
+        lastCp.filter(_.path("version").asLong(-1) == c.version)
+          .map(_.path("size").asLong(-1)).filter(_ > 0))
+        .getOrElse(fdf.count())
     }.getOrElse(0L)
     val distributed = cpActionCount > threshold
 
@@ -394,9 +400,9 @@ object ConvertFromDeltaCommand {
     // One distributed pass for every aggregate gate.
     val aggRow = survivors.agg(
       count(lit(1)), count(col("baseRowId")),
-      sum(when(col("deletionVector").isNotNull &&
+      coalesce(sum(when(col("deletionVector").isNotNull &&
         coalesce(col("deletionVector.cardinality"), lit(0L)) > 0, 1L)
-        .otherwise(0L)),
+        .otherwise(0L)), lit(0L)),
       coalesce(sum(col("size")), lit(0L))).head
     val n = aggRow.getLong(0)
     val allTracked = n > 0 && aggRow.getLong(1) == n
@@ -416,7 +422,6 @@ object ConvertFromDeltaCommand {
     val finalMeta = translated.copy(
       configuration = translated.configuration ++ dvExtra ++ rtConf)
     val txnActions = state.txns.map { case (app, v) => SetTransaction(app, v) }.toSeq
-    val domainsMap = state.domains.toMap
 
     // Executor-side conversion: URI decode, DV re-encode (deterministic
     // sidecar names — recomputation and retries are idempotent), row-id

@@ -94,11 +94,25 @@ object TransactionalWrite {
     val prevTs = spark.conf.getOption(tsKey)
     spark.conf.set(tsKey, "TIMESTAMP_MICROS")
     // Size-target the rebalance: AQE coalesces/splits shuffle blocks to
-    // the advisory size, which here is the write's bin size.
+    // the advisory size, which here is the write's bin size. The
+    // override is session-wide during this execution, so it is applied
+    // ONLY to plans whose sole exchange is the rebalance itself — a DML
+    // rewrite's join/aggregate shuffles keep AQE's default sizing (a
+    // 512 MB advisory would re-scale them too: fewer, fatter reduce
+    // partitions, lost parallelism, executor memory pressure).
     val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     val rebalanced = df ne data
+    val simplePlan = !data.queryExecution.analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Window => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Distinct => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
+      case _ => false
+    }
+    val sizeTargeted = rebalanced && simplePlan
     val prevAdvisory = spark.conf.getOption(advisoryKey)
-    if (rebalanced) spark.conf.set(advisoryKey,
+    if (sizeTargeted) spark.conf.set(advisoryKey,
       spark.conf.getOption(BIN_SIZE_CONF).map(_.toLong)
         .getOrElse(BIN_SIZE_DEFAULT).toString)
     try {
@@ -118,7 +132,7 @@ object TransactionalWrite {
         case Some(v) => spark.conf.set(tsKey, v)
         case None => spark.conf.unset(tsKey)
       }
-      if (rebalanced) prevAdvisory match {
+      if (sizeTargeted) prevAdvisory match {
         case Some(v) => spark.conf.set(advisoryKey, v)
         case None => spark.conf.unset(advisoryKey)
       }

@@ -149,26 +149,16 @@ class GraftLog private (
     * windowed search — re-designed as a direct bisection over the cached
     * per-commit timestamp). */
   def getVersionAtTime(tsMillis: Long): Long = {
-    val raw = store.list(logPath).flatMap { s =>
-      FileNames.deltaVersion(s.getPath.getName).map(v => (v, s))
-    }.sortBy(_._1)
+    val raw = listedCommits()
     require(raw.nonEmpty, s"No commits in $logPath")
     if (raw.size <= TS_BINARY_SEARCH_MIN) {
-      val commits = listCommitTimestamps()
+      val commits = commitTimestamps(raw)
       val eligible = commits.filter(_._2 <= tsMillis)
       require(eligible.nonEmpty,
         s"No commit at or before timestamp $tsMillis (earliest: ${commits.headOption})")
       eligible.map(_._1).max
     } else {
-      def tsAt(i: Int): Long = {
-        val (v, status) = raw(i)
-        commitTsCache.computeIfAbsent(v, { _ =>
-          val t: Long = Actions.deserialize(store.read(status.getPath))
-            .collectFirst { case ci: CommitInfo if ci.timestamp > 0 => ci.timestamp }
-            .getOrElse(status.getModificationTime)
-          java.lang.Long.valueOf(t)
-        }).longValue()
-      }
+      def tsAt(i: Int): Long = rawCommitTs(raw(i)._1, raw(i)._2)
       require(tsAt(0) <= tsMillis,
         s"No commit at or before timestamp $tsMillis " +
           s"(earliest: ${(raw.head._1, tsAt(0))})")
@@ -178,7 +168,24 @@ class GraftLog private (
         val mid = (lo + hi + 1) >>> 1
         if (tsAt(mid) <= tsMillis) lo = mid else hi = mid - 1
       }
-      raw(lo)._1
+      // Clock-skew guard: the bisection assumed non-decreasing commit
+      // timestamps, but a skewed writer can plant ts(u) > tsMillis at
+      // some u < lo — under the monotonic clamp that makes every later
+      // commit ineligible too. Verify a bounded backward window and move
+      // the answer before the earliest violator found. Exact whenever
+      // skew spans fewer than the window's commits; the same fidelity
+      // the reference's non-ICT (mtime-ordered) resolution offers.
+      val floor = math.max(0, lo - 32)
+      var firstViolation = -1
+      var i = floor
+      while (i < lo && firstViolation < 0) {
+        if (tsAt(i) > tsMillis) firstViolation = i
+        i += 1
+      }
+      val ans = if (firstViolation >= 0) firstViolation - 1 else lo
+      require(ans >= 0,
+        s"No commit at or before timestamp $tsMillis (clock skew at log start)")
+      raw(ans)._1
     }
   }
 
@@ -197,19 +204,27 @@ class GraftLog private (
     * backup-restore), adjusted to be monotonically non-decreasing, with
     * mtime as the fallback for commits lacking CommitInfo.
     * (Reference concept: the inCommitTimestamp feature.) */
-  def listCommitTimestamps(): Seq[(Long, Long)] = {
-    val raw = store.list(logPath).flatMap { s =>
+  def listCommitTimestamps(): Seq[(Long, Long)] =
+    commitTimestamps(listedCommits())
+
+  private def listedCommits(): Seq[(Long, org.apache.hadoop.fs.FileStatus)] =
+    store.list(logPath).flatMap { s =>
       FileNames.deltaVersion(s.getPath.getName).map(v => (v, s))
     }.sortBy(_._1)
+
+  private def rawCommitTs(v: Long, status: org.apache.hadoop.fs.FileStatus): Long =
+    commitTsCache.computeIfAbsent(v, { _ =>
+      val t: Long = Actions.deserialize(store.read(status.getPath))
+        .collectFirst { case ci: CommitInfo if ci.timestamp > 0 => ci.timestamp }
+        .getOrElse(status.getModificationTime)
+      java.lang.Long.valueOf(t)
+    }).longValue()
+
+  private def commitTimestamps(
+      raw: Seq[(Long, org.apache.hadoop.fs.FileStatus)]): Seq[(Long, Long)] = {
     var last = 0L
     raw.map { case (v, status) =>
-      val ts: Long = commitTsCache.computeIfAbsent(v, { _ =>
-        val t: Long = Actions.deserialize(store.read(status.getPath))
-          .collectFirst { case ci: CommitInfo if ci.timestamp > 0 => ci.timestamp }
-          .getOrElse(status.getModificationTime)
-        java.lang.Long.valueOf(t)
-      }).longValue()
-      last = math.max(last, ts)
+      last = math.max(last, rawCommitTs(v, status))
       (v, last)
     }
   }
@@ -365,14 +380,17 @@ class GraftLog private (
     val pressured = autoCompactPressure.entrySet.asScala
       .filter(_.getValue >= minNumFiles).map(_.getKey).toSeq
     if (pressured.isEmpty) return
+    // AddFile.partitionValues is keyed by PHYSICAL column names (column
+    // mapping); the OPTIMIZE predicate speaks LOGICAL names and is
+    // evaluated without the analyzer's implicit casts, so literals must
+    // carry the partition column's exact type.
     val partCols = snap.metadata.partitionColumns
-    // The OPTIMIZE predicate evaluates without the analyzer's implicit
-    // casts, so literals must carry the partition column's exact type.
+    val physCols = graft.schema.ColumnMapping.physicalPartitionColumns(snap.metadata)
     val typeOf = snap.metadata.schema.map(f => f.name -> f.dataType.sql).toMap
     val predicate: Option[String] =
       if (partCols.isEmpty) None
-      else Some(pressured.map(pv => partCols.map { c =>
-        pv.get(c) match {
+      else Some(pressured.map(pv => partCols.zip(physCols).map { case (c, phys) =>
+        pv.get(phys) match {
           case Some(v) if v != null =>
             s"`$c` = CAST('${v.replace("'", "''")}' AS ${typeOf.getOrElse(c, "STRING")})"
           case _ => s"`$c` IS NULL"

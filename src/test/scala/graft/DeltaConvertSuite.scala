@@ -325,6 +325,25 @@ class DeltaConvertSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).count() === 5)
   }
 
+  test("distributed convert of a fully-emptied table yields an empty graft table") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    // checkpoint state = one tombstone, zero live adds
+    writeActionParquet(dir, "00000000000000000001.checkpoint.parquet",
+      Seq(protoLine(), metaLine(schema),
+        """{"remove":{"path":"gone.parquet","deletionTimestamp":1700000001000,"dataChange":true}}"""))
+    JFiles.writeString(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":1,"size":3}""")
+    spark.conf.set(
+      graft.commands.ConvertFromDeltaCommand.DRIVER_CONVERT_THRESHOLD_CONF, "1")
+    try {
+      val t = Graft.convertFromDelta(spark, dir)
+      assert(t.snapshot.numFiles === 0)
+      assert(Graft.read(spark, dir).count() === 0)
+    } finally spark.conf.unset(
+      graft.commands.ConvertFromDeltaCommand.DRIVER_CONVERT_THRESHOLD_CONF)
+  }
+
   test("DV-rewriting commit keeps the live file regardless of line order") {
     val dir = tmpDir()
     val schema = new StructType().add("id", LongType)

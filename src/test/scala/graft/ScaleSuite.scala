@@ -338,11 +338,38 @@ class ScaleSuite extends AnyFunSuite {
           CommitInfo(timestamp = 1000L * (v + 1), operation = "NOOP"))))
     }
     assert(log.getVersionAtTime(1000L * 301 + 5) === 300L)
-    assert(log.commitTsReads <= 24,
-      s"timestamp search read ${log.commitTsReads} commit files (expected ~log2(512))")
+    // bisection (~log2 512) + the bounded clock-skew verify window (32)
+    assert(log.commitTsReads <= 56,
+      s"timestamp search read ${log.commitTsReads} commit files " +
+        "(expected ~log2(512) + skew window)")
     assert(log.getVersionAtTime(1000L * 512) === 511L)
     assert(log.getVersionAtTime(1000L) === 0L)
     intercept[IllegalArgumentException] { log.getVersionAtTime(10L) }
+  }
+
+  test("timestamp bisection stays exact under bounded writer clock skew") {
+    val dir = Files.createTempDirectory("graft-tsskew").toString
+    val log = GraftLog.forTable(spark, dir)
+    val schemaJson = new StructType().add("id", LongType).json
+    log.store.write(FileNames.deltaFile(log.logPath, 0L),
+      Actions.serialize(Seq(Protocol(), Metadata(schemaString = schemaJson),
+        CommitInfo(timestamp = 1000L, operation = "CREATE"))))
+    (1 to 255).foreach { v =>
+      // a skewed writer plants a FUTURE timestamp at v=200; under the
+      // monotonic clamp every later commit inherits it
+      val ts = if (v == 200) 1000L * 1000 else 1000L * (v + 1)
+      log.store.write(FileNames.deltaFile(log.logPath, v.toLong),
+        Actions.serialize(Seq(CommitInfo(timestamp = ts, operation = "NOOP"))))
+    }
+    // ts=220500 naively bisects past the violator; the clamped answer is
+    // the last commit BEFORE the skewed one
+    assert(log.getVersionAtTime(1000L * 220 + 500) === 199L)
+    GraftLog.clearCache()
+    // and matches the exhaustive small-log path exactly
+    val small = GraftLog.forTable(spark, dir)
+    val probe = 1000L * 220 + 500
+    val viaList = small.listCommitTimestamps().filter(_._2 <= probe).map(_._1).max
+    assert(viaList === 199L)
   }
 
   test("driver and distributed checkpoint writes produce identical state") {
