@@ -135,6 +135,34 @@ object ConvertFromDeltaCommand {
         sidecar STRUCT<path: STRING, sizeInBytes: BIGINT, modificationTime: BIGINT>"""
   ).asInstanceOf[StructType]
 
+  /** Checkpoint schema for `add.stats_parsed` (PROTOCOL.md:2195 —
+    * `delta.checkpoint.writeStatsAsStruct`): min/max mirror the
+    * stat-able leaves of the data schema, nullCount long-ifies them.
+    * None when the schema has no stat-able column. */
+  private[commands] def statsParsedSchema(dataSchema: StructType): Option[StructType] = {
+    import org.apache.spark.sql.types._
+    def statable(dt: DataType): Option[DataType] = dt match {
+      case s: StructType =>
+        val kept = s.fields.flatMap(f =>
+          statable(f.dataType).map(d => f.copy(dataType = d, nullable = true)))
+        if (kept.isEmpty) None else Some(StructType(kept))
+      case _: ArrayType | _: MapType | _: BinaryType | _: VariantType => None
+      case other => Some(other)
+    }
+    def longify(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = longify(f.dataType))))
+      case _ => LongType
+    }
+    statable(dataSchema).collect { case s: StructType =>
+      StructType(Seq(
+        StructField("numRecords", LongType),
+        StructField("minValues", s),
+        StructField("maxValues", s),
+        StructField("nullCount", longify(s).asInstanceOf[StructType])))
+    }
+  }
+
   // ---- fold state -----------------------------------------------------
 
   /** One live file candidate in the driver fold, keyed by
@@ -174,19 +202,42 @@ object ConvertFromDeltaCommand {
     // Manifest read: non-file actions always fold on the driver (a
     // handful of rows); sidecar pointers say where the file actions live.
     val fileActionsDF: Option[DataFrame] = cpSpec.map { cp =>
-      val mdf =
-        if (cp.isJson) spark.read.schema(actionReadSchema).json(cp.files: _*)
-        else spark.read.schema(actionReadSchema).parquet(cp.files: _*)
+      def read(paths: Seq[String], schema: StructType): DataFrame =
+        if (cp.isJson) spark.read.schema(schema).json(paths: _*)
+        else spark.read.schema(schema).parquet(paths: _*)
+      val mdf = read(cp.files, actionReadSchema)
       mdf.where(col("add").isNull && col("remove").isNull)
         .toJSON.collect()
         .foreach(line => applyMetaAction(mapper.readTree(line), state))
       val sidecars = mdf.where(col("sidecar.path").isNotNull)
         .select(col("sidecar.path")).collect().map(_.getString(0))
-      val fdf =
-        if (sidecars.isEmpty) mdf
-        else spark.read.schema(actionReadSchema).parquet(
-          sidecars.map(n => new Path(new Path(deltaLog, "_sidecars"), n).toString)
-            .toIndexedSeq: _*)
+      val srcPaths =
+        if (sidecars.isEmpty) cp.files
+        else sidecars.map(n =>
+          new Path(new Path(deltaLog, "_sidecars"), n).toString).toIndexedSeq
+      // `delta.checkpoint.writeStatsAsJson=false` checkpoints carry stats
+      // ONLY as the typed `add.stats_parsed` struct — rebuild the JSON
+      // form so the imported files keep their skipping stats.
+      val extSchema = Option(state.metaNode)
+        .map(_.path("schemaString").asText(null)).filter(_ != null)
+        .flatMap(s => statsParsedSchema(
+          DataType.fromJson(s).asInstanceOf[StructType]))
+        .map { sp =>
+          StructType(actionReadSchema.map {
+            case f @ StructField("add", s: StructType, _, _) =>
+              f.copy(dataType = StructType(s.fields :+
+                StructField("stats_parsed", sp)))
+            case f => f
+          })
+        }
+      val fdf = extSchema match {
+        case Some(es) =>
+          read(srcPaths, es).withColumn("add", col("add")
+            .withField("stats", coalesce(col("add.stats"),
+              org.apache.spark.sql.functions.to_json(col("add.stats_parsed"))))
+            .dropFields("stats_parsed"))
+        case None => read(srcPaths, actionReadSchema)
+      }
       fdf.where(col("add").isNotNull || col("remove").isNotNull)
     }
     val cpVersionUsed = cpSpec.map(_.version)

@@ -52,7 +52,7 @@ object DeltaMirror {
     }
     val deltaLog = new Path(log.dataPath, "_delta_log")
     val conf = log.spark.sessionState.newHadoopConf()
-    def addJsonDv(a: AddFile): String = addJson(a, dvDescriptor(log, conf, a))
+    def addJsonDv(a: AddFile): String = addJson(a, dvDescriptor(log.dataPath, conf, a))
     def translate(graftVersion: Long, acts: Seq[Action]): Seq[String] =
       acts.flatMap {
         case a: AddFile => Some(addJsonDv(a))
@@ -126,9 +126,7 @@ object DeltaMirror {
       snap: Snapshot, mirrorVersion: Long): Unit = {
     if (mirrorVersion <= 0 || mirrorVersion % 10 != 0) return
     val session = log.spark
-    import org.apache.spark.sql.functions.col
     import session.implicits._
-    if (!snap.allFilesDS.where(col("dvPath").isNotNull).isEmpty) return
     val cpPath = new Path(deltaLog, f"$mirrorVersion%020d.checkpoint.parquet")
     if (log.store.exists(cpPath)) return
     val retentionMs = (snap.metadata.configuration
@@ -138,8 +136,17 @@ object DeltaMirror {
     val header = Seq(protocolJson(snap.metadata), metaDataJson(snap.metadata)) ++
       snap.setTransactions.map { case (app, v) =>
         s"""{"txn":{"appId":${q(app)},"version":$v}}""" }
-    val addLines = snap.allFilesDS
-      .map(a => addJson(a, None, checkpointRow = true))
+    // DV-bearing adds re-derive their spec-format descriptor on the
+    // executors — idempotent, so the files the commit hooks already
+    // exported are reused, never duplicated.
+    val confBc = session.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        session.sessionState.newHadoopConf()))
+    val rootStr = log.dataPath.toString
+    val addLines = snap.allFilesDS.map { a =>
+      addJson(a, dvDescriptor(new Path(rootStr), confBc.value.value, a),
+        checkpointRow = true)
+    }
     val tombs = snap.tombstonesDS
       .filter((r: graft.log.RemoveFile) => r.deletionTimestamp.forall(_ >= tombCutoff))
     val tombCount = tombs.count()
@@ -155,7 +162,9 @@ object DeltaMirror {
          txn STRUCT<appId: STRING, version: BIGINT>,
          add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>,
            size: BIGINT, modificationTime: BIGINT, dataChange: BOOLEAN,
-           stats: STRING>,
+           stats: STRING, deletionVector: STRUCT<storageType: STRING,
+             pathOrInlineDv: STRING, offset: INT, sizeInBytes: INT,
+             cardinality: BIGINT>>,
          remove STRUCT<path: STRING, deletionTimestamp: BIGINT,
            dataChange: BOOLEAN>""").asInstanceOf[org.apache.spark.sql.types.StructType]
     // Delta checkpoints are single parquet FILES, not directories — write
@@ -255,17 +264,17 @@ object DeltaMirror {
   }
 
   /** graft `_dv/` sidecar -> spec-format Delta DV file + descriptor JSON
-    * fragment (storageType 'u': uuid-named file in the table root). */
-  private def dvDescriptor(log: GraftLog,
+    * fragment (storageType 'u': uuid-named file in the table root).
+    * Static in (root, conf) so checkpoint assembly can run it on the
+    * executors; the export is idempotent (deterministic uuid from the
+    * graft sidecar path, skip-if-exists), so racing hooks, backfills and
+    * recomputed partitions all regenerate the SAME delta DV file. */
+  private def dvDescriptor(root: Path,
       conf: org.apache.hadoop.conf.Configuration, a: AddFile): Option[String] =
     a.dvPath.map { rel =>
-      val bm = graft.dv.DeletionVectors.readBitmap(
-        new Path(log.dataPath, rel), conf)
-      // UUID derived from the graft sidecar path: racing hooks and
-      // backfills regenerate the SAME delta DV file instead of leaking a
-      // fresh orphan per translation.
+      val bm = graft.dv.DeletionVectors.readBitmap(new Path(root, rel), conf)
       val (pathOrInline, offset, size) =
-        graft.dv.DeltaDvCodec.writeFile(log.dataPath, conf, bm,
+        graft.dv.DeltaDvCodec.writeFile(root, conf, bm,
           java.util.UUID.nameUUIDFromBytes(rel.getBytes("UTF-8")))
       s""""deletionVector":{"storageType":"u","pathOrInlineDv":${q(pathOrInline)},""" +
         s""""offset":$offset,"sizeInBytes":$size,"cardinality":${bm.cardinality}}"""

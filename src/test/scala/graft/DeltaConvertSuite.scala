@@ -325,6 +325,53 @@ class DeltaConvertSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).count() === 5)
   }
 
+  test("writeStatsAsJson=false checkpoint: stats_parsed struct rebuilds JSON stats") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 10).toDF("id"), dir, "sp1.parquet")
+    val s2 = writeFile(spark.range(100, 110).toDF("id"), dir, "sp2.parquet")
+    // checkpoint carries ONLY the typed stats struct, no stats JSON
+    val ddl =
+      """add STRUCT<path: STRING, partitionValues: MAP<STRING,STRING>, size: BIGINT,
+           modificationTime: BIGINT, dataChange: BOOLEAN,
+           stats_parsed: STRUCT<numRecords: BIGINT, minValues: STRUCT<id: BIGINT>,
+             maxValues: STRUCT<id: BIGINT>, nullCount: STRUCT<id: BIGINT>>>,
+         metaData STRUCT<id: STRING, format: STRUCT<provider: STRING,
+           options: MAP<STRING,STRING>>, schemaString: STRING,
+           partitionColumns: ARRAY<STRING>, configuration: MAP<STRING,STRING>,
+           createdTime: BIGINT>,
+         protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT>"""
+    def spAdd(p: String, size: Long, lo: Long, hi: Long): String =
+      s"""{"add":{"path":"$p","partitionValues":{},"size":$size,""" +
+        s""""modificationTime":1,"dataChange":true,"stats_parsed":""" +
+        s"""{"numRecords":10,"minValues":{"id":$lo},"maxValues":{"id":$hi},"nullCount":{"id":0}}}}"""
+    val t0 = JFiles.createTempDirectory("dcnv-sp").toString
+    spark.read.schema(DataType.fromDDL(ddl).asInstanceOf[StructType])
+      .json(Seq(protoLine(), metaLine(schema),
+        spAdd("sp1.parquet", s1, 0, 9), spAdd("sp2.parquet", s2, 100, 109)).toDS)
+      .coalesce(1).write.mode("overwrite").parquet(t0)
+    val part = new java.io.File(t0).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dest = Paths.get(dir, "_delta_log", "00000000000000000001.checkpoint.parquet")
+    JFiles.createDirectories(dest.getParent)
+    JFiles.move(part.toPath, dest, StandardCopyOption.REPLACE_EXISTING)
+    JFiles.writeString(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":1,"size":4}""")
+    val t = Graft.convertFromDelta(spark, dir)
+    assert(t.snapshot.allFiles.forall(f =>
+      f.stats != null && f.stats.contains("numRecords")),
+      s"stats_parsed not rebuilt: ${t.snapshot.allFiles.map(_.stats)}")
+    // the rebuilt stats drive skipping immediately
+    val kept = graft.stats.StatsSkipping.pruneAndFilter(
+      spark, t.snapshot, None, new StructType(), Nil,
+      new StructType().add("id", LongType),
+      Seq(org.apache.spark.sql.catalyst.expressions.EqualTo(
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "id", LongType)(), org.apache.spark.sql.catalyst.expressions.Literal(105L))))
+    assert(kept.map(_.path) === Seq("sp2.parquet"))
+    assert(Graft.read(spark, dir).count() === 20)
+  }
+
   test("distributed convert of a fully-emptied table yields an empty graft table") {
     val dir = tmpDir()
     val schema = new StructType().add("id", LongType)

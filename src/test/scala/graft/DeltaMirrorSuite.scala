@@ -166,6 +166,33 @@ class DeltaMirrorSuite extends AnyFunSuite {
       (0L until 60L))
   }
 
+  test("DV-bearing mirrors checkpoint too; importer cold-loads with DVs applied") {
+    val dir = tmpDir()
+    Graft.write(spark.range(0, 40).toDF("id"), dir,
+      configuration = Map(graft.commands.DeltaMirror.PROP -> "delta",
+        "graft.enableDeletionVectors" -> "true"))
+    GraftTable.forPath(spark, dir).delete(col("id") < 10) // DV commit
+    (0 until 10).foreach(i =>
+      Graft.write(spark.range(100 + i * 5L, 105 + i * 5L).toDF("id"), dir))
+    val logDir = new java.io.File(s"$dir/_delta_log")
+    assert(logDir.listFiles().exists(_.getName.endsWith(".checkpoint.parquet")),
+      "DV-bearing state skipped the mirror checkpoint")
+    // the checkpoint's add rows carry spec-format DV descriptors
+    val cp = logDir.listFiles().find(_.getName.endsWith(".checkpoint.parquet")).get
+    assert(spark.read.parquet(cp.getPath)
+      .where(col("add.deletionVector.cardinality") > 0).count() > 0,
+      "checkpoint lost the DV descriptors")
+    // delta-style metadata cleanup: pre-checkpoint JSON commits removed —
+    // a Delta reader must reconstruct DV state from the checkpoint alone
+    logDir.listFiles().filter { f =>
+      graft.log.FileNames.deltaVersion(f.getName).exists(_ < 10)
+    }.foreach(_.delete())
+    val view = deltaViewOf(dir)
+    Graft.convertFromDelta(spark, view)
+    assert(Graft.read(spark, view).orderBy("id").as[Long].collect().toSeq ===
+      ((10L until 40L) ++ (100L until 150L)))
+  }
+
   test("VACUUM never eats the mirror log or its DV files") {
     val dir = tmpDir()
     Graft.write(spark.range(0, 40).toDF("id"), dir,
