@@ -1106,6 +1106,27 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    // Continuous-ingestion dedup: corpus -> persisted LSH index (two graft
+    // tables), then a NEW batch joins only against the index — planted
+    // exact duplicates (doc_id+100000) must flag dup, synthetic novel
+    // docs (doc_id+200000, disjoint shingles) must not. The batch also
+    // APPENDS to the index; time-travel pinning keeps the result computed
+    // against the pre-append state.
+    "dedup_incremental_index" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idx = tmp("mhidx")
+      Dedup.buildMinHashIndex(d, col("doc_id"), col("text"), idx)
+      val dup = d.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val novel = d.select((col("doc_id") + 200000).as("doc_id"),
+        concat(lit("zq"), col("doc_id"), lit("a zq"), col("doc_id"),
+          lit("b zq"), col("doc_id"), lit("c zq"), col("doc_id"),
+          lit("d zq"), col("doc_id"), lit("e")).as("text"))
+      Dedup.dedupAgainstIndex(dup.unionByName(novel),
+        col("doc_id"), col("text"), idx, updateIndex = true)
+        .select(col("id").as("doc_id"), col("is_dup"))
+        .orderBy("doc_id")
+    }),
+
     // Same planted-exact-duplicate scheme as dedup_minhash_lsh: identical
     // text -> identical fingerprint -> hamming 0 in every band.
     "dedup_simhash" -> ((s, dir) => {
@@ -2418,6 +2439,12 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       """SELECT doc_id AS idA, doc_id + 100000 AS idB FROM documents
          ORDER BY idA, idB""",
+
+    "dedup_incremental_index" ->
+      """SELECT doc_id + 100000 AS doc_id, TRUE AS is_dup FROM documents
+         UNION ALL
+         SELECT doc_id + 200000 AS doc_id, FALSE AS is_dup FROM documents
+         ORDER BY doc_id""",
 
     "dedup_simhash" ->
       """SELECT doc_id AS idA, doc_id + 100000 AS idB, CAST(0 AS INT) AS hamming

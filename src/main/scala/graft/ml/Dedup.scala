@@ -187,6 +187,104 @@ object Dedup {
     * [[minHashPairs]] but nothing heavier than (id, band, bucket) ever
     * enters the bucket shuffle — the shape to use when a downstream
     * exact verification makes the signature estimate redundant. */
+  // ---- incremental dedup against a persisted index ---------------------
+
+  /** LSH band buckets derived from a signature-ARRAY frame (id, sig). */
+  private def bucketsOf(sigArr: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bucketCols = (0 until bands).map { bId =>
+      xxhash64(lit(bId) +:
+        (0 until rows).map(r => element_at(col("sig"), bId * rows + r + 1)): _*)
+    }
+    sigArr.select(col("id"), posexplode(array(bucketCols: _*)))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+  }
+
+  private def sigArray(df: DataFrame, id: Column, text: Column,
+      numHashes: Int, shingleSize: Int): DataFrame =
+    minHashSignatures(df, id, text, numHashes, shingleSize)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
+
+  /**
+   * Build (overwrite) a persisted MinHash-LSH index over `df` at
+   * `indexPath`: two graft tables — `buckets` (band, bucket, id; one row
+   * per document band) and `sigs` (id, sig) — that later batches dedup
+   * AGAINST without ever touching the corpus text again. The
+   * continuous-ingestion shape at 100 TB: per-batch cost scales with the
+   * batch (its signatures + one join against the bucket table), never
+   * with corpus size, and the index grows by appends.
+   */
+  def buildMinHashIndex(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      indexPath: String,
+      numHashes: Int = 64,
+      bands: Int = 8,
+      shingleSize: Int = 4): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = sigArray(df, id, text, numHashes, shingleSize)
+    graft.Graft.write(sigs, s"$indexPath/sigs", mode = "overwrite")
+    graft.Graft.write(bucketsOf(sigs, numHashes, bands),
+      s"$indexPath/buckets", mode = "overwrite", partitionBy = Seq("band"))
+  }
+
+  /**
+   * Dedup a NEW batch against the persisted index: banded bucket join
+   * picks candidates, signature agreement verifies them (same
+   * band/verify parameters the index was built with). Returns
+   * (id, is_dup) for every batch document.
+   *
+   * With `updateIndex=true` the batch's signatures and buckets are
+   * APPENDED to the index — and the returned frame is pinned via time
+   * travel to the PRE-append index versions, so a batch never matches
+   * itself no matter when the caller materializes the result.
+   */
+  def dedupAgainstIndex(
+      batch: DataFrame,
+      id: Column,
+      text: Column,
+      indexPath: String,
+      numHashes: Int = 64,
+      bands: Int = 8,
+      shingleSize: Int = 4,
+      threshold: Double = 0.5,
+      updateIndex: Boolean = false): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = batch.sparkSession
+    val bucketsPath = s"$indexPath/buckets"
+    val sigsPath = s"$indexPath/sigs"
+    val bv = graft.log.GraftLog.forTable(spark, bucketsPath).update().version
+    val sv = graft.log.GraftLog.forTable(spark, sigsPath).update().version
+    val idx = graft.Graft.readVersion(spark, bucketsPath, bv)
+      .select(col("band"), col("bucket"), col("id").as("cid"))
+    val corpusSigs = graft.Graft.readVersion(spark, sigsPath, sv)
+      .select(col("id").as("cid"), col("sig").as("sigB"))
+    // Signatures are a deterministic function of the text, so the frame
+    // can be recomputed by each consumer without divergence (see the
+    // persist note at the top of this object).
+    val batchSigs = sigArray(batch, id, text, numHashes, shingleSize)
+    val newBuckets = bucketsOf(batchSigs, numHashes, bands)
+    val cand = newBuckets.join(idx, Seq("band", "bucket"))
+      .select(col("id"), col("cid")).distinct()
+    val agree = (0 until numHashes).map { i =>
+      when(col("sigA").getItem(i) === col("sigB").getItem(i), 1).otherwise(0)
+    }.reduce(_ + _)
+    val verified = cand
+      .join(batchSigs.select(col("id"), col("sig").as("sigA")), "id")
+      .join(corpusSigs, "cid")
+      .where((agree.cast("double") / numHashes) >= threshold)
+      .select("id").distinct()
+    if (updateIndex) {
+      graft.Graft.write(batchSigs, sigsPath)
+      graft.Graft.write(newBuckets, bucketsPath, partitionBy = Seq("band"))
+    }
+    batchSigs.select(col("id"))
+      .join(verified.withColumn("is_dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+  }
+
   private[ml] def bandedCandidates(
       df: DataFrame,
       id: Column,

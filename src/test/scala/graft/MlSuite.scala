@@ -63,6 +63,36 @@ class MlSuite extends AnyFunSuite {
     }
   }
 
+  test("incremental MinHash index: batches dedup against the corpus and grow it") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "an entirely different document all about spark and scala programming"))
+      .toDF("doc_id", "text")
+    Dedup.buildMinHashIndex(corpus, $"doc_id", $"text", idx,
+      numHashes = 64, bands = 16, shingleSize = 3)
+    val batch1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (11L, "completely novel text zz yy xx ww vv uu tt ss rr qq pp oo"))
+      .toDF("doc_id", "text")
+    val r1 = Dedup.dedupAgainstIndex(batch1, $"doc_id", $"text", idx,
+      numHashes = 64, bands = 16, shingleSize = 3, updateIndex = true)
+      .as[(Long, Boolean)].collect().toMap
+    assert(r1 === Map(10L -> true, 11L -> false))
+    // a later batch duplicating batch1's NOVEL doc is caught only because
+    // the index grew — the incremental contract
+    val batch2 = Seq(
+      (20L, "completely novel text zz yy xx ww vv uu tt ss rr qq pp oo"))
+      .toDF("doc_id", "text")
+    val r2 = Dedup.dedupAgainstIndex(batch2, $"doc_id", $"text", idx,
+      numHashes = 64, bands = 16, shingleSize = 3)
+      .as[(Long, Boolean)].collect().toMap
+    assert(r2 === Map(20L -> true))
+    // index state: 2 corpus + 2 batch1 signatures (batch2 did not update)
+    assert(Graft.read(spark, s"$idx/sigs").count() === 4)
+    assert(Graft.read(spark, s"$idx/buckets").count() === 4 * 16)
+  }
+
   test("embeddingPairs finds jittered duplicates via multi-probe") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(100)
