@@ -250,15 +250,24 @@ object Dedup {
       bands: Int = 8,
       shingleSize: Int = 4,
       threshold: Double = 0.5,
-      updateIndex: Boolean = false): DataFrame = {
+      updateIndex: Boolean = false,
+      maxBucketSize: Int = 10000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = batch.sparkSession
     val bucketsPath = s"$indexPath/buckets"
     val sigsPath = s"$indexPath/sigs"
     val bv = graft.log.GraftLog.forTable(spark, bucketsPath).update().version
     val sv = graft.log.GraftLog.forTable(spark, sigsPath).update().version
-    val idx = graft.Graft.readVersion(spark, bucketsPath, bv)
+    val idx0 = graft.Graft.readVersion(spark, bucketsPath, bv)
       .select(col("band"), col("bucket"), col("id").as("cid"))
+    // Hot-bucket skew guard, same semantics as [[minHashPairs]]: an
+    // index bucket holding a boilerplate family would join every batch
+    // member against every family member; oversized buckets drop whole
+    // (near-dups still collide in their other bands).
+    val hot = idx0.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val idx = idx0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     val corpusSigs = graft.Graft.readVersion(spark, sigsPath, sv)
       .select(col("id").as("cid"), col("sig").as("sigB"))
     // Signatures are a deterministic function of the text, so the frame
