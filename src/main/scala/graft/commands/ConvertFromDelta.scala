@@ -138,13 +138,21 @@ object ConvertFromDeltaCommand {
   /** Checkpoint schema for `add.stats_parsed` (PROTOCOL.md:2195 —
     * `delta.checkpoint.writeStatsAsStruct`): min/max mirror the
     * stat-able leaves of the data schema, nullCount long-ifies them.
-    * None when the schema has no stat-able column. */
+    * Under column mapping the struct's fields carry PHYSICAL names —
+    * both in the source checkpoint and in the stats JSON graft skipping
+    * reads — so each field renames to its physical name. None when the
+    * schema has no stat-able column. */
   private[commands] def statsParsedSchema(dataSchema: StructType): Option[StructType] = {
     import org.apache.spark.sql.types._
+    def physName(f: StructField): String =
+      if (f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName")
+      else f.name
     def statable(dt: DataType): Option[DataType] = dt match {
       case s: StructType =>
         val kept = s.fields.flatMap(f =>
-          statable(f.dataType).map(d => f.copy(dataType = d, nullable = true)))
+          statable(f.dataType).map(d =>
+            f.copy(name = physName(f), dataType = d, nullable = true)))
         if (kept.isEmpty) None else Some(StructType(kept))
       case _: ArrayType | _: MapType | _: BinaryType | _: VariantType => None
       case other => Some(other)
@@ -230,13 +238,18 @@ object ConvertFromDeltaCommand {
             case f => f
           })
         }
+      // Sidecar files are ALWAYS parquet (PROTOCOL.md sidecar spec), even
+      // when the v2 manifest itself is JSON.
+      def readSrc(schema: StructType): DataFrame =
+        if (sidecars.isEmpty) read(srcPaths, schema)
+        else spark.read.schema(schema).parquet(srcPaths: _*)
       val fdf = extSchema match {
         case Some(es) =>
-          read(srcPaths, es).withColumn("add", col("add")
+          readSrc(es).withColumn("add", col("add")
             .withField("stats", coalesce(col("add.stats"),
               org.apache.spark.sql.functions.to_json(col("add.stats_parsed"))))
             .dropFields("stats_parsed"))
-        case None => read(srcPaths, actionReadSchema)
+        case None => readSrc(actionReadSchema)
       }
       fdf.where(col("add").isNotNull || col("remove").isNotNull)
     }

@@ -272,12 +272,27 @@ object DeltaMirror {
   private def dvDescriptor(root: Path,
       conf: org.apache.hadoop.conf.Configuration, a: AddFile): Option[String] =
     a.dvPath.map { rel =>
-      val bm = graft.dv.DeletionVectors.readBitmap(new Path(root, rel), conf)
-      val (pathOrInline, offset, size) =
-        graft.dv.DeltaDvCodec.writeFile(root, conf, bm,
-          java.util.UUID.nameUUIDFromBytes(rel.getBytes("UTF-8")))
+      val uuid = java.util.UUID.nameUUIDFromBytes(rel.getBytes("UTF-8"))
+      val target = new Path(root, s"deletion_vector_$uuid.bin")
+      val fs = target.getFileSystem(conf)
+      val (pathOrInline, offset, size, card) =
+        if (a.dvCardinality.isDefined && fs.exists(target)) {
+          // Already exported (deterministic name): the descriptor
+          // reconstructs from the file length alone — framing is 1
+          // version byte + 4-byte length + data + 4-byte crc — so a
+          // steady-state mirror checkpoint never re-reads DV bitmaps.
+          val bb = java.nio.ByteBuffer.allocate(16)
+            .putLong(uuid.getMostSignificantBits)
+            .putLong(uuid.getLeastSignificantBits).array()
+          (graft.dv.DeltaDvCodec.z85Encode(bb), 1,
+            (fs.getFileStatus(target).getLen - 9).toInt, a.dvCardinality.get)
+        } else {
+          val bm = graft.dv.DeletionVectors.readBitmap(new Path(root, rel), conf)
+          val (p, o, s) = graft.dv.DeltaDvCodec.writeFile(root, conf, bm, uuid)
+          (p, o, s, bm.cardinality)
+        }
       s""""deletionVector":{"storageType":"u","pathOrInlineDv":${q(pathOrInline)},""" +
-        s""""offset":$offset,"sizeInBytes":$size,"cardinality":${bm.cardinality}}"""
+        s""""offset":$offset,"sizeInBytes":$size,"cardinality":$card}"""
     }
 
   /** `checkpointRow`: file actions inside a checkpoint always write

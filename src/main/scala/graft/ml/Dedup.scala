@@ -105,9 +105,7 @@ object Dedup {
     val sigs = minHashSignatures(df, id, text, numHashes, shingleSize)
     val sigArr = sigs.select(col("id"),
       array((0 until numHashes).map(i => col(s"_m$i")): _*).as("sig"))
-    val agree = (0 until numHashes).map { i =>
-      when(col("sigA").getItem(i) === col("sigB").getItem(i), 1).otherwise(0)
-    }.reduce(_ + _)
+    val agree = sigAgreement(numHashes)
     cand
       .join(sigArr.select(col("id").as("idA"), col("sig").as("sigA")), "idA")
       .join(sigArr.select(col("id").as("idB"), col("sig").as("sigB")), "idB")
@@ -183,10 +181,14 @@ object Dedup {
       .distinct()
   }
 
-  /** Banded-LSH candidate pairs by id only: same bucket-group shape as
-    * [[minHashPairs]] but nothing heavier than (id, band, bucket) ever
-    * enters the bucket shuffle — the shape to use when a downstream
-    * exact verification makes the signature estimate redundant. */
+  /** Codegen'd per-component agreement count of two signature arrays
+    * `sigA`/`sigB` — shared by pairwise and index verification so the
+    * two dedup modes can never diverge. */
+  private def sigAgreement(numHashes: Int): Column =
+    (0 until numHashes).map { i =>
+      when(col("sigA").getItem(i) === col("sigB").getItem(i), 1).otherwise(0)
+    }.reduce(_ + _)
+
   // ---- incremental dedup against a persisted index ---------------------
 
   /** LSH band buckets derived from a signature-ARRAY frame (id, sig). */
@@ -224,22 +226,38 @@ object Dedup {
       bands: Int = 8,
       shingleSize: Int = 4): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // The build parameters are part of the index's identity: a batch
+    // deduped with different banding would silently generate zero
+    // candidates, so they are recorded as table properties and validated
+    // on every use.
+    val params = Map(
+      "graft.minhash.numHashes" -> numHashes.toString,
+      "graft.minhash.bands" -> bands.toString,
+      "graft.minhash.shingleSize" -> shingleSize.toString)
     val sigs = sigArray(df, id, text, numHashes, shingleSize)
-    graft.Graft.write(sigs, s"$indexPath/sigs", mode = "overwrite")
+    graft.Graft.write(sigs, s"$indexPath/sigs", mode = "overwrite",
+      configuration = params)
     graft.Graft.write(bucketsOf(sigs, numHashes, bands),
-      s"$indexPath/buckets", mode = "overwrite", partitionBy = Seq("band"))
+      s"$indexPath/buckets", mode = "overwrite", partitionBy = Seq("band"),
+      configuration = params)
   }
 
   /**
    * Dedup a NEW batch against the persisted index: banded bucket join
-   * picks candidates, signature agreement verifies them (same
-   * band/verify parameters the index was built with). Returns
-   * (id, is_dup) for every batch document.
+   * picks candidates, signature agreement verifies them. The banding
+   * parameters are read back from the index's own table properties and
+   * must match the call's — a mismatch would silently report every
+   * document novel, so it errors instead. Returns (id, is_dup) for
+   * every batch document.
    *
    * With `updateIndex=true` the batch's signatures and buckets are
    * APPENDED to the index — and the returned frame is pinned via time
    * travel to the PRE-append index versions, so a batch never matches
-   * itself no matter when the caller materializes the result.
+   * itself no matter when the caller materializes the result. Pass
+   * `txnAppId`/`txnVersion` to make the append exactly-once under
+   * retries: a re-run skips the half already applied (per table), and
+   * candidates with `cid == id` are excluded, so even a retry that
+   * re-reads its own earlier append cannot self-match.
    */
   def dedupAgainstIndex(
       batch: DataFrame,
@@ -251,13 +269,23 @@ object Dedup {
       shingleSize: Int = 4,
       threshold: Double = 0.5,
       updateIndex: Boolean = false,
-      maxBucketSize: Int = 10000): DataFrame = {
+      maxBucketSize: Int = 10000,
+      txnAppId: Option[String] = None,
+      txnVersion: Option[Long] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = batch.sparkSession
     val bucketsPath = s"$indexPath/buckets"
     val sigsPath = s"$indexPath/sigs"
-    val bv = graft.log.GraftLog.forTable(spark, bucketsPath).update().version
+    val bSnap = graft.log.GraftLog.forTable(spark, bucketsPath).update()
+    val bv = bSnap.version
     val sv = graft.log.GraftLog.forTable(spark, sigsPath).update().version
+    val conf = bSnap.metadata.configuration
+    Seq("numHashes" -> numHashes, "bands" -> bands,
+      "shingleSize" -> shingleSize).foreach { case (k, v) =>
+      conf.get(s"graft.minhash.$k").foreach(stored => require(stored == v.toString,
+        s"index at $indexPath was built with $k=$stored, called with $v — " +
+          "mismatched banding would silently miss every duplicate"))
+    }
     val idx0 = graft.Graft.readVersion(spark, bucketsPath, bv)
       .select(col("band"), col("bucket"), col("id").as("cid"))
     // Hot-bucket skew guard, same semantics as [[minHashPairs]]: an
@@ -275,25 +303,35 @@ object Dedup {
     // persist note at the top of this object).
     val batchSigs = sigArray(batch, id, text, numHashes, shingleSize)
     val newBuckets = bucketsOf(batchSigs, numHashes, bands)
+    // cid != id: a retried batch whose first attempt already appended can
+    // see its own rows in the index — never a duplicate of itself.
     val cand = newBuckets.join(idx, Seq("band", "bucket"))
+      .where(col("id") =!= col("cid"))
       .select(col("id"), col("cid")).distinct()
-    val agree = (0 until numHashes).map { i =>
-      when(col("sigA").getItem(i) === col("sigB").getItem(i), 1).otherwise(0)
-    }.reduce(_ + _)
+    val agree = sigAgreement(numHashes)
     val verified = cand
       .join(batchSigs.select(col("id"), col("sig").as("sigA")), "id")
       .join(corpusSigs, "cid")
       .where((agree.cast("double") / numHashes) >= threshold)
       .select("id").distinct()
     if (updateIndex) {
-      graft.Graft.write(batchSigs, sigsPath)
-      graft.Graft.write(newBuckets, bucketsPath, partitionBy = Seq("band"))
+      // Two tables, two commits: with a txn id the retry of a crashed
+      // update completes exactly the missing half (idempotent-writer
+      // watermarks are per table), healing the index.
+      graft.Graft.write(batchSigs, sigsPath,
+        txnAppId = txnAppId, txnVersion = txnVersion)
+      graft.Graft.write(newBuckets, bucketsPath, partitionBy = Seq("band"),
+        txnAppId = txnAppId, txnVersion = txnVersion)
     }
     batchSigs.select(col("id"))
       .join(verified.withColumn("is_dup", lit(true)), Seq("id"), "left")
       .select(col("id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 
+  /** Banded-LSH candidate pairs by id only: same bucket-group shape as
+    * [[minHashPairs]] but nothing heavier than (id, band, bucket) ever
+    * enters the bucket shuffle — the shape to use when a downstream
+    * exact verification makes the signature estimate redundant. */
   private[ml] def bandedCandidates(
       df: DataFrame,
       id: Column,
@@ -302,14 +340,8 @@ object Dedup {
       bands: Int,
       shingleSize: Int,
       maxBucketSize: Int): DataFrame = {
-    val rows = numHashes / bands
-    val sigs = minHashSignatures(df, id, text, numHashes, shingleSize)
-    val bucketCols = (0 until bands).map { bId =>
-      xxhash64(lit(bId) +: (0 until rows).map(r => col(s"_m${bId * rows + r}")): _*)
-    }
-    val banded = sigs
-      .select(col("id"), posexplode(array(bucketCols: _*)))
-      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    val banded = bucketsOf(
+      sigArray(df, id, text, numHashes, shingleSize), numHashes, bands)
     bucketPairs(banded, col("id"), maxBucketSize)
       .select(least(col("a"), col("b")).as("idA"),
         greatest(col("a"), col("b")).as("idB"))

@@ -290,6 +290,28 @@ class DeltaConvertSuite extends AnyFunSuite {
       (0L until 13L))
   }
 
+  test("JSON v2 manifest with parquet sidecars reads the sidecars as parquet") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 7).toDF("id"), dir, "j1.parquet")
+    val s2 = writeFile(spark.range(7, 9).toDF("id"), dir, "j2.parquet")
+    val scSize = writeActionParquet(dir, "_sidecars/sc-j.parquet",
+      Seq(addLine("j1.parquet", s1)))
+    // the manifest itself is a JSON file; its sidecars are still parquet
+    JFiles.writeString(Paths.get(dir, "_delta_log",
+      "00000000000000000001.checkpoint.1b78a3e0-1111-2222-3333-444455556666.json"),
+      Seq(protoLine(3, 7), metaLine(schema),
+        """{"checkpointMetadata":{"version":1}}""",
+        s"""{"sidecar":{"path":"sc-j.parquet","sizeInBytes":$scSize,"modificationTime":1}}""")
+        .mkString("", "\n", "\n"))
+    JFiles.writeString(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":1,"size":3}""")
+    writeLog(dir, 2, Seq(addLine("j2.parquet", s2)))
+    Graft.convertFromDelta(spark, dir)
+    assert(Graft.read(spark, dir).orderBy("id").as[Long].collect().toSeq ===
+      (0L until 9L))
+  }
+
   test("classic-NAMED v2 checkpoint (sidecar layout) reads its sidecars") {
     val dir = tmpDir()
     val schema = new StructType().add("id", LongType)

@@ -91,6 +91,18 @@ class MlSuite extends AnyFunSuite {
     // index state: 2 corpus + 2 batch1 signatures (batch2 did not update)
     assert(Graft.read(spark, s"$idx/sigs").count() === 4)
     assert(Graft.read(spark, s"$idx/buckets").count() === 4 * 16)
+    // RETRY of batch1 (its rows are now IN the index): the novel doc must
+    // not match itself, the true dup still flags
+    val retry = Dedup.dedupAgainstIndex(batch1, $"doc_id", $"text", idx,
+      numHashes = 64, bands = 16, shingleSize = 3)
+      .as[(Long, Boolean)].collect().toMap
+    assert(retry === Map(10L -> true, 11L -> false))
+    // mismatched banding is an error, not silent recall loss
+    val e = intercept[IllegalArgumentException] {
+      Dedup.dedupAgainstIndex(batch1, $"doc_id", $"text", idx,
+        numHashes = 64, bands = 8, shingleSize = 4).collect()
+    }
+    assert(e.getMessage.contains("mismatched banding"))
   }
 
   test("embeddingPairs finds jittered duplicates via multi-probe") {
