@@ -575,17 +575,29 @@ object RestoreCommand {
     log.withNewTransaction { txn =>
       val current = txn.snapshot
       val target = log.getSnapshotAt(version)
-      val currentByPath = current.allFiles.map(f => f.path -> f).toMap
-      val targetPaths = target.allFiles.map(_.path).toSet
       val now = System.currentTimeMillis()
-      // Diff on the FULL file entry, not the path alone: the same path
-      // can carry a different deletion vector across versions (a DV
-      // delete rewrites no file), and restoring must re-commit the
-      // target's entry so those rows resurrect. Re-adding overwrites the
-      // path in the log fold, so no paired remove is needed.
-      val adds = target.allFiles.filterNot(f =>
-        currentByPath.get(f.path).contains(f))
-      val removes = current.allFiles.filterNot(f => targetPaths.contains(f.path))
+      // Diff on (path, deletion vector), not the path alone: the same
+      // path can carry a different DV across versions (a DV delete
+      // rewrites no file), and restoring must re-commit the target's
+      // entry so those rows resurrect — data files themselves are
+      // immutable, so (path, dvPath) IS the entry's identity. Re-adding
+      // overwrites the path in the log fold, so no paired remove is
+      // needed. The diff runs as dataset anti-joins: the driver holds
+      // only the CHANGED entries (what the restore commit must carry
+      // anyway), never two full snapshots — restoring a 10M-file table
+      // to a recent version is diff-sized.
+      import org.apache.spark.sql.functions.col
+      val enc = org.apache.spark.sql.Encoders.product[graft.log.AddFile]
+      val curKeys = current.allFilesDS.select(
+        col("path").as("__cp"), col("dvPath").as("__cdv"))
+      val adds = target.allFilesDS.as("t")
+        .join(curKeys, col("path") === col("__cp") &&
+          col("dvPath") <=> col("__cdv"), "left_anti")
+        .as[graft.log.AddFile](enc).collect().toSeq
+      val removes = current.allFilesDS.as("c")
+        .join(target.allFilesDS.select(col("path").as("__tp")),
+          col("path") === col("__tp"), "left_anti")
+        .as[graft.log.AddFile](enc).collect().toSeq
         .map(_.remove(now))
       txn.readWholeTable()
       if (target.metadata.schemaString != current.metadata.schemaString) {

@@ -1052,7 +1052,13 @@ object Snapshot {
         val threshold = log.spark.conf
           .getOption(DRIVER_FOLD_THRESHOLD_CONF).map(_.toLong)
           .getOrElse(DRIVER_FOLD_THRESHOLD_DEFAULT)
-        if (sidecars.nonEmpty || log.lastCheckpointSize(cp).exists(_ > threshold)) {
+        // With no (or a stale) `_last_checkpoint` size hint — e.g. time
+        // travel to an OLD checkpointed version — one distributed count
+        // decides the venue; a 1M-action checkpoint must not stream
+        // through the driver fold just because the pointer moved on.
+        lazy val countedSize = manifest.count()
+        if (sidecars.nonEmpty ||
+            log.lastCheckpointSize(cp).getOrElse(countedSize) > threshold) {
           // Distributed: executors decode per-kind pruned scans in
           // parallel; the driver receives ready arrays. The non-file
           // actions always come from the manifest (metadata-scale).

@@ -177,6 +177,22 @@ class ScaleSuite extends AnyFunSuite {
     assert(reloaded.numFiles === n + 1)
     assert(reloaded.getAddFile("extra.parquet").isDefined)
     assert(reloaded.getAddFile("part-0999999.parquet").isDefined)
+
+    // RESTORE across the 1M-file state: the diff runs as dataset
+    // anti-joins, so the driver holds only the one changed entry, and
+    // time travel to version 1 (whose size hint the moved-on
+    // `_last_checkpoint` no longer carries) still loads lazily.
+    // (Fresh cold log: the getAddFile probes above intentionally
+    // materialized the cached snapshot.)
+    GraftLog.clearCache()
+    val log3 = GraftLog.forTable(spark, dir)
+    graft.commands.RestoreCommand.run(spark, log3, 1L)
+    assert(log3.snapshot.numFiles === n)
+    assert(log3.snapshot.allFilesDS
+      .where(org.apache.spark.sql.functions.col("path") === "extra.parquet")
+      .isEmpty)
+    assert(!log3.snapshot.materialized,
+      "RESTORE materialized the 1M-file map on the driver")
   }
 
   test("stream start on a 100k-file snapshot stays off the driver") {
