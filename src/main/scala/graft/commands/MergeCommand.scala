@@ -224,7 +224,9 @@ object MergeCommand {
         .groupBy(col(FILE)).agg(count(lit(1)).as("n"), countDistinct(col(RID)).as("d"),
           countDistinct(when(matchedOp === "mu", col(RID))).as("mu"),
           countDistinct(when(matchedOp === "del", col(RID))).as("del"),
-          max(when(matchedOp =!= "none", 1).otherwise(0)).as("anyApplied"))
+          max(when(matchedOp =!= "none", 1).otherwise(0)).as("anyApplied"),
+          count(when(matchedOp =!= "none", lit(1))).as("gn"),
+          countDistinct(when(matchedOp =!= "none", col(RID))).as("gd"))
         .collect()
       val matchedUpdated = fileAndMatches.map(_.getLong(3)).sum
       val matchedDeleted = fileAndMatches.map(_.getLong(4)).sum
@@ -234,10 +236,18 @@ object MergeCommand {
       // MergeIntoCommandBase.scala:267-283 isOnlyOneUnconditionalDelete —
       // re-designed). Any other clause set — including none, where the
       // outer join would emit duplicate copies — is an error.
+      // In a matched-ONLY merge a duplicate pair that fails every clause
+      // condition is a no-op, so only pairs satisfying some clause count
+      // toward the ambiguity guard (phase 2 folds the same clause
+      // disjunction into its join condition, so those no-op pairs never
+      // reach the output either — reference concept:
+      // ClassicMergeExecutor.scala:105-110 matchedPredicate pruning).
+      val matchedOnly = insertClauses.isEmpty && nmbsClauses.isEmpty
       val isOnlyOneUnconditionalDelete =
         matchedClauses == Seq(MatchedDelete(None))
       val hasMultipleMatches =
-        fileAndMatches.exists(r => r.getLong(1) > r.getLong(2))
+        if (matchedOnly) fileAndMatches.exists(r => r.getLong(6) > r.getLong(7))
+        else fileAndMatches.exists(r => r.getLong(1) > r.getLong(2))
       if (hasMultipleMatches && !isOnlyOneUnconditionalDelete) {
         throw new IllegalStateException(
           "MERGE failed: a target row matched multiple source rows — " +
@@ -250,7 +260,6 @@ object MergeCommand {
       // fail every clause keeps its rows and needs no rewrite (reference
       // concept: ClassicMergeExecutor.scala:105-110 matchedPredicate
       // pruning — re-designed).
-      val matchedOnly = insertClauses.isEmpty && nmbsClauses.isEmpty
       val touchedPaths = fileAndMatches
         .filter(r => !matchedOnly || r.getInt(5) == 1)
         .map(_.getString(0)).toSet
@@ -286,9 +295,18 @@ object MergeCommand {
         } else Dml.scanFiles(spark, log, txn, rewriteFiles))
         .withColumn(RID, monotonically_increasing_id())
       val srcMarked = source.withColumn(SRC, lit(true)).alias(sourceAlias)
+      // Matched-only: a pair failing every clause condition is a no-op;
+      // fold the clause disjunction into the join condition so such target
+      // rows fall out of the join as unmatched and are copied exactly once
+      // even when the raw condition matches them to several source rows.
+      val rewriteCondition =
+        if (matchedOnly && matchedClauses.forall(_.condition.isDefined))
+          condition && matchedClauses
+            .map(c => coalesce(c.condition.get, lit(false))).reduce(_ || _)
+        else condition
       val joined = rewriteScan.withColumn("__tgt_exists", lit(true))
         .alias(targetAlias)
-        .join(srcMarked, condition, joinType)
+        .join(srcMarked, rewriteCondition, joinType)
 
       val isMatched = col("__tgt_exists").isNotNull && col(SRC).isNotNull
       val isTargetOnly = col("__tgt_exists").isNotNull && col(SRC).isNull

@@ -230,6 +230,49 @@ class DmlMatrixSuite extends AnyFunSuite {
       assert(Graft.read(spark, path).count() === 10)
     }
 
+    test(s"merge multi-match: duplicates all failing the clause are no-ops (dv=$dv)") {
+      import spark.implicits._
+      val path = mkTable()
+      // every duplicate carries v = -1.0, so s.v > 0 fails for all of them:
+      // no pair qualifies, the merge is a legal no-op (reference concept:
+      // ClassicMergeExecutor.scala:105-110 matchedPredicate pruning)
+      val metrics = GraftTable.forPath(spark, path)
+        .merge(dupSource, expr("t.id = s.id"))
+        .whenMatched(expr("s.v > 0")).update(Map("v" -> lit(0.0)))
+        .execute()
+      val got = Graft.read(spark, path).select($"id", $"v")
+        .as[(Long, Double)].collect().sorted
+      assert(got.toSeq === (0L until 10L).map(i => (i, i.toDouble)))
+      assert(metrics("numTargetRowsUpdated") === "0")
+    }
+
+    test(s"merge multi-match: one passing duplicate updates once, no copies (dv=$dv)") {
+      import spark.implicits._
+      val path = mkTable()
+      // id 3 matches two source rows but only one satisfies the clause —
+      // unambiguous: the passing row updates, the failing row is a no-op
+      val src = Seq((3L, 1), (3L, 0), (7L, 1)).toDF("id", "w")
+        .withColumn("v", lit(-1.0))
+      val metrics = GraftTable.forPath(spark, path)
+        .merge(src, expr("t.id = s.id"))
+        .whenMatched(expr("s.w = 1")).update(Map("v" -> lit(0.0)))
+        .execute()
+      val got = Graft.read(spark, path).select($"id", $"v")
+        .as[(Long, Double)].collect().sorted
+      assert(got.toSeq === (0L until 10L).map(i =>
+        (i, if (i == 3 || i == 7) 0.0 else i.toDouble)))
+      assert(metrics("numTargetRowsUpdated") === "2")
+      // two passing duplicates stay ambiguous
+      val e = intercept[IllegalStateException] {
+        GraftTable.forPath(spark, path)
+          .merge(Seq((3L, 1), (3L, 1)).toDF("id", "w").withColumn("v", lit(-1.0)),
+            expr("t.id = s.id"))
+          .whenMatched(expr("s.w = 1")).update(Map("v" -> lit(0.0)))
+          .execute()
+      }
+      assert(e.getMessage.contains("multiple source rows"))
+    }
+
     test(s"merge multi-match delete-only: CDF emits one delete per target row (dv=$dv)") {
       import spark.implicits._
       val path = mkTable(cdf = true)
