@@ -311,8 +311,14 @@ object ConvertFromDeltaCommand {
   // ---- shared gates + metadata translation ----------------------------
 
   private def protocolGate(path: Path, protoNode: JsonNode): Unit = {
+    // vacuumProtocolCheck is acknowledge-only for readers (reference
+    // PROTOCOL.md:1786-1802: readers "don't need to understand or change
+    // anything new; they just need to acknowledge the feature exists");
+    // variant shredding is implemented by the engine, so shredded sources
+    // convert (reference PROTOCOL.md:1941-1966).
     val understood = Set("columnMapping", "timestampNtz", "variantType",
-      "typeWidening", "v2Checkpoint", "deletionVectors")
+      "typeWidening", "v2Checkpoint", "deletionVectors",
+      "vacuumProtocolCheck", "variantShredding", "variantShredding-preview")
     if (protoNode != null) {
       val rf = Option(protoNode.get("readerFeatures")).toSeq
         .flatMap(n => (0 until n.size()).map(n.get(_).asText()))
@@ -390,7 +396,8 @@ object ConvertFromDeltaCommand {
       else Map.empty[String, String]
     val txnActions = state.txns.map { case (app, v) => SetTransaction(app, v) }.toSeq
     val finalMeta = translated.copy(
-      configuration = translated.configuration ++ dvExtra ++ rtConf)
+      configuration =
+        translated.configuration ++ dvExtra ++ rtConf ++ clusteringConf(state))
     val strippedFiles =
       if (rtDomain.nonEmpty) files
       else files.map(_.copy(baseRowId = None, defaultRowCommitVersion = None))
@@ -484,7 +491,8 @@ object ConvertFromDeltaCommand {
       if (rtDomain.nonEmpty) Map("graft.enableRowTracking" -> "true")
       else Map.empty[String, String]
     val finalMeta = translated.copy(
-      configuration = translated.configuration ++ dvExtra ++ rtConf)
+      configuration =
+        translated.configuration ++ dvExtra ++ rtConf ++ clusteringConf(state))
     val txnActions = state.txns.map { case (app, v) => SetTransaction(app, v) }.toSeq
 
     // Executor-side conversion: URI decode, DV re-encode (deterministic
@@ -559,8 +567,25 @@ object ConvertFromDeltaCommand {
       s"${UUID.nameUUIDFromBytes(uid.getBytes("UTF-8"))}.bin"
     val target = new Path(root, rel)
     val fs = target.getFileSystem(conf)
-    if (!fs.exists(target))
-      graft.dv.DeletionVectors.writeBitmap(target, conf, bm)
+    // A convert killed mid-write can leave a truncated sidecar behind the
+    // deterministic name; trust an existing file only if its length matches
+    // the bitmap, else regenerate via temp + atomic rename (never create in
+    // place). Racing retries write identical bytes, so either winner is fine.
+    bm.runOptimize()
+    val expected = bm.serializedSize
+    val valid = try {
+      fs.getFileStatus(target).getLen == expected
+    } catch { case _: java.io.FileNotFoundException => false }
+    if (!valid) {
+      val tmp = new Path(target.getParent,
+        s".${target.getName}.${UUID.randomUUID()}.tmp")
+      graft.dv.DeletionVectors.writeBitmap(tmp, conf, bm)
+      try {
+        if (fs.exists(target)) fs.delete(target, false)
+        if (!fs.rename(tmp, target))
+          require(fs.exists(target), s"could not materialize DV sidecar $target")
+      } finally if (fs.exists(tmp)) fs.delete(tmp, false)
+    }
     (rel, bm.cardinality)
   }
 
@@ -672,6 +697,48 @@ object ConvertFromDeltaCommand {
     }
   }
 
+  /** `delta.clustering` domain -> `graft.clusterBy` table property. The
+    * reference stores clustering columns as PHYSICAL-name paths in a
+    * metadata domain (reference clustering/ClusteringMetadataDomain.scala:26
+    * — Seq[Seq[String]] under column mapping); graft keeps logical dotted
+    * names in a property, so reverse the mapping through the source
+    * schema's physicalName field metadata. */
+  private def clusteringConf(state: FoldState): Map[String, String] = {
+    val domain = state.domains.get("delta.clustering")
+    domain.flatMap { json =>
+      val node = mapper.readTree(json).get("clusteringColumns")
+      if (node == null || !node.isArray || node.size() == 0) None
+      else {
+        val schema = Option(state.metaNode)
+          .map(_.path("schemaString").asText(null)).filter(_ != null)
+          .map(s => DataType.fromJson(s).asInstanceOf[StructType])
+        val cols = (0 until node.size()).map { i =>
+          val p = node.get(i)
+          val comps =
+            if (p.isArray) (0 until p.size()).map(p.get(_).asText())
+            else Seq(p.asText())
+          logicalPath(schema, comps)
+        }
+        Some("graft.clusterBy" -> cols.mkString(","))
+      }
+    }.toMap
+  }
+
+  /** One physical-name path -> dotted logical path (identity when the
+    * source has no column mapping). */
+  private def logicalPath(root: Option[StructType], comps: Seq[String]): String = {
+    var st: Option[StructType] = root
+    comps.map { phys =>
+      val field = st.flatMap(s =>
+        s.fields.find(f =>
+          f.metadata.contains("delta.columnMapping.physicalName") &&
+            f.metadata.getString("delta.columnMapping.physicalName") == phys)
+          .orElse(s.fields.find(_.name == phys)))
+      st = field.map(_.dataType).collect { case s: StructType => s }
+      field.map(_.name).getOrElse(phys)
+    }.mkString(".")
+  }
+
   /** delta.* table properties -> graft equivalents (unknown keys carry
     * over untouched — provenance beats silent loss). */
   private[commands] def translateConfig(c: Map[String, String]): Map[String, String] = {
@@ -683,6 +750,7 @@ object ConvertFromDeltaCommand {
       "delta.columnMapping.mode" -> graft.schema.ColumnMapping.MODE_KEY,
       "delta.columnMapping.maxColumnId" -> graft.schema.ColumnMapping.MAX_ID_KEY,
       "delta.dataSkippingNumIndexedCols" -> "graft.dataSkippingNumIndexedCols",
+      "delta.enableVariantShredding" -> "graft.enableVariantShredding",
       "delta.deletedFileRetentionDuration" -> "", // duration syntax differs; drop
       "delta.enableRowTracking" -> "", // watermarks do not carry over
       "delta.enableInCommitTimestamps" -> "") // fresh history, fresh clock

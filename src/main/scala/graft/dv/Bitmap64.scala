@@ -62,6 +62,15 @@ final class Bitmap64 private (
     while (it.hasNext) it.next().runOptimize()
   }
 
+  /** Exact byte length [[serialize]] will produce (valid for the current
+    * optimization state — call [[runOptimize]] first, as serialize does). */
+  def serializedSize: Long = {
+    var size = 8L // magic + bucket count
+    val it = buckets.values().iterator()
+    while (it.hasNext) size += 4L + it.next().serializedSizeInBytes()
+    size
+  }
+
   def serialize(out: DataOutputStream): Unit = {
     out.writeInt(Bitmap64.MAGIC)
     out.writeInt(buckets.size())

@@ -483,6 +483,93 @@ class DeltaConvertSuite extends AnyFunSuite {
     assert(ids2.values.toSeq.distinct.size === ids2.size, "row id collision")
   }
 
+  test("vacuumProtocolCheck in readerFeatures converts (acknowledge-only)") {
+    // Delta 3.x enables vacuumProtocolCheck broadly; per PROTOCOL.md
+    // readers only acknowledge it, so convert must not reject the table.
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 12).toDF("id"), dir, "vp.parquet")
+    writeLog(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["vacuumProtocolCheck"],""" +
+        """"writerFeatures":["vacuumProtocolCheck"]}}""",
+      metaLine(schema), addLine("vp.parquet", s1)))
+    val t = Graft.convertFromDelta(spark, dir)
+    assert(Graft.read(spark, dir).count() === 12)
+    // and the converted table is writable
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id >= 10")
+    assert(Graft.read(spark, dir).count() === 10)
+  }
+
+  test("shredded-variant delta source converts and variant reads match") {
+    // Author genuinely SHREDDED parquet through the engine's own shredding
+    // writer, then wrap it in a hand-authored delta log that declares the
+    // variantShredding reader feature (PROTOCOL.md:1941-1966).
+    val src = tmpDir()
+    Graft.write(spark.range(0, 20, 1, 1).select($"id", parse_json(concat(
+        lit("""{"n":"""), $"id", lit(""","s":"x"""), $"id", lit(""""}""")))
+      .as("payload")), src,
+      configuration = Map("graft.enableVariantShredding" -> "true"))
+    val part = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val dir = tmpDir()
+    JFiles.copy(part.toPath, Paths.get(dir, "sv.parquet"))
+    val schema = new StructType().add("id", LongType).add("payload", VariantType)
+    writeLog(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["variantType","variantShredding"],""" +
+        """"writerFeatures":["variantType","variantShredding"]}}""",
+      metaLine(schema, conf = Map("delta.enableVariantShredding" -> "true")),
+      addLine("sv.parquet", JFiles.size(Paths.get(dir, "sv.parquet")))))
+    val t = Graft.convertFromDelta(spark, dir)
+    // the shredding contract carries over to the graft side
+    assert(t.snapshot.metadata.configuration
+      .get("graft.enableVariantShredding").contains("true"))
+    assert(t.snapshot.protocol.readerFeatures.exists(_.contains("variantShredding")),
+      s"expected variantShredding in ${t.snapshot.protocol}")
+    val got = Graft.read(spark, dir)
+      .select($"id", variant_get($"payload", "$.n", "long").as("n"),
+        variant_get($"payload", "$.s", "string").as("s"))
+      .orderBy("id").as[(Long, Long, String)].collect()
+    assert(got.length === 20)
+    got.foreach { case (id, n, s) => assert(n === id && s === s"x$id") }
+  }
+
+  test("delta.clustering domain translates to graft.clusterBy (physical->logical)") {
+    val dir = tmpDir()
+    // column-mapped schema: logical "v" has physical name "col-7f3a"
+    val schema = new StructType()
+      .add("id", LongType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("delta.columnMapping.id", 1)
+          .putString("delta.columnMapping.physicalName", "col-1a2b").build())
+      .add("v", LongType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("delta.columnMapping.id", 2)
+          .putString("delta.columnMapping.physicalName", "col-7f3a").build())
+    val s1 = writeFile(spark.range(0, 9)
+      .select($"id".as("col-1a2b"), ($"id" * 2).as("col-7f3a")), dir, "c1.parquet")
+    writeLog(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":7,""" +
+        """"writerFeatures":["columnMapping","clustering","domainMetadata"]}}""",
+      metaLine(schema, conf = Map(
+        "delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "2")),
+      """{"domainMetadata":{"domain":"delta.clustering",""" +
+        """"configuration":"{\"clusteringColumns\":[[\"col-7f3a\"]]}","removed":false}}""",
+      addLine("c1.parquet", s1)))
+    val t = Graft.convertFromDelta(spark, dir)
+    // the clustering spec survives with LOGICAL names
+    assert(t.snapshot.metadata.configuration.get("graft.clusterBy").contains("v"))
+    assert(t.snapshot.protocol.writerFeatureNames.contains("clustering"),
+      s"clustering feature missing from ${t.snapshot.protocol}")
+    assert(Graft.read(spark, dir).select("id", "v")
+      .as[(Long, Long)].collect().sorted.toSeq === (0L until 9L).map(i => (i, i * 2)))
+    // and the next OPTIMIZE clusters incrementally (liquid path engages)
+    GraftTable.forPath(spark, dir).optimize()
+    assert(Graft.read(spark, dir).count() === 9)
+  }
+
   test("SQL surface: CONVERT TO GRAFT delta.`path`") {
     val dir = tmpDir()
     val schema = new StructType().add("id", LongType)

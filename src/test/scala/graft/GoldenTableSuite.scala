@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * CONVERT FROM DELTA against REAL reference-written golden tables — logs
+ * and parquet produced by the reference implementation itself (committed
+ * from its public golden-tables test resources), not hand-authored
+ * fixtures. Expected values derive from the public generator
+ * (reference connectors/golden-tables/src/test/scala/io/delta/golden/
+ * GoldenTables.scala); the assertions here are written independently.
+ */
+class GoldenTableSuite extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base = new java.io.File("src/test/resources/golden").getAbsolutePath
+
+  /** Copy the committed golden table to a scratch dir — CONVERT writes a
+    * `_graft_log` (and DV sidecars) next to the data, and the committed
+    * resources must stay pristine. */
+  private def goldenCopy(name: String): String = {
+    val src = new java.io.File(base, name)
+    assert(src.isDirectory, s"golden fixture $name missing at $src")
+    val dst = java.nio.file.Files.createTempDirectory(s"golden-$name").toFile
+    def walk(s: java.io.File, d: java.io.File): Unit = {
+      d.mkdirs()
+      s.listFiles().foreach { f =>
+        if (f.isDirectory) walk(f, new java.io.File(d, f.getName))
+        else java.nio.file.Files.copy(f.toPath,
+          new java.io.File(d, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    walk(src, dst)
+    graft.log.GraftLog.clearCache()
+    dst.toString
+  }
+
+  test("golden: data-reader-primitives — every primitive type + null row") {
+    val dir = goldenCopy("data-reader-primitives")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 11) // rows 0..9 + one all-null row
+    assert(df.where($"as_int".isNull).count() === 1)
+    val r = df.where($"as_int" === 7)
+      .select($"as_long", $"as_byte", $"as_short", $"as_boolean",
+        $"as_float", $"as_double", $"as_string", $"as_big_decimal")
+      .head()
+    assert(r.getLong(0) === 7L && r.getByte(1) === 7.toByte &&
+      r.getShort(2) === 7.toShort && !r.getBoolean(3) &&
+      r.getFloat(4) === 7.0f && r.getDouble(5) === 7.0 &&
+      r.getString(6) === "7" && r.getDecimal(7).intValueExact() === 7)
+    assert(df.agg(sum($"as_int")).head.getLong(0) === 45L)
+  }
+
+  test("golden: data-reader-array-primitives — arrays of every primitive") {
+    val dir = goldenCopy("data-reader-array-primitives")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 10)
+    val got = df.select(element_at($"as_array_int", 1).as("i"),
+        element_at($"as_array_long", 1).as("l"),
+        element_at($"as_array_string", 1).as("s"))
+      .as[(Int, Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq === (0 until 10).map(i => (i, i.toLong, i.toString)))
+  }
+
+  test("golden: data-reader-nested-struct — nested structs read whole") {
+    val dir = goldenCopy("data-reader-nested-struct")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 10)
+    val got = df.select($"b", $"a.aa", $"a.ac.aca", $"a.ac.acb")
+      .as[(Int, String, Int, Long)].collect().sortBy(_._1)
+    assert(got.toSeq === (0 until 10).map(i => (i, i.toString, i, i.toLong)))
+  }
+
+  test("golden: data-reader-partition-values — 12 partition types incl. all-null") {
+    val dir = goldenCopy("data-reader-partition-values")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 3)
+    // null partition row: every partition column null, data columns present
+    val nullRow = df.where($"as_int".isNull)
+    assert(nullRow.count() === 1)
+    assert(nullRow.select($"value").head.getString(0) === "2")
+    assert(nullRow.select($"as_string_lit_null").head.isNullAt(0))
+    // the string partition VALUE "null" survives as the literal string
+    assert(df.where($"as_string_lit_null" === "null").count() === 2)
+    val r = df.where($"as_int" === 1)
+      .select($"as_long", $"as_boolean", $"as_date".cast("string"),
+        $"as_timestamp".cast("string"), $"as_big_decimal", $"value")
+      .head()
+    assert(r.getLong(0) === 1L && !r.getBoolean(1))
+    assert(r.getString(2) === "2021-09-08")
+    assert(r.getString(3) === "2021-09-08 11:11:11")
+    assert(r.getDecimal(4).intValueExact() === 1)
+    assert(r.getString(5) === "1")
+    // partition pruning still works over converted partition values
+    assert(df.where($"as_int" === 0).count() === 1)
+  }
+
+  test("golden: basic-with-vacuum-protocol-check-feature converts and stays writable") {
+    val dir = goldenCopy("basic-with-vacuum-protocol-check-feature")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 100)
+    assert(df.where($"id" === 42).select($"str").head.getString(0) === "val=42")
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id >= 90")
+    assert(Graft.read(spark, dir).count() === 90)
+  }
+
+  test("golden: time-travel table — three appended commits fold in order") {
+    val dir = goldenCopy("time-travel-start-start20-start40")
+    Graft.convertFromDelta(spark, dir)
+    // v0: 0..9, v1: +10..19, v2: +20..29 — the converted table is the fold
+    assert(Graft.read(spark, dir).select($"id").as[Long].collect().sorted.toSeq
+      === (0L until 30L))
+  }
+
+  test("golden: dv-partitioned-with-checkpoint — checkpoint + DVs + partitions") {
+    val dir = goldenCopy("dv-partitioned-with-checkpoint")
+    // 15 DELETE commits on a DV-enabled table: the log has a reference
+    // checkpoint AND live deletion vectors; col1 = 0,2,..,28 are deleted
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 35)
+    assert(df.agg(sum($"col1")).head.getLong(0) === 1015L) // 1225 - 210
+    assert(df.where($"col1" % 2 === 0 && $"col1" < 30).count() === 0)
+    // partition column survived; pruning on it still selects correctly
+    assert(df.where($"part" === 3).select($"col1").as[Long].collect().sorted
+      .toSeq === Seq(3L, 13L, 23L, 33L, 43L))
+  }
+}
