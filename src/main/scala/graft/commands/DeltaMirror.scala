@@ -53,7 +53,17 @@ object DeltaMirror {
     val deltaLog = new Path(log.dataPath, "_delta_log")
     val conf = log.spark.sessionState.newHadoopConf()
     def addJsonDv(a: AddFile): String = addJson(a, dvDescriptor(log.dataPath, conf, a))
-    def translate(graftVersion: Long, acts: Seq[Action]): Seq[String] =
+    def translate(graftVersion: Long, acts: Seq[Action]): Seq[String] = {
+      // Protocol fidelity: a mirrored commit's protocol derives from the
+      // metadata state AS OF that commit — a backfilling hook that runs
+      // after a later feature enablement must still write byte-identical
+      // mirror files (the dedupe guarantee rests on determinism). The
+      // commit's own Metadata action is that state when present; else the
+      // checkpoint-backed historical snapshot supplies it.
+      lazy val metaAt: Metadata = acts.collectFirst { case m: Metadata => m }
+        .getOrElse(
+          if (graftVersion == snap.version) snap.metadata
+          else log.getSnapshotAt(graftVersion).metadata)
       acts.flatMap {
         case a: AddFile => Some(addJsonDv(a))
         case r: RemoveFile => Some(removeJson(r))
@@ -65,9 +75,10 @@ object DeltaMirror {
         case c: AddCdcFile => Some(
           s"""{"cdc":{"path":${q(encodePath(c.path))},"partitionValues":${pvJson(c.partitionValues)},""" +
             s""""size":${c.size},"dataChange":false}}""")
-        case _: Protocol => Some(protocolJson(snap.metadata))
+        case _: Protocol => Some(protocolJson(metaAt))
         case _ => None // graft-internal actions (domains, sidecars)
       }
+    }
     var base = baseVersion(log, deltaLog)
     if (base.isEmpty) {
       // Bootstrap: full state at this version becomes mirror commit 0.
@@ -275,17 +286,28 @@ object DeltaMirror {
       val uuid = java.util.UUID.nameUUIDFromBytes(rel.getBytes("UTF-8"))
       val target = new Path(root, s"deletion_vector_$uuid.bin")
       val fs = target.getFileSystem(conf)
-      val (pathOrInline, offset, size, card) =
+      // Already-exported files (deterministic name) reconstruct their
+      // descriptor from the framing — 1 version byte + 4-byte length +
+      // data + 4-byte crc — so a steady-state mirror checkpoint never
+      // re-reads DV bitmaps. The declared length must agree with the
+      // file's actual length, or the file is a truncated leftover from a
+      // killed export and gets regenerated instead of trusted.
+      val reusableLen: Option[Int] =
         if (a.dvCardinality.isDefined && fs.exists(target)) {
-          // Already exported (deterministic name): the descriptor
-          // reconstructs from the file length alone — framing is 1
-          // version byte + 4-byte length + data + 4-byte crc — so a
-          // steady-state mirror checkpoint never re-reads DV bitmaps.
+          try {
+            val actual = fs.getFileStatus(target).getLen
+            val in = fs.open(target)
+            val declared = try { in.readByte(); in.readInt() } finally in.close()
+            if (actual == 9L + declared) Some(declared) else None
+          } catch { case _: java.io.IOException => None }
+        } else None
+      val (pathOrInline, offset, size, card) =
+        if (reusableLen.isDefined) {
           val bb = java.nio.ByteBuffer.allocate(16)
             .putLong(uuid.getMostSignificantBits)
             .putLong(uuid.getLeastSignificantBits).array()
           (graft.dv.DeltaDvCodec.z85Encode(bb), 1,
-            (fs.getFileStatus(target).getLen - 9).toInt, a.dvCardinality.get)
+            reusableLen.get, a.dvCardinality.get)
         } else {
           val bm = graft.dv.DeletionVectors.readBitmap(new Path(root, rel), conf)
           val (p, o, s) = graft.dv.DeltaDvCodec.writeFile(root, conf, bm, uuid)

@@ -173,7 +173,13 @@ case class VersionChecksum(
     protocol: Protocol = null,
     metadata: Metadata = null,
     setTransactions: Map[String, Long] = Map.empty,
-    domainMetadata: Map[String, String] = Map.empty)
+    domainMetadata: Map[String, String] = Map.empty,
+    // Monotone (prefix-max-clamped) commit timestamp watermark: present
+    // only when version 0's checksum started the chain, so any present
+    // value is exact. Makes large-log timestamp time travel bisect on
+    // already-clamped values — exact under arbitrary writer clock skew
+    // with O(log n) reads. -1 = chain not established (older tables).
+    commitTimestamp: Long = -1L)
 
 case class SingleAction(
     txn: SetTransaction = null,

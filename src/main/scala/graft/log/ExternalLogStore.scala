@@ -102,23 +102,21 @@ class ExternalLogStore(
     * final copy (step 2 -> 3 crash window). */
   @volatile private[graft] var crashBeforeCopy: Boolean = false
 
-  /** Overwrite PUT — models an object-store PUT: no put-if-absent, but
-    * ATOMIC VISIBILITY (a GET sees either nothing or the whole object,
-    * never a prefix — S3/GCS/ABFS all guarantee this). The local-FS model
-    * must preserve that: a plain create() exposes the file EMPTY between
-    * create and close, and a concurrent snapshot refresh that caught a
-    * commit in that window would fold it as a no-op and silently drop its
-    * AddFiles from the cached state. Temp-sibling + atomic rename keeps
-    * the visibility contract honest. */
-  private def putObject(path: Path, content: String): Unit =
-    writeOverwrite(path, content)
+  // Every PUT here models an object-store PUT: no put-if-absent, but
+  // ATOMIC VISIBILITY (a GET sees either nothing or the whole object,
+  // never a prefix — S3/GCS/ABFS all guarantee this). The local-FS model
+  // must preserve that: a plain create() exposes the file EMPTY between
+  // create and close, and a concurrent snapshot refresh that caught a
+  // commit in that window would fold it as a no-op and silently drop its
+  // AddFiles from the cached state. writeOverwrite/copyOverwrite keep the
+  // contract via temp-sibling + atomic move.
 
-  /** The coordinated protocol needs the whole object per PUT (claim +
-    * copy), so streamed writes assemble here before entering it. */
-  override def write(path: Path, chunks: Iterator[String]): Unit =
-    write(path, chunks.mkString)
-
-  override def write(path: Path, content: String): Unit = {
+  /** The coordinated protocol streams end to end: chunks stream to the
+    * temp object, the claim covers the temp, and the final name is a
+    * byte-stream COPY of the temp — a multi-million-line commit (mirror
+    * bootstrap, convert commit 0) never assembles as one driver string
+    * even under external arbitration. */
+  override def write(path: Path, chunks: Iterator[String]): Unit = {
     val dir = path.getParent
     fixup(dir)
     if (commitStore.get(dir.toString, path.getName).isDefined ||
@@ -127,7 +125,7 @@ class ExternalLogStore(
     }
     val temp = new Path(dir,
       s".tmp-${java.util.UUID.randomUUID().toString.take(12)}-${path.getName}")
-    putObject(temp, content)
+    writeOverwrite(temp, chunks) // streamed; invisible until claimed
     val entry = CommitEntry(path.getName, temp.toString, complete = false,
       System.currentTimeMillis() + ttlMs)
     if (!commitStore.putIfAbsent(dir.toString, entry)) {
@@ -135,7 +133,7 @@ class ExternalLogStore(
       throw new FileAlreadyExistsException(path.toString)
     }
     if (crashBeforeCopy) return // claimed; final copy "lost" (test hook)
-    putObject(path, content)
+    copyOverwrite(temp, path)
     commitStore.markComplete(dir.toString, path.getName)
   }
 
@@ -149,7 +147,7 @@ class ExternalLogStore(
       if (!fs(target).exists(target)) {
         val tempPath = new Path(e.tempPath)
         if (fs(tempPath).exists(tempPath)) {
-          putObject(target, super.read(tempPath))
+          copyOverwrite(tempPath, target) // streamed, atomic visibility
         }
       }
       commitStore.markComplete(dir.toString, e.fileName)

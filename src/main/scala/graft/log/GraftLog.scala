@@ -158,7 +158,15 @@ class GraftLog private (
         s"No commit at or before timestamp $tsMillis (earliest: ${commits.headOption})")
       eligible.map(_._1).max
     } else {
-      def tsAt(i: Int): Long = rawCommitTs(raw(i)._1, raw(i)._2)
+      // Prefer the checksum chain's ALREADY-CLAMPED watermark (exact
+      // prefix-max, monotone by construction) — bisection over it is
+      // exact under arbitrary writer clock skew. Raw CommitInfo reads
+      // are the fallback for logs without the chain.
+      var allClamped = true
+      def tsAt(i: Int): Long = crcTimestamp(raw(i)._1) match {
+        case Some(w) => w
+        case None => allClamped = false; rawCommitTs(raw(i)._1, raw(i)._2)
+      }
       require(tsAt(0) <= tsMillis,
         s"No commit at or before timestamp $tsMillis " +
           s"(earliest: ${(raw.head._1, tsAt(0))})")
@@ -168,13 +176,15 @@ class GraftLog private (
         val mid = (lo + hi + 1) >>> 1
         if (tsAt(mid) <= tsMillis) lo = mid else hi = mid - 1
       }
-      // Clock-skew guard: the bisection assumed non-decreasing commit
-      // timestamps, but a skewed writer can plant ts(u) > tsMillis at
-      // some u < lo — under the monotonic clamp that makes every later
-      // commit ineligible too. Verify a bounded backward window and move
-      // the answer before the earliest violator found. Exact whenever
-      // skew spans fewer than the window's commits; the same fidelity
-      // the reference's non-ICT (mtime-ordered) resolution offers.
+      if (allClamped) return raw(lo)._1
+      // Clock-skew guard (raw-timestamp fallback): the bisection assumed
+      // non-decreasing commit timestamps, but a skewed writer can plant
+      // ts(u) > tsMillis at some u < lo — under the monotonic clamp that
+      // makes every later commit ineligible too. Verify a bounded
+      // backward window and move the answer before the earliest violator
+      // found. Exact whenever skew spans fewer than the window's commits;
+      // the same fidelity the reference's non-ICT (mtime-ordered)
+      // resolution offers.
       val floor = math.max(0, lo - 32)
       var firstViolation = -1
       var i = floor
@@ -281,9 +291,19 @@ class GraftLog private (
           Actions.serialize(actions))
     }
     val snap = update()
-    writeChecksum(snap)
+    writeChecksum(snap, actions)
     maybeCheckpoint(snap)
-    maybeAutoCompact(snap, actions)
+    // BEST-EFFORT like the mirror below: the commit is already durable, so
+    // a failed opportunistic compaction (concurrent-commit conflict, ...)
+    // must not surface as a failed write that the caller would retry and
+    // double-apply.
+    try maybeAutoCompact(snap, actions)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(classOf[GraftLog]).warn(
+          s"auto-compact of $dataPath after v$version failed; pressure " +
+            s"persists and a later commit retries: $e")
+    }
     // Delta-format mirror (UniForm-style): BEST-EFFORT. The graft commit
     // above is already durable, so a mirror failure must not surface as
     // a failed write — the caller would retry and double-apply the data.
@@ -305,8 +325,23 @@ class GraftLog private (
     * + protocol + metadata + txn/domain maps) a cold reader re-derives
     * and compares — corruption detection for the whole log fold
     * (reference concept: VersionChecksum / ChecksumHook — re-designed). */
-  private def writeChecksum(snap: Snapshot): Unit = {
+  private def writeChecksum(snap: Snapshot, actions: Seq[Action] = Nil): Unit = {
     if (snap.version < 0) return
+    // Monotone timestamp watermark: clamp this commit's CommitInfo
+    // timestamp against the previous version's watermark. The chain only
+    // forms anchored at version 0 (an unanchored mid-log start could
+    // violate the prefix-max invariant on older tables), so any present
+    // value is exact and [[getVersionAtTime]] may bisect on it directly.
+    val ownTs = actions.collectFirst {
+      case ci: CommitInfo if ci.timestamp > 0 => ci.timestamp
+    }
+    val watermark: Long =
+      if (ownTs.isEmpty) -1L
+      else if (snap.version == 0) ownTs.get
+      else crcTimestamp(snap.version - 1) match {
+        case Some(prev) => math.max(prev, ownTs.get)
+        case None => -1L
+      }
     store.writeOverwrite(FileNames.checksumFile(logPath, snap.version),
       Actions.checksumToJson(VersionChecksum(
         tableSizeBytes = snap.sizeInBytes,
@@ -314,8 +349,21 @@ class GraftLog private (
         protocol = snap.protocol,
         metadata = snap.metadata,
         setTransactions = snap.setTransactions,
-        domainMetadata = snap.domains)))
+        domainMetadata = snap.domains,
+        commitTimestamp = watermark)))
   }
+
+  /** Cached clamped-timestamp watermark from a version's checksum
+    * sidecar; None when the sidecar or the chain is absent. */
+  @transient private lazy val crcTsCache =
+    new ConcurrentHashMap[Long, Option[Long]]()
+
+  private def crcTimestamp(version: Long): Option[Long] =
+    crcTsCache.computeIfAbsent(version, { v =>
+      store.readOpt(FileNames.checksumFile(logPath, v))
+        .map(Actions.checksumFromJson)
+        .map(_.commitTimestamp).filter(_ >= 0)
+    })
 
   private def validateChecksum(snap: Snapshot): Unit = {
     if (snap.version < 0) return
@@ -354,6 +402,37 @@ class GraftLog private (
   @transient private lazy val autoCompactPressure =
     new ConcurrentHashMap[Map[String, String], java.lang.Integer]()
 
+  /** The in-memory pressure map dies with the JVM / log-cache entry; a
+    * restarted writer would otherwise forget accumulated pressure and
+    * stall compaction by up to minNumFiles more commits. First hook use
+    * re-derives it from the recent commit tail (bounded: back to the last
+    * checkpoint, capped at 20 commits — metadata-scale driver reads).
+    * A dataChange=false add marks a compaction output: its partitions'
+    * pressure was consumed, so seeding clears them. */
+  @volatile private var pressureSeeded = false
+
+  private def seedPressure(snap: Snapshot, smallSize: Long): Unit = {
+    val cpFloor = store.list(logPath)
+      .flatMap(s => FileNames.checkpointVersion(s.getPath.getName))
+      .filter(_ < snap.version).maxOption.getOrElse(-1L)
+    val from = math.max(cpFloor + 1, snap.version - 20)
+    (from until snap.version).foreach { v =>
+      try {
+        val acts = readCommit(v)
+        val compacted = acts.collect {
+          case a: AddFile if !a.dataChange => a.partitionValues
+        }.toSet
+        compacted.foreach(autoCompactPressure.remove)
+        acts.collect {
+          case a: AddFile if a.dataChange && a.size < smallSize => a.partitionValues
+        }.groupBy(identity).foreach { case (pv, xs) =>
+          autoCompactPressure.merge(pv, xs.size,
+            (a, b) => Integer.valueOf(a.intValue + b.intValue))
+        }
+      } catch { case _: java.io.FileNotFoundException => } // cleaned commit
+    }
+  }
+
   /** Post-commit hook: with `graft.autoCompact=true`, compact inline when
     * a PARTITION's accumulated small-file count passes
     * `graft.autoCompact.minNumFiles` (default 50) — only the pressured
@@ -372,6 +451,10 @@ class GraftLog private (
       case a: AddFile if a.dataChange && a.size < smallSize => a.partitionValues
     }
     if (newSmall.isEmpty) return
+    if (!pressureSeeded) {
+      pressureSeeded = true
+      seedPressure(snap, smallSize)
+    }
     newSmall.groupBy(identity).foreach { case (pv, xs) =>
       autoCompactPressure.merge(pv, xs.size,
         (a, b) => Integer.valueOf(a.intValue + b.intValue))
@@ -392,7 +475,10 @@ class GraftLog private (
       else Some(pressured.map(pv => partCols.zip(physCols).map { case (c, phys) =>
         pv.get(phys) match {
           case Some(v) if v != null =>
-            s"`$c` = CAST('${v.replace("'", "''")}' AS ${typeOf.getOrElse(c, "STRING")})"
+            // Spark string literals treat backslash as an escape — both it
+            // and the quote must escape or a value like a\b breaks the SQL.
+            val lit = v.replace("\\", "\\\\").replace("'", "\\'")
+            s"`$c` = CAST('$lit' AS ${typeOf.getOrElse(c, "STRING")})"
           case _ => s"`$c` IS NULL"
         }
       }.mkString("(", " AND ", ")")).mkString(" OR "))

@@ -83,6 +83,71 @@ class LogStore(hadoopConf: Configuration) extends Serializable {
     }
   }
 
+  /** Streaming overwrite with ATOMIC VISIBILITY: chunks stream to a temp
+    * sibling, which then moves onto the final name — a reader never sees
+    * a prefix. The streamed analogue of [[writeOverwrite(Path,String)]]
+    * for multi-million-line objects. */
+  def writeOverwrite(path: Path, chunks: Iterator[String]): Unit = {
+    if (isLocal(path)) {
+      val target = Paths.get(path.toUri.getPath)
+      Files.createDirectories(target.getParent)
+      val tmp = Files.createTempFile(target.getParent, s".${target.getFileName}", ".tmp")
+      try {
+        val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
+        try chunks.foreach(w.write) finally w.close()
+        Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+      } finally Files.deleteIfExists(tmp)
+    } else {
+      val f = fs(path)
+      val temp = new Path(path.getParent,
+        s".${path.getName}.${java.util.UUID.randomUUID.toString.take(12)}.tmp")
+      val out = f.create(temp, true)
+      try chunks.foreach(c => out.write(c.getBytes(StandardCharsets.UTF_8)))
+      finally out.close()
+      try {
+        if (f.exists(path)) f.delete(path, false)
+        if (!f.rename(temp, path))
+          require(f.exists(path), s"could not materialize $path")
+      } finally if (f.exists(temp)) f.delete(temp, false)
+    }
+  }
+
+  /** Stream-copy `src` onto `dst` (overwrite, atomic visibility) without
+    * ever materializing the content in driver memory. */
+  def copyOverwrite(src: Path, dst: Path): Unit = {
+    val in = fs(src).open(src)
+    try {
+      val buf = new Array[Byte](1 << 20)
+      def pump(out: java.io.OutputStream): Unit = {
+        var n = in.read(buf)
+        while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+      }
+      if (isLocal(dst)) {
+        val target = Paths.get(dst.toUri.getPath)
+        Files.createDirectories(target.getParent)
+        val tmp = Files.createTempFile(target.getParent, s".${target.getFileName}", ".tmp")
+        try {
+          val out = Files.newOutputStream(tmp)
+          try pump(out) finally out.close()
+          Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+            StandardCopyOption.ATOMIC_MOVE)
+        } finally Files.deleteIfExists(tmp)
+      } else {
+        val dfs = fs(dst)
+        val temp = new Path(dst.getParent,
+          s".${dst.getName}.${java.util.UUID.randomUUID.toString.take(12)}.tmp")
+        val out = dfs.create(temp, true)
+        try pump(out) finally out.close()
+        try {
+          if (dfs.exists(dst)) dfs.delete(dst, false)
+          if (!dfs.rename(temp, dst))
+            require(dfs.exists(dst), s"could not materialize $dst")
+        } finally if (dfs.exists(temp)) dfs.delete(temp, false)
+      }
+    } finally in.close()
+  }
+
   def read(path: Path): String = {
     val f = fs(path)
     val in = f.open(path)

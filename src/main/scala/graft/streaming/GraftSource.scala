@@ -161,8 +161,14 @@ class GraftSource(
           .filter { case (_, i) => i > fromExcl && i <= toIncl }
           .map(_._1).toSeq
       case Right(ds) =>
+        // The persisted dataset is already index-ordered (zipWithIndex over
+        // the sorted scan; filter preserves partition order), so stream
+        // partitions one at a time instead of a parallel collect + driver
+        // sort — a CDF batch spanning the snapshot tail never double-buffers
+        // the file list (same shape as [[snapshotIterator]]).
+        import scala.jdk.CollectionConverters._
         ds.filter(col("_2") > fromExcl && col("_2") <= toIncl)
-          .collect().sortBy(_._2).map(_._1).toSeq
+          .toLocalIterator().asScala.map(_._1).toSeq
     }
 
   /**

@@ -126,6 +126,34 @@ class DeltaMirrorSuite extends AnyFunSuite {
       (0L until 25L))
   }
 
+  test("backfilled protocol derives from the commit's own state, not the current one") {
+    val dir = tmpDir()
+    Graft.write(spark.range(0, 10).toDF("id"), dir,
+      configuration = Map(graft.commands.DeltaMirror.PROP -> "delta"))
+    // v1 enables CDF but its mirror hook dies; v2 then enables DVs and
+    // its hook backfills mirror v1 — which must carry the v1-era protocol
+    // (writer 4, no reader features), not the v2-era DV protocol.
+    graft.commands.DeltaMirror.failNextMirror = true
+    GraftTable.forPath(spark, dir).upsertProperties(
+      Map("graft.enableChangeDataFeed" -> "true"))
+    assert(!JFiles.exists(Paths.get(dir, "_delta_log", f"${1L}%020d.json")))
+    GraftTable.forPath(spark, dir).upsertProperties(
+      Map("graft.enableDeletionVectors" -> "true"))
+    val m1 = JFiles.readString(Paths.get(dir, "_delta_log", f"${1L}%020d.json"))
+    val m2 = JFiles.readString(Paths.get(dir, "_delta_log", f"${2L}%020d.json"))
+    if (m1.contains(""""protocol"""")) {
+      assert(!m1.contains("deletionVectors"),
+        s"backfilled v1 leaked the v2 protocol: $m1")
+      assert(m1.contains(""""minWriterVersion":4"""), m1)
+    }
+    assert(m2.contains("deletionVectors"), m2)
+    // the repaired mirror still folds to the right state
+    val view = deltaViewOf(dir)
+    Graft.convertFromDelta(spark, view)
+    assert(Graft.read(spark, view).orderBy("id").as[Long].collect().toSeq ===
+      (0L until 10L))
+  }
+
   test("mirror checkpoint carries unexpired tombstones, dataChange=false") {
     val dir = tmpDir()
     Graft.write(spark.range(0, 30).toDF("id"), dir,

@@ -457,6 +457,30 @@ class FeatureSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).count() === 50)
   }
 
+  test("auto compact pressure survives a GraftLog cache clear (restart)") {
+    val dir = tmpDir()
+    // 4 single-small-file commits — below the threshold of 5
+    (0 until 4).foreach { i =>
+      Graft.write(spark.range(i * 10L, i * 10L + 10, 1, 1).toDF("id"), dir,
+        configuration = if (i == 0) Map(
+          "graft.autoCompact" -> "true",
+          "graft.autoCompact.minNumFiles" -> "5") else Map.empty)
+    }
+    assert(!GraftTable.forPath(spark, dir).history().collect()
+      .exists(_.getAs[String]("operation") == "OPTIMIZE"))
+    // simulate a writer restart: the in-memory pressure map is gone
+    graft.log.GraftLog.clearCache()
+    // the restarted writer's FIRST commit re-derives pressure from the
+    // tail and crosses the threshold — without seeding it would need 5
+    // more commits
+    Graft.write(spark.range(40, 50, 1, 1).toDF("id"), dir)
+    val t = GraftTable.forPath(spark, dir)
+    val ops = t.history().select("operation").collect().map(_.getString(0))
+    assert(ops.contains("OPTIMIZE"),
+      s"pressure lost across restart — no auto compact in ${ops.toSeq}")
+    assert(Graft.read(spark, dir).count() === 50)
+  }
+
   test("manifest generation lists all live files") {
     val dir = tmpDir()
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")

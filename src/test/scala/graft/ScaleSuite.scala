@@ -388,6 +388,36 @@ class ScaleSuite extends AnyFunSuite {
     assert(viaList === 199L)
   }
 
+  test("checksum watermark chain: exact resolution under skew FAR beyond the window") {
+    val dir = Files.createTempDirectory("graft-tschain").toString
+    val log = GraftLog.forTable(spark, dir)
+    val schemaJson = new StructType().add("id", LongType).json
+    // 512 commits; a skewed-high timestamp at v=100 — 300+ commits before
+    // where a raw bisection lands, far outside any bounded verify window.
+    // The per-commit checksum chain carries the CLAMPED watermark, so the
+    // bisection runs over already-monotone values and stays exact.
+    var clamped = 0L
+    (0 to 511).foreach { v =>
+      val ts = if (v == 100) 1000L * 1000 else 1000L * (v + 1)
+      val acts: Seq[Action] =
+        if (v == 0) Seq(Protocol(), Metadata(schemaString = schemaJson),
+          CommitInfo(timestamp = ts, operation = "CREATE"))
+        else Seq(CommitInfo(timestamp = ts, operation = "NOOP"))
+      log.store.write(FileNames.deltaFile(log.logPath, v.toLong),
+        Actions.serialize(acts))
+      clamped = math.max(clamped, ts)
+      log.store.writeOverwrite(FileNames.checksumFile(log.logPath, v.toLong),
+        Actions.checksumToJson(VersionChecksum(commitTimestamp = clamped)))
+    }
+    // any query between the skew point and its value resolves BEFORE it
+    assert(log.getVersionAtTime(1000L * 450) === 99L)
+    // O(log n) checksum reads, no raw commit-file scan
+    assert(log.commitTsReads <= 4,
+      s"chain bisection still read ${log.commitTsReads} commit files")
+    // past the skew value everything is eligible again
+    assert(log.getVersionAtTime(1000L * 1000 + 5) === 511L)
+  }
+
   test("driver and distributed checkpoint writes produce identical state") {
     import org.apache.spark.sql.functions.col
     val dir = Files.createTempDirectory("graft-cpw").toString
