@@ -79,9 +79,15 @@ object Bench {
     // plus a fixed headline subset and stays < 1.5 KB.
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"}"""
     println(full)
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("target/bench_full.json"), full + "\n")
-    catch { case _: Throwable => }
+    // The full map cannot fit the 2000-byte stdout tail (101 queries ~=
+    // 2.6 KB), so it persists to files: target/ for local tooling and the
+    // repo root so the round artifact commit carries it — round-over-round
+    // diffs read BENCH_FULL.json, no tail parsing.
+    Seq("target/bench_full.json", "BENCH_FULL.json").foreach { p =>
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p), full + "\n")
+      catch { case _: Throwable => }
+    }
     val headline = Seq(
       "q1_pricing_summary", "q3_topk_revenue", "q5_nation_revenue",
       "q_filter_pushdown", "q_window_running", "q_percentiles",

@@ -56,29 +56,58 @@ object TransactionalWrite {
       collectStats: Boolean = true,
       optimizeWrite: Option[Boolean] = None,
       statsColumns: FooterStats.StatsColumns = FooterStats.StatsColumns()): Seq[AddFile] = {
-    val classic = spark.asInstanceOf[ClassicSession]
     val resolver = spark.sessionState.analyzer.resolver
+    val analyzed = data.queryExecution.analyzed
 
-    val df = {
+    val logical = {
       // Build RebalancePartitions directly (not the REBALANCE hint, whose
       // parameter parser mangles column names with spaces/dots).
-      def rebalance(on: Seq[String]): DataFrame = {
-        val analyzed = data.queryExecution.analyzed
+      def rebalance(on: Seq[String]):
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
         val attrs = on.map(name => analyzed.output
           .find(a => resolver(a.name, name)).getOrElse(
             throw new IllegalArgumentException(
               s"Partition column $name not found in ${analyzed.output.map(_.name)}")))
-        org.apache.spark.sql.graftshim.SparkShims.ofRows(spark,
-          org.apache.spark.sql.catalyst.plans.logical.RebalancePartitions(
-            attrs, analyzed))
+        org.apache.spark.sql.catalyst.plans.logical.RebalancePartitions(
+          attrs, analyzed)
       }
-      if (optimizeWrite.contains(false)) data
+      if (optimizeWrite.contains(false)) analyzed
       else if (partitionColumns.nonEmpty) rebalance(partitionColumns)
       else if (optimizeWrite.contains(true)) rebalance(Nil)
-      else data
+      else analyzed
     }
 
-    val qe = df.queryExecution
+    // Per-plan conf scoping: the overrides below go on a CLONED session
+    // (shared context, forked SQLConf) that only this write plans and
+    // executes against — a concurrent query or write on another thread of
+    // the caller's session never inherits them.
+    val writeSession = org.apache.spark.sql.graftshim.SparkShims.cloneSession(spark)
+    // Write timestamps as annotated TIMESTAMP_MICROS, not Spark's default
+    // INT96: INT96 min/max footer stats have no defined ordering (Parquet
+    // spec), so INT96 files would carry no usable timestamp skipping stats.
+    writeSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // Size-target the rebalance: AQE coalesces/splits shuffle blocks to
+    // the advisory size, which here is the write's bin size — applied
+    // ONLY to plans whose sole exchange is the rebalance itself; a DML
+    // rewrite's join/aggregate shuffles keep AQE's default sizing (a
+    // 512 MB advisory would re-scale them too: fewer, fatter reduce
+    // partitions, lost parallelism, executor memory pressure).
+    val rebalanced = logical ne analyzed
+    val simplePlan = !analyzed.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Window => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.Distinct => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
+      case _ => false
+    }
+    if (rebalanced && simplePlan)
+      writeSession.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        spark.conf.getOption(BIN_SIZE_CONF).map(_.toLong)
+          .getOrElse(BIN_SIZE_DEFAULT).toString)
+
+    val wdf = org.apache.spark.sql.graftshim.SparkShims.ofRows(writeSession, logical)
+    val qe = wdf.queryExecution
     val output: Seq[Attribute] = qe.analyzed.output
     val partAttrs = partitionColumns.map { name =>
       output.find(a => resolver(a.name, name)).getOrElse(
@@ -87,56 +116,17 @@ object TransactionalWrite {
     }
 
     val committer = new GraftCommitProtocol(UUID.randomUUID.toString, tablePath.toString)
-    // Write timestamps as annotated TIMESTAMP_MICROS, not Spark's default
-    // INT96: INT96 min/max footer stats have no defined ordering (Parquet
-    // spec), so INT96 files would carry no usable timestamp skipping stats.
-    val tsKey = "spark.sql.parquet.outputTimestampType"
-    val prevTs = spark.conf.getOption(tsKey)
-    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    // Size-target the rebalance: AQE coalesces/splits shuffle blocks to
-    // the advisory size, which here is the write's bin size. The
-    // override is session-wide during this execution, so it is applied
-    // ONLY to plans whose sole exchange is the rebalance itself — a DML
-    // rewrite's join/aggregate shuffles keep AQE's default sizing (a
-    // 512 MB advisory would re-scale them too: fewer, fatter reduce
-    // partitions, lost parallelism, executor memory pressure).
-    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
-    val rebalanced = df ne data
-    val simplePlan = !data.queryExecution.analyzed.exists {
-      case _: org.apache.spark.sql.catalyst.plans.logical.Join => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.Aggregate => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.Window => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.Distinct => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
-      case _ => false
-    }
-    val sizeTargeted = rebalanced && simplePlan
-    val prevAdvisory = spark.conf.getOption(advisoryKey)
-    if (sizeTargeted) spark.conf.set(advisoryKey,
-      spark.conf.getOption(BIN_SIZE_CONF).map(_.toLong)
-        .getOrElse(BIN_SIZE_DEFAULT).toString)
-    try {
-      FileFormatWriter.write(
-        sparkSession = classic,
-        plan = qe.executedPlan,
-        fileFormat = new ParquetFileFormat,
-        committer = committer,
-        outputSpec = FileFormatWriter.OutputSpec(tablePath.toString, Map.empty, output),
-        hadoopConf = spark.sessionState.newHadoopConf(),
-        partitionColumns = partAttrs,
-        bucketSpec = None,
-        statsTrackers = Nil,
-        options = Map.empty)
-    } finally {
-      prevTs match {
-        case Some(v) => spark.conf.set(tsKey, v)
-        case None => spark.conf.unset(tsKey)
-      }
-      if (sizeTargeted) prevAdvisory match {
-        case Some(v) => spark.conf.set(advisoryKey, v)
-        case None => spark.conf.unset(advisoryKey)
-      }
-    }
+    FileFormatWriter.write(
+      sparkSession = writeSession.asInstanceOf[ClassicSession],
+      plan = qe.executedPlan,
+      fileFormat = new ParquetFileFormat,
+      committer = committer,
+      outputSpec = FileFormatWriter.OutputSpec(tablePath.toString, Map.empty, output),
+      hadoopConf = writeSession.sessionState.newHadoopConf(),
+      partitionColumns = partAttrs,
+      bucketSpec = None,
+      statsTrackers = Nil,
+      options = Map.empty)
 
     val adds = committer.addedFiles
     if (collectStats)

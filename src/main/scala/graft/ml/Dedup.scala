@@ -288,14 +288,6 @@ object Dedup {
     }
     val idx0 = graft.Graft.readVersion(spark, bucketsPath, bv)
       .select(col("band"), col("bucket"), col("id").as("cid"))
-    // Hot-bucket skew guard, same semantics as [[minHashPairs]]: an
-    // index bucket holding a boilerplate family would join every batch
-    // member against every family member; oversized buckets drop whole
-    // (near-dups still collide in their other bands).
-    val hot = idx0.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("n")).where(col("n") > maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val idx = idx0.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     val corpusSigs = graft.Graft.readVersion(spark, sigsPath, sv)
       .select(col("id").as("cid"), col("sig").as("sigB"))
     // Signatures are a deterministic function of the text, so the frame
@@ -303,6 +295,25 @@ object Dedup {
     // persist note at the top of this object).
     val batchSigs = sigArray(batch, id, text, numHashes, shingleSize)
     val newBuckets = bucketsOf(batchSigs, numHashes, bands)
+    // Hot-bucket skew guard, same semantics as [[minHashPairs]]: an
+    // index bucket holding a boilerplate family would join every batch
+    // member against every family member; oversized buckets drop whole
+    // (near-dups still collide in their other bands). Computed
+    // BATCH-SCALED: only buckets this batch touches can explode its
+    // join, and a bucket's membership count is identical whether counted
+    // over the full table or the touched subset (the filter is on the
+    // grouping key) — so the index scan narrows through a broadcast hash
+    // filter of the batch's buckets first, and the count aggregates
+    // touched rows only. Per-batch shuffle volume scales with the batch
+    // (plus linear hot-bucket membership), never with corpus x bands.
+    // Very large batches should chunk before calling (the touched-bucket
+    // set broadcasts).
+    val touched = newBuckets.select(col("band"), col("bucket")).distinct()
+    val idxTouched = idx0.join(broadcast(touched), Seq("band", "bucket"))
+    val hot = idxTouched.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val idx = idxTouched.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
     // cid != id: a retried batch whose first attempt already appended can
     // see its own rows in the index — never a duplicate of itself.
     val cand = newBuckets.join(idx, Seq("band", "bucket"))

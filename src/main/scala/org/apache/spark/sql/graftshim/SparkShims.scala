@@ -21,6 +21,13 @@ object SparkShims {
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.queryExecution.logical
 
+  /** Fork the session (shared SparkContext + shared state, copied
+    * session state incl. SQLConf) so per-plan conf overrides — write-time
+    * parquet timestamp type, AQE advisory sizing — never leak to
+    * concurrent queries on the original session. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[ClassicSession].cloneSession()
+
   /** Spark's temporary column name that makes the parquet readers emit
     * the file row index (split- and row-group-skip-correct). */
   def rowIndexTempColumn: String =

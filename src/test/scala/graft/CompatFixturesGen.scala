@@ -17,53 +17,86 @@ object CompatFixturesGen {
     val spark = TestSpark.spark
     import spark.implicits._
 
-    def fresh(name: String): String = {
+    // Frozen fixtures stay frozen: an existing dir is SKIPPED (its block
+    // below must not run), never overwritten — delete one first only when
+    // intentionally regenerating it.
+    def ifFresh(name: String)(gen: String => Unit): Unit = {
       val d = new java.io.File(out, name)
-      require(!d.exists,
-        s"$d already exists — delete it first if you really mean to regenerate")
-      d.toString
+      if (d.exists) println(s"compat fixture $name exists — left frozen")
+      else gen(d.toString)
     }
 
     // 1. basic: append + delete-rewrite + append, classic checkpoint + crc
-    val basic = fresh("basic")
-    Graft.write(spark.range(100).select($"id", ($"id" % 7).as("k"))
-      .repartition(1), basic,
-      configuration = Map("graft.checkpointInterval" -> "2"))
-    GraftTable.forPath(spark, basic).delete(expr("id % 10 = 0"))
-    Graft.write(spark.range(100, 120).select($"id", ($"id" % 7).as("k"))
-      .repartition(1), basic)
+    ifFresh("basic") { basic =>
+      Graft.write(spark.range(100).select($"id", ($"id" % 7).as("k"))
+        .repartition(1), basic,
+        configuration = Map("graft.checkpointInterval" -> "2"))
+      GraftTable.forPath(spark, basic).delete(expr("id % 10 = 0"))
+      Graft.write(spark.range(100, 120).select($"id", ($"id" % 7).as("k"))
+        .repartition(1), basic)
+    }
 
     // 2. v2cp: v2 sidecar-bucketed checkpoint policy
-    val v2 = fresh("v2cp")
-    Graft.write(spark.range(50).toDF("id").repartition(1), v2,
-      configuration = Map(
-        "graft.checkpointPolicy" -> "v2",
-        "graft.checkpointNumSidecars" -> "4",
-        "graft.checkpointInterval" -> "2"))
-    Graft.write(spark.range(50, 80).toDF("id").repartition(1), v2)
-    Graft.write(spark.range(80, 90).toDF("id").repartition(1), v2)
+    ifFresh("v2cp") { v2 =>
+      Graft.write(spark.range(50).toDF("id").repartition(1), v2,
+        configuration = Map(
+          "graft.checkpointPolicy" -> "v2",
+          "graft.checkpointNumSidecars" -> "4",
+          "graft.checkpointInterval" -> "2"))
+      Graft.write(spark.range(50, 80).toDF("id").repartition(1), v2)
+      Graft.write(spark.range(80, 90).toDF("id").repartition(1), v2)
+    }
 
     // 3. dv: deletion vectors + change data feed
-    val dv = fresh("dv")
-    Graft.write(spark.range(60).select($"id", ($"id" * 2).as("v"))
-      .repartition(1), dv,
-      configuration = Map(
-        "graft.enableDeletionVectors" -> "true",
-        "graft.enableChangeDataFeed" -> "true"))
-    GraftTable.forPath(spark, dv).delete($"id" < 15)
+    ifFresh("dv") { dv =>
+      Graft.write(spark.range(60).select($"id", ($"id" * 2).as("v"))
+        .repartition(1), dv,
+        configuration = Map(
+          "graft.enableDeletionVectors" -> "true",
+          "graft.enableChangeDataFeed" -> "true"))
+      GraftTable.forPath(spark, dv).delete($"id" < 15)
+    }
 
     // 4. mapped: column mapping (name mode) + rename + column DEFAULT
-    val mapped = fresh("mapped")
-    Graft.create(spark, mapped, org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("id",
-        org.apache.spark.sql.types.LongType),
-      graft.schema.ColumnDefaults.defaultField("src",
-        org.apache.spark.sql.types.StringType, "'web'"))),
-      configuration = Map("graft.columnMapping.mode" -> "name"))
-    Graft.write(spark.range(40).toDF("id"), mapped)
-    GraftTable.forPath(spark, mapped).renameColumn("src", "origin")
-    Graft.write(spark.range(40, 50).select($"id", lit("api").as("origin")),
-      mapped)
+    ifFresh("mapped") { mapped =>
+      Graft.create(spark, mapped, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        graft.schema.ColumnDefaults.defaultField("src",
+          org.apache.spark.sql.types.StringType, "'web'"))),
+        configuration = Map("graft.columnMapping.mode" -> "name"))
+      Graft.write(spark.range(40).toDF("id"), mapped)
+      GraftTable.forPath(spark, mapped).renameColumn("src", "origin")
+      Graft.write(spark.range(40, 50).select($"id", lit("api").as("origin")),
+        mapped)
+    }
+
+    // 5. mhidx: incremental MinHash-LSH index table pair (banding
+    //    parameters live in table properties; buckets partitioned by band)
+    ifFresh("mhidx") { mhidx =>
+      val corpus = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2L, "an entirely different document all about spark and scala programming"))
+        .toDF("doc_id", "text")
+      graft.ml.Dedup.buildMinHashIndex(corpus, $"doc_id", $"text", mhidx,
+        numHashes = 64, bands = 16, shingleSize = 3)
+      graft.ml.Dedup.dedupAgainstIndex(
+        Seq((10L, "completely novel text zz yy xx ww vv uu tt ss rr qq pp oo"))
+          .toDF("doc_id", "text"),
+        $"doc_id", $"text", mhidx,
+        numHashes = 64, bands = 16, shingleSize = 3, updateIndex = true).count()
+    }
+
+    // 6. mirrored: delta-format mirror enabled — _delta_log alongside
+    //    _graft_log, shared data files, mirror checkpoint at v10
+    ifFresh("mirrored") { mirrored =>
+      Graft.write(spark.range(30).toDF("id").repartition(1), mirrored,
+        configuration = Map(graft.commands.DeltaMirror.PROP -> "delta"))
+      (0 until 10).foreach { i =>
+        Graft.write(spark.range(30 + i * 5L, 35 + i * 5L).toDF("id")
+          .repartition(1), mirrored)
+      }
+    }
 
     println(s"compat fixtures written under $out")
     spark.stop()

@@ -60,6 +60,49 @@ class CompatSuite extends AnyFunSuite {
     assert(types === Map("delete" -> 15L))
   }
 
+  test("frozen incremental-index pair: banding properties + cold dedup") {
+    val dir = table("mhidx")
+    val conf = GraftLog.forTable(spark, s"$dir/buckets").update()
+      .metadata.configuration
+    assert(conf.get("graft.minhash.numHashes").contains("64"))
+    assert(conf.get("graft.minhash.bands").contains("16"))
+    assert(Graft.read(spark, s"$dir/sigs").count() === 3) // 2 corpus + 1 batch
+    assert(Graft.read(spark, s"$dir/buckets").count() === 3 * 16)
+    // a new batch still dedups against the frozen index (no update)
+    val r = graft.ml.Dedup.dedupAgainstIndex(
+      Seq((20L, "completely novel text zz yy xx ww vv uu tt ss rr qq pp oo"),
+          (21L, "some fresh unseen content about graphs and matrices"))
+        .toDF("doc_id", "text"),
+      $"doc_id", $"text", dir, numHashes = 64, bands = 16, shingleSize = 3)
+      .as[(Long, Boolean)].collect().toMap
+    assert(r === Map(20L -> true, 21L -> false))
+  }
+
+  test("frozen mirrored table: graft + delta logs cold-read to the same rows") {
+    val dir = table("mirrored")
+    assert(new java.io.File(dir, "_delta_log").isDirectory,
+      "fixture lost its delta mirror")
+    assert(new java.io.File(dir, "_delta_log/_last_checkpoint").exists,
+      "fixture lost its mirror checkpoint")
+    assert(Graft.read(spark, dir).count() === 80)
+    // a pure Delta reader's view (data + _delta_log only) converts to the
+    // same rows — the frozen mirror format stays importable forever
+    val view = java.nio.file.Files.createTempDirectory("compat-mirror").toFile
+    def walk(s: java.io.File, d: java.io.File): Unit = {
+      d.mkdirs()
+      s.listFiles().foreach { f =>
+        if (f.isDirectory) {
+          if (f.getName != "_graft_log") walk(f, new java.io.File(d, f.getName))
+        } else java.nio.file.Files.copy(f.toPath,
+          new java.io.File(d, f.getName).toPath)
+      }
+    }
+    walk(new java.io.File(dir), view)
+    Graft.convertFromDelta(spark, view.toString)
+    assert(Graft.read(spark, view.toString).select("id").as[Long]
+      .collect().sorted.toSeq === (0L until 80L))
+  }
+
   test("frozen column-mapped table: physical names + DEFAULT survive") {
     val dir = table("mapped")
     val df = Graft.read(spark, dir)

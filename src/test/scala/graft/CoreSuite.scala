@@ -556,6 +556,38 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     } finally spark.conf.unset(graft.files.TransactionalWrite.BIN_SIZE_CONF)
   }
 
+  test("write-time conf overrides are plan-scoped: caller session never mutates") {
+    val dir = tmpDir()
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val advisoryKey = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+    val before = (spark.conf.getOption(tsKey), spark.conf.getOption(advisoryKey))
+    // slow the write so the concurrent sampler observes it IN FLIGHT
+    val slow = org.apache.spark.sql.functions.udf { (x: Long) =>
+      Thread.sleep(2); x
+    }
+    val df = spark.range(2000)
+      .select((col("id") % 4).as("p"), slow(col("id")).as("id"))
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    @volatile var leaked: Option[(Option[String], Option[String])] = None
+    @volatile var writing = true
+    val sampler = Future {
+      while (writing) {
+        val now = (spark.conf.getOption(tsKey), spark.conf.getOption(advisoryKey))
+        if (now != before && leaked.isEmpty) leaked = Some(now)
+        Thread.sleep(5)
+      }
+    }
+    try Graft.write(df, dir, partitionBy = Seq("p"))
+    finally { writing = false; Await.ready(sampler, 30.seconds) }
+    assert(leaked.isEmpty,
+      s"an in-flight write leaked conf overrides to the shared session: $leaked")
+    // and the write itself still carried the annotated-timestamp contract
+    assert(Graft.read(spark, dir).count() === 2000)
+    assert((spark.conf.getOption(tsKey), spark.conf.getOption(advisoryKey)) === before)
+  }
+
   test("log cleanup deletes superseded checkpoint DIRECTORIES recursively") {
     val dir = tmpDir()
     // checkpoints at v10 and v20; the v10 checkpoint is a Spark-written

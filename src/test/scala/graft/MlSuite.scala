@@ -105,6 +105,46 @@ class MlSuite extends AnyFunSuite {
     assert(e.getMessage.contains("mismatched banding"))
   }
 
+  test("index dedup: hot-bucket guard caps families and is batch-scaled") {
+    val idx = java.nio.file.Files.createTempDirectory("graft-mhhot").toString
+    val boiler = "shared boilerplate page about nothing in particular repeated verbatim"
+    val normal = "a normal document describing spark internals and query planning"
+    val corpus = ((0 until 30).map(i => (100L + i, boiler)) :+ ((1L, normal)))
+      .toDF("doc_id", "text")
+    Dedup.buildMinHashIndex(corpus, $"doc_id", $"text", idx,
+      numHashes = 64, bands = 16, shingleSize = 3)
+    val batch = Seq((200L, boiler), (201L, normal)).toDF("doc_id", "text")
+    val res = Dedup.dedupAgainstIndex(batch, $"doc_id", $"text", idx,
+      numHashes = 64, bands = 16, shingleSize = 3, maxBucketSize = 10)
+    val got = res.as[(Long, Boolean)].collect().toMap
+    // the 30-member family exceeds the cap in EVERY band -> dropped whole;
+    // the normal duplicate still flags
+    assert(got === Map(200L -> false, 201L -> true))
+    // Scale shape: no aggregate may consume the index's bucket table
+    // without first narrowing through a join (the batch's touched-bucket
+    // filter) — a full-index groupBy per batch is the 100 TB killer the
+    // guard rework removed.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def isBucketsRelation(r: LogicalRelation): Boolean = r.relation match {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.exists(_.toString.contains("/buckets"))
+      case _ => false
+    }
+    def scansBuckets(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collectFirst {
+        case r: LogicalRelation if isBucketsRelation(r) => r
+      }.isDefined
+    val aggs = res.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if scansBuckets(a.child) => a
+    }
+    assert(aggs.nonEmpty, "expected aggregates over the index path in the plan")
+    aggs.foreach { a =>
+      assert(a.child.collectFirst { case j: Join => j }.isDefined,
+        s"aggregate consumes the full bucket table with no batch join below:\n$a")
+    }
+  }
+
   test("embeddingPairs finds jittered duplicates via multi-probe") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(100)
