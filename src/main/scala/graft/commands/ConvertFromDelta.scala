@@ -516,8 +516,9 @@ object ConvertFromDeltaCommand {
         "numConvertedFiles" -> n.toString,
         "sourceVersion" ->
           (deltaVersions.lastOption.orElse(cpVersion).getOrElse(0L)).toString)
+      val ts0 = System.currentTimeMillis()
       val head: Seq[Action] = Seq(
-        CommitInfo(timestamp = System.currentTimeMillis(),
+        CommitInfo(timestamp = ts0,
           operation = "CONVERT FROM DELTA", operationMetrics = metrics),
         proto, finalMeta) ++ txnActions ++ rtDomain
       // Commit 0 streams to disk: the driver holds one partition of
@@ -548,7 +549,11 @@ object ConvertFromDeltaCommand {
           metadata = finalMeta,
           setTransactions = state.txns.toMap,
           domainMetadata =
-            rtDomain.map(d => d.domain -> d.configuration).toMap)))
+            rtDomain.map(d => d.domain -> d.configuration).toMap,
+          // Anchors the monotone timestamp chain at version 0 — without
+          // it every later commit reads -1 here and the O(log n) exact
+          // timestamp bisection never forms on large-venue converts.
+          commitTimestamp = ts0)))
     } finally finalDS.unpersist(blocking = false)
     log.update()
     new GraftTable(spark, log)

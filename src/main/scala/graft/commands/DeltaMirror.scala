@@ -289,16 +289,20 @@ object DeltaMirror {
       // Already-exported files (deterministic name) reconstruct their
       // descriptor from the framing — 1 version byte + 4-byte length +
       // data + 4-byte crc — so a steady-state mirror checkpoint never
-      // re-reads DV bitmaps. The declared length must agree with the
-      // file's actual length, or the file is a truncated leftover from a
-      // killed export and gets regenerated instead of trusted.
+      // re-reads DV bitmaps. The version byte and the declared length
+      // must agree with the format and the file's actual length, or the
+      // file is a truncated/garbage leftover from a killed export and
+      // gets regenerated instead of trusted. (Payload CRC verification
+      // stays with readers — every Delta reader checks it on open — so
+      // reuse costs a 5-byte header read, not a full bitmap read.)
       val reusableLen: Option[Int] =
         if (a.dvCardinality.isDefined && fs.exists(target)) {
           try {
             val actual = fs.getFileStatus(target).getLen
             val in = fs.open(target)
-            val declared = try { in.readByte(); in.readInt() } finally in.close()
-            if (actual == 9L + declared) Some(declared) else None
+            val (ver, declared) =
+              try (in.readByte(), in.readInt()) finally in.close()
+            if (ver == 1 && actual == 9L + declared) Some(declared) else None
           } catch { case _: java.io.IOException => None }
         } else None
       val (pathOrInline, offset, size, card) =

@@ -76,7 +76,8 @@ object OptimizeCommand {
   val CUBE_TAG = "clusterCube"
 
   def compact(table: GraftTable, predicate: Option[String],
-      full: Boolean = false): DataFrame = {
+      full: Boolean = false,
+      partitions: Option[Set[Map[String, String]]] = None): DataFrame = {
     val spark = table.spark
     val log = table.log
     val metrics = log.withNewTransaction { txn =>
@@ -95,7 +96,7 @@ object OptimizeCommand {
         // columns). Incremental passes rewrite unclustered files PLUS
         // any undersized (unstable) cubes, merging them into one new
         // cube; stable cubes are never touched.
-        val selected = selectFiles(spark, txn, m, predicate)
+        val selected = selectFiles(spark, txn, m, predicate, partitions)
         val targetCube = conf(m, "graft.cluster.targetCubeSize",
           10L * 1024 * 1024 * 1024)
         def cubeOf(f: AddFile): Option[String] =
@@ -137,7 +138,8 @@ object OptimizeCommand {
       }
       val minSize = conf(m, "graft.optimize.minFileSize", defaultMaxFileSize / 2)
       val maxSize = conf(m, "graft.optimize.maxFileSize", defaultMaxFileSize)
-      val files = selectFiles(spark, txn, m, predicate).filter(_.size < minSize)
+      val files = selectFiles(spark, txn, m, predicate, partitions)
+        .filter(_.size < minSize)
       val bins = files.groupBy(_.partitionValues).toSeq.flatMap { case (_, fs) =>
         binPack(fs, maxSize)
       }.filter(_.size > 1)
@@ -243,17 +245,26 @@ object OptimizeCommand {
     m.toSeq.toDF("metric", "value")
   }
 
+  /** Candidate files for OPTIMIZE: an optional partition-only SQL
+    * predicate (user-facing `WHERE`), narrowed by an optional exact
+    * PHYSICAL partitionValues set (auto-compact targets the pressured
+    * partitions this way — no SQL literal round-trip, so values with
+    * quotes/backslashes and parser-mode differences cannot misroute). */
   def selectFiles(
       spark: SparkSession,
       txn: OptimisticTransaction,
       m: Metadata,
-      predicate: Option[String]): Seq[AddFile] = predicate match {
-    case None => txn.filterFiles()
-    case Some(p) =>
-      val cond = spark.sessionState.sqlParser.parseExpression(p)
-      val (partF, dataF) = WriteIntoGraft.splitPredicates(cond, m)
-      require(dataF.isEmpty, s"OPTIMIZE predicate must be partition-only: $p")
-      txn.filterFiles(partF, Nil)
+      predicate: Option[String],
+      partitions: Option[Set[Map[String, String]]] = None): Seq[AddFile] = {
+    val base = predicate match {
+      case None => txn.filterFiles()
+      case Some(p) =>
+        val cond = spark.sessionState.sqlParser.parseExpression(p)
+        val (partF, dataF) = WriteIntoGraft.splitPredicates(cond, m)
+        require(dataF.isEmpty, s"OPTIMIZE predicate must be partition-only: $p")
+        txn.filterFiles(partF, Nil)
+    }
+    partitions.fold(base)(ps => base.filter(f => ps(f.partitionValues)))
   }
 
   /** Run one Spark job per bin from a bounded thread pool. */

@@ -31,6 +31,61 @@ object TransactionalWrite {
   val BIN_SIZE_CONF = "spark.graft.optimizeWrite.binSizeBytes"
   val BIN_SIZE_DEFAULT: Long = 512L * 1024 * 1024
 
+  private val TS_TYPE_CONF = "spark.sql.parquet.outputTimestampType"
+  private val ADVISORY_CONF = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
+
+  private final class CachedWriteSession(val session: SparkSession) {
+    @volatile var synced: Map[String, String] = Map.empty
+  }
+
+  /** One cached clone per (caller session, advisory override):
+    * cloneSession is not cheap — every clone rebuilds SessionState and
+    * its eager ExecutionListenerManager registers a listener on the
+    * context's SHARED listener bus that only GC removes, so a fresh
+    * clone per write (every micro-batch, every DML rewrite) accumulates
+    * listeners and bus fan-out for the life of the app. The cached
+    * clone's SQLConf re-syncs from the parent on every use, so
+    * mid-session conf changes (time zone, codec, bin size) still reach
+    * the write; only the write-scoped overrides stay pinned. */
+  private val writeSessionCache =
+    new java.util.WeakHashMap[
+      SparkSession, java.util.concurrent.ConcurrentHashMap[String, CachedWriteSession]]()
+
+  private[graft] def writeSession(
+      spark: SparkSession, advisory: Option[String]): SparkSession = {
+    val byAdvisory = writeSessionCache.synchronized {
+      var m = writeSessionCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, CachedWriteSession]()
+        writeSessionCache.put(spark, m)
+      }
+      m
+    }
+    val cached = byAdvisory.computeIfAbsent(advisory.getOrElse(""),
+      _ => new CachedWriteSession(
+        org.apache.spark.sql.graftshim.SparkShims.cloneSession(spark)))
+    val ws = cached.session
+    val parentConfs = spark.conf.getAll
+    val prev = cached.synced
+    // Removals and changes since the last sync; static confs and other
+    // unsettables are skipped (they cannot differ between clone and
+    // parent anyway — the clone shares the context).
+    (prev.keySet -- parentConfs.keySet)
+      .foreach(k => try ws.conf.unset(k) catch { case _: Exception => })
+    parentConfs.foreach { case (k, v) =>
+      if (!prev.get(k).contains(v)) {
+        try ws.conf.set(k, v) catch { case _: Exception => }
+      }
+    }
+    cached.synced = parentConfs
+    // Write timestamps as annotated TIMESTAMP_MICROS, not Spark's default
+    // INT96: INT96 min/max footer stats have no defined ordering (Parquet
+    // spec), so INT96 files would carry no usable timestamp skipping stats.
+    ws.conf.set(TS_TYPE_CONF, "TIMESTAMP_MICROS")
+    advisory.foreach(a => ws.conf.set(ADVISORY_CONF, a))
+    ws
+  }
+
   /**
    * @param optimizeWrite None = table default: partitioned writes
    *   rebalance on the partition key (each table-partition written by a
@@ -77,15 +132,10 @@ object TransactionalWrite {
       else analyzed
     }
 
-    // Per-plan conf scoping: the overrides below go on a CLONED session
-    // (shared context, forked SQLConf) that only this write plans and
-    // executes against — a concurrent query or write on another thread of
-    // the caller's session never inherits them.
-    val writeSession = org.apache.spark.sql.graftshim.SparkShims.cloneSession(spark)
-    // Write timestamps as annotated TIMESTAMP_MICROS, not Spark's default
-    // INT96: INT96 min/max footer stats have no defined ordering (Parquet
-    // spec), so INT96 files would carry no usable timestamp skipping stats.
-    writeSession.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // Per-plan conf scoping: the overrides go on a cached CLONED session
+    // (shared context, forked SQLConf) that only writes plan and execute
+    // against — a concurrent query or write on another thread of the
+    // caller's session never inherits them.
     // Size-target the rebalance: AQE coalesces/splits shuffle blocks to
     // the advisory size, which here is the write's bin size — applied
     // ONLY to plans whose sole exchange is the rebalance itself; a DML
@@ -101,10 +151,12 @@ object TransactionalWrite {
       case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
       case _ => false
     }
-    if (rebalanced && simplePlan)
-      writeSession.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        spark.conf.getOption(BIN_SIZE_CONF).map(_.toLong)
+    val advisory =
+      if (rebalanced && simplePlan)
+        Some(spark.conf.getOption(BIN_SIZE_CONF).map(_.toLong)
           .getOrElse(BIN_SIZE_DEFAULT).toString)
+      else None
+    val writeSession = TransactionalWrite.writeSession(spark, advisory)
 
     val wdf = org.apache.spark.sql.graftshim.SparkShims.ofRows(writeSession, logical)
     val qe = wdf.queryExecution

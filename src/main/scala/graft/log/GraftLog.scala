@@ -291,13 +291,18 @@ class GraftLog private (
           Actions.serialize(actions))
     }
     val snap = update()
-    writeChecksum(snap, actions)
+    // The checksum sidecar must describe the version JUST COMMITTED: under
+    // a racing writer update() can return a LATER version, and writing
+    // that version's checksum from this commit's actions would both skip
+    // `version`'s own sidecar forever and clobber the racer's correct one.
+    val snapAtV = if (snap.version == version) snap else getSnapshotAt(version)
+    writeChecksum(snapAtV, actions)
     maybeCheckpoint(snap)
     // BEST-EFFORT like the mirror below: the commit is already durable, so
     // a failed opportunistic compaction (concurrent-commit conflict, ...)
     // must not surface as a failed write that the caller would retry and
     // double-apply.
-    try maybeAutoCompact(snap, actions)
+    try maybeAutoCompact(snapAtV, actions)
     catch {
       case scala.util.control.NonFatal(e) =>
         org.slf4j.LoggerFactory.getLogger(classOf[GraftLog]).warn(
@@ -340,7 +345,13 @@ class GraftLog private (
       else if (snap.version == 0) ownTs.get
       else crcTimestamp(snap.version - 1) match {
         case Some(prev) => math.max(prev, ownTs.get)
-        case None => -1L
+        case None =>
+          // The previous sidecar may be a racing writer's write still in
+          // flight (its crc lands after ours starts) — without healing,
+          // one race would break the chain for the rest of the table's
+          // life. Recover the prefix-max from the nearest valid anchor.
+          healedWatermark(snap.version).map(math.max(_, ownTs.get))
+            .getOrElse(-1L)
       }
     store.writeOverwrite(FileNames.checksumFile(logPath, snap.version),
       Actions.checksumToJson(VersionChecksum(
@@ -358,12 +369,52 @@ class GraftLog private (
   @transient private lazy val crcTsCache =
     new ConcurrentHashMap[Long, Option[Long]]()
 
-  private def crcTimestamp(version: Long): Option[Long] =
-    crcTsCache.computeIfAbsent(version, { v =>
-      store.readOpt(FileNames.checksumFile(logPath, v))
+  private def crcTimestamp(version: Long): Option[Long] = {
+    val hit = crcTsCache.get(version)
+    if (hit != null) hit
+    else {
+      val v = store.readOpt(FileNames.checksumFile(logPath, version))
         .map(Actions.checksumFromJson)
         .map(_.commitTimestamp).filter(_ >= 0)
-    })
+      // A miss is NOT cached: the sidecar may be a racing writer's
+      // write-in-flight, and a permanently cached None would feed -1
+      // into the next commit's watermark even after the file lands.
+      if (v.isDefined) crcTsCache.put(version, v)
+      v
+    }
+  }
+
+  /** Recover the prefix-max timestamp watermark for `version` when the
+    * previous sidecar is missing or chainless: walk back a bounded
+    * window for the nearest valid checksum watermark and fold the gap's
+    * raw commit timestamps forward. Exact whenever an anchor exists in
+    * the window or the window reaches version 0 (young and freshly
+    * repaired tables re-anchor from scratch); None when the gap is too
+    * wide or a gap commit was already cleaned. */
+  private def healedWatermark(version: Long): Option[Long] = {
+    val floor = math.max(0L, version - 33)
+    var anchorV = -1L
+    var anchor = -1L
+    var k = version - 1
+    while (k >= floor && anchorV < 0) {
+      crcTimestamp(k) match {
+        case Some(w) => anchorV = k; anchor = w
+        case None => k -= 1
+      }
+    }
+    if (anchorV < 0 && floor > 0) return None
+    val statuses = listedCommits().toMap
+    var wm = anchor
+    var v = anchorV + 1
+    while (v < version) {
+      statuses.get(v) match {
+        case Some(st) => wm = math.max(wm, rawCommitTs(v, st))
+        case None => return None // gap commit cleaned — cannot heal
+      }
+      v += 1
+    }
+    Some(wm).filter(_ >= 0)
+  }
 
   private def validateChecksum(snap: Snapshot): Unit = {
     if (snap.version < 0) return
@@ -451,9 +502,15 @@ class GraftLog private (
       case a: AddFile if a.dataChange && a.size < smallSize => a.partitionValues
     }
     if (newSmall.isEmpty) return
-    if (!pressureSeeded) {
-      pressureSeeded = true
-      seedPressure(snap, smallSize)
+    // Double-checked under a lock: two first-commits racing through the
+    // bare flag would both seed and double every tail partition's
+    // pressure. The seed range ends BEFORE this commit's version (snap is
+    // pinned at it) — its own AddFiles merge once, via newSmall below.
+    if (!pressureSeeded) synchronized {
+      if (!pressureSeeded) {
+        seedPressure(snap, smallSize)
+        pressureSeeded = true
+      }
     }
     newSmall.groupBy(identity).foreach { case (pv, xs) =>
       autoCompactPressure.merge(pv, xs.size,
@@ -463,29 +520,15 @@ class GraftLog private (
     val pressured = autoCompactPressure.entrySet.asScala
       .filter(_.getValue >= minNumFiles).map(_.getKey).toSeq
     if (pressured.isEmpty) return
-    // AddFile.partitionValues is keyed by PHYSICAL column names (column
-    // mapping); the OPTIMIZE predicate speaks LOGICAL names and is
-    // evaluated without the analyzer's implicit casts, so literals must
-    // carry the partition column's exact type.
-    val partCols = snap.metadata.partitionColumns
-    val physCols = graft.schema.ColumnMapping.physicalPartitionColumns(snap.metadata)
-    val typeOf = snap.metadata.schema.map(f => f.name -> f.dataType.sql).toMap
-    val predicate: Option[String] =
-      if (partCols.isEmpty) None
-      else Some(pressured.map(pv => partCols.zip(physCols).map { case (c, phys) =>
-        pv.get(phys) match {
-          case Some(v) if v != null =>
-            // Spark string literals treat backslash as an escape — both it
-            // and the quote must escape or a value like a\b breaks the SQL.
-            val lit = v.replace("\\", "\\\\").replace("'", "\\'")
-            s"`$c` = CAST('$lit' AS ${typeOf.getOrElse(c, "STRING")})"
-          case _ => s"`$c` IS NULL"
-        }
-      }.mkString("(", " AND ", ")")).mkString(" OR "))
+    // The pressured keys ARE physical AddFile.partitionValues maps, so
+    // they pass to the compactor as an exact set — no SQL literal
+    // round-trip (values with quotes/backslashes, parser-mode
+    // differences, and logical/physical column mapping cannot misroute).
     inAutoCompact.set(true)
     try {
       graft.commands.OptimizeCommand.compact(
-        new graft.GraftTable(spark, this), predicate)
+        new graft.GraftTable(spark, this), None,
+        partitions = Some(pressured.toSet))
       pressured.foreach(autoCompactPressure.remove)
     } finally inAutoCompact.set(false)
   }

@@ -34,118 +34,91 @@ class LogStore(hadoopConf: Configuration) extends Serializable {
   /** Streaming put-if-absent: `chunks` are written to the temp sibling
     * one at a time, so a multi-million-line file (e.g. a mirror
     * bootstrap commit) never assembles as one driver string. */
-  def write(path: Path, chunks: Iterator[String]): Unit = {
-    if (isLocal(path)) {
-      val target = Paths.get(path.toUri.getPath)
-      Files.createDirectories(target.getParent)
-      val tmp = Files.createTempFile(target.getParent, s".${target.getFileName}", ".tmp")
-      try {
-        val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
-        try chunks.foreach(w.write) finally w.close()
-        try Files.createLink(target, tmp)
-        catch { case _: FileAlreadyExistsException | _: java.nio.file.FileSystemException
-            if Files.exists(target) =>
-          throw new FileAlreadyExistsException(target.toString)
-        }
-      } finally Files.deleteIfExists(tmp)
-    } else {
-      // HDFS-like: create(overwrite=false) alone is put-if-absent but NOT
-      // atomically visible (the file reads empty until close) — a
-      // concurrent snapshot refresh could fold a torn commit. Write a
-      // temp sibling, then rename without overwrite: atomic visibility
-      // AND existence check in one namespace operation.
-      val f = fs(path)
-      val temp = new Path(path.getParent,
-        s".${path.getName}.${java.util.UUID.randomUUID.toString.take(12)}.tmp")
-      val out = f.create(temp, false)
-      try chunks.foreach(c => out.write(c.getBytes(StandardCharsets.UTF_8)))
-      finally out.close()
-      try {
-        if (!f.rename(temp, path)) throw new FileAlreadyExistsException(path.toString)
-      } finally if (f.exists(temp)) f.delete(temp, false)
-    }
-  }
+  def write(path: Path, chunks: Iterator[String]): Unit =
+    materialize(path, overwrite = false)(writeChunks(chunks))
 
   /** Overwrite unconditionally (used for `_last_checkpoint`). */
-  def writeOverwrite(path: Path, content: String): Unit = {
-    if (isLocal(path)) {
-      val target = Paths.get(path.toUri.getPath)
-      Files.createDirectories(target.getParent)
-      val tmp = Files.createTempFile(target.getParent, s".${target.getFileName}", ".tmp")
-      Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
-        StandardCopyOption.ATOMIC_MOVE)
-    } else {
-      val f = fs(path)
-      val out = f.create(path, true)
-      try out.write(content.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
-    }
-  }
+  def writeOverwrite(path: Path, content: String): Unit =
+    writeOverwrite(path, Iterator.single(content))
 
   /** Streaming overwrite with ATOMIC VISIBILITY: chunks stream to a temp
     * sibling, which then moves onto the final name — a reader never sees
     * a prefix. The streamed analogue of [[writeOverwrite(Path,String)]]
     * for multi-million-line objects. */
-  def writeOverwrite(path: Path, chunks: Iterator[String]): Unit = {
-    if (isLocal(path)) {
-      val target = Paths.get(path.toUri.getPath)
-      Files.createDirectories(target.getParent)
-      val tmp = Files.createTempFile(target.getParent, s".${target.getFileName}", ".tmp")
-      try {
-        val w = Files.newBufferedWriter(tmp, StandardCharsets.UTF_8)
-        try chunks.foreach(w.write) finally w.close()
-        Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
-          StandardCopyOption.ATOMIC_MOVE)
-      } finally Files.deleteIfExists(tmp)
-    } else {
-      val f = fs(path)
-      val temp = new Path(path.getParent,
-        s".${path.getName}.${java.util.UUID.randomUUID.toString.take(12)}.tmp")
-      val out = f.create(temp, true)
-      try chunks.foreach(c => out.write(c.getBytes(StandardCharsets.UTF_8)))
-      finally out.close()
-      try {
-        if (f.exists(path)) f.delete(path, false)
-        if (!f.rename(temp, path))
-          require(f.exists(path), s"could not materialize $path")
-      } finally if (f.exists(temp)) f.delete(temp, false)
-    }
-  }
+  def writeOverwrite(path: Path, chunks: Iterator[String]): Unit =
+    materialize(path, overwrite = true)(writeChunks(chunks))
 
   /** Stream-copy `src` onto `dst` (overwrite, atomic visibility) without
     * ever materializing the content in driver memory. */
   def copyOverwrite(src: Path, dst: Path): Unit = {
     val in = fs(src).open(src)
-    try {
+    try materialize(dst, overwrite = true) { out =>
       val buf = new Array[Byte](1 << 20)
-      def pump(out: java.io.OutputStream): Unit = {
-        var n = in.read(buf)
-        while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
-      }
-      if (isLocal(dst)) {
-        val target = Paths.get(dst.toUri.getPath)
-        Files.createDirectories(target.getParent)
-        val tmp = Files.createTempFile(target.getParent, s".${target.getFileName}", ".tmp")
-        try {
-          val out = Files.newOutputStream(tmp)
-          try pump(out) finally out.close()
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+  }
+
+  private def writeChunks(chunks: Iterator[String])(
+      out: java.io.OutputStream): Unit =
+    chunks.foreach(c => out.write(c.getBytes(StandardCharsets.UTF_8)))
+
+  /** The ONE temp-sibling dance behind every log write: stream `body`'s
+    * output to a temp next to `path`, then move it onto the final name in
+    * a SINGLE namespace operation. A reader sees the old object or the
+    * new one — never a prefix (plain create exposes the file empty until
+    * close; a concurrent snapshot refresh would fold a torn commit as a
+    * no-op), and on overwrite never a missing object (delete-then-rename
+    * has a nonexistence window).
+    *
+    * overwrite=false is put-if-absent: local via hard-link (link(2)
+    * fails EEXIST), HDFS-like via no-overwrite rename; both throw
+    * [[FileAlreadyExistsException]]. overwrite=true: local via
+    * ATOMIC_MOVE, HDFS-like via FileContext rename(OVERWRITE) — an
+    * atomic destination replace — falling back to delete+rename only on
+    * filesystems with no AbstractFileSystem binding. */
+  private def materialize(path: Path, overwrite: Boolean)(
+      body: java.io.OutputStream => Unit): Unit = {
+    if (isLocal(path)) {
+      val target = Paths.get(path.toUri.getPath)
+      Files.createDirectories(target.getParent)
+      val tmp = Files.createTempFile(target.getParent, s".${target.getFileName}", ".tmp")
+      try {
+        val out = new java.io.BufferedOutputStream(Files.newOutputStream(tmp))
+        try body(out) finally out.close()
+        if (overwrite)
           Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
             StandardCopyOption.ATOMIC_MOVE)
-        } finally Files.deleteIfExists(tmp)
-      } else {
-        val dfs = fs(dst)
-        val temp = new Path(dst.getParent,
-          s".${dst.getName}.${java.util.UUID.randomUUID.toString.take(12)}.tmp")
-        val out = dfs.create(temp, true)
-        try pump(out) finally out.close()
-        try {
-          if (dfs.exists(dst)) dfs.delete(dst, false)
-          if (!dfs.rename(temp, dst))
-            require(dfs.exists(dst), s"could not materialize $dst")
-        } finally if (dfs.exists(temp)) dfs.delete(temp, false)
-      }
-    } finally in.close()
+        else {
+          try Files.createLink(target, tmp)
+          catch { case _: FileAlreadyExistsException | _: java.nio.file.FileSystemException
+              if Files.exists(target) =>
+            throw new FileAlreadyExistsException(target.toString)
+          }
+        }
+      } finally Files.deleteIfExists(tmp)
+    } else {
+      val f = fs(path)
+      val temp = new Path(path.getParent,
+        s".${path.getName}.${java.util.UUID.randomUUID.toString.take(12)}.tmp")
+      val out = new java.io.BufferedOutputStream(f.create(temp, true))
+      try body(out) finally out.close()
+      try {
+        if (!overwrite) {
+          if (!f.rename(temp, path))
+            throw new FileAlreadyExistsException(path.toString)
+        } else try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+            path.toUri, hadoopConf)
+          fc.rename(temp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            if (f.exists(path)) f.delete(path, false)
+            if (!f.rename(temp, path))
+              require(f.exists(path), s"could not materialize $path")
+        }
+      } finally if (f.exists(temp)) f.delete(temp, false)
+    }
   }
 
   def read(path: Path): String = {

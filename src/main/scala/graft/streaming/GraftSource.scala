@@ -162,13 +162,17 @@ class GraftSource(
           .map(_._1).toSeq
       case Right(ds) =>
         // The persisted dataset is already index-ordered (zipWithIndex over
-        // the sorted scan; filter preserves partition order), so stream
-        // partitions one at a time instead of a parallel collect + driver
-        // sort — a CDF batch spanning the snapshot tail never double-buffers
-        // the file list (same shape as [[snapshotIterator]]).
+        // the sorted scan; filter preserves partition order). A KNOWN-small
+        // range collects in ONE parallel job (memory bounded by the range);
+        // an unbounded tail range (toIncl past the snapshot) streams
+        // partitions one at a time instead — fully draining via
+        // toLocalIterator would run one sequential job per partition, a
+        // job-scheduling storm on a many-partition snapshot.
         import scala.jdk.CollectionConverters._
-        ds.filter(col("_2") > fromExcl && col("_2") <= toIncl)
-          .toLocalIterator().asScala.map(_._1).toSeq
+        val filtered = ds.filter(col("_2") > fromExcl && col("_2") <= toIncl)
+        if (toIncl != Long.MaxValue && toIncl - fromExcl <= 1000000L)
+          filtered.collect().toSeq.map(_._1)
+        else filtered.toLocalIterator().asScala.map(_._1).toSeq
     }
 
   /**

@@ -1110,4 +1110,65 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.cardinality === big.size + 2)
     assert(back.contains((1L << 35) + 2) && back.contains(1L))
   }
+
+  test("timestamp watermark chain heals a missing predecessor sidecar") {
+    import graft.log.{Actions, FileNames}
+    val dir = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dir) // v0
+    Graft.write(spark.range(5, 10).toDF("id"), dir) // v1
+    val log = GraftLog.forTable(spark, dir)
+    // simulate a racing writer whose v1 sidecar has not landed yet
+    log.store.delete(FileNames.checksumFile(log.logPath, 1L))
+    Graft.write(spark.range(10, 15).toDF("id"), dir) // v2 — must heal
+    val crc2 = Actions.checksumFromJson(
+      log.store.read(FileNames.checksumFile(log.logPath, 2L)))
+    assert(crc2.commitTimestamp >= 0,
+      "one missing predecessor sidecar broke the watermark chain")
+    // exact: the healed watermark equals the clamped prefix-max fold
+    val clamped = log.listCommitTimestamps().toMap
+    assert(crc2.commitTimestamp === clamped(2L))
+  }
+
+  test("checksum sidecar describes the version just committed, not a racer's") {
+    import graft.log.{Actions, FileNames}
+    val dir = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dir) // v0
+    Graft.write(spark.range(5, 10).toDF("id"), dir) // v1
+    val log = GraftLog.forTable(spark, dir)
+    val acts1 = log.readCommit(1)
+    // a racer already committed v3 (a replay of v1's adds: identical paths
+    // fold to the identical state) before our v2's post-commit refresh runs
+    log.store.write(FileNames.deltaFile(log.logPath, 3L), Actions.serialize(acts1))
+    log.writeCommit(2, acts1)
+    assert(log.store.exists(FileNames.checksumFile(log.logPath, 2L)),
+      "the committed version's own sidecar was skipped")
+    assert(!log.store.exists(FileNames.checksumFile(log.logPath, 3L)),
+      "the racer's version got a sidecar written from the wrong commit")
+    val crc2 = Actions.checksumFromJson(
+      log.store.read(FileNames.checksumFile(log.logPath, 2L)))
+    assert(crc2.numFiles === log.getSnapshotAt(2).numFiles)
+    assert(crc2.commitTimestamp >= 0)
+  }
+
+  test("write sessions are cached per override and resync parent confs") {
+    import graft.files.TransactionalWrite
+    val s1 = TransactionalWrite.writeSession(spark, None)
+    assert(s1 ne spark)
+    assert(TransactionalWrite.writeSession(spark, None) eq s1)
+    val s3 = TransactionalWrite.writeSession(spark, Some("123456"))
+    assert(s3 ne s1)
+    assert(s3.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes") === "123456")
+    assert(s1.conf.get("spark.sql.parquet.outputTimestampType") === "TIMESTAMP_MICROS")
+    // the overrides never leak back into the caller's session
+    assert(spark.conf.get("spark.sql.parquet.outputTimestampType") !== "TIMESTAMP_MICROS")
+    // a parent conf change reaches the cached clone on its next use
+    spark.conf.set("spark.graft.test.probe", "42")
+    try {
+      assert(TransactionalWrite.writeSession(spark, None)
+        .conf.get("spark.graft.test.probe") === "42")
+      spark.conf.unset("spark.graft.test.probe")
+      assert(TransactionalWrite.writeSession(spark, None)
+        .conf.getOption("spark.graft.test.probe").isEmpty)
+    } finally spark.conf.unset("spark.graft.test.probe")
+  }
 }

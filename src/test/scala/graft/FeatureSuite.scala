@@ -457,6 +457,35 @@ class FeatureSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).count() === 50)
   }
 
+  test("auto compact compacts quote/backslash partition values in escaped-literals mode") {
+    val dir = tmpDir()
+    // With spark.sql.parser.escapedStringLiterals=true the parser keeps
+    // \' and '' verbatim inside string literals, so the OPTIMIZE
+    // predicate cannot carry this value as a plain literal — it must
+    // survive via the hex encoding.
+    val hostile = "a'b\\c"
+    spark.conf.set("spark.sql.parser.escapedStringLiterals", "true")
+    try {
+      (0 until 6).foreach { i =>
+        Graft.write(
+          spark.range(i * 10L, i * 10L + 10, 1, 1).toDF("id")
+            .withColumn("p", org.apache.spark.sql.functions.lit(hostile)),
+          dir, partitionBy = Seq("p"),
+          configuration = if (i == 0) Map(
+            "graft.autoCompact" -> "true",
+            "graft.autoCompact.minNumFiles" -> "5") else Map.empty)
+      }
+      val t = GraftTable.forPath(spark, dir)
+      val ops = t.history().select("operation").collect().map(_.getString(0))
+      assert(ops.contains("OPTIMIZE"), s"no auto compact in ${ops.toSeq}")
+      // the predicate actually MATCHED the hostile partition: its small
+      // files merged instead of surviving a no-op OPTIMIZE
+      assert(t.snapshot.numFiles < 6,
+        s"predicate missed the partition: ${t.snapshot.numFiles} files remain")
+      assert(Graft.read(spark, dir).count() === 60)
+    } finally spark.conf.unset("spark.sql.parser.escapedStringLiterals")
+  }
+
   test("auto compact pressure survives a GraftLog cache clear (restart)") {
     val dir = tmpDir()
     // 4 single-small-file commits — below the threshold of 5
