@@ -40,12 +40,32 @@ object FooterStats {
   case class StatsColumns(
       numIndexed: Int = MAX_INDEXED_COLS,
       explicit: Option[Seq[String]] = None) {
-    def select(schema: StructType): Array[StructField] = explicit match {
-      case Some(names) =>
-        val wanted = names.map(_.toLowerCase).toSet
-        schema.fields.filter(f => wanted(f.name.toLowerCase))
-      case None => schema.fields.take(numIndexed)
+    def select(schema: StructType): Array[StructField] = {
+      val base = explicit match {
+        case Some(names) =>
+          val wanted = names.map(_.toLowerCase).toSet
+          schema.fields.filter(f => wanted(f.name.toLowerCase))
+        case None => schema.fields.take(numIndexed)
+      }
+      base.flatMap(f => statsEligibleType(f.dataType)
+        .map(t => f.copy(dataType = t)))
     }
+  }
+
+  /** Stats-space projection of a column's type: atomic leaves keep their
+    * ordered min/max; structs recurse (a converted Delta table's stats
+    * JSON nests per-field mins); maps, arrays, binary and variant carry
+    * no ordered stats — and a MAP with a non-string key cannot even
+    * appear in a `from_json` schema — so they drop out of the stats
+    * space entirely. */
+  private[stats] def statsEligibleType(dt: DataType): Option[DataType] = dt match {
+    case s: StructType =>
+      val kept = s.fields.flatMap(f => statsEligibleType(f.dataType)
+        .map(t => StructField(f.name, t, nullable = true)))
+      if (kept.isEmpty) None else Some(StructType(kept))
+    case _: MapType | _: ArrayType | _: BinaryType => None
+    case other if other.typeName == "variant" => None
+    case other => Some(other)
   }
 
   /** A small write's footers read faster on the driver than the fixed

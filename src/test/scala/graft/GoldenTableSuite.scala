@@ -133,4 +133,78 @@ class GoldenTableSuite extends AnyFunSuite {
     assert(df.where($"part" === 3).select($"col1").as[Long].collect().sorted
       .toSeq === Seq(3L, 13L, 23L, 33L, 43L))
   }
+
+  test("golden: data-reader-map — map columns of every key/value shape") {
+    val dir = goldenCopy("data-reader-map")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 10)
+    val r = df.where($"i" === 3).select(
+      element_at($"a", 3), element_at($"b", 3L),
+      element_at($"c", lit(3.toShort)), element_at($"e", "3"),
+      size(element_at($"f", 3))).head()
+    assert(r.getInt(0) === 3 && r.getByte(1) === 3.toByte &&
+      r.getBoolean(2) === false && r.getDecimal(3).intValueExact() === 3 &&
+      r.getInt(4) === 3)
+  }
+
+  test("golden: data-reader-escaped-chars — %-escaped partition directory names") {
+    val dir = goldenCopy("data-reader-escaped-chars")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 3)
+    // partition VALUES keep their raw form; only the directory name is
+    // percent-encoded on disk
+    assert(df.select($"_2").as[String].collect().sorted.toSeq ===
+      Seq("bar+%21", "bar+%22", "bar+%23"))
+    assert(df.where($"_2" === "bar+%22").select($"_1").head.getString(0) === "foo2")
+  }
+
+  test("golden: dv-with-columnmapping — DVs under name-mapped physical columns") {
+    val dir = goldenCopy("dv-with-columnmapping")
+    // 50 rows, then 15 DELETEs of col1 = 0,2,...,28 through deletion vectors
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 35)
+    assert(df.agg(sum($"col1")).head.getLong(0) === 1015L) // 1225 - 210
+    assert(df.where($"col1" % 2 === 0 && $"col1" < 30).count() === 0)
+    // logical->physical mapping survives for data AND partition columns
+    assert(df.where($"part" === 7).select($"col1").as[Int].collect().sorted
+      .toSeq === Seq(7, 17, 27, 37, 47))
+    assert(df.where($"col2" === "foo3").count() ===
+      df.where($"col1" % 5 === 3).count())
+  }
+
+  test("golden: multi-part-checkpoint — reference multi-part layout folds whole") {
+    val dir = goldenCopy("multi-part-checkpoint")
+    Graft.convertFromDelta(spark, dir)
+    // v0: range(1), v1: +range(30) — id 0 twice, 1..29 once
+    val got = Graft.read(spark, dir).select($"id").as[Long].collect().sorted.toSeq
+    assert(got === (0L +: (0L until 30L)).sorted)
+  }
+
+  test("golden: v2-checkpoint-parquet — uuid checkpoint + sidecars fold whole") {
+    val dir = goldenCopy("v2-checkpoint-parquet")
+    Graft.convertFromDelta(spark, dir)
+    assert(Graft.read(spark, dir).select($"id").as[Long].collect().sorted.toSeq
+      === (0L until 10L))
+  }
+
+  test("golden: table-with-columnmapping-mode-id — id-mode mapping, deep nesting") {
+    val dir = goldenCopy("table-with-columnmapping-mode-id")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 6) // rows 0..4 + one all-null row
+    assert(df.where($"IntegerType".isNull).count() === 1)
+    val r = df.where($"IntegerType" === 2).select(
+      $"LongType", $"StringType", $"decimal",
+      $"nested_struct.aa", $"nested_struct.ac.aca",
+      element_at($"array_of_prims", 2),
+      element_at($"map_of_prims", 2),
+      element_at($"map_of_rows", 3).getField("ab")).head()
+    assert(r.getLong(0) === 2L && r.getString(1) === "2" &&
+      r.getDecimal(2).intValueExact() === 2 &&
+      r.getString(3) === "2" && r.getInt(4) === 2 &&
+      r.getInt(5) === 3 && r.getLong(6) === 3L && r.getLong(7) === 40L)
+  }
 }
