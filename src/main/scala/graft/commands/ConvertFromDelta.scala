@@ -262,6 +262,17 @@ object ConvertFromDeltaCommand {
       s"Delta log at $path is truncated (no readable checkpoint and no version 0)" +
         lastCp.map(n => s" — _last_checkpoint names version ${n.path("version").asLong(-1)} " +
           "but no complete checkpoint at any version was found").getOrElse(""))
+    // A gap in the replayed tail means a commit is MISSING, not cleaned
+    // (cleanup only removes versions a checkpoint covers): folding past
+    // it would silently drop that commit's changes from the converted
+    // table, so refuse — same contract as the reference's
+    // verifyDeltaVersions (reference SnapshotManagement.scala).
+    (cpVersionUsed.toSeq.flatMap(cp => deltaVersions.headOption.map(cp -> _)) ++
+      deltaVersions.zip(deltaVersions.drop(1))).foreach { case (a, b) =>
+      require(b == a + 1,
+        s"Delta log at $path has non-contiguous versions: $a then $b " +
+          s"(version ${a + 1} is missing)")
+    }
 
     // ---- fold venue -----------------------------------------------------
     val threshold = spark.conf.getOption(DRIVER_CONVERT_THRESHOLD_CONF)

@@ -207,4 +207,19 @@ class GoldenTableSuite extends AnyFunSuite {
       r.getString(3) === "2" && r.getInt(4) === 2 &&
       r.getInt(5) === 3 && r.getLong(6) === 3L && r.getLong(7) === 40L)
   }
+
+  test("golden: v2-checkpoint-json — json-manifest v2 checkpoint folds whole") {
+    val dir = goldenCopy("v2-checkpoint-json")
+    Graft.convertFromDelta(spark, dir)
+    assert(Graft.read(spark, dir).select($"id").as[Long].collect().sorted.toSeq
+      === (0L until 10L))
+  }
+
+  test("golden: versions-not-contiguous — convert refuses a gapped log") {
+    val dir = goldenCopy("versions-not-contiguous")
+    val e = intercept[IllegalArgumentException] {
+      Graft.convertFromDelta(spark, dir)
+    }
+    assert(e.getMessage.contains("non-contiguous"), e.getMessage)
+  }
 }
