@@ -102,16 +102,25 @@ object ConvertFromDeltaCommand {
         }
       }
     }
-    lastCp.map(_.path("version").asLong(-1)).filter(_ >= 0).flatMap(specAt)
-      .orElse {
-        val versions = names.flatMap {
-          case classicRe(v) => Some(v.toLong)
-          case multipartRe(v, _, _) => Some(v.toLong)
-          case uuidRe(v, _, _) => Some(v.toLong)
-          case _ => None
-        }.distinct.sorted.reverse
-        versions.iterator.flatMap(specAt).nextOption()
-      }
+    val fromPointer =
+      lastCp.map(_.path("version").asLong(-1)).filter(_ >= 0).flatMap(specAt)
+    val newestListed = {
+      val versions = names.flatMap {
+        case classicRe(v) => Some(v.toLong)
+        case multipartRe(v, _, _) => Some(v.toLong)
+        case uuidRe(v, _, _) => Some(v.toLong)
+        case _ => None
+      }.distinct.sorted.reverse
+      versions.iterator.flatMap(specAt).nextOption()
+    }
+    // The pointer is a HINT, not the source of truth: a writer that died
+    // between writing a checkpoint and updating _last_checkpoint leaves
+    // the pointer stale, and cleanup driven by the NEWER checkpoint may
+    // have already removed commits right after the pointed-to one —
+    // folding from the stale version would refuse a perfectly
+    // convertible log as non-contiguous. Prefer the newest COMPLETE
+    // checkpoint the listing proves.
+    (fromPointer.toSeq ++ newestListed).maxByOption(_.version)
   }
 
   /** Projected read schema for delta actions: only the fields the fold

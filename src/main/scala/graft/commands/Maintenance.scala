@@ -256,15 +256,50 @@ object OptimizeCommand {
       m: Metadata,
       predicate: Option[String],
       partitions: Option[Set[Map[String, String]]] = None): Seq[AddFile] = {
-    val base = predicate match {
-      case None => txn.filterFiles()
-      case Some(p) =>
+    val base = (predicate, partitions) match {
+      case (Some(p), _) =>
         val cond = spark.sessionState.sqlParser.parseExpression(p)
         val (partF, dataF) = WriteIntoGraft.splitPredicates(cond, m)
         require(dataF.isEmpty, s"OPTIMIZE predicate must be partition-only: $p")
         txn.filterFiles(partF, Nil)
+      case (None, Some(ps)) if m.partitionColumns.nonEmpty && ps.nonEmpty =>
+        // Prune to the target partitions IN the scan (distributed above
+        // the venue threshold) — a bare filterFiles() would materialize
+        // the whole file list on the driver just to drop most of it.
+        // splitPredicates resolves the attributes against the schema;
+        // the exact-set filter below then makes the selection precise
+        // regardless of cast corner cases in the pruning predicate.
+        val (partF, _) =
+          WriteIntoGraft.splitPredicates(partitionSetPredicate(m, ps), m)
+        txn.filterFiles(partF, Nil)
+      case _ => txn.filterFiles()
     }
     partitions.fold(base)(ps => base.filter(f => ps(f.partitionValues)))
+  }
+
+  /** OR-of-ANDs pruning predicate (LOGICAL names, as user predicates
+    * arrive) for an exact set of PHYSICAL partitionValues maps — the
+    * same Expression shape `WHERE part = CAST('v' AS t)` parses to, so
+    * it rides the standard partition-pruning path. */
+  private def partitionSetPredicate(
+      m: Metadata, ps: Set[Map[String, String]])
+      : org.apache.spark.sql.catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, Cast, EqualTo, Expression, IsNull, Literal, Or}
+    val phys = graft.schema.ColumnMapping.physicalPartitionColumns(m)
+    val typeOf = m.schema.map(f => f.name -> f.dataType).toMap
+    ps.toSeq.map { pv =>
+      m.partitionColumns.zip(phys).map { case (c, ph) =>
+        pv.get(ph) match {
+          case Some(v) if v != null =>
+            EqualTo(UnresolvedAttribute.quoted(c), Cast(Literal(v),
+              typeOf.getOrElse(c,
+                org.apache.spark.sql.types.StringType))): Expression
+          case _ => IsNull(UnresolvedAttribute.quoted(c)): Expression
+        }
+      }.reduceOption[Expression](And(_, _)).getOrElse(Literal(true))
+    }.reduceOption[Expression](Or(_, _)).getOrElse(Literal(true))
   }
 
   /** Run one Spark job per bin from a bounded thread pool. */

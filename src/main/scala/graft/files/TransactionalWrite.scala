@@ -34,56 +34,56 @@ object TransactionalWrite {
   private val TS_TYPE_CONF = "spark.sql.parquet.outputTimestampType"
   private val ADVISORY_CONF = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
 
-  private final class CachedWriteSession(val session: SparkSession) {
-    @volatile var synced: Map[String, String] = Map.empty
-  }
+  /** Cached clones per caller session, keyed by (advisory override +
+    * parent-conf fingerprint): cloneSession is not cheap — every clone
+    * rebuilds SessionState and its eager ExecutionListenerManager
+    * registers a listener on the context's SHARED listener bus, so a
+    * fresh clone per write (every micro-batch, every DML rewrite)
+    * accumulates listeners and bus fan-out until GC. A cached clone is
+    * IMMUTABLE after creation (its conf is never mutated again), so a
+    * write in flight can never see another thread's conf change
+    * mid-job; when the parent's conf changes, the new fingerprint
+    * simply yields a fresh clone and the old one ages out. Values are
+    * weak: Spark's ExecutionListenerBus self-unregisters when its
+    * session is collected, so an aged-out clone (and its listener)
+    * disappears with the next GC instead of pinning the parent. */
+  private final class WriteSessionEntry(
+      val confs: Map[String, String],
+      val ref: java.lang.ref.WeakReference[SparkSession])
 
-  /** One cached clone per (caller session, advisory override):
-    * cloneSession is not cheap — every clone rebuilds SessionState and
-    * its eager ExecutionListenerManager registers a listener on the
-    * context's SHARED listener bus that only GC removes, so a fresh
-    * clone per write (every micro-batch, every DML rewrite) accumulates
-    * listeners and bus fan-out for the life of the app. The cached
-    * clone's SQLConf re-syncs from the parent on every use, so
-    * mid-session conf changes (time zone, codec, bin size) still reach
-    * the write; only the write-scoped overrides stay pinned. */
   private val writeSessionCache =
-    new java.util.WeakHashMap[
-      SparkSession, java.util.concurrent.ConcurrentHashMap[String, CachedWriteSession]]()
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, WriteSessionEntry]]()
 
   private[graft] def writeSession(
       spark: SparkSession, advisory: Option[String]): SparkSession = {
     val byAdvisory = writeSessionCache.synchronized {
       var m = writeSessionCache.get(spark)
       if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, CachedWriteSession]()
+        m = new java.util.concurrent.ConcurrentHashMap[String, WriteSessionEntry]()
         writeSessionCache.put(spark, m)
       }
       m
     }
-    val cached = byAdvisory.computeIfAbsent(advisory.getOrElse(""),
-      _ => new CachedWriteSession(
-        org.apache.spark.sql.graftshim.SparkShims.cloneSession(spark)))
-    val ws = cached.session
     val parentConfs = spark.conf.getAll
-    val prev = cached.synced
-    // Removals and changes since the last sync; static confs and other
-    // unsettables are skipped (they cannot differ between clone and
-    // parent anyway — the clone shares the context).
-    (prev.keySet -- parentConfs.keySet)
-      .foreach(k => try ws.conf.unset(k) catch { case _: Exception => })
-    parentConfs.foreach { case (k, v) =>
-      if (!prev.get(k).contains(v)) {
-        try ws.conf.set(k, v) catch { case _: Exception => }
+    val key = advisory.getOrElse("")
+    byAdvisory.synchronized {
+      val hit = Option(byAdvisory.get(key))
+        .filter(_.confs == parentConfs) // parent conf changed -> new clone
+        .flatMap(e => Option(e.ref.get()))
+      hit.getOrElse {
+        val ws = org.apache.spark.sql.graftshim.SparkShims.cloneSession(spark)
+        // Write timestamps as annotated TIMESTAMP_MICROS, not Spark's
+        // default INT96: INT96 min/max footer stats have no defined
+        // ordering (Parquet spec), so INT96 files would carry no usable
+        // timestamp skipping stats.
+        ws.conf.set(TS_TYPE_CONF, "TIMESTAMP_MICROS")
+        advisory.foreach(a => ws.conf.set(ADVISORY_CONF, a))
+        byAdvisory.put(key, new WriteSessionEntry(
+          parentConfs, new java.lang.ref.WeakReference(ws)))
+        ws
       }
     }
-    cached.synced = parentConfs
-    // Write timestamps as annotated TIMESTAMP_MICROS, not Spark's default
-    // INT96: INT96 min/max footer stats have no defined ordering (Parquet
-    // spec), so INT96 files would carry no usable timestamp skipping stats.
-    ws.conf.set(TS_TYPE_CONF, "TIMESTAMP_MICROS")
-    advisory.foreach(a => ws.conf.set(ADVISORY_CONF, a))
-    ws
   }
 
   /**

@@ -373,13 +373,16 @@ class GraftLog private (
     val hit = crcTsCache.get(version)
     if (hit != null) hit
     else {
-      val v = store.readOpt(FileNames.checksumFile(logPath, version))
-        .map(Actions.checksumFromJson)
+      val content = store.readOpt(FileNames.checksumFile(logPath, version))
+      val v = content.map(Actions.checksumFromJson)
         .map(_.commitTimestamp).filter(_ >= 0)
-      // A miss is NOT cached: the sidecar may be a racing writer's
+      // An ABSENT sidecar is not cached — it may be a racing writer's
       // write-in-flight, and a permanently cached None would feed -1
-      // into the next commit's watermark even after the file lands.
-      if (v.isDefined) crcTsCache.put(version, v)
+      // into the next commit's watermark even after the file lands. A
+      // PRESENT sidecar is immutable whatever it says: chainless (-1)
+      // content caches as None so chain-broken tables don't re-read
+      // dozens of sidecars on every commit and bisection.
+      if (content.isDefined) crcTsCache.put(version, v)
       v
     }
   }

@@ -113,9 +113,18 @@ class LogStore(hadoopConf: Configuration) extends Serializable {
           fc.rename(temp, path, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         } catch {
           case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
-            if (f.exists(path)) f.delete(path, false)
-            if (!f.rename(temp, path))
-              require(f.exists(path), s"could not materialize $path")
+            // No AbstractFileSystem binding means an object store
+            // (s3a-style), where a single PUT is already atomically
+            // visible — stream-copy the temp onto the final name in one
+            // create instead of delete-then-rename (which would leave a
+            // window where the object does not exist at all).
+            val in = f.open(temp)
+            val direct = f.create(path, true)
+            try {
+              val buf = new Array[Byte](1 << 20)
+              var n = in.read(buf)
+              while (n >= 0) { if (n > 0) direct.write(buf, 0, n); n = in.read(buf) }
+            } finally { direct.close(); in.close() }
         }
       } finally if (f.exists(temp)) f.delete(temp, false)
     }

@@ -27,7 +27,19 @@ object StatsSkipping {
   def statsSchema(dataSchema: StructType): StructType = {
     val leaf = StructType(dataSchema.fields
       .map(f => StructField(f.name, f.dataType, nullable = true)))
-    val nullCnt = StructType(leaf.map(f => StructField(f.name, LongType, nullable = true)))
+    // nullCount mirrors the value schema's SHAPE with Long leaves: a
+    // converted Delta table writes nullCount.<structCol> as a nested
+    // object, and typing it flat-Long would make from_json null the
+    // whole parsed row (PERMISSIVE), silently disabling skipping for
+    // every column of every converted file.
+    def longLeaves(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, longLeaves(f.dataType), nullable = true)))
+      case _ => LongType
+    }
+    val nullCnt = StructType(leaf.map(f =>
+      StructField(f.name, longLeaves(f.dataType), nullable = true)))
     StructType(Seq(
       StructField("numRecords", LongType),
       StructField("minValues", leaf),

@@ -170,7 +170,7 @@ class GraftSource(
         // job-scheduling storm on a many-partition snapshot.
         import scala.jdk.CollectionConverters._
         val filtered = ds.filter(col("_2") > fromExcl && col("_2") <= toIncl)
-        if (toIncl != Long.MaxValue && toIncl - fromExcl <= 1000000L)
+        if (toIncl != Long.MaxValue && toIncl - fromExcl <= snapshotDriverThreshold)
           filtered.collect().toSeq.map(_._1)
         else filtered.toLocalIterator().asScala.map(_._1).toSeq
     }

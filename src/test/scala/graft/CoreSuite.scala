@@ -1150,10 +1150,11 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(crc2.commitTimestamp >= 0)
   }
 
-  test("write sessions are cached per override and resync parent confs") {
+  test("write sessions are cached, immutable, and track parent conf changes") {
     import graft.files.TransactionalWrite
     val s1 = TransactionalWrite.writeSession(spark, None)
     assert(s1 ne spark)
+    // same parent confs -> the SAME clone (no per-write clone churn)
     assert(TransactionalWrite.writeSession(spark, None) eq s1)
     val s3 = TransactionalWrite.writeSession(spark, Some("123456"))
     assert(s3 ne s1)
@@ -1161,14 +1162,39 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(s1.conf.get("spark.sql.parquet.outputTimestampType") === "TIMESTAMP_MICROS")
     // the overrides never leak back into the caller's session
     assert(spark.conf.get("spark.sql.parquet.outputTimestampType") !== "TIMESTAMP_MICROS")
-    // a parent conf change reaches the cached clone on its next use
+    // a parent conf change yields a FRESH clone carrying it — the old
+    // clone is never mutated, so an in-flight write cannot observe the
+    // change mid-job
     spark.conf.set("spark.graft.test.probe", "42")
     try {
-      assert(TransactionalWrite.writeSession(spark, None)
-        .conf.get("spark.graft.test.probe") === "42")
+      val s4 = TransactionalWrite.writeSession(spark, None)
+      assert(s4 ne s1)
+      assert(s4.conf.get("spark.graft.test.probe") === "42")
+      assert(s1.conf.getOption("spark.graft.test.probe").isEmpty)
       spark.conf.unset("spark.graft.test.probe")
       assert(TransactionalWrite.writeSession(spark, None)
         .conf.getOption("spark.graft.test.probe").isEmpty)
     } finally spark.conf.unset("spark.graft.test.probe")
+  }
+
+  test("stats schema keeps nested nullCount parseable (struct of longs)") {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
+    val data = new StructType().add("i", IntegerType)
+      .add("nest", new StructType().add("a", StringType)
+        .add("b", new StructType().add("c", IntegerType)))
+    val st = graft.stats.StatsSkipping.statsSchema(data)
+    val nc = st("nullCount").dataType.asInstanceOf[StructType]
+    assert(nc("i").dataType === LongType)
+    val nest = nc("nest").dataType.asInstanceOf[StructType]
+    assert(nest("a").dataType === LongType)
+    assert(nest("b").dataType.asInstanceOf[StructType]("c").dataType === LongType)
+    // a converted Delta table's nested-nullCount stats JSON must parse
+    // whole — a flat Long typing nulled the entire parsed row
+    val json = """{"numRecords":3,"minValues":{"i":1,"nest":{"a":"x"}},""" +
+      """"maxValues":{"i":5},"nullCount":{"i":0,"nest":{"a":1,"b":{"c":2}}}}"""
+    val row = spark.range(1)
+      .select(from_json(lit(json), st).as("p"))
+      .select("p.numRecords", "p.nullCount.nest.b.c").head
+    assert(row.getLong(0) === 3L && row.getLong(1) === 2L)
   }
 }

@@ -347,6 +347,27 @@ class DeltaConvertSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).count() === 5)
   }
 
+  test("stale pointer naming an OLDER checkpoint: newest complete wins") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 5).toDF("id"), dir, "a.parquet")
+    val s2 = writeFile(spark.range(5, 8).toDF("id"), dir, "b.parquet")
+    val s3 = writeFile(spark.range(8, 10).toDF("id"), dir, "c.parquet")
+    writeActionParquet(dir, "00000000000000000002.checkpoint.parquet",
+      Seq(protoLine(), metaLine(schema), addLine("a.parquet", s1)))
+    writeActionParquet(dir, "00000000000000000004.checkpoint.parquet",
+      Seq(protoLine(), metaLine(schema),
+        addLine("a.parquet", s1), addLine("b.parquet", s2)))
+    // a writer died before updating the pointer, and cleanup driven by
+    // checkpoint 4 already removed commits 3-4: folding from the stale
+    // pointer's version 2 would see a non-contiguous tail and refuse
+    JFiles.writeString(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":2,"size":3}""")
+    writeLog(dir, 5, Seq(addLine("c.parquet", s3)))
+    Graft.convertFromDelta(spark, dir)
+    assert(Graft.read(spark, dir).count() === 10)
+  }
+
   test("writeStatsAsJson=false checkpoint: stats_parsed struct rebuilds JSON stats") {
     val dir = tmpDir()
     val schema = new StructType().add("id", LongType)
