@@ -222,4 +222,30 @@ class GoldenTableSuite extends AnyFunSuite {
     }
     assert(e.getMessage.contains("non-contiguous"), e.getMessage)
   }
+
+  test("golden: data-reader-timestamp_ntz-id-mode — ntz data AND partition values") {
+    val dir = goldenCopy("data-reader-timestamp_ntz-id-mode")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 9)
+    assert(df.where($"tsNtz".isNull).count() === 3)
+    assert(df.where($"tsNtzPartition".isNull).count() === 3)
+    // NTZ values survive exactly (no session-zone shift) in data AND
+    // partition columns, under id-mode physical names
+    assert(df.where($"id" === 0).select($"tsNtz".cast("string")).head.getString(0)
+      === "2021-11-18 02:30:00.123456")
+    assert(df.where($"tsNtzPartition".cast("string") === "2013-07-05 17:01:00.123456")
+      .select($"id").as[Int].collect().sorted.toSeq === Seq(3, 4, 5))
+  }
+
+  test("golden: basic-with-inserts-deletes-checkpoint — rewrite deletes across checkpoints") {
+    val dir = goldenCopy("basic-with-inserts-deletes-checkpoint")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    // inserts 0..79; deletes 5-9,15-19,25-29,35-39,45-49 and >=66
+    assert(df.count() === 41)
+    assert(df.agg(sum($"id")).head.getLong(0) === 1470L)
+    assert(df.where($"id" >= 66).count() === 0)
+    assert(df.where($"id".between(50, 65)).count() === 16)
+  }
 }
