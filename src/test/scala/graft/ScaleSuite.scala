@@ -521,4 +521,59 @@ class ScaleSuite extends AnyFunSuite {
     // the 3 surviving boilerplate copies pair with each other
     assert(found.where($"idA" < 3 && $"idB" < 3).count() === 3)
   }
+
+  test("auto-compact on a 150k-file table selects without materializing the snapshot") {
+    val dir = Files.createTempDirectory("graft-scale-ac").toString
+    Graft.create(spark, dir,
+      new StructType().add("id", LongType)
+        .add("p", org.apache.spark.sql.types.StringType),
+      partitionBy = Seq("p"),
+      configuration = Map(
+        "graft.autoCompact" -> "true",
+        "graft.autoCompact.minNumFiles" -> "5"))
+    val log = GraftLog.forTable(spark, dir)
+    val meta = log.snapshot.metadata
+    log.writeCommit(1, Seq(CommitInfo(timestamp = 1L, operation = "NOOP")))
+
+    // Fabricate a 150k-file checkpoint at v1 (above the distributed-
+    // skipping threshold of 100k) across 1000 partitions.
+    val n = 150000
+    import spark.implicits._
+    val adds = (0 until n).iterator.map(i =>
+      AddFile(f"p=${i % 1000}/big-$i%06d.parquet", Map("p" -> s"${i % 1000}"),
+        1000000000L, 0L, dataChange = true).wrap)
+    val cpRows = Iterator(Protocol().wrap, meta.wrap) ++ adds
+    spark.createDataset(cpRows.toSeq).repartition(4)
+      .write.mode("overwrite")
+      .parquet(FileNames.checkpointFile(log.logPath, 1L).toString)
+    log.store.writeOverwrite(FileNames.lastCheckpointFile(log.logPath),
+      s"""{"version":1,"size":${n + 2}}""")
+    log.store.writeOverwrite(FileNames.checksumFile(log.logPath, 1L),
+      s"""{"tableSizeBytes":${n * 1000000000L},"numFiles":$n}""")
+    GraftLog.clearCache()
+
+    // Commit 5 small files into ONE partition: pressure crosses the
+    // threshold and the post-commit hook fires an OPTIMIZE targeted at
+    // that partition. The rewrite itself fails (the fabricated files do
+    // not exist) and is swallowed as best-effort — the probe pins the
+    // SELECTION path: pruning must run distributed, never pulling the
+    // 150k-entry file map onto the driver.
+    // Force the lazy checkpoint-backed venue at this (test-sized) file
+    // count: production tables cross the 200k driver-fold default
+    // naturally; the probe pins the behavior, not the threshold.
+    spark.conf.set(Snapshot.DRIVER_FOLD_THRESHOLD_CONF, "50000")
+    try {
+      val log2 = GraftLog.forTable(spark, dir)
+      val small = (0 until 5).map(i =>
+        AddFile(s"p=42/small-$i.parquet", Map("p" -> "42"), 10L,
+          0L, dataChange = true))
+      log2.writeCommit(2,
+        CommitInfo(timestamp = 2L, operation = "WRITE") +: small)
+      val snap = log2.snapshot
+      assert(snap.version === 2L)
+      assert(snap.numFiles === n + 5)
+      assert(!snap.materialized,
+        "auto-compact selection materialized the whole file map on the driver")
+    } finally spark.conf.unset(Snapshot.DRIVER_FOLD_THRESHOLD_CONF)
+  }
 }
