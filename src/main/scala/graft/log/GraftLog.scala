@@ -264,7 +264,8 @@ class GraftLog private (
     body(startTransaction())
 
   /** Write the put-if-absent commit file; returns the new snapshot. */
-  private[graft] def writeCommit(version: Long, actions: Seq[Action]): Snapshot = {
+  private[graft] def writeCommit(version: Long, actions: Seq[Action],
+      trustedCounts: Boolean = false): Snapshot = {
     // Coordinated commits: when the table names a coordinator, commit
     // arbitration goes through it instead of the store's put-if-absent
     // (the metadata may arrive IN this commit, so check both places).
@@ -296,7 +297,7 @@ class GraftLog private (
     // that version's checksum from this commit's actions would both skip
     // `version`'s own sidecar forever and clobber the racer's correct one.
     val snapAtV = if (snap.version == version) snap else getSnapshotAt(version)
-    writeChecksum(snapAtV, actions)
+    writeChecksum(snapAtV, actions, trustedCounts)
     maybeCheckpoint(snap)
     // BEST-EFFORT like the mirror below: the commit is already durable, so
     // a failed opportunistic compaction (concurrent-commit conflict, ...)
@@ -330,7 +331,8 @@ class GraftLog private (
     * + protocol + metadata + txn/domain maps) a cold reader re-derives
     * and compares — corruption detection for the whole log fold
     * (reference concept: VersionChecksum / ChecksumHook — re-designed). */
-  private def writeChecksum(snap: Snapshot, actions: Seq[Action] = Nil): Unit = {
+  private def writeChecksum(snap: Snapshot, actions: Seq[Action] = Nil,
+      trustedCounts: Boolean = false): Unit = {
     if (snap.version < 0) return
     // Monotone timestamp watermark: clamp this commit's CommitInfo
     // timestamp against the previous version's watermark. The chain only
@@ -340,11 +342,13 @@ class GraftLog private (
     val ownTs = actions.collectFirst {
       case ci: CommitInfo if ci.timestamp > 0 => ci.timestamp
     }
+    val prev =
+      if (snap.version == 0) None else readChecksum(snap.version - 1)
     val watermark: Long =
       if (ownTs.isEmpty) -1L
       else if (snap.version == 0) ownTs.get
-      else crcTimestamp(snap.version - 1) match {
-        case Some(prev) => math.max(prev, ownTs.get)
+      else prev.map(_.commitTimestamp).filter(_ >= 0) match {
+        case Some(w) => math.max(w, ownTs.get)
         case None =>
           // The previous sidecar may be a racing writer's write still in
           // flight (its crc lands after ours starts) — without healing,
@@ -353,39 +357,70 @@ class GraftLog private (
           healedWatermark(snap.version).map(math.max(_, ownTs.get))
             .getOrElse(-1L)
       }
+    // Incremental aggregates: fold the previous checksum's counts with
+    // this commit's actions — O(commit), no distributed pass over a
+    // lazy snapshot's checkpoint per commit (a metadata-only commit on
+    // a 10M-file table costs nothing). Only commits from OUR transaction
+    // path qualify (its removes always reference live files and its adds
+    // never silently replace one); raw commits and any gap in the chain
+    // fall back to the snapshot's exact aggregates.
+    val counts: Option[(Long, Long)] =
+      if (!trustedCounts) None
+      else prev.filter(p => p.numFiles >= 0 && p.tableSizeBytes >= 0)
+        .flatMap { p =>
+          val adds = actions.collect { case a: AddFile => a }
+          val rems = actions.collect { case r: RemoveFile => r }
+          if (rems.exists(_.size.isEmpty)) None
+          else Some((p.numFiles + adds.size - rems.size,
+            p.tableSizeBytes + adds.iterator.map(_.size).sum -
+              rems.iterator.flatMap(_.size).sum))
+        }
+    val (nFiles, tBytes) = counts.getOrElse((snap.numFiles, snap.sizeInBytes))
+    val crc = VersionChecksum(
+      tableSizeBytes = tBytes,
+      numFiles = nFiles,
+      protocol = snap.protocol,
+      metadata = snap.metadata,
+      setTransactions = snap.setTransactions,
+      domainMetadata = snap.domains,
+      commitTimestamp = watermark)
     store.writeOverwrite(FileNames.checksumFile(logPath, snap.version),
-      Actions.checksumToJson(VersionChecksum(
-        tableSizeBytes = snap.sizeInBytes,
-        numFiles = snap.numFiles,
-        protocol = snap.protocol,
-        metadata = snap.metadata,
-        setTransactions = snap.setTransactions,
-        domainMetadata = snap.domains,
-        commitTimestamp = watermark)))
+      Actions.checksumToJson(crc))
+    // Steady state: the next commit's prev-checksum lookup is a cache
+    // hit — the chain advances with zero sidecar reads.
+    crcCachePut(snap.version, crc)
   }
 
-  /** Cached clamped-timestamp watermark from a version's checksum
-    * sidecar; None when the sidecar or the chain is absent. */
-  @transient private lazy val crcTsCache =
-    new ConcurrentHashMap[Long, Option[Long]]()
+  /** Cached checksum sidecar contents (immutable once present). Bounded:
+    * each entry carries full metadata/protocol, and a long-lived writer
+    * commits forever — steady state only ever needs the latest few plus
+    * a bisection's O(log n) probes, so overflow just resets. */
+  @transient private lazy val crcCache =
+    new ConcurrentHashMap[Long, VersionChecksum]()
+  private def crcCachePut(version: Long, crc: VersionChecksum): Unit = {
+    if (crcCache.size > 4096) crcCache.clear()
+    crcCache.put(version, crc)
+  }
 
-  private def crcTimestamp(version: Long): Option[Long] = {
-    val hit = crcTsCache.get(version)
-    if (hit != null) hit
+  private def readChecksum(version: Long): Option[VersionChecksum] = {
+    val hit = crcCache.get(version)
+    if (hit != null) Some(hit)
     else {
       val content = store.readOpt(FileNames.checksumFile(logPath, version))
       val v = content.map(Actions.checksumFromJson)
-        .map(_.commitTimestamp).filter(_ >= 0)
       // An ABSENT sidecar is not cached — it may be a racing writer's
-      // write-in-flight, and a permanently cached None would feed -1
+      // write-in-flight, and permanently caching the miss would feed -1
       // into the next commit's watermark even after the file lands. A
       // PRESENT sidecar is immutable whatever it says: chainless (-1)
-      // content caches as None so chain-broken tables don't re-read
-      // dozens of sidecars on every commit and bisection.
-      if (content.isDefined) crcTsCache.put(version, v)
+      // content caches too, so chain-broken tables don't re-read dozens
+      // of sidecars on every commit and bisection.
+      v.foreach(crcCachePut(version, _))
       v
     }
   }
+
+  private def crcTimestamp(version: Long): Option[Long] =
+    readChecksum(version).map(_.commitTimestamp).filter(_ >= 0)
 
   /** Recover the prefix-max timestamp watermark for `version` when the
     * previous sidecar is missing or chainless: walk back a bounded

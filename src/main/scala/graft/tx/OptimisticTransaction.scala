@@ -209,7 +209,10 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
           if (rowTracking) RowTracking.stampCommitVersion(finalActions, attemptVersion)
           else finalActions
         onCommitAttempt(attemptVersion)
-        log.writeCommit(attemptVersion, attempt)
+        // trustedCounts: this path's removes always reference live files
+        // and its adds never silently replace one, so the checksum
+        // aggregates fold incrementally — O(commit), not O(table).
+        log.writeCommit(attemptVersion, attempt, trustedCounts = true)
         committed = true
         return attemptVersion
       } catch {

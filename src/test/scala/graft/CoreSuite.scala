@@ -1197,4 +1197,26 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
       .select("p.numRecords", "p.nullCount.nest.b.c").head
     assert(row.getLong(0) === 3L && row.getLong(1) === 2L)
   }
+
+  test("checksum aggregates fold incrementally and stay exact across DML") {
+    val dir = tmpDir()
+    Graft.write(spark.range(100).toDF("id"), dir,
+      configuration = Map("graft.enableDeletionVectors" -> "true"))
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id < 10") // DV: remove+add, net 0
+    Graft.write(spark.range(100, 120).toDF("id"), dir) // append
+    GraftTable.forPath(spark, dir).delete(col("id") >= 110) // rewrite delete
+    spark.sql(s"OPTIMIZE graft.`$dir`") // dataChange=false rewrite
+    spark.sql(s"ALTER TABLE graft.`$dir` SET TBLPROPERTIES('graft.k'='v')")
+    // The sidecars above were written INCREMENTALLY (prev counts + commit
+    // actions, no snapshot aggregate); a cold load re-derives the fold
+    // and validates them strictly — any drift throws here.
+    graft.log.GraftLog.clearCache()
+    val log = GraftLog.forTable(spark, dir)
+    val snap = log.update()
+    val crc = graft.log.Actions.checksumFromJson(log.store.read(
+      graft.log.FileNames.checksumFile(log.logPath, snap.version)))
+    assert(crc.numFiles === snap.numFiles)
+    assert(crc.tableSizeBytes === snap.sizeInBytes)
+    assert(Graft.read(spark, dir).count() === 100)
+  }
 }
