@@ -456,8 +456,10 @@ class GraftLog private (
 
   private def validateChecksum(snap: Snapshot): Unit = {
     if (snap.version < 0) return
-    store.readOpt(FileNames.checksumFile(logPath, snap.version)).foreach { json =>
-      val crc = Actions.checksumFromJson(json)
+    // Through readChecksum: the parse lands in crcCache, so the first
+    // commit after a cold load finds its predecessor without re-reading
+    // the sidecar just validated.
+    readChecksum(snap.version).foreach { crc =>
       def fail(what: String, expected: Any, got: Any): Nothing =
         throw new IllegalStateException(
           s"Checksum mismatch at version ${snap.version} of $dataPath: " +

@@ -211,8 +211,12 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
         onCommitAttempt(attemptVersion)
         // trustedCounts: this path's removes always reference live files
         // and its adds never silently replace one, so the checksum
-        // aggregates fold incrementally — O(commit), not O(table).
-        log.writeCommit(attemptVersion, attempt, trustedCounts = true)
+        // aggregates fold incrementally — O(commit), not O(table). The
+        // ONE exception is RESTORE, whose dv-differing re-adds overwrite
+        // a live path with no paired remove (by design — re-adding
+        // replaces in the fold); its commit recomputes exact aggregates.
+        log.writeCommit(attemptVersion, attempt,
+          trustedCounts = operation != "RESTORE")
         committed = true
         return attemptVersion
       } catch {

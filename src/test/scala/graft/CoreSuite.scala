@@ -1219,4 +1219,24 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(crc.tableSizeBytes === snap.sizeInBytes)
     assert(Graft.read(spark, dir).count() === 100)
   }
+
+  test("RESTORE over a DV table keeps checksum aggregates exact on cold load") {
+    val dir = tmpDir()
+    Graft.write(spark.range(50).toDF("id"), dir,
+      configuration = Map("graft.enableDeletionVectors" -> "true"))
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id < 5") // v1: DV remove+add
+    val t = GraftTable.forPath(spark, dir)
+    t.restoreToVersion(0) // re-adds the live path WITHOUT a paired remove
+    Graft.write(spark.range(50, 60).toDF("id"), dir) // trusted fold resumes
+    // A drifted sidecar would make this cold load throw "Checksum
+    // mismatch ... corrupted" — a healthy table becoming unloadable.
+    graft.log.GraftLog.clearCache()
+    val log = GraftLog.forTable(spark, dir)
+    val snap = log.update()
+    val crc = graft.log.Actions.checksumFromJson(log.store.read(
+      graft.log.FileNames.checksumFile(log.logPath, snap.version)))
+    assert(crc.numFiles === snap.numFiles)
+    assert(crc.tableSizeBytes === snap.sizeInBytes)
+    assert(Graft.read(spark, dir).count() === 60)
+  }
 }
