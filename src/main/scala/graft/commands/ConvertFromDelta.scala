@@ -353,8 +353,11 @@ object ConvertFromDeltaCommand {
 
   private def translatedMetadata(path: Path, metaNode: JsonNode): Metadata = {
     require(metaNode != null, s"Delta log at $path carries no metaData action")
-    val schemaString = metaNode.path("schemaString").asText(null)
-    require(schemaString != null, "Delta metaData has no schemaString")
+    // A missing schemaString is a degenerate but real shape (the
+    // reference's own log-level golden tables commit metadata without
+    // one); it folds as an empty struct rather than aborting.
+    val schemaString = metaNode.path("schemaString")
+      .asText("""{"type":"struct","fields":[]}""")
     val schema = DataType.fromJson(schemaString).asInstanceOf[StructType]
     val partitionCols = Option(metaNode.get("partitionColumns")).toSeq
       .flatMap(n => (0 until n.size()).map(n.get(_).asText()))
@@ -640,12 +643,21 @@ object ConvertFromDeltaCommand {
   }
 
   /** Delta log paths are RFC 2396 URIs (percent-encoded); graft AddFile
-    * paths are plain filesystem paths. */
+    * paths are plain filesystem paths. CANONICAL: `file:/abs`,
+    * `file:///abs` and a bare `/abs` are the same file, and the replay
+    * fold keys on this function's output — without unification an
+    * add(`/abs`) + remove(`file:/abs`) pair (the reference's
+    * canonicalized-paths golden tables) would resurrect the removed
+    * file in the converted state. Non-local schemes keep their
+    * authority verbatim. */
   private[commands] def decodePath(p: String): String =
     try {
       val uri = new java.net.URI(p)
-      if (uri.getScheme != null) new Path(uri).toString
-      else if (uri.getPath != null) uri.getPath
+      val localScheme = uri.getScheme == null || uri.getScheme == "file"
+      val noAuthority = uri.getAuthority == null || uri.getAuthority.isEmpty
+      if (localScheme && noAuthority && uri.getPath != null && uri.getPath.nonEmpty)
+        uri.getPath
+      else if (uri.getScheme != null) new Path(uri).toString
       else p
     } catch { case _: java.net.URISyntaxException => p }
 

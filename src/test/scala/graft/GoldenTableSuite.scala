@@ -248,4 +248,29 @@ class GoldenTableSuite extends AnyFunSuite {
     assert(df.where($"id" >= 66).count() === 0)
     assert(df.where($"id".between(50, 65)).count() === 16)
   }
+
+  test("golden: canonicalized-paths — file:/abs and /abs reconcile in replay") {
+    // add(`/abs/path`) then remove(`file:/abs/path`) (and the `file://`
+    // variant, and both with spaces + special chars): the same file in
+    // different URI spellings must cancel, leaving ZERO live files.
+    Seq("canonicalized-paths-normal-a", "canonicalized-paths-normal-b",
+        "canonicalized-paths-special-a", "canonicalized-paths-special-b")
+      .foreach { name =>
+        val dir = goldenCopy(name)
+        Graft.convertFromDelta(spark, dir)
+        val t = GraftTable.forPath(spark, dir)
+        assert(t.snapshot.numFiles === 0,
+          s"$name: removed file resurrected as ${t.snapshot.allFiles.map(_.path)}")
+      }
+  }
+
+  test("golden: delete-re-add-same-file-different-transactions") {
+    val dir = goldenCopy("delete-re-add-same-file-different-transactions")
+    Graft.convertFromDelta(spark, dir)
+    val t = GraftTable.forPath(spark, dir)
+    // foo added, removed, re-added (newer mtime), plus bar: both live
+    val files = t.snapshot.allFiles.map(f => f.path -> f.modificationTime).toMap
+    assert(files.keySet === Set("foo", "bar"))
+    assert(files("foo") === 1700000000000L, "stale first add won the replay")
+  }
 }
