@@ -273,4 +273,15 @@ class GoldenTableSuite extends AnyFunSuite {
     assert(files.keySet === Set("foo", "bar"))
     assert(files("foo") === 1700000000000L, "stale first add won the replay")
   }
+
+  test("golden: corrupted-last-checkpoint — empty pointer, checkpoint still found") {
+    val dir = goldenCopy("corrupted-last-checkpoint")
+    // _last_checkpoint is an EMPTY file; discovery must fall back to the
+    // listing and find checkpoint 10 (the fixture is log-only, so the
+    // assertions run against the folded state, not a data read)
+    Graft.convertFromDelta(spark, dir)
+    val snap = GraftTable.forPath(spark, dir).snapshot
+    // 11 single-file appends (commits 0..10), checkpointed at 10
+    assert(snap.numFiles === 11, s"fold lost files: ${snap.numFiles}")
+  }
 }
