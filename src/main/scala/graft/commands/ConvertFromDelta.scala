@@ -339,6 +339,11 @@ object ConvertFromDeltaCommand {
     val understood = Set("columnMapping", "timestampNtz", "variantType",
       "typeWidening", "v2Checkpoint", "deletionVectors",
       "vacuumProtocolCheck", "variantShredding", "variantShredding-preview")
+    // The protocol action is REQUIRED in every Delta log (PROTOCOL.md);
+    // a log without one is nonconforming, and guessing a version could
+    // misread a table whose (missing) protocol gated a feature we would
+    // silently ignore — refuse, as the reference does.
+    require(protoNode != null, s"Delta log at $path carries no protocol action")
     if (protoNode != null) {
       val rf = Option(protoNode.get("readerFeatures")).toSeq
         .flatMap(n => (0 until n.size()).map(n.get(_).asText()))

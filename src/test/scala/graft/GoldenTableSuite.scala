@@ -284,4 +284,17 @@ class GoldenTableSuite extends AnyFunSuite {
     // 11 single-file appends (commits 0..10), checkpointed at 10
     assert(snap.numFiles === 11, s"fold lost files: ${snap.numFiles}")
   }
+
+  test("golden: logs missing required protocol/metaData actions are refused") {
+    val m = intercept[IllegalArgumentException] {
+      Graft.convertFromDelta(spark,
+        goldenCopy("deltalog-state-reconstruction-without-metadata"))
+    }
+    assert(m.getMessage.contains("no metaData action"), m.getMessage)
+    val pr = intercept[IllegalArgumentException] {
+      Graft.convertFromDelta(spark,
+        goldenCopy("deltalog-state-reconstruction-without-protocol"))
+    }
+    assert(pr.getMessage.contains("no protocol action"), pr.getMessage)
+  }
 }
