@@ -8,7 +8,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count, from_json, lit, row_number, sum, when}
+import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count, from_json, lit, row_number, sum, udf, when}
 import org.apache.spark.sql.types.{DataType, Metadata => FieldMetadata, MetadataBuilder, StructField, StructType}
 import org.apache.spark.util.SerializableConfiguration
 
@@ -152,32 +152,16 @@ object ConvertFromDeltaCommand {
     * reads — so each field renames to its physical name. None when the
     * schema has no stat-able column. */
   private[commands] def statsParsedSchema(dataSchema: StructType): Option[StructType] = {
-    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.types.{StructField, StructType}
     def physName(f: StructField): String =
       if (f.metadata.contains("delta.columnMapping.physicalName"))
         f.metadata.getString("delta.columnMapping.physicalName")
       else f.name
-    def statable(dt: DataType): Option[DataType] = dt match {
-      case s: StructType =>
-        val kept = s.fields.flatMap(f =>
-          statable(f.dataType).map(d =>
-            f.copy(name = physName(f), dataType = d, nullable = true)))
-        if (kept.isEmpty) None else Some(StructType(kept))
-      case _: ArrayType | _: MapType | _: BinaryType | _: VariantType => None
-      case other => Some(other)
-    }
-    def longify(dt: DataType): DataType = dt match {
-      case s: StructType => StructType(s.fields.map(f =>
-        f.copy(dataType = longify(f.dataType))))
-      case _ => LongType
-    }
-    statable(dataSchema).collect { case s: StructType =>
-      StructType(Seq(
-        StructField("numRecords", LongType),
-        StructField("minValues", s),
-        StructField("maxValues", s),
-        StructField("nullCount", longify(s).asInstanceOf[StructType])))
-    }
+    // Shared stats-space rule (graft.stats.StatsSpace), renamed to the
+    // source table's physical column names — a stats_parsed checkpoint
+    // keys the typed struct physically under column mapping.
+    graft.stats.StatsSpace.eligibleType(dataSchema, physName)
+      .collect { case s: StructType => graft.stats.StatsSpace.statsDocSchema(s) }
   }
 
   // ---- fold state -----------------------------------------------------
@@ -344,16 +328,14 @@ object ConvertFromDeltaCommand {
     // misread a table whose (missing) protocol gated a feature we would
     // silently ignore — refuse, as the reference does.
     require(protoNode != null, s"Delta log at $path carries no protocol action")
-    if (protoNode != null) {
-      val rf = Option(protoNode.get("readerFeatures")).toSeq
-        .flatMap(n => (0 until n.size()).map(n.get(_).asText()))
-      val unknown = rf.toSet -- understood
-      require(unknown.isEmpty,
-        s"Delta table requires reader features $unknown this convert " +
-          "does not understand — converting could misread the data layout")
-      require(protoNode.path("minReaderVersion").asInt(1) <= 3,
-        "Delta reader version beyond 3 is not supported")
-    }
+    val rf = Option(protoNode.get("readerFeatures")).toSeq
+      .flatMap(n => (0 until n.size()).map(n.get(_).asText()))
+    val unknown = rf.toSet -- understood
+    require(unknown.isEmpty,
+      s"Delta table requires reader features $unknown this convert " +
+        "does not understand — converting could misread the data layout")
+    require(protoNode.path("minReaderVersion").asInt(1) <= 3,
+      "Delta reader version beyond 3 is not supported")
   }
 
   private def translatedMetadata(path: Path, metaNode: JsonNode): Metadata = {
@@ -481,8 +463,14 @@ object ConvertFromDeltaCommand {
         .otherwise(concat_ws("|", coalesce(dv.getField("storageType"), lit("")),
           coalesce(dv.getField("pathOrInlineDv"), lit("")),
           coalesce(dv.getField("offset"), lit(0)).cast("string")))
+    // The reconciliation key must be the CANONICAL path, exactly like the
+    // driver fold: `/abs`, `file:/abs` and `file:///abs` name one file, and
+    // an uncanonicalized key lets a remove land in a different window
+    // partition than its add, resurrecting the deleted file. UDF is fine
+    // here — this fold runs over log metadata, not table data.
+    val canonPath = udf((p: String) => decodePath(p))
     val keyed = base.unionByName(tail)
-      .withColumn("__p", coalesce(col("add.path"), col("remove.path")))
+      .withColumn("__p", canonPath(coalesce(col("add.path"), col("remove.path"))))
       .withColumn("__uid", when(col("add").isNotNull, uidOf(col("add.deletionVector")))
         .otherwise(uidOf(col("remove.deletionVector"))))
     val w1 = org.apache.spark.sql.expressions.Window
@@ -600,25 +588,11 @@ object ConvertFromDeltaCommand {
       s"${UUID.nameUUIDFromBytes(uid.getBytes("UTF-8"))}.bin"
     val target = new Path(root, rel)
     val fs = target.getFileSystem(conf)
-    // A convert killed mid-write can leave a truncated sidecar behind the
-    // deterministic name; trust an existing file only if its length matches
-    // the bitmap, else regenerate via temp + atomic rename (never create in
-    // place). Racing retries write identical bytes, so either winner is fine.
+    // Crash-/race-safe deterministic-name materialization — the shared
+    // DeletionVectors.materializeSidecar dance.
     bm.runOptimize()
-    val expected = bm.serializedSize
-    val valid = try {
-      fs.getFileStatus(target).getLen == expected
-    } catch { case _: java.io.FileNotFoundException => false }
-    if (!valid) {
-      val tmp = new Path(target.getParent,
-        s".${target.getName}.${UUID.randomUUID()}.tmp")
-      graft.dv.DeletionVectors.writeBitmap(tmp, conf, bm)
-      try {
-        if (fs.exists(target)) fs.delete(target, false)
-        if (!fs.rename(tmp, target))
-          require(fs.exists(target), s"could not materialize DV sidecar $target")
-      } finally if (fs.exists(tmp)) fs.delete(tmp, false)
-    }
+    graft.dv.DeletionVectors.materializeSidecar(fs, target, bm.serializedSize)(
+      tmp => graft.dv.DeletionVectors.writeBitmap(tmp, conf, bm))
     (rel, bm.cardinality)
   }
 

@@ -45,6 +45,31 @@ object DeletionVectors {
 
   // ---- sidecar IO ---------------------------------------------------------
 
+  /** Materialize a DETERMINISTICALLY-NAMED sidecar, crash- and
+    * race-safe: trust an existing file only when its length matches the
+    * expected serialization (a writer killed mid-create leaves a
+    * truncated file behind the deterministic name), else write a temp
+    * sibling and rename atomically — never create in place. Racing
+    * retries produce identical bytes, so any rename winner is correct.
+    * The ONE copy of this dance — convert re-encode and Delta-mirror
+    * export both go through it. */
+  def materializeSidecar(fs: org.apache.hadoop.fs.FileSystem, target: Path,
+      expectedLen: Long)(write: Path => Unit): Unit = {
+    val valid = try fs.getFileStatus(target).getLen == expectedLen
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!valid) {
+      val tmp = new Path(target.getParent,
+        s".${target.getName}.${UUID.randomUUID()}.tmp")
+      write(tmp)
+      try {
+        if (fs.exists(target)) fs.delete(target, false)
+        if (!fs.rename(tmp, target))
+          require(fs.exists(target),
+            s"could not materialize DV sidecar $target")
+      } finally if (fs.exists(tmp)) fs.delete(tmp, false)
+    }
+  }
+
   def writeBitmap(path: Path, conf: Configuration, bm: Bitmap64): Long = {
     bm.runOptimize()
     val fs = path.getFileSystem(conf)

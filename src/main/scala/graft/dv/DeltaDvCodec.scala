@@ -113,15 +113,10 @@ object DeltaDvCodec {
     val path = new Path(tableRoot, name)
     val data = Bitmap64.toDeltaPortable(bm)
     val fs = path.getFileSystem(conf)
-    // A writer killed mid-create leaves a truncated file under the
-    // deterministic name; reuse an existing file only when its length
-    // matches, else regenerate via temp + atomic rename (racing writers
-    // produce identical bytes, so any rename winner is correct).
+    // Crash-/race-safe deterministic-name materialization — the shared
+    // DeletionVectors.materializeSidecar dance.
     val expectedLen = 9L + data.length // version + length + data + crc
-    val valid = try fs.getFileStatus(path).getLen == expectedLen
-      catch { case _: java.io.FileNotFoundException => false }
-    if (!valid) {
-      val tmp = new Path(tableRoot, s".$name.${UUID.randomUUID()}.tmp")
+    DeletionVectors.materializeSidecar(fs, path, expectedLen) { tmp =>
       val out = fs.create(tmp, true)
       try {
         out.write(1) // file format version
@@ -130,11 +125,6 @@ object DeltaDvCodec {
         val crc = new CRC32; crc.update(data)
         out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
       } finally out.close()
-      try {
-        if (fs.exists(path)) fs.delete(path, false)
-        if (!fs.rename(tmp, path))
-          require(fs.exists(path), s"could not materialize delta DV file $path")
-      } finally if (fs.exists(tmp)) fs.delete(tmp, false)
     }
     val uuidBytes = ByteBuffer.allocate(16)
       .putLong(uuid.getMostSignificantBits)

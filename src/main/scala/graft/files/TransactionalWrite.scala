@@ -56,8 +56,8 @@ object TransactionalWrite {
       java.util.concurrent.ConcurrentHashMap[String, WriteSessionEntry]]()
 
   private[graft] def writeSession(
-      spark: SparkSession, advisory: Option[String]): SparkSession = {
-    val byAdvisory = writeSessionCache.synchronized {
+      spark: SparkSession, overrides: Map[String, String]): SparkSession = {
+    val byOverrides = writeSessionCache.synchronized {
       var m = writeSessionCache.get(spark)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[String, WriteSessionEntry]()
@@ -66,9 +66,14 @@ object TransactionalWrite {
       m
     }
     val parentConfs = spark.conf.getAll
-    val key = advisory.getOrElse("")
-    byAdvisory.synchronized {
-      val hit = Option(byAdvisory.get(key))
+    // Write-scoped flags (advisory bin size, variant shredding layout)
+    // live in the CACHE KEY, never on the parent conf: mutating the
+    // parent would churn the fingerprint below and rebuild a clone —
+    // and its shared-bus execution listener — on every alternating
+    // write, the exact accumulation this cache exists to prevent.
+    val key = overrides.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
+    byOverrides.synchronized {
+      val hit = Option(byOverrides.get(key))
         .filter(_.confs == parentConfs) // parent conf changed -> new clone
         .flatMap(e => Option(e.ref.get()))
       hit.getOrElse {
@@ -78,8 +83,8 @@ object TransactionalWrite {
         // ordering (Parquet spec), so INT96 files would carry no usable
         // timestamp skipping stats.
         ws.conf.set(TS_TYPE_CONF, "TIMESTAMP_MICROS")
-        advisory.foreach(a => ws.conf.set(ADVISORY_CONF, a))
-        byAdvisory.put(key, new WriteSessionEntry(
+        overrides.foreach { case (k, v) => ws.conf.set(k, v) }
+        byOverrides.put(key, new WriteSessionEntry(
           parentConfs, new java.lang.ref.WeakReference(ws)))
         ws
       }
@@ -110,7 +115,8 @@ object TransactionalWrite {
       dataSchema: StructType,
       collectStats: Boolean = true,
       optimizeWrite: Option[Boolean] = None,
-      statsColumns: FooterStats.StatsColumns = FooterStats.StatsColumns()): Seq[AddFile] = {
+      statsColumns: FooterStats.StatsColumns = FooterStats.StatsColumns(),
+      extraConfs: Map[String, String] = Map.empty): Seq[AddFile] = {
     val resolver = spark.sessionState.analyzer.resolver
     val analyzed = data.queryExecution.analyzed
 
@@ -156,7 +162,8 @@ object TransactionalWrite {
         Some(spark.conf.getOption(BIN_SIZE_CONF).map(_.toLong)
           .getOrElse(BIN_SIZE_DEFAULT).toString)
       else None
-    val writeSession = TransactionalWrite.writeSession(spark, advisory)
+    val writeSession = TransactionalWrite.writeSession(spark,
+      extraConfs ++ advisory.map(ADVISORY_CONF -> _))
 
     val wdf = org.apache.spark.sql.graftshim.SparkShims.ofRows(writeSession, logical)
     val qe = wdf.queryExecution

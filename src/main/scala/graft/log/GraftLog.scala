@@ -292,13 +292,38 @@ class GraftLog private (
           Actions.serialize(actions))
     }
     val snap = update()
+    // EVERYTHING past this point is a BEST-EFFORT post-commit hook: the
+    // commit file is already durable, so a transient failure (racing log
+    // cleanup under a healing fold, FS hiccup, checkpoint write error)
+    // must not surface as a failed write — the caller would retry the
+    // transaction and double-apply the data. Each hook self-repairs: a
+    // missing checksum sidecar heals from raw commits on the next chain
+    // touch, a skipped checkpoint re-arms at the next interval hit.
+    //
     // The checksum sidecar must describe the version JUST COMMITTED: under
     // a racing writer update() can return a LATER version, and writing
     // that version's checksum from this commit's actions would both skip
     // `version`'s own sidecar forever and clobber the racer's correct one.
-    val snapAtV = if (snap.version == version) snap else getSnapshotAt(version)
-    writeChecksum(snapAtV, actions, trustedCounts)
-    maybeCheckpoint(snap)
+    val postCommitLog = org.slf4j.LoggerFactory.getLogger(classOf[GraftLog])
+    val snapAtV =
+      try { if (snap.version == version) snap else getSnapshotAt(version) }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          postCommitLog.warn(
+            s"post-commit snapshot pin of $dataPath@$version failed; " +
+              s"skipping its checksum sidecar (the chain heals later): $e")
+          snap
+      }
+    try {
+      if (snapAtV.version == version)
+        writeChecksum(snapAtV, actions, trustedCounts)
+      maybeCheckpoint(snap)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        postCommitLog.warn(
+          s"post-commit checksum/checkpoint of $dataPath@$version failed; " +
+            s"both self-repair on a later commit: $e")
+    }
     // BEST-EFFORT like the mirror below: the commit is already durable, so
     // a failed opportunistic compaction (concurrent-commit conflict, ...)
     // must not surface as a failed write that the caller would retry and
@@ -501,6 +526,10 @@ class GraftLog private (
     * A dataChange=false add marks a compaction output: its partitions'
     * pressure was consumed, so seeding clears them. */
   @volatile private var pressureSeeded = false
+  // Highest commit version the seed fold has already counted: a racing
+  // thread whose commit landed inside the seeder's window must NOT merge
+  // its own AddFiles again (the seed saw them on disk).
+  @volatile private var pressureSeededThrough = -1L
 
   private def seedPressure(snap: Snapshot, smallSize: Long): Unit = {
     val cpFloor = store.list(logPath)
@@ -544,17 +573,24 @@ class GraftLog private (
     if (newSmall.isEmpty) return
     // Double-checked under a lock: two first-commits racing through the
     // bare flag would both seed and double every tail partition's
-    // pressure. The seed range ends BEFORE this commit's version (snap is
-    // pinned at it) — its own AddFiles merge once, via newSmall below.
+    // pressure. The seed range ends BEFORE the seeder's version (snap is
+    // pinned at it) — the seeder's own AddFiles merge once, via newSmall
+    // below. A RACING thread whose commit landed inside the seeder's
+    // window (it committed version N, the seeder pinned N+1 and folded
+    // [from, N+1)) must skip its own merge: the seed already counted its
+    // files from disk, so merging newSmall too would double them.
     if (!pressureSeeded) synchronized {
       if (!pressureSeeded) {
         seedPressure(snap, smallSize)
+        pressureSeededThrough = snap.version - 1
         pressureSeeded = true
       }
     }
-    newSmall.groupBy(identity).foreach { case (pv, xs) =>
-      autoCompactPressure.merge(pv, xs.size,
-        (a, b) => Integer.valueOf(a.intValue + b.intValue))
+    if (snap.version > pressureSeededThrough) {
+      newSmall.groupBy(identity).foreach { case (pv, xs) =>
+        autoCompactPressure.merge(pv, xs.size,
+          (a, b) => Integer.valueOf(a.intValue + b.intValue))
+      }
     }
     import scala.jdk.CollectionConverters._
     val pressured = autoCompactPressure.entrySet.asScala

@@ -52,11 +52,17 @@ class LogStore(hadoopConf: Configuration) extends Serializable {
     * ever materializing the content in driver memory. */
   def copyOverwrite(src: Path, dst: Path): Unit = {
     val in = fs(src).open(src)
-    try materialize(dst, overwrite = true) { out =>
-      val buf = new Array[Byte](1 << 20)
-      var n = in.read(buf)
-      while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
-    } finally in.close()
+    try materialize(dst, overwrite = true)(streamCopy(in, _))
+    finally in.close()
+  }
+
+  /** The one buffered byte-stream copy loop (1 MB chunks, bounded driver
+    * memory regardless of object size). */
+  private def streamCopy(in: java.io.InputStream,
+      out: java.io.OutputStream): Unit = {
+    val buf = new Array[Byte](1 << 20)
+    var n = in.read(buf)
+    while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
   }
 
   private def writeChunks(chunks: Iterator[String])(
@@ -120,11 +126,8 @@ class LogStore(hadoopConf: Configuration) extends Serializable {
             // window where the object does not exist at all).
             val in = f.open(temp)
             val direct = f.create(path, true)
-            try {
-              val buf = new Array[Byte](1 << 20)
-              var n = in.read(buf)
-              while (n >= 0) { if (n > 0) direct.write(buf, 0, n); n = in.read(buf) }
-            } finally { direct.close(); in.close() }
+            try streamCopy(in, direct)
+            finally { direct.close(); in.close() }
         }
       } finally if (f.exists(temp)) f.delete(temp, false)
     }

@@ -52,21 +52,11 @@ object FooterStats {
     }
   }
 
-  /** Stats-space projection of a column's type: atomic leaves keep their
-    * ordered min/max; structs recurse (a converted Delta table's stats
-    * JSON nests per-field mins); maps, arrays, binary and variant carry
-    * no ordered stats — and a MAP with a non-string key cannot even
-    * appear in a `from_json` schema — so they drop out of the stats
-    * space entirely. */
-  private[stats] def statsEligibleType(dt: DataType): Option[DataType] = dt match {
-    case s: StructType =>
-      val kept = s.fields.flatMap(f => statsEligibleType(f.dataType)
-        .map(t => StructField(f.name, t, nullable = true)))
-      if (kept.isEmpty) None else Some(StructType(kept))
-    case _: MapType | _: ArrayType | _: BinaryType => None
-    case other if other.typeName == "variant" => None
-    case other => Some(other)
-  }
+  /** Stats-space projection of a column's type — the shared
+    * [[StatsSpace]] rule, so collection can never diverge from the
+    * skipping/convert side. */
+  private[stats] def statsEligibleType(dt: DataType): Option[DataType] =
+    StatsSpace.eligibleType(dt)
 
   /** A small write's footers read faster on the driver than the fixed
     * cost of scheduling a Spark job; large writes distribute. */

@@ -23,29 +23,10 @@ import graft.log.AddFile
 object StatsSkipping {
 
   /** Schema of the per-file stats JSON, derived from the (already
-    * stats-truncated) data schema. */
-  def statsSchema(dataSchema: StructType): StructType = {
-    val leaf = StructType(dataSchema.fields
-      .map(f => StructField(f.name, f.dataType, nullable = true)))
-    // nullCount mirrors the value schema's SHAPE with Long leaves: a
-    // converted Delta table writes nullCount.<structCol> as a nested
-    // object, and typing it flat-Long would make from_json null the
-    // whole parsed row (PERMISSIVE), silently disabling skipping for
-    // every column of every converted file.
-    def longLeaves(dt: org.apache.spark.sql.types.DataType)
-        : org.apache.spark.sql.types.DataType = dt match {
-      case s: StructType => StructType(s.fields.map(f =>
-        StructField(f.name, longLeaves(f.dataType), nullable = true)))
-      case _ => LongType
-    }
-    val nullCnt = StructType(leaf.map(f =>
-      StructField(f.name, longLeaves(f.dataType), nullable = true)))
-    StructType(Seq(
-      StructField("numRecords", LongType),
-      StructField("minValues", leaf),
-      StructField("maxValues", leaf),
-      StructField("nullCount", nullCnt)))
-  }
+    * stats-truncated) data schema. One definition for collection,
+    * skipping and convert — see [[StatsSpace]]. */
+  def statsSchema(dataSchema: StructType): StructType =
+    StatsSpace.statsDocSchema(dataSchema)
 
   /**
    * Prune `files` using data filters. Returns the surviving files.

@@ -113,33 +113,26 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
     val hasVariant = m.schema.fields.exists(f => anyVariant(f.dataType))
     val shred = m.configuration
       .getOrElse("graft.enableVariantShredding", "false").toBoolean && hasVariant
-    def doWrite() = TransactionalWrite.writeFiles(
+    // Spark 4.1 shreds by default — a table that has NOT declared the
+    // reader-gating feature must write unshredded, or readers without
+    // the feature would be handed a layout the protocol never announced.
+    // The flags ride the write-scoped session clone (part of its cache
+    // key), NOT the shared conf: concurrent variant-table writes each
+    // get the clone matching their own layout choice, and a mixed
+    // variant/plain workload never perturbs the parent fingerprint.
+    val layoutConfs =
+      if (!hasVariant) Map.empty[String, String]
+      else Map(
+        "spark.sql.variant.writeShredding.enabled" -> shred.toString,
+        "spark.sql.variant.inferShreddingSchema" -> shred.toString)
+    val adds = TransactionalWrite.writeFiles(
       log.spark, log.dataPath, physical,
       graft.schema.ColumnMapping.physicalPartitionColumns(m),
       graft.schema.ColumnMapping.physicalDataSchema(m),
       optimizeWrite = m.configuration
         .get("graft.optimizeWrite").map(_.toBoolean),
-      statsColumns = graft.files.GraftFileIndex.statsColumns(m))
-    val adds =
-      if (!hasVariant) doWrite()
-      else OptimisticTransaction.variantWriteLock.synchronized {
-        // Spark 4.1 shreds by default — a table that has NOT declared the
-        // reader-gating feature must write unshredded, or readers without
-        // the feature would be handed a layout the protocol never
-        // announced. The session conf is shared, so concurrent
-        // variant-table writes serialize through this lock rather than
-        // racing each other's layout flags.
-        val conf = log.spark.conf
-        val keys = Seq("spark.sql.variant.writeShredding.enabled",
-          "spark.sql.variant.inferShreddingSchema")
-        val prev = keys.map(k => k -> conf.getOption(k))
-        keys.foreach(conf.set(_, shred.toString))
-        try doWrite()
-        finally prev.foreach {
-          case (k, Some(v)) => conf.set(k, v)
-          case (k, None) => conf.unset(k)
-        }
-      }
+      statsColumns = graft.files.GraftFileIndex.statsColumns(m),
+      extraConfs = layoutConfs)
     if (dataChange) adds else adds.map(_.copy(dataChange = false))
   }
 
@@ -347,9 +340,3 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
     stagedActions.collect { case t: SetTransaction => t.appId }.toSet
 }
 
-object OptimisticTransaction {
-  /** Variant-layout conf flags are session-global; concurrent writes of
-    * variant tables serialize here so one table's shredding choice never
-    * leaks into another table's files. */
-  private[tx] val variantWriteLock = new Object
-}

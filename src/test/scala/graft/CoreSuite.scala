@@ -1152,13 +1152,25 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
 
   test("write sessions are cached, immutable, and track parent conf changes") {
     import graft.files.TransactionalWrite
-    val s1 = TransactionalWrite.writeSession(spark, None)
+    val s1 = TransactionalWrite.writeSession(spark, Map.empty)
     assert(s1 ne spark)
     // same parent confs -> the SAME clone (no per-write clone churn)
-    assert(TransactionalWrite.writeSession(spark, None) eq s1)
-    val s3 = TransactionalWrite.writeSession(spark, Some("123456"))
+    assert(TransactionalWrite.writeSession(spark, Map.empty) eq s1)
+    val s3 = TransactionalWrite.writeSession(spark,
+      Map("spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "123456"))
     assert(s3 ne s1)
     assert(s3.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes") === "123456")
+    // write-scoped overrides live in the cache KEY, not on the parent:
+    // alternating overridden/plain writes keep BOTH cached clones live
+    // instead of churning fresh SessionStates (and bus listeners)
+    val s3b = TransactionalWrite.writeSession(spark,
+      Map("spark.sql.variant.writeShredding.enabled" -> "false",
+        "spark.sql.variant.inferShreddingSchema" -> "false"))
+    assert(s3b ne s1)
+    assert(TransactionalWrite.writeSession(spark, Map.empty) eq s1)
+    assert(TransactionalWrite.writeSession(spark,
+      Map("spark.sql.variant.inferShreddingSchema" -> "false",
+        "spark.sql.variant.writeShredding.enabled" -> "false")) eq s3b)
     assert(s1.conf.get("spark.sql.parquet.outputTimestampType") === "TIMESTAMP_MICROS")
     // the overrides never leak back into the caller's session
     assert(spark.conf.get("spark.sql.parquet.outputTimestampType") !== "TIMESTAMP_MICROS")
@@ -1167,12 +1179,12 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     // change mid-job
     spark.conf.set("spark.graft.test.probe", "42")
     try {
-      val s4 = TransactionalWrite.writeSession(spark, None)
+      val s4 = TransactionalWrite.writeSession(spark, Map.empty)
       assert(s4 ne s1)
       assert(s4.conf.get("spark.graft.test.probe") === "42")
       assert(s1.conf.getOption("spark.graft.test.probe").isEmpty)
       spark.conf.unset("spark.graft.test.probe")
-      assert(TransactionalWrite.writeSession(spark, None)
+      assert(TransactionalWrite.writeSession(spark, Map.empty)
         .conf.getOption("spark.graft.test.probe").isEmpty)
     } finally spark.conf.unset("spark.graft.test.probe")
   }

@@ -434,6 +434,38 @@ class DeltaConvertSuite extends AnyFunSuite {
       graft.commands.ConvertFromDeltaCommand.DRIVER_CONVERT_THRESHOLD_CONF)
   }
 
+  test("distributed fold reconciles differently-spelled paths (canonical key)") {
+    // add(`file:/abs/a`) in the checkpoint, remove(`/abs/a`) in the tail
+    // (and the reverse spelling for b): the window fold must key on the
+    // CANONICAL path or each remove lands in a different partition than
+    // its add and the deleted file resurrects — the same replay rule the
+    // driver fold applies via decodePath.
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val sa = writeFile(spark.range(0, 5).toDF("id"), dir, "a.parquet")
+    val sb = writeFile(spark.range(5, 9).toDF("id"), dir, "b.parquet")
+    val sk = writeFile(spark.range(9, 12).toDF("id"), dir, "keep.parquet")
+    writeActionParquet(dir, "00000000000000000001.checkpoint.parquet",
+      Seq(protoLine(), metaLine(schema),
+        addLine(s"file:$dir/a.parquet", sa),
+        addLine(s"$dir/b.parquet", sb),
+        addLine("keep.parquet", sk)))
+    JFiles.writeString(Paths.get(dir, "_delta_log", "_last_checkpoint"),
+      """{"version":1,"size":5}""")
+    writeLog(dir, 2, Seq(
+      s"""{"remove":{"path":"$dir/a.parquet","deletionTimestamp":1700000002000,"dataChange":true}}""",
+      s"""{"remove":{"path":"file://$dir/b.parquet","deletionTimestamp":1700000002000,"dataChange":true}}"""))
+    spark.conf.set(
+      graft.commands.ConvertFromDeltaCommand.DRIVER_CONVERT_THRESHOLD_CONF, "1")
+    try {
+      val t = Graft.convertFromDelta(spark, dir)
+      assert(t.snapshot.numFiles === 1,
+        s"resurrected: ${t.snapshot.allFiles.map(_.path)}")
+      assert(Graft.read(spark, dir).count() === 3)
+    } finally spark.conf.unset(
+      graft.commands.ConvertFromDeltaCommand.DRIVER_CONVERT_THRESHOLD_CONF)
+  }
+
   test("DV-rewriting commit keeps the live file regardless of line order") {
     val dir = tmpDir()
     val schema = new StructType().add("id", LongType)
