@@ -322,7 +322,7 @@ object ConvertFromDeltaCommand {
     // convert (reference PROTOCOL.md:1941-1966).
     val understood = Set("columnMapping", "timestampNtz", "variantType",
       "typeWidening", "v2Checkpoint", "deletionVectors",
-      "vacuumProtocolCheck", "variantShredding", "variantShredding-preview")
+      "vacuumProtocolCheck", "variantShredding")
     // The protocol action is REQUIRED in every Delta log (PROTOCOL.md);
     // a log without one is nonconforming, and guessing a version could
     // misread a table whose (missing) protocol gated a feature we would
@@ -330,7 +330,12 @@ object ConvertFromDeltaCommand {
     require(protoNode != null, s"Delta log at $path carries no protocol action")
     val rf = Option(protoNode.get("readerFeatures")).toSeq
       .flatMap(n => (0 until n.size()).map(n.get(_).asText()))
-    val unknown = rf.toSet -- understood
+    // The reference ships pre-GA features under a `-preview` suffix with
+    // identical read semantics (typeWidening-preview, variantType-preview;
+    // reference TableFeature.scala preview-feature convention) — strip it
+    // before matching, or real Delta 4.x tables written during a feature's
+    // preview window would refuse to convert forever.
+    val unknown = rf.map(_.stripSuffix("-preview")).toSet -- understood
     require(unknown.isEmpty,
       s"Delta table requires reader features $unknown this convert " +
         "does not understand — converting could misread the data layout")

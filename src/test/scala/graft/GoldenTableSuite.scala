@@ -297,4 +297,181 @@ class GoldenTableSuite extends AnyFunSuite {
     }
     assert(pr.getMessage.contains("no protocol action"), pr.getMessage)
   }
+
+  test("golden: log-replay-dv-key-cases — DV rewrites replay on (path, dvUid)") {
+    // range(50) in ONE file, then three DELETEs (ids 0, 7, 14) each
+    // REWRITING the file's DV: add(path, dvNew) + remove(path, dvOld) in
+    // one commit — the spec's uniqueId replay rule, written by the
+    // reference itself.
+    val dir = goldenCopy("log-replay-dv-key-cases")
+    val t = Graft.convertFromDelta(spark, dir)
+    assert(t.snapshot.numFiles === 1)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 47)
+    assert(df.agg(sum($"id")).head.getLong(0) === 1204L) // 1225 - (0+7+14)
+  }
+
+  test("golden: log-replay-special-characters — %-encoded paths decode in replay") {
+    // -a: add(`special%20p@%23h`) then remove (encoded) -> zero live files
+    val a = goldenCopy("log-replay-special-characters-a")
+    Graft.convertFromDelta(spark, a)
+    assert(GraftTable.forPath(spark, a).snapshot.numFiles === 0)
+    // -b: add only -> one live file whose path DECODED to `special p@#h`
+    val b = goldenCopy("log-replay-special-characters-b")
+    Graft.convertFromDelta(spark, b)
+    val files = GraftTable.forPath(spark, b).snapshot.allFiles
+    assert(files.map(_.path) === Seq("special p@#h"))
+  }
+
+  test("golden: log-replay-latest-metadata-protocol — last schema + (3,7) upgrade win") {
+    val dir = goldenCopy("log-replay-latest-metadata-protocol")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.columns.toSeq === Seq("col1", "col2"))
+    assert(df.count() === 40)
+    // first write predates col2: exactly its 20 rows read back null
+    assert(df.where($"col2".isNull).count() === 20)
+    assert(df.where($"col2" === 1).count() === 10) // odd ids of the second write
+  }
+
+  test("golden: data-skipping-basic-stats-all-types — imported stats skip files") {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThan, Literal}
+    import org.apache.spark.sql.types.{IntegerType, StructType}
+    Seq("data-skipping-basic-stats-all-types",
+        "data-skipping-basic-stats-all-types-checkpoint").foreach { name =>
+      val dir = goldenCopy(name)
+      val t = Graft.convertFromDelta(spark, dir)
+      assert(Graft.read(spark, dir).count() === 1, name)
+      val dataSchema = new StructType().add("as_int", IntegerType)
+      def kept(pred: org.apache.spark.sql.catalyst.expressions.Expression) =
+        graft.stats.StatsSkipping.pruneAndFilter(
+          spark, t.snapshot, None, new StructType(), Nil, dataSchema, Seq(pred))
+      val ref = AttributeReference("as_int", IntegerType)()
+      // the single row is all zeros: >100 skips the only file, =0 keeps it
+      assert(kept(GreaterThan(ref, Literal(100))).isEmpty, name)
+      assert(kept(EqualTo(ref, Literal(0))).size === 1, name)
+    }
+  }
+
+  test("golden: data-skipping-all-types under id column mapping reads + filters") {
+    val dir = goldenCopy("data-skipping-basic-stats-all-types-columnmapping-id")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 1)
+    assert(df.where($"as_int" > 100).count() === 0)
+    assert(df.where($"as_int" === 0 && $"as_string" === "0").count() === 1)
+  }
+
+  test("golden: type-widening — preview reader feature, widened reads of narrow files") {
+    // v0 writes narrow types (byte/int/float/date), v1 enables
+    // typeWidening-PREVIEW (the suffix must not refuse the convert), v2
+    // commits the widened schema + a second file at the wide extremes.
+    val dir = goldenCopy("type-widening")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 2)
+    assert(df.schema("byte_long").dataType.typeName === "long")
+    assert(df.schema("int_double").dataType.typeName === "double")
+    assert(df.schema("date_timestamp_ntz").dataType.typeName === "timestamp_ntz")
+    // the OLD narrow file reads through the widened schema
+    val longs = df.select($"byte_long").as[Long].collect().sorted
+    assert(longs.toSeq === Seq(1L, Long.MaxValue))
+  }
+
+  test("golden: type-widening-nested — widening inside struct/array/map") {
+    val dir = goldenCopy("type-widening-nested")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 2)
+    // every nested leaf reads through the widened types without error
+    assert(df.selectExpr("*").collect().length === 2)
+  }
+
+  test("golden: spark-variant-checkpoint — variant-preview feature + checkpoint fold") {
+    val dir = goldenCopy("spark-variant-checkpoint")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 102) // 100 + re-appended ids 0 and 1
+    // variant payloads survive: every row's v.key equals its id
+    val bad = df.selectExpr("id",
+        "variant_get(v, '$.key', 'long') as k")
+      .where($"id" =!= $"k")
+    assert(bad.count() === 0)
+    // variants nested in arrays/structs/maps decode too
+    val n = df.selectExpr(
+      "variant_get(array_of_variants[0], '$.key', 'long') as a",
+      "variant_get(struct_of_variants.v, '$.key', 'long') as s")
+      .where($"a".isNull || $"s".isNull).count()
+    assert(n === 0)
+  }
+
+  test("golden: basic-decimal-table — decimal data AND decimal partition values") {
+    val dir = goldenCopy("basic-decimal-table")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 4)
+    val got = df.select($"part".cast("string"), $"col1".cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(got("234.00000") === "1.00")
+    assert(got("0.00004") === "0.00")  // 0.001 rounds into (5,2) as 0.00
+    assert(got("-2342342.23423") === "-999.99")
+    // col2 is (10,5): 0.000002 quantizes to 0.00000 on write, so the sum
+    // is exactly 2 + 22222.22222 + 0 - 99999.99999
+    assert(df.agg(sum($"col2").cast("string")).head.getString(0) ===
+      "-77775.77777")
+  }
+
+  test("golden: decimal-various-scale-precision — every precision/scale shape") {
+    val dir = goldenCopy("decimal-various-scale-precision")
+    val t = Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 3)
+    // the first generated row is all-null: every column carries nulls
+    df.schema.fields.foreach { f =>
+      assert(df.where(col(f.name).isNull).count() >= 1, f.name)
+    }
+    // converted read equals a direct parquet read of the live files
+    val raw = spark.read.parquet(
+      t.snapshot.allFiles.map(f => s"$dir/${f.path}"): _*)
+    assert(df.exceptAll(raw).count() === 0)
+    assert(raw.exceptAll(df).count() === 0)
+  }
+
+  test("golden: deltalog-invalid-protocol-version — reader 99 refused") {
+    val e = intercept[IllegalArgumentException] {
+      Graft.convertFromDelta(spark,
+        goldenCopy("deltalog-invalid-protocol-version"))
+    }
+    assert(e.getMessage.contains("reader version"), e.getMessage)
+  }
+
+  test("golden: collations-table — collation metadata survives the convert") {
+    val dir = goldenCopy("collations-table")
+    val t = Graft.convertFromDelta(spark, dir)
+    val sch = t.snapshot.metadata.schema
+    assert(sch.fieldNames.toSeq ===
+      Seq("id", "utf8_binary_col", "utf8_lcase_col", "unicode_col"))
+    // the reference stores collations as __COLLATIONS field metadata;
+    // Spark parses that into the StringType itself, and the translated
+    // schemaString re-serializes it — both ends must carry the collation
+    assert(sch("utf8_lcase_col").dataType.sql.contains("UTF8_LCASE"),
+      sch("utf8_lcase_col").dataType.toString)
+    assert(sch("unicode_col").dataType.sql.contains("UNICODE"),
+      sch("unicode_col").dataType.toString)
+    assert(t.snapshot.metadata.schemaString.contains("__COLLATIONS"))
+  }
+
+  test("golden: data-reader-array-complex-objects — deep arrays, maps, structs") {
+    val dir = goldenCopy("data-reader-array-complex-objects")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 10)
+    val got = df.selectExpr("i",
+        "`3d_int_list`[0][1][2] as a3",
+        "`4d_int_list`[1][0][1][0] as a4",
+        "list_of_maps[1][string(i)] as m",
+        "list_of_records[2].val as r")
+      .as[(Int, Int, Int, Long, Int)].collect().sortBy(_._1)
+    assert(got.toSeq === (0 until 10).map(i => (i, i, i, i.toLong, i)))
+  }
 }
