@@ -461,6 +461,143 @@ class GoldenTableSuite extends AnyFunSuite {
     assert(t.snapshot.metadata.schemaString.contains("__COLLATIONS"))
   }
 
+  test("golden: only-checkpoint-files — interval-1 checkpoints, delete + append fold") {
+    // range(10) in 10 files, DELETE id<5 (file removes), append range(20):
+    // ids 5..9 + 0..19, with a reference checkpoint at every version
+    val dir = goldenCopy("only-checkpoint-files")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 25)
+    assert(df.agg(sum($"id")).head.getLong(0) === 225L) // 35 + 190
+  }
+
+  test("golden: snapshot family — overwrite, delete, dataChange=false, vacuum") {
+    // data0 append + data1 append, data2 OVERWRITE, data3 append(20),
+    // then DELETE col2 like 'data-2-%': exactly data-3-0..19 survive
+    val a = goldenCopy("snapshot-data2-deleted")
+    Graft.convertFromDelta(spark, a)
+    val dfa = Graft.read(spark, a)
+    assert(dfa.count() === 20)
+    assert(dfa.where($"col2".startsWith("data-3-")).count() === 20)
+    // ...then a dataChange=false repartition overwrite and VACUUM(0):
+    // same rows, only the rearranged files remain on disk
+    val b = goldenCopy("snapshot-vacuumed")
+    Graft.convertFromDelta(spark, b)
+    val dfb = Graft.read(spark, b)
+    assert(dfb.count() === 20)
+    assert(dfb.agg(sum($"col1")).head.getLong(0) === 190L)
+    assert(dfb.where(!$"col2".startsWith("data-3-")).count() === 0)
+  }
+
+  test("golden: basic-with-inserts-overwrite-restore — RESTORE folds to v1 state") {
+    val dir = goldenCopy("basic-with-inserts-overwrite-restore")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    // append 0..99, append 100..199, overwrite 500..999, RESTORE to v1
+    assert(df.select($"id").as[Long].collect().sorted.toSeq === (0L until 200L))
+  }
+
+  test("golden: basic-with-inserts-updates — UPDATE rewrite state") {
+    val dir = goldenCopy("basic-with-inserts-updates")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 100)
+    assert(df.where($"str" === "N/A").count() === 50)
+    assert(df.where($"id" >= 50 && $"str" === concat(lit("val="), $"id"))
+      .count() === 50)
+  }
+
+  test("golden: basic-with-inserts-merge — three-clause MERGE state") {
+    val dir = goldenCopy("basic-with-inserts-merge")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    // target 0..99 merged with source 50..149: matched -> 'N/A',
+    // not-matched -> 'EXT' inserts, not-matched-by-source AND id<10 -> delete
+    assert(df.count() === 140)
+    assert(df.where($"id" < 10).count() === 0)
+    assert(df.where($"str" === "N/A").count() === 50)
+    assert(df.where($"str" === "EXT").count() === 50)
+    assert(df.where($"id".between(10, 49) &&
+      $"str" === concat(lit("val="), $"id")).count() === 40)
+  }
+
+  test("golden: 125-iterator-bug — empty-dataframe commits interleaved") {
+    val dir = goldenCopy("125-iterator-bug")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.select($"col1").as[Int].collect().sorted.toSeq === (1 to 5))
+  }
+
+  test("golden: kernel-timestamp — MICROS and INT96 physical formats, ts partitions") {
+    Seq("kernel-timestamp-TIMESTAMP_MICROS", "kernel-timestamp-INT96")
+      .foreach { name =>
+        val dir = goldenCopy(name)
+        Graft.convertFromDelta(spark, dir)
+        val df = Graft.read(spark, dir)
+        assert(df.count() === 5, name)
+        assert(df.where($"time".isNull && $"part".isNull).count() === 1, name)
+        // pre-epoch INT96 value reads exactly (session TZ is UTC)
+        assert(df.where($"id" === 3).select($"time".cast("string"))
+          .head.getString(0) === "1969-01-01 00:00:00", name)
+        // the timestamp PARTITION value with fractional seconds decodes
+        assert(df.where($"id" === 0).select($"part".cast("string"))
+          .head.getString(0) === "2020-01-01 08:09:10.001", name)
+        // partition filtering on a timestamp partition column
+        assert(df.where($"part" === lit("2021-10-01 08:09:20").cast("timestamp"))
+          .select($"id").as[Int].collect().sorted.toSeq === Seq(1, 2), name)
+      }
+  }
+
+  test("golden: data-reader-date-types-UTC — UTC-written timestamp and date") {
+    val dir = goldenCopy("data-reader-date-types-UTC")
+    Graft.convertFromDelta(spark, dir)
+    val r = Graft.read(spark, dir)
+      .select($"timestamp".cast("string"), $"date".cast("string")).head()
+    assert(r.getString(0) === "2020-01-01 08:09:10")
+    assert(r.getString(1) === "2020-01-01")
+  }
+
+  test("golden: time-travel-schema-changes-b — mergeSchema append fold") {
+    val dir = goldenCopy("time-travel-schema-changes-b")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.columns.toSeq === Seq("id", "part"))
+    assert(df.count() === 20)
+    assert(df.where($"part".isNull).count() === 10) // pre-evolution rows
+    assert(df.where($"part" === $"id").count() === 10)
+  }
+
+  test("golden: update-deleted-directory — checkpoint-only fake-file log folds") {
+    val dir = goldenCopy("update-deleted-directory")
+    Graft.convertFromDelta(spark, dir)
+    val snap = GraftTable.forPath(spark, dir).snapshot
+    assert(snap.numFiles === 10)
+    assert(snap.allFiles.map(_.path).sorted === (1 to 10).map(_.toString).sorted)
+  }
+
+  test("golden: deltalog-getChanges — cdc actions are replay-invisible") {
+    // txn2 commits an AddCDCFile + the remove of the only data file; txn3
+    // re-commits protocol + a SetTransaction. The fold must skip `cdc`
+    // actions entirely and keep the txn watermark.
+    val dir = goldenCopy("deltalog-getChanges")
+    Graft.convertFromDelta(spark, dir)
+    val snap = GraftTable.forPath(spark, dir).snapshot
+    assert(snap.numFiles === 0)
+    assert(snap.txnVersion("fakeAppId") === 3L)
+  }
+
+  test("golden: parquet-decimal-dictionaries — dictionary-encoded decimals at 1M rows") {
+    val dir = goldenCopy("parquet-decimal-dictionaries")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 1000000L)
+    // col1 = i%5, col2 = i%6, col3 = i%2 over 0..999999
+    val r = df.agg(sum($"col1"), sum($"col2"), sum($"col3")).head()
+    assert(r.getDecimal(0).longValueExact() === 2000000L)
+    assert(r.getDecimal(1).longValueExact() === 2499996L)
+    assert(r.getDecimal(2).longValueExact() === 500000L)
+  }
+
   test("golden: data-reader-array-complex-objects — deep arrays, maps, structs") {
     val dir = goldenCopy("data-reader-array-complex-objects")
     Graft.convertFromDelta(spark, dir)
