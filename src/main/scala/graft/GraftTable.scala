@@ -603,6 +603,13 @@ object Graft {
   def convertFromDelta(spark: SparkSession, path: String): GraftTable =
     ConvertFromDeltaCommand.run(spark, path)
 
+  /** Incrementally re-sync a CONVERTed table: fold only the Delta commits
+    * newer than the recorded watermark into one graft commit — per-sync
+    * cost scales with the new commits and the files they touch, never
+    * with the table. */
+  def syncFromDelta(spark: SparkSession, path: String): GraftTable =
+    ConvertFromDeltaCommand.sync(spark, path)
+
   /** CREATE TABLE: empty table with an explicit schema (the way to declare
     * generated/identity columns or constraints up front). */
   def create(

@@ -61,6 +61,10 @@ object ConvertFromDeltaCommand {
   val DRIVER_CONVERT_THRESHOLD_CONF = "spark.graft.convert.driverThreshold"
   val DRIVER_CONVERT_THRESHOLD_DEFAULT = 200000L
 
+  /** Table property recording the last Delta version folded into this
+    * graft table — the watermark [[sync]] resumes from. */
+  val SOURCE_VERSION_PROP = "graft.convert.deltaVersion"
+
   // ---- Delta checkpoint layouts --------------------------------------
 
   private val classicRe = """(\d{20})\.checkpoint\.parquet""".r
@@ -312,6 +316,150 @@ object ConvertFromDeltaCommand {
     }
   }
 
+  /**
+   * Incremental re-sync of a previously-converted Delta table: fold ONLY
+   * the Delta commits newer than the recorded watermark
+   * ([[SOURCE_VERSION_PROP]]) into one graft commit. A gradually-migrating
+   * pipeline keeps writing Delta while readers already use the graft
+   * table; each sync costs O(new commits + touched files), never
+   * O(table) — on a 10M-file table an appended micro-batch syncs in
+   * milliseconds of driver work plus one metadata-scale membership join.
+   *
+   * Semantics per touched canonical path (the spec's replay rules over
+   * the window): the window's last (path, dvUid) add wins and REPLACES
+   * whatever the graft table holds for that path; a window-final remove
+   * drops the path. Paths the window never touches are untouched. Native
+   * graft DML between syncs composes: the membership join emits removes
+   * only for files still live on the graft side.
+   */
+  def sync(spark: SparkSession, path: String): GraftTable = {
+    val log = GraftLog.forTable(spark, path)
+    require(log.tableExists,
+      s"$path is not a graft table — run CONVERT TO GRAFT first")
+    val snap = log.update()
+    val from = snap.metadata.configuration.get(SOURCE_VERSION_PROP)
+      .map(_.toLong).getOrElse(throw new IllegalArgumentException(
+        s"$path was not created by CONVERT FROM DELTA (no " +
+          s"$SOURCE_VERSION_PROP property) — nothing to sync from"))
+    val deltaLog = new Path(log.dataPath, "_delta_log")
+    val fs = log.store.fs(deltaLog)
+    require(fs.exists(deltaLog), s"$path has no _delta_log to sync from")
+    val versions = fs.listStatus(deltaLog).toSeq.map(_.getPath.getName)
+      .flatMap(FileNames.deltaVersion).filter(_ > from).sorted
+    if (versions.isEmpty) return new GraftTable(spark, log) // up to date
+    // The window must extend the watermark contiguously: a gap means the
+    // Delta log was cleaned past our watermark (or a commit is missing) —
+    // folding past it would silently drop changes. Re-convert fresh then.
+    require(versions.head == from + 1,
+      s"Delta log at $path no longer has version ${from + 1} (oldest new " +
+        s"commit is ${versions.head}) — the sync window is broken; " +
+        "re-run a full CONVERT into a new table")
+    versions.zip(versions.drop(1)).foreach { case (a, b) =>
+      require(b == a + 1, s"Delta log at $path has non-contiguous " +
+        s"versions: $a then $b (version ${a + 1} is missing)")
+    }
+
+    // Driver window fold — the window is commit-scaled, not table-scaled.
+    val state = new FoldState
+    val touched = mutable.LinkedHashSet.empty[String]
+    versions.foreach { v =>
+      log.store.read(new Path(deltaLog, f"$v%020d.json"))
+        .linesIterator.filter(_.nonEmpty).foreach { line =>
+          val node = mapper.readTree(line)
+          val add = node.get("add"); val rem = node.get("remove")
+          if (add != null && !add.isNull)
+            touched += decodePath(add.path("path").asText())
+          else if (rem != null && !rem.isNull)
+            touched += decodePath(rem.path("path").asText())
+          applyAction(node, state)
+        }
+    }
+    if (state.protoNode != null) protocolGate(log.dataPath, state.protoNode)
+
+    // Window survivors per path (latest fold wins), DVs re-encoded with
+    // the same deterministic names as the initial convert. Row ids only
+    // carry through if the INITIAL convert imported tracking.
+    val keepIds = snap.metadata.configuration
+      .getOrElse("graft.enableRowTracking", "false").toBoolean
+    val hconf = spark.sessionState.newHadoopConf()
+    val winFinal: Map[String, AddFile] = state.adds.values
+      .groupBy(_.add.path).map { case (p, fas) =>
+        val f = fas.maxBy(_.seq)
+        val withDv = f.dv match {
+          case Some(d) =>
+            val (rel, card) = reencodeDv(log.dataPath, hconf, d, f.add.path)
+            f.add.copy(dvPath = Some(rel), dvCardinality = Some(card))
+          case None => f.add
+        }
+        p -> (if (keepIds) withDv
+              else withDv.copy(baseRowId = None, defaultRowCommitVersion = None))
+      }
+
+    // Membership join against the LAZY snapshot: which touched paths are
+    // currently live on the graft side, and at what size (exact removes
+    // keep the incremental checksum fold exact). Bounded by the touched
+    // set, never the table.
+    import spark.implicits._
+    val touchedSeq = touched.toSeq
+    val live: Map[String, AddFile] = snap.allFilesDS
+      .join(org.apache.spark.sql.functions.broadcast(
+        touchedSeq.toDF("__tp")), $"path" === $"__tp", "left_semi")
+      .as[AddFile](org.apache.spark.sql.Encoders.product[AddFile])
+      .collect().map(f => f.path -> f).toMap
+
+    // modificationTime is writer noise; everything else (dv, size, stats,
+    // partition values) must match for "unchanged"
+    def same(a: AddFile, b: AddFile): Boolean =
+      a.copy(modificationTime = 0L) == b.copy(modificationTime = 0L)
+    val removes: Seq[RemoveFile] = touchedSeq.flatMap { p =>
+      // removed outright, or replaced by a different window add
+      live.get(p)
+        .filterNot(cur => winFinal.get(p).exists(same(_, cur)))
+        .map(cur => RemoveFile(p, Some(System.currentTimeMillis()),
+          dataChange = true, partitionValues = cur.partitionValues,
+          size = Some(cur.size)))
+    }
+    val adds: Seq[AddFile] = touchedSeq.flatMap { p =>
+      // skip adds already live with identical content (no-op windows)
+      winFinal.get(p).filterNot(a => live.get(p).exists(same(a, _)))
+    }
+
+    val txnActions = state.txns.map { case (app, v) =>
+      SetTransaction(app, v) }.toSeq
+    val newWatermark = versions.last
+    log.withNewTransaction { txn =>
+      // Schema/config evolution in the window carries over; graft-side
+      // properties (DV enablement, row tracking, clustering) persist.
+      val baseMeta = txn.snapshot.metadata
+      val translated = Option(state.metaNode).map(m =>
+        translatedMetadata(log.dataPath, m))
+      val dvExtra =
+        if (adds.exists(_.dvPath.isDefined))
+          Map("graft.enableDeletionVectors" -> "true")
+        else Map.empty[String, String]
+      val newMeta = translated match {
+        case Some(t) => baseMeta.copy(
+          schemaString = t.schemaString,
+          partitionColumns = t.partitionColumns,
+          configuration = baseMeta.configuration ++ t.configuration ++
+            dvExtra + (SOURCE_VERSION_PROP -> newWatermark.toString))
+        case None => baseMeta.copy(
+          configuration = baseMeta.configuration ++ dvExtra +
+            (SOURCE_VERSION_PROP -> newWatermark.toString))
+      }
+      txn.updateMetadata(newMeta)
+      txn.commit(removes ++ adds ++ txnActions,
+        "CONVERT FROM DELTA SYNC",
+        operationMetrics = Map(
+          "numSyncedCommits" -> versions.size.toString,
+          "numAddedFiles" -> adds.size.toString,
+          "numRemovedFiles" -> removes.size.toString,
+          "sourceVersion" -> newWatermark.toString))
+    }
+    log.update()
+    new GraftTable(spark, log)
+  }
+
   // ---- shared gates + metadata translation ----------------------------
 
   private def protocolGate(path: Path, protoNode: JsonNode): Unit = {
@@ -410,9 +558,11 @@ object ConvertFromDeltaCommand {
       if (rtDomain.nonEmpty) Map("graft.enableRowTracking" -> "true")
       else Map.empty[String, String]
     val txnActions = state.txns.map { case (app, v) => SetTransaction(app, v) }.toSeq
+    val srcVersion = deltaVersions.lastOption.orElse(cpVersion).getOrElse(0L)
     val finalMeta = translated.copy(
       configuration =
-        translated.configuration ++ dvExtra ++ rtConf ++ clusteringConf(state))
+        translated.configuration ++ dvExtra ++ rtConf ++ clusteringConf(state) +
+          (SOURCE_VERSION_PROP -> srcVersion.toString))
     val strippedFiles =
       if (rtDomain.nonEmpty) files
       else files.map(_.copy(baseRowId = None, defaultRowCommitVersion = None))
@@ -513,7 +663,9 @@ object ConvertFromDeltaCommand {
       else Map.empty[String, String]
     val finalMeta = translated.copy(
       configuration =
-        translated.configuration ++ dvExtra ++ rtConf ++ clusteringConf(state))
+        translated.configuration ++ dvExtra ++ rtConf ++ clusteringConf(state) +
+          (SOURCE_VERSION_PROP ->
+            deltaVersions.lastOption.orElse(cpVersion).getOrElse(0L).toString))
     val txnActions = state.txns.map { case (app, v) => SetTransaction(app, v) }.toSeq
 
     // Executor-side conversion: URI decode, DV re-encode (deterministic

@@ -590,11 +590,16 @@ case class GraftAlterRun(
   }
 }
 
-case class GraftConvertRun(path: String, provider: String = "parquet")
+case class GraftConvertRun(path: String, provider: String = "parquet",
+    sync: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
-    if (provider.equalsIgnoreCase("delta"))
+    if (sync) {
+      require(provider.equalsIgnoreCase("delta"),
+        "CONVERT ... SYNC applies only to delta sources")
+      graft.Graft.syncFromDelta(spark, path)
+    } else if (provider.equalsIgnoreCase("delta"))
       graft.Graft.convertFromDelta(spark, path)
     else graft.Graft.convertFromParquet(spark, path)
     Nil
@@ -867,7 +872,7 @@ object GraftSqlParser {
       """APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
   private val convertRe =
     (s"""(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\s+(?:(parquet|delta)\\.)?($target)""" +
-      """\s*;?\s*$""").r
+      """(\s+SYNC)?\s*;?\s*$""").r
   private val generateRe =
     (s"""(?is)^\\s*GENERATE\\s+symlink_format_manifest\\s+FOR\\s+TABLE\\s+""" +
       s"""($targetOrName)\\s*;?\\s*$$""").r
@@ -911,8 +916,9 @@ object GraftSqlParser {
   def parseMaintenance(
       sqlText: String,
       resolve: String => Option[String]): Option[LogicalPlan] = sqlText match {
-    case convertRe(provider, t) => Some(GraftConvertRun(targetPath(t),
-      if (provider == null) "parquet" else provider.toLowerCase))
+    case convertRe(provider, t, syncKw) => Some(GraftConvertRun(targetPath(t),
+      if (provider == null) "parquet" else provider.toLowerCase,
+      sync = syncKw != null))
     case generateRe(t) =>
       resolve(t).map(GraftGenerateRun.apply)
     case showPartsRe(t) =>

@@ -632,4 +632,149 @@ class DeltaConvertSuite extends AnyFunSuite {
     spark.sql(s"CONVERT TO GRAFT delta.`$dir`")
     assert(Graft.read(spark, dir).count() === 7)
   }
+
+  // ---- incremental CONVERT SYNC ---------------------------------------
+
+  test("sync folds appended delta commits; idempotent when up to date") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 10).toDF("id"), dir, "f1.parquet")
+    writeLog(dir, 0, Seq(protoLine(), metaLine(schema),
+      addLine("f1.parquet", s1)))
+    Graft.convertFromDelta(spark, dir)
+    assert(Graft.read(spark, dir).count() === 10)
+    // Delta keeps writing: two more appends after the convert
+    val s2 = writeFile(spark.range(10, 25).toDF("id"), dir, "f2.parquet")
+    val s3 = writeFile(spark.range(25, 30).toDF("id"), dir, "f3.parquet")
+    writeLog(dir, 1, Seq(addLine("f2.parquet", s2,
+      """{"numRecords":15,"minValues":{"id":10},"maxValues":{"id":24},"nullCount":{"id":0}}""")))
+    writeLog(dir, 2, Seq(addLine("f3.parquet", s3,
+      """{"numRecords":5,"minValues":{"id":25},"maxValues":{"id":29},"nullCount":{"id":0}}""")))
+    val t = Graft.syncFromDelta(spark, dir)
+    assert(Graft.read(spark, dir).select($"id").as[Long].collect().sorted
+      .toSeq === (0L until 30L))
+    val v = t.snapshot.version
+    assert(t.snapshot.metadata.configuration(
+      graft.commands.ConvertFromDeltaCommand.SOURCE_VERSION_PROP) === "2")
+    // carried-over stats on the synced file drive skipping
+    val kept = graft.stats.StatsSkipping.pruneAndFilter(
+      spark, t.snapshot, None, new StructType(), Nil,
+      new StructType().add("id", LongType),
+      Seq(org.apache.spark.sql.catalyst.expressions.EqualTo(
+        org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          "id", LongType)(), org.apache.spark.sql.catalyst.expressions.Literal(12L))))
+    // f2 (stats cover 12) stays, f3 (stats 25-29) skips; f1 carries no
+    // stats from the original convert so it can never be skipped
+    assert(kept.map(_.path).contains("f2.parquet"))
+    assert(!kept.map(_.path).contains("f3.parquet"))
+    // no new delta commits -> sync is a no-op at the same graft version
+    assert(Graft.syncFromDelta(spark, dir).snapshot.version === v)
+  }
+
+  test("sync applies deletes, rewrites and DV updates from the delta tail") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 10).toDF("id"), dir, "g1.parquet")
+    val s2 = writeFile(spark.range(10, 20).toDF("id"), dir, "g2.parquet")
+    writeLog(dir, 0, Seq(protoLine(3, 7), metaLine(schema),
+      addLine("g1.parquet", s1), addLine("g2.parquet", s2)))
+    Graft.convertFromDelta(spark, dir)
+    // delta commit 1: rewrite g1 -> g3 (delete + add)
+    val s3 = writeFile(spark.range(0, 5).toDF("id"), dir, "g3.parquet")
+    writeLog(dir, 1, Seq(
+      """{"remove":{"path":"g1.parquet","deletionTimestamp":1700000001000,"dataChange":true}}""",
+      addLine("g3.parquet", s3)))
+    // delta commit 2: DV-delete ids 12, 14 from g2 (add new DV, remove bare)
+    val bm = new graft.dv.Bitmap64()
+    Seq(2L, 4L).foreach(bm.add) // row indexes of ids 12, 14
+    val data = graft.dv.Bitmap64.toDeltaPortable(bm)
+    val inline = graft.dv.DeltaDvCodec.z85Encode(data)
+    writeLog(dir, 2, Seq(
+      s"""{"add":{"path":"g2.parquet","partitionValues":{},"size":$s2,""" +
+        s""""modificationTime":2,"dataChange":true,"deletionVector":""" +
+        s"""{"storageType":"i","pathOrInlineDv":"$inline","sizeInBytes":${data.length},"cardinality":2}}}""",
+      """{"remove":{"path":"g2.parquet","deletionTimestamp":1700000002000,"dataChange":true}}"""))
+    val t = Graft.syncFromDelta(spark, dir)
+    assert(t.snapshot.numFiles === 2)
+    assert(Graft.read(spark, dir).select($"id").as[Long].collect().sorted
+      .toSeq === ((0L until 5L) ++ (10L until 20L).filterNot(Seq(12L, 14L).contains)))
+    assert(t.snapshot.allFiles.find(_.path == "g2.parquet")
+      .exists(_.dvCardinality.contains(2L)))
+  }
+
+  test("sync picks up schema evolution from the delta window") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 5).toDF("id"), dir, "h1.parquet")
+    writeLog(dir, 0, Seq(protoLine(), metaLine(schema),
+      addLine("h1.parquet", s1)))
+    Graft.convertFromDelta(spark, dir)
+    val wide = new StructType().add("id", LongType).add("tag", StringType)
+    val s2 = writeFile(spark.range(5, 8).toDF("id")
+      .withColumn("tag", concat(lit("t"), $"id")), dir, "h2.parquet")
+    writeLog(dir, 1, Seq(metaLine(wide), addLine("h2.parquet", s2)))
+    Graft.syncFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.columns.toSeq === Seq("id", "tag"))
+    assert(df.where($"tag".isNull).count() === 5)
+    assert(df.where($"tag" === "t6").count() === 1)
+  }
+
+  test("sync refuses a gapped window and non-converted tables") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 5).toDF("id"), dir, "k1.parquet")
+    writeLog(dir, 0, Seq(protoLine(), metaLine(schema),
+      addLine("k1.parquet", s1)))
+    Graft.convertFromDelta(spark, dir)
+    // delta writes versions 1 and 2, then 1 is lost (premature cleanup)
+    writeLog(dir, 1, Seq(addLine("k1.parquet", s1)))
+    writeLog(dir, 2, Seq(addLine("k1.parquet", s1)))
+    JFiles.delete(Paths.get(dir, "_delta_log", f"${1L}%020d.json"))
+    val e = intercept[IllegalArgumentException] {
+      Graft.syncFromDelta(spark, dir)
+    }
+    assert(e.getMessage.contains("no longer has version 1"), e.getMessage)
+    // a plain graft table (not born from CONVERT) refuses
+    val plain = tmpDir()
+    Graft.write(spark.range(3).toDF("id"), plain)
+    val e2 = intercept[IllegalArgumentException] {
+      Graft.syncFromDelta(spark, plain)
+    }
+    assert(e2.getMessage.contains("was not created by CONVERT"), e2.getMessage)
+  }
+
+  test("sync composes with native graft DML between syncs") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 10).toDF("id"), dir, "m1.parquet")
+    val s2 = writeFile(spark.range(10, 20).toDF("id"), dir, "m2.parquet")
+    writeLog(dir, 0, Seq(protoLine(), metaLine(schema),
+      addLine("m1.parquet", s1), addLine("m2.parquet", s2)))
+    Graft.convertFromDelta(spark, dir)
+    // native graft DML rewrites m1 (id < 10 all deleted -> file dropped)
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id < 10")
+    assert(Graft.read(spark, dir).count() === 10)
+    // the delta side ALSO removes m1 later; the sync's membership guard
+    // must not emit a remove for a file graft no longer holds
+    writeLog(dir, 1, Seq(
+      """{"remove":{"path":"m1.parquet","deletionTimestamp":1700000001000,"dataChange":true}}"""))
+    val t = Graft.syncFromDelta(spark, dir)
+    assert(Graft.read(spark, dir).select($"id").as[Long].collect().sorted
+      .toSeq === (10L until 20L))
+    assert(!t.snapshot.allFiles.exists(_.path == "m1.parquet"))
+  }
+
+  test("CONVERT TO GRAFT ... SYNC via SQL") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 4).toDF("id"), dir, "s1.parquet")
+    writeLog(dir, 0, Seq(protoLine(), metaLine(schema),
+      addLine("s1.parquet", s1)))
+    spark.sql(s"CONVERT TO GRAFT delta.`$dir`")
+    val s2 = writeFile(spark.range(4, 9).toDF("id"), dir, "s2.parquet")
+    writeLog(dir, 1, Seq(addLine("s2.parquet", s2)))
+    spark.sql(s"CONVERT TO GRAFT delta.`$dir` SYNC")
+    assert(Graft.read(spark, dir).count() === 9)
+  }
 }
