@@ -294,6 +294,22 @@ class ScaleSuite extends AnyFunSuite {
       cpDir.listFiles().count(_.getName.endsWith(".parquet")) > 1,
       "graft checkpoint 0 was not written multi-part")
     assertPerf(secs < 180.0, f"convert too slow: $secs%.1f s")
+
+    // Incremental SYNC of one appended delta commit: window fold is
+    // commit-scaled and the live-membership check is a distributed join
+    // against the lazy snapshot — the 1M-file map must never materialize.
+    java.nio.file.Files.writeString(
+      new java.io.File(deltaLog, f"${2L}%020d.json").toPath,
+      """{"add":{"path":"tail-0.parquet","partitionValues":{},"size":100,""" +
+        """"modificationTime":0,"dataChange":true}}""" + "\n")
+    val t1 = System.nanoTime()
+    val synced = Graft.syncFromDelta(spark, dir)
+    val syncSecs = (System.nanoTime() - t1) / 1e9
+    info(f"1-commit sync over 1M files: $syncSecs%.1f s")
+    assert(synced.snapshot.numFiles === n + 1)
+    assert(!synced.snapshot.materialized,
+      "syncing one appended commit materialized the 1M-file map")
+    assertPerf(syncSecs < 60.0, f"sync too slow: $syncSecs%.1f s")
   }
 
   test("mirror bootstrap on a 150k-file lazy snapshot stays off the driver") {
