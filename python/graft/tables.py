@@ -50,6 +50,13 @@ class GraftTable:
         spark._sc._jvm.graft.Graft.convertFromDelta(spark._jsparkSession, path)
         return cls.forPath(spark, path)
 
+    @classmethod
+    def syncFromDelta(cls, spark, path):
+        """Incrementally fold only the Delta commits newer than the
+        recorded watermark into the converted graft table."""
+        spark._sc._jvm.graft.Graft.syncFromDelta(spark._jsparkSession, path)
+        return cls.forPath(spark, path)
+
     # ---- reads -----------------------------------------------------------
 
     def toDF(self):

@@ -873,6 +873,47 @@ object SparkEntry {
         .orderBy("p_partkey")
     }),
 
+    // Incremental CONVERT SYNC: convert a hand-authored Delta table, let
+    // the "Delta writer" append another commit, sync only the tail.
+    "graft_convert_delta_sync" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val path = tmp("cnvsync")
+      val part = t(s, dir, "part").select("p_partkey", "p_name")
+      def oneFile(df: DataFrame, name: String): Long = {
+        val scratch = tmp("cnvsync-sc")
+        df.coalesce(1).write.mode("overwrite").parquet(scratch)
+        val f = new java.io.File(scratch).listFiles
+          .filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(path, name)
+        java.nio.file.Files.move(f.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.length()
+      }
+      val logDir = new java.io.File(path, "_delta_log"); logDir.mkdirs()
+      def writeCommit(v: Long, lines: Seq[String]): Unit =
+        java.nio.file.Files.writeString(
+          new java.io.File(logDir, f"$v%020d.json").toPath,
+          lines.mkString("", "\n", "\n"))
+      def addLine(name: String, size: Long) =
+        s"""{"add":{"path":"$name","partitionValues":{},"size":$size,""" +
+          """"modificationTime":0,"dataChange":true}}"""
+      val s1 = oneFile(part.where(col("p_partkey") % 2 === 0), "f1.parquet")
+      val schemaJson = new com.fasterxml.jackson.databind.ObjectMapper()
+        .writeValueAsString(part.schema.json)
+      writeCommit(0, Seq(
+        """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"3b1f2a10-0000-4000-8000-000000000001",""" +
+          s""""format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":$schemaJson,"partitionColumns":[],""" +
+          """"configuration":{},"createdTime":1700000000000}}""",
+        addLine("f1.parquet", s1)))
+      Graft.convertFromDelta(s, path)
+      val s2 = oneFile(part.where(col("p_partkey") % 2 =!= 0), "f2.parquet")
+      writeCommit(1, Seq(addLine("f2.parquet", s2)))
+      Graft.syncFromDelta(s, path).toDF
+        .select("p_partkey", "p_name").orderBy("p_partkey")
+    }),
+
     "graft_vacuum" -> ((s, dir) => {
       val path = tmp("vacuum")
       Graft.write(t(s, dir, "part"), path)
@@ -1991,6 +2032,9 @@ object SparkEntry {
 
     "graft_convert_parquet" ->
       """SELECT p_partkey, p_name, p_retailprice FROM part ORDER BY p_partkey""",
+
+    "graft_convert_delta_sync" ->
+      """SELECT p_partkey, p_name FROM part ORDER BY p_partkey""",
 
     "graft_vacuum" ->
       """SELECT p_partkey, p_size FROM part WHERE NOT (p_size < 10)
