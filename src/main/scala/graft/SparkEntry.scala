@@ -876,7 +876,6 @@ object SparkEntry {
     // Incremental CONVERT SYNC: convert a hand-authored Delta table, let
     // the "Delta writer" append another commit, sync only the tail.
     "graft_convert_delta_sync" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.col
       val path = tmp("cnvsync")
       val part = t(s, dir, "part").select("p_partkey", "p_name")
       def oneFile(df: DataFrame, name: String): Long = {

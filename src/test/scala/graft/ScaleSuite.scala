@@ -309,7 +309,7 @@ class ScaleSuite extends AnyFunSuite {
     assert(synced.snapshot.numFiles === n + 1)
     assert(!synced.snapshot.materialized,
       "syncing one appended commit materialized the 1M-file map")
-    assertPerf(syncSecs < 60.0, f"sync too slow: $syncSecs%.1f s")
+    assertPerf(syncSecs < 15.0, f"sync too slow: $syncSecs%.1f s")
   }
 
   test("mirror bootstrap on a 150k-file lazy snapshot stays off the driver") {
