@@ -84,12 +84,19 @@ class ConvertFuzzSuite extends AnyFunSuite {
       .map(_.group(1).toLong).getOrElse(0L)
 
   /** Generate the seed's log into `dir`; returns index -> live dv card. */
-  private def generate(dir: String, seed: Int): Map[Int, Long] = {
+  /** Generate the seed's log into `dir`. The FULL log is always computed
+    * (deterministic per (dir, seed)); commits above `writeUpTo` are
+    * returned instead of written so a caller can play them later — the
+    * sync-equivalence test converts a prefix, appends the rest, syncs,
+    * and must land on the same state as converting everything. */
+  private def generate(dir: String, seed: Int,
+      writeUpTo: Long = 6L): (Map[Int, Long], Seq[(Long, Seq[String])]) = {
     val logDir = new java.io.File(dir, "_delta_log"); logDir.mkdirs()
     val rng = new Random(seed)
     val nFiles = 40
     val truth = scala.collection.mutable.Map.empty[Int, Long]
     val curDv = scala.collection.mutable.Map.empty[Int, String]
+    val pending = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
 
     // checkpoint base at v1: a random subset live, some with DVs
     val baseLines = scala.collection.mutable.ArrayBuffer(protoLine, metaLine)
@@ -169,10 +176,12 @@ class ConvertFuzzSuite extends AnyFunSuite {
         lines += addLine(spell(dir, 0, rng), "")
         curDv(0) = ""; truth(0) = 0L
       }
-      JFiles.writeString(Paths.get(logDir.toString, f"$v%020d.json"),
-        lines.mkString("", "\n", "\n"))
+      if (v <= writeUpTo)
+        JFiles.writeString(Paths.get(logDir.toString, f"$v%020d.json"),
+          lines.mkString("", "\n", "\n"))
+      else pending += ((v, lines.toSeq))
     }
-    truth.toMap
+    (truth.toMap, pending.toSeq)
   }
 
   /** Live state fingerprint: canonical FILE NAME -> dv cardinality (all
@@ -189,8 +198,8 @@ class ConvertFuzzSuite extends AnyFunSuite {
   test(s"driver and distributed convert folds agree (seed=$seed)") {
     val dirDriver = JFiles.createTempDirectory(s"graft-cfzd$seed").toString
     val dirDist = JFiles.createTempDirectory(s"graft-cfzx$seed").toString
-    val truthA = generate(dirDriver, seed)
-    val truthB = generate(dirDist, seed)
+    val (truthA, _) = generate(dirDriver, seed)
+    val (truthB, _) = generate(dirDist, seed)
     assert(truthA === truthB, "generator is not deterministic per seed")
     val expected = truthA.map { case (i, c) => s"part-$i.parquet" -> c }
 
@@ -212,5 +221,35 @@ class ConvertFuzzSuite extends AnyFunSuite {
     assert(fpDriver === expected,
       s"seed=$seed: fold diverged from generator truth\n" +
         s"got=$fpDriver\nexpected=$expected")
+  }
+
+  for (seed <- Seq(3, 777, 20260815))
+  test(s"sync(convert(prefix), tail) == convert(full) (seed=$seed)") {
+    val dirFull = JFiles.createTempDirectory(s"graft-cfzf$seed").toString
+    val dirSync = JFiles.createTempDirectory(s"graft-cfzs$seed").toString
+    val (truthA, nothing) = generate(dirFull, seed)
+    assert(nothing.isEmpty)
+    // same log, but only up to v4 on disk — convert sees the prefix
+    val (truthB, pending) = generate(dirSync, seed, writeUpTo = 4L)
+    assert(truthA === truthB, "generator is not deterministic per seed")
+    assert(pending.map(_._1) === Seq(5L, 6L))
+    val expected = truthA.map { case (i, c) => s"part-$i.parquet" -> c }
+
+    graft.log.GraftLog.clearCache()
+    Graft.convertFromDelta(spark, dirFull)
+    graft.log.GraftLog.clearCache()
+    Graft.convertFromDelta(spark, dirSync)
+    // the "Delta writer" lands v5 and v6 after the convert; sync folds
+    // exactly that window
+    pending.foreach { case (v, lines) =>
+      JFiles.writeString(
+        Paths.get(dirSync, "_delta_log", f"$v%020d.json"),
+        lines.mkString("", "\n", "\n"))
+    }
+    Graft.syncFromDelta(spark, dirSync)
+    assert(fingerprint(dirSync) === fingerprint(dirFull),
+      s"seed=$seed: sync-of-tail diverged from full convert")
+    assert(fingerprint(dirSync) === expected,
+      s"seed=$seed: synced state diverged from generator truth")
   }
 }
