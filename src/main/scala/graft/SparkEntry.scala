@@ -2224,7 +2224,7 @@ object SparkEntry {
            FROM documents WHERE len(trim(text)) > 0),
          i AS (
            SELECT doc_id, w, unnest(generate_series(0,
-             CAST(floor((len(w)-1)/48.0) AS BIGINT))) AS i
+             GREATEST(0, CAST(ceil((len(w)-64)/48.0) AS BIGINT)))) AS i
            FROM w),
          c AS (
            SELECT doc_id, CAST(i AS INT) AS chunk_id,

@@ -21,13 +21,25 @@ object Curation {
    * on every run and every engine. Buckets = Knuth multiplicative hash
    * mod 1000; `weights` are permille cut points in label order.
    */
+
+  /** Stable numeric key behind every arithmetic hash here: ids that cast
+    * to long keep the documented engine-portable Knuth formula; anything
+    * else (UUIDs, URLs) falls back to xxhash64 — without the fallback the
+    * cast yields null and every comparison below silently drops (or
+    * mislabels) the row. */
+  private def hashKey(id: Column): Column =
+    coalesce(id.try_cast("long"),
+      // bounded below 2^31 so the Knuth multiply stays in Long under
+      // ANSI overflow checking
+      pmod(xxhash64(id.cast("string")), lit(1000000007L)))
+
   def deterministicSplit(
       df: DataFrame,
       id: Column,
       weights: Seq[(String, Int)] = Seq("train" -> 980, "val" -> 10, "test" -> 10)
   ): DataFrame = {
     require(weights.map(_._2).sum == 1000, "weights must sum to 1000 permille")
-    val bucket = pmod(id.cast("long") * 2654435761L, lit(1000L))
+    val bucket = pmod(hashKey(id) * 2654435761L, lit(1000L))
     val cuts = weights.scanLeft(0)(_ + _._2).tail
     val label = weights.zip(cuts).foldRight(lit(weights.last._1): Column) {
       case (((name, _), cut), els) => when(bucket < cut, name).otherwise(els)
@@ -61,7 +73,7 @@ object Curation {
    */
   def hashSample(df: DataFrame, id: Column, permille: Int): DataFrame = {
     require(permille >= 0 && permille <= 1000)
-    df.where(pmod(id.cast("long") * 2654435761L, lit(1000L)) < permille)
+    df.where(pmod(hashKey(id) * 2654435761L, lit(1000L)) < permille)
   }
 
   /**
@@ -79,7 +91,7 @@ object Curation {
     val rate = rates.foldRight(lit(defaultPermille): Column) {
       case ((s, r), els) => when(stratum === s, r).otherwise(els)
     }
-    df.where(pmod(id.cast("long") * 2654435761L, lit(1000L)) < rate)
+    df.where(pmod(hashKey(id) * 2654435761L, lit(1000L)) < rate)
   }
 
   /**
@@ -138,13 +150,16 @@ object Curation {
     val totals = df.where(source.isInCollection(p.keys.toSeq))
       .groupBy(source.as("__src")).agg(sum(tokenCount).as("__t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(totals.nonEmpty,
+      s"mixtureSample: none of the weighted sources " +
+        s"[${p.keys.mkString(", ")}] appear in the input")
     val n = p.collect {
       case (s, w) if totals.contains(s) => totals(s) / w
     }.min
     val budgetCol = p.foldRight(lit(-1L): Column) { case ((s, w), els) =>
       when(source === s, lit(math.floor(w * n).toLong)).otherwise(els)
     }
-    val hashOrd = pmod(id.cast("long") * 2654435761L, lit(1000000007L))
+    val hashOrd = pmod(hashKey(id) * 2654435761L, lit(1000000007L))
     val w = Window.partitionBy(source).orderBy(hashOrd, id)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.where(source.isInCollection(p.keys.toSeq))
@@ -160,8 +175,14 @@ object Curation {
    * training-sample-construction step before packing. Every token is
    * covered; the final chunk may be short. Pure projection + explode —
    * no shuffle, no UDF; chunk count per document is
-   * floor((tokens-1)/stride)+1 so output scales linearly with corpus
-   * token count at any document length.
+   * max(0, ceil((tokens-size)/stride)) + 1 so output scales linearly
+   * with corpus token count at any document length.
+   *
+   * The last window is the FIRST start whose window reaches the final
+   * token — starts beyond that would emit strict suffixes of the
+   * previous chunk (pure re-reads of already-covered text), duplicating
+   * up to floor((size-1)/stride) tails per document into the training
+   * set.
    *
    * Output: input columns plus `chunk_id` (0-based) and `chunk`
    * (array of tokens).
@@ -170,9 +191,10 @@ object Curation {
     require(size > 0 && stride > 0 && stride <= size,
       "need 0 < stride <= size")
     val words = split(trim(text), "\\s+")
-    // token counts are far below 2^53: double floor-div is exact here
-    val lastChunk = floor(((org.apache.spark.sql.functions.size(col("__w")) - 1)
-      .cast("double")) / stride).cast("int")
+    // token counts are far below 2^53: double ceil-div is exact here
+    val lastChunk = greatest(lit(0),
+      ceil((org.apache.spark.sql.functions.size(col("__w")) - lit(size))
+        .cast("double") / stride).cast("int"))
     df.where(length(trim(text)) > 0)
       .withColumn("__w", words)
       .withColumn("chunk_id", explode(sequence(lit(0), lastChunk)))

@@ -40,6 +40,13 @@ object Dedup {
       .agg(min(struct(col("__ord"), col("__dk"))).as("__w"))
       .select(col("__w.__ord").as("__ord"), col("__w.__dk").as("__dk"))
     keyed.join(winners, Seq("__dk", "__ord"), "left_semi")
+      // The semi-join keeps EVERY row tying on the minimum order key —
+      // and exact duplicates (byte-identical rows) always tie, which is
+      // precisely the case this function exists for. Collapse survivors
+      // to one row per key; the extra shuffle is output-sized (post-dedup)
+      // and the pick among tied rows is arbitrary only when the tied rows
+      // genuinely differ outside (on, orderBy).
+      .dropDuplicates("__dk")
       .drop("__dk", "__ord")
   }
 
@@ -314,10 +321,15 @@ object Dedup {
       .agg(count(lit(1)).as("n")).where(col("n") > maxBucketSize)
       .select(col("band"), col("bucket"))
     val idx = idxTouched.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-    // cid != id: a retried batch whose first attempt already appended can
-    // see its own rows in the index — never a duplicate of itself.
+    // A retried batch whose first attempt already appended sees its OWN
+    // rows in the index. Excluding only same-id matches is not enough:
+    // within-batch near-dups A and B would flag each other on the retry
+    // (A matches cid=B) but not on the first run — a crash-then-retry
+    // could drop EVERY copy of a document family. The index is "the
+    // corpus before this batch", so anti-join out every current-batch id.
+    val batchIds = batchSigs.select(col("id").as("cid")).distinct()
     val cand = newBuckets.join(idx, Seq("band", "bucket"))
-      .where(col("id") =!= col("cid"))
+      .join(batchIds, Seq("cid"), "left_anti")
       .select(col("id"), col("cid")).distinct()
     val agree = sigAgreement(numHashes)
     val verified = cand

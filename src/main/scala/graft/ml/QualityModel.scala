@@ -51,7 +51,12 @@ object QualityModel {
   def train(docs: DataFrame, id: Column, text: Column,
       maxSample: Int = 10000): Model = {
     val spark = docs.sparkSession
-    val base = docs.select(id.as("__id"), text.as("__t")).limit(maxSample)
+    // Null/empty text rows (routine in raw crawl data) produce all-null
+    // feature rows, and Row.getDouble on a null aborts training — filter
+    // them out of the sample instead.
+    val base = docs.select(id.as("__id"), text.as("__t"))
+      .where(col("__t").isNotNull && length(col("__t")) > 0)
+      .limit(maxSample)
     val labeled =
       base.select(lit(1.0).as("label"), col("__t"), col("__id"))
         .unionByName(base.select(lit(0.0).as("label"),

@@ -89,8 +89,12 @@ object Similarity {
       nprobe: Int = -1): DataFrame = {
     // Centroid collection and the argmax kernel read float elements;
     // double-typed embedding columns narrow here instead of crashing.
+    // Null embeddings are routine in curation pipelines (failed encoder
+    // rows); without the guard one in the centroid sample NPEs
+    // CentroidMatrix.build on the driver (kMeans carries the same guard).
     val base = corpus.select(corpusId.as("cid"),
       corpusEmb.cast("array<float>").as("cemb"))
+      .where(col("cemb").isNotNull)
     // Auto-tuning (when not pinned): nlist ~ sqrt(n) keeps list size and
     // centroid-scan cost balanced; probing nlist/4 lists holds recall as
     // the corpus grows. One count job, amortized over the search.

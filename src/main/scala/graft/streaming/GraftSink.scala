@@ -20,6 +20,14 @@ class GraftSink(
     outputMode: OutputMode,
     options: Map[String, String]) extends Sink {
 
+  // Update mode emits only the CHANGED rows of stateful operators;
+  // appending those accumulates one conflicting row per key per batch.
+  // The table format cannot upsert from a sink, so reject at
+  // construction (the reference sink does the same) instead of quietly
+  // writing wrong data.
+  require(outputMode == OutputMode.Append() || outputMode == OutputMode.Complete(),
+    s"graft sink supports Append and Complete output modes, not $outputMode")
+
   private def spark: SparkSession = sqlContext.sparkSession
 
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {

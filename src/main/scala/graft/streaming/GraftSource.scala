@@ -22,10 +22,20 @@ import org.apache.spark.sql.functions.{col, lit}
 case class GraftSourceOffset(
     reservoirVersion: Long,
     index: Long,
-    isInitialSnapshot: Boolean) extends LegacyOffset {
+    isInitialSnapshot: Boolean,
+    startVersion: Option[Long] = None) extends LegacyOffset {
+  // `startVersion` pins the STREAM ORIGIN for startingVersion/Timestamp
+  // streams (isInitialSnapshot=false): batch 0's replay-after-restart
+  // (getBatch(start=None)) must rebuild its from-position from the END
+  // offset, never from the restarted source's current table version —
+  // with "startingVersion=latest" the re-derived origin would land PAST
+  // the WAL-committed batch and silently replay it as zero rows.
+  // Optional + omitted when absent: pre-existing checkpoint offsets
+  // parse unchanged.
   override def json: String =
     s"""{"reservoirVersion":$reservoirVersion,"index":$index,""" +
-      s""""isInitialSnapshot":$isInitialSnapshot}"""
+      s""""isInitialSnapshot":$isInitialSnapshot""" +
+      startVersion.map(v => s""","startVersion":$v""").getOrElse("") + "}"
 }
 
 object GraftSourceOffset {
@@ -35,7 +45,8 @@ object GraftSourceOffset {
     GraftSourceOffset(
       m.get("reservoirVersion").asLong(),
       m.get("index").asLong(),
-      m.get("isInitialSnapshot").asBoolean())
+      m.get("isInitialSnapshot").asBoolean(),
+      Option(m.get("startVersion")).filterNot(_.isNull).map(_.asLong()))
   }
   def convert(o: streaming.Offset): GraftSourceOffset = o match {
     case g: GraftSourceOffset => g
@@ -384,8 +395,12 @@ class GraftSource(
     var bytes = 0L
     var last: IndexedFile = null
     val it = fileChanges(from)
-    while (it.hasNext && taken < maxFiles &&
-        maxBytes.forall(b => bytes < b)) {
+    // Caps are checked BEFORE hasNext: a flatMap-backed iterator's
+    // hasNext advances into the NEXT commit, and once the batch is full
+    // that walk could throw on an update/delete commit — killing the
+    // stream without ever delivering the fully-admitted clean batch.
+    while (taken < maxFiles && maxBytes.forall(b => bytes < b) &&
+        it.hasNext) {
       val f = it.next()
       taken += 1
       bytes += f.add.size
@@ -396,7 +411,12 @@ class GraftSource(
       pendingSchemaChange.foreach { case (v, meta) => adoptSchemaChange(v, meta) }
       if (startOffset == null) null else startOffset
     } else {
-      GraftSourceOffset(last.version, last.index, last.isInitialSnapshot)
+      // The stream origin rides every offset: inherited from the incoming
+      // offset on restart, seeded from this run's resolved starting
+      // version otherwise (None for initial-snapshot streams, whose
+      // origin IS the snapshot's reservoirVersion).
+      GraftSourceOffset(last.version, last.index, last.isInitialSnapshot,
+        from.startVersion.orElse(startingVersion))
     }
   }
 
@@ -405,11 +425,21 @@ class GraftSource(
       "latestOffset(Offset, ReadLimit) should be called instead of this")
 
   override def getBatch(start: Option[LegacyOffset], end: LegacyOffset): DataFrame = {
+    val to = GraftSourceOffset.convert(end)
     val from = start match {
       case Some(o) => GraftSourceOffset.convert(o)
-      case None => initialPosition
+      case None =>
+        // Batch-0 replay after a restart: rebuild the from-position from
+        // the END offset, never from this (re-created) source's current
+        // table version — the snapshot being replayed is pinned by the
+        // offset's reservoirVersion (snapshotAccess time-travels to it),
+        // and a startingVersion stream's origin rides offset.startVersion.
+        if (to.isInitialSnapshot)
+          GraftSourceOffset(to.reservoirVersion, -1L, isInitialSnapshot = true)
+        else to.startVersion
+          .map(sv => GraftSourceOffset(sv, -1L, isInitialSnapshot = false))
+          .getOrElse(initialPosition)
     }
-    val to = GraftSourceOffset.convert(end)
     if (readChangeFeed) return getCdfBatch(from, to)
     val files = fileChanges(from).takeWhile { f =>
       if (f.isInitialSnapshot && to.isInitialSnapshot) f.index <= to.index

@@ -407,4 +407,89 @@ class StreamingSuite extends AnyFunSuite {
     q3.awaitTermination(120000)
     assert(Graft.read(spark, outDir).count() === 15)
   }
+
+  test("batch-0 replay after restart pins the END offset's snapshot version") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.streaming.{Offset => ExecOffset}
+    val src = tmpDir()
+    Graft.write(spark.range(0, 12).toDF("id").repartition(3), src)
+    val source = new graft.streaming.GraftSource(spark,
+      graft.log.GraftLog.forTable(spark, src), Map.empty)
+    val end = source.latestOffset(null, ReadLimit.maxFiles(2))
+    val expected = materialize(source.getBatch(None,
+      end.asInstanceOf[ExecOffset])).select("id").collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty && expected.size < 12)
+    // the table moves on: a DELETE rewrites early files, so the CURRENT
+    // snapshot's sorted file list differs from the one batch 0 admitted
+    GraftTable.forPath(spark, src).delete("id % 2 = 0")
+    // crash-restart: a FRESH source replays the WAL-committed batch 0
+    graft.log.GraftLog.clearCache()
+    val restarted = new graft.streaming.GraftSource(spark,
+      graft.log.GraftLog.forTable(spark, src), Map.empty)
+    val replayed = materialize(restarted.getBatch(None,
+      end.asInstanceOf[ExecOffset])).select("id").collect().map(_.getLong(0)).toSet
+    assert(replayed === expected,
+      "restart replayed batch 0 from the current table version, not the " +
+        s"offset's snapshot: got $replayed, expected $expected")
+  }
+
+  test("startingVersion=latest batch-0 replay survives restart via offset origin") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import org.apache.spark.sql.execution.streaming.{Offset => ExecOffset}
+    val src = tmpDir()
+    Graft.write(spark.range(0, 5).toDF("id"), src) // v0 (pre-stream)
+    val source = new graft.streaming.GraftSource(spark,
+      graft.log.GraftLog.forTable(spark, src),
+      Map("startingVersion" -> "latest"))
+    Graft.write(spark.range(100, 103).toDF("id"), src, mode = "append") // v1
+    val end = source.latestOffset(null, ReadLimit.allAvailable())
+    assert(end != null)
+    // the offset carries the stream origin and round-trips through json
+    val goff = graft.streaming.GraftSourceOffset.convert(end)
+    assert(goff.startVersion === Some(1L))
+    assert(graft.streaming.GraftSourceOffset.fromJson(goff.json) === goff)
+    // restart BEFORE batch 0 commits: the re-derived "latest" would point
+    // past v1; replay must come from the offset's origin instead
+    graft.log.GraftLog.clearCache()
+    val restarted = new graft.streaming.GraftSource(spark,
+      graft.log.GraftLog.forTable(spark, src),
+      Map("startingVersion" -> "latest"))
+    val replayed = materialize(restarted.getBatch(None,
+      end.asInstanceOf[ExecOffset])).select("id").collect().map(_.getLong(0)).toSet
+    assert(replayed === Set(100L, 101L, 102L),
+      s"restart lost the WAL-committed batch: $replayed")
+    // pre-fix offsets (no startVersion field) still parse
+    val legacy = graft.streaming.GraftSourceOffset.fromJson(
+      """{"reservoirVersion":3,"index":7,"isInitialSnapshot":false}""")
+    assert(legacy === graft.streaming.GraftSourceOffset(3L, 7L,
+      isInitialSnapshot = false))
+  }
+
+  test("admission cap stops BEFORE peeking into a change commit") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    val src = tmpDir()
+    Graft.write(spark.range(0, 9).toDF("id").repartition(3), src) // v0: 3 files
+    val source = new graft.streaming.GraftSource(spark,
+      graft.log.GraftLog.forTable(spark, src), Map.empty)
+    GraftTable.forPath(spark, src).delete("id < 3") // v1: update commit
+    // the snapshot's 3 files fill the cap exactly; latestOffset must
+    // deliver them WITHOUT walking into v1 (whose update would throw)
+    val end = source.latestOffset(null, ReadLimit.maxFiles(3))
+    assert(end != null)
+    assert(graft.streaming.GraftSourceOffset.convert(end).isInitialSnapshot)
+    // the next call does reach v1 and fails loudly as before
+    val e = intercept[UnsupportedOperationException] {
+      source.latestOffset(end, ReadLimit.maxFiles(3))
+    }
+    assert(e.getMessage.contains("update/delete"))
+  }
+
+  test("graft sink rejects Update output mode at construction") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val e = intercept[IllegalArgumentException] {
+      new graft.streaming.GraftSink(
+        spark.sqlContext, tmpDir(), Nil, OutputMode.Update(), Map.empty)
+    }
+    assert(e.getMessage.contains("Append and Complete"))
+  }
 }
