@@ -1209,6 +1209,21 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    // SemDeDup: k-means buckets the space, within-cluster cosine >= 0.999
+    // finds the planted jittered copies (scale-invariant cosine puts a
+    // copy in its original's cluster), min-id survives per family — so
+    // exactly the planted ids flag as duplicates.
+    "dedup_semantic" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val jittered = e.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), v => v * 1.0001f).as("embedding"))
+      val all = e.select("vec_id", "embedding").unionByName(jittered)
+      graft.ml.Dedup.semanticDedup(all, col("vec_id"), col("embedding"),
+        k = 8, threshold = 0.999, maxIter = 3)
+        .select(col("id"), col("is_dup"))
+        .orderBy("id")
+    }),
+
     "ann_bruteforce" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val queries = e.filter(col("vec_id") < 5)
@@ -2520,6 +2535,12 @@ object SparkEntry {
     "dedup_embedding" ->
       """SELECT vec_id AS idA, vec_id + 100000 AS idB FROM embeddings
          ORDER BY idA, idB""",
+
+    "dedup_semantic" ->
+      """SELECT vec_id AS id, FALSE AS is_dup FROM embeddings
+         UNION ALL
+         SELECT vec_id + 100000 AS id, TRUE AS is_dup FROM embeddings
+         ORDER BY id""",
 
     "ann_lsh" ->
       """SELECT vec_id AS qid, vec_id AS cid FROM embeddings WHERE vec_id < 10

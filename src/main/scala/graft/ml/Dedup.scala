@@ -438,6 +438,59 @@ object Dedup {
   }
 
   /**
+   * Semantic dedup (the SemDeDup recipe, Abbas et al. 2023,
+   * arXiv:2303.09540): k-means partitions the embedding space, then ONLY
+   * within-cluster pairs are cosine-verified — the corpus cross-product
+   * never materializes. Pairs above `threshold` collapse into duplicate
+   * families via connected components and every family keeps its lowest
+   * id (the paper keeps a random member; min-id is the deterministic
+   * equivalent). Returns `(id, cluster, is_dup)` for every row with a
+   * non-null embedding.
+   *
+   * 100 TB shape: clustering is [[Clustering.kMeans]] (kernel assignment,
+   * k×dim driver state); pair generation is ONE shuffle keyed on the
+   * cluster id with the self-join's two sides sharing the exchange, and
+   * in-cluster work is O(size²) bounded by `maxClusterSize` — size k to
+   * the corpus so clusters stay small (the paper uses ~√n clusters).
+   * Degenerate oversized clusters (k far too small, or an embedding-
+   * collapse pathology) skip pair generation whole rather than detonate
+   * the join; unlike banded LSH there is no second band to catch them,
+   * so callers should re-run with larger k if `is_dup` coverage matters
+   * there.
+   */
+  def semanticDedup(
+      df: DataFrame,
+      id: Column,
+      emb: Column,
+      k: Int,
+      threshold: Double = 0.95,
+      maxIter: Int = 10,
+      maxClusterSize: Int = 100000): DataFrame = {
+    val assigned = Clustering.kMeans(df, id, emb, k, maxIter)
+    val base = df.select(id.as("id"), emb.cast("array<float>").as("emb"))
+      .where(col("emb").isNotNull)
+    val withC = base.join(assigned, "id")
+    // Oversized-cluster guard: k rows broadcast, never a corpus shuffle.
+    val okC = withC.groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxClusterSize).select("cluster")
+    val members = withC.join(broadcast(okC), Seq("cluster"))
+    val pairs = members
+      .select(col("cluster"), col("id").as("idA"), col("emb").as("embA"))
+      .join(members.select(col("cluster"), col("id").as("idB"),
+        col("emb").as("embB")), "cluster")
+      .where(col("idA") < col("idB"))
+      .where(Similarity.cosine(col("embA"), col("embB")) >= threshold)
+      .select("idA", "idB")
+    val families = Clustering.dedupClusters(pairs)
+    assigned.join(
+        families.where(col("id") =!= col("component"))
+          .select(col("id"), lit(true).as("__d")),
+        Seq("id"), "left")
+      .select(col("id"), col("cluster"),
+        coalesce(col("__d"), lit(false)).as("is_dup"))
+  }
+
+  /**
    * Benchmark decontamination: flag training documents that share any
    * word n-gram with a benchmark/eval set — the public 13-gram overlap
    * recipe (GPT-3 appendix C / The Pile), with `n` a parameter. Returns

@@ -701,6 +701,33 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
     assert(got(4L) === ((0.5, 1.0, 1.0)))
   }
 
+  test("semanticDedup: families keep min id, null embeddings drop, guard skips") {
+    import spark.implicits._
+    // Two tight families along different axes plus a loner; ids chosen so
+    // family membership crosses cluster-init order.
+    val rows = Seq(
+      (10L, Array(1.0f, 0.0f, 0.0f)),
+      (11L, Array(1.0001f, 0.0f, 0.0f)),    // dup of 10
+      (12L, Array(0.9999f, 0.0001f, 0.0f)), // dup of 10/11 (transitive family)
+      (20L, Array(0.0f, 1.0f, 0.0f)),
+      (21L, Array(0.0f, 1.0002f, 0.0f)),    // dup of 20
+      (30L, Array(0.0f, 0.0f, 1.0f)),       // loner
+      (40L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "emb")
+    val got = Dedup.semanticDedup(rows, $"id", $"emb", k = 3,
+      threshold = 0.999, maxIter = 5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(got === Map(10L -> false, 11L -> true, 12L -> true,
+      20L -> false, 21L -> true, 30L -> false)) // 40 (null emb) absent
+    // Oversized-cluster guard: with k=1 everything is one cluster; a cap
+    // below the corpus size must skip pair generation (nothing flagged)
+    // rather than explode or drop rows.
+    val guarded = Dedup.semanticDedup(rows, $"id", $"emb", k = 1,
+      threshold = 0.999, maxIter = 2, maxClusterSize = 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(guarded.size === 6 && guarded.values.forall(_ == false))
+  }
+
   test("decontaminate: only gram-sharing train docs flagged, counts exact") {
     import spark.implicits._
     val bench = Seq((100L, "one two three four five")).toDF("id", "text")
