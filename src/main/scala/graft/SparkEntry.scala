@@ -1093,6 +1093,31 @@ object SparkEntry {
       signals.join(fps, "doc_id").orderBy("doc_id")
     }),
 
+    // Gopher repetition filter bank (line-grain dup fractions + n-gram
+    // character coverage), one kernel pass per document. Documents are
+    // synthesized with planted line structure (a boilerplate header and a
+    // twice-repeated preview line) so the line signals vary with content
+    // while staying fully deterministic.
+    "text_repetition" -> ((s, dir) => {
+      import graft.text.TextFunctions.repetitionProfile
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val page = concat_ws("\n",
+        lit("BOILERPLATE HEADER LINE"),
+        substring(col("text"), 1, 40),
+        col("text"),
+        substring(col("text"), 1, 40))
+      d.select(col("doc_id"), repetitionProfile(page).as("p"))
+        .select(col("doc_id"),
+          round(col("p.dup_line_frac"), 6).as("dup_line_frac"),
+          round(col("p.dup_line_char_frac"), 6).as("dup_line_char_frac"),
+          round(col("p.top_2gram_char_frac"), 6).as("top_2gram_char_frac"),
+          round(col("p.top_3gram_char_frac"), 6).as("top_3gram_char_frac"),
+          round(col("p.top_4gram_char_frac"), 6).as("top_4gram_char_frac"),
+          round(col("p.dup_5gram_char_frac"), 6).as("dup_5gram_char_frac"),
+          round(col("p.dup_10gram_char_frac"), 6).as("dup_10gram_char_frac"))
+        .orderBy("doc_id")
+    }),
+
     // Fingerprint values are 64-bit hashes DuckDB cannot reproduce, so the
     // query emits the oracle-checkable INVARIANTS instead: a fingerprint is
     // deterministic (identical text -> identical fp, for both the rolling
@@ -2187,6 +2212,85 @@ object SparkEntry {
            SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rank
            FROM scored)
          SELECT qid, rank, cid FROM ranked WHERE rank <= 5 ORDER BY qid, rank""",
+
+    "text_repetition" ->
+      """WITH pages AS (
+           SELECT doc_id,
+             'BOILERPLATE HEADER LINE' || chr(10) || substr(text, 1, 40)
+               || chr(10) || text || chr(10) || substr(text, 1, 40) AS page
+           FROM documents),
+         lines AS (
+           SELECT doc_id, unnest(string_split(page, chr(10))) AS line
+           FROM pages),
+         lc AS (SELECT doc_id, line, count(*) AS c FROM lines GROUP BY 1, 2),
+         lstat AS (
+           SELECT doc_id,
+             sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1.0 / sum(c)
+               AS dup_line_frac,
+             coalesce(sum(CASE WHEN c > 1 THEN len(line) * c ELSE 0 END) * 1.0
+               / nullif(sum(len(line) * c), 0), 0) AS dup_line_char_frac
+           FROM lc GROUP BY doc_id),
+         tc AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(page), '\s+'),
+               x -> len(x) > 0) AS t
+           FROM pages),
+         tn AS (SELECT doc_id, t, len(array_to_string(t, '')) AS nchars FROM tc),
+         g2 AS (SELECT doc_id, i, array_to_string(t[i:i+1], ' ') AS g
+                FROM tn, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s),
+         g3 AS (SELECT doc_id, i, array_to_string(t[i:i+2], ' ') AS g
+                FROM tn, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) s),
+         g4 AS (SELECT doc_id, i, array_to_string(t[i:i+3], ' ') AS g
+                FROM tn, LATERAL (SELECT unnest(generate_series(1, len(t) - 3)) AS i) s),
+         g5 AS (SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS g
+                FROM tn, LATERAL (SELECT unnest(generate_series(1, len(t) - 4)) AS i) s),
+         g10 AS (SELECT doc_id, i, array_to_string(t[i:i+9], ' ') AS g
+                FROM tn, LATERAL (SELECT unnest(generate_series(1, len(t) - 9)) AS i) s),
+         top2 AS (SELECT doc_id, c * len(replace(g, ' ', '')) * 1.0 AS num FROM (
+           SELECT doc_id, g, count(*) AS c,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY count(*) DESC, g) AS rn
+           FROM g2 GROUP BY doc_id, g) WHERE rn = 1),
+         top3 AS (SELECT doc_id, c * len(replace(g, ' ', '')) * 1.0 AS num FROM (
+           SELECT doc_id, g, count(*) AS c,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY count(*) DESC, g) AS rn
+           FROM g3 GROUP BY doc_id, g) WHERE rn = 1),
+         top4 AS (SELECT doc_id, c * len(replace(g, ' ', '')) * 1.0 AS num FROM (
+           SELECT doc_id, g, count(*) AS c,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY count(*) DESC, g) AS rn
+           FROM g4 GROUP BY doc_id, g) WHERE rn = 1),
+         gc5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY 1, 2),
+         cov5 AS (SELECT DISTINCT dd.doc_id, s.p
+           FROM (SELECT g5.doc_id, g5.i FROM g5
+                 JOIN gc5 USING (doc_id, g) WHERE c > 1) dd,
+                LATERAL (SELECT unnest(generate_series(dd.i, dd.i + 4)) AS p) s),
+         dup5 AS (SELECT cov5.doc_id, sum(len(t[p])) * 1.0 AS chars
+           FROM cov5 JOIN tn USING (doc_id) GROUP BY 1),
+         gc10 AS (SELECT doc_id, g, count(*) AS c FROM g10 GROUP BY 1, 2),
+         cov10 AS (SELECT DISTINCT dd.doc_id, s.p
+           FROM (SELECT g10.doc_id, g10.i FROM g10
+                 JOIN gc10 USING (doc_id, g) WHERE c > 1) dd,
+                LATERAL (SELECT unnest(generate_series(dd.i, dd.i + 9)) AS p) s),
+         dup10 AS (SELECT cov10.doc_id, sum(len(t[p])) * 1.0 AS chars
+           FROM cov10 JOIN tn USING (doc_id) GROUP BY 1)
+         SELECT n.doc_id,
+           round(l.dup_line_frac, 6) AS dup_line_frac,
+           round(l.dup_line_char_frac, 6) AS dup_line_char_frac,
+           round(coalesce(t2.num / nullif(n.nchars, 0), 0), 6) AS top_2gram_char_frac,
+           round(coalesce(t3.num / nullif(n.nchars, 0), 0), 6) AS top_3gram_char_frac,
+           round(coalesce(t4.num / nullif(n.nchars, 0), 0), 6) AS top_4gram_char_frac,
+           round(coalesce(d5.chars / nullif(n.nchars, 0), 0), 6) AS dup_5gram_char_frac,
+           round(coalesce(d10.chars / nullif(n.nchars, 0), 0), 6) AS dup_10gram_char_frac
+         FROM tn n
+         JOIN lstat l USING (doc_id)
+         LEFT JOIN top2 t2 USING (doc_id)
+         LEFT JOIN top3 t3 USING (doc_id)
+         LEFT JOIN top4 t4 USING (doc_id)
+         LEFT JOIN dup5 d5 USING (doc_id)
+         LEFT JOIN dup10 d10 USING (doc_id)
+         ORDER BY n.doc_id""",
 
     "text_termstats" ->
       """WITH toks AS (

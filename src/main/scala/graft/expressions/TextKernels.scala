@@ -188,6 +188,110 @@ object TextKernels {
     h / math.log(2.0)
   }
 
+  /**
+   * Gopher repetition profile (Rae et al. 2021, "Scaling Language Models:
+   * Methods, Analysis & Insights from Training Gopher", appendix A1.1) in
+   * ONE kernel pass per document — no line/gram explosion, no shuffle:
+   *
+   *   [0] dup_line_frac       lines whose text occurs more than once / lines
+   *   [1] dup_line_char_frac  chars in those lines / chars in all lines
+   *   [2] top_2gram_char_frac most frequent word 2-gram's occurrences x its
+   *                           token chars / total token chars
+   *   [3] top_3gram_char_frac      (same, n=3)
+   *   [4] top_4gram_char_frac      (same, n=4)
+   *   [5] dup_5gram_char_frac chars of token positions covered by any
+   *                           5-gram occurring >= 2 times / total token chars
+   *   [6] dup_10gram_char_frac     (same, n=10)
+   *
+   * Lines split on '\n' exactly (empties kept); tokens are lowercased
+   * whitespace-split non-empty words (the same tokenization as the other
+   * text signals). A document with fewer than n tokens scores 0 for that
+   * n-gram signal; zero denominators score 0. The most-frequent-gram tie
+   * breaks by count desc then gram asc, so the profile is deterministic.
+   */
+  def repetitionProfile(s: UTF8String): Array[Double] = {
+    val out = new Array[Double](7)
+    val str = s.toString
+    // ---- line signals ----
+    val lines = str.split("\n", -1)
+    if (lines.length > 0) {
+      val lc = new java.util.HashMap[String, Integer]()
+      lines.foreach(l => lc.merge(l, 1, (a, b) => a + b))
+      var dupLines = 0; var dupChars = 0L; var totChars = 0L
+      lines.foreach { l =>
+        totChars += l.length
+        if (lc.get(l) > 1) { dupLines += 1; dupChars += l.length }
+      }
+      out(0) = dupLines.toDouble / lines.length
+      out(1) = if (totChars == 0) 0.0 else dupChars.toDouble / totChars
+    }
+    // ---- token n-gram signals ----
+    val toks = str.toLowerCase(java.util.Locale.ROOT)
+      .split("\\s+").filter(_.nonEmpty)
+    var totTokChars = 0L
+    toks.foreach(t => totTokChars += t.length)
+    def gramCounts(n: Int): java.util.HashMap[String, Integer] = {
+      val m = new java.util.HashMap[String, Integer]()
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder()
+        var j = i
+        while (j < i + n) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j)); j += 1
+        }
+        m.merge(sb.toString, 1, (a, b) => a + b)
+        i += 1
+      }
+      m
+    }
+    def topFrac(n: Int): Double = {
+      if (toks.length < n || totTokChars == 0) return 0.0
+      val m = gramCounts(n)
+      var bestCount = 0; var bestGram: String = null
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val c = e.getValue.intValue
+        if (c > bestCount || (c == bestCount && e.getKey.compareTo(bestGram) < 0)) {
+          bestCount = c; bestGram = e.getKey
+        }
+      }
+      // token chars of the winning gram = length minus its n-1 separators
+      val gramChars = bestGram.length - (n - 1)
+      bestCount.toDouble * gramChars / totTokChars
+    }
+    def dupFrac(n: Int): Double = {
+      if (toks.length < n || totTokChars == 0) return 0.0
+      val m = gramCounts(n)
+      val covered = new Array[Boolean](toks.length)
+      var i = 0
+      while (i + n <= toks.length) {
+        val sb = new java.lang.StringBuilder()
+        var j = i
+        while (j < i + n) {
+          if (j > i) sb.append(' ')
+          sb.append(toks(j)); j += 1
+        }
+        if (m.get(sb.toString) > 1) {
+          j = i
+          while (j < i + n) { covered(j) = true; j += 1 }
+        }
+        i += 1
+      }
+      var dupChars = 0L
+      i = 0
+      while (i < toks.length) {
+        if (covered(i)) dupChars += toks(i).length
+        i += 1
+      }
+      dupChars.toDouble / totTokChars
+    }
+    out(2) = topFrac(2); out(3) = topFrac(3); out(4) = topFrac(4)
+    out(5) = dupFrac(5); out(6) = dupFrac(10)
+    out
+  }
+
   def simhash(s: UTF8String): Long = {
     val bytes = s.getBytes
     val votes = new Array[Int](64)
@@ -310,6 +414,26 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       s"${ev.value} = graft.expressions.TextKernels.simhash($a);")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** array<double> Gopher repetition profile of a string column — see
+  * [[TextKernels.repetitionProfile]] for the seven slots. */
+case class RepetitionProfile(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      TextKernels.repetitionProfile(a.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(
+          graft.expressions.TextKernels.repetitionProfile($a));
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionProfile =
     copy(child = newChild)
 }
 

@@ -153,6 +153,26 @@ object TextFunctions {
   }
 
   /**
+   * Full Gopher repetition profile (line-grain + n-gram char coverage) as
+   * a 7-slot named struct, computed by ONE codegen'd kernel pass per
+   * document ([[graft.expressions.RepetitionProfile]]) — the filter bank
+   * Gopher applies before training (dup-line fraction/char-fraction, top
+   * 2-4-gram char coverage, duplicate 5/10-gram char coverage). The
+   * word-grain [[dupTokenFrac]]/[[topNgramFrac]] cover occurrence
+   * fractions; this adds the character-coverage variants and line grain.
+   */
+  def repetitionProfile(text: Column): Column = {
+    val arr = org.apache.spark.sql.graftshim.SparkShims.column(
+      graft.expressions.RepetitionProfile(
+        org.apache.spark.sql.graftshim.SparkShims.expression(text)))
+    val names = Seq("dup_line_frac", "dup_line_char_frac",
+      "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+      "dup_5gram_char_frac", "dup_10gram_char_frac")
+    struct(names.zipWithIndex.map { case (n, i) =>
+      element_at(arr, i + 1).as(n) }: _*)
+  }
+
+  /**
    * Per-document term statistics — the integer-exact core of TF-IDF:
    * each document's `topK` terms by term frequency (ties broken by term),
    * joined with the corpus document frequency. Two shuffles (doc-term

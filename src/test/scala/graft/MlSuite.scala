@@ -701,6 +701,35 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
     assert(got(4L) === ((0.5, 1.0, 1.0)))
   }
 
+  test("repetitionProfile: hand-computed line and n-gram char fractions") {
+    import spark.implicits._
+    import graft.text.TextFunctions.repetitionProfile
+    val docs = Seq(
+      (1L, "x y\nx y\nz"),
+      (2L, "a b c d e a b c d e"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])).toDF("id", "text")
+    val got = docs.select($"id", repetitionProfile($"text").as("p"))
+      .collect().map(r => r.getLong(0) -> Option(r.getStruct(1))).toMap
+    val p1 = got(1L).get
+    // lines [x y, x y, z]: 2/3 dup lines, 6/7 dup chars; tokens x y x y z
+    assert(math.abs(p1.getDouble(0) - 2.0 / 3) < 1e-12)
+    assert(math.abs(p1.getDouble(1) - 6.0 / 7) < 1e-12)
+    assert(math.abs(p1.getDouble(2) - 0.8) < 1e-12) // "x y" x2, chars 2x2/5
+    assert(math.abs(p1.getDouble(3) - 0.6) < 1e-12) // any trigram, 3/5
+    assert(math.abs(p1.getDouble(4) - 0.8) < 1e-12) // any 4-gram, 4/5
+    assert(p1.getDouble(5) === 0.0 && p1.getDouble(6) === 0.0)
+    val p2 = got(2L).get
+    assert(p2.getDouble(0) === 0.0) // single line
+    assert(math.abs(p2.getDouble(2) - 0.4) < 1e-12) // "a b" x2 -> 2*2/10
+    assert(p2.getDouble(5) === 1.0) // "a b c d e" repeats: all 10 covered
+    assert(p2.getDouble(6) === 0.0) // the lone 10-gram occurs once
+    val p3 = got(3L).get
+    assert((0 until 7).forall(i => p3.getDouble(i) === 0.0))
+    // null text: the kernel yields null per slot (struct wrapper remains)
+    assert(got(4L).exists(s => (0 until 7).forall(s.isNullAt)))
+  }
+
   test("semanticDedup: families keep min id, null embeddings drop, guard skips") {
     import spark.implicits._
     // Two tight families along different axes plus a loner; ids chosen so
