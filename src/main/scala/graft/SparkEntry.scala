@@ -1122,6 +1122,27 @@ object SparkEntry {
     // query emits the oracle-checkable INVARIANTS instead: a fingerprint is
     // deterministic (identical text -> identical fp, for both the rolling
     // hash and the simhash) and content-sensitive (appended token -> new fp).
+    // CCNet-style LM quality scoring: a Laplace-smoothed bigram model
+    // trains on the doc_id % 5 == 0 slice, every document scores by
+    // cross-entropy under it. Pure count arithmetic over deterministic
+    // tokenization -> exactly reproducible in SQL; the log-space value
+    // rounds at 6 places (summation-order float error ~1e-13, five
+    // orders below the rounding grain).
+    "text_lm_perplexity" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.text.NgramLm.train(
+        docs.where(col("doc_id") % 5 === 0), col("text"))
+      val out = graft.text.NgramLm.crossEntropy(
+          docs, col("doc_id"), col("text"), model)
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("cross_entropy"), 6).as("cross_entropy"),
+          round(col("ppl"), 2).as("ppl"))
+        .orderBy("doc_id")
+      model.unpersist() // aggregates recompute inside the query plan; no
+      // cached state leaks across the bench's repeated invocations
+      out
+    }),
+
     "text_termstats" -> ((s, dir) => {
       graft.text.TextFunctions.termStats(
         t(s, dir, "documents"), col("doc_id"), col("text"), topK = 3)
@@ -1143,6 +1164,31 @@ object SparkEntry {
       val train = d.where(col("doc_id") % 97 =!= 0)
         .select("doc_id", "text").unionByName(planted)
       Dedup.decontaminate(train, bench, col("doc_id"), col("text"), n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // Bloom-filter decontamination (the sketch path of
+    // dedup_decontaminate, for held-out sets too big to broadcast
+    // exactly): same planted-contamination scheme. A Bloom filter admits
+    // NO false negatives, so every planted copy MUST flag; the output
+    // restricts to the planted ids, whose flags are certain. Natural-doc
+    // false positives (impl-specific, rate ~fpp) stay outside the oracle
+    // row set and are bounded separately in MlSuite. Bench docs under 8
+    // tokens are excluded: their whole-text shingle would not survive
+    // the 'copied: ' prefix.
+    "dedup_bloom_decontaminate" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val longEnough =
+        graft.text.TextFunctions.tokenCount(col("text")) >= 8
+      val bench = d.where(col("doc_id") % 97 === 0 && longEnough)
+        .select(col("doc_id"), col("text"))
+      val planted = bench.select((col("doc_id") + 200000).as("doc_id"),
+        concat(lit("copied: "), col("text")).as("text"))
+      val train = d.where(col("doc_id") % 97 =!= 0)
+        .select("doc_id", "text").unionByName(planted)
+      Dedup.decontaminateBloom(train, bench, col("doc_id"), col("text"), n = 8)
+        .where(col("doc_id") >= 200000)
+        .select(col("doc_id"), (col("n_hit_grams") > 0).as("flagged"))
         .orderBy("doc_id")
     }),
 
@@ -1350,6 +1396,22 @@ object SparkEntry {
           size(col("chunk")).as("n_words"),
           md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    // GPT-style concat-and-chunk sequence packing: every document's
+    // tokens on ONE global stream in doc_id order, cut every 512 tokens;
+    // a document can span a sequence boundary and a sequence holds
+    // slices of several documents. The (doc x seq) assignment table is
+    // pure integer arithmetic over running token offsets — the Spark
+    // side computes it with a two-phase distributed prefix sum (never a
+    // single-partition global window), the oracle with one window
+    // cumsum + generate_series.
+    "pipeline_pack_sequences" -> ((s, dir) => {
+      graft.ml.Curation.packSequences(
+          t(s, dir, "documents"),
+          col("doc_id"), graft.text.TextFunctions.tokenCount(col("text")),
+          seqLen = 512L, buckets = 32)
+        .orderBy("doc_id", "seq_id")
     }),
 
     // Streaming MERGE upsert (the foreachBatch CDC-apply pattern): the
@@ -2292,6 +2354,37 @@ object SparkEntry {
          LEFT JOIN dup10 d10 USING (doc_id)
          ORDER BY n.doc_id""",
 
+    "text_lm_perplexity" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+               x -> len(x) > 0) AS t
+           FROM documents),
+         train AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
+         uni AS (
+           SELECT u AS w, count(*) AS c
+           FROM (SELECT unnest(t) AS u FROM train) GROUP BY 1),
+         v AS (SELECT count(*) AS vocab FROM uni),
+         bi AS (
+           SELECT g, count(*) AS c FROM (
+             SELECT array_to_string(t[i:i+1], ' ') AS g
+             FROM train, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s)
+           GROUP BY 1),
+         docbi AS (
+           SELECT doc_id, t[i] AS w1, array_to_string(t[i:i+1], ' ') AS g
+           FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s),
+         scored AS (
+           SELECT doc_id,
+             ln((coalesce(bi.c, 0) + 1.0) / (coalesce(u.c, 0) + v.vocab)) AS lp
+           FROM docbi
+           LEFT JOIN bi ON docbi.g = bi.g
+           LEFT JOIN uni u ON docbi.w1 = u.w
+           CROSS JOIN v)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(lp), 6) AS cross_entropy,
+           round(exp(-avg(lp)), 2) AS ppl
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
+
     "text_termstats" ->
       """WITH toks AS (
            SELECT doc_id,
@@ -2336,6 +2429,29 @@ object SparkEntry {
          SELECT lang, CAST(strt // 50000 AS BIGINT) AS shard, count(*) AS n,
            CAST(sum(n_chars) AS BIGINT) AS chars
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "pipeline_pack_sequences" ->
+      """WITH toks AS (
+           SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> len(x) > 0)) AS n
+           FROM documents),
+         offs AS (
+           SELECT doc_id, n,
+             CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS strt
+           FROM toks WHERE n > 0),
+         sl AS (
+           SELECT doc_id, n, strt,
+             unnest(generate_series(strt // 512, (strt + n - 1) // 512)) AS seq_id
+           FROM offs)
+         SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(strt, seq_id * 512) - strt AS BIGINT) AS doc_offset,
+           CAST(greatest(strt, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_offset,
+           CAST(least(strt + n, (seq_id + 1) * 512)
+             - greatest(strt, seq_id * 512) AS BIGINT) AS n_tokens
+         FROM sl ORDER BY doc_id, seq_id""",
 
     "pipeline_chunk" ->
       """WITH w AS (
@@ -2694,6 +2810,14 @@ object SparkEntry {
          SELECT doc_id, CAST(count(DISTINCT g) AS BIGINT) AS n_hit_grams
          FROM tg JOIN bg USING (g)
          GROUP BY doc_id ORDER BY doc_id""",
+
+    "dedup_bloom_decontaminate" ->
+      """SELECT doc_id + 200000 AS doc_id, true AS flagged
+         FROM documents
+         WHERE doc_id % 97 = 0
+           AND len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> len(x) > 0)) >= 8
+         ORDER BY 1""",
 
     "dedup_exact" ->
       """SELECT doc_id, n_chars FROM (

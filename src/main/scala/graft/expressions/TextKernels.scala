@@ -5,6 +5,13 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Bloom bit-array holder. Deliberately NOT a bare Array[Long]: Spark
+  * auto-picks Kryo for shuffles/broadcasts of primitive-array types, and
+  * Kryo's default-class registration reflects into java.nio — which a
+  * plain `java -cp` launch (no --add-opens) forbids on JDK 17+. A
+  * case-class wrapper routes through JavaSerializer instead. */
+final case class BloomBits(bits: Array[Long]) extends Serializable
+
 /**
  * Whole-document text fingerprint kernels: one codegen'd pass per row
  * computes the complete minhash signature / simhash fingerprint, so the
@@ -141,6 +148,54 @@ object TextKernels {
     var hits = 0L
     while (i < mine.length) {
       if (java.util.Arrays.binarySearch(sorted, mine(i)) >= 0) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  /** Set `h`'s `k` Bloom bits in `bits` (Kirsch-Mitzenmacher double
+    * hashing from the already-mixed 64-bit shingle hash: probe_i =
+    * h + i*h2 with odd h2, so probes are decorrelated without k
+    * independent hash passes). */
+  def bloomAdd(bits: Array[Long], h: Long, k: Int): Unit = {
+    val m = bits.length.toLong * 64L
+    val h2 = (h >>> 33) | 1L
+    var i = 0
+    var p = h
+    while (i < k) {
+      val idx = (p & Long.MaxValue) % m
+      bits((idx >>> 6).toInt) |= (1L << (idx & 63L))
+      p += h2
+      i += 1
+    }
+  }
+
+  /** True iff all `k` Bloom bits of `h` are set (same probe sequence as
+    * [[bloomAdd]]). */
+  @inline def bloomContains(bits: Array[Long], h: Long, k: Int): Boolean = {
+    val m = bits.length.toLong * 64L
+    val h2 = (h >>> 33) | 1L
+    var i = 0
+    var p = h
+    while (i < k) {
+      val idx = (p & Long.MaxValue) % m
+      if ((bits((idx >>> 6).toInt) & (1L << (idx & 63L))) == 0L) return false
+      p += h2
+      i += 1
+    }
+    true
+  }
+
+  /** Count of `s`'s n-token shingle hashes that HIT the Bloom filter —
+    * the sketch-backed sibling of [[broadcastHits]] for benchmark/held-out
+    * sets too large to broadcast exactly. No false negatives; false
+    * positives at the filter's design rate. */
+  def bloomHits(s: UTF8String, bits: Array[Long], k: Int, n: Int): Long = {
+    val mine = shingleSet(s, n)
+    var i = 0
+    var hits = 0L
+    while (i < mine.length) {
+      if (bloomContains(bits, mine(i), k)) hits += 1
       i += 1
     }
     hits
@@ -464,5 +519,40 @@ case class BroadcastShingleHits(
     })
 
   override protected def withNewChildInternal(newChild: Expression): BroadcastShingleHits =
+    copy(child = newChild)
+}
+
+/** Per-document contamination hit count against a broadcast BLOOM FILTER
+  * of benchmark shingle hashes — the scale path of
+  * [[BroadcastShingleHits]] when the bench/held-out set is itself
+  * corpus-sized (billions of grams): the executor-resident state is the
+  * fixed-size bit array, not the gram set. One kernel call per document;
+  * no false negatives, false positives at the filter's design rate. */
+case class BloomShingleHits(
+    child: Expression,
+    bitsBc: org.apache.spark.broadcast.Broadcast[BloomBits],
+    shingleSize: Int,
+    numHashes: Int) extends UnaryExpression {
+  require(shingleSize > 0 && numHashes > 0)
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any): Any =
+    TextKernels.bloomHits(
+      a.asInstanceOf[UTF8String], bitsBc.value.bits, numHashes, shingleSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val bcRef = ctx.addReferenceObj("bitsBc", bitsBc,
+        classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+      s"""
+      ${ev.value} = graft.expressions.TextKernels.bloomHits(
+        $a,
+        ((graft.expressions.BloomBits) $bcRef.value()).bits(),
+        $numHashes, $shingleSize);
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BloomShingleHits =
     copy(child = newChild)
 }

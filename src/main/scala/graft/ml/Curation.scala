@@ -187,6 +187,82 @@ object Curation {
    * Output: input columns plus `chunk_id` (0-based) and `chunk`
    * (array of tokens).
    */
+  /**
+   * Pre-training sequence packing (concat-and-chunk): lay every
+   * document's tokens out on one global token stream in `id` order and
+   * cut the stream every `seqLen` tokens — the standard GPT-style
+   * sample construction, where a document can span a sequence boundary
+   * and a sequence holds slices of several documents. Output is the
+   * (document × sequence) assignment table a loader needs to
+   * materialize batches:
+   *
+   *   doc_id, seq_id, doc_offset (slice start within the document),
+   *   seq_offset (slice start within the sequence), n_tokens (slice
+   *   length)
+   *
+   * Deterministic from (id order, token counts) alone. Zero-token
+   * documents occupy no stream positions and emit no slices.
+   *
+   * Scale shape — the global running offset is a two-phase distributed
+   * prefix sum, NOT a single-partition global window:
+   *   1. one sample pass picks `buckets` contiguous id ranges
+   *      (approxQuantile; the OUTPUT is invariant to where the
+   *      boundaries land — they only set the fan-out);
+   *   2. per-bucket token totals aggregate (rows = buckets) and their
+   *      running sum folds back in as a broadcast literal map;
+   *   3. each bucket computes its intra-bucket cumulative sum in an
+   *      ordinary partitioned window, adds its bucket offset, and
+   *      explodes the per-document slice list.
+   * One aggregate + one window shuffle + a bounded driver array —
+   * holds at any corpus size; parallelism is `buckets`.
+   */
+  def packSequences(
+      df: DataFrame,
+      id: Column,
+      tokenCount: Column,
+      seqLen: Long,
+      buckets: Int = 256): DataFrame = {
+    require(seqLen > 0 && buckets > 0)
+    val base = df.select(id.cast("long").as("__id"),
+        tokenCount.cast("long").as("__n"))
+      .where(col("__n") > 0)
+    val probes = (1 until buckets).map(_.toDouble / buckets).toArray
+    val bounds: Array[Long] =
+      if (probes.isEmpty) Array.empty
+      else base.stat.approxQuantile("__id", probes, 0.001).map(_.toLong)
+    val bkt =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(lit(bounds), b => b < col("__id")))
+    val bucketed = base.withColumn("__b", bkt)
+    // running offset of each bucket = sum of all earlier buckets' tokens
+    val perBucket = bucketed.groupBy("__b").agg(sum("__n").as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 to bounds.length).scanLeft(0L) {
+      (acc, b) => acc + perBucket.getOrElse(b, 0L)
+    }.dropRight(1)
+    val bucketOffset =
+      element_at(map_from_arrays(
+        lit(offsets.indices.toArray), lit(offsets.toArray)), col("__b"))
+    val w = Window.partitionBy("__b").orderBy("__id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val start = col("__start")
+    // long-exact floor division (same decimal idiom as packShards)
+    def fdiv(c: Column): Column =
+      ((c - pmod(c, lit(seqLen))).cast("decimal(38,0)") / seqLen).cast("long")
+    val sliceStart = greatest(start, col("seq_id") * seqLen)
+    bucketed
+      .withColumn("__start", bucketOffset + sum("__n").over(w) - col("__n"))
+      .withColumn("seq_id",
+        explode(sequence(fdiv(start), fdiv(start + col("__n") - 1))))
+      .select(
+        col("__id").as("doc_id"),
+        col("seq_id"),
+        (sliceStart - start).as("doc_offset"),
+        (sliceStart - col("seq_id") * seqLen).as("seq_offset"),
+        (least(start + col("__n"), (col("seq_id") + 1) * seqLen) - sliceStart)
+          .as("n_tokens"))
+  }
+
   def chunk(df: DataFrame, text: Column, size: Int, stride: Int): DataFrame = {
     require(size > 0 && stride > 0 && stride <= size,
       "need 0 < stride <= size")

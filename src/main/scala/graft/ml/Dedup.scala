@@ -531,6 +531,68 @@ object Dedup {
   }
 
   /**
+   * Bloom-filter decontamination — the scale path of [[decontaminate]]
+   * for held-out sets too large to broadcast as an exact sorted hash
+   * array (decontaminating one corpus against another, not against a
+   * benchmark suite). The filter is built DISTRIBUTED (treeAggregate of
+   * per-partition bit arrays OR-ed depth-2, the same shape Spark's own
+   * runtime-filter BloomFilterAggregate uses); only the fixed-size bit
+   * array reaches the driver and the executors. Probing is one codegen
+   * kernel call per document — no gram explosion, no join, no shuffle.
+   *
+   * Guarantees: NO false negatives (every document sharing an n-gram
+   * with the held-out set is flagged); false positives at ~`fpp` per
+   * probed gram. Sizing: ~1.2 GB of bits per 1e9 distinct grams at
+   * fpp=1e-3 — tune `fpp` to the broadcast budget.
+   */
+  def decontaminateBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      id: Column,
+      text: Column,
+      n: Int = 13,
+      fpp: Double = 0.001): DataFrame = {
+    require(fpp > 0 && fpp < 1)
+    import org.apache.spark.sql.graftshim.SparkShims
+    val spark = train.sparkSession
+    import spark.implicits._
+    val hashes = bench
+      .select(explode(SparkShims.column(graft.expressions.ShingleSet(
+        SparkShims.expression(lower(text)), n))).as("__h"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cnt = math.max(hashes.count(), 1L)
+      val mBits = math.max(64L,
+        math.ceil(-cnt * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+      val words = math.toIntExact((mBits + 63) / 64)
+      val k = math.max(1,
+        math.round(mBits.toDouble / cnt * math.log(2)).toInt)
+      // partials and the broadcast ride in BloomBits, not Array[Long]:
+      // primitive-array class tags make Spark auto-pick Kryo for the
+      // tree-aggregate shuffle, and Kryo's class registration reflects
+      // into java.nio — dead on a plain `java -cp` JDK17 launch
+      val bits = hashes.select(col("__h")).as[Long].rdd
+        .treeAggregate(graft.expressions.BloomBits(new Array[Long](words)))(
+          seqOp = (acc, h) => {
+            graft.expressions.TextKernels.bloomAdd(acc.bits, h, k); acc
+          },
+          combOp = (a, b) => {
+            var i = 0
+            while (i < a.bits.length) { a.bits(i) |= b.bits(i); i += 1 }
+            a
+          },
+          depth = 2)
+      val bc = spark.sparkContext.broadcast(bits)
+      train
+        .select(id.as("doc_id"),
+          SparkShims.column(graft.expressions.BloomShingleHits(
+            SparkShims.expression(lower(text)), bc, n, k)).as("n_hit_grams"))
+        .where(col("n_hit_grams") > 0)
+    } finally hashes.unpersist()
+  }
+
+  /**
    * Paragraph-grain exact dedup (boilerplate removal, the CCNet-style
    * pass): split each document on `sep`, keep only the corpus-wide FIRST
    * occurrence (by doc id, then position) of every distinct paragraph,

@@ -829,4 +829,142 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
     assert(!plan.contains("Exchange"), s"chunk must not shuffle:\n$plan")
   }
 
+  test("packSequences: hand-computed slices across sequence boundaries") {
+    import spark.implicits._
+    // stream (seqLen 4): d1 tokens 0-2, d2 tokens 3-7, d3 tokens 8-11;
+    // d4 is empty and must vanish. d2 spans the seq0/seq1 boundary.
+    val df = Seq((1L, 3L), (2L, 5L), (3L, 4L), (4L, 0L)).toDF("id", "n")
+    val got = Curation.packSequences(df, $"id", $"n", seqLen = 4, buckets = 2)
+      .orderBy("doc_id", "seq_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got === Array(
+      (1L, 0L, 0L, 0L, 3L),
+      (2L, 0L, 0L, 3L, 1L),
+      (2L, 1L, 1L, 0L, 4L),
+      (3L, 2L, 0L, 0L, 4L)))
+  }
+
+  test("packSequences: bucket-count invariance and packing invariants") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val tc = graft.text.TextFunctions.tokenCount(col("text"))
+    def run(buckets: Int) =
+      Curation.packSequences(d, $"doc_id", tc, seqLen = 256, buckets = buckets)
+        .orderBy("doc_id", "seq_id")
+        .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // the distributed prefix sum's result must not depend on the fan-out
+    val one = run(1)
+    assert(run(7) === one)
+    // per-document slices reassemble the document exactly and in order
+    val counts = d.select($"doc_id", tc.as("n")).where($"n" > 0)
+      .as[(Long, Long)].collect().toMap
+    one.groupBy(_._1).foreach { case (doc, slices) =>
+      val s = slices.sortBy(_._2)
+      assert(s.map(_._5).sum === counts(doc), s"doc $doc token coverage")
+      assert(s.head._3 === 0L, s"doc $doc first slice starts at 0")
+      // doc_offset resumes where the previous slice ended
+      s.sliding(2).foreach {
+        case Seq(a, b) => assert(b._3 === a._3 + a._5)
+        case _ =>
+      }
+    }
+    // sequences never overflow and, except the last, are exactly full
+    val bySeq = one.groupBy(_._2).toSeq.sortBy(_._1)
+    bySeq.dropRight(1).foreach { case (seq, slices) =>
+      assert(slices.map(_._5).sum === 256L, s"seq $seq must be full")
+    }
+    assert(bySeq.last._2.map(_._5).sum <= 256L)
+    // slices within a sequence tile it: seq_offsets are contiguous
+    bySeq.foreach { case (_, slices) =>
+      val s = slices.sortBy(_._4)
+      assert(s.head._4 === 0L)
+      s.sliding(2).foreach {
+        case Seq(a, b) => assert(b._4 === a._4 + a._5)
+        case _ =>
+      }
+    }
+  }
+
+  test("ngram LM: hand-computed Laplace bigram cross-entropy") {
+    import spark.implicits._
+    // train "a b a b": vocab {a,b} (V=2), uni a=2 b=2, bi "a b"=2 "b a"=1
+    val model = graft.text.NgramLm.train(
+      Seq((1L, "a b a b")).toDF("id", "text"), col("text"))
+    try {
+      assert(model.vocab === 2L)
+      // "a b c": P(b|a)=(2+1)/(2+2)=0.75, P(c|b)=(0+1)/(2+2)=0.25
+      val scored = graft.text.NgramLm.crossEntropy(
+        Seq((7L, "a b c"), (8L, "solo"), (9L, "")).toDF("id", "text"),
+        col("id"), col("text"), model)
+        .as[(Long, Long, Double, Double)].collect()
+      assert(scored.map(_._1).toSet === Set(7L)) // <2 tokens: no evidence
+      val (_, nbg, ce, ppl) = scored.head
+      val expect = -(math.log(0.75) + math.log(0.25)) / 2
+      assert(nbg === 2L)
+      assert(math.abs(ce - expect) < 1e-12)
+      assert(math.abs(ppl - math.exp(expect)) < 1e-9)
+      // tokenization is case-folded: "A B" scores like "a b"
+      val folded = graft.text.NgramLm.crossEntropy(
+        Seq((1L, "A B"), (2L, "a b")).toDF("id", "text"),
+        col("id"), col("text"), model)
+        .as[(Long, Long, Double, Double)].collect().map(r => r._3).distinct
+      assert(folded.size === 1)
+    } finally model.unpersist()
+  }
+
+  test("ngram LM bucket: quantile tiers ordered by cross-entropy") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val model = graft.text.NgramLm.train(
+      d.where(col("doc_id") % 5 === 0), col("text"))
+    try {
+      val scored = graft.text.NgramLm.crossEntropy(
+        d, col("doc_id"), col("text"), model)
+      val tiers = graft.text.NgramLm.bucket(scored, col("cross_entropy"),
+        headFrac = 0.2, tailFrac = 0.2)
+        .select(col("lm_bucket"), col("cross_entropy"))
+        .as[(String, Double)].collect()
+      val byTier = tiers.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      assert(byTier.keySet === Set("head", "middle", "tail"))
+      // every head doc scores below every tail doc; middle sits between
+      assert(byTier("head").max <= byTier("middle").min + 1e-12)
+      assert(byTier("middle").max <= byTier("tail").min + 1e-12)
+      // quantile targets hit within sketch tolerance
+      val n = tiers.length.toDouble
+      assert(math.abs(byTier("head").length / n - 0.2) < 0.05)
+      assert(math.abs(byTier("tail").length / n - 0.2) < 0.05)
+    } finally model.unpersist()
+  }
+
+  test("decontaminateBloom: no false negatives vs exact, bounded extras") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val longEnough = graft.text.TextFunctions.tokenCount(col("text")) >= 8
+    val bench = d.where(col("doc_id") % 97 === 0 && longEnough)
+      .select(col("doc_id"), col("text"))
+    val planted = bench.select((col("doc_id") + 200000).as("doc_id"),
+      concat(lit("copied: "), col("text")).as("text"))
+    val train = d.where(col("doc_id") % 97 =!= 0)
+      .select("doc_id", "text").unionByName(planted)
+    val exact = Dedup.decontaminate(train, bench, col("doc_id"), col("text"), n = 8)
+      .as[(Long, Long)].collect().toMap
+    val bloom = Dedup.decontaminateBloom(
+      train, bench, col("doc_id"), col("text"), n = 8, fpp = 0.01)
+      .as[(Long, Long)].collect().toMap
+    // a Bloom filter admits NO false negatives: every exact hit is a
+    // bloom hit, and per-document bloom counts can only exceed exact
+    assert(exact.keySet.subsetOf(bloom.keySet))
+    exact.foreach { case (doc, hits) => assert(bloom(doc) >= hits) }
+    // every planted doc flags through both paths
+    val plantedIds = planted.select("doc_id").as[Long].collect().toSet
+    assert(plantedIds.subsetOf(bloom.keySet))
+    // false-positive docs stay rare at fpp=1% (docs probe many grams,
+    // so doc-level FP rate exceeds gram-level fpp, but flagged naturals
+    // must remain a small fraction of the corpus)
+    val trainCount = train.count()
+    val extras = bloom.keySet -- exact.keySet
+    assert(extras.size.toDouble / trainCount < 0.25,
+      s"${extras.size} of $trainCount docs false-positive")
+  }
+
 }
