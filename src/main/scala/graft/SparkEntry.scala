@@ -1201,6 +1201,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Exact duplicate-substring spans (Lee et al. ExactSubstr re-expressed
+    // as distributed positional gram counting): every doc_id % 37 == 0
+    // document donates its first 30 tokens as a planted boilerplate doc,
+    // so the donor's prefix and the plant both carry duplicated 15-gram
+    // runs; natural corpus repeats surface identically on both sides.
+    // Deterministic integer arithmetic end to end -> exact hash match.
+    "dedup_substring" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = d.where(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          array_join(slice(graft.text.TextFunctions.tokens(col("text")),
+            1, 30), " ").as("text"))
+      Dedup.duplicateSpans(
+          d.select("doc_id", "text").unionByName(planted),
+          col("doc_id"), col("text"), window = 15)
+        .orderBy("doc_id", "span_start")
+    }),
+
     // Plant EXACT duplicates and emit the planted pairs the LSH surfaced:
     // identical text -> identical signature -> guaranteed band collision,
     // so recall of the planted set is deterministic and the oracle is
@@ -2828,5 +2846,41 @@ object SparkEntry {
              UNION ALL
              SELECT doc_id + 100000, text, n_chars FROM documents
            )
-         ) WHERE rn = 1 ORDER BY doc_id""")
+         ) WHERE rn = 1 ORDER BY doc_id""",
+
+    "dedup_substring" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 300000,
+             array_to_string(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> len(x) > 0)[1:30], ' ')
+           FROM documents WHERE doc_id % 37 = 0),
+         toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+               x -> len(x) > 0) AS t
+           FROM corpus),
+         grams AS (
+           SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+14], ' ') AS g
+           FROM toks, LATERAL (
+             SELECT unnest(generate_series(1, len(t) - 14)) AS i) s
+           WHERE len(t) >= 15),
+         dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+         dp AS (SELECT doc_id, pos FROM grams SEMI JOIN dup USING (g)),
+         brk AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+               > 15 THEN 1 ELSE 0 END AS b
+           FROM dp),
+         isl AS (
+           SELECT doc_id, pos,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS island
+           FROM brk)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + 15 AS BIGINT) AS span_end,
+           CAST(max(pos) + 15 - min(pos) AS BIGINT) AS n_tokens
+         FROM isl GROUP BY doc_id, island
+         ORDER BY doc_id, span_start""")
 }

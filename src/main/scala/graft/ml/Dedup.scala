@@ -632,4 +632,73 @@ object Dedup {
           x => x.getField("__para")), sep).as("text"),
         count(lit(1)).as("n_paras_kept"))
   }
+
+  /**
+   * Exact duplicate-SUBSTRING spans (Lee et al. 2021, "Deduplicating
+   * Training Data Makes Language Models Better", the ExactSubstr pass):
+   * flag every maximal token span whose every `window`-token gram occurs
+   * at least `minCount` times corpus-wide. Where document-grain dedup
+   * misses boilerplate welded into otherwise-unique pages (license
+   * headers, navigation chrome, quoted tweets), this finds the repeated
+   * REGION itself; downstream either drops the span or the document.
+   *
+   * The paper builds a corpus-global suffix array; that is a
+   * single-machine construction. This is the distributed re-expression:
+   * a duplicated substring of length >= window is exactly a run of
+   * duplicated window-grams, so positional gram-hash counting finds the
+   * same spans (plus hash-collision false positives at ~n^2/2^64 — at
+   * 1e12 grams, odds ~3e-5 of ONE spurious gram corpus-wide).
+   *
+   * Output: (doc_id, span_start, span_end, n_tokens) — token-index
+   * half-open spans, disjoint per document, adjacent-or-overlapping gram
+   * intervals merged.
+   *
+   * Scale shape: the position table (one row per corpus token, 8-byte
+   * gram hash) shuffles once on the hash — the duplicate-gram aggregate
+   * is map-side combined and skew-free (a hot boilerplate gram partially
+   * aggregates per mapper), and the semi-join back reuses the same
+   * exchange. Island merging windows over DUPLICATE positions only
+   * (boilerplate fraction of the corpus, not the corpus), partitioned by
+   * doc — bounded by document length. No driver materialization.
+   */
+  def duplicateSpans(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      window: Int,
+      minCount: Long = 2L): DataFrame = {
+    require(window > 0 && minCount >= 2,
+      "need window > 0 and minCount >= 2")
+    val w = window
+    val base = df.select(id.as("doc_id"), tokens(text).as("__t"))
+      .where(size(col("__t")) >= w)
+    // positional gram hashes: gram i covers tokens [i, i+w). The hash is
+    // a distribution/equality key only; tokens contain no whitespace (the
+    // tokenizer splits on it), so the space join is injective.
+    val grams = base.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), size(col("__t")) - w),
+        i => xxhash64(concat_ws(" ", slice(col("__t"), i + 1, lit(w))))))
+        .as(Seq("pos", "__h")))
+    val dupGrams = grams.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minCount)
+      .select("__h")
+    val dupPos = grams.join(dupGrams, Seq("__h"), "left_semi")
+    // gaps-and-islands: gram intervals [p, p+w) merge while the next
+    // duplicated position starts within (or adjacent to) the previous
+    // gram's extent; a gap > w tokens breaks the span.
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val spans = dupPos
+      .withColumn("__brk",
+        when(col("pos") - lag("pos", 1).over(byDoc) > w, 1).otherwise(0))
+      .withColumn("__isl", sum("__brk").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min("pos").as("__s"), (max("pos") + w).as("__e"))
+    spans.select(
+      col("doc_id"),
+      col("__s").cast("long").as("span_start"),
+      col("__e").cast("long").as("span_end"),
+      (col("__e") - col("__s")).cast("long").as("n_tokens"))
+  }
 }

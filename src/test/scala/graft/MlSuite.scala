@@ -948,8 +948,11 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
       .select("doc_id", "text").unionByName(planted)
     val exact = Dedup.decontaminate(train, bench, col("doc_id"), col("text"), n = 8)
       .as[(Long, Long)].collect().toMap
+    // fpp is PER GRAM; a doc probing g grams false-positives with odds
+    // 1-(1-fpp)^g, so a doc-level bound needs fpp well under 1/grams.
+    // At 1e-5 and ~200 grams/doc the expected doc-level FP rate is ~0.2%.
     val bloom = Dedup.decontaminateBloom(
-      train, bench, col("doc_id"), col("text"), n = 8, fpp = 0.01)
+      train, bench, col("doc_id"), col("text"), n = 8, fpp = 1e-5)
       .as[(Long, Long)].collect().toMap
     // a Bloom filter admits NO false negatives: every exact hit is a
     // bloom hit, and per-document bloom counts can only exceed exact
@@ -958,13 +961,51 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
     // every planted doc flags through both paths
     val plantedIds = planted.select("doc_id").as[Long].collect().toSet
     assert(plantedIds.subsetOf(bloom.keySet))
-    // false-positive docs stay rare at fpp=1% (docs probe many grams,
-    // so doc-level FP rate exceeds gram-level fpp, but flagged naturals
-    // must remain a small fraction of the corpus)
+    // flagged naturals must remain a small fraction of the corpus
     val trainCount = train.count()
     val extras = bloom.keySet -- exact.keySet
-    assert(extras.size.toDouble / trainCount < 0.25,
+    assert(extras.size.toDouble / trainCount < 0.05,
       s"${extras.size} of $trainCount docs false-positive")
+  }
+
+  test("duplicateSpans: hand-computed spans, merging, and thresholds") {
+    import spark.implicits._
+    // tokens a..z as strings; w=3 grams
+    def doc(id: Long, toks: String*) = (id, toks.mkString(" "))
+    val df = Seq(
+      // docs 1 and 2 share tokens p1..p5 (3 grams each: pos 0,1,2) at
+      // different offsets; doc 2's copy starts at position 2
+      doc(1L, "p1", "p2", "p3", "p4", "p5", "x1", "x2"),
+      doc(2L, "y1", "y2", "p1", "p2", "p3", "p4", "p5"),
+      // doc 3 repeats its own 3-gram internally (self-duplication counts)
+      doc(3L, "r1", "r2", "r3", "z1", "z2", "z3", "r1", "r2", "r3"),
+      // doc 4 shares nothing
+      doc(4L, "u1", "u2", "u3", "u4", "u5"),
+      // doc 5 too short for a gram
+      doc(5L, "v1", "v2")
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(df, col("doc_id"), col("text"), window = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 0L, 5L, 5L),   // p1..p5
+      (2L, 2L, 7L, 5L),
+      (3L, 0L, 3L, 3L),   // first r-run
+      (3L, 6L, 9L, 3L)))  // second r-run (gap 6-0=6 > 3 splits islands)
+
+    // adjacent gram intervals merge: doc 6/7 share an 8-token region ->
+    // positions 0..5, one span [0, 8)
+    val df2 = Seq(
+      doc(6L, "a1", "a2", "a3", "a4", "a5", "a6", "a7", "a8"),
+      doc(7L, "w1", "a1", "a2", "a3", "a4", "a5", "a6", "a7", "a8")
+    ).toDF("doc_id", "text")
+    val got2 = Dedup.duplicateSpans(df2, col("doc_id"), col("text"), window = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got2 === Set((6L, 0L, 8L, 8L), (7L, 1L, 9L, 8L)))
+
+    // minCount=3: a gram present twice no longer qualifies
+    val got3 = Dedup.duplicateSpans(df2, col("doc_id"), col("text"),
+      window = 3, minCount = 3L)
+    assert(got3.isEmpty)
   }
 
 }
