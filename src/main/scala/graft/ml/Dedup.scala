@@ -448,15 +448,18 @@ object Dedup {
    * non-null embedding.
    *
    * 100 TB shape: clustering is [[Clustering.kMeans]] (kernel assignment,
-   * k×dim driver state); pair generation is ONE shuffle keyed on the
-   * cluster id with the self-join's two sides sharing the exchange, and
-   * in-cluster work is O(size²) bounded by `maxClusterSize` — size k to
-   * the corpus so clusters stay small (the paper uses ~√n clusters).
-   * Degenerate oversized clusters (k far too small, or an embedding-
-   * collapse pathology) skip pair generation whole rather than detonate
-   * the join; unlike banded LSH there is no second band to catch them,
-   * so callers should re-run with larger k if `is_dup` coverage matters
-   * there.
+   * k×dim driver state); candidate generation is ONE shuffle keyed on
+   * `(cluster, hyperplane-LSH bucket)` — the same sign-bit banding as
+   * [[embeddingPairs]], applied WITHIN each k-means cluster — so a hot
+   * cluster of size s costs O(s · avg-bucket-size) candidate rows, not
+   * O(s²): at `threshold` ≥ 0.9 duplicate pairs are near-parallel and
+   * land in the same (or a 1-bit-adjacent, multi-probed) bucket, while
+   * unrelated in-cluster members spread over 2^planes buckets. Clusters
+   * above `maxClusterSize` (an embedding-collapse pathology even with
+   * banding — one degenerate direction = one hot bucket) skip pair
+   * generation; their members come back with `is_dup = null` and
+   * `skipped_cluster = true` so the gap is visible in the output rather
+   * than silently reported as unique.
    */
   def semanticDedup(
       df: DataFrame,
@@ -465,29 +468,51 @@ object Dedup {
       k: Int,
       threshold: Double = 0.95,
       maxIter: Int = 10,
-      maxClusterSize: Int = 100000): DataFrame = {
+      maxClusterSize: Int = 10000,
+      planes: Int = 16): DataFrame = {
     val assigned = Clustering.kMeans(df, id, emb, k, maxIter)
     val base = df.select(id.as("id"), emb.cast("array<float>").as("emb"))
       .where(col("emb").isNotNull)
     val withC = base.join(assigned, "id")
-    // Oversized-cluster guard: k rows broadcast, never a corpus shuffle.
-    val okC = withC.groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
-      .where(col("__n") <= maxClusterSize).select("cluster")
+    // Cluster sizes: k rows, broadcast — never a corpus shuffle.
+    val sizes = withC.groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
+    val okC = sizes.where(col("__n") <= maxClusterSize).select("cluster")
+    val skippedC = sizes.where(col("__n") > maxClusterSize)
+      .select(col("cluster"), lit(true).as("__skip"))
     val members = withC.join(broadcast(okC), Seq("cluster"))
-    val pairs = members
-      .select(col("cluster"), col("id").as("idA"), col("emb").as("embA"))
-      .join(members.select(col("cluster"), col("id").as("idB"),
-        col("emb").as("embB")), "cluster")
-      .where(col("idA") < col("idB"))
+    val pairs = clusterBandedPairs(members, planes)
       .where(Similarity.cosine(col("embA"), col("embB")) >= threshold)
-      .select("idA", "idB")
+      .select("idA", "idB").distinct()
     val families = Clustering.dedupClusters(pairs)
     assigned.join(
         families.where(col("id") =!= col("component"))
           .select(col("id"), lit(true).as("__d")),
         Seq("id"), "left")
+      .join(broadcast(skippedC), Seq("cluster"), "left")
       .select(col("id"), col("cluster"),
-        coalesce(col("__d"), lit(false)).as("is_dup"))
+        when(coalesce(col("__skip"), lit(false)),
+          lit(null).cast("boolean"))
+          .otherwise(coalesce(col("__d"), lit(false))).as("is_dup"),
+        coalesce(col("__skip"), lit(false)).as("skipped_cluster"))
+  }
+
+  /** In-cluster LSH-banded candidate pairs: joins cluster members on
+    * `(cluster, sign-bit bucket)` with 1-bit multi-probe on side A.
+    * Exposed at package scope so scale probes can count candidate rows
+    * directly. Input needs `(cluster, id, emb)`; output carries
+    * `(idA, embA, idB, embB)` with `idA < idB`, possibly with repeats
+    * (one per shared probe bucket — callers dedup after filtering). */
+  private[graft] def clusterBandedPairs(
+      members: DataFrame, planes: Int): DataFrame = {
+    val withBucket = members.select(col("cluster"), col("id"), col("emb"),
+      Similarity.hyperplaneBucket(col("emb"), planes).as("bucket"))
+    val a = withBucket.select(col("cluster"),
+      col("id").as("idA"), col("emb").as("embA"),
+      explode(Similarity.probeBuckets(col("bucket"), planes)).as("bucket"))
+    val b = withBucket.select(col("cluster"), col("bucket"),
+      col("id").as("idB"), col("emb").as("embB"))
+    a.join(b, Seq("cluster", "bucket")).where(col("idA") < col("idB"))
+      .select("idA", "embA", "idB", "embB")
   }
 
   /**

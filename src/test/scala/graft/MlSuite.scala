@@ -749,12 +749,69 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
     assert(got === Map(10L -> false, 11L -> true, 12L -> true,
       20L -> false, 21L -> true, 30L -> false)) // 40 (null emb) absent
     // Oversized-cluster guard: with k=1 everything is one cluster; a cap
-    // below the corpus size must skip pair generation (nothing flagged)
-    // rather than explode or drop rows.
+    // below the corpus size must skip pair generation and SAY SO — null
+    // is_dup + skipped_cluster=true, never a silent is_dup=false.
     val guarded = Dedup.semanticDedup(rows, $"id", $"emb", k = 1,
       threshold = 0.999, maxIter = 2, maxClusterSize = 3)
+      .collect().map(r => r.getLong(0) -> ((r.isNullAt(2), r.getBoolean(3))))
+      .toMap
+    assert(guarded.size === 6)
+    assert(guarded.values.forall { case (dupNull, skipped) =>
+      dupNull && skipped })
+    // Non-skipped rows carry skipped_cluster=false
+    val fine = Dedup.semanticDedup(rows, $"id", $"emb", k = 3,
+      threshold = 0.999, maxIter = 5)
+      .collect()
+    assert(fine.forall(r => !r.getBoolean(3) && !r.isNullAt(2)))
+  }
+
+  test("semanticDedup: banded path matches all-pairs families exactly") {
+    import spark.implicits._
+    // 200 random unit-ish vectors + 30 planted jittered near-copies: the
+    // LSH-banded in-cluster candidate generation must recover exactly the
+    // families an exact all-pairs cosine pass finds.
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val baseRows = (0 until 200).map(i => (i.toLong, vec()))
+    val dups = (0 until 30).map { i =>
+      val (oid, v) = baseRows(i * 6)
+      (oid + 10000L, v.map(x => x * 1.0001f))
+    }
+    val all = (baseRows ++ dups).toDF("id", "emb")
+    val got = Dedup.semanticDedup(all, $"id", $"emb", k = 5,
+      threshold = 0.999, maxIter = 5)
       .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
-    assert(guarded.size === 6 && guarded.values.forall(_ == false))
+    // Exact reference: brute-force all-pairs cosine >= threshold, then
+    // min-id-per-family (each planted dup pairs only with its original —
+    // random 16-dim gaussians are nowhere near cosine 0.999).
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      dot / (na * nb)
+    }
+    val everything = baseRows ++ dups
+    val expectDup = (for {
+      (ia, va) <- everything; (ib, vb) <- everything
+      if ia < ib && cos(va, vb) >= 0.999
+    } yield ib).toSet
+    assert(got.size === everything.size)
+    assert(got.filter(_._2).keySet === expectDup)
+  }
+
+  test("semanticDedup scale probe: hot-cluster candidates << size^2") {
+    import spark.implicits._
+    // One fabricated hot cluster (k=1 forces it): 2000 random vectors.
+    // All-pairs would be ~2M candidate rows; banding over 2^16 buckets
+    // with 17x multi-probe must stay orders of magnitude below that.
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 2000)
+      .map(i => (i.toLong, 0, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "cluster", "emb")
+    val candidates = Dedup.clusterBandedPairs(rows, planes = 16).count()
+    val allPairs = 2000L * 1999 / 2
+    assert(candidates < allPairs / 100,
+      s"banded candidates $candidates not << $allPairs")
   }
 
   test("decontaminate: only gram-sharing train docs flagged, counts exact") {
