@@ -50,6 +50,25 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
+    // Ambience control: a fixed raw-parquet scan+agg with zero graft
+    // involvement, timed at both ends of the run. Host-ambience swings
+    // (a busy shared machine) inflate it by the same factor they inflate
+    // every other query, so the driver reads `value_norm` (= total /
+    // control) to separate code regressions from environment noise —
+    // round 9 recorded a uniform 1.38x phantom on byte-identical code.
+    // Median of the samples resists a single scheduler spike.
+    def timeControl(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      try spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .where(col("l_quantity") > 25)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_extendedprice")), count(lit(1))).count()
+      catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }
+    timeControl() // untimed warm-up of the control's own codegen
+    val controlPre = Seq.fill(3)(timeControl())
     // Per-query min over two passes: single-pass wall times on a shared
     // host carry multi-second scheduler-noise spikes that read as false
     // regressions round over round (r5 recorded 10-30x phantoms). The
@@ -66,18 +85,21 @@ object Bench {
          if elapsed + t1 < budgetS)
       mins(name) = math.min(mins(name), time1(name))
     val results = first.map { case (n, _) => n -> mins(n) }
+    val controlSamples = controlPre ++ Seq.fill(3)(timeControl())
+    val control = controlSamples.sorted.apply(controlSamples.size / 2)
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def toJson(rs: Seq[(String, Double)]): String = rs
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val norm = if (control > 0) total / control else -1.0
     // The driver captures only the LAST ~2000 bytes of stdout, so the final
     // JSON line must stay well under that (the full 100-query map is ~3.5 KB
     // and made rounds 1-4 unparseable). Full map goes to a file + an early
     // stdout line (scrolls out of the tail); the last line carries the total
     // plus a fixed headline subset and stays < 1.5 KB.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","control_s":${fmt(control)},"value_norm":${fmt(norm)},"queries":${toJson(results)},"sf":"$sfDir"}"""
     println(full)
     // The full map cannot fit the 2000-byte stdout tail (101 queries ~=
     // 2.6 KB), so it persists to files: target/ for local tooling and the
@@ -103,7 +125,7 @@ object Bench {
       "dedup_ngram_jaccard", "ann_lsh", "ann_ivf", "text_termstats")
     val resultMap = results.toMap
     val head = headline.flatMap(n => resultMap.get(n).map(n -> _))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${toJson(head)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","control_s":${fmt(control)},"value_norm":${fmt(norm)},"queries":${toJson(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
