@@ -220,13 +220,26 @@ object MergeCommand {
       // Per-file aggregation: join-row count vs distinct target rows
       // detects multi-matches; per-target-row distinct op counts give the
       // exact update/delete metrics even when duplicates are legal.
-      val fileAndMatches = joinedInner
-        .groupBy(col(FILE)).agg(count(lit(1)).as("n"), countDistinct(col(RID)).as("d"),
-          countDistinct(when(matchedOp === "mu", col(RID))).as("mu"),
-          countDistinct(when(matchedOp === "del", col(RID))).as("del"),
-          max(when(matchedOp =!= "none", 1).otherwise(0)).as("anyApplied"),
-          count(when(matchedOp =!= "none", lit(1))).as("gn"),
-          countDistinct(when(matchedOp =!= "none", col(RID))).as("gd"))
+      // Two-level rollup instead of multi-countDistinct: four distinct
+      // aggregates in one groupBy would plan as a 5-way Expand of the
+      // whole phase-1 join output (every joined row shuffled five times —
+      // the dominant cost of a large merge). Pre-aggregating per
+      // (FILE, RID) makes every distinct count a plain sum of 0/1 flags:
+      // one map-side-combined shuffle at row grain, then a tiny rollup
+      // over one row per matched target row.
+      val perTargetRow = joinedInner
+        .groupBy(col(FILE), col(RID))
+        .agg(count(lit(1)).as("cnt"),
+          max(when(matchedOp === "mu", 1).otherwise(0)).as("hasMu"),
+          max(when(matchedOp === "del", 1).otherwise(0)).as("hasDel"),
+          count(when(matchedOp =!= "none", lit(1))).as("gcnt"))
+      val fileAndMatches = perTargetRow
+        .groupBy(col(FILE)).agg(
+          sum(col("cnt")).as("n"), count(lit(1)).as("d"),
+          sum(col("hasMu")).as("mu"), sum(col("hasDel")).as("del"),
+          max(when(col("gcnt") > 0, 1).otherwise(0)).as("anyApplied"),
+          sum(col("gcnt")).as("gn"),
+          sum(when(col("gcnt") > 0, lit(1)).otherwise(lit(0))).as("gd"))
         .collect()
       val matchedUpdated = fileAndMatches.map(_.getLong(3)).sum
       val matchedDeleted = fileAndMatches.map(_.getLong(4)).sum

@@ -223,4 +223,44 @@ class PlanAuditSuite extends AnyFunSuite {
     // holds them in one broadcast reference.
     assert(plan.length < 6000, s"plan grows with nlist (len=${plan.length})")
   }
+
+  test("MERGE never plans an Expand — phase-1 distincts are rollup sums") {
+    // Four countDistinct branches in one groupBy would plan as a 5-way
+    // Expand of the entire phase-1 join output; the two-level
+    // (FILE, RID) -> FILE rollup keeps it one row-grain shuffle. Capture
+    // every physical plan the merge executes and pin the absence.
+    val dir = tmpDir()
+    Graft.write(spark.range(1000).selectExpr("id", "id % 7 as v"), dir)
+    val plans = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit =
+        plans.synchronized { plans += qe.executedPlan.toString }
+      override def onFailure(f: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      GraftTable.forPath(spark, dir)
+        .merge(spark.range(500, 1500).selectExpr("id", "id % 3 as v"),
+          expr("t.id = s.id"))
+        .whenMatched(expr("s.v = 0")).updateAll()
+        .whenMatched().delete()
+        .whenNotMatched().insertAll()
+        .execute()
+      // QueryExecutionListener delivery is async on the listener bus; the
+      // post-merge read below runs through the same bus, so by the time
+      // ITS plan is captured the merge plans are in. Poll briefly.
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (plans.synchronized(plans.isEmpty) && System.nanoTime() < deadline)
+        Thread.sleep(50)
+    } finally spark.listenerManager.unregister(listener)
+    val captured = plans.synchronized(plans.toList)
+    assert(captured.nonEmpty, "listener captured no merge plans")
+    val expanded = captured.filter(_.contains("Expand"))
+    assert(expanded.isEmpty,
+      s"merge planned an Expand:\n${expanded.headOption.getOrElse("")}")
+  }
 }
