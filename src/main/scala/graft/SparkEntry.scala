@@ -1219,6 +1219,25 @@ object SparkEntry {
         .orderBy("doc_id", "span_start")
     }),
 
+    // End-to-end ExactSubstr: the spans found above are DROPPED — flagged
+    // token ranges removed, text rebuilt from survivors — so the operator
+    // is usable as a pipeline stage, not just a report. Digest + token
+    // counts hash-match a pure-SQL re-derivation of the same drop.
+    "dedup_substring_drop" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val planted = d.where(col("doc_id") % 37 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          array_join(slice(graft.text.TextFunctions.tokens(col("text")),
+            1, 30), " ").as("text"))
+      val corpus = d.select("doc_id", "text").unionByName(planted)
+      val spans = Dedup.duplicateSpans(
+        corpus, col("doc_id"), col("text"), window = 15)
+      Dedup.dropSpans(corpus, col("doc_id"), col("text"), spans)
+        .select(col("doc_id"), col("n_tokens_kept"),
+          col("n_tokens_dropped"), md5(col("text")).as("digest"))
+        .orderBy("doc_id")
+    }),
+
     // Plant EXACT duplicates and emit the planted pairs the LSH surfaced:
     // identical text -> identical signature -> guaranteed band collision,
     // so recall of the planted set is deterministic and the oracle is
@@ -2882,5 +2901,64 @@ object SparkEntry {
            CAST(max(pos) + 15 AS BIGINT) AS span_end,
            CAST(max(pos) + 15 - min(pos) AS BIGINT) AS n_tokens
          FROM isl GROUP BY doc_id, island
-         ORDER BY doc_id, span_start""")
+         ORDER BY doc_id, span_start""",
+
+    "dedup_substring_drop" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 300000,
+             array_to_string(list_filter(string_split_regex(trim(text), '\s+'),
+               x -> len(x) > 0)[1:30], ' ')
+           FROM documents WHERE doc_id % 37 = 0),
+         toks AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+               x -> len(x) > 0) AS t
+           FROM corpus),
+         grams AS (
+           SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+14], ' ') AS g
+           FROM toks, LATERAL (
+             SELECT unnest(generate_series(1, len(t) - 14)) AS i) s
+           WHERE len(t) >= 15),
+         dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+         dp AS (SELECT doc_id, pos FROM grams SEMI JOIN dup USING (g)),
+         brk AS (
+           SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+               > 15 THEN 1 ELSE 0 END AS b
+           FROM dp),
+         isl AS (
+           SELECT doc_id, pos,
+             sum(b) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS UNBOUNDED PRECEDING) AS island
+           FROM brk),
+         spans AS (
+           SELECT doc_id, min(pos) AS s, max(pos) + 15 AS e
+           FROM isl GROUP BY doc_id, island),
+         tokpos AS (
+           SELECT doc_id, i - 1 AS pos, t[i] AS tok
+           FROM toks, LATERAL (
+             SELECT unnest(generate_series(1, len(t))) AS i) s),
+         kept AS (
+           SELECT tp.doc_id, tp.pos, tp.tok FROM tokpos tp
+           WHERE NOT EXISTS (
+             SELECT 1 FROM spans sp
+             WHERE sp.doc_id = tp.doc_id
+               AND tp.pos >= sp.s AND tp.pos < sp.e)),
+         agg AS (
+           SELECT doc_id, count(*) AS n_kept,
+             array_to_string(list(tok ORDER BY pos), ' ') AS new_text
+           FROM kept GROUP BY doc_id),
+         drops AS (
+           SELECT doc_id, sum(e - s) AS n_dropped FROM spans GROUP BY doc_id)
+         SELECT c.doc_id,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_tokens_kept,
+           CAST(coalesce(d.n_dropped, 0) AS BIGINT) AS n_tokens_dropped,
+           md5(CASE WHEN d.doc_id IS NULL THEN c.text
+                    ELSE coalesce(a.new_text, '') END) AS digest
+         FROM corpus c
+         LEFT JOIN agg a ON c.doc_id = a.doc_id
+         LEFT JOIN drops d ON c.doc_id = d.doc_id
+         ORDER BY c.doc_id""")
 }

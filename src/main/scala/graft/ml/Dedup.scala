@@ -726,4 +726,43 @@ object Dedup {
       col("__e").cast("long").as("span_end"),
       (col("__e") - col("__s")).cast("long").as("n_tokens"))
   }
+
+  /**
+   * Consume [[duplicateSpans]]: remove the flagged token ranges from each
+   * document and rebuild its text (Lee et al. 2021 drop the duplicated
+   * region, keeping the unique remainder). `spans` must carry
+   * `(doc_id, span_start, span_end)` — disjoint half-open token-index
+   * ranges, exactly what [[duplicateSpans]] emits, under the SAME
+   * tokenizer ([[graft.text.TextFunctions.tokens]]). Documents without
+   * spans pass through with their original text untouched; documents with
+   * spans are rebuilt by joining surviving tokens with single spaces.
+   * Returns `(doc_id, text, n_tokens_kept, n_tokens_dropped)`.
+   *
+   * Scale shape: spans collapse to one array per flagged doc (bounded by
+   * document length), then ONE left join keyed on doc id — the drop
+   * itself is a per-row codegen'd array filter, no shuffle beyond the
+   * join, no token-grain rows.
+   */
+  def dropSpans(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      spans: DataFrame): DataFrame = {
+    val sp = spans.groupBy(col("doc_id")).agg(
+      collect_list(struct(
+        col("span_start").as("s"), col("span_end").as("e"))).as("__sp"),
+      sum(col("span_end") - col("span_start")).as("__nd"))
+    val toks = tokens(col("__text"))
+    val keptToks = filter(toks, (_, i) =>
+      !exists(col("__sp"),
+        s => i >= s.getField("s") && i < s.getField("e")))
+    df.select(id.as("doc_id"), text.as("__text"))
+      .join(sp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("__sp").isNull, col("__text"))
+          .otherwise(array_join(keptToks, " ")).as("text"),
+        when(col("__sp").isNull, size(toks).cast("long"))
+          .otherwise(size(keptToks).cast("long")).as("n_tokens_kept"),
+        coalesce(col("__nd"), lit(0L)).as("n_tokens_dropped"))
+  }
 }

@@ -814,6 +814,35 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
       s"banded candidates $candidates not << $allPairs")
   }
 
+  test("dropSpans: flagged token ranges removed, untouched docs pass through") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),          // drop [2,5) -> "a b f g h"
+      (2L, "x  y   z"),                 // no spans: original text KEPT verbatim
+      (3L, "p q r")                     // all tokens dropped -> ""
+    ).toDF("id", "txt")
+    val spans = Seq(
+      (1L, 2L, 5L),
+      (3L, 0L, 3L)
+    ).toDF("doc_id", "span_start", "span_end")
+    val got = Dedup.dropSpans(docs, $"id", $"txt", spans)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("a b f g h", 5L, 3L)))
+    assert(got(2L) === (("x  y   z", 3L, 0L)))  // whitespace untouched
+    assert(got(3L) === (("", 0L, 3L)))
+    // end-to-end with duplicateSpans: two docs sharing a 4-token run
+    val corpus = Seq(
+      (10L, "one two three four tail1 tail2"),
+      (11L, "head one two three four")
+    ).toDF("id", "txt")
+    val sp2 = Dedup.duplicateSpans(corpus, $"id", $"txt", window = 4)
+    val dropped = Dedup.dropSpans(corpus, $"id", $"txt", sp2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(dropped(10L) === "tail1 tail2")
+    assert(dropped(11L) === "head")
+  }
+
   test("decontaminate: only gram-sharing train docs flagged, counts exact") {
     import spark.implicits._
     val bench = Seq((100L, "one two three four five")).toDF("id", "text")
