@@ -483,7 +483,33 @@ object ConvertFromDeltaCommand {
     // reference TableFeature.scala preview-feature convention) — strip it
     // before matching, or real Delta 4.x tables written during a feature's
     // preview window would refuse to convert forever.
-    val unknown = rf.map(_.stripSuffix("-preview")).toSet -- understood
+    val wf = Option(protoNode.get("writerFeatures")).toSeq
+      .flatMap(n => (0 until n.size()).map(n.get(_).asText()))
+    val stripped = rf.map(_.stripSuffix("-preview")).toSet
+    // Refuse the features whose MEANING (not just layout) a convert would
+    // break, by name, before the generic unknown-feature error:
+    //  - table redirect (reference redirect/TableRedirect.scala): the log
+    //    points readers/writers at ANOTHER table location; folding this
+    //    log converts a stale/empty shell, not the table. Writer-only
+    //    redirect (a writerFeatures entry, normally ignored) also refuses:
+    //    the live writes land elsewhere, so the fold silently diverges.
+    //  - geospatial (reference DeltaGeoSpatial.scala, features
+    //    `geospatial`/`geospatial-dev`): GEOMETRY/GEOGRAPHY types have no
+    //    Spark engine type here yet; the schema cannot be translated.
+    val redirect = (stripped ++ wf.map(_.stripSuffix("-preview")))
+      .filter(f => f == "redirectReaderWriter" || f == "redirectWriterOnly")
+    require(redirect.isEmpty,
+      s"Delta table at $path is REDIRECTED (${redirect.mkString(", ")}): " +
+        "its log points queries at another table location, so converting " +
+        "this copy would capture a stale or empty shell. Convert the " +
+        "redirect destination instead (table property " +
+        "delta.redirectReaderWriter-preview carries the destination spec).")
+    val geo = stripped.filter(f => f == "geospatial" || f == "geospatial-dev")
+    require(geo.isEmpty,
+      s"Delta table at $path uses GEOSPATIAL types (${geo.mkString(", ")}): " +
+        "GEOMETRY/GEOGRAPHY columns have no engine type here and cannot " +
+        "be translated")
+    val unknown = stripped -- understood
     require(unknown.isEmpty,
       s"Delta table requires reader features $unknown this convert " +
         "does not understand — converting could misread the data layout")

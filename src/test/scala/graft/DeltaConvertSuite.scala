@@ -554,6 +554,59 @@ class DeltaConvertSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).count() === 10)
   }
 
+  test("redirected delta source is refused BY NAME, not as unknown-feature") {
+    // reference redirect/TableRedirect.scala: the log points queries at
+    // another location; converting this shell captures a stale table.
+    val schema = new StructType().add("id", LongType)
+    val redirectConf = Map("delta.redirectReaderWriter-preview" ->
+      """{\"type\":\"PathBasedRedirect\",\"state\":\"REDIRECT-READY\"}""")
+    // reader-writer redirect (readerFeatures entry)
+    val a = tmpDir()
+    val s1 = writeFile(spark.range(0, 5).toDF("id"), a, "r.parquet")
+    writeLog(a, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["redirectReaderWriter-preview"],""" +
+        """"writerFeatures":["redirectReaderWriter-preview"]}}""",
+      metaLine(schema, conf = redirectConf), addLine("r.parquet", s1)))
+    val ea = intercept[IllegalArgumentException] {
+      Graft.convertFromDelta(spark, a)
+    }
+    assert(ea.getMessage.contains("REDIRECTED") &&
+      ea.getMessage.contains("redirectReaderWriter"), ea.getMessage)
+    // writer-only redirect: lives ONLY in writerFeatures (reader version
+    // stays low), but converting still forks away from the live writes
+    val b = tmpDir()
+    val s2 = writeFile(spark.range(0, 5).toDF("id"), b, "w.parquet")
+    writeLog(b, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["redirectWriterOnly-preview"]}}""",
+      metaLine(schema), addLine("w.parquet", s2)))
+    val eb = intercept[IllegalArgumentException] {
+      Graft.convertFromDelta(spark, b)
+    }
+    assert(eb.getMessage.contains("REDIRECTED") &&
+      eb.getMessage.contains("redirectWriterOnly"), eb.getMessage)
+  }
+
+  test("geospatial delta source is refused BY NAME") {
+    // reference DeltaGeoSpatial.scala: GEOMETRY/GEOGRAPHY gated behind the
+    // `geospatial` (stable) / `geospatial-dev` (preview) features
+    Seq("geospatial", "geospatial-dev").foreach { feature =>
+      val dir = tmpDir()
+      val s1 = writeFile(spark.range(0, 3).toDF("id"), dir, "g.parquet")
+      writeLog(dir, 0, Seq(
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          s""""readerFeatures":["$feature"],"writerFeatures":["$feature"]}}""",
+        metaLine(new StructType().add("id", LongType)),
+        addLine("g.parquet", s1)))
+      val e = intercept[IllegalArgumentException] {
+        Graft.convertFromDelta(spark, dir)
+      }
+      assert(e.getMessage.contains("GEOSPATIAL") &&
+        e.getMessage.contains(feature), s"$feature: ${e.getMessage}")
+    }
+  }
+
   test("shredded-variant delta source converts and variant reads match") {
     // Author genuinely SHREDDED parquet through the engine's own shredding
     // writer, then wrap it in a hand-authored delta log that declares the
