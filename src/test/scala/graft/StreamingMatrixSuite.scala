@@ -73,4 +73,55 @@ class StreamingMatrixSuite extends AnyFunSuite {
     model ++= (100L until 120L).map(id => (id, s"t$id"))
     assert(got() === model, s"tail after restart (dv=$dv mapping=$mapping)")
   }
+
+  test("stream lifecycle: CDF x schema tracking x AvailableNow") {
+    // The 3-way composition the per-feature tests don't cover: a CDF
+    // stream with a schema-tracking log, driven entirely by AvailableNow
+    // drains. Mid-stream schema evolution must drain-then-adopt: the
+    // pre-change commit's CDF rows land, the query fails at the barrier
+    // AFTER persisting the new schema, and the restarted query serves the
+    // post-change commits with the widened schema.
+    import spark.implicits._
+    val src = tmp(); val out = tmp(); val ckpt = tmp(); val track = tmp()
+    Graft.write(spark.range(10).select(col("id"), lit(0L).as("v")), src,
+      configuration = Map("graft.enableChangeDataFeed" -> "true"))  // v0
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("schemaTrackingLocation", track)
+        .load(src)
+        .writeStream.format("graft").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .option("mergeSchema", "true")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(120000)
+    }
+    def byType(): Map[String, Long] = Graft.read(spark, out)
+      .groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    // drain 1: the initial snapshot replays as CDF inserts
+    drain()
+    assert(byType() === Map("insert" -> 10L), "initial CDF snapshot")
+    // v1: old-schema change commit; v2: additive schema evolution
+    GraftTable.forPath(spark, src).delete(col("id") >= 8)           // v1
+    Graft.write(spark.range(20, 23).select(col("id"), lit(1L).as("v"),
+      lit("x").as("extra")), src, mergeSchema = true)               // v2
+    // drain 2: v1's deletes land, then the schema barrier fails the query
+    val barrier = intercept[Exception] { drain() }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")) ++ Iterator(""))
+        .mkString(" | ")
+    assert(rootMsg(barrier).contains("Schema change"), rootMsg(barrier))
+    assert(byType() === Map("insert" -> 10L, "delete" -> 2L),
+      "pre-barrier commit must drain before adoption")
+    assert(!Graft.read(spark, out).columns.contains("extra"))
+    // drain 3 (restart): the adopted schema serves v2's inserts
+    drain()
+    assert(byType() === Map("insert" -> 13L, "delete" -> 2L))
+    val widened = Graft.read(spark, out)
+    assert(widened.columns.contains("extra"))
+    assert(widened.where(col("extra") === "x").count() === 3)
+    assert(widened.where(col("_commit_version") === 2).count() === 3)
+  }
 }
