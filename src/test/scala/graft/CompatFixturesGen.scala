@@ -98,6 +98,26 @@ object CompatFixturesGen {
       }
     }
 
+    // 7. bloom: frozen decontaminateBloom output over CompatSuite's
+    //    literal corpus — pins the shingle hash function AND the bloom
+    //    bit-indexing math (word/bit layout, k derivation); any drift
+    //    makes the recomputed hits disagree with the frozen rows
+    ifFresh("bloom") { bloom =>
+      val (train, bench) = CompatSuite.bloomCorpus(spark)
+      graft.ml.Dedup.decontaminateBloom(train, bench,
+          $"doc_id", $"text", n = 3, fpp = 0.01)
+        .coalesce(1).write.parquet(bloom)
+    }
+
+    // 8. packing: frozen packSequences assignment over CompatSuite's
+    //    deterministic token counts — pins the bucketed prefix-sum
+    //    boundaries (seq_id / doc_offset / seq_offset / n_tokens per doc)
+    ifFresh("packing") { packing =>
+      graft.ml.Curation.packSequences(CompatSuite.packingCorpus(spark),
+          $"doc_id", $"n_tokens", seqLen = 128, buckets = 8)
+        .coalesce(1).write.parquet(packing)
+    }
+
     println(s"compat fixtures written under $out")
     spark.stop()
   }

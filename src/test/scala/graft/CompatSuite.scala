@@ -111,4 +111,67 @@ class CompatSuite extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(byOrigin === Map("web" -> 40L, "api" -> 10L))
   }
+
+  test("frozen bloom decontamination: hash + bit-indexing drift fails here") {
+    // recompute over the same literal corpus and compare to the frozen
+    // rows — a change to the shingle hash, the bloom word/bit layout, or
+    // the k derivation shifts which grams hit and breaks the equality
+    val dir = table("bloom")
+    val frozen = spark.read.parquet(dir)
+      .as[(Long, Long)].collect().toMap
+    val (train, bench) = CompatSuite.bloomCorpus(spark)
+    val now = graft.ml.Dedup.decontaminateBloom(train, bench,
+        $"doc_id", $"text", n = 3, fpp = 0.01)
+      .as[(Long, Long)].collect().toMap
+    assert(now === frozen)
+    assert(frozen.nonEmpty && frozen.contains(101L),
+      "fixture lost the planted contaminated doc")
+  }
+
+  test("frozen sequence packing: prefix-sum boundary drift fails here") {
+    val dir = table("packing")
+    val frozen = spark.read.parquet(dir)
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val now = graft.ml.Curation.packSequences(
+        CompatSuite.packingCorpus(spark),
+        $"doc_id", $"n_tokens", seqLen = 128, buckets = 8)
+      .as[(Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(now === frozen)
+    // structural sanity on the frozen shape itself: slices tile each
+    // sequence exactly (every seq except the last sums to seqLen)
+    val bySeq = frozen.groupBy(_._2).view.mapValues(_.map(_._5).sum)
+    val lastSeq = bySeq.keys.max
+    assert(bySeq.filter(_._1 != lastSeq).values.forall(_ == 128L))
+  }
+}
+
+object CompatSuite {
+  /** Literal corpus for the frozen bloom fixture: 6 train docs, 2 bench
+    * docs; doc 101 copies bench text (must hit), others share no 3-gram. */
+  def bloomCorpus(spark: org.apache.spark.sql.SparkSession)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val bench = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")).toDF("doc_id", "text")
+    val train = Seq(
+      (100L, "totally unrelated words appear in this document body"),
+      (101L, "prefix alpha beta gamma delta suffix"),     // shares 3-grams
+      (102L, "two three unrelated four five"),            // no full 3-gram? "two three unrelated" no; shares none
+      (103L, "seven six five four three two one"),        // reversed: no 3-gram
+      (104L, "one two three overlapping here"),           // shares "one two three"
+      (105L, "nothing in common with anything at all")
+    ).toDF("doc_id", "text")
+    (train, bench)
+  }
+
+  /** Deterministic doc/token-count corpus for the frozen packing fixture:
+    * 100 docs, lengths cycling (id * 37) % 190 + 1 — crosses many 128-token
+    * sequence boundaries at varied offsets. */
+  def packingCorpus(spark: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (1L to 100L).map(id => (id, (id * 37) % 190 + 1))
+      .toDF("doc_id", "n_tokens")
+  }
 }
