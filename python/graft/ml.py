@@ -1,0 +1,82 @@
+"""Python surface for the ML / data-pipeline operators: a thin py4j
+mirror of the Scala ``graft.ml`` / ``graft.text`` objects (same binding
+pattern as :mod:`graft.tables` — the engine's JVM classes must be on the
+driver classpath).
+
+Usage::
+
+    from graft.ml import semantic_dedup, duplicate_spans, drop_spans
+    flagged = semantic_dedup(df, "id", "emb", k=64, threshold=0.95)
+    spans = duplicate_spans(docs, "doc_id", "text", window=15)
+    cleaned = drop_spans(docs, "doc_id", "text", spans)
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _jcol(c):
+    return F.col(c)._jc if isinstance(c, str) else c._jc
+
+
+def semantic_dedup(df, id, emb, k, threshold=0.95, max_iter=10,
+                   max_cluster_size=10000, planes=16):
+    """SemDeDup: k-means buckets + in-cluster LSH-banded cosine pairs.
+    Returns (id, cluster, is_dup, skipped_cluster)."""
+    spark = df.sparkSession
+    jdf = spark._sc._jvm.graft.ml.Dedup.semanticDedup(
+        df._jdf, _jcol(id), _jcol(emb), int(k), float(threshold),
+        int(max_iter), int(max_cluster_size), int(planes))
+    return DataFrame(jdf, spark)
+
+
+def duplicate_spans(df, id, text, window, min_count=2):
+    """Exact duplicate-substring spans (Lee et al. ExactSubstr).
+    Returns (doc_id, span_start, span_end, n_tokens)."""
+    spark = df.sparkSession
+    jdf = spark._sc._jvm.graft.ml.Dedup.duplicateSpans(
+        df._jdf, _jcol(id), _jcol(text), int(window), int(min_count))
+    return DataFrame(jdf, spark)
+
+
+def drop_spans(df, id, text, spans):
+    """Remove flagged token ranges and rebuild each document's text.
+    Returns (doc_id, text, n_tokens_kept, n_tokens_dropped)."""
+    spark = df.sparkSession
+    jdf = spark._sc._jvm.graft.ml.Dedup.dropSpans(
+        df._jdf, _jcol(id), _jcol(text), spans._jdf)
+    return DataFrame(jdf, spark)
+
+
+def pack_sequences(df, id, token_count, seq_len, buckets=256):
+    """GPT-style sequence packing: tile the concatenated token stream into
+    fixed-length sequences. Returns one row per (doc, seq) slice:
+    (doc_id, seq_id, doc_offset, seq_offset, n_tokens)."""
+    spark = df.sparkSession
+    jdf = spark._sc._jvm.graft.ml.Curation.packSequences(
+        df._jdf, _jcol(id), _jcol(token_count), int(seq_len), int(buckets))
+    return DataFrame(jdf, spark)
+
+
+class NgramLm:
+    """CCNet-style bigram language model: train on a reference corpus,
+    score documents by cross-entropy, bucket head/middle/tail."""
+
+    def __init__(self, spark, jmodel):
+        self._spark = spark
+        self._jmodel = jmodel
+
+    @classmethod
+    def train(cls, docs, text):
+        spark = docs.sparkSession
+        jm = spark._sc._jvm.graft.text.NgramLm.train(docs._jdf, _jcol(text))
+        return cls(spark, jm)
+
+    def cross_entropy(self, df, id, text):
+        """Returns (doc_id, n_bigrams, cross_entropy, ppl) per document."""
+        jdf = self._spark._sc._jvm.graft.text.NgramLm.crossEntropy(
+            df._jdf, _jcol(id), _jcol(text), self._jmodel)
+        return DataFrame(jdf, self._spark)
+
+    def unpersist(self):
+        self._jmodel.unpersist()
