@@ -23,7 +23,8 @@ class GoldenTableSuite extends AnyFunSuite {
   private def goldenCopy(name: String): String = {
     val src = new java.io.File(base, name)
     assert(src.isDirectory, s"golden fixture $name missing at $src")
-    val dst = java.nio.file.Files.createTempDirectory(s"golden-$name").toFile
+    val dst = java.nio.file.Files.createTempDirectory(
+      s"golden-${name.replace('/', '_')}").toFile
     def walk(s: java.io.File, d: java.io.File): Unit = {
       d.mkdirs()
       s.listFiles().foreach { f =>
@@ -870,5 +871,200 @@ class GoldenTableSuite extends AnyFunSuite {
     assert(df.count() === 6)
     assert(df.where($"IntegerType" === 2).select($"StringType")
       .head.getString(0) === "2")
+  }
+
+  test("golden: data-reader-date-types — five more writer zones, UTC instants") {
+    // each table holds ONE (timestamp, date) row written with a different
+    // JVM default TZ; the stored instant shifts by the writer's offset,
+    // the DateType value never does
+    Seq(
+      "data-reader-date-types-Iceland" -> "2020-01-01 08:09:10",          // UTC+0
+      "data-reader-date-types-America/Los_Angeles" -> "2020-01-01 16:09:10", // UTC-8
+      "data-reader-date-types-Etc/GMT+9" -> "2020-01-01 17:09:10",       // POSIX: UTC-9
+      "data-reader-date-types-Asia/Beirut" -> "2020-01-01 06:09:10",     // UTC+2
+      "data-reader-date-types-JST" -> "2019-12-31 23:09:10"              // UTC+9
+    ).foreach { case (name, expected) =>
+      val dir = goldenCopy(name)
+      Graft.convertFromDelta(spark, dir)
+      val r = Graft.read(spark, dir)
+        .select($"timestamp".cast("string"), $"date".cast("string")).head()
+      assert(r.getString(0) === expected, name)
+      assert(r.getString(1) === "2020-01-01", name)
+    }
+  }
+
+  test("golden: kernel-timestamp-PST and TIMESTAMP_MILLIS physical variants") {
+    // MILLIS: UTC-written like the MICROS/INT96 tables — same expectations
+    val m = goldenCopy("kernel-timestamp-TIMESTAMP_MILLIS")
+    Graft.convertFromDelta(spark, m)
+    val dfm = Graft.read(spark, m)
+    assert(dfm.count() === 5)
+    assert(dfm.where($"id" === 3).select($"time".cast("string"))
+      .head.getString(0) === "1969-01-01 00:00:00")
+    assert(dfm.where($"id" === 0).select($"part".cast("string"))
+      .head.getString(0) === "2020-01-01 08:09:10.001")
+    // PST-written: the DATA instant shifts by the writer offset; the
+    // PARTITION string was serialized writer-local and reads back
+    // verbatim under the UTC session (Delta's documented timestamp-
+    // partition timezone caveat)
+    val p = goldenCopy("kernel-timestamp-PST")
+    Graft.convertFromDelta(spark, p)
+    val dfp = Graft.read(spark, p)
+    assert(dfp.count() === 5)
+    assert(dfp.where($"id" === 3).select($"time".cast("string"))
+      .head.getString(0) === "1969-01-01 08:00:00")
+    assert(dfp.where($"id" === 0).select($"part".cast("string"))
+      .head.getString(0) === "2020-01-01 08:09:10.001")
+  }
+
+  test("golden: kernel-timestamp-partition-col-ISO8601 — Z-suffixed partition values") {
+    // partition values serialized as 2024-01-01T10:00:00.000000Z instead
+    // of the space-separated local form: decoding must accept ISO-8601
+    val dir = goldenCopy("kernel-timestamp-partition-col-ISO8601")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 2)
+    val parts = df.select($"ts".cast("string")).as[String].collect().sorted
+    assert(parts.toSeq === Seq("2024-01-01 10:00:00", "2024-01-02 12:30:00"))
+    assert(df.where($"ts" === lit("2024-01-01 10:00:00").cast("timestamp"))
+      .count() === 1)
+  }
+
+  test("golden: data-reader-nullable-field-invalid-schema-key") {
+    // one row whose array column is [null, null, null]
+    val dir = goldenCopy("data-reader-nullable-field-invalid-schema-key")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 1)
+    val arr = df.select($"array_can_contain_null").head.getSeq[String](0)
+    assert(arr.size === 3 && arr.forall(_ == null))
+  }
+
+  test("golden: corrupted-last-checkpoint-kernel — empty pointer, data reads whole") {
+    val dir = goldenCopy("corrupted-last-checkpoint-kernel")
+    Graft.convertFromDelta(spark, dir)
+    // 11 appends of range(10) then overwrite with range(100)
+    assert(Graft.read(spark, dir).select($"id").as[Long].collect().sorted
+      .toSeq === (0L until 100L))
+  }
+
+  test("golden: commit-info-containing-arbitrary-operationParams-types") {
+    // CTAS + INSERT + OPTIMIZE ZORDER: the optimize commitInfo carries
+    // non-string operationParameters (zOrderBy array) — replay must not
+    // choke on them
+    val dir = goldenCopy("commit-info-containing-arbitrary-operationParams-types")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.select($"id", $"month").as[(Int, Int)].collect().sorted
+      .toSeq === Seq((1, 1), (2, 2)))
+  }
+
+  test("golden: collations-preview-table — preview feature + collated schema") {
+    val dir = goldenCopy("collations-preview-table")
+    val t = Graft.convertFromDelta(spark, dir)
+    assert(t.snapshot.numFiles === 0) // log-only fixture
+    val sch = t.snapshot.metadata.schema
+    assert(sch("utf8_lcase_col").dataType.sql.contains("UTF8_LCASE"))
+    assert(sch("unicode_col").dataType.sql.contains("UNICODE"))
+  }
+
+  test("golden: log-store-read / log-store-listFrom — raw store primitives") {
+    // not delta logs: loose numbered content files exercising the
+    // LogStore read/listFrom contract the reference pins in
+    // ReadOnlyLogStoreSuite
+    val rd = goldenCopy("log-store-read")
+    val store = graft.log.GraftLog.forTable(spark, rd).store
+    assert(store.read(new org.apache.hadoop.fs.Path(rd, "0"))
+      .linesIterator.toSeq === Seq("zero", "none"))
+    assert(store.read(new org.apache.hadoop.fs.Path(rd, "1"))
+      .linesIterator.toSeq === Seq("one"))
+    val lf = goldenCopy("log-store-listFrom")
+    val store2 = graft.log.GraftLog.forTable(spark, lf).store
+    def names(from: String): Seq[String] =
+      store2.listFrom(new org.apache.hadoop.fs.Path(lf), from)
+        .map(_.getPath.getName).filterNot(_.startsWith("_")).toSeq.sorted
+    assert(names("0") === Seq("1", "2", "3"))
+    assert(names("2") === Seq("2", "3"))
+    assert(names("4") === Seq.empty)
+  }
+
+  test("golden: hive connector tables — every deltatbl-* fixture converts") {
+    def conv(sub: String): org.apache.spark.sql.DataFrame = {
+      val dir = goldenCopy(s"hive/$sub")
+      Graft.convertFromDelta(spark, dir)
+      Graft.read(spark, dir)
+    }
+    // plain + partitioned 10-row (c1, c2=foo{c1%2}) tables
+    Seq("deltatbl-non-partitioned", "deltatbl-partitioned",
+        "deltatbl-deleted-path", "deltatbl-touch-files-needed-for-partitioned",
+        "deltatbl-not-allow-write").foreach { sub =>
+      val df = conv(sub)
+      assert(df.count() === 10, sub)
+      val cols = df.columns.map(_.toLowerCase).toSeq
+      val (a, b) = (df.col(df.columns(0)), df.col(df.columns(1)))
+      assert(df.where(b === "foo1").count() === 5, s"$sub $cols")
+    }
+    // incorrect-format-config uses (a, b) names
+    assert(conv("deltatbl-incorrect-format-config").where($"b" === "foo0")
+      .count() === 5)
+    // schema-match: 3 columns, partitioned by b
+    val sm = conv("deltatbl-schema-match")
+    assert(sm.where($"b" === "foo1" && $"c" === "test2").count() >= 1)
+    // partition pruning over (date, city)
+    val pp = conv("deltatbl-partition-prune")
+    assert(pp.count() === 5)
+    assert(pp.where($"city" === "hz" && $"date" === "20180520")
+      .select($"name", $"cnt").as[(String, Int)].head() === (("Jim", 3)))
+    // special chars in partition VALUES decode ("+ =%0", "+ =%1")
+    val sc = conv("deltatbl-special-chars-in-partition-column")
+    assert(sc.select($"c2").distinct().as[String].collect().sorted.toSeq
+      === Seq("+ =%0", "+ =%1"))
+    assert(sc.where($"c2" === "+ =%1").count() === 5)
+    // case-insensitive column names
+    val ci = conv("deltatbl-column-names-case-insensitive")
+    assert(ci.columns.toSeq === Seq("FooBar", "BarFoo"))
+    assert(ci.where(col("barfoo") === "foo0").count() === 5)
+    // every supported hive type maps correctly
+    val mt = conv("deltatbl-map-types-correctly")
+    val r = mt.select($"c1", $"c5", $"c6", $"c9",
+      element_at($"c14", "foo"), $"c15.f2").head()
+    assert(r.getByte(0) === 97.toByte && r.getLong(1) === 5L &&
+      r.getString(2) === "foo" && r.getShort(3) === 8.toShort &&
+      r.getLong(4) === 123L && r.getLong(5) === 456L)
+  }
+
+  test("golden: parquet-all-types-legacy-format — legacy writer layout") {
+    val dir = goldenCopy("parquet-all-types-legacy-format")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.count() === 200)
+    assert(df.where(col("IntegerType").isNull).count() === 9)
+    val r = df.where(col("IntegerType") === 7)
+      .select(col("LongType"), col("StringType")).head()
+    assert(r.getLong(0) === 8L && r.getString(1) === "7")
+  }
+
+  test("golden: parquet-decimal-type — INT32/INT64/FLBA physical decimals") {
+    val dir = goldenCopy("parquet-decimal-type")
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    val n = df.count()
+    assert(n > 0)
+    // converted read equals a direct parquet read of the live files
+    val t = GraftTable.forPath(spark, dir)
+    val raw = spark.read.parquet(
+      t.snapshot.allFiles.map(f => s"$dir/${f.path}"): _*)
+    assert(raw.count() === n)
+    assert(df.exceptAll(raw).count() === 0)
+  }
+
+  test("golden: metadata-less log (absolute-paths fixture) refused loudly") {
+    // the reference's data-reader-absolute-paths-escaped-chars log has NO
+    // metaData action at all; convert refuses instead of guessing a schema
+    val e = intercept[IllegalArgumentException] {
+      Graft.convertFromDelta(spark,
+        goldenCopy("data-reader-absolute-paths-escaped-chars"))
+    }
+    assert(e.getMessage.contains("no metaData action"), e.getMessage)
   }
 }
