@@ -224,6 +224,22 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(plan.length < 6000, s"plan grows with nlist (len=${plan.length})")
   }
 
+  test("semanticDedup candidates exchange on (cluster, bucket), not cluster alone") {
+    // the in-cluster banding is only real if the physical join key carries
+    // the LSH bucket: a cluster-only exchange would re-create the O(s²)
+    // blow-up while every row-level test still passes
+    val rows = spark.range(100).selectExpr(
+      "id", "cast(id % 3 as int) as cluster",
+      "array(cast(id as float), cast(id + 1 as float)) as emb")
+    val plan = graft.ml.Dedup.clusterBandedPairs(rows, planes = 16)
+      .queryExecution.executedPlan.toString
+    val joinKeys = "(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(joinKeys.nonEmpty, s"no equi-join in the candidate plan:\n$plan")
+    assert(joinKeys.forall(k => k.contains("cluster") && k.contains("bucket")),
+      s"candidate join lost the bucket key: $joinKeys")
+  }
+
   test("MERGE never plans an Expand — phase-1 distincts are rollup sums") {
     // Four countDistinct branches in one groupBy would plan as a 5-way
     // Expand of the entire phase-1 join output; the two-level
