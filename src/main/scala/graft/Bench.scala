@@ -57,15 +57,20 @@ object Bench {
     // control) to separate code regressions from environment noise —
     // round 9 recorded a uniform 1.38x phantom on byte-identical code.
     // Median of the samples resists a single scheduler spike.
+    // A FAILED control must poison the sample (-1), not contribute its
+    // near-zero wall time: a missing/unreadable lineitem would otherwise
+    // make value_norm explode and read as a phantom regression — the
+    // exact failure mode the control exists to rule out.
     def timeControl(): Double = {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
-      try spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .where(col("l_quantity") > 25)
-        .groupBy(col("l_returnflag"))
-        .agg(sum(col("l_extendedprice")), count(lit(1))).count()
-      catch { case _: Throwable => }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .where(col("l_quantity") > 25)
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("l_extendedprice")), count(lit(1))).count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
     }
     timeControl() // untimed warm-up of the control's own codegen
     val controlPre = Seq.fill(3)(timeControl())
@@ -86,7 +91,9 @@ object Bench {
       mins(name) = math.min(mins(name), time1(name))
     val results = first.map { case (n, _) => n -> mins(n) }
     val controlSamples = controlPre ++ Seq.fill(3)(timeControl())
-    val control = controlSamples.sorted.apply(controlSamples.size / 2)
+    val control =
+      if (controlSamples.exists(_ < 0)) -1.0
+      else controlSamples.sorted.apply(controlSamples.size / 2)
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def toJson(rs: Seq[(String, Double)]): String = rs

@@ -1326,8 +1326,11 @@ object SparkEntry {
       val jittered = e.select((col("vec_id") + 100000).as("vec_id"),
         transform(col("embedding"), v => v * 1.0001f).as("embedding"))
       val all = e.select("vec_id", "embedding").unionByName(jittered)
+      // maxClusterSize pinned well above any SF this harness runs: the
+      // library default (10k) is a scale guard, but a skipped cluster
+      // here would null is_dup and break the strict boolean oracle.
       graft.ml.Dedup.semanticDedup(all, col("vec_id"), col("embedding"),
-        k = 8, threshold = 0.999, maxIter = 3)
+        k = 8, threshold = 0.999, maxIter = 3, maxClusterSize = 10000000)
         .select(col("id"), col("is_dup"))
         .orderBy("id")
     }),

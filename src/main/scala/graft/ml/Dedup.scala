@@ -412,29 +412,50 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
-  /** Embedding near-dup pairs by cosine similarity over LSH buckets with
-    * 1-bit multi-probe: side A probes its bucket plus each single-plane
-    * flip, so a near-identical pair straddling one hyperplane is still a
-    * candidate. More planes (default 16 -> 65k buckets) keep per-bucket
-    * candidate sets small at corpus scale; the probes recover the recall
-    * the extra planes would otherwise cost. Cosine verification is the
-    * codegen'd [[graft.expressions.CosineSimilarity]] kernel. */
+  /** Embedding near-dup pairs by cosine similarity over multi-band
+    * sign-bit LSH (the minhash-banding recipe applied to hyperplane
+    * signatures): each vector emits one bucket key per independent band
+    * of `planes` hyperplanes, a pair is a candidate if ANY band matches
+    * exactly, and the band count derives from `threshold` so recall of
+    * true pairs AT the threshold is ~98% ([[bandsFor]] — a single wide
+    * signature with 1-bit probes, the previous design, lost ~half the
+    * cosine-0.95 pairs because they flip >=2 of 16 sign bits). Cosine
+    * verification is the codegen'd
+    * [[graft.expressions.CosineSimilarity]] kernel. */
   def embeddingPairs(
       df: DataFrame,
       id: Column,
       embedding: Column,
       threshold: Double = 0.95,
-      planes: Int = 16): DataFrame = {
-    val withBucket = df.select(id.as("id"), embedding.as("emb"),
-      Similarity.hyperplaneBucket(embedding, planes).as("bucket"))
-    val a = withBucket.select(col("id").as("idA"), col("emb").as("embA"),
-      explode(Similarity.probeBuckets(col("bucket"), planes)).as("bucket"))
-    val b = withBucket.select(col("bucket"), col("id").as("idB"), col("emb").as("embB"))
-    a.join(b, "bucket").where(col("idA") < col("idB"))
+      planes: Int = 12): DataFrame = {
+    val members = df.select(lit(0).as("cluster"), id.as("id"),
+      embedding.cast("array<float>").as("emb"))
+      .where(col("emb").isNotNull)
+    clusterBandedPairs(members, threshold, planes)
       .select(col("idA"), col("idB"),
         Similarity.cosine(col("embA"), col("embB")).as("cosine"))
       .distinct()
       .where(col("cosine") >= threshold)
+  }
+
+  /** Independent sign-bit bands needed so a pair at cosine exactly
+    * `threshold` survives candidate generation with ~98% probability:
+    * each of a band's `planesPerBand` random hyperplanes separates the
+    * pair with p = acos(threshold)/pi, the band matches with
+    * m = (1-p)^planes, and missing every one of R bands is (1-m)^R.
+    * Capped at `maxBands` — at very low thresholds banding cannot hold
+    * the recall bound within the cap; callers needing cosine << 0.9
+    * should shrink `planesPerBand` (coarser, hotter buckets) instead. */
+  private[graft] def bandsFor(
+      threshold: Double,
+      planesPerBand: Int,
+      maxBands: Int = 16): Int = {
+    val t = math.max(-1.0, math.min(threshold, 0.999999))
+    val p = math.acos(t) / math.Pi
+    val m = math.pow(1.0 - p, planesPerBand)
+    if (m >= 0.98) 1
+    else math.min(maxBands,
+      math.max(1, math.ceil(math.log(0.02) / math.log1p(-m)).toInt))
   }
 
   /**
@@ -449,13 +470,13 @@ object Dedup {
    *
    * 100 TB shape: clustering is [[Clustering.kMeans]] (kernel assignment,
    * k×dim driver state); candidate generation is ONE shuffle keyed on
-   * `(cluster, hyperplane-LSH bucket)` — the same sign-bit banding as
-   * [[embeddingPairs]], applied WITHIN each k-means cluster — so a hot
-   * cluster of size s costs O(s · avg-bucket-size) candidate rows, not
-   * O(s²): at `threshold` ≥ 0.9 duplicate pairs are near-parallel and
-   * land in the same (or a 1-bit-adjacent, multi-probed) bucket, while
-   * unrelated in-cluster members spread over 2^planes buckets. Clusters
-   * above `maxClusterSize` (an embedding-collapse pathology even with
+   * `(cluster, band, sign-bits)` — multi-band hyperplane LSH
+   * ([[clusterBandedPairs]], shared with [[embeddingPairs]]) applied
+   * WITHIN each k-means cluster — so a hot cluster of size s costs
+   * O(s · bands · avg-bucket-size) candidate rows, not O(s²), with the
+   * band count derived from `threshold` to hold ~98% recall of true
+   * pairs AT the threshold ([[bandsFor]]). Clusters above
+   * `maxClusterSize` (an embedding-collapse pathology even with
    * banding — one degenerate direction = one hot bucket) skip pair
    * generation; their members come back with `is_dup = null` and
    * `skipped_cluster = true` so the gap is visible in the output rather
@@ -469,7 +490,7 @@ object Dedup {
       threshold: Double = 0.95,
       maxIter: Int = 10,
       maxClusterSize: Int = 10000,
-      planes: Int = 16): DataFrame = {
+      planes: Int = 12): DataFrame = {
     val assigned = Clustering.kMeans(df, id, emb, k, maxIter)
     val base = df.select(id.as("id"), emb.cast("array<float>").as("emb"))
       .where(col("emb").isNotNull)
@@ -480,7 +501,7 @@ object Dedup {
     val skippedC = sizes.where(col("__n") > maxClusterSize)
       .select(col("cluster"), lit(true).as("__skip"))
     val members = withC.join(broadcast(okC), Seq("cluster"))
-    val pairs = clusterBandedPairs(members, planes)
+    val pairs = clusterBandedPairs(members, threshold, planes)
       .where(Similarity.cosine(col("embA"), col("embB")) >= threshold)
       .select("idA", "idB").distinct()
     val families = Clustering.dedupClusters(pairs)
@@ -496,22 +517,34 @@ object Dedup {
         coalesce(col("__skip"), lit(false)).as("skipped_cluster"))
   }
 
-  /** In-cluster LSH-banded candidate pairs: joins cluster members on
-    * `(cluster, sign-bit bucket)` with 1-bit multi-probe on side A.
-    * Exposed at package scope so scale probes can count candidate rows
-    * directly. Input needs `(cluster, id, emb)`; output carries
-    * `(idA, embA, idB, embB)` with `idA < idB`, possibly with repeats
-    * (one per shared probe bucket — callers dedup after filtering). */
+  /** In-cluster multi-band LSH candidate pairs: every member emits one
+    * `(band, bits)` key per independent sign-bit band ([[bandsFor]] bands
+    * of `planesPerBand` hyperplanes, distinct seeds) and candidates join
+    * on `(cluster, band, bits)` — a pair survives if ANY band agrees,
+    * which holds ~98% recall at cosine = `threshold` while unrelated
+    * members spread over 2^planes buckets per band. Exposed at package
+    * scope so scale probes can count candidate rows directly. Input needs
+    * `(cluster, id, emb)`; output carries `(idA, embA, idB, embB)` with
+    * `idA < idB`, possibly with repeats (one per agreeing band — callers
+    * dedup after filtering). */
   private[graft] def clusterBandedPairs(
-      members: DataFrame, planes: Int): DataFrame = {
-    val withBucket = members.select(col("cluster"), col("id"), col("emb"),
-      Similarity.hyperplaneBucket(col("emb"), planes).as("bucket"))
-    val a = withBucket.select(col("cluster"),
-      col("id").as("idA"), col("emb").as("embA"),
-      explode(Similarity.probeBuckets(col("bucket"), planes)).as("bucket"))
-    val b = withBucket.select(col("cluster"), col("bucket"),
+      members: DataFrame,
+      threshold: Double,
+      planesPerBand: Int = 12): DataFrame = {
+    val bands = bandsFor(threshold, planesPerBand)
+    val keys = array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        Similarity.hyperplaneBucket(col("emb"), planesPerBand,
+          Similarity.defaultSeed + b).as("bits"))): _*)
+    val withKey = members.select(col("cluster"), col("id"), col("emb"),
+        explode(keys).as("__bk"))
+      .select(col("cluster"), col("id"), col("emb"),
+        col("__bk.band").as("band"), col("__bk.bits").as("bits"))
+    val a = withKey.select(col("cluster"), col("band"), col("bits"),
+      col("id").as("idA"), col("emb").as("embA"))
+    val b = withKey.select(col("cluster"), col("band"), col("bits"),
       col("id").as("idB"), col("emb").as("embB"))
-    a.join(b, Seq("cluster", "bucket")).where(col("idA") < col("idB"))
+    a.join(b, Seq("cluster", "band", "bits")).where(col("idA") < col("idB"))
       .select("idA", "embA", "idB", "embB")
   }
 

@@ -804,14 +804,46 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
     // One fabricated hot cluster (k=1 forces it): 2000 random vectors.
     // All-pairs would be ~2M candidate rows; banding over 2^16 buckets
     // with 17x multi-probe must stay orders of magnitude below that.
+    // 32-dim vectors: in very low dims the sign-bit buckets skew (planes
+    // lose independence), so the probe uses a realistic embedding width;
+    // multi-band LSH (12 planes/band, bands from the 0.95 threshold) must
+    // cut the ~2M all-pairs by >= 50x.
     val rnd = new scala.util.Random(11)
     val rows = (0 until 2000)
-      .map(i => (i.toLong, 0, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .map(i => (i.toLong, 0, Array.fill(32)(rnd.nextGaussian().toFloat)))
       .toDF("id", "cluster", "emb")
-    val candidates = Dedup.clusterBandedPairs(rows, planes = 16).count()
+    val candidates = Dedup.clusterBandedPairs(rows, threshold = 0.95).count()
     val allPairs = 2000L * 1999 / 2
-    assert(candidates < allPairs / 100,
+    assert(candidates < allPairs / 50,
       s"banded candidates $candidates not << $allPairs")
+  }
+
+  test("embeddingPairs recall at the default threshold is calibrated") {
+    import spark.implicits._
+    // 200 pairs planted at cosine ~0.955 (just above the 0.95 threshold):
+    // w = cos(a)*v + sin(a)*u with u unit-orthogonal to v, so the pair
+    // cosine is exactly cos(a). The single-signature multi-probe design
+    // this replaced lost ~49% of these; banding must keep >= 95%.
+    val rnd = new scala.util.Random(23)
+    val target = 0.955
+    val alpha = math.acos(target)
+    val pairs = (0 until 200).map { i =>
+      val v0 = Array.fill(16)(rnd.nextGaussian())
+      val nv = math.sqrt(v0.map(x => x * x).sum)
+      val v = v0.map(_ / nv)
+      val u0 = Array.fill(16)(rnd.nextGaussian())
+      val d = u0.zip(v).map { case (a, b) => a * b }.sum
+      val uo = u0.zip(v).map { case (a, b) => a - d * b }
+      val nu = math.sqrt(uo.map(x => x * x).sum)
+      val w = v.zip(uo).map { case (vi, ui) =>
+        (math.cos(alpha) * vi + math.sin(alpha) * ui / nu).toFloat }
+      (i.toLong, v.map(_.toFloat), w)
+    }
+    val df = pairs.flatMap { case (i, v, w) =>
+      Seq((i, v), (i + 10000L, w)) }.toDF("id", "emb")
+    val found = Dedup.embeddingPairs(df, $"id", $"emb", threshold = 0.95)
+      .where(col("idB") === col("idA") + 10000L).count()
+    assert(found >= 190, s"recall ${found / 200.0} below 0.95")
   }
 
   test("dropSpans: flagged token ranges removed, untouched docs pass through") {

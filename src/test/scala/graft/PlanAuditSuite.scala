@@ -224,20 +224,21 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(plan.length < 6000, s"plan grows with nlist (len=${plan.length})")
   }
 
-  test("semanticDedup candidates exchange on (cluster, bucket), not cluster alone") {
+  test("semanticDedup candidates join on (cluster, band, bits), not cluster alone") {
     // the in-cluster banding is only real if the physical join key carries
-    // the LSH bucket: a cluster-only exchange would re-create the O(s²)
+    // the LSH band key: a cluster-only join would re-create the O(s²)
     // blow-up while every row-level test still passes
     val rows = spark.range(100).selectExpr(
       "id", "cast(id % 3 as int) as cluster",
       "array(cast(id as float), cast(id + 1 as float)) as emb")
-    val plan = graft.ml.Dedup.clusterBandedPairs(rows, planes = 16)
+    val plan = graft.ml.Dedup.clusterBandedPairs(rows, threshold = 0.95)
       .queryExecution.executedPlan.toString
     val joinKeys = "(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[([^\\]]*)\\]".r
       .findAllMatchIn(plan).map(_.group(1)).toSeq
     assert(joinKeys.nonEmpty, s"no equi-join in the candidate plan:\n$plan")
-    assert(joinKeys.forall(k => k.contains("cluster") && k.contains("bucket")),
-      s"candidate join lost the bucket key: $joinKeys")
+    assert(joinKeys.forall(k =>
+        k.contains("cluster") && k.contains("band") && k.contains("bits")),
+      s"candidate join lost the band key: $joinKeys")
   }
 
   test("MERGE never plans an Expand — phase-1 distincts are rollup sums") {
@@ -266,15 +267,21 @@ class PlanAuditSuite extends AnyFunSuite {
         .whenMatched().delete()
         .whenNotMatched().insertAll()
         .execute()
-      // QueryExecutionListener delivery is async on the listener bus; the
-      // post-merge read below runs through the same bus, so by the time
-      // ITS plan is captured the merge plans are in. Poll briefly.
-      val deadline = System.nanoTime() + 10_000_000_000L
-      while (plans.synchronized(plans.isEmpty) && System.nanoTime() < deadline)
+      // QueryExecutionListener delivery is async but ordered: run a
+      // marker query AFTER the merge and wait until ITS plan shows up —
+      // at that point every merge plan is guaranteed captured (polling
+      // for merely plans.nonEmpty could exit with later merge plans,
+      // including the phase-1 aggregate, still queued on the bus).
+      spark.range(424243).filter($"id" === 424242L).count()
+      val deadline = System.nanoTime() + 30_000_000_000L
+      def markerSeen: Boolean =
+        plans.synchronized(plans.exists(_.contains("424242")))
+      while (!markerSeen && System.nanoTime() < deadline)
         Thread.sleep(50)
+      assert(markerSeen, "listener never delivered the marker plan")
     } finally spark.listenerManager.unregister(listener)
     val captured = plans.synchronized(plans.toList)
-    assert(captured.nonEmpty, "listener captured no merge plans")
+    assert(captured.size > 1, "listener captured no merge plans")
     val expanded = captured.filter(_.contains("Expand"))
     assert(expanded.isEmpty,
       s"merge planned an Expand:\n${expanded.headOption.getOrElse("")}")

@@ -51,7 +51,7 @@ class StreamingMatrixSuite extends AnyFunSuite {
         .writeStream.format("graft").option("path", out)
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "drain timed out")
     }
 
     // Initial snapshot: post-delete state, DVs applied in-snapshot.
@@ -94,7 +94,7 @@ class StreamingMatrixSuite extends AnyFunSuite {
         .option("checkpointLocation", ckpt)
         .option("mergeSchema", "true")
         .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "drain timed out")
     }
     def byType(): Map[String, Long] = Graft.read(spark, out)
       .groupBy("_change_type").count()
