@@ -20,8 +20,9 @@ def _jcol(c):
 
 
 def semantic_dedup(df, id, emb, k, threshold=0.95, max_iter=10,
-                   max_cluster_size=10000, planes=16):
-    """SemDeDup: k-means buckets + in-cluster LSH-banded cosine pairs.
+                   max_cluster_size=10000, planes=12):
+    """SemDeDup: k-means buckets + in-cluster multi-band LSH cosine pairs
+    (planes hyperplanes per band; band count derived from threshold).
     Returns (id, cluster, is_dup, skipped_cluster)."""
     spark = df.sparkSession
     jdf = spark._sc._jvm.graft.ml.Dedup.semanticDedup(
