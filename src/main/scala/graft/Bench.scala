@@ -44,11 +44,15 @@ object Bench {
           .whenMatched().updateAll().whenNotMatched().insertAll().execute()
       } catch { case _: Throwable => }
     }
+    // A throwing query records -1, never its near-zero wall time: a
+    // crashed query contributing ~0 s would read as a phantom speedup in
+    // total/value_norm and mask the breakage (same poisoning as the
+    // control below).
     def time1(name: String): Double = {
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
     // Ambience control: a fixed raw-parquet scan+agg with zero graft
     // involvement, timed at both ends of the run. Host-ambience swings

@@ -1302,9 +1302,10 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
-    // Jittered copies keep cosine ~1 and at most flip one hyperplane sign
-    // (float rounding near a zero projection), which the 1-bit multi-probe
-    // covers — so every planted pair is found deterministically.
+    // Jittered copies are positive scalings (cosine exactly 1), so every
+    // band's sign-bit signature is IDENTICAL for the pair — any single
+    // band match suffices and every planted pair is found
+    // deterministically regardless of the band count.
     "dedup_embedding" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val jittered = e.select((col("vec_id") + 100000).as("vec_id"),
@@ -1349,6 +1350,7 @@ object SparkEntry {
     // neighbors (jittered copies of the query vectors, cosine ~1) in the
     // corpus: the LSH top-2 for each query must be {self, jittered self}
     // (everything else is near-orthogonal random data), and multi-probe
+    // (the ANN path keeps the single-signature + 1-bit-probe design)
     // guarantees the jittered copy is a candidate even if float rounding
     // flips one hyperplane sign. The output set is fully deterministic.
     "ann_lsh" -> ((s, dir) => {

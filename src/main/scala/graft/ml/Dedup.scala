@@ -415,27 +415,32 @@ object Dedup {
   /** Embedding near-dup pairs by cosine similarity over multi-band
     * sign-bit LSH (the minhash-banding recipe applied to hyperplane
     * signatures): each vector emits one bucket key per independent band
-    * of `planes` hyperplanes, a pair is a candidate if ANY band matches
-    * exactly, and the band count derives from `threshold` so recall of
-    * true pairs AT the threshold is ~98% ([[bandsFor]] — a single wide
-    * signature with 1-bit probes, the previous design, lost ~half the
-    * cosine-0.95 pairs because they flip >=2 of 16 sign bits). Cosine
-    * verification is the codegen'd
+    * of `planesPerBand` hyperplanes (NOTE: per-band width, not the old
+    * total-signature width — passing the previous 16-plane default here
+    * would band 16-wide and cost extra key replication for nothing), a
+    * pair is a candidate if ANY band matches exactly, and the band count
+    * derives from `threshold` so recall of true pairs AT the threshold
+    * is ~98% for thresholds >= 0.9 ([[bandsFor]]; below 0.9 the band cap
+    * truncates the bound — a single wide signature with 1-bit probes,
+    * the previous design, lost ~half the cosine-0.95 pairs because they
+    * flip >=2 of 16 sign bits). Cosine verification is the codegen'd
     * [[graft.expressions.CosineSimilarity]] kernel. */
   def embeddingPairs(
       df: DataFrame,
       id: Column,
       embedding: Column,
       threshold: Double = 0.95,
-      planes: Int = 12): DataFrame = {
+      planesPerBand: Int = 12): DataFrame = {
     val members = df.select(lit(0).as("cluster"), id.as("id"),
       embedding.cast("array<float>").as("emb"))
       .where(col("emb").isNotNull)
-    clusterBandedPairs(members, threshold, planes)
+    clusterBandedPairs(members, threshold, planesPerBand)
       .select(col("idA"), col("idB"),
         Similarity.cosine(col("embA"), col("embB")).as("cosine"))
-      .distinct()
+      // filter BEFORE distinct: the dedup shuffle then carries only
+      // verified pairs, not every banded candidate
       .where(col("cosine") >= threshold)
+      .distinct()
   }
 
   /** Independent sign-bit bands needed so a pair at cosine exactly
@@ -443,13 +448,15 @@ object Dedup {
     * each of a band's `planesPerBand` random hyperplanes separates the
     * pair with p = acos(threshold)/pi, the band matches with
     * m = (1-p)^planes, and missing every one of R bands is (1-m)^R.
-    * Capped at `maxBands` — at very low thresholds banding cannot hold
-    * the recall bound within the cap; callers needing cosine << 0.9
-    * should shrink `planesPerBand` (coarser, hotter buckets) instead. */
+    * The default cap (24 bands) holds the 2% miss bound down to
+    * threshold = 0.9 at 12 planes/band; BELOW 0.9 the cap truncates and
+    * recall degrades — callers needing low-cosine pairs should shrink
+    * `planesPerBand` (coarser, hotter buckets) instead of trusting the
+    * bound. */
   private[graft] def bandsFor(
       threshold: Double,
       planesPerBand: Int,
-      maxBands: Int = 16): Int = {
+      maxBands: Int = 24): Int = {
     val t = math.max(-1.0, math.min(threshold, 0.999999))
     val p = math.acos(t) / math.Pi
     val m = math.pow(1.0 - p, planesPerBand)
@@ -475,7 +482,8 @@ object Dedup {
    * WITHIN each k-means cluster — so a hot cluster of size s costs
    * O(s · bands · avg-bucket-size) candidate rows, not O(s²), with the
    * band count derived from `threshold` to hold ~98% recall of true
-   * pairs AT the threshold ([[bandsFor]]). Clusters above
+   * pairs AT the threshold for thresholds >= 0.9 ([[bandsFor]]; below
+   * that the band cap truncates the bound). Clusters above
    * `maxClusterSize` (an embedding-collapse pathology even with
    * banding — one degenerate direction = one hot bucket) skip pair
    * generation; their members come back with `is_dup = null` and
@@ -490,7 +498,7 @@ object Dedup {
       threshold: Double = 0.95,
       maxIter: Int = 10,
       maxClusterSize: Int = 10000,
-      planes: Int = 12): DataFrame = {
+      planesPerBand: Int = 12): DataFrame = {
     val assigned = Clustering.kMeans(df, id, emb, k, maxIter)
     val base = df.select(id.as("id"), emb.cast("array<float>").as("emb"))
       .where(col("emb").isNotNull)
@@ -501,7 +509,7 @@ object Dedup {
     val skippedC = sizes.where(col("__n") > maxClusterSize)
       .select(col("cluster"), lit(true).as("__skip"))
     val members = withC.join(broadcast(okC), Seq("cluster"))
-    val pairs = clusterBandedPairs(members, threshold, planes)
+    val pairs = clusterBandedPairs(members, threshold, planesPerBand)
       .where(Similarity.cosine(col("embA"), col("embB")) >= threshold)
       .select("idA", "idB").distinct()
     val families = Clustering.dedupClusters(pairs)
@@ -532,10 +540,16 @@ object Dedup {
       threshold: Double,
       planesPerBand: Int = 12): DataFrame = {
     val bands = bandsFor(threshold, planesPerBand)
+    // Band seeds spaced by the 64-bit golden ratio: the hyperplane
+    // components mix `seed ^ (plane*1000003 + dim)`, so ADJACENT seeds
+    // would make each band a local dim-permutation of band 0 — correlated
+    // bands whose signatures agree or disagree together on embeddings
+    // with locally correlated components (pooled/smooth features),
+    // collapsing the (1-m)^R recall model to a single band's.
     val keys = array((0 until bands).map(b =>
       struct(lit(b).as("band"),
         Similarity.hyperplaneBucket(col("emb"), planesPerBand,
-          Similarity.defaultSeed + b).as("bits"))): _*)
+          Similarity.defaultSeed + b * 0x9E3779B97F4A7C15L).as("bits"))): _*)
     val withKey = members.select(col("cluster"), col("id"), col("emb"),
         explode(keys).as("__bk"))
       .select(col("cluster"), col("id"), col("emb"),

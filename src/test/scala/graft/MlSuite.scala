@@ -201,7 +201,7 @@ class MlSuite extends AnyFunSuite {
     }
   }
 
-  test("embeddingPairs finds jittered duplicates via multi-probe") {
+  test("embeddingPairs finds jittered duplicates via band agreement") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(100)
     val jittered = e.select(($"vec_id" + 100000).as("vec_id"),
@@ -801,11 +801,9 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
 
   test("semanticDedup scale probe: hot-cluster candidates << size^2") {
     import spark.implicits._
-    // One fabricated hot cluster (k=1 forces it): 2000 random vectors.
-    // All-pairs would be ~2M candidate rows; banding over 2^16 buckets
-    // with 17x multi-probe must stay orders of magnitude below that.
-    // 32-dim vectors: in very low dims the sign-bit buckets skew (planes
-    // lose independence), so the probe uses a realistic embedding width;
+    // One fabricated hot cluster (k=1 forces it) of 2000 random 32-dim
+    // vectors: in very low dims the sign-bit buckets skew (planes lose
+    // independence), so the probe uses a realistic embedding width;
     // multi-band LSH (12 planes/band, bands from the 0.95 threshold) must
     // cut the ~2M all-pairs by >= 50x.
     val rnd = new scala.util.Random(11)
