@@ -844,6 +844,41 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
     assert(found >= 190, s"recall ${found / 200.0} below 0.95")
   }
 
+  test("embeddingPairs recall holds for locally-correlated embeddings") {
+    import spark.implicits._
+    // Smooth vectors (moving-average of a gaussian walk): adjacent
+    // components correlate, the regime where dim-permuted (= correlated)
+    // bands would agree or disagree TOGETHER and recall would collapse
+    // toward a single band's. With golden-ratio-spaced band seeds the
+    // bands stay independent and the ~98% calibration holds; iid-gaussian
+    // tests cannot catch a seed-correlation regression.
+    val rnd = new scala.util.Random(31)
+    val alpha = math.acos(0.955)
+    def smooth(): Array[Double] = {
+      val raw = Array.fill(36)(rnd.nextGaussian())
+      (0 until 32).map(i => raw(i) + raw(i + 1) + raw(i + 2) + raw(i + 3))
+        .toArray
+    }
+    val pairs = (0 until 200).map { i =>
+      val v0 = smooth()
+      val nv = math.sqrt(v0.map(x => x * x).sum)
+      val v = v0.map(_ / nv)
+      // orthogonalized SMOOTH noise, so the jitter is correlated too
+      val u0 = smooth()
+      val d = u0.zip(v).map { case (a, b) => a * b }.sum
+      val uo = u0.zip(v).map { case (a, b) => a - d * b }
+      val nu = math.sqrt(uo.map(x => x * x).sum)
+      val w = v.zip(uo).map { case (vi, ui) =>
+        (math.cos(alpha) * vi + math.sin(alpha) * ui / nu).toFloat }
+      (i.toLong, v.map(_.toFloat), w)
+    }
+    val df = pairs.flatMap { case (i, v, w) =>
+      Seq((i, v), (i + 10000L, w)) }.toDF("id", "emb")
+    val found = Dedup.embeddingPairs(df, $"id", $"emb", threshold = 0.95)
+      .where(col("idB") === col("idA") + 10000L).count()
+    assert(found >= 185, s"correlated-component recall ${found / 200.0}")
+  }
+
   test("dropSpans: flagged token ranges removed, untouched docs pass through") {
     import spark.implicits._
     val docs = Seq(
