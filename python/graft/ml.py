@@ -59,6 +59,31 @@ def pack_sequences(df, id, token_count, seq_len, buckets=256):
     return DataFrame(jdf, spark)
 
 
+def build_embedding_index(df, id, emb, index_path, threshold=0.95,
+                          planes_per_band=12):
+    """Persist an embedding near-dup index (two graft tables) for
+    continuous-ingestion dedup."""
+    spark = df.sparkSession
+    spark._sc._jvm.graft.ml.Dedup.buildEmbeddingIndex(
+        df._jdf, _jcol(id), _jcol(emb), index_path, float(threshold),
+        int(planes_per_band))
+
+
+def dedup_embeddings_against_index(batch, id, emb, index_path,
+                                   threshold=0.95, planes_per_band=12,
+                                   update_index=False, max_bucket_size=10000):
+    """Dedup a new batch against a persisted embedding index; with
+    update_index=True the batch appends (pinned pre-append, so a batch
+    never matches itself). Returns (id, is_dup)."""
+    spark = batch.sparkSession
+    none = spark._sc._jvm.scala.Option.empty()
+    jdf = spark._sc._jvm.graft.ml.Dedup.dedupEmbeddingsAgainstIndex(
+        batch._jdf, _jcol(id), _jcol(emb), index_path, float(threshold),
+        int(planes_per_band), bool(update_index), int(max_bucket_size),
+        none, none)
+    return DataFrame(jdf, spark)
+
+
 class NgramLm:
     """CCNet-style bigram language model: train on a reference corpus,
     score documents by cross-entropy, bucket head/middle/tail."""

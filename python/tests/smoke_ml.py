@@ -10,8 +10,11 @@ REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
 sys.path.insert(0, os.path.join(REPO, "python"))
 
 from pyspark.sql import SparkSession  # noqa: E402
+import tempfile  # noqa: E402
+
 from graft.ml import (semantic_dedup, duplicate_spans, drop_spans,  # noqa: E402
-                      pack_sequences, NgramLm)
+                      pack_sequences, NgramLm, build_embedding_index,
+                      dedup_embeddings_against_index)
 
 
 def _spark():
@@ -73,6 +76,16 @@ def test_ml_surface():
         "id", "text").collect()}
     assert scored[1] < scored[2], scored
     lm.unpersist()
+
+    # embedding index: jittered copy of an indexed vector flags as dup
+    idx = tempfile.mkdtemp(prefix="graft-py-embidx")
+    build_embedding_index(emb, "id", "emb", idx, threshold=0.999)
+    batch = spark.createDataFrame(
+        [(100, [1.0001, 0.0, 0.0]), (101, [0.0, 0.0, -1.0])],
+        "id long, emb array<float>")
+    flags = {r["id"]: r["is_dup"] for r in dedup_embeddings_against_index(
+        batch, "id", "emb", idx, threshold=0.999).collect()}
+    assert flags == {100: True, 101: False}, flags
 
     spark.stop()
     print("PY-ML-SMOKE PASS")

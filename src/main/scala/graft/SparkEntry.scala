@@ -1275,6 +1275,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Continuous-ingestion EMBEDDING dedup: corpus -> persisted band-key
+    // index (two graft tables), then a NEW batch joins only the touched
+    // buckets. Positive scalings (x1.0001, vec_id+100000) keep every
+    // band's sign bits identical -> dup; negations (x-1, vec_id+200000)
+    // have cosine -1 -> not dup even when buckets collide. The batch also
+    // APPENDS to the index; time-travel pinning keeps the result computed
+    // against the pre-append state.
+    "dedup_embedding_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val idx = tmp("embidx")
+      Dedup.buildEmbeddingIndex(e, col("vec_id"), col("embedding"), idx,
+        threshold = 0.999)
+      val dup = e.select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"), v => v * 1.0001f).as("embedding"))
+      val novel = e.select((col("vec_id") + 200000).as("vec_id"),
+        transform(col("embedding"), v => v * -1.0f).as("embedding"))
+      Dedup.dedupEmbeddingsAgainstIndex(dup.unionByName(novel),
+        col("vec_id"), col("embedding"), idx, threshold = 0.999,
+        updateIndex = true)
+        .select(col("id").as("vec_id"), col("is_dup"))
+        .orderBy("vec_id")
+    }),
+
     // Same planted-exact-duplicate scheme as dedup_minhash_lsh: identical
     // text -> identical fingerprint -> hamming 0 in every band.
     "dedup_simhash" -> ((s, dir) => {
@@ -2765,6 +2788,12 @@ object SparkEntry {
          UNION ALL
          SELECT doc_id + 200000 AS doc_id, FALSE AS is_dup FROM documents
          ORDER BY doc_id""",
+
+    "dedup_embedding_index" ->
+      """SELECT vec_id + 100000 AS vec_id, TRUE AS is_dup FROM embeddings
+         UNION ALL
+         SELECT vec_id + 200000 AS vec_id, FALSE AS is_dup FROM embeddings
+         ORDER BY vec_id""",
 
     "dedup_simhash" ->
       """SELECT doc_id AS idA, doc_id + 100000 AS idB, CAST(0 AS INT) AS hamming

@@ -535,21 +535,26 @@ object Dedup {
     * `(cluster, id, emb)`; output carries `(idA, embA, idB, embB)` with
     * `idA < idB`, possibly with repeats (one per agreeing band — callers
     * dedup after filtering). */
+  /** One `(band, bits)` struct per independent sign-bit band. Band seeds
+    * are spaced by the 64-bit golden ratio: the hyperplane components mix
+    * `seed ^ (plane*1000003 + dim)`, so ADJACENT seeds would make each
+    * band a local dim-permutation of band 0 — correlated bands whose
+    * signatures agree or disagree together on embeddings with locally
+    * correlated components (pooled/smooth features), collapsing the
+    * (1-m)^R recall model to a single band's. */
+  private def bandKeyArray(
+      emb: Column, bands: Int, planesPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        Similarity.hyperplaneBucket(emb, planesPerBand,
+          Similarity.defaultSeed + b * 0x9E3779B97F4A7C15L).as("bits"))): _*)
+
   private[graft] def clusterBandedPairs(
       members: DataFrame,
       threshold: Double,
       planesPerBand: Int = 12): DataFrame = {
     val bands = bandsFor(threshold, planesPerBand)
-    // Band seeds spaced by the 64-bit golden ratio: the hyperplane
-    // components mix `seed ^ (plane*1000003 + dim)`, so ADJACENT seeds
-    // would make each band a local dim-permutation of band 0 — correlated
-    // bands whose signatures agree or disagree together on embeddings
-    // with locally correlated components (pooled/smooth features),
-    // collapsing the (1-m)^R recall model to a single band's.
-    val keys = array((0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        Similarity.hyperplaneBucket(col("emb"), planesPerBand,
-          Similarity.defaultSeed + b * 0x9E3779B97F4A7C15L).as("bits"))): _*)
+    val keys = bandKeyArray(col("emb"), bands, planesPerBand)
     val withKey = members.select(col("cluster"), col("id"), col("emb"),
         explode(keys).as("__bk"))
       .select(col("cluster"), col("id"), col("emb"),
@@ -560,6 +565,115 @@ object Dedup {
       col("id").as("idB"), col("emb").as("embB"))
     a.join(b, Seq("cluster", "band", "bits")).where(col("idA") < col("idB"))
       .select("idA", "embA", "idB", "embB")
+  }
+
+  /**
+   * Persist an embedding near-dup index for continuous-ingestion dedup —
+   * the [[buildMinHashIndex]] recipe applied to the multi-band sign-bit
+   * LSH: two graft tables under `indexPath`, `embs` (id, emb) and
+   * `bands` (band, bits, id) partitioned by band. `threshold` and
+   * `planesPerBand` are part of the index's identity (they fix the band
+   * count and every bucket key), so they are recorded as table
+   * properties and validated on every use — a batch deduped with
+   * mismatched banding is an error, not silent recall loss.
+   */
+  def buildEmbeddingIndex(
+      df: DataFrame,
+      id: Column,
+      emb: Column,
+      indexPath: String,
+      threshold: Double = 0.95,
+      planesPerBand: Int = 12): Unit = {
+    val params = Map(
+      "graft.emblsh.threshold" -> threshold.toString,
+      "graft.emblsh.planesPerBand" -> planesPerBand.toString)
+    val base = df.select(id.as("id"), emb.cast("array<float>").as("emb"))
+      .where(col("emb").isNotNull)
+    graft.Graft.write(base, s"$indexPath/embs", mode = "overwrite",
+      configuration = params)
+    graft.Graft.write(embBandKeys(base, threshold, planesPerBand),
+      s"$indexPath/bands", mode = "overwrite", partitionBy = Seq("band"),
+      configuration = params)
+  }
+
+  /** The index's band-key projection: (band, bits, id) per band. */
+  private def embBandKeys(
+      base: DataFrame, threshold: Double, planesPerBand: Int): DataFrame =
+    base.select(col("id"),
+        explode(bandKeyArray(col("emb"),
+          bandsFor(threshold, planesPerBand), planesPerBand)).as("__bk"))
+      .select(col("__bk.band").as("band"), col("__bk.bits").as("bits"),
+        col("id"))
+
+  /**
+   * Dedup a NEW batch of embeddings against the persisted index: the
+   * batch's band keys join only the index buckets the batch touches
+   * (broadcast narrow first — per-batch cost scales with the batch, not
+   * corpus × bands), a hot-bucket guard drops degenerate buckets whole,
+   * and candidates verify with exact cosine against the pinned
+   * pre-append `embs` table. Returns `(id, is_dup)` for every batch row
+   * with a non-null embedding. With `updateIndex=true` the batch appends
+   * to both tables, time-travel-pinned so a batch never matches itself;
+   * `txnAppId`/`txnVersion` make the append exactly-once under retries,
+   * and current-batch ids are anti-joined out so a retry that re-reads
+   * its own earlier append cannot self-match (same healing semantics as
+   * [[dedupAgainstIndex]]).
+   */
+  def dedupEmbeddingsAgainstIndex(
+      batch: DataFrame,
+      id: Column,
+      emb: Column,
+      indexPath: String,
+      threshold: Double = 0.95,
+      planesPerBand: Int = 12,
+      updateIndex: Boolean = false,
+      maxBucketSize: Int = 10000,
+      txnAppId: Option[String] = None,
+      txnVersion: Option[Long] = None): DataFrame = {
+    val spark = batch.sparkSession
+    val bandsPath = s"$indexPath/bands"
+    val embsPath = s"$indexPath/embs"
+    val bSnap = graft.log.GraftLog.forTable(spark, bandsPath).update()
+    val bv = bSnap.version
+    val ev = graft.log.GraftLog.forTable(spark, embsPath).update().version
+    val conf = bSnap.metadata.configuration
+    Seq("threshold" -> threshold.toString,
+      "planesPerBand" -> planesPerBand.toString).foreach { case (k, v) =>
+      conf.get(s"graft.emblsh.$k").foreach(stored => require(stored == v,
+        s"index at $indexPath was built with $k=$stored, called with $v — " +
+          "mismatched banding would silently miss every duplicate"))
+    }
+    val idx0 = graft.Graft.readVersion(spark, bandsPath, bv)
+      .select(col("band"), col("bits"), col("id").as("cid"))
+    val corpusEmbs = graft.Graft.readVersion(spark, embsPath, ev)
+      .select(col("id").as("cid"), col("emb").as("cemb"))
+    val base = batch.select(id.as("id"), emb.cast("array<float>").as("emb"))
+      .where(col("emb").isNotNull)
+    val newKeys = embBandKeys(base, threshold, planesPerBand)
+    val touched = newKeys.select(col("band"), col("bits")).distinct()
+    val idxTouched = idx0.join(broadcast(touched), Seq("band", "bits"))
+    val hot = idxTouched.groupBy(col("band"), col("bits"))
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucketSize)
+      .select(col("band"), col("bits"))
+    val idx = idxTouched.join(broadcast(hot), Seq("band", "bits"), "left_anti")
+    val batchIds = base.select(col("id").as("cid")).distinct()
+    val cand = newKeys.join(idx, Seq("band", "bits"))
+      .join(batchIds, Seq("cid"), "left_anti")
+      .select(col("id"), col("cid")).distinct()
+    val verified = cand
+      .join(base.select(col("id"), col("emb")), "id")
+      .join(corpusEmbs, "cid")
+      .where(Similarity.cosine(col("emb"), col("cemb")) >= threshold)
+      .select("id").distinct()
+    if (updateIndex) {
+      graft.Graft.write(base, embsPath,
+        txnAppId = txnAppId, txnVersion = txnVersion)
+      graft.Graft.write(newKeys, bandsPath, partitionBy = Seq("band"),
+        txnAppId = txnAppId, txnVersion = txnVersion)
+    }
+    base.select(col("id"))
+      .join(verified.withColumn("is_dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 
   /**

@@ -844,6 +844,58 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
     assert(found >= 190, s"recall ${found / 200.0} below 0.95")
   }
 
+  test("embedding index: batch dedup, self-match pinning, retry healing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val corpus = (0L until 50L).map(i => (i, vec())).toDF("id", "emb")
+    val idx = java.nio.file.Files.createTempDirectory("embidx").toString
+    Dedup.buildEmbeddingIndex(corpus, $"id", $"emb", idx, threshold = 0.999)
+    // batch: jittered copies (dup), negations (cosine -1, not dup), and
+    // a within-batch near-dup family that must NOT flag (index is "the
+    // corpus before this batch")
+    val dup = corpus.select(($"id" + 100L).as("id"),
+      transform($"emb", v => v * 1.0001f).as("emb"))
+    val anti = corpus.select(($"id" + 200L).as("id"),
+      transform($"emb", v => v * -1.0f).as("emb"))
+    val fresh = Seq((300L, vec())).toDF("id", "emb")
+    val family = fresh.unionByName(
+      fresh.select(($"id" + 1).as("id"),
+        transform($"emb", v => v * 1.0001f).as("emb")))
+    val batch = dup.unionByName(anti).unionByName(family)
+    val got = Dedup.dedupEmbeddingsAgainstIndex(batch, $"id", $"emb", idx,
+      threshold = 0.999, updateIndex = true,
+      txnAppId = Some("embidx-test"), txnVersion = Some(1L))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got.size === 102)
+    (0L until 50L).foreach { i =>
+      assert(got(i + 100L), s"jittered $i not flagged")
+      assert(!got(i + 200L), s"negated $i wrongly flagged")
+    }
+    assert(!got(300L) && !got(301L), "within-batch family flagged itself")
+    // RETRY the same batch (same txn id): the first append is skipped and
+    // current-batch ids are excluded, so the verdicts are identical even
+    // though the index now contains the batch's own rows
+    val retry = Dedup.dedupEmbeddingsAgainstIndex(batch, $"id", $"emb", idx,
+      threshold = 0.999, updateIndex = true,
+      txnAppId = Some("embidx-test"), txnVersion = Some(1L))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(retry === got, "retry changed verdicts")
+    // a SECOND batch sees the first batch's rows as corpus: a copy of a
+    // first-batch vector now flags
+    val copyOfBatch = dup.limit(1).select(($"id" + 300L).as("id"), $"emb")
+    val got2 = Dedup.dedupEmbeddingsAgainstIndex(copyOfBatch,
+      $"id", $"emb", idx, threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got2.values.forall(_ == true), s"appended rows not indexed: $got2")
+    // mismatched banding parameters refuse loudly
+    val err = intercept[IllegalArgumentException] {
+      Dedup.dedupEmbeddingsAgainstIndex(batch, $"id", $"emb", idx,
+        threshold = 0.95).collect()
+    }
+    assert(err.getMessage.contains("mismatched banding"), err.getMessage)
+  }
+
   test("embeddingPairs recall holds for locally-correlated embeddings") {
     import spark.implicits._
     // Smooth vectors (moving-average of a gaussian walk): adjacent
