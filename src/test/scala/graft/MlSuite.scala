@@ -201,6 +201,45 @@ class MlSuite extends AnyFunSuite {
     }
   }
 
+  test("embedding index dedup: hot-bucket guard and batch-scaled index scan") {
+    import spark.implicits._
+    // 30 identical vectors form a hot bucket in EVERY band; the guard
+    // must drop it whole while a normal duplicate still flags
+    val hotV = Array(1.0f, 0.5f, 0.25f, 0.125f)
+    val normV = Array(-0.3f, 0.9f, -0.7f, 0.2f)
+    val corpus = ((0 until 30).map(i => (100L + i, hotV)) :+ ((1L, normV)))
+      .toDF("id", "emb")
+    val idx = java.nio.file.Files.createTempDirectory("graft-embhot").toString
+    Dedup.buildEmbeddingIndex(corpus, $"id", $"emb", idx, threshold = 0.999)
+    val batch = Seq((200L, hotV), (201L, normV)).toDF("id", "emb")
+    val res = Dedup.dedupEmbeddingsAgainstIndex(batch, $"id", $"emb", idx,
+      threshold = 0.999, maxBucketSize = 10)
+    val got = res.as[(Long, Boolean)].collect().toMap
+    assert(got === Map(200L -> false, 201L -> true))
+    // Scale shape: same contract as the minhash index — no aggregate may
+    // consume the index's bands table without first narrowing through the
+    // batch's touched-bucket join
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def isBandsRelation(r: LogicalRelation): Boolean = r.relation match {
+      case h: HadoopFsRelation =>
+        h.location.rootPaths.exists(_.toString.contains("/bands"))
+      case _ => false
+    }
+    def scansBands(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collectFirst {
+        case r: LogicalRelation if isBandsRelation(r) => r
+      }.isDefined
+    val aggs = res.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if scansBands(a.child) => a
+    }
+    assert(aggs.nonEmpty, "expected aggregates over the index path in the plan")
+    aggs.foreach { a =>
+      assert(a.child.collectFirst { case j: Join => j }.isDefined,
+        s"aggregate consumes the full bands table with no batch join below:\n$a")
+    }
+  }
+
   test("embeddingPairs finds jittered duplicates via band agreement") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(100)
