@@ -71,16 +71,23 @@ def build_embedding_index(df, id, emb, index_path, threshold=0.95,
 
 def dedup_embeddings_against_index(batch, id, emb, index_path,
                                    threshold=0.95, planes_per_band=12,
-                                   update_index=False, max_bucket_size=10000):
+                                   update_index=False, max_bucket_size=10000,
+                                   txn_app_id=None, txn_version=None):
     """Dedup a new batch against a persisted embedding index; with
     update_index=True the batch appends (pinned pre-append, so a batch
-    never matches itself). Returns (id, is_dup)."""
+    never matches itself). Pass txn_app_id/txn_version to make the append
+    exactly-once under retries. Returns (id, is_dup)."""
     spark = batch.sparkSession
-    none = spark._sc._jvm.scala.Option.empty()
-    jdf = spark._sc._jvm.graft.ml.Dedup.dedupEmbeddingsAgainstIndex(
+    jvm = spark._sc._jvm
+
+    def opt(v, conv):
+        return jvm.scala.Option.empty() if v is None \
+            else jvm.scala.Some(conv(v))
+    jdf = jvm.graft.ml.Dedup.dedupEmbeddingsAgainstIndex(
         batch._jdf, _jcol(id), _jcol(emb), index_path, float(threshold),
         int(planes_per_band), bool(update_index), int(max_bucket_size),
-        none, none)
+        opt(txn_app_id, str),
+        opt(txn_version, lambda v: jvm.java.lang.Long.valueOf(int(v))))
     return DataFrame(jdf, spark)
 
 

@@ -242,11 +242,93 @@ object Dedup {
       "graft.minhash.bands" -> bands.toString,
       "graft.minhash.shingleSize" -> shingleSize.toString)
     val sigs = sigArray(df, id, text, numHashes, shingleSize)
-    graft.Graft.write(sigs, s"$indexPath/sigs", mode = "overwrite",
-      configuration = params)
-    graft.Graft.write(bucketsOf(sigs, numHashes, bands),
-      s"$indexPath/buckets", mode = "overwrite", partitionBy = Seq("band"),
-      configuration = params)
+    writeIndexTable(sigs, s"$indexPath/sigs", params)
+    writeIndexTable(bucketsOf(sigs, numHashes, bands),
+      s"$indexPath/buckets", params, partitionBy = Seq("band"))
+  }
+
+  /** Overwrite an index table AND force its identity properties current:
+    * overwriting an EXISTING graft table keeps the old table properties
+    * (configuration applies only at creation), so a rebuild-in-place with
+    * different banding would leave stale parameters that either refuse
+    * correct calls or — worse — validate calls whose keys can never match
+    * the data. */
+  private def writeIndexTable(
+      df: DataFrame,
+      path: String,
+      params: Map[String, String],
+      partitionBy: Seq[String] = Nil): Unit = {
+    graft.Graft.write(df, path, mode = "overwrite",
+      configuration = params, partitionBy = partitionBy)
+    val spark = df.sparkSession
+    val stored = graft.log.GraftLog.forTable(spark, path).update()
+      .metadata.configuration
+    if (params.exists { case (k, v) => !stored.get(k).contains(v) })
+      graft.GraftTable.forPath(spark, path).upsertProperties(params)
+  }
+
+  /** The shared incremental-index dedup protocol — ONE implementation so
+    * the minhash and embedding modes can never diverge: pin both table
+    * versions pre-append, validate the recorded build parameters, narrow
+    * the index to the batch's touched buckets through a broadcast join,
+    * drop current-batch rows BEFORE the hot-bucket count (the index is
+    * "the corpus before this batch"; counting a retried append's own rows
+    * would inflate buckets past the cap and flip verdicts vs the first
+    * run), cap hot buckets, candidate-join, verify via the caller's
+    * predicate, optionally append exactly-once, and report (id, is_dup)
+    * for every batch row. */
+  private def indexDedupCore(
+      indexPath: String,
+      keysSub: String,
+      payloadSub: String,
+      keyCols: Seq[String],
+      expectedParams: Map[String, String],
+      batchKeys: DataFrame,
+      batchPayload: DataFrame,
+      maxBucketSize: Int,
+      updateIndex: Boolean,
+      txnAppId: Option[String],
+      txnVersion: Option[Long],
+      verify: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val spark = batchKeys.sparkSession
+    val keysPath = s"$indexPath/$keysSub"
+    val payloadPath = s"$indexPath/$payloadSub"
+    val kSnap = graft.log.GraftLog.forTable(spark, keysPath).update()
+    val kv = kSnap.version
+    val pv = graft.log.GraftLog.forTable(spark, payloadPath).update().version
+    val conf = kSnap.metadata.configuration
+    expectedParams.foreach { case (k, v) =>
+      conf.get(k).foreach(stored => require(stored == v,
+        s"index at $indexPath was built with ${k.split('.').last}=$stored, " +
+          s"called with $v — mismatched banding would silently miss " +
+          "every duplicate"))
+    }
+    val idx0 = graft.Graft.readVersion(spark, keysPath, kv)
+      .select(keyCols.map(col) :+ col("id").as("cid"): _*)
+    val corpusPayload = graft.Graft.readVersion(spark, payloadPath, pv)
+    val batchIds = batchKeys.select(col("id").as("cid")).distinct()
+    val touched = batchKeys.select(keyCols.map(col): _*).distinct()
+    val idxTouched = idx0.join(broadcast(touched), keyCols)
+      .join(batchIds, Seq("cid"), "left_anti")
+    val hot = idxTouched.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucketSize)
+      .select(keyCols.map(col): _*)
+    val idx = idxTouched.join(broadcast(hot), keyCols, "left_anti")
+    val cand = batchKeys.join(idx, keyCols)
+      .select(col("id"), col("cid")).distinct()
+    val verified = verify(cand, corpusPayload)
+    if (updateIndex) {
+      // Two tables, two commits: with a txn id the retry of a crashed
+      // update completes exactly the missing half (idempotent-writer
+      // watermarks are per table), healing the index.
+      graft.Graft.write(batchPayload, payloadPath,
+        txnAppId = txnAppId, txnVersion = txnVersion)
+      graft.Graft.write(batchKeys, keysPath, partitionBy = Seq("band"),
+        txnAppId = txnAppId, txnVersion = txnVersion)
+    }
+    batchPayload.select(col("id"))
+      .join(verified.withColumn("is_dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
   }
 
   /**
@@ -280,75 +362,32 @@ object Dedup {
       txnAppId: Option[String] = None,
       txnVersion: Option[Long] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val spark = batch.sparkSession
-    val bucketsPath = s"$indexPath/buckets"
-    val sigsPath = s"$indexPath/sigs"
-    val bSnap = graft.log.GraftLog.forTable(spark, bucketsPath).update()
-    val bv = bSnap.version
-    val sv = graft.log.GraftLog.forTable(spark, sigsPath).update().version
-    val conf = bSnap.metadata.configuration
-    Seq("numHashes" -> numHashes, "bands" -> bands,
-      "shingleSize" -> shingleSize).foreach { case (k, v) =>
-      conf.get(s"graft.minhash.$k").foreach(stored => require(stored == v.toString,
-        s"index at $indexPath was built with $k=$stored, called with $v — " +
-          "mismatched banding would silently miss every duplicate"))
-    }
-    val idx0 = graft.Graft.readVersion(spark, bucketsPath, bv)
-      .select(col("band"), col("bucket"), col("id").as("cid"))
-    val corpusSigs = graft.Graft.readVersion(spark, sigsPath, sv)
-      .select(col("id").as("cid"), col("sig").as("sigB"))
     // Signatures are a deterministic function of the text, so the frame
     // can be recomputed by each consumer without divergence (see the
-    // persist note at the top of this object).
+    // persist note at the top of this object). The hot-bucket guard,
+    // batch-scaled index narrowing, self-match exclusion, and
+    // exactly-once append live in [[indexDedupCore]], shared with the
+    // embedding index.
     val batchSigs = sigArray(batch, id, text, numHashes, shingleSize)
-    val newBuckets = bucketsOf(batchSigs, numHashes, bands)
-    // Hot-bucket skew guard, same semantics as [[minHashPairs]]: an
-    // index bucket holding a boilerplate family would join every batch
-    // member against every family member; oversized buckets drop whole
-    // (near-dups still collide in their other bands). Computed
-    // BATCH-SCALED: only buckets this batch touches can explode its
-    // join, and a bucket's membership count is identical whether counted
-    // over the full table or the touched subset (the filter is on the
-    // grouping key) — so the index scan narrows through a broadcast hash
-    // filter of the batch's buckets first, and the count aggregates
-    // touched rows only. Per-batch shuffle volume scales with the batch
-    // (plus linear hot-bucket membership), never with corpus x bands.
-    // Very large batches should chunk before calling (the touched-bucket
-    // set broadcasts).
-    val touched = newBuckets.select(col("band"), col("bucket")).distinct()
-    val idxTouched = idx0.join(broadcast(touched), Seq("band", "bucket"))
-    val hot = idxTouched.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("n")).where(col("n") > maxBucketSize)
-      .select(col("band"), col("bucket"))
-    val idx = idxTouched.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
-    // A retried batch whose first attempt already appended sees its OWN
-    // rows in the index. Excluding only same-id matches is not enough:
-    // within-batch near-dups A and B would flag each other on the retry
-    // (A matches cid=B) but not on the first run — a crash-then-retry
-    // could drop EVERY copy of a document family. The index is "the
-    // corpus before this batch", so anti-join out every current-batch id.
-    val batchIds = batchSigs.select(col("id").as("cid")).distinct()
-    val cand = newBuckets.join(idx, Seq("band", "bucket"))
-      .join(batchIds, Seq("cid"), "left_anti")
-      .select(col("id"), col("cid")).distinct()
     val agree = sigAgreement(numHashes)
-    val verified = cand
-      .join(batchSigs.select(col("id"), col("sig").as("sigA")), "id")
-      .join(corpusSigs, "cid")
-      .where((agree.cast("double") / numHashes) >= threshold)
-      .select("id").distinct()
-    if (updateIndex) {
-      // Two tables, two commits: with a txn id the retry of a crashed
-      // update completes exactly the missing half (idempotent-writer
-      // watermarks are per table), healing the index.
-      graft.Graft.write(batchSigs, sigsPath,
-        txnAppId = txnAppId, txnVersion = txnVersion)
-      graft.Graft.write(newBuckets, bucketsPath, partitionBy = Seq("band"),
-        txnAppId = txnAppId, txnVersion = txnVersion)
-    }
-    batchSigs.select(col("id"))
-      .join(verified.withColumn("is_dup", lit(true)), Seq("id"), "left")
-      .select(col("id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+    indexDedupCore(
+      indexPath, keysSub = "buckets", payloadSub = "sigs",
+      keyCols = Seq("band", "bucket"),
+      expectedParams = Map(
+        "graft.minhash.numHashes" -> numHashes.toString,
+        "graft.minhash.bands" -> bands.toString,
+        "graft.minhash.shingleSize" -> shingleSize.toString),
+      batchKeys = bucketsOf(batchSigs, numHashes, bands),
+      batchPayload = batchSigs,
+      maxBucketSize = maxBucketSize,
+      updateIndex = updateIndex,
+      txnAppId = txnAppId, txnVersion = txnVersion,
+      verify = (cand, corpusPayload) => cand
+        .join(batchSigs.select(col("id"), col("sig").as("sigA")), "id")
+        .join(corpusPayload.select(col("id").as("cid"), col("sig").as("sigB")),
+          "cid")
+        .where((agree.cast("double") / numHashes) >= threshold)
+        .select("id").distinct())
   }
 
   /** Banded-LSH candidate pairs by id only: same bucket-group shape as
@@ -525,16 +564,6 @@ object Dedup {
         coalesce(col("__skip"), lit(false)).as("skipped_cluster"))
   }
 
-  /** In-cluster multi-band LSH candidate pairs: every member emits one
-    * `(band, bits)` key per independent sign-bit band ([[bandsFor]] bands
-    * of `planesPerBand` hyperplanes, distinct seeds) and candidates join
-    * on `(cluster, band, bits)` — a pair survives if ANY band agrees,
-    * which holds ~98% recall at cosine = `threshold` while unrelated
-    * members spread over 2^planes buckets per band. Exposed at package
-    * scope so scale probes can count candidate rows directly. Input needs
-    * `(cluster, id, emb)`; output carries `(idA, embA, idB, embB)` with
-    * `idA < idB`, possibly with repeats (one per agreeing band — callers
-    * dedup after filtering). */
   /** One `(band, bits)` struct per independent sign-bit band. Band seeds
     * are spaced by the 64-bit golden ratio: the hyperplane components mix
     * `seed ^ (plane*1000003 + dim)`, so ADJACENT seeds would make each
@@ -549,6 +578,16 @@ object Dedup {
         Similarity.hyperplaneBucket(emb, planesPerBand,
           Similarity.defaultSeed + b * 0x9E3779B97F4A7C15L).as("bits"))): _*)
 
+  /** In-cluster multi-band LSH candidate pairs: every member emits one
+    * `(band, bits)` key per independent sign-bit band ([[bandsFor]] bands
+    * of `planesPerBand` hyperplanes, distinct seeds) and candidates join
+    * on `(cluster, band, bits)` — a pair survives if ANY band agrees,
+    * which holds ~98% recall at cosine = `threshold` while unrelated
+    * members spread over 2^planes buckets per band. Exposed at package
+    * scope so scale probes can count candidate rows directly. Input needs
+    * `(cluster, id, emb)`; output carries `(idA, embA, idB, embB)` with
+    * `idA < idB`, possibly with repeats (one per agreeing band — callers
+    * dedup after filtering). */
   private[graft] def clusterBandedPairs(
       members: DataFrame,
       threshold: Double,
@@ -589,11 +628,9 @@ object Dedup {
       "graft.emblsh.planesPerBand" -> planesPerBand.toString)
     val base = df.select(id.as("id"), emb.cast("array<float>").as("emb"))
       .where(col("emb").isNotNull)
-    graft.Graft.write(base, s"$indexPath/embs", mode = "overwrite",
-      configuration = params)
-    graft.Graft.write(embBandKeys(base, threshold, planesPerBand),
-      s"$indexPath/bands", mode = "overwrite", partitionBy = Seq("band"),
-      configuration = params)
+    writeIndexTable(base, s"$indexPath/embs", params)
+    writeIndexTable(embBandKeys(base, threshold, planesPerBand),
+      s"$indexPath/bands", params, partitionBy = Seq("band"))
   }
 
   /** The index's band-key projection: (band, bits, id) per band. */
@@ -630,50 +667,25 @@ object Dedup {
       maxBucketSize: Int = 10000,
       txnAppId: Option[String] = None,
       txnVersion: Option[Long] = None): DataFrame = {
-    val spark = batch.sparkSession
-    val bandsPath = s"$indexPath/bands"
-    val embsPath = s"$indexPath/embs"
-    val bSnap = graft.log.GraftLog.forTable(spark, bandsPath).update()
-    val bv = bSnap.version
-    val ev = graft.log.GraftLog.forTable(spark, embsPath).update().version
-    val conf = bSnap.metadata.configuration
-    Seq("threshold" -> threshold.toString,
-      "planesPerBand" -> planesPerBand.toString).foreach { case (k, v) =>
-      conf.get(s"graft.emblsh.$k").foreach(stored => require(stored == v,
-        s"index at $indexPath was built with $k=$stored, called with $v — " +
-          "mismatched banding would silently miss every duplicate"))
-    }
-    val idx0 = graft.Graft.readVersion(spark, bandsPath, bv)
-      .select(col("band"), col("bits"), col("id").as("cid"))
-    val corpusEmbs = graft.Graft.readVersion(spark, embsPath, ev)
-      .select(col("id").as("cid"), col("emb").as("cemb"))
     val base = batch.select(id.as("id"), emb.cast("array<float>").as("emb"))
       .where(col("emb").isNotNull)
-    val newKeys = embBandKeys(base, threshold, planesPerBand)
-    val touched = newKeys.select(col("band"), col("bits")).distinct()
-    val idxTouched = idx0.join(broadcast(touched), Seq("band", "bits"))
-    val hot = idxTouched.groupBy(col("band"), col("bits"))
-      .agg(count(lit(1)).as("n")).where(col("n") > maxBucketSize)
-      .select(col("band"), col("bits"))
-    val idx = idxTouched.join(broadcast(hot), Seq("band", "bits"), "left_anti")
-    val batchIds = base.select(col("id").as("cid")).distinct()
-    val cand = newKeys.join(idx, Seq("band", "bits"))
-      .join(batchIds, Seq("cid"), "left_anti")
-      .select(col("id"), col("cid")).distinct()
-    val verified = cand
-      .join(base.select(col("id"), col("emb")), "id")
-      .join(corpusEmbs, "cid")
-      .where(Similarity.cosine(col("emb"), col("cemb")) >= threshold)
-      .select("id").distinct()
-    if (updateIndex) {
-      graft.Graft.write(base, embsPath,
-        txnAppId = txnAppId, txnVersion = txnVersion)
-      graft.Graft.write(newKeys, bandsPath, partitionBy = Seq("band"),
-        txnAppId = txnAppId, txnVersion = txnVersion)
-    }
-    base.select(col("id"))
-      .join(verified.withColumn("is_dup", lit(true)), Seq("id"), "left")
-      .select(col("id"), coalesce(col("is_dup"), lit(false)).as("is_dup"))
+    indexDedupCore(
+      indexPath, keysSub = "bands", payloadSub = "embs",
+      keyCols = Seq("band", "bits"),
+      expectedParams = Map(
+        "graft.emblsh.threshold" -> threshold.toString,
+        "graft.emblsh.planesPerBand" -> planesPerBand.toString),
+      batchKeys = embBandKeys(base, threshold, planesPerBand),
+      batchPayload = base,
+      maxBucketSize = maxBucketSize,
+      updateIndex = updateIndex,
+      txnAppId = txnAppId, txnVersion = txnVersion,
+      verify = (cand, corpusPayload) => cand
+        .join(base.select(col("id"), col("emb")), "id")
+        .join(corpusPayload.select(col("id").as("cid"), col("emb").as("cemb")),
+          "cid")
+        .where(Similarity.cosine(col("emb"), col("cemb")) >= threshold)
+        .select("id").distinct())
   }
 
   /**

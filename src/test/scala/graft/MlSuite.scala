@@ -240,6 +240,41 @@ class MlSuite extends AnyFunSuite {
     }
   }
 
+  test("embedding index: retry cannot inflate hot-bucket counts; rebuild refreshes params") {
+    import spark.implicits._
+    // Corpus bucket at EXACTLY the cap, holding a true duplicate of the
+    // batch: the first appending run flags it; the retry re-reads an
+    // index that now contains the batch's own rows, and those must NOT
+    // count toward the cap (they are anti-joined as current-batch ids
+    // BEFORE the hot count) — otherwise the bucket trips the guard and
+    // the verdict silently flips false on retry.
+    val v = Array(0.6f, -0.8f, 0.1f, 0.3f)
+    val corpus = (0L until 10L).map(i => (i, v)).toDF("id", "emb")
+    val idx = java.nio.file.Files.createTempDirectory("embretry").toString
+    Dedup.buildEmbeddingIndex(corpus, $"id", $"emb", idx, threshold = 0.999)
+    val batch = Seq((100L, v.map(_ * 1.0001f))).toDF("id", "emb")
+    def run() = Dedup.dedupEmbeddingsAgainstIndex(batch, $"id", $"emb", idx,
+      threshold = 0.999, updateIndex = true, maxBucketSize = 10,
+      txnAppId = Some("embretry"), txnVersion = Some(1L))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(run() === Map(100L -> true), "first run")
+    assert(run() === Map(100L -> true), "retry flipped the verdict")
+    // Rebuild-in-place with DIFFERENT banding must refresh the recorded
+    // properties: calls with the new parameters succeed and find dups,
+    // calls with the old ones refuse.
+    Dedup.buildEmbeddingIndex(corpus, $"id", $"emb", idx,
+      threshold = 0.999, planesPerBand = 6)
+    val got = Dedup.dedupEmbeddingsAgainstIndex(batch, $"id", $"emb", idx,
+      threshold = 0.999, planesPerBand = 6)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(100L -> true), "rebuilt index lost the duplicate")
+    val err = intercept[IllegalArgumentException] {
+      Dedup.dedupEmbeddingsAgainstIndex(batch, $"id", $"emb", idx,
+        threshold = 0.999).collect() // default planesPerBand = 12, stale
+    }
+    assert(err.getMessage.contains("mismatched banding"), err.getMessage)
+  }
+
   test("embeddingPairs finds jittered duplicates via band agreement") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(100)
