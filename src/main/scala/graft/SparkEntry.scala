@@ -1665,6 +1665,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // URL-keyed dedup (RefinedWeb-style pre-dedup): synthetic URLs with
+    // mixed case, tracking params, unsorted query order, trailing slash
+    // and a fragment — doc_ids sharing (source, id%40, id%3, id%2)
+    // collapse to one canonical key; the lowest doc_id survives.
+    "pipeline_url_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val urls = d.select(col("doc_id"),
+        concat(lit("HTTPS://Example.COM/"), col("source"), lit("/Page"),
+          pmod(col("doc_id"), lit(40)),
+          lit("/?utm_source=feed&b="), pmod(col("doc_id"), lit(3)),
+          lit("&a="), pmod(col("doc_id"), lit(2)), lit("#frag")).as("url"))
+      Dedup.exact(
+          urls.withColumn("canonical_url",
+            graft.text.TextFunctions.canonicalizeUrl(col("url"))),
+          col("canonical_url"), col("doc_id"))
+        .select("doc_id", "canonical_url")
+        .orderBy("doc_id")
+    }),
+
     "pipeline_vocab_topk" -> ((s, dir) => {
       graft.text.TextFunctions.vocabTopK(
         t(s, dir, "documents"), col("doc_id"), col("text"), k = 100)
@@ -2658,6 +2677,34 @@ object SparkEntry {
              '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
              '[0-9]{7,}', '[NUM]', 'g')) AS scrub_md5
          FROM documents ORDER BY doc_id""",
+
+    "pipeline_url_dedup" ->
+      """WITH urls AS (
+           SELECT doc_id,
+             'HTTPS://Example.COM/' || source || '/Page' || (doc_id % 40)
+               || '/?utm_source=feed&b=' || (doc_id % 3)
+               || '&a=' || (doc_id % 2) || '#frag' AS url
+           FROM documents),
+         canon AS (
+           SELECT doc_id,
+             CASE WHEN len(p) > 0 THEN base || '?' || p
+                  ELSE base END AS canonical_url
+           FROM (
+             SELECT doc_id,
+               regexp_replace(regexp_extract(l, '^([^?]*)', 1), '/$', '')
+                 AS base,
+               array_to_string(list_sort(list_filter(
+                 string_split(regexp_extract(l, '\?(.*)$', 1), '&'),
+                 x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'fbclid')
+                   OR starts_with(x, 'gclid') OR x = ''))), '&') AS p
+             FROM (SELECT doc_id,
+                     lower(regexp_replace(url, '#.*$', '')) AS l
+                   FROM urls)))
+         SELECT doc_id, canonical_url FROM (
+           SELECT doc_id, canonical_url,
+             row_number() OVER (PARTITION BY canonical_url
+               ORDER BY doc_id) AS rn
+           FROM canon) WHERE rn = 1 ORDER BY doc_id""",
 
     "pipeline_vocab_topk" ->
       """SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df

@@ -215,6 +215,29 @@ object TextFunctions {
   }
 
   /**
+   * URL canonicalization for URL-keyed dedup (the RefinedWeb/CCNet
+   * pre-dedup step): lowercase, strip the fragment, drop tracking
+   * parameters (utm_*, fbclid, gclid), sort the surviving query
+   * parameters, and strip a trailing path slash — so syntactic variants
+   * of the same page collapse to one key. Pure codegen'd projection
+   * built from portable constructs (regex extract/replace +
+   * split/filter/sort/join) so an external oracle can reproduce it
+   * byte-for-byte. Dedup on the result with [[graft.ml.Dedup.exact]].
+   */
+  def canonicalizeUrl(url: Column): Column = {
+    val lowered = lower(regexp_replace(url, "#.*$", ""))
+    val base = regexp_replace(
+      regexp_extract(lowered, "^([^?]*)", 1), "/$", "")
+    val query = regexp_extract(lowered, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(query, "&"), p =>
+      !(p.startsWith("utm_") || p.startsWith("fbclid") ||
+        p.startsWith("gclid") || p === "")))
+    val joined = array_join(params, "&")
+    when(length(joined) > 0, concat(base, lit("?"), joined))
+      .otherwise(base)
+  }
+
+  /**
    * Corpus vocabulary: the `k` most frequent lowercase alphanumeric
    * tokens with their total and document frequencies. One partial-agg
    * shuffle on the token (map-side combine absorbs the per-document

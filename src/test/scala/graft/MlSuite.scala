@@ -240,6 +240,23 @@ class MlSuite extends AnyFunSuite {
     }
   }
 
+  test("canonicalizeUrl: case, fragment, tracking params, param order, slash") {
+    import spark.implicits._
+    val cases = Seq(
+      // syntactic variants of one page collapse to one key
+      ("HTTPS://Ex.COM/A/?b=2&utm_source=x&a=1#frag",
+        "https://ex.com/a?a=1&b=2"),
+      ("https://ex.com/a?a=1&b=2", "https://ex.com/a?a=1&b=2"),
+      ("https://ex.com/a/?fbclid=zz&gclid=yy", "https://ex.com/a"),
+      ("https://ex.com/a", "https://ex.com/a"),
+      ("https://ex.com/", "https://ex.com"),
+      ("https://ex.com/a?", "https://ex.com/a"))
+    val got = cases.map(_._1).toDF("url")
+      .select(graft.text.TextFunctions.canonicalizeUrl($"url"))
+      .as[String].collect().toSeq
+    assert(got === cases.map(_._2))
+  }
+
   test("embedding index: retry cannot inflate hot-bucket counts; rebuild refreshes params") {
     import spark.implicits._
     // Corpus bucket at EXACTLY the cap, holding a true duplicate of the
