@@ -1298,6 +1298,24 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // Quality-aware survivor selection over planted exact-duplicate
+    // pairs: quality = doc_id % 7, and 100000 % 7 = 5, so each planted
+    // pair's two members always have DIFFERENT quality — the keeper is
+    // exactly the higher-quality member, fully SQL-derivable.
+    "dedup_keep_best" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val dup = d.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      val all = d.select("doc_id", "text").unionByName(dup)
+      val pairs = Dedup.minHashPairs(all, col("doc_id"), col("text"),
+        numHashes = 64, bands = 8, shingleSize = 4, threshold = 0.5)
+        .where(col("idB") === col("idA") + 100000)
+        .select("idA", "idB")
+      graft.ml.Clustering.keepBest(all, col("doc_id"),
+          pmod(col("doc_id"), lit(7)), pairs)
+        .select(col("id").as("doc_id"), col("component"), col("keep"))
+        .orderBy("doc_id")
+    }),
+
     // Same planted-exact-duplicate scheme as dedup_minhash_lsh: identical
     // text -> identical fingerprint -> hamming 0 in every band.
     "dedup_simhash" -> ((s, dir) => {
@@ -2841,6 +2859,16 @@ object SparkEntry {
          UNION ALL
          SELECT vec_id + 200000 AS vec_id, FALSE AS is_dup FROM embeddings
          ORDER BY vec_id""",
+
+    "dedup_keep_best" ->
+      """WITH m AS (
+           SELECT doc_id AS d, doc_id % 7 AS q, (doc_id + 100000) % 7 AS q2
+           FROM documents)
+         SELECT doc_id, component, keep FROM (
+           SELECT d AS doc_id, d AS component, q > q2 AS keep FROM m
+           UNION ALL
+           SELECT d + 100000 AS doc_id, d AS component, q2 > q AS keep FROM m)
+         ORDER BY doc_id""",
 
     "dedup_simhash" ->
       """SELECT doc_id AS idA, doc_id + 100000 AS idB, CAST(0 AS INT) AS hamming

@@ -90,6 +90,39 @@ object Clustering {
    */
   def dedupClusters(pairs: DataFrame): DataFrame = connectedComponents(pairs)
 
+  /**
+   * Quality-aware survivor selection (the RefinedWeb-style "keep the
+   * best copy" tail): collapse duplicate PAIRS into families and keep,
+   * per family, the member with the highest `quality` (ties to the
+   * lowest id) instead of the blind min-id canonical. Rows of `df` that
+   * appear in no pair are singleton families and always keep. Returns
+   * `(id, component, keep)` for EVERY row of `df`.
+   *
+   * Scale shape: components are the O(log diameter) label rounds of
+   * [[connectedComponents]]; the winner per family is one
+   * max-of-struct aggregate (map-side combined, k = family count rows),
+   * joined back on the family key — no window over the corpus.
+   */
+  def keepBest(
+      df: DataFrame,
+      id: Column,
+      quality: Column,
+      pairs: DataFrame): DataFrame = {
+    val base = df.select(id.as("id"), quality.as("__q"))
+    val fam = connectedComponents(pairs)
+    val withFam = base.join(fam, Seq("id"), "left")
+      .select(col("id"), col("__q"),
+        coalesce(col("component"), col("id")).as("component"))
+    // max(struct(quality, -id)) = highest quality, ties to LOWEST id
+    val winners = withFam.groupBy(col("component"))
+      .agg(max(struct(col("__q").as("q"), (-col("id")).as("negid")))
+        .as("__w"))
+      .select(col("component"), (-col("__w.negid")).as("__winner"))
+    withFam.join(winners, Seq("component"))
+      .select(col("id"), col("component"),
+        (col("id") === col("__winner")).as("keep"))
+  }
+
   /** Assignment step: nearest centroid by cosine, ties to the earliest
     * centroid in `centroids` order. One codegen'd kernel, no shuffle. */
   def assign(

@@ -240,6 +240,23 @@ class MlSuite extends AnyFunSuite {
     }
   }
 
+  test("keepBest: highest quality survives, ties to lowest id, singletons keep") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, 5.0), (2L, 9.0), (3L, 9.0),  // family {1,2,3}: 2 wins (tie 2<3)
+      (10L, 1.0), (11L, 7.0),           // family {10,11}: 11 wins
+      (20L, 0.0)                        // singleton: keeps
+    ).toDF("id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = graft.ml.Clustering.keepBest(docs, $"id", $"q", pairs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got === Map(
+      1L -> ((1L, false)), 2L -> ((1L, true)), 3L -> ((1L, false)),
+      10L -> ((10L, false)), 11L -> ((10L, true)),
+      20L -> ((20L, true))))
+  }
+
   test("canonicalizeUrl: case, fragment, tracking params, param order, slash") {
     import spark.implicits._
     val cases = Seq(

@@ -538,6 +538,41 @@ class ScaleSuite extends AnyFunSuite {
     assert(found.where($"idA" < 3 && $"idB" < 3).count() === 3)
   }
 
+  test("embedding index: small batch against a 200k-vector index stays batch-scaled") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 200k random 16-dim vectors indexed once; a 50-row batch (half
+    // jittered copies of indexed vectors, half fresh) must dedup in
+    // seconds — its cost is the batch's band keys joined against ONLY
+    // the touched buckets, never a corpus-sized scan-and-aggregate.
+    val rnd = new scala.util.Random(47)
+    val corpus = spark.range(200000).select($"id",
+      array((0 until 16).map(i =>
+        (rand(seed = 47 + i) * 2 - 1).cast("float")): _*).as("emb"))
+    val idx = Files.createTempDirectory("graft-scale-embidx").toString
+    graft.ml.Dedup.buildEmbeddingIndex(corpus, col("id"), col("emb"), idx,
+      threshold = 0.999)
+    val dup = corpus.where($"id" < 25)
+      .select(($"id" + 1000000L).as("id"),
+        transform($"emb", v => v * 1.0001f).as("emb"))
+    val freshRows = (0 until 25)
+      .map(i => (2000000L + i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "emb")
+    val t0 = System.nanoTime()
+    val got = graft.ml.Dedup.dedupEmbeddingsAgainstIndex(
+      dup.unionByName(freshRows), col("id"), col("emb"), idx,
+      threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(got.size === 50)
+    assert((0 until 25).forall(i => got(1000000L + i)),
+      "jittered copies of indexed vectors must flag")
+    // fresh random 16-dim gaussians vs random uniform vectors: cosine
+    // 0.999 collisions are impossible in practice
+    assert((0 until 25).forall(i => !got(2000000L + i)))
+    assertPerf(secs < 30.0, f"batch dedup not batch-scaled: $secs%.1f s")
+  }
+
   test("auto-compact on a 150k-file table selects without materializing the snapshot") {
     val dir = Files.createTempDirectory("graft-scale-ac").toString
     Graft.create(spark, dir,
