@@ -11,7 +11,7 @@ Usage::
     cleaned = drop_spans(docs, "doc_id", "text", spans)
 """
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -88,6 +88,23 @@ def dedup_embeddings_against_index(batch, id, emb, index_path,
         int(planes_per_band), bool(update_index), int(max_bucket_size),
         opt(txn_app_id, str),
         opt(txn_version, lambda v: jvm.java.lang.Long.valueOf(int(v))))
+    return DataFrame(jdf, spark)
+
+
+def canonicalize_url(spark, url):
+    """Column expression: canonical dedup key for a URL column (lowercase,
+    no fragment, tracking params dropped, query params sorted)."""
+    return Column(spark._sc._jvm.graft.text.TextFunctions.canonicalizeUrl(
+        _jcol(url)))
+
+
+def keep_best(df, id, quality, pairs):
+    """Collapse duplicate pairs into families and keep the
+    highest-quality member per family (ties to lowest id). Returns
+    (id, component, keep) for every row of df."""
+    spark = df.sparkSession
+    jdf = spark._sc._jvm.graft.ml.Clustering.keepBest(
+        df._jdf, _jcol(id), _jcol(quality), pairs._jdf)
     return DataFrame(jdf, spark)
 
 

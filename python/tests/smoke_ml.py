@@ -14,7 +14,8 @@ import tempfile  # noqa: E402
 
 from graft.ml import (semantic_dedup, duplicate_spans, drop_spans,  # noqa: E402
                       pack_sequences, NgramLm, build_embedding_index,
-                      dedup_embeddings_against_index)
+                      dedup_embeddings_against_index, canonicalize_url,
+                      keep_best)
 
 
 def _spark():
@@ -86,6 +87,17 @@ def test_ml_surface():
     flags = {r["id"]: r["is_dup"] for r in dedup_embeddings_against_index(
         batch, "id", "emb", idx, threshold=0.999).collect()}
     assert flags == {100: True, 101: False}, flags
+
+    # url canonicalization + quality-aware survivor selection
+    urls = spark.createDataFrame(
+        [(1, "HTTPS://Ex.COM/a/?b=2&utm_source=x&a=1#f")], "id long, url string")
+    canon = urls.select(canonicalize_url(spark, "url").alias("c")).head()["c"]
+    assert canon == "https://ex.com/a?a=1&b=2", canon
+    kb = {r["id"]: r["keep"] for r in keep_best(
+        spark.createDataFrame([(1, 5.0), (2, 9.0), (3, 1.0)], "id long, q double"),
+        "id", "q",
+        spark.createDataFrame([(1, 2)], "a long, b long")).collect()}
+    assert kb == {1: False, 2: True, 3: True}, kb
 
     spark.stop()
     print("PY-ML-SMOKE PASS")
