@@ -2713,11 +2713,18 @@ object SparkEntry {
                  AS base,
                array_to_string(list_sort(list_filter(
                  string_split(regexp_extract(l, '\?(.*)$', 1), '&'),
-                 x -> NOT (starts_with(x, 'utm_') OR starts_with(x, 'fbclid')
-                   OR starts_with(x, 'gclid') OR x = ''))), '&') AS p
+                 x -> NOT (starts_with(x, 'utm_')
+                   OR starts_with(x, 'fbclid=') OR x = 'fbclid'
+                   OR starts_with(x, 'gclid=') OR x = 'gclid'
+                   OR x = ''))), '&') AS p
              FROM (SELECT doc_id,
-                     lower(regexp_replace(url, '#.*$', '')) AS l
-                   FROM urls)))
+                     lower(regexp_extract(nf,
+                       '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+                       || regexp_replace(nf,
+                            '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') AS l
+                   FROM (SELECT doc_id,
+                           regexp_replace(url, '#.*$', '') AS nf
+                         FROM urls))))
          SELECT doc_id, canonical_url FROM (
            SELECT doc_id, canonical_url,
              row_number() OVER (PARTITION BY canonical_url

@@ -108,11 +108,31 @@ object Clustering {
       id: Column,
       quality: Column,
       pairs: DataFrame): DataFrame = {
-    val base = df.select(id.as("id"), quality.as("__q"))
+    val base0 = df.select(id.as("id"), quality.as("__q"))
+    // Components key on integral ids (connectedComponents casts to long);
+    // a string id would cast to null and silently mark everything keep —
+    // refuse instead.
+    val idType = base0.schema("id").dataType.typeName
+    require(Seq("byte", "short", "integer", "long").contains(idType),
+      s"keepBest needs an integral id column, got $idType")
+    // Null ids carry no identity to dedup on: they cannot join a family,
+    // so they pass through as keep=true singletons (null component)
+    // rather than silently vanishing through the family join.
+    val nullRows = base0.where(col("id").isNull)
+      .select(col("id"), lit(null).cast("long").as("component"),
+        lit(true).as("keep"))
+    val base = base0.where(col("id").isNotNull)
     val fam = connectedComponents(pairs)
-    val withFam = base.join(fam, Seq("id"), "left")
+    val withFam0 = base.join(fam, Seq("id"), "left")
       .select(col("id"), col("__q"),
-        coalesce(col("component"), col("id")).as("component"))
+        coalesce(col("component"), col("id").cast("long")).as("component"))
+    // Referenced twice (winners aggregate + final join) — truncate the
+    // lineage so the corpus scan and the family join run ONCE (same
+    // reliable/local checkpoint choice as connectedComponents).
+    val withFam =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        withFam0.checkpoint(false)
+      else withFam0.localCheckpoint(false)
     // max(struct(quality, -id)) = highest quality, ties to LOWEST id
     val winners = withFam.groupBy(col("component"))
       .agg(max(struct(col("__q").as("q"), (-col("id")).as("negid")))
@@ -121,6 +141,7 @@ object Clustering {
     withFam.join(winners, Seq("component"))
       .select(col("id"), col("component"),
         (col("id") === col("__winner")).as("keep"))
+      .unionByName(nullRows)
   }
 
   /** Assignment step: nearest centroid by cosine, ties to the earliest

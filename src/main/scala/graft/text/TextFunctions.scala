@@ -225,13 +225,25 @@ object TextFunctions {
    * byte-for-byte. Dedup on the result with [[graft.ml.Dedup.exact]].
    */
   def canonicalizeUrl(url: Column): Column = {
-    val lowered = lower(regexp_replace(url, "#.*$", ""))
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // RFC 3986 case rules: scheme and authority are case-insensitive
+    // (lowercase them); path and query are NOT — /Page and /page may be
+    // different resources, so they keep their case.
+    val schemeHost = lower(regexp_extract(noFrag,
+      "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1))
+    val rest = regexp_replace(noFrag,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val norm = concat(schemeHost, rest)
     val base = regexp_replace(
-      regexp_extract(lowered, "^([^?]*)", 1), "/$", "")
-    val query = regexp_extract(lowered, "\\?(.*)$", 1)
+      regexp_extract(norm, "^([^?]*)", 1), "/$", "")
+    val query = regexp_extract(norm, "\\?(.*)$", 1)
+    // utm_* is a wildcard FAMILY (utm_source, utm_medium, ...); fbclid
+    // and gclid are exact keys — prefix-matching those would strip
+    // legitimate parameters that merely share the prefix (fbclid_variant)
     val params = array_sort(filter(split(query, "&"), p =>
-      !(p.startsWith("utm_") || p.startsWith("fbclid") ||
-        p.startsWith("gclid") || p === "")))
+      !(p.startsWith("utm_") ||
+        p.startsWith("fbclid=") || p === "fbclid" ||
+        p.startsWith("gclid=") || p === "gclid" || p === "")))
     val joined = array_join(params, "&")
     when(length(joined) > 0, concat(base, lit("?"), joined))
       .otherwise(base)

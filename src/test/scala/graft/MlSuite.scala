@@ -260,11 +260,15 @@ class MlSuite extends AnyFunSuite {
   test("canonicalizeUrl: case, fragment, tracking params, param order, slash") {
     import spark.implicits._
     val cases = Seq(
-      // syntactic variants of one page collapse to one key
+      // scheme+host lowercase; PATH CASE PRESERVED (RFC 3986: /A and /a
+      // may be different resources); params sorted, tracking dropped
       ("HTTPS://Ex.COM/A/?b=2&utm_source=x&a=1#frag",
-        "https://ex.com/a?a=1&b=2"),
+        "https://ex.com/A?a=1&b=2"),
       ("https://ex.com/a?a=1&b=2", "https://ex.com/a?a=1&b=2"),
       ("https://ex.com/a/?fbclid=zz&gclid=yy", "https://ex.com/a"),
+      // exact-key tracking match: fbclid_variant is a REAL param and stays
+      ("https://ex.com/a?fbclid_variant=1&gclid2=x",
+        "https://ex.com/a?fbclid_variant=1&gclid2=x"),
       ("https://ex.com/a", "https://ex.com/a"),
       ("https://ex.com/", "https://ex.com"),
       ("https://ex.com/a?", "https://ex.com/a"))
