@@ -257,6 +257,44 @@ class MlSuite extends AnyFunSuite {
       20L -> ((20L, true))))
   }
 
+  test("embedding index: crash between the two appends heals on retry") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val corpus = (0L until 20L)
+      .map(i => (i, Array.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "emb")
+    val idx = java.nio.file.Files.createTempDirectory("embcrash").toString
+    Dedup.buildEmbeddingIndex(corpus, $"id", $"emb", idx, threshold = 0.999)
+    val batch = corpus.where($"id" === 0L)
+      .select(($"id" + 100L).as("id"),
+        transform($"emb", v => v * 1.0001f).as("emb"))
+    // Simulate the crash: the payload (embs) append committed under the
+    // txn id, the bands append never ran.
+    Graft.write(batch.select($"id", $"emb".cast("array<float>").as("emb")),
+      s"$idx/embs", txnAppId = Some("crash-test"), txnVersion = Some(1L))
+    // Retry with the SAME txn id: the embs half is skipped by the
+    // idempotent-writer watermark, the missing bands half completes, and
+    // the verdict is unaffected (candidates come from the bands table,
+    // where the batch's ids are anti-joined out anyway).
+    val got = Dedup.dedupEmbeddingsAgainstIndex(batch, $"id", $"emb", idx,
+      threshold = 0.999, updateIndex = true,
+      txnAppId = Some("crash-test"), txnVersion = Some(1L))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got === Map(100L -> true))
+    // healed: each table holds the batch EXACTLY once
+    assert(Graft.read(spark, s"$idx/embs").where($"id" === 100L).count() === 1)
+    val bandRows = Graft.read(spark, s"$idx/bands")
+      .where($"id" === 100L).count()
+    assert(bandRows > 0 && bandRows ===
+      Graft.read(spark, s"$idx/bands").where($"id" === 0L).count())
+    // and a later batch matches the healed entry
+    val later = batch.select(($"id" + 100L).as("id"), $"emb")
+    val got2 = Dedup.dedupEmbeddingsAgainstIndex(later, $"id", $"emb", idx,
+      threshold = 0.999)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(got2 === Map(200L -> true))
+  }
+
   test("canonicalizeUrl: case, fragment, tracking params, param order, slash") {
     import spark.implicits._
     val cases = Seq(
