@@ -52,19 +52,24 @@ class MergeFuzzSuite extends AnyFunSuite {
     import spark.implicits._
     val r = new scala.util.Random(7100 + iter)
     val dir = tmp()
-    val target = scala.collection.mutable.Map(
-      (0L until 40L).map(i => i -> Row2(i * 3, i % 10)): _*)
+    val target = (0L until 40L).map(i => i -> Row2(i * 3, i % 10)).toMap
     Graft.write(target.toSeq.map { case (i, x) => (i, x.v, x.w) }
       .toDF("id", "v", "w"), dir)
     val srcMap = r.shuffle((20L until 60L).toVector).take(25)
       .map(i => i -> Row2(i * 7 + 1, i % 5)).toMap
 
-    // random clause set: 0-2 matched, 0-1 insert, 0-1 NMBS; at least one
-    val matched: Seq[Clause] = r.shuffle(Seq(
-      MU(matchedConds(r.nextInt(matchedConds.size)), all = r.nextBoolean()),
-      MD(matchedConds(r.nextInt(matchedConds.size))))).take(r.nextInt(3))
+    // random clause set: 0-2 matched, 0-1 insert, 0-1 NMBS. Every 4th
+    // iteration FORCES zero matched clauses so the insert-only fast path
+    // and the nmbs-without-matched composition are always fuzzed (the
+    // seeded rolls alone never produce an empty matched list).
+    val matched: Seq[Clause] =
+      if (iter % 4 == 3) Nil
+      else r.shuffle(Seq(
+        MU(matchedConds(r.nextInt(matchedConds.size)), all = r.nextBoolean()),
+        MD(matchedConds(r.nextInt(matchedConds.size))))).take(r.nextInt(3))
     val inserts: Seq[Clause] =
-      if (r.nextBoolean()) Seq(NI(insertConds(r.nextInt(insertConds.size))))
+      if (r.nextBoolean() || matched.isEmpty)
+        Seq(NI(insertConds(r.nextInt(insertConds.size))))
       else Nil
     val nmbs: Seq[Clause] = r.nextInt(3) match {
       case 0 => Nil
@@ -72,7 +77,6 @@ class MergeFuzzSuite extends AnyFunSuite {
       case 2 => Seq(NU(nmbsConds(r.nextInt(nmbsConds.size))))
     }
     val clauses = matched ++ inserts ++ nmbs
-    if (clauses.isEmpty) cancel("empty clause set rolled — covered elsewhere")
 
     // drive the builder
     var b = GraftTable.forPath(spark, dir).merge(

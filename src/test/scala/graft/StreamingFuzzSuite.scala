@@ -49,9 +49,11 @@ class StreamingFuzzSuite extends AnyFunSuite {
       case 0 =>
         val n = 1 + r.nextInt(15)
         val rows = (nextId until nextId + n).map(i => (i, i * 2))
-        Graft.write(rows.toDF("id", "v"), src)
+        // the write returns ITS commit version — keying the model off it
+        // (not a log re-read) is immune to any interleaved commit
+        val ver = Graft.write(rows.toDF("id", "v"), src)
         rows.foreach { case (i, vv) => live(i) = vv }
-        expected((version(), "insert")) = n.toLong
+        expected((ver, "insert")) = n.toLong
         nextId += n
       case 1 =>
         val mod = 2 + r.nextInt(5); val c = r.nextInt(mod)
