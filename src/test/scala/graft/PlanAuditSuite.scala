@@ -241,6 +241,21 @@ class PlanAuditSuite extends AnyFunSuite {
       s"candidate join lost the band key: $joinKeys")
   }
 
+  test("dropSpans is one doc-keyed join — no token-grain rows, no cartesian") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val spans = docs.limit(10).select($"doc_id",
+      lit(0L).as("span_start"), lit(5L).as("span_end"))
+    val plan = graft.ml.Dedup.dropSpans(docs, $"doc_id", $"text", spans)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian"), s"cartesian in dropSpans:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"token-grain explode leaked into dropSpans:\n$plan")
+    // exactly one equi-join (docs x per-doc span arrays)
+    val joins = "(?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(plan).size
+    assert(joins === 1, s"expected one join, got $joins:\n$plan")
+  }
+
   test("MERGE never plans an Expand — phase-1 distincts are rollup sums") {
     // Four countDistinct branches in one groupBy would plan as a 5-way
     // Expand of the entire phase-1 join output; the two-level
