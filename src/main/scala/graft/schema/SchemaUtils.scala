@@ -13,6 +13,31 @@ object SchemaUtils {
 
   /** Table schemas are always nullable: files written before a column was
     * added lack it physically, and the reader must be able to null-fill. */
+  /** Characters parquet field names cannot carry (reference concept:
+    * SchemaUtils.checkSchemaFieldNames / findInvalidColumnNames —
+    * re-designed): without column mapping the logical name IS the parquet
+    * field name, so these must be refused at metadata-commit time; with
+    * mapping the physical names are generated and any logical name goes. */
+  private val invalidNameChars = " ,;{}()\n\t=".toSet
+
+  def findInvalidNames(schema: StructType): Seq[String] = {
+    def walk(st: StructType, prefix: String): Seq[String] =
+      st.fields.toSeq.flatMap { f =>
+        val self =
+          if (f.name.exists(invalidNameChars)) Seq(prefix + f.name) else Nil
+        val nested = f.dataType match {
+          case s: StructType => walk(s, prefix + f.name + ".")
+          case org.apache.spark.sql.types.ArrayType(s: StructType, _) =>
+            walk(s, prefix + f.name + ".")
+          case org.apache.spark.sql.types.MapType(_, s: StructType, _) =>
+            walk(s, prefix + f.name + ".")
+          case _ => Nil
+        }
+        self ++ nested
+      }
+    walk(schema, "")
+  }
+
   def toNullable(schema: StructType): StructType =
     StructType(schema.fields.map(f => f.copy(
       dataType = typeToNullable(f.dataType), nullable = true)))

@@ -62,6 +62,18 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
 
   def updateMetadata(m: Metadata): Unit = {
     require(!committed, "Transaction already committed")
+    // Without column mapping the logical names ARE the parquet field
+    // names, and parquet cannot carry ' ,;{}()\n\t=' — refuse at the
+    // single funnel every schema-bearing commit passes through, as the
+    // reference does (its SchemaUtils.checkSchemaFieldNames), instead of
+    // writing a table other engines cannot read back.
+    if (!graft.schema.ColumnMapping.isEnabled(m)) {
+      val bad = graft.schema.SchemaUtils.findInvalidNames(m.schema)
+      require(bad.isEmpty,
+        s"column name(s) [${bad.mkString(", ")}] contain characters " +
+          "invalid in parquet field names (' ,;{}()\\n\\t='); enable " +
+          "column mapping (graft.columnMapping.mode = name) to use them")
+    }
     newMetadata = Some(m)
   }
 

@@ -680,4 +680,34 @@ class FeatureSuite extends AnyFunSuite {
       org.apache.spark.sql.catalyst.expressions.Literal("A"))
     assert(graft.stats.StatsSkipping.compile(plainPred, plain).isDefined)
   }
+
+  test("parquet-invalid column names refuse without mapping, work with it") {
+    import spark.implicits._
+    val bad = spark.range(5).select($"id", ($"id" * 2).as("col with space"),
+      lit("x").as("a,b;c{}()"))
+    // without mapping: the logical names WOULD be parquet field names —
+    // refused at metadata commit, exactly like the reference
+    val dir1 = java.nio.file.Files.createTempDirectory("badnames1").toString
+    val e = intercept[IllegalArgumentException] { Graft.write(bad, dir1) }
+    assert(e.getMessage.contains("col with space") &&
+      e.getMessage.contains("column mapping"), e.getMessage)
+    // with name mapping: physical names are generated, everything works
+    val dir2 = java.nio.file.Files.createTempDirectory("badnames2").toString
+    Graft.write(bad, dir2,
+      configuration = Map("graft.columnMapping.mode" -> "name"))
+    val back = Graft.read(spark, dir2)
+    assert(back.columns.toSeq === Seq("id", "col with space", "a,b;c{}()"))
+    assert(back.where(col("`col with space`") > 2).count() === 3)
+    spark.sql(s"UPDATE graft.`$dir2` SET `a,b;c{}()` = 'y' WHERE id = 1")
+    assert(Graft.read(spark, dir2).where(col("`a,b;c{}()`") === "y")
+      .count() === 1)
+    // evolution cannot smuggle a bad name into an unmapped table either
+    val dir3 = java.nio.file.Files.createTempDirectory("badnames3").toString
+    Graft.write(spark.range(3).toDF("id"), dir3)
+    val e2 = intercept[IllegalArgumentException] {
+      Graft.write(spark.range(3).select($"id", lit(1L).as("new col")),
+        dir3, mergeSchema = true)
+    }
+    assert(e2.getMessage.contains("new col"), e2.getMessage)
+  }
 }
