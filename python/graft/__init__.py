@@ -1,3 +1,4 @@
 from graft.tables import GraftTable  # noqa: F401
+from graft import ml  # noqa: F401
 
-__all__ = ["GraftTable"]
+__all__ = ["GraftTable", "ml"]
