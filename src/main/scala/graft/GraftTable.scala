@@ -39,7 +39,7 @@ class GraftTable private[graft] (
     require(graft.log.RowTracking.isEnabled(s.metadata),
       "row tracking is not enabled on this table " +
         "(set graft.enableRowTracking=true)")
-    graft.log.RowTracking.scanWithRowIds(spark, log, s, s.allFiles)
+    graft.log.RowTracking.scanWithRowIds(spark, log, s, None)
   }
 
   /** Time travel by version. */
@@ -112,9 +112,23 @@ class GraftTable private[graft] (
   }
 
   def showPartitions(): DataFrame = {
-    import spark.implicits._
-    spark.createDataset(snapshot.allFiles.map(_.partitionValues).distinct)
-      .toDF("partitionValues")
+    // Distinct over the DISTRIBUTED file view: on a lazy checkpoint-backed
+    // snapshot the driver holds only the (bounded) distinct partition set,
+    // never the file map. MapType has no equality in Spark, so distinct
+    // runs over the exploded per-column values and the map reassembles on
+    // top.
+    val s = snapshot
+    val pcols = graft.schema.ColumnMapping.physicalPartitionColumns(s.metadata)
+    if (pcols.isEmpty)
+      s.allFilesDS.limit(1)
+        .select(typedlit(Map.empty[String, String]).as("partitionValues"))
+    else
+      s.allFilesDS
+        .select(pcols.map(c => col("partitionValues").getItem(c).as(c)): _*)
+        .distinct()
+        .select(map_from_arrays(
+          array(pcols.map(lit): _*),
+          array(pcols.map(col): _*)).as("partitionValues"))
   }
 
   def optimize(): OptimizeBuilder = new OptimizeBuilder(this)
@@ -210,7 +224,8 @@ class GraftTable private[graft] (
     val m = txn.snapshot.metadata
     val newMeta: graft.log.Metadata = name match {
       case "deletionVectors" =>
-        require(txn.snapshot.allFiles.forall(_.dvPath.isEmpty),
+        // distributed existence probe — never pulls the file map
+        require(txn.snapshot.allFilesDS.filter(col("dvPath").isNotNull).isEmpty,
           "table still has deletion vectors; run reorgPurge() first")
         m.copy(configuration = m.configuration - "graft.enableDeletionVectors")
       case "columnMapping" =>
@@ -484,7 +499,65 @@ class GraftTable private[graft] (
     graft.log.TableFeatures.requiredUpgrade(txn.snapshot.protocol,
       txn.snapshot.metadata, graft.log.TableFeatures.columnMapping).toSeq
 
-  def upsertProperties(props: Map[String, String]): Unit =
+  /**
+   * Assign base row ids to every live file that lacks one, in bounded
+   * commits — the late-enablement path for row tracking (reference
+   * concept: commands/backfill/RowTrackingBackfillCommand.scala —
+   * re-designed). Feature SUPPORT installs first, so every commit racing
+   * the backfill assigns ids to its own new files and the work left is
+   * bounded by the files that existed at that point; the metadata
+   * property itself stays off until the caller flips it. Each batch is
+   * one re-commit of up to `maxFilesPerCommit` AddFiles with
+   * `dataChange = false` (CDF/streaming skip them); id assignment rides
+   * the normal commit path off the domain watermark. A concurrent DELETE
+   * of a batch file aborts just that batch (re-add would resurrect the
+   * file) and the next sweep re-selects from a fresh snapshot.
+   */
+  def backfillRowTracking(maxFilesPerCommit: Int = 100000): Unit = {
+    require(maxFilesPerCommit > 0, "maxFilesPerCommit must be positive")
+    addFeatureSupport("rowTracking")
+    val total = log.update().numFiles
+    // live-lock guard: racing un-tracked writers could feed files forever
+    val maxToProcess = math.max(total * 3, 1000L)
+    var processed = 0L
+    var batchId = 0
+    var done = false
+    while (!done) {
+      val s = log.update()
+      val batch = s.allFilesDS
+        .filter(col("baseRowId").isNull)
+        .limit(maxFilesPerCommit)
+        .collect().toSeq
+      if (batch.isEmpty) done = true
+      else {
+        require(processed < maxToProcess,
+          s"row-tracking backfill did not converge after $processed files")
+        val withCounts =
+          graft.log.RowTracking.ensureNumRecords(spark, log, batch)
+        try {
+          log.withNewTransaction { txn =>
+            txn.commit(withCounts.map(_.copy(dataChange = false)),
+              "ROW TRACKING BACKFILL", Map("batchId" -> batchId.toString))
+          }
+          processed += batch.size
+          batchId += 1
+        } catch {
+          // a winner removed one of the batch files — reselect fresh
+          case _: graft.tx.GraftConcurrentModificationException =>
+        }
+      }
+    }
+  }
+
+  def upsertProperties(props: Map[String, String]): Unit = {
+    // Late row-tracking enablement: files written before the switch carry
+    // no baseRowId, so reads would silently return null row ids. Backfill
+    // BEFORE the metadata flips (reference concept: TableFeature.scala
+    // RowTrackingFeature.validateAndBackfill — re-designed).
+    if (props.get("graft.enableRowTracking").exists(_.toBoolean) &&
+        !graft.log.RowTracking.isEnabled(log.update().metadata)) {
+      backfillRowTracking()
+    }
     log.withNewTransaction { txn =>
       val m = txn.snapshot.metadata
       import graft.schema.ColumnMapping
@@ -493,7 +566,7 @@ class GraftTable private[graft] (
       // misread (or null-fill) them. Id mode is declared at creation.
       if (props.get(ColumnMapping.MODE_KEY).contains("id") &&
           !ColumnMapping.idMode(m)) {
-        require(txn.snapshot.allFiles.isEmpty,
+        require(txn.snapshot.numFiles == 0,
           "column mapping id mode must be set at table creation " +
             "(existing data files carry no parquet field ids)")
       }
@@ -508,6 +581,7 @@ class GraftTable private[graft] (
         .requiredUpgradeForMetadata(txn.snapshot.protocol, updated)
       txn.commit(bump.toSeq, "SET TBLPROPERTIES", props)
     }
+  }
 
   def removeProperties(keys: Seq[String]): Unit =
     log.withNewTransaction { txn =>

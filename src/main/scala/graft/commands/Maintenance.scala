@@ -151,7 +151,7 @@ object OptimizeCommand {
         // file so identity survives the rewrite.
         val df =
           if (graft.log.RowTracking.isEnabled(m))
-            graft.log.RowTracking.scanWithRowIds(spark, log, txn.snapshot, bin).coalesce(1)
+            graft.log.RowTracking.scanWithRowIds(spark, log, txn.snapshot, Some(bin)).coalesce(1)
           else Dml.scanFiles(spark, log, txn, bin).coalesce(1)
         txn.writeFiles(df, dataChange = false)
       }
@@ -210,7 +210,7 @@ object OptimizeCommand {
     val maxSize = conf(m, "graft.optimize.maxFileSize", defaultMaxFileSize)
     val df =
       if (graft.log.RowTracking.isEnabled(m))
-        graft.log.RowTracking.scanWithRowIds(spark, log, txn.snapshot, files)
+        graft.log.RowTracking.scanWithRowIds(spark, log, txn.snapshot, Some(files))
       else Dml.scanFiles(spark, log, txn, files)
     val buckets = 1 << math.max(4, 15 / cols.size)
     def asDouble(c: String): Column = m.schema(c).dataType match {

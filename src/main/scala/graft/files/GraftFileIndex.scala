@@ -75,7 +75,11 @@ class GraftFileIndex(
 
   override def refresh(): Unit = ()
 
-  override def sizeInBytes: Long = files.map(_.size).sum
+  // Un-pinned: the snapshot's aggregate, which on a lazy checkpoint-backed
+  // snapshot comes from a distributed pass — asking for plan statistics
+  // must never force a 10M-file map onto the driver.
+  override def sizeInBytes: Long =
+    pinnedFiles.map(_.map(_.size).sum).getOrElse(snapshot.sizeInBytes)
 }
 
 object GraftFileIndex {

@@ -70,16 +70,61 @@ object RowTracking {
     }
 
   /**
-   * Scan `files` with `_graft_row_id` / `_graft_row_commit` columns
-   * appended (after the logical schema). Deletion vectors are applied;
-   * materialized id columns in rewritten files win over the computed
-   * `baseRowId + row_index` default.
+   * Id assignment needs each file's row count. Graft-written files always
+   * carry `numRecords` stats; files inherited via CONVERT from stats-less
+   * sources may not — read those counts from the parquet footers on the
+   * executors (one task round per backfill batch, no data rows move) and
+   * merge them into the stats JSON so `assign` can proceed.
+   */
+  def ensureNumRecords(
+      spark: SparkSession,
+      log: GraftLog,
+      batch: Seq[AddFile]): Seq[AddFile] = {
+    val (ok, missing) = batch.partition(a => numRecords(a) >= 0)
+    if (missing.isEmpty) return batch
+    import spark.implicits._
+    val root = log.dataPath.toString
+    val confBc = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val counts: Map[String, Long] = spark.createDataset(missing.map(_.path))
+      .mapPartitions { it =>
+        it.map { rel =>
+          val p = new Path(rel)
+          val abs = if (p.isAbsolute) p else new Path(new Path(root), rel)
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(abs, confBc.value)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try rel -> r.getRecordCount finally r.close()
+        }
+      }.collect().toMap
+    ok ++ missing.map { a =>
+      val node = Option(a.stats)
+        .map(s => mapper.readTree(s).asInstanceOf[
+          com.fasterxml.jackson.databind.node.ObjectNode])
+        .getOrElse(mapper.createObjectNode())
+      node.put("numRecords", counts(a.path))
+      a.copy(stats = mapper.writeValueAsString(node))
+    }
+  }
+
+  /**
+   * Scan the snapshot (or a pruned `files` subset) with `_graft_row_id` /
+   * `_graft_row_commit` columns appended (after the logical schema).
+   * Deletion vectors are applied; materialized id columns in rewritten
+   * files win over the computed `baseRowId + row_index` default.
+   *
+   * With `files = None` the per-file id lookup derives from the
+   * snapshot's DISTRIBUTED file view (`allFilesDS`) — on a lazy
+   * checkpoint-backed snapshot the driver never holds the file map, and
+   * Spark picks broadcast vs shuffle for the join from the lookup's
+   * actual size. Callers that already pruned to a small batch (OPTIMIZE
+   * bins) pass `Some(files)` and keep the forced broadcast.
    */
   def scanWithRowIds(
       spark: SparkSession,
       log: GraftLog,
       snapshot: Snapshot,
-      files: Seq[AddFile]): DataFrame = {
+      files: Option[Seq[AddFile]]): DataFrame = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     import org.apache.spark.sql.graftshim.SparkShims
@@ -88,7 +133,14 @@ object RowTracking {
     import graft.schema.ColumnMapping
 
     val m = snapshot.metadata
-    val index = new GraftFileIndex(spark, log, snapshot, Some(files))
+    val index = new GraftFileIndex(spark, log, snapshot, files)
+    // DV-carrying files bound the reader-format map: collect them from
+    // the distributed view (DV count scale, not file count scale).
+    val dvFiles: Seq[AddFile] = files match {
+      case Some(fs) => fs.filter(_.dvPath.isDefined)
+      case None => snapshot.allFilesDS
+        .filter(col("dvPath").isNotNull).collect().toSeq
+    }
     // Extended read schema: files written before materialization (or
     // never rewritten) null-fill the extra columns.
     val dataSchema = StructType(
@@ -99,22 +151,38 @@ object RowTracking {
       partitionSchema = index.partitionSchema,
       dataSchema = dataSchema,
       bucketSpec = None,
-      fileFormat = DeletionVectors.readerFormat(log, files)
+      fileFormat = DeletionVectors.readerFormat(log, dvFiles)
         .getOrElse(new ParquetFileFormat),
       options = Map.empty)(spark)
     var df = SparkShims.ofRows(spark, LogicalRelation(relation))
       .withColumn("__f", DeletionVectors.normFileCol(col("_metadata.file_path")))
       .withColumn("__i", col("_metadata.row_index"))
 
-    // file -> (baseRowId, defaultRowCommitVersion), broadcast-joined on
-    // the normalized file key (file count is metadata-scale).
+    // file -> (baseRowId, defaultRowCommitVersion), joined on the
+    // normalized file key.
     import spark.implicits._
-    val lookup = spark.createDataset(files.map { f =>
-      (DeletionVectors.fileKey(log, f),
-        f.baseRowId.getOrElse(-1L),
-        f.defaultRowCommitVersion.getOrElse(-1L))
-    }).toDF("__rt_file", "__rt_base", "__rt_ver")
-    df = df.join(broadcast(lookup), df("__f") === lookup("__rt_file"), "left")
+    val rootPath = log.dataPath.toString
+    val lookup = files match {
+      case Some(fs) =>
+        // already-pruned batch: metadata-scale, force broadcast
+        broadcast(spark.createDataset(fs.map { f =>
+          (DeletionVectors.fileKey(log, f),
+            f.baseRowId.getOrElse(-1L),
+            f.defaultRowCommitVersion.getOrElse(-1L))
+        }).toDF("__rt_file", "__rt_base", "__rt_ver"))
+      case None =>
+        // full table: build the lookup on the executors from the
+        // distributed file view (same key function as fileKey) and let
+        // Spark/AQE choose the join strategy from its size.
+        snapshot.allFilesDS.map { f =>
+          val p = new Path(f.path)
+          val abs = if (p.isAbsolute) p else new Path(new Path(rootPath), f.path)
+          (abs.toUri.getPath,
+            f.baseRowId.getOrElse(-1L),
+            f.defaultRowCommitVersion.getOrElse(-1L))
+        }.toDF("__rt_file", "__rt_base", "__rt_ver")
+    }
+    df = df.join(lookup, df("__f") === lookup("__rt_file"), "left")
       .withColumn(ROW_ID_COL,
         coalesce(col(ROW_ID_COL),
           when(col("__rt_base") >= 0, col("__rt_base") + col("__i"))))

@@ -198,7 +198,14 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
     newMetadata.foreach(prefix += _)
     var finalActions: Seq[Action] = prefix.toSeq ++ actions
     // Row tracking: stamp fresh base row ids from the domain watermark.
-    val rowTracking = RowTracking.isEnabled(metadata)
+    // Ids assign whenever the PROTOCOL supports the feature, not just when
+    // the metadata switch is on — backfill commits run with feature
+    // support but the property still off (the property flips only once
+    // every live file has an id), exactly the reference's split between
+    // rowTracking "supported" and "enabled".
+    val rowTracking = RowTracking.isEnabled(metadata) ||
+      TableFeatures.vectorFeatures(snapshot.protocol)
+        .contains(TableFeatures.rowTracking)
     if (rowTracking) {
       val (assigned, domainOpt) = RowTracking.assign(finalActions, snapshot.domains)
       finalActions = assigned ++ domainOpt.toSeq
@@ -262,6 +269,12 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
    */
   private def checkForConflicts(winning: Seq[Action], winningVersion: Long): Unit = {
     val ourRemoves = removedPaths()
+    // Paths we add without a paired remove. For fresh writes these are
+    // brand-new names no winner can have removed; the set only bites when
+    // we RE-add a live path (backfill-style metadata rewrite).
+    val ourReAdds = stagedActions.collect {
+      case a: AddFile => a.path
+    }.toSet -- ourRemoves
     winning.foreach {
       case _: Protocol =>
         throw new ProtocolChangedException(
@@ -292,6 +305,14 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
       if (ourRemoves.contains(r.path)) {
         throw new ConcurrentDeleteDeleteException(
           s"File ${r.path} removed by both this transaction and commit $winningVersion")
+      }
+      // Re-adding an EXISTING path (metadata rewrite with no paired
+      // remove — e.g. row-tracking backfill) after a winner tombstoned it
+      // would resurrect the file in the fold. Fatal at every isolation
+      // level, same as delete/delete.
+      if (ourReAdds.contains(r.path)) {
+        throw new ConcurrentDeleteReadException(
+          s"File ${r.path} re-added by this transaction was removed by commit $winningVersion")
       }
     }
     val ourTxnApps = stagedTxnAppIds

@@ -64,6 +64,45 @@ class RowTrackingSuite extends AnyFunSuite {
     assert(ids.size === 10 && ids.toSet.size === 10)   // no id reuse after reload
   }
 
+  test("late enablement backfills existing rows before the property flips") {
+    val dir = tmpDir()
+    // two commits WITHOUT row tracking
+    Graft.write(spark.range(10).toDF("id").coalesce(1), dir)
+    Graft.write(spark.range(10, 20).toDF("id").coalesce(1), dir)
+    GraftTable.forPath(spark, dir)
+      .upsertProperties(Map("graft.enableRowTracking" -> "true"))
+    val df = GraftTable.forPath(spark, dir).toDFWithRowIds
+    // every pre-existing row has a NON-NULL, distinct id and a non-null
+    // commit version (the backfill commit's)
+    assert(df.filter($"_graft_row_id".isNull || $"_graft_row_commit".isNull)
+      .count() === 0)
+    val ids = idsOf(dir)
+    assert(ids.size === 20 && ids.values.toSet.size === 20)
+    // the watermark continues past the backfilled range for new writes
+    Graft.write(spark.range(20, 25).toDF("id").coalesce(1), dir)
+    val ids2 = idsOf(dir)
+    assert(ids2.size === 25 && ids2.values.toSet.size === 25)
+  }
+
+  test("backfill batches commit bounded and survive a pre-assigned mix") {
+    val dir = tmpDir()
+    (0 until 4).foreach(i =>
+      Graft.write(spark.range(i * 5, i * 5 + 5).toDF("id").coalesce(1), dir))
+    val t = GraftTable.forPath(spark, dir)
+    t.backfillRowTracking(maxFilesPerCommit = 1)
+    // one commit per file
+    val ops = t.history().select($"operation").as[String].collect()
+    assert(ops.count(_ == "ROW TRACKING BACKFILL") === 4)
+    // idempotent: nothing left to backfill
+    val v = t.version
+    t.backfillRowTracking(maxFilesPerCommit = 1)
+    assert(t.version === v)
+    // property flip after manual backfill does not re-run it
+    t.upsertProperties(Map("graft.enableRowTracking" -> "true"))
+    val ids = idsOf(dir)
+    assert(ids.size === 20 && ids.values.toSet.size === 20)
+  }
+
   test("ZORDER preserves row ids via materialization") {
     val dir = tmpDir()
     Graft.write(spark.range(100).toDF("id")

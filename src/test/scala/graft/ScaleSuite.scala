@@ -573,6 +573,66 @@ class ScaleSuite extends AnyFunSuite {
     assertPerf(secs < 30.0, f"batch dedup not batch-scaled: $secs%.1f s")
   }
 
+  test("row-id scan, SHOW PARTITIONS and the DV gate stay off the driver at 150k files") {
+    val dir = Files.createTempDirectory("graft-scale-rt").toString
+    Graft.create(spark, dir,
+      new StructType().add("id", LongType)
+        .add("p", org.apache.spark.sql.types.StringType),
+      partitionBy = Seq("p"),
+      configuration = Map("graft.enableRowTracking" -> "true"))
+    val log = GraftLog.forTable(spark, dir)
+    val meta = log.snapshot.metadata
+    log.writeCommit(1, Seq(CommitInfo(timestamp = 1L, operation = "NOOP")))
+
+    // Fabricate a 150k-file row-tracked checkpoint at v1 (above the
+    // distributed-skipping threshold) across 100 partitions, every file
+    // carrying a baseRowId + commit version.
+    val n = 150000
+    import spark.implicits._
+    val proto = Protocol(1, 7,
+      writerFeatures = Some(Seq("domainMetadata", "rowTracking")))
+    val adds = (0 until n).iterator.map(i =>
+      AddFile(f"p=${i % 100}/f-$i%06d.parquet", Map("p" -> s"${i % 100}"),
+        1000L, 0L, dataChange = true,
+        stats = """{"numRecords":10}""",
+        baseRowId = Some(i * 10L),
+        defaultRowCommitVersion = Some(1L)).wrap)
+    val dom = DomainMetadata(graft.log.RowTracking.DOMAIN,
+      s"""{"rowIdHighWaterMark":${n * 10L - 1}}""").wrap
+    val cpRows = Iterator(proto.wrap, meta.wrap, dom) ++ adds
+    spark.createDataset(cpRows.toSeq).repartition(4)
+      .write.mode("overwrite")
+      .parquet(FileNames.checkpointFile(log.logPath, 1L).toString)
+    log.store.writeOverwrite(FileNames.lastCheckpointFile(log.logPath),
+      s"""{"version":1,"size":${n + 3}}""")
+    log.store.writeOverwrite(FileNames.checksumFile(log.logPath, 1L),
+      s"""{"tableSizeBytes":${n * 1000L},"numFiles":$n}""")
+    GraftLog.clearCache()
+
+    spark.conf.set(Snapshot.DRIVER_FOLD_THRESHOLD_CONF, "50000")
+    try {
+      val t = GraftTable.forPath(spark, dir)
+      // 1. row-id scan: lookup derives from the DISTRIBUTED file view —
+      // analysis + physical planning must not pull the file map
+      val df = t.toDFWithRowIds
+      df.queryExecution.executedPlan // force planning
+      assert(!t.log.snapshot.materialized,
+        "toDFWithRowIds materialized the 150k-file map on the driver")
+      // 2. SHOW PARTITIONS runs as a distributed distinct
+      val parts = t.showPartitions().collect()
+      assert(parts.length === 100)
+      assert(!t.log.snapshot.materialized,
+        "showPartitions materialized the 150k-file map on the driver")
+      // 3. the DV-free gate (dropFeature's probe shape) is a distributed
+      // existence check
+      assert(t.log.snapshot.allFilesDS
+        .filter(org.apache.spark.sql.functions.col("dvPath").isNotNull)
+        .isEmpty)
+      assert(!t.log.snapshot.materialized,
+        "the DV gate materialized the 150k-file map on the driver")
+    } finally spark.conf.unset(Snapshot.DRIVER_FOLD_THRESHOLD_CONF)
+  }
+
   test("auto-compact on a 150k-file table selects without materializing the snapshot") {
     val dir = Files.createTempDirectory("graft-scale-ac").toString
     Graft.create(spark, dir,
