@@ -23,7 +23,9 @@ def semantic_dedup(df, id, emb, k, threshold=0.95, max_iter=10,
                    max_cluster_size=10000, planes=12):
     """SemDeDup: k-means buckets + in-cluster multi-band LSH cosine pairs
     (planes hyperplanes per band; band count derived from threshold).
-    Returns (id, cluster, is_dup, skipped_cluster)."""
+    Returns (id, cluster, is_dup, skipped_cluster). Members of clusters
+    larger than max_cluster_size skip pair generation and come back KEPT
+    (is_dup=False) with skipped_cluster=True."""
     spark = df.sparkSession
     jdf = spark._sc._jvm.graft.ml.Dedup.semanticDedup(
         df._jdf, _jcol(id), _jcol(emb), int(k), float(threshold),

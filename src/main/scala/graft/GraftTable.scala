@@ -67,6 +67,23 @@ class GraftTable private[graft] (
   def merge(source: DataFrame, condition: Column): MergeBuilder =
     new MergeBuilder(this, source, condition)
 
+  /** INSERT … REPLACE ON: atomically append `source` and delete every
+    * existing row matching ANY source row under `condition` (target
+    * aliased `t`, source `s`, like merge) — a replace whose criteria
+    * derive from the inserted data itself. */
+  def insertReplaceOn(source: DataFrame, condition: Column): Unit =
+    InsertReplaceCommand.run(this, source, condition)
+  def insertReplaceOn(source: DataFrame, condition: String): Unit =
+    insertReplaceOn(source, expr(condition))
+
+  /** INSERT … REPLACE USING (c1..cn): the equi-join special case —
+    * replace rows whose `cols` values appear in the inserted set. */
+  def insertReplaceUsing(source: DataFrame, cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "REPLACE USING requires at least one column")
+    insertReplaceOn(source,
+      cols.map(c => col(s"t.`$c`") === col(s"s.`$c`")).reduce(_ && _))
+  }
+
   // ---- Java/py4j-friendly overloads (the Python API binds these; py4j
   // cannot see Scala default arguments or build Scala Maps) --------------
   def updateExpr(condition: String, set: java.util.Map[String, String]): Unit = {

@@ -480,6 +480,25 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")
     }),
 
+    "graft_insert_replace_on" -> ((s, dir) => {
+      // INSERT ... REPLACE ON: the replace criteria derive from the
+      // inserted data — matching rows are deleted and every source row
+      // inserted, atomically.
+      val path = tmp("irepl")
+      Graft.write(t(s, dir, "orders"), path)
+      val modified = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_orderstatus", lit("X"))
+      val fresh = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 3)
+        .withColumn("o_orderkey", col("o_orderkey") + 100000000L)
+      GraftTable.forPath(s, path).insertReplaceOn(
+        modified.unionByName(fresh), expr("t.o_orderkey = s.o_orderkey"))
+      Graft.read(s, path)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    }),
+
     "graft_delete" -> ((s, dir) => {
       val path = tmp("delete")
       Graft.write(t(s, dir, "lineitem"), path)
@@ -2044,6 +2063,17 @@ object SparkEntry {
            UNION ALL
            SELECT * FROM lineitem WHERE l_quantity < 5 AND l_linenumber = 1
          ) ORDER BY l_orderkey, l_linenumber""",
+
+    "graft_insert_replace_on" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderkey % 7 <> 0
+         UNION ALL
+         SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice FROM orders
+         WHERE o_orderkey % 7 = 0
+         UNION ALL
+         SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+         FROM orders WHERE o_orderkey % 7 = 3
+         ORDER BY o_orderkey""",
 
     "graft_delete" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem

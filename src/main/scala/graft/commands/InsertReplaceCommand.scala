@@ -1,0 +1,167 @@
+package graft.commands
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.GraftTable
+import graft.files.GraftFileIndex
+import graft.log._
+
+/**
+ * INSERT … REPLACE ON / REPLACE USING: append every source row and, in
+ * the SAME commit, delete every existing table row that matches ANY
+ * source row under the join condition — a criteria-driven replace where
+ * the replaced set derives from the inserted data itself (a generalized
+ * replaceWhere). `REPLACE USING (c1..cn)` is the equi-join special case.
+ * (Reference concept: commands/DeltaInsertReplaceOnOrUsingCommand.scala:39
+ * + the replaceOn/replaceUsing branch of WriteIntoDelta — re-designed:
+ * one transaction composing the DELETE machinery's matched-row paths —
+ * DV bitmaps or survivor rewrites — with the normal write path, instead
+ * of an EXISTS-subquery rewrite.)
+ *
+ * Condition columns resolve through the `t` (target) / `s` (source)
+ * aliases, the same convention as MERGE: `t.insertReplaceOn(src,
+ * expr("t.k = s.k"))`.
+ *
+ * Scale shape: one candidate-pruned target scan joined with the source
+ * (Catalyst picks broadcast vs shuffle), rewrites bounded to files that
+ * actually contain matches (or KB-scale DV sidecars), and the insert is
+ * the plain distributed write path. A non-deterministic source pins once
+ * up front so the match phase and the insert phase see identical rows.
+ */
+object InsertReplaceCommand {
+
+  def run(
+      table: GraftTable,
+      source: DataFrame,
+      condition: Column,
+      targetAlias: String = "t",
+      sourceAlias: String = "s"): Map[String, String] = {
+    val nonDeterministic = source.queryExecution.analyzed.exists(
+      p => p.expressions.exists(e => !e.deterministic))
+    val materialized =
+      if (nonDeterministic) {
+        val m = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        m.count()
+        Some(m)
+      } else None
+    try runInternal(table, materialized.getOrElse(source), condition,
+      targetAlias, sourceAlias)
+    finally materialized.foreach(_.unpersist())
+  }
+
+  private def runInternal(
+      table: GraftTable,
+      source: DataFrame,
+      condition: Column,
+      targetAlias: String,
+      sourceAlias: String): Map[String, String] = {
+    val spark = table.spark
+    val log = table.log
+    log.withNewTransaction { txn =>
+      val m = txn.snapshot.metadata
+      require(graft.schema.SchemaUtils.isWriteCompatible(m.schema, source.schema),
+        s"REPLACE ON source schema ${source.schema.simpleString} is not " +
+          s"write-compatible with the table's ${m.schema.simpleString}")
+      val now = System.currentTimeMillis()
+      val cdf = Cdc.isEnabled(m)
+      // The replaced set is data-dependent on the source: conservatively a
+      // whole-table read for conflict detection (filterFiles() with no
+      // predicates registers exactly that).
+      val candidates = txn.filterFiles()
+      val src = source.alias(sourceAlias)
+      val useDv = graft.dv.DeletionVectors.isEnabled(m)
+
+      val (removes, rewriteAdds, deleteCdcRows, deletedCount) =
+        if (candidates.isEmpty) {
+          (Nil, Nil, None, 0L)
+        } else if (useDv) {
+          // matched rows keep their file identity (__f/__i) through the
+          // semi join, landing directly in per-file bitmap sidecars
+          val visible = GraftFileIndex.dataFrame(
+              spark, log, txn.snapshot, Some(candidates))
+            .withColumn("__f", graft.dv.DeletionVectors.normFileCol(
+              col("_metadata.file_path")))
+            .withColumn("__i", col("_metadata.row_index"))
+          val matched = visible.alias(targetAlias)
+            .join(src, condition, "left_semi")
+          val (rm, dvAdds, n) = graft.dv.DeletionVectors
+            .writeDeletionVectors(spark, log, candidates, matched)
+          (rm, dvAdds,
+            if (cdf) Some(matched.drop("__f", "__i")) else None, n)
+        } else {
+          // rewrite path: only files that actually contain matches
+          val FILE = "__graft_file"
+          val targetScan = Dml.scanFiles(spark, log, txn, candidates)
+            .withColumn(FILE, input_file_name())
+          val touchedPaths = targetScan.alias(targetAlias)
+            .join(src, condition, "left_semi")
+            .select(col(FILE)).distinct().collect().map(_.getString(0))
+          val byPath = candidates.map(f =>
+            new org.apache.hadoop.fs.Path(
+              new org.apache.hadoop.fs.Path(log.dataPath, f.path)
+                .toUri.getPath).toString -> f).toMap
+          val touched = touchedPaths.flatMap { uri =>
+            byPath.get(new org.apache.hadoop.fs.Path(
+              new java.net.URI(uri).getPath).toString)
+          }.toSeq
+          if (touched.isEmpty) (Nil, Nil, None, 0L)
+          else {
+            val base = Dml.scanFiles(spark, log, txn, touched)
+            val survivors = base.alias(targetAlias).join(src, condition, "left_anti")
+            val newAdds = txn.writeFiles(survivors)
+            val deleted = (for {
+              r <- Dml.statsRowCount(touched)
+              a <- Dml.statsRowCount(newAdds)
+            } yield r - a).getOrElse(-1L)
+            (touched.map(_.remove(now)), newAdds,
+              if (cdf) Some(base.alias(targetAlias).join(src, condition, "left_semi"))
+              else None, deleted)
+          }
+        }
+
+      // insert side: the normal write-path normalization
+      val (withDefaults, genChecks) =
+        graft.schema.ColumnDefaults.applyDefaults(source, m)
+      var normalized = graft.schema.SchemaUtils.normalize(withDefaults, m.schema)
+      normalized = graft.constraints.Constraints.enforce(normalized, m)
+      genChecks.foreach { case (name, ok) =>
+        if (normalized.columns.nonEmpty) {
+          val first = normalized.columns.head
+          val ft = normalized.schema(first).dataType
+          normalized = normalized.withColumn(first,
+            when(coalesce(ok, lit(false)), col(first)).otherwise(
+              raise_error(lit(s"provided value violates $name")).cast(ft)))
+        }
+      }
+      val insertAdds = txn.writeFiles(normalized)
+      graft.schema.ColumnDefaults.advanceWatermarks(txn.metadata, insertAdds)
+        .foreach(txn.updateMetadata)
+
+      val cdcActions =
+        if (cdf) {
+          val deletes = deleteCdcRows.map(
+            _.withColumn(Cdc.CHANGE_TYPE, lit("delete")))
+          val inserts = normalized.withColumn(Cdc.CHANGE_TYPE, lit("insert"))
+          Cdc.writeChangeFiles(spark, log,
+            deletes.map(d => d.unionByName(inserts)).getOrElse(inserts))
+        } else Nil
+      val protocolBump: Seq[Action] =
+        if (rewriteAdds.exists(_.dvPath.isDefined))
+          TableFeatures.requiredUpgrade(txn.snapshot.protocol, m,
+            TableFeatures.deletionVectors).toSeq
+        else Nil
+
+      val metrics = Map(
+        "numRemovedFiles" -> removes.size.toString,
+        "numAddedFiles" -> (rewriteAdds.size + insertAdds.size).toString,
+        "numTargetRowsDeleted" -> deletedCount.toString) ++
+        Dml.statsRowCount(insertAdds).map("numTargetRowsInserted" -> _.toString)
+      txn.commit(protocolBump ++ removes ++ rewriteAdds ++ insertAdds ++ cdcActions,
+        "INSERT REPLACE",
+        operationParameters = Map("predicate" -> condition.toString),
+        operationMetrics = metrics)
+      metrics
+    }
+  }
+}

@@ -117,12 +117,22 @@ object WriteIntoGraft {
             s"Schema mismatch writing to $path:\n table: ${m0.schema.simpleString}\n" +
               s" data: ${data.schema.simpleString}\nSet mergeSchema=true to evolve.")
         } else m0
-      if (isNew || (m ne m0)) txn.updateMetadata(m)
+      // A full overwrite that passes `configuration` refreshes the table
+      // properties ATOMICALLY with the data commit: a rebuild-in-place
+      // (e.g. a dedup index with new banding) must never expose new data
+      // under old properties, even to a crash or a concurrent reader.
+      val mFinal =
+        if (!isNew && mode == "overwrite" && replaceWhere.isEmpty &&
+            !dynamicPartitionOverwrite &&
+            configuration.exists { case (k, v) => !m.configuration.get(k).contains(v) })
+          m.copy(configuration = m.configuration ++ configuration)
+        else m
+      if (isNew || (mFinal ne m0)) txn.updateMetadata(mFinal)
 
       // generated/identity defaults, then schema alignment, then CHECKs
-      val (withDefaults, genChecks) = graft.schema.ColumnDefaults.applyDefaults(data, m)
-      var normalized = SchemaUtils.normalize(withDefaults, m.schema)
-      normalized = graft.constraints.Constraints.enforce(normalized, m)
+      val (withDefaults, genChecks) = graft.schema.ColumnDefaults.applyDefaults(data, mFinal)
+      var normalized = SchemaUtils.normalize(withDefaults, mFinal.schema)
+      normalized = graft.constraints.Constraints.enforce(normalized, mFinal)
       // replaceWhere validation rides the write projection itself (a
       // raise_error guard) instead of a second full scan of the input.
       if (mode == "overwrite") replaceWhere.foreach { cond =>
@@ -157,7 +167,7 @@ object WriteIntoGraft {
           replaceWhere match {
             case Some(cond) =>
               val condition = spark.sessionState.sqlParser.parseExpression(cond)
-              val (partF, dataF) = splitPredicates(condition, m)
+              val (partF, dataF) = splitPredicates(condition, mFinal)
               val candidates = txn.filterFiles(partF, dataF)
               if (dataF.isEmpty) (candidates.map(_.remove(now)), Nil)
               else {
@@ -182,7 +192,7 @@ object WriteIntoGraft {
               val touched = adds.map(_.partitionValues).toSet
               if (touched.isEmpty) (Nil, Nil)
               else {
-                val pred = touchedPartitionPredicate(touched.toSeq, m)
+                val pred = touchedPartitionPredicate(touched.toSeq, mFinal)
                 (txn.filterFiles(Seq(pred), Nil).map(_.remove(now)), Nil)
               }
             case None =>

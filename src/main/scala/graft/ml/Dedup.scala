@@ -247,25 +247,19 @@ object Dedup {
       s"$indexPath/buckets", params, partitionBy = Seq("band"))
   }
 
-  /** Overwrite an index table AND force its identity properties current:
-    * overwriting an EXISTING graft table keeps the old table properties
-    * (configuration applies only at creation), so a rebuild-in-place with
-    * different banding would leave stale parameters that either refuse
-    * correct calls or — worse — validate calls whose keys can never match
-    * the data. */
+  /** Overwrite an index table with its identity properties riding the
+    * SAME commit (Graft.write overwrite merges `configuration` into the
+    * metadata atomically): a rebuild-in-place with different banding can
+    * never — not even to a crash or a concurrent reader — expose new data
+    * under old parameters, whose bucket keys could silently match
+    * nothing. */
   private def writeIndexTable(
       df: DataFrame,
       path: String,
       params: Map[String, String],
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil): Unit =
     graft.Graft.write(df, path, mode = "overwrite",
       configuration = params, partitionBy = partitionBy)
-    val spark = df.sparkSession
-    val stored = graft.log.GraftLog.forTable(spark, path).update()
-      .metadata.configuration
-    if (params.exists { case (k, v) => !stored.get(k).contains(v) })
-      graft.GraftTable.forPath(spark, path).upsertProperties(params)
-  }
 
   /** The shared incremental-index dedup protocol — ONE implementation so
     * the minhash and embedding modes can never diverge: pin both table
@@ -298,10 +292,16 @@ object Dedup {
     val pv = graft.log.GraftLog.forTable(spark, payloadPath).update().version
     val conf = kSnap.metadata.configuration
     expectedParams.foreach { case (k, v) =>
-      conf.get(k).foreach(stored => require(stored == v,
-        s"index at $indexPath was built with ${k.split('.').last}=$stored, " +
-          s"called with $v — mismatched banding would silently miss " +
-          "every duplicate"))
+      conf.get(k) match {
+        case Some(stored) => require(stored == v,
+          s"index at $indexPath was built with ${k.split('.').last}=$stored, " +
+            s"called with $v — mismatched banding would silently miss " +
+            "every duplicate")
+        case None => throw new IllegalArgumentException(
+          s"index at $indexPath carries no recorded $k — rebuild it with " +
+            "buildMinHashIndex/buildEmbeddingIndex; deduping against an " +
+            "index with unknown parameters would silently lose recall")
+      }
     }
     val idx0 = graft.Graft.readVersion(spark, keysPath, kv)
       .select(keyCols.map(col) :+ col("id").as("cid"): _*)
@@ -525,9 +525,9 @@ object Dedup {
    * that the band cap truncates the bound). Clusters above
    * `maxClusterSize` (an embedding-collapse pathology even with
    * banding — one degenerate direction = one hot bucket) skip pair
-   * generation; their members come back with `is_dup = null` and
-   * `skipped_cluster = true` so the gap is visible in the output rather
-   * than silently reported as unique.
+   * generation; their members come back KEPT (`is_dup = false`, the safe
+   * failure for dedup) with `skipped_cluster = true` so the gap is
+   * visible in the output rather than silently folded into "unique".
    */
   def semanticDedup(
       df: DataFrame,
@@ -552,14 +552,17 @@ object Dedup {
       .where(Similarity.cosine(col("embA"), col("embB")) >= threshold)
       .select("idA", "idB").distinct()
     val families = Clustering.dedupClusters(pairs)
+    // Skipped-cluster members report is_dup = FALSE (kept-by-default is
+    // the safe failure for dedup — `where(!is_dup)` callers must not
+    // silently drop a whole skipped cluster through a null predicate);
+    // skipped_cluster = true marks the weaker verdict.
     assigned.join(
         families.where(col("id") =!= col("component"))
           .select(col("id"), lit(true).as("__d")),
         Seq("id"), "left")
       .join(broadcast(skippedC), Seq("cluster"), "left")
       .select(col("id"), col("cluster"),
-        when(coalesce(col("__skip"), lit(false)),
-          lit(null).cast("boolean"))
+        when(coalesce(col("__skip"), lit(false)), lit(false))
           .otherwise(coalesce(col("__d"), lit(false))).as("is_dup"),
         coalesce(col("__skip"), lit(false)).as("skipped_cluster"))
   }

@@ -21,19 +21,19 @@ object SchemaUtils {
   private val invalidNameChars = " ,;{}()\n\t=".toSet
 
   def findInvalidNames(schema: StructType): Seq[String] = {
+    // Containers recurse generically — structs can hide under
+    // array<array<...>>, map KEYS, map<_, array<...>>, etc.
+    def walkType(dt: DataType, prefix: String): Seq[String] = dt match {
+      case s: StructType => walk(s, prefix)
+      case ArrayType(e, _) => walkType(e, prefix)
+      case MapType(k, v, _) => walkType(k, prefix) ++ walkType(v, prefix)
+      case _ => Nil
+    }
     def walk(st: StructType, prefix: String): Seq[String] =
       st.fields.toSeq.flatMap { f =>
         val self =
           if (f.name.exists(invalidNameChars)) Seq(prefix + f.name) else Nil
-        val nested = f.dataType match {
-          case s: StructType => walk(s, prefix + f.name + ".")
-          case org.apache.spark.sql.types.ArrayType(s: StructType, _) =>
-            walk(s, prefix + f.name + ".")
-          case org.apache.spark.sql.types.MapType(_, s: StructType, _) =>
-            walk(s, prefix + f.name + ".")
-          case _ => Nil
-        }
-        self ++ nested
+        self ++ walkType(f.dataType, prefix + f.name + ".")
       }
     walk(schema, "")
   }

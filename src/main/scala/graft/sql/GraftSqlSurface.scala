@@ -658,6 +658,28 @@ case class GraftRestoreRun(path: String, version: Long)
   }
 }
 
+/** INSERT INTO t REPLACE ON <cond> <query> / REPLACE USING (cols) <query>:
+  * atomically insert the query's rows and delete the existing rows they
+  * match. The condition references the target as `t` and the inserted
+  * rows as `s` (merge's convention). */
+case class GraftInsertReplaceRun(
+    path: String,
+    condText: Option[String],
+    usingCols: Option[Seq[String]],
+    queryText: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = spark.sql(queryText)
+    val t = GraftTable.forPath(spark, path)
+    usingCols match {
+      case Some(cs) => t.insertReplaceUsing(df, cs)
+      case None => t.insertReplaceOn(df, condText.get)
+    }
+    Nil
+  }
+}
+
 case class GraftShowPropsRun(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("key", StringType)(),
@@ -759,6 +781,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * (or reject): CHECK constraints and TBLPROPERTIES must land in the
     * transaction log. Non-graft targets fall through to the delegate. */
   private def parseAlterExtras(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case insertReplaceOnRe(t, cond, query) =>
+      resolveTarget(t).map(p =>
+        GraftInsertReplaceRun(p, Some(cond.trim), None, query))
+    case insertReplaceUsingRe(t, cols, query) =>
+      resolveTarget(t).map(p => GraftInsertReplaceRun(p, None,
+        Some(cols.split(",").toSeq.map(c => stripQuotes(c.trim))), query))
     case showPropsRe(t) =>
       resolveTarget(t).map(GraftShowPropsRun.apply)
     case createLikeRe(tgt, src, loc) =>
@@ -903,6 +931,15 @@ object GraftSqlParser {
   private val dropConstraintRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($targetOrName)\\s+DROP\\s+CONSTRAINT\\s+""" +
       """(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""").r
+  // INSERT INTO t REPLACE ON <cond> <query> / REPLACE USING (c1..cn) <query>.
+  // The condition runs lazily up to the query head keyword — a condition
+  // containing a scalar subquery needs the Scala API.
+  private val insertReplaceOnRe =
+    (s"""(?is)^\\s*INSERT\\s+INTO\\s+($targetOrName)\\s+REPLACE\\s+ON\\s+""" +
+      """(.+?)\s+((?:SELECT|VALUES|WITH|TABLE|FROM)\b.*?)\s*;?\s*$""").r
+  private val insertReplaceUsingRe =
+    (s"""(?is)^\\s*INSERT\\s+INTO\\s+($targetOrName)\\s+REPLACE\\s+USING\\s*""" +
+      """\(([^)]+)\)\s*((?:SELECT|VALUES|WITH|TABLE|FROM)\b.*?)\s*;?\s*$""").r
   private val setPropsRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($target)\\s+SET\\s+TBLPROPERTIES\\s*""" +
       """\((.+)\)\s*;?\s*$""").r

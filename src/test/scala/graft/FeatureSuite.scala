@@ -709,5 +709,20 @@ class FeatureSuite extends AnyFunSuite {
         dir3, mergeSchema = true)
     }
     assert(e2.getMessage.contains("new col"), e2.getMessage)
+    // bad names hide under ANY container shape: array<array<struct>>,
+    // map keys, map<_, array<struct>>
+    val dir4 = java.nio.file.Files.createTempDirectory("badnames4").toString
+    val deepBad = spark.range(2).select($"id",
+      array(array(struct(lit(1).as("a b")))).as("aa"))
+    val e3 = intercept[IllegalArgumentException] { Graft.write(deepBad, dir4) }
+    assert(e3.getMessage.contains("a b"), e3.getMessage)
+    val mapBad = spark.range(2).select($"id",
+      map(struct(lit(1).as("k;y")), array(struct(lit(2).as("ok")))).as("m"))
+    val e4 = intercept[IllegalArgumentException] { Graft.write(mapBad, dir4) }
+    assert(e4.getMessage.contains("k;y"), e4.getMessage)
+    val mapValBad = spark.range(2).select($"id",
+      map(lit("k"), array(struct(lit(2).as("v{}")))).as("m"))
+    val e5 = intercept[IllegalArgumentException] { Graft.write(mapValBad, dir4) }
+    assert(e5.getMessage.contains("v{}"), e5.getMessage)
   }
 }

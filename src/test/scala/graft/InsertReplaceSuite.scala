@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class InsertReplaceSuite extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def tmpDir(): String = Files.createTempDirectory("graft-ir").toString
+
+  private def seed(dir: String, conf: Map[String, String] = Map.empty): Unit =
+    Graft.write(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"))
+      .toDF("k", "v").repartition(2), dir, configuration = conf)
+
+  private def content(dir: String): Set[(Long, String)] =
+    Graft.read(spark, dir).as[(Long, String)].collect().toSet
+
+  test("replaceUsing deletes matching keys and inserts all source rows") {
+    val dir = tmpDir()
+    seed(dir)
+    val src = Seq((3L, "C!"), (6L, "F!")).toDF("k", "v")
+    GraftTable.forPath(spark, dir).insertReplaceUsing(src, Seq("k"))
+    assert(content(dir) === Set((1L, "a"), (2L, "b"), (3L, "C!"),
+      (4L, "d"), (5L, "e"), (6L, "F!")))
+  }
+
+  test("replaceOn true replaces everything; false appends") {
+    val dir = tmpDir()
+    seed(dir)
+    val t = GraftTable.forPath(spark, dir)
+    t.insertReplaceOn(Seq((9L, "z")).toDF("k", "v"), lit(true))
+    assert(content(dir) === Set((9L, "z")))
+    t.insertReplaceOn(Seq((10L, "y")).toDF("k", "v"), lit(false))
+    assert(content(dir) === Set((9L, "z"), (10L, "y")))
+  }
+
+  test("replaceOn arbitrary condition deletes every matching row (dup keys too)") {
+    val dir = tmpDir()
+    Graft.write(Seq((1L, "a"), (1L, "a2"), (2L, "b"), (3L, "c"))
+      .toDF("k", "v").repartition(2), dir)
+    val src = Seq((1L, "A")).toDF("k", "v")
+    // range condition: replace all rows with k <= s.k
+    GraftTable.forPath(spark, dir)
+      .insertReplaceOn(src, expr("t.k <= s.k"))
+    assert(content(dir) === Set((1L, "A"), (2L, "b"), (3L, "c")))
+  }
+
+  test("DV path: replace marks old rows via deletion vectors, no rewrite") {
+    val dir = tmpDir()
+    seed(dir, Map("graft.enableDeletionVectors" -> "true"))
+    val before = GraftTable.forPath(spark, dir).snapshot.allFiles
+      .map(_.path).toSet
+    GraftTable.forPath(spark, dir)
+      .insertReplaceUsing(Seq((2L, "B!")).toDF("k", "v"), Seq("k"))
+    assert(content(dir) === Set((1L, "a"), (2L, "B!"), (3L, "c"),
+      (4L, "d"), (5L, "e")))
+    val after = GraftTable.forPath(spark, dir).snapshot.allFiles
+    // the original data files survive (one of them now DV-masked)
+    assert(before.subsetOf(after.map(_.path).toSet))
+    assert(after.exists(_.dvPath.isDefined))
+  }
+
+  test("CDF: one commit carries delete + insert change rows") {
+    val dir = tmpDir()
+    seed(dir, Map("graft.enableChangeDataFeed" -> "true"))
+    val t = GraftTable.forPath(spark, dir)
+    t.insertReplaceUsing(Seq((3L, "C!"), (6L, "F!")).toDF("k", "v"), Seq("k"))
+    val v = t.version
+    val ch = t.changes(v, v)
+      .select($"k", $"v", col("_change_type").as[String])
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(ch === Set((3L, "c", "delete"), (3L, "C!", "insert"),
+      (6L, "F!", "insert")))
+  }
+
+  test("SQL: INSERT INTO ... REPLACE ON / REPLACE USING") {
+    val dir = tmpDir()
+    seed(dir)
+    spark.sql(s"INSERT INTO graft.`$dir` REPLACE ON t.k = s.k " +
+      "SELECT 4L AS k, 'D!' AS v")
+    assert(content(dir).contains((4L, "D!")) && !content(dir).contains((4L, "d")))
+    spark.sql(s"INSERT INTO graft.`$dir` REPLACE USING (k) " +
+      "SELECT 5L AS k, 'E!' AS v")
+    assert(content(dir).contains((5L, "E!")) && !content(dir).contains((5L, "e")))
+    assert(content(dir).size === 5)
+    // plain INSERT INTO still routes through the normal path
+    spark.sql(s"INSERT INTO graft.`$dir` SELECT 7L, 'g'")
+    assert(content(dir).contains((7L, "g")) && content(dir).size === 6)
+  }
+
+  test("incompatible source schema refuses") {
+    val dir = tmpDir()
+    seed(dir)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.forPath(spark, dir)
+        .insertReplaceOn(Seq((1, "x", 2.0)).toDF("k", "v", "extra"), lit(true))
+    }
+    assert(e.getMessage.contains("write-compatible"), e.getMessage)
+  }
+}

@@ -899,15 +899,17 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
     assert(got === Map(10L -> false, 11L -> true, 12L -> true,
       20L -> false, 21L -> true, 30L -> false)) // 40 (null emb) absent
     // Oversized-cluster guard: with k=1 everything is one cluster; a cap
-    // below the corpus size must skip pair generation and SAY SO — null
-    // is_dup + skipped_cluster=true, never a silent is_dup=false.
+    // below the corpus size must skip pair generation and SAY SO —
+    // members come back KEPT (is_dup=false, the safe dedup failure: a
+    // `where(!is_dup)` caller keeps them instead of null-dropping the
+    // whole cluster) and marked skipped_cluster=true.
     val guarded = Dedup.semanticDedup(rows, $"id", $"emb", k = 1,
       threshold = 0.999, maxIter = 2, maxClusterSize = 3)
-      .collect().map(r => r.getLong(0) -> ((r.isNullAt(2), r.getBoolean(3))))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(3))))
       .toMap
     assert(guarded.size === 6)
-    assert(guarded.values.forall { case (dupNull, skipped) =>
-      dupNull && skipped })
+    assert(guarded.values.forall { case (dup, skipped) =>
+      !dup && skipped })
     // Non-skipped rows carry skipped_cluster=false
     val fine = Dedup.semanticDedup(rows, $"id", $"emb", k = 3,
       threshold = 0.999, maxIter = 5)
