@@ -432,7 +432,7 @@ object ConvertFromDeltaCommand {
       // properties (DV enablement, row tracking, clustering) persist.
       val baseMeta = txn.snapshot.metadata
       val translated = Option(state.metaNode).map(m =>
-        translatedMetadata(log.dataPath, m))
+        translatedMetadata(log.dataPath, m, state.protoNode))
       val dvExtra =
         if (adds.exists(_.dvPath.isDefined))
           Map("graft.enableDeletionVectors" -> "true")
@@ -517,7 +517,23 @@ object ConvertFromDeltaCommand {
       "Delta reader version beyond 3 is not supported")
   }
 
-  private def translatedMetadata(path: Path, metaNode: JsonNode): Metadata = {
+  private def translatedMetadata(
+      path: Path, metaNode: JsonNode, protoNode: JsonNode): Metadata = {
+    // Generation / identity expressions written by protocols too old to
+    // ENFORCE them are vestigial (a lower-versioned writer CTAS'd the
+    // schema through): the reference ignores them, so the translation
+    // must not promote them into live graft defaults (reference concept:
+    // GeneratedColumnCompatibilitySuite / IdentityColumnSuite
+    // withWriterVersion5Table).
+    def writerOk(minVersion: Int, feature: String): Boolean = {
+      if (protoNode == null) return true
+      val wv = protoNode.path("minWriterVersion").asInt(1)
+      val wf = Option(protoNode.get("writerFeatures")).toSeq
+        .flatMap(n => (0 until n.size()).map(n.get(_).asText())).toSet
+      (wv >= minVersion && wv < 7) || wf.contains(feature)
+    }
+    val genOk = writerOk(4, "generatedColumns")
+    val idOk = writerOk(6, "identityColumns")
     require(metaNode != null, s"Delta log at $path carries no metaData action")
     // A missing schemaString is a degenerate but real shape (the
     // reference's own log-level golden tables commit metadata without
@@ -532,7 +548,7 @@ object ConvertFromDeltaCommand {
       n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
     Metadata(
-      schemaString = translateSchema(schema).json,
+      schemaString = translateSchema(schema, genOk, idOk).json,
       partitionColumns = partitionCols,
       configuration = translateConfig(deltaConf),
       createdTime = Some(System.currentTimeMillis()))
@@ -547,7 +563,8 @@ object ConvertFromDeltaCommand {
       deltaVersions: Seq[Long],
       cpVersion: Option[Long]): GraftTable = {
     protocolGate(log.dataPath, state.protoNode)
-    val translated = translatedMetadata(log.dataPath, state.metaNode)
+    val translated = translatedMetadata(log.dataPath, state.metaNode,
+      state.protoNode)
 
     // Survivors: per (path, dvUid) the fold already reconciled; a legal
     // state has one entry per path — keep the latest-folded otherwise.
@@ -624,7 +641,8 @@ object ConvertFromDeltaCommand {
       cpVersion: Option[Long]): GraftTable = {
     import spark.implicits._
     protocolGate(log.dataPath, state.protoNode)
-    val translated = translatedMetadata(log.dataPath, state.metaNode)
+    val translated = translatedMetadata(log.dataPath, state.metaNode,
+      state.protoNode)
 
     // Last-writer-wins over (path, dv uniqueId): the checkpoint rows are
     // version -1 (already-reconciled state), the tail rides its real
@@ -966,33 +984,42 @@ object ConvertFromDeltaCommand {
   }
 
   /** Per-field metadata keys -> graft equivalents, recursively. */
-  private def translateSchema(s: StructType): StructType =
-    StructType(s.fields.map(translateField))
+  private def translateSchema(
+      s: StructType, genOk: Boolean = true, idOk: Boolean = true): StructType =
+    StructType(s.fields.map(translateField(_, genOk, idOk)))
 
-  private def translateField(f: StructField): StructField = {
+  private def translateField(
+      f: StructField, genOk: Boolean, idOk: Boolean): StructField = {
     val dt = f.dataType match {
-      case st: StructType => translateSchema(st)
+      case st: StructType => translateSchema(st, genOk, idOk)
       case a: org.apache.spark.sql.types.ArrayType =>
         a.elementType match {
-          case st: StructType => a.copy(elementType = translateSchema(st))
+          case st: StructType =>
+            a.copy(elementType = translateSchema(st, genOk, idOk))
           case _ => a
         }
       case m: org.apache.spark.sql.types.MapType =>
         m.valueType match {
-          case st: StructType => m.copy(valueType = translateSchema(st))
+          case st: StructType =>
+            m.copy(valueType = translateSchema(st, genOk, idOk))
           case _ => m
         }
       case other => other
     }
-    f.copy(dataType = dt, metadata = translateFieldMeta(f.metadata))
+    f.copy(dataType = dt, metadata = translateFieldMeta(f.metadata, genOk, idOk))
   }
 
-  private def translateFieldMeta(m: FieldMetadata): FieldMetadata = {
-    val renames = Map(
-      "delta.columnMapping.physicalName" -> graft.schema.ColumnMapping.PHYS_KEY,
-      "delta.generationExpression" -> graft.schema.ColumnDefaults.GEN_KEY,
-      "delta.identity.start" -> graft.schema.ColumnDefaults.ID_START,
-      "delta.identity.step" -> graft.schema.ColumnDefaults.ID_STEP)
+  private def translateFieldMeta(
+      m: FieldMetadata, genOk: Boolean, idOk: Boolean): FieldMetadata = {
+    val renames =
+      Map("delta.columnMapping.physicalName" -> graft.schema.ColumnMapping.PHYS_KEY) ++
+      (if (genOk)
+        Map("delta.generationExpression" -> graft.schema.ColumnDefaults.GEN_KEY)
+      else Map.empty) ++
+      (if (idOk)
+        Map("delta.identity.start" -> graft.schema.ColumnDefaults.ID_START,
+          "delta.identity.step" -> graft.schema.ColumnDefaults.ID_STEP)
+      else Map.empty)
     var changed = false
     val mb = new MetadataBuilder().withMetadata(m)
     renames.foreach { case (dk, gk) =>

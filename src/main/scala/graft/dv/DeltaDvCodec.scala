@@ -141,8 +141,12 @@ object DeltaDvCodec {
     case "i" =>
       Bitmap64.fromDeltaPortable(z85Decode(pathOrInlineDv, sizeInBytes))
     case "p" =>
-      Bitmap64.fromDeltaPortable(
-        readFromFile(new Path(pathOrInlineDv), conf, offset, sizeInBytes))
+      // absolute paths are stored URL-ESCAPED (PROTOCOL.md: "Special
+      // characters in this path must be escaped"); URI parsing decodes
+      val p =
+        try new Path(new java.net.URI(pathOrInlineDv))
+        catch { case _: java.net.URISyntaxException => new Path(pathOrInlineDv) }
+      Bitmap64.fromDeltaPortable(readFromFile(p, conf, offset, sizeInBytes))
     case "u" =>
       // trailing 20 chars are the z85 uuid; anything before is a random
       // directory prefix
@@ -152,8 +156,22 @@ object DeltaDvCodec {
       val bb = ByteBuffer.wrap(uuidBytes)
       val uuid = new UUID(bb.getLong, bb.getLong)
       val dir = if (prefix.isEmpty) tableRoot else new Path(tableRoot, prefix)
-      Bitmap64.fromDeltaPortable(readFromFile(
-        new Path(dir, s"deletion_vector_$uuid.bin"), conf, offset, sizeInBytes))
+      val spec = new Path(dir, s"deletion_vector_$uuid.bin")
+      val fs = spec.getFileSystem(conf)
+      // Writers may prepend a NAME prefix to the spec name (the reference
+      // does in its test fixtures); the uuid is the identity, so fall
+      // back to the unique `*deletion_vector_<uuid>.bin` match.
+      val resolved =
+        if (fs.exists(spec)) spec
+        else {
+          val matches = fs.globStatus(
+            new Path(dir, s"*deletion_vector_$uuid.bin"))
+          require(matches != null && matches.length == 1,
+            s"DV file deletion_vector_$uuid.bin not found under $dir")
+          matches.head.getPath
+        }
+      Bitmap64.fromDeltaPortable(
+        readFromFile(resolved, conf, offset, sizeInBytes))
     case other =>
       throw new IllegalArgumentException(s"unknown DV storageType '$other'")
   }
