@@ -93,7 +93,50 @@ object Bench {
     for ((name, t1) <- first.sortBy(-_._2)
          if elapsed + t1 < budgetS)
       mins(name) = math.min(mins(name), time1(name))
+    // Streaming fixtures swing 3-7x on identical code under host load
+    // (micro-batch scheduler latency the scan-bound control cannot
+    // normalize) — give each stream_* query min-of-3 total so one
+    // scheduler spike cannot poison the round-over-round comparison.
+    for (_ <- 0 until 1;
+         (name, t1) <- first.filter(_._1.startsWith("stream_"))
+         if elapsed + t1 < budgetS)
+      mins(name) = math.min(mins(name), time1(name))
     val results = first.map { case (n, _) => n -> mins(n) }
+    // Streaming ambience control: a graft-free no-op AvailableNow stream
+    // (parquet source -> noop sink). Its wall time is pure micro-batch
+    // scheduler + checkpoint-log latency, the component that inflates the
+    // stream_* fixtures under load — `stream_norm` (= stream_* total /
+    // this) separates those swings from real regressions the same way
+    // value_norm does for scan-bound queries.
+    val streamControlSrc = {
+      val dir = java.nio.file.Files.createTempDirectory("benchsctlsrc").toString
+      spark.range(1000).write.mode("overwrite").parquet(dir)
+      dir
+    }
+    def timeStreamControl(): Double = {
+      val t0 = System.nanoTime()
+      try {
+        val dir = java.nio.file.Files.createTempDirectory("benchsctl").toString
+        val schema = spark.read.parquet(streamControlSrc).schema
+        val q = spark.readStream.schema(schema)
+          .parquet(streamControlSrc)
+          .writeStream.format("noop")
+          .option("checkpointLocation", s"$dir/cp")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(120000)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    }
+    timeStreamControl() // untimed warm-up of the streaming machinery
+    val streamControlSamples = Seq.fill(3)(timeStreamControl())
+    val streamControl =
+      if (streamControlSamples.exists(_ < 0)) -1.0
+      else streamControlSamples.sorted.apply(streamControlSamples.size / 2)
+    val streamTotal = results.filter(_._1.startsWith("stream_")).map(_._2).sum
+    val streamNorm =
+      if (streamControl > 0 && streamTotal > 0) streamTotal / streamControl
+      else -1.0
     val controlSamples = controlPre ++ Seq.fill(3)(timeControl())
     val control =
       if (controlSamples.exists(_ < 0)) -1.0
@@ -110,7 +153,7 @@ object Bench {
     // and made rounds 1-4 unparseable). Full map goes to a file + an early
     // stdout line (scrolls out of the tail); the last line carries the total
     // plus a fixed headline subset and stays < 1.5 KB.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","control_s":${fmt(control)},"value_norm":${fmt(norm)},"queries":${toJson(results)},"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","control_s":${fmt(control)},"value_norm":${fmt(norm)},"stream_control_s":${fmt(streamControl)},"stream_norm":${fmt(streamNorm)},"queries":${toJson(results)},"sf":"$sfDir"}"""
     println(full)
     // The full map cannot fit the 2000-byte stdout tail (101 queries ~=
     // 2.6 KB), so it persists to files: target/ for local tooling and the
@@ -136,7 +179,7 @@ object Bench {
       "dedup_ngram_jaccard", "ann_lsh", "ann_ivf", "text_termstats")
     val resultMap = results.toMap
     val head = headline.flatMap(n => resultMap.get(n).map(n -> _))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","control_s":${fmt(control)},"value_norm":${fmt(norm)},"queries":${toJson(head)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","control_s":${fmt(control)},"value_norm":${fmt(norm)},"stream_control_s":${fmt(streamControl)},"stream_norm":${fmt(streamNorm)},"queries":${toJson(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1450,9 +1450,19 @@ object SparkEntry {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       Graft.write(d.unionByName(
         d.select((col("doc_id") + 100000).as("doc_id"), col("text"))), src)
+      // Bounded-state dedup: watermark + dropDuplicatesWithinWatermark is
+      // THE pattern to copy at a real 100x stream (plain dropDuplicates
+      // keeps every digest forever). The fixture's event time is a single
+      // instant so the within-watermark guarantee covers every duplicate
+      // and the result stays exactly DISTINCT for the oracle; a live
+      // pipeline uses its real event-time column and accepts re-emits
+      // beyond the delay in exchange for evictable state.
       val q = s.readStream.format("graft").load(src)
-        .select(md5(col("text")).as("digest"))
-        .dropDuplicates("digest")
+        .select(md5(col("text")).as("digest"),
+          timestamp_seconds(lit(1700000000L)).as("event_time"))
+        .withWatermark("event_time", "10 minutes")
+        .dropDuplicatesWithinWatermark("digest")
+        .select("digest")
         .writeStream.format("graft")
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())

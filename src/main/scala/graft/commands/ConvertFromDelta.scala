@@ -189,7 +189,34 @@ object ConvertFromDeltaCommand {
     else s"${dv.path("storageType").asText("")}|${dv.path("pathOrInlineDv").asText("")}|" +
       s"${dv.path("offset").asInt(0)}"
 
+  /** A fully-redirected source: the log says the REAL table lives at
+    * `dest`. Thrown mid-convert (the property is only knowable after the
+    * metadata folds) and caught by [[run]]'s follow loop. */
+  private[commands] final case class RedirectedTable(dest: String)
+    extends RuntimeException(s"table is redirected to $dest")
+
   def run(spark: SparkSession, path: String): GraftTable = {
+    // Follow REDIRECT-READY reader-writer redirects to the destination
+    // (reference redirect/TableRedirect.scala: queries on the source are
+    // served by the destination table) — loop-guarded against cycles.
+    var current = path
+    val visited = mutable.LinkedHashSet.empty[String]
+    while (true) {
+      visited += current
+      try return runOnce(spark, current)
+      catch {
+        case RedirectedTable(dest) =>
+          require(!visited.contains(dest),
+            s"table redirect cycle: ${(visited.toSeq :+ dest).mkString(" -> ")}")
+          require(visited.size < 10,
+            s"table redirect chain exceeds 10 hops: ${visited.mkString(" -> ")}")
+          current = dest
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def runOnce(spark: SparkSession, path: String): GraftTable = {
     val log = GraftLog.forTable(spark, path)
     require(!log.tableExists, s"$path is already a graft table")
     val deltaLog = new Path(log.dataPath, "_delta_log")
@@ -374,6 +401,7 @@ object ConvertFromDeltaCommand {
           applyAction(node, state)
         }
     }
+    redirectCheck(log.dataPath, state.metaNode, follow = false)
     if (state.protoNode != null) protocolGate(log.dataPath, state.protoNode)
 
     // Window survivors per path (latest fold wins), DVs re-encoded with
@@ -470,7 +498,9 @@ object ConvertFromDeltaCommand {
     // convert (reference PROTOCOL.md:1941-1966).
     val understood = Set("columnMapping", "timestampNtz", "variantType",
       "typeWidening", "v2Checkpoint", "deletionVectors",
-      "vacuumProtocolCheck", "variantShredding")
+      "vacuumProtocolCheck", "variantShredding",
+      // handled by redirectCheck (property-driven follow/refusal)
+      "redirectReaderWriter")
     // The protocol action is REQUIRED in every Delta log (PROTOCOL.md);
     // a log without one is nonconforming, and guessing a version could
     // misread a table whose (missing) protocol gated a feature we would
@@ -483,27 +513,15 @@ object ConvertFromDeltaCommand {
     // reference TableFeature.scala preview-feature convention) — strip it
     // before matching, or real Delta 4.x tables written during a feature's
     // preview window would refuse to convert forever.
-    val wf = Option(protoNode.get("writerFeatures")).toSeq
-      .flatMap(n => (0 until n.size()).map(n.get(_).asText()))
     val stripped = rf.map(_.stripSuffix("-preview")).toSet
     // Refuse the features whose MEANING (not just layout) a convert would
     // break, by name, before the generic unknown-feature error:
-    //  - table redirect (reference redirect/TableRedirect.scala): the log
-    //    points readers/writers at ANOTHER table location; folding this
-    //    log converts a stale/empty shell, not the table. Writer-only
-    //    redirect (a writerFeatures entry, normally ignored) also refuses:
-    //    the live writes land elsewhere, so the fold silently diverges.
     //  - geospatial (reference DeltaGeoSpatial.scala, features
     //    `geospatial`/`geospatial-dev`): GEOMETRY/GEOGRAPHY types have no
     //    Spark engine type here yet; the schema cannot be translated.
-    val redirect = (stripped ++ wf.map(_.stripSuffix("-preview")))
-      .filter(f => f == "redirectReaderWriter" || f == "redirectWriterOnly")
-    require(redirect.isEmpty,
-      s"Delta table at $path is REDIRECTED (${redirect.mkString(", ")}): " +
-        "its log points queries at another table location, so converting " +
-        "this copy would capture a stale or empty shell. Convert the " +
-        "redirect destination instead (table property " +
-        "delta.redirectReaderWriter-preview carries the destination spec).")
+    // (Table redirect is handled by [[redirectCheck]] from the live
+    // PROPERTY, not the feature marker — a table whose redirect was
+    // dropped keeps the feature but converts normally.)
     val geo = stripped.filter(f => f == "geospatial" || f == "geospatial-dev")
     require(geo.isEmpty,
       s"Delta table at $path uses GEOSPATIAL types (${geo.mkString(", ")}): " +
@@ -515,6 +533,64 @@ object ConvertFromDeltaCommand {
         "does not understand — converting could misread the data layout")
     require(protoNode.path("minReaderVersion").asInt(1) <= 3,
       "Delta reader version beyond 3 is not supported")
+  }
+
+  /**
+   * Table redirect (reference redirect/TableRedirect.scala): the LIVE
+   * redirect property decides, not the feature marker.
+   *  - REDIRECT-READY reader-writer: queries on this path are served by
+   *    the destination — throw [[RedirectedTable]] so [[run]] re-enters
+   *    the convert there (`follow = true`), or refuse naming the
+   *    destination when following is unsound (SYNC of an existing graft
+   *    table).
+   *  - writer-only redirect: reads stay here but live WRITES land at the
+   *    destination; a convert would fork away from them — refuse, naming
+   *    the destination.
+   *  - mid-transition states: refuse; the redirect is not settled.
+   *  - property absent (NO-REDIRECT after a drop): convert normally.
+   */
+  private def redirectCheck(
+      path: Path, metaNode: JsonNode, follow: Boolean): Unit = {
+    if (metaNode == null) return
+    val conf = Option(metaNode.get("configuration")).map { n =>
+      import scala.jdk.CollectionConverters._
+      n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
+    Seq("delta.redirectReaderWriter-preview", "delta.redirectReaderWriter",
+        "delta.redirectWriterOnly-preview", "delta.redirectWriterOnly")
+      .foreach { key =>
+        conf.get(key).foreach { json =>
+          val node = mapper.readTree(json)
+          val state = node.path("state").asText("")
+          val writerOnly = key.contains("WriterOnly")
+          state match {
+            case "REDIRECT-READY" =>
+              require(node.path("type").asText("") == "PathBasedRedirect",
+                s"Delta table at $path carries a redirect of unknown type " +
+                  s"'${node.path("type").asText("")}' — cannot follow it")
+              // `spec` is a JSON string in the reference's serialized form
+              // but its docs also show it inline — accept both
+              val specNode =
+                if (node.path("spec").isTextual)
+                  mapper.readTree(node.path("spec").asText())
+                else node.path("spec")
+              val dest = specNode.path("tablePath").asText("")
+              require(dest.nonEmpty,
+                s"Delta table at $path is REDIRECTED but the redirect spec " +
+                  "names no tablePath — cannot follow it")
+              if (writerOnly || !follow) throw new IllegalArgumentException(
+                s"Delta table at $path is REDIRECTED ($key): live " +
+                  (if (writerOnly) "writes land" else "queries are served") +
+                  s" at $dest — convert that table instead")
+              throw RedirectedTable(dest)
+            case "ENABLE-REDIRECT-IN-PROGRESS" | "DROP-REDIRECT-IN-PROGRESS" =>
+              throw new IllegalArgumentException(
+                s"Delta table at $path is mid-redirect transition ($state): " +
+                  "retry once the redirect settles")
+            case _ => ()
+          }
+        }
+      }
   }
 
   private def translatedMetadata(
@@ -562,6 +638,7 @@ object ConvertFromDeltaCommand {
       state: FoldState,
       deltaVersions: Seq[Long],
       cpVersion: Option[Long]): GraftTable = {
+    redirectCheck(log.dataPath, state.metaNode, follow = true)
     protocolGate(log.dataPath, state.protoNode)
     val translated = translatedMetadata(log.dataPath, state.metaNode,
       state.protoNode)
@@ -640,6 +717,7 @@ object ConvertFromDeltaCommand {
       deltaVersions: Seq[Long],
       cpVersion: Option[Long]): GraftTable = {
     import spark.implicits._
+    redirectCheck(log.dataPath, state.metaNode, follow = true)
     protocolGate(log.dataPath, state.protoNode)
     val translated = translatedMetadata(log.dataPath, state.metaNode,
       state.protoNode)

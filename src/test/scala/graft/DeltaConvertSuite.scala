@@ -554,38 +554,100 @@ class DeltaConvertSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).count() === 10)
   }
 
-  test("redirected delta source is refused BY NAME, not as unknown-feature") {
-    // reference redirect/TableRedirect.scala: the log points queries at
-    // another location; converting this shell captures a stale table.
+  /** A redirect property value, escaped for embedding in metaLine's
+    * configuration map (the property value is itself JSON text). */
+  private def redirectProp(dest: String, state: String): String = {
+    val m = com.fasterxml.jackson.databind.json.JsonMapper.builder.build
+    val spec = m.writeValueAsString(s"""{"tablePath":"$dest"}""")
+    val raw =
+      s"""{"type":"PathBasedRedirect","state":"$state","spec":$spec}"""
+    val quoted = m.writeValueAsString(raw)
+    quoted.substring(1, quoted.length - 1)
+  }
+
+  private def writeRedirectSource(
+      dest: String, state: String = "REDIRECT-READY",
+      writerOnly: Boolean = false): String = {
     val schema = new StructType().add("id", LongType)
-    val redirectConf = Map("delta.redirectReaderWriter-preview" ->
-      """{\"type\":\"PathBasedRedirect\",\"state\":\"REDIRECT-READY\"}""")
-    // reader-writer redirect (readerFeatures entry)
-    val a = tmpDir()
-    val s1 = writeFile(spark.range(0, 5).toDF("id"), a, "r.parquet")
-    writeLog(a, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["redirectReaderWriter-preview"],""" +
-        """"writerFeatures":["redirectReaderWriter-preview"]}}""",
-      metaLine(schema, conf = redirectConf), addLine("r.parquet", s1)))
-    val ea = intercept[IllegalArgumentException] {
+    val key = if (writerOnly) "delta.redirectWriterOnly-preview"
+      else "delta.redirectReaderWriter-preview"
+    val feature = if (writerOnly) "redirectWriterOnly-preview"
+      else "redirectReaderWriter-preview"
+    val dir = tmpDir()
+    val s1 = writeFile(spark.range(0, 5).toDF("id"), dir, "r.parquet")
+    val readerFeatures =
+      if (writerOnly) "" else s""""readerFeatures":["$feature"],"""
+    writeLog(dir, 0, Seq(
+      s"""{"protocol":{"minReaderVersion":${if (writerOnly) 1 else 3},""" +
+        s""""minWriterVersion":7,$readerFeatures""" +
+        s""""writerFeatures":["$feature"]}}""",
+      metaLine(schema, conf = Map(key -> redirectProp(dest, state))),
+      addLine("r.parquet", s1)))
+    dir
+  }
+
+  test("redirected delta source FOLLOWS the pointer to the destination") {
+    // reference redirect/TableRedirect.scala: queries on the source are
+    // served by the destination table — convert re-enters there.
+    val schema = new StructType().add("id", LongType)
+    val dest = tmpDir()
+    val sd = writeFile(spark.range(100, 112).toDF("id"), dest, "d.parquet")
+    writeLog(dest, 0, Seq(protoLine(), metaLine(schema),
+      addLine("d.parquet", sd)))
+    val src = writeRedirectSource(dest)
+    val t = Graft.convertFromDelta(spark, src)
+    // the DESTINATION converted; the source shell did not
+    assert(t.log.dataPath.toUri.getPath ===
+      new org.apache.hadoop.fs.Path(dest).toUri.getPath)
+    assert(Graft.read(spark, dest).as[Long].collect().sorted.toSeq
+      === (100L until 112L))
+    assert(!new java.io.File(src, "_graft_log").exists,
+      "convert wrote a log into the redirect SOURCE shell")
+  }
+
+  test("redirect: writer-only refuses naming the destination; transitions refuse") {
+    val schema = new StructType().add("id", LongType)
+    val dest = tmpDir()
+    val sd = writeFile(spark.range(0, 3).toDF("id"), dest, "d.parquet")
+    writeLog(dest, 0, Seq(protoLine(), metaLine(schema),
+      addLine("d.parquet", sd)))
+    // writer-only: reads stay at the source but live writes land at the
+    // destination — converting would fork away from them
+    val wo = writeRedirectSource(dest, writerOnly = true)
+    val ew = intercept[IllegalArgumentException] {
+      Graft.convertFromDelta(spark, wo)
+    }
+    assert(ew.getMessage.contains("REDIRECTED") &&
+      ew.getMessage.contains(dest), ew.getMessage)
+    // mid-transition states refuse
+    Seq("ENABLE-REDIRECT-IN-PROGRESS", "DROP-REDIRECT-IN-PROGRESS").foreach { st =>
+      val src = writeRedirectSource(dest, state = st)
+      val e = intercept[IllegalArgumentException] {
+        Graft.convertFromDelta(spark, src)
+      }
+      assert(e.getMessage.contains(st), e.getMessage)
+    }
+  }
+
+  test("redirect cycles are detected, not followed forever") {
+    // a -> b -> a
+    val a = tmpDir(); val b = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    def redirectLogAt(dir: String, dest: String): Unit = {
+      val s1 = writeFile(spark.range(0, 2).toDF("id"), dir, "r.parquet")
+      writeLog(dir, 0, Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          """"readerFeatures":["redirectReaderWriter-preview"],""" +
+          """"writerFeatures":["redirectReaderWriter-preview"]}}""",
+        metaLine(schema, conf = Map("delta.redirectReaderWriter-preview" ->
+          redirectProp(dest, "REDIRECT-READY"))),
+        addLine("r.parquet", s1)))
+    }
+    redirectLogAt(a, b); redirectLogAt(b, a)
+    val e = intercept[IllegalArgumentException] {
       Graft.convertFromDelta(spark, a)
     }
-    assert(ea.getMessage.contains("REDIRECTED") &&
-      ea.getMessage.contains("redirectReaderWriter"), ea.getMessage)
-    // writer-only redirect: lives ONLY in writerFeatures (reader version
-    // stays low), but converting still forks away from the live writes
-    val b = tmpDir()
-    val s2 = writeFile(spark.range(0, 5).toDF("id"), b, "w.parquet")
-    writeLog(b, 0, Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
-        """"writerFeatures":["redirectWriterOnly-preview"]}}""",
-      metaLine(schema), addLine("w.parquet", s2)))
-    val eb = intercept[IllegalArgumentException] {
-      Graft.convertFromDelta(spark, b)
-    }
-    assert(eb.getMessage.contains("REDIRECTED") &&
-      eb.getMessage.contains("redirectWriterOnly"), eb.getMessage)
+    assert(e.getMessage.contains("cycle"), e.getMessage)
   }
 
   test("geospatial delta source is refused BY NAME") {

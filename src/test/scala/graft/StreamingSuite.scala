@@ -146,6 +146,39 @@ class StreamingSuite extends AnyFunSuite {
       s"got ${batches.length}")
   }
 
+  test("dropDuplicatesWithinWatermark bounds dedup state via eviction") {
+    import org.apache.spark.sql.functions.timestamp_seconds
+    val dir = tmpDir()
+    val ckpt = tmpDir()
+    val t0 = 1700000000L
+    // three commits an hour apart; commit 2 carries in-batch duplicates
+    Graft.write(spark.range(100).toDF("id")
+      .withColumn("ts", timestamp_seconds(lit(t0))).coalesce(1), dir)
+    Graft.write(spark.range(100, 150).union(spark.range(100, 150)).toDF("id")
+      .withColumn("ts", timestamp_seconds(lit(t0 + 3600))).coalesce(1), dir)
+    Graft.write(spark.range(200, 210).toDF("id")
+      .withColumn("ts", timestamp_seconds(lit(t0 + 7200))).coalesce(1), dir)
+    val q = spark.readStream.format("graft")
+      .option("maxFilesPerTrigger", "1")
+      .load(dir)
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.format("memory").queryName("wm_dedup")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // in-batch duplicates collapse; all distinct ids emit exactly once
+    assert(spark.table("wm_dedup").count() === 160)
+    // bounded state: the watermark evicted commit-1's 100 digests once it
+    // advanced past t0 + delay — the state never holds the whole history
+    // (plain dropDuplicates would sit at 160 forever)
+    val lastState = q.recentProgress
+      .filter(_.stateOperators.nonEmpty).last.stateOperators.head
+    assert(lastState.numRowsTotal < 100,
+      s"dedup state held ${lastState.numRowsTotal} rows — watermark never evicted")
+  }
+
   test("dataChange=false rewrites are invisible to a tailing stream") {
     val dir = tmpDir()
     val ckpt = tmpDir()
