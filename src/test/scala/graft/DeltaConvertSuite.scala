@@ -667,6 +667,28 @@ class DeltaConvertSuite extends AnyFunSuite {
       assert(e.getMessage.contains("GEOSPATIAL") &&
         e.getMessage.contains(feature), s"$feature: ${e.getMessage}")
     }
+    // ... and the refusal fires BEFORE schema translation, so a log whose
+    // schemaString actually carries a GEOMETRY column refuses by name
+    // instead of crashing in DataType.fromJson (Spark 4.1's geometry
+    // parquet WRITE path is incomplete, so a read-through import would
+    // strand the table half-usable — deliberate refusal is the floor).
+    val dir2 = tmpDir()
+    val s2 = writeFile(spark.range(0, 3).toDF("id"), dir2, "g.parquet")
+    val geoMeta =
+      """{"metaData":{"id":"11111111-2222-3333-4444-555555555555",""" +
+        """"format":{"provider":"parquet","options":{}},""" +
+        """"schemaString":"{\"type\":\"struct\",\"fields\":[""" +
+        """{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},""" +
+        """{\"name\":\"geom\",\"type\":\"geometry(OGC:CRS84)\",\"nullable\":true,\"metadata\":{}}]}",""" +
+        """"partitionColumns":[],"configuration":{},"createdTime":1700000000000}}"""
+    writeLog(dir2, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["geospatial"],"writerFeatures":["geospatial"]}}""",
+      geoMeta, addLine("g.parquet", s2)))
+    val e2 = intercept[IllegalArgumentException] {
+      Graft.convertFromDelta(spark, dir2)
+    }
+    assert(e2.getMessage.contains("GEOSPATIAL"), e2.getMessage)
   }
 
   test("shredded-variant delta source converts and variant reads match") {
