@@ -235,7 +235,55 @@ class GraftTable private[graft] (
     }
   }
 
-  def dropFeature(name: String): Unit = log.withNewTransaction { txn =>
+  /** Strip baseRowId/defaultRowCommitVersion off every live file in
+    * bounded dataChange=false re-commits — the pre-downgrade step of
+    * dropFeature("rowTracking") (reference concept:
+    * RowTrackingUnBackfillCommand / RowTrackingPreDowngradeCommand —
+    * re-designed). Id generation must already be SUSPENDED or the commit
+    * path would re-assign ids to the very files being stripped. */
+  private def unbackfillRowTracking(maxFilesPerCommit: Int = 100000): Unit = {
+    var done = false
+    var batchId = 0
+    while (!done) {
+      val s = log.update()
+      require(graft.log.RowTracking.isSuspended(s.metadata) &&
+        !graft.log.RowTracking.isEnabled(s.metadata),
+        "unbackfill requires row tracking disabled and id generation suspended")
+      val batch = s.allFilesDS
+        .filter(col("baseRowId").isNotNull ||
+          col("defaultRowCommitVersion").isNotNull)
+        .limit(maxFilesPerCommit)
+        .collect().toSeq
+      if (batch.isEmpty) done = true
+      else {
+        try {
+          log.withNewTransaction { txn =>
+            txn.commit(batch.map(_.copy(baseRowId = None,
+              defaultRowCommitVersion = None, dataChange = false)),
+              "ROW TRACKING UNBACKFILL", Map("batchId" -> batchId.toString))
+          }
+          batchId += 1
+        } catch {
+          // a winner removed a batch file — reselect fresh
+          case _: graft.tx.GraftConcurrentModificationException =>
+        }
+      }
+    }
+  }
+
+  def dropFeature(name: String): Unit = {
+    if (name == "rowTracking") {
+      // 1. stop expecting ids + suspend generation; 2. strip existing ids
+      // (the downgrade commit below then removes every remaining trace)
+      upsertProperties(Map(
+        "graft.enableRowTracking" -> "false",
+        "graft.rowTrackingSuspended" -> "true"))
+      unbackfillRowTracking()
+    }
+    dropFeatureDowngrade(name)
+  }
+
+  private def dropFeatureDowngrade(name: String): Unit = log.withNewTransaction { txn =>
     import graft.log.TableFeatures
     import graft.schema.ColumnMapping
     val m = txn.snapshot.metadata
@@ -263,7 +311,12 @@ class GraftTable private[graft] (
           configuration = m.configuration -
             ColumnMapping.MODE_KEY - ColumnMapping.MAX_ID_KEY)
       case "rowTracking" =>
-        m.copy(configuration = m.configuration - "graft.enableRowTracking")
+        // distributed probe: unbackfill must have stripped every id
+        require(txn.snapshot.allFilesDS
+          .filter(col("baseRowId").isNotNull).isEmpty,
+          "table still has files with base row ids; unbackfill did not complete")
+        m.copy(configuration = m.configuration -
+          "graft.enableRowTracking" - "graft.rowTrackingSuspended")
       case "changeDataFeed" =>
         m.copy(configuration = m.configuration - "graft.enableChangeDataFeed")
       case other =>
@@ -279,7 +332,13 @@ class GraftTable private[graft] (
       TableFeatures.activeFeatures(newMeta)) -- dropped
     val downgraded = TableFeatures.minimalProtocol(remaining)
     val actions: Seq[graft.log.Action] =
-      if (downgraded != txn.snapshot.protocol) Seq(downgraded) else Nil
+      (if (downgraded != txn.snapshot.protocol) Seq(downgraded) else Nil) ++
+        // the row-id watermark domain is the feature's last trace
+        (if (name == "rowTracking" &&
+            txn.snapshot.domains.contains(graft.log.RowTracking.DOMAIN))
+          Seq(graft.log.DomainMetadata(
+            graft.log.RowTracking.DOMAIN, removed = true))
+        else Nil)
     txn.commit(actions, "DROP FEATURE", Map("feature" -> name))
   }
 

@@ -28,6 +28,12 @@ object RowTracking {
   def isEnabled(m: Metadata): Boolean =
     m.configuration.getOrElse("graft.enableRowTracking", "false").toBoolean
 
+  /** Id GENERATION suspended — the window dropFeature's unbackfill runs
+    * in, where re-committed id-less files must stay id-less (reference
+    * concept: delta.rowTrackingSuspended). */
+  def isSuspended(m: Metadata): Boolean =
+    m.configuration.getOrElse("graft.rowTrackingSuspended", "false").toBoolean
+
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
   def highWaterMark(domains: Map[String, String]): Long =

@@ -203,9 +203,10 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
     // support but the property still off (the property flips only once
     // every live file has an id), exactly the reference's split between
     // rowTracking "supported" and "enabled".
-    val rowTracking = RowTracking.isEnabled(metadata) ||
+    val rowTracking = (RowTracking.isEnabled(metadata) ||
       TableFeatures.vectorFeatures(snapshot.protocol)
-        .contains(TableFeatures.rowTracking)
+        .contains(TableFeatures.rowTracking)) &&
+      !RowTracking.isSuspended(metadata)
     if (rowTracking) {
       val (assigned, domainOpt) = RowTracking.assign(finalActions, snapshot.domains)
       finalActions = assigned ++ domainOpt.toSeq

@@ -103,6 +103,30 @@ class RowTrackingSuite extends AnyFunSuite {
     assert(ids.size === 20 && ids.values.toSet.size === 20)
   }
 
+  test("dropFeature(rowTracking) unbackfills every trace; re-enable backfills fresh") {
+    val dir = tmpDir()
+    Graft.write(spark.range(10).toDF("id").coalesce(1), dir,
+      configuration = rtConf)
+    Graft.write(spark.range(10, 20).toDF("id").coalesce(1), dir)
+    val t = GraftTable.forPath(spark, dir)
+    t.dropFeature("rowTracking")
+    val s = t.snapshot
+    // every trace gone: file ids, watermark domain, properties, protocol
+    assert(s.allFiles.forall(f =>
+      f.baseRowId.isEmpty && f.defaultRowCommitVersion.isEmpty))
+    assert(!s.domains.contains(graft.log.RowTracking.DOMAIN))
+    assert(!s.metadata.configuration.contains("graft.enableRowTracking"))
+    assert(!s.metadata.configuration.contains("graft.rowTrackingSuspended"))
+    assert(!s.protocol.writerFeatureNames.contains("rowTracking"))
+    intercept[IllegalArgumentException] { t.toDFWithRowIds }
+    // data unchanged throughout
+    assert(Graft.read(spark, dir).count() === 20)
+    // re-enabling backfills from a FRESH watermark, all ids distinct
+    t.upsertProperties(Map("graft.enableRowTracking" -> "true"))
+    val ids = idsOf(dir)
+    assert(ids.size === 20 && ids.values.toSet.size === 20)
+  }
+
   test("ZORDER preserves row ids via materialization") {
     val dir = tmpDir()
     Graft.write(spark.range(100).toDF("id")
