@@ -95,6 +95,26 @@ class GraftTable:
         return GraftMergeBuilder(
             self._spark, self._jt.merge(source._jdf, condition))
 
+    def insert_replace_on(self, source, condition):
+        """INSERT ... REPLACE ON: atomically append ``source`` and delete
+        every existing row it matches under ``condition`` (SQL string over
+        aliases ``t`` target / ``s`` source, like merge)."""
+        self._jt.insertReplaceOn(source._jdf, condition)
+
+    def insert_replace_using(self, source, cols):
+        """INSERT ... REPLACE USING (cols): the equi-join special case —
+        replace rows whose ``cols`` values appear in the inserted set."""
+        jlist = self._spark._sc._jvm.java.util.ArrayList()
+        for c in cols:
+            jlist.add(c)
+        self._jt.insertReplaceUsing(source._jdf, jlist)
+
+    def backfill_row_tracking(self):
+        """Assign base row ids to pre-existing files (late row-tracking
+        enablement); setting graft.enableRowTracking=true on a populated
+        table runs this automatically."""
+        self._jt.backfillRowTracking()
+
     # ---- maintenance -----------------------------------------------------
 
     def optimize(self, where=None):

@@ -86,6 +86,11 @@ class GraftTable private[graft] (
 
   // ---- Java/py4j-friendly overloads (the Python API binds these; py4j
   // cannot see Scala default arguments or build Scala Maps) --------------
+  def insertReplaceUsing(source: DataFrame, cols: java.util.List[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    insertReplaceUsing(source, cols.asScala.toSeq)
+  }
+  def backfillRowTracking(): Unit = backfillRowTracking(100000)
   def updateExpr(condition: String, set: java.util.Map[String, String]): Unit = {
     import scala.jdk.CollectionConverters._
     updateExpr(condition, set.asScala.toMap)

@@ -617,6 +617,24 @@ class GraftLog private (
     if (snap.version > 0 && snap.version % checkpointInterval == 0 &&
         !store.exists(FileNames.checkpointFile(logPath, snap.version))) {
       checkpoint(snap)
+      maybeCleanExpiredLogs(snap)
+    }
+  }
+
+  /** Metadata cleanup rides the checkpoint cadence (reference concept:
+    * MetadataCleanup.doLogCleanup after checkpointing — re-designed): at
+    * a 100x commit rate an uncleaned `_graft_log` grows into millions of
+    * files and every cold listing pays for all of them. Best-effort, like
+    * the checkpoint hook itself — the commit already succeeded. Retention
+    * must cover the time-travel window (`graft.logRetentionHours`,
+    * default 30 days); `graft.enableExpiredLogCleanup=false` opts out. */
+  private def maybeCleanExpiredLogs(snap: Snapshot): Unit = {
+    val conf = snap.metadata.configuration
+    if (conf.getOrElse("graft.enableExpiredLogCleanup", "true").toBoolean) {
+      val hours = conf.getOrElse("graft.logRetentionHours",
+        (30 * 24).toString).toDouble
+      try cleanUpExpiredLogs((hours * 3600 * 1000).toLong)
+      catch { case scala.util.control.NonFatal(_) => }
     }
   }
 

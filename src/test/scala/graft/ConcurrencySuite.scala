@@ -104,6 +104,24 @@ class ConcurrencySuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("re-add of a winner-removed file conflicts at every isolation level") {
+    // backfill-shaped commit: an EXISTING path re-added with no paired
+    // remove and dataChange=false (effective isolation SnapshotIsolation)
+    // — committing after a winner tombstoned the file would resurrect it,
+    // so the conflict must fire even at the weakest level.
+    val log = freshTable()
+    val a = log.startTransaction()
+    val victim = a.snapshot.allFiles.head
+    injectOnFirstAttempt(a) {
+      val b = log.startTransaction()
+      b.commit(Seq(victim.remove(System.currentTimeMillis())), "DELETE")
+    }
+    intercept[ConcurrentDeleteReadException] {
+      a.commit(Seq(victim.copy(dataChange = false, baseRowId = Some(0L))),
+        "ROW TRACKING BACKFILL")
+    }
+  }
+
   test("SnapshotIsolation permits write skew: delete under A's read commits clean") {
     val log = freshTable()
     log.withNewTransaction { t =>

@@ -535,6 +535,31 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(Graft.read(spark, dir).count() === 60)
   }
 
+  test("expired log cleanup rides the checkpoint cadence automatically") {
+    val dir = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dir, configuration = Map(
+      "graft.checkpointInterval" -> "2",
+      "graft.logRetentionHours" -> "0"))
+    (1 to 4).foreach(i => Graft.write(spark.range(5).toDF("id"), dir))
+    // checkpoints fired at v2 and v4; the v4 hook's cleanup (retention 0)
+    // expired every commit file below v4 without any explicit call
+    val logDir = new java.io.File(dir, "_graft_log")
+    val jsons = logDir.listFiles().map(_.getName)
+      .filter(_.matches("\\d{20}\\.json")).sorted
+    assert(jsons.head === f"${4L}%020d.json",
+      s"pre-checkpoint commits survived the automatic cleanup: ${jsons.toSeq}")
+    GraftLog.clearCache()
+    assert(Graft.read(spark, dir).count() === 25)
+    // default retention (30 days) keeps everything: fresh table unaffected
+    val dir2 = tmpDir()
+    Graft.write(spark.range(5).toDF("id"), dir2,
+      configuration = Map("graft.checkpointInterval" -> "2"))
+    (1 to 4).foreach(_ => Graft.write(spark.range(5).toDF("id"), dir2))
+    val jsons2 = new java.io.File(dir2, "_graft_log").listFiles()
+      .map(_.getName).count(_.matches("\\d{20}\\.json"))
+    assert(jsons2 === 5, "default 30-day retention expired fresh commits")
+  }
+
   test("optimized write bin-packs: hot partition splits, trickle partitions stay single-file") {
     val dir = tmpDir()
     // tiny bin so the hot partition spans several bins at test scale
