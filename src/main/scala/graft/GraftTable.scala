@@ -285,8 +285,61 @@ class GraftTable private[graft] (
         "graft.rowTrackingSuspended" -> "true"))
       unbackfillRowTracking()
     }
+    if (name == "columnMapping") removeColumnMappingRewriteIfNeeded()
     dropFeatureDowngrade(name)
   }
+
+  /** When physical and logical names diverged (columns were renamed or
+    * re-added under mapping), dropping the feature requires REWRITING the
+    * data under plain names — one atomic commit: rewritten files ride
+    * with the stripped schema, originals remove dataChange=false, and
+    * row-tracked tables materialize their ids so identity survives
+    * (reference concept: columnmapping/RemoveColumnMappingCommand.scala —
+    * re-designed). Tables whose names never diverged skip the rewrite and
+    * drop metadata-only in the downgrade commit. */
+  private def removeColumnMappingRewriteIfNeeded(): Unit =
+    log.withNewTransaction { txn =>
+      import graft.schema.ColumnMapping
+      val m = txn.snapshot.metadata
+      val renamed = ColumnMapping.isEnabled(m) &&
+        m.schema.fields.exists(f => ColumnMapping.physicalName(f) != f.name)
+      if (renamed) {
+        val stripped = m.schema.fields.map { f =>
+          val mb = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .remove(ColumnMapping.PHYS_KEY)
+            .remove(ColumnMapping.ID_KEY)
+            .remove(ColumnMapping.PARQUET_FIELD_ID)
+          f.copy(metadata = mb.build())
+        }
+        val strippedSchema = org.apache.spark.sql.types.StructType(stripped)
+        // logical names become parquet field names — the same gate every
+        // unmapped commit passes
+        val bad = graft.schema.SchemaUtils.findInvalidNames(strippedSchema)
+        require(bad.isEmpty,
+          s"cannot drop column mapping: column names ${bad.mkString(", ")} " +
+            "are not valid parquet field names; rename them first")
+        val files = txn.filterFiles()
+        val df =
+          if (graft.log.RowTracking.isEnabled(m))
+            graft.log.RowTracking.scanWithRowIds(spark, log, txn.snapshot,
+              Some(files))
+          else commands.Dml.scanFiles(spark, log, txn, files)
+        txn.updateMetadata(m.copy(
+          schemaString = strippedSchema.json,
+          configuration = m.configuration -
+            ColumnMapping.MODE_KEY - ColumnMapping.MAX_ID_KEY))
+        val adds = txn.writeFiles(df, dataChange = false)
+        val now = System.currentTimeMillis()
+        val removes = files.map(_.remove(now, dataChange = false))
+        txn.commit(removes ++ adds, "REMOVE COLUMN MAPPING",
+          operationMetrics = Map(
+            "numRewrittenFiles" -> adds.size.toString,
+            "numRemovedFiles" -> removes.size.toString))
+      }
+      // names never diverged: no rewrite needed, the downgrade commit
+      // strips the metadata — the un-committed txn is simply abandoned
+    }
 
   private def dropFeatureDowngrade(name: String): Unit = log.withNewTransaction { txn =>
     import graft.log.TableFeatures

@@ -681,6 +681,36 @@ class FeatureSuite extends AnyFunSuite {
     assert(graft.stats.StatsSkipping.compile(plainPred, plain).isDefined)
   }
 
+  test("dropFeature(columnMapping) rewrites renamed tables under plain names") {
+    val dir = java.nio.file.Files.createTempDirectory("cmdrop").toString
+    Graft.write(spark.range(20).select(col("id"), (col("id") * 2).as("a")),
+      dir, configuration = Map("graft.columnMapping.mode" -> "name"))
+    val t = GraftTable.forPath(spark, dir)
+    t.renameColumn("a", "b")
+    assert(Graft.read(spark, dir).columns.toSeq === Seq("id", "b"))
+    // names diverged (b's physical name is still a's) — dropping the
+    // feature must REWRITE, not refuse
+    t.dropFeature("columnMapping")
+    val s = GraftTable.forPath(spark, dir).snapshot
+    assert(!s.metadata.configuration.contains("graft.columnMapping.mode"))
+    assert(s.metadata.schema.fieldNames.toSeq === Seq("id", "b"))
+    import graft.schema.ColumnMapping
+    assert(s.metadata.schema.fields.forall(f =>
+      ColumnMapping.physicalName(f) == f.name))
+    // content survives, reads work under the plain physical names
+    val got = Graft.read(spark, dir).select(col("id"), col("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size === 20 && got(3L) === 6L)
+    // the rewrite is dataChange=false: invisible to change semantics
+    val commit = GraftTable.forPath(spark, dir).log.readCommit(s.version - 1)
+    assert(commit.collect { case a: graft.log.AddFile => a }
+      .forall(!_.dataChange))
+    // and the table stays fully writable without mapping
+    Graft.write(spark.range(20, 25)
+      .select(col("id"), (col("id") * 2).as("b")), dir)
+    assert(Graft.read(spark, dir).count() === 25)
+  }
+
   test("parquet-invalid column names refuse without mapping, work with it") {
     import spark.implicits._
     val bad = spark.range(5).select($"id", ($"id" * 2).as("col with space"),
