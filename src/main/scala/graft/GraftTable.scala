@@ -211,6 +211,9 @@ class GraftTable private[graft] (
 
   /** REORG APPLY (PURGE): materialize deletion vectors into clean files. */
   def reorgPurge(): DataFrame = ReorgCommand.purge(spark, log)
+  /** REORG ... WHERE <partition predicate> APPLY (PURGE). */
+  def reorgPurge(where: String): DataFrame =
+    ReorgCommand.purge(spark, log, Some(where))
 
   /** DROP FEATURE: retire a feature once no data depends on it. The
     * validation step proves no trace remains (e.g. DVs require a prior

@@ -339,10 +339,27 @@ object OptimizeCommand {
  * (Reference concept: commands/ReorgTableCommand.scala — re-designed.)
  */
 object ReorgCommand {
-  def purge(spark: SparkSession, log: GraftLog): DataFrame = {
+  /** `where`: optional partition predicate bounding the purge (reference
+    * grammar: REORG TABLE t WHERE <pred> APPLY (PURGE)) — pruning runs
+    * through the normal filterFiles path, so only DV-carrying files in
+    * the selected partitions rewrite. */
+  def purge(
+      spark: SparkSession,
+      log: GraftLog,
+      where: Option[String] = None): DataFrame = {
     import spark.implicits._
     val metrics = log.withNewTransaction { txn =>
-      val dvFiles = txn.filterFiles().filter(_.dvPath.isDefined)
+      val candidates = where match {
+        case Some(cond) =>
+          val e = spark.sessionState.sqlParser.parseExpression(cond)
+          val (partF, dataF) =
+            WriteIntoGraft.splitPredicates(e, txn.snapshot.metadata)
+          require(dataF.isEmpty,
+            s"REORG WHERE supports partition predicates only, got: $cond")
+          txn.filterFiles(partF, Nil)
+        case None => txn.filterFiles()
+      }
+      val dvFiles = candidates.filter(_.dvPath.isDefined)
       if (dvFiles.isEmpty) Map("numFilesRewritten" -> "0")
       else {
         val df = Dml.scanFiles(spark, log, txn, dvFiles)  // DV-filtered

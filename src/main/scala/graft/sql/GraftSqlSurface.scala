@@ -734,12 +734,15 @@ case class GraftRestoreTsRun(path: String, timestamp: String)
   }
 }
 
-case class GraftReorgRun(path: String) extends LeafRunnableCommand {
+case class GraftReorgRun(path: String, where: Option[String] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("metric", StringType)(),
     AttributeReference("value", StringType)())
   override def run(spark: SparkSession): Seq[Row] = {
-    val rows = GraftTable.forPath(spark, path).reorgPurge().collect().toSeq
+    val t = GraftTable.forPath(spark, path)
+    val rows = where.map(t.reorgPurge).getOrElse(t.reorgPurge())
+      .collect().toSeq
     GraftCatalogCache.invalidate(spark)
     rows
   }
@@ -804,6 +807,14 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     case dropConstraintRe(t, name) =>
       resolveGraft(t).map { case (path, ident) =>
         GraftAlterRun(path, ident, _.dropCheckConstraint(name))
+      }
+    case clusterByRe(t, cols, none) =>
+      resolveGraft(t).map { case (path, ident) =>
+        GraftAlterRun(path, ident, tbl =>
+          if (none != null) tbl.removeProperties(Seq("graft.clusterBy"))
+          else tbl.upsertProperties(Map("graft.clusterBy" ->
+            cols.split(",").map(c => stripQuotes(c.trim).stripPrefix("`")
+              .stripSuffix("`")).filter(_.nonEmpty).mkString(","))))
       }
     case syncIdentityRe(t) =>
       resolveGraft(t).map { case (path, ident) =>
@@ -896,8 +907,8 @@ object GraftSqlParser {
     (s"""(?is)^\\s*RESTORE\\s+(?:TABLE\\s+)?($targetOrName)\\s+(?:TO\\s+)?""" +
       """TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*$""").r
   private val reorgRe =
-    (s"""(?is)^\\s*REORG\\s+(?:TABLE\\s+)?($targetOrName)\\s+""" +
-      """APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
+    (s"""(?is)^\\s*REORG\\s+(?:TABLE\\s+)?($targetOrName)""" +
+      """(?:\s+WHERE\s+(.+?))?\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
   private val convertRe =
     (s"""(?is)^\\s*CONVERT\\s+TO\\s+GRAFT\\s+(?:(parquet|delta)\\.)?($target)""" +
       """(\s+SYNC)?\s*;?\s*$""").r
@@ -940,6 +951,9 @@ object GraftSqlParser {
   private val insertReplaceUsingRe =
     (s"""(?is)^\\s*INSERT\\s+INTO\\s+($targetOrName)\\s+REPLACE\\s+USING\\s*""" +
       """\(([^)]+)\)\s*((?:SELECT|VALUES|WITH|TABLE|FROM)\b.*?)\s*;?\s*$""").r
+  private val clusterByRe =
+    (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($targetOrName)\\s+CLUSTER\\s+BY\\s*""" +
+      """(?:\(([^)]+)\)|(NONE))\s*;?\s*$""").r
   private val setPropsRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($target)\\s+SET\\s+TBLPROPERTIES\\s*""" +
       """\((.+)\)\s*;?\s*$""").r
@@ -965,7 +979,8 @@ object GraftSqlParser {
     case detailRe(t) => resolve(t).map(GraftDetailRun.apply)
     case restoreRe(t, v) => resolve(t).map(p => GraftRestoreRun(p, v.toLong))
     case restoreTsRe(t, ts) => resolve(t).map(p => GraftRestoreTsRun(p, ts))
-    case reorgRe(t) => resolve(t).map(GraftReorgRun.apply)
+    case reorgRe(t, where) =>
+      resolve(t).map(p => GraftReorgRun(p, Option(where).map(_.trim)))
     case optimizeRe(t, full, where, zorder) =>
       val z = Option(zorder).map(_.split(",").toSeq
         .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))

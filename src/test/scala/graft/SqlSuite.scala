@@ -170,6 +170,44 @@ class SqlSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).count() === 10)
   }
 
+  test("REORG WHERE purges only the selected partition") {
+    val dir = tmpDir()
+    Graft.write(spark.range(40).select($"id", ($"id" % 2).cast("string").as("p")),
+      dir, partitionBy = Seq("p"),
+      configuration = Map("graft.enableDeletionVectors" -> "true"))
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id < 10")   // DVs in BOTH partitions
+    val before = GraftTable.forPath(spark, dir).snapshot.allFiles
+    assert(before.count(_.dvPath.isDefined) >= 2)
+    spark.sql(s"REORG TABLE '$dir' WHERE p = '0' APPLY (PURGE)")
+    val after = GraftTable.forPath(spark, dir).snapshot.allFiles
+    // partition 0's DVs materialized; partition 1's remain
+    assert(after.filter(_.partitionValues("p") == "0").forall(_.dvPath.isEmpty))
+    assert(after.exists(f =>
+      f.partitionValues("p") == "1" && f.dvPath.isDefined))
+    assert(Graft.read(spark, dir).count() === 30)
+    // data-column predicates refuse loudly
+    val e = intercept[Exception] {
+      spark.sql(s"REORG TABLE '$dir' WHERE id < 5 APPLY (PURGE)")
+    }
+    assert(e.getMessage.contains("partition predicates"), e.getMessage)
+  }
+
+  test("ALTER TABLE CLUSTER BY sets and clears the clustering columns") {
+    val dir = tmpDir()
+    Graft.write(spark.range(50).select($"id", ($"id" * 3 % 7).as("k")), dir)
+    spark.sql(s"ALTER TABLE graft.`$dir` CLUSTER BY (k, id)")
+    assert(GraftTable.forPath(spark, dir).snapshot.metadata
+      .configuration("graft.clusterBy") === "k,id")
+    // clustering drives OPTIMIZE's layout choice
+    spark.sql(s"OPTIMIZE '$dir'")
+    val hist = spark.sql(s"DESCRIBE HISTORY '$dir'").collect()
+      .map(_.getAs[String]("operation"))
+    assert(hist.exists(_.startsWith("OPTIMIZE")))
+    spark.sql(s"ALTER TABLE graft.`$dir` CLUSTER BY NONE")
+    assert(!GraftTable.forPath(spark, dir).snapshot.metadata
+      .configuration.contains("graft.clusterBy"))
+  }
+
   test("CONVERT TO GRAFT / GENERATE / SHOW PARTITIONS statements") {
     val dir = tmpDir()
     spark.range(10).selectExpr("id", "id % 2 AS p").write
