@@ -694,7 +694,9 @@ case class GraftShowPropsRun(path: String) extends LeafRunnableCommand {
   * current files by absolute reference, no data copied). The target may
   * be a catalog name (registered in the metastore) or a graft path. */
 case class GraftCreateLikeRun(
-    target: String, srcPath: String, location: Option[String], shallowClone: Boolean)
+    target: String, srcPath: String, location: Option[String],
+    shallowClone: Boolean,
+    version: Option[Long] = None, timestamp: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Nil
   override def run(spark: SparkSession): Seq[Row] = {
@@ -709,7 +711,13 @@ case class GraftCreateLikeRun(
     val srcLog = GraftLog.forTable(spark, srcPath)
     require(srcLog.tableExists, s"$srcPath is not a graft table")
     if (shallowClone) {
-      GraftTable.forPath(spark, srcPath).shallowCloneTo(loc)
+      val src = GraftTable.forPath(spark, srcPath)
+      val pinned = version.orElse(timestamp.map(ts => srcLog.getVersionAtTime(
+        graft.log.GraftLog.parseUserTimestamp(ts))))
+      pinned match {
+        case Some(v) => src.cloneAtVersion(v, loc)
+        case None => src.shallowCloneTo(loc)
+      }
     } else {
       val m = srcLog.update().metadata
       graft.Graft.create(spark, loc, m.schema, m.partitionColumns, m.configuration)
@@ -796,9 +804,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       resolveTarget(src).map { srcPath =>
         GraftCreateLikeRun(tgt, srcPath, Option(loc), shallowClone = false)
       }
-    case cloneRe(tgt, src, loc) =>
+    case cloneRe(tgt, src, ver, ts, loc) =>
       resolveTarget(src).map { srcPath =>
-        GraftCreateLikeRun(targetPath(tgt), srcPath, Option(loc), shallowClone = true)
+        GraftCreateLikeRun(targetPath(tgt), srcPath, Option(loc),
+          shallowClone = true,
+          version = Option(ver).map(_.toLong), timestamp = Option(ts))
       }
     case addConstraintRe(t, name, check) =>
       resolveGraft(t).map { case (path, ident) =>
@@ -935,7 +945,9 @@ object GraftSqlParser {
   private val cloneRe =
     (s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+""" +
       s"""(?:IF\\s+NOT\\s+EXISTS\\s+)?($targetOrName)\\s+SHALLOW\\s+CLONE\\s+""" +
-      s"""($targetOrName)(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*$$""").r
+      s"""($targetOrName)""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+)|\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?""" +
+      """(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
   private val addConstraintRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($targetOrName)\\s+ADD\\s+CONSTRAINT\\s+""" +
       """(\w+)\s+CHECK\s*\((.+)\)\s*;?\s*$""").r

@@ -217,7 +217,14 @@ class CatalogSuite extends AnyFunSuite {
     spark.sql(s"DELETE FROM $cl WHERE id < 4")
     assert(spark.table(cl).count() === 4)
     assert(spark.table(src).count() === 8)
-    Seq(src, like, cl).foreach(t => spark.sql(s"DROP TABLE $t"))
+    // time-travel clone: VERSION AS OF pins the source's PRE-delete state
+    spark.sql(s"DELETE FROM $src WHERE id >= 6")            // src v1
+    val cl0 = fresh("cat_clone_v0")
+    spark.sql(s"CREATE TABLE $cl0 SHALLOW CLONE $src VERSION AS OF 0 " +
+      s"LOCATION '$dir/clone_v0'")
+    assert(spark.table(cl0).count() === 8)
+    assert(spark.table(src).count() === 6)
+    Seq(src, like, cl, cl0).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
   test("CREATE TABLE with IDENTITY and GENERATED columns via SQL") {
