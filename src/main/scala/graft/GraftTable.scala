@@ -31,6 +31,7 @@ class GraftTable private[graft] (
   def toDF: DataFrame = GraftFileIndex.dataFrame(spark, log, snapshot)
 
   def as(alias: String): DataFrame = toDF.as(alias)
+  def alias(a: String): DataFrame = as(a)
 
   /** Latest-version DataFrame with `_graft_row_id` / `_graft_row_commit`
     * columns appended (requires `graft.enableRowTracking=true`). */
@@ -228,6 +229,11 @@ class GraftTable private[graft] (
     * that still carries the dropped feature's traces. Readers cold-load
     * from the boundary checkpoint; time travel below it is gone by
     * design. */
+  // reference-API-named aliases (DeltaTable.dropFeatureSupport)
+  def dropFeatureSupport(name: String): Unit = dropFeature(name)
+  def dropFeatureSupport(name: String, truncateHistory: Boolean): Unit =
+    dropFeature(name, truncateHistory)
+
   def dropFeature(name: String, truncateHistory: Boolean): Unit = {
     dropFeature(name)
     if (truncateHistory) {
@@ -416,6 +422,11 @@ class GraftTable private[graft] (
   /** SHALLOW CLONE a historical version (time-travel clone). */
   def cloneAtVersion(version: Long, dest: String): GraftTable =
     CloneCommand.run(spark, log, dest, Some(version))
+
+  /** SHALLOW CLONE the version live at `ts` (time-travel clone). */
+  def cloneAtTimestamp(ts: String, dest: String): GraftTable =
+    cloneAtVersion(
+      log.getVersionAtTime(graft.log.GraftLog.parseUserTimestamp(ts)), dest)
 
   def generateSymlinkManifest(): Unit =
     ManifestCommand.run(spark, log)
@@ -906,6 +917,7 @@ class GraftTableBuilder private[graft] (spark: SparkSession) {
   private var partCols: Seq[String] = Nil
   private val props = scala.collection.mutable.Map.empty[String, String]
   private var ifNotExists = false
+  private var mode = "create"   // create | replace | createOrReplace
 
   def location(p: String): this.type = { path = p; this }
   def addColumn(f: StructField): this.type = { cols += f; this }
@@ -918,11 +930,22 @@ class GraftTableBuilder private[graft] (spark: SparkSession) {
     { props += "graft.clusterBy" -> names.mkString(","); this }
   def property(k: String, v: String): this.type = { props += k -> v; this }
   def createIfNotExists(): this.type = { ifNotExists = true; this }
+  /** REPLACE TABLE: the table must exist; one atomic commit swaps its
+    * definition and removes the old data (readers see old or new, never
+    * a mix). */
+  def replace(): this.type = { mode = "replace"; this }
+  def createOrReplace(): this.type = { mode = "createOrReplace"; this }
 
   def execute(): GraftTable = {
     require(path != null, "location(...) is required")
     val log = graft.log.GraftLog.forTable(spark, path)
     if (ifNotExists && log.tableExists) return new GraftTable(spark, log)
-    Graft.create(spark, path, StructType(cols.toSeq), partCols, props.toMap)
+    if (mode != "create") {
+      new graft.catalog.GraftCatalog().replaceTableData(
+        path, None, StructType(cols.toSeq), partCols, props.toMap,
+        mustExist = mode == "replace")
+      new GraftTable(spark, graft.log.GraftLog.forTable(spark, path))
+    } else
+      Graft.create(spark, path, StructType(cols.toSeq), partCols, props.toMap)
   }
 }

@@ -308,7 +308,7 @@ class GraftCatalog extends DelegatingCatalogExtension with StagingTableCatalog {
 
   /** REPLACE TABLE body shared with the staged path: one log commit swaps
     * metadata and data atomically; readers see old or new, never a mix. */
-  private[catalog] def replaceTableData(
+  private[graft] def replaceTableData(
       loc: String,
       data: Option[DataFrame],
       declaredSchema: StructType,

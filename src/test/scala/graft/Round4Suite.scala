@@ -141,6 +141,35 @@ class Round4Suite extends AnyFunSuite {
     assert(Graft.read(spark, dir).columns.length === 4)
   }
 
+  test("builder replace modes swap the definition atomically") {
+    val dir = tmpDir()
+    Graft.write(spark.range(10).toDF("id"), dir)
+    // createOrReplace on an existing table: new schema, old data gone,
+    // history continuous (same table id, version advances)
+    val idBefore = GraftTable.forPath(spark, dir).snapshot.metadata.id
+    Graft.build(spark).location(dir)
+      .addColumn("k", LongType).addColumn("v", StringType)
+      .createOrReplace().execute()
+    val s = GraftTable.forPath(spark, dir).snapshot
+    assert(s.metadata.schema.fieldNames.toSeq === Seq("k", "v"))
+    assert(s.metadata.id === idBefore)
+    assert(Graft.read(spark, dir).count() === 0)
+    assert(s.version > 0)
+    // replace() requires existence
+    val e = intercept[IllegalArgumentException] {
+      Graft.build(spark).location(tmpDir() + "/nope")
+        .addColumn("x", LongType).replace().execute()
+    }
+    assert(e.getMessage.contains("REPLACE"), e.getMessage)
+    // time travel still reads the pre-replace data
+    assert(GraftTable.forPath(spark, dir).asOfVersion(0).count() === 10)
+    // cloneAtTimestamp clones the pinned historical version
+    val ts = new java.sql.Timestamp(System.currentTimeMillis() + 60000)
+    val dest = tmpDir() + "/tclone"
+    GraftTable.forPath(spark, dir).cloneAtTimestamp(ts.toString, dest)
+    assert(Graft.read(spark, dest).columns.toSeq === Seq("k", "v"))
+  }
+
   test("batch readChangeFeed options and table_changes_by_path") {
     val dir = tmpDir()
     Graft.write(spark.range(5).toDF("id"), dir,
