@@ -109,6 +109,11 @@ class GraftTable:
             jlist.add(c)
         self._jt.insertReplaceUsing(source._jdf, jlist)
 
+    def recompute_stats(self, only_missing=False):
+        """Recompute per-file skipping stats from parquet footers (e.g.
+        after converting a stats-less source)."""
+        self._jt.recomputeStats(bool(only_missing))
+
     def backfill_row_tracking(self):
         """Assign base row ids to pre-existing files (late row-tracking
         enablement); setting graft.enableRowTracking=true on a populated

@@ -92,6 +92,9 @@ class GraftTable private[graft] (
     insertReplaceUsing(source, cols.asScala.toSeq)
   }
   def backfillRowTracking(): Unit = backfillRowTracking(100000)
+  def recomputeStats(): Unit = recomputeStats(None, onlyMissing = false)
+  def recomputeStats(onlyMissing: Boolean): Unit =
+    recomputeStats(None, onlyMissing)
   def updateExpr(condition: String, set: java.util.Map[String, String]): Unit = {
     import scala.jdk.CollectionConverters._
     updateExpr(condition, set.asScala.toMap)
@@ -430,6 +433,44 @@ class GraftTable private[graft] (
 
   def generateSymlinkManifest(): Unit =
     ManifestCommand.run(spark, log)
+
+  /**
+   * Recompute per-file skipping stats from parquet footers (reference
+   * concept: stats/StatisticsCollection.recompute — re-designed): tables
+   * converted from stats-less sources gain data skipping, corrupted
+   * stats heal, and a changed `graft.dataSkippingStatsColumns` policy
+   * re-indexes. `where` bounds the work to partitions; `onlyMissing`
+   * touches only files with no stats at all. Footer reads distribute
+   * (no data rows move) and the re-adds commit dataChange=false. DV
+   * tables work: stats are PHYSICAL-file stats, the same contract the
+   * write path records — the bitmap overlay is untouched (the reference
+   * refuses DV tables here; footer-derived stats make it sound).
+   */
+  def recomputeStats(
+      where: Option[String],
+      onlyMissing: Boolean): Unit = log.withNewTransaction { txn =>
+    val m = txn.snapshot.metadata
+    val candidates = where match {
+      case Some(cond) =>
+        val e = spark.sessionState.sqlParser.parseExpression(cond)
+        val (partF, dataF) = WriteIntoGraft.splitPredicates(e, m)
+        require(dataF.isEmpty,
+          s"recomputeStats supports partition predicates only, got: $cond")
+        txn.filterFiles(partF, Nil)
+      case None => txn.filterFiles()
+    }
+    val files =
+      if (onlyMissing) candidates.filter(f => Option(f.stats).isEmpty)
+      else candidates
+    if (files.nonEmpty) {
+      val refreshed = graft.stats.FooterStats.withStats(
+        spark, log.dataPath, files.map(_.copy(stats = null)),
+        graft.schema.ColumnMapping.physicalDataSchema(m),
+        GraftFileIndex.statsColumns(m))
+      txn.commit(refreshed.map(_.copy(dataChange = false)), "COMPUTE STATS",
+        operationMetrics = Map("numFilesUpdated" -> files.size.toString))
+    }
+  }
 
   def addCheckConstraint(name: String, sql: String): Unit =
     log.withNewTransaction { txn =>

@@ -225,11 +225,15 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
         // trustedCounts: this path's removes always reference live files
         // and its adds never silently replace one, so the checksum
         // aggregates fold incrementally — O(commit), not O(table). The
-        // ONE exception is RESTORE, whose dv-differing re-adds overwrite
-        // a live path with no paired remove (by design — re-adding
-        // replaces in the fold); its commit recomputes exact aggregates.
+        // exceptions are the ops that RE-ADD live paths with no paired
+        // remove (re-adding replaces in the fold, so the incremental
+        // count would double-count): RESTORE's dv-differing re-adds,
+        // row-tracking backfill/unbackfill, stats recompute, and CONVERT
+        // SYNC (a synced Delta commit may carry an unpaired dv re-add).
+        // Those recompute exact aggregates — one pass, maintenance-rate.
         log.writeCommit(attemptVersion, attempt,
-          trustedCounts = operation != "RESTORE")
+          trustedCounts =
+            !OptimisticTransaction.REPLACING_ADD_OPS.contains(operation))
         committed = true
         return attemptVersion
       } catch {
@@ -374,3 +378,11 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
     stagedActions.collect { case t: SetTransaction => t.appId }.toSet
 }
 
+
+object OptimisticTransaction {
+  /** Operations whose commits may RE-ADD a live path without a paired
+    * remove — the incremental checksum fold would double-count them. */
+  private[graft] val REPLACING_ADD_OPS = Set(
+    "RESTORE", "ROW TRACKING BACKFILL", "ROW TRACKING UNBACKFILL",
+    "COMPUTE STATS", "CONVERT FROM DELTA SYNC")
+}

@@ -629,6 +629,42 @@ class DeltaConvertSuite extends AnyFunSuite {
     }
   }
 
+  test("recomputeStats gives a stats-less converted table data skipping") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 100).toDF("id"), dir, "lo.parquet")
+    val s2 = writeFile(spark.range(1000, 1100).toDF("id"), dir, "hi.parquet")
+    // hand-authored delta log WITHOUT stats
+    writeLog(dir, 0, Seq(protoLine(), metaLine(schema),
+      addLine("lo.parquet", s1), addLine("hi.parquet", s2)))
+    Graft.convertFromDelta(spark, dir)
+    val t = GraftTable.forPath(spark, dir)
+    assert(t.snapshot.allFiles.forall(f => Option(f.stats).isEmpty))
+    def keptFiles(snap: graft.log.Snapshot): Seq[String] =
+      graft.stats.StatsSkipping.pruneAndFilter(
+        spark, snap, None, new StructType(), Nil,
+        new StructType().add("id", LongType),
+        Seq(org.apache.spark.sql.catalyst.expressions.EqualTo(
+          org.apache.spark.sql.catalyst.expressions.AttributeReference(
+            "id", LongType)(),
+          org.apache.spark.sql.catalyst.expressions.Literal(1050L))))
+        .map(_.path).sorted
+    // stats-less files cannot be skipped: BOTH survive the point predicate
+    assert(keptFiles(t.snapshot) === Seq("hi.parquet", "lo.parquet"))
+    t.recomputeStats(onlyMissing = true)
+    graft.log.GraftLog.clearCache()
+    val s = GraftTable.forPath(spark, dir).snapshot
+    assert(s.allFiles.forall(f => Option(f.stats).isDefined))
+    // stats commit is dataChange=false and content is untouched
+    assert(Graft.read(spark, dir).count() === 200)
+    val commit = GraftTable.forPath(spark, dir).log.readCommit(s.version)
+    assert(commit.collect { case a: graft.log.AddFile => a }
+      .forall(!_.dataChange))
+    // the same point predicate now prunes to the one bracketing file
+    assert(keptFiles(s) === Seq("hi.parquet"))
+    assert(Graft.read(spark, dir).where($"id" === 1050L).count() === 1)
+  }
+
   test("redirect cycles are detected, not followed forever") {
     // a -> b -> a
     val a = tmpDir(); val b = tmpDir()

@@ -82,6 +82,10 @@ class RowTrackingSuite extends AnyFunSuite {
     Graft.write(spark.range(20, 25).toDF("id").coalesce(1), dir)
     val ids2 = idsOf(dir)
     assert(ids2.size === 25 && ids2.values.toSet.size === 25)
+    // COLD load revalidates the checksum chain: backfill's re-adds must
+    // not have poisoned the incremental file counts
+    GraftLog.clearCache()
+    assert(idsOf(dir).size === 25)
   }
 
   test("backfill batches commit bounded and survive a pre-assigned mix") {
