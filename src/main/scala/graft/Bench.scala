@@ -124,7 +124,11 @@ object Bench {
           .option("checkpointLocation", s"$dir/cp")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        q.awaitTermination(120000)
+        // stop on timeout too — a leaked stream would keep consuming
+        // scheduler slots and contaminate the remaining samples
+        try {
+          if (!q.awaitTermination(120000)) return -1.0
+        } finally if (q.isActive) q.stop()
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }

@@ -148,13 +148,18 @@ class GraftTable private[graft] (
     if (pcols.isEmpty)
       s.allFilesDS.limit(1)
         .select(typedlit(Map.empty[String, String]).as("partitionValues"))
-    else
+    else {
+      // alias through positional names: a partition column named "a.b"
+      // (dots are parquet-legal) must not re-resolve as a nested field
+      val tmp = pcols.indices.map(i => s"__pv_$i")
       s.allFilesDS
-        .select(pcols.map(c => col("partitionValues").getItem(c).as(c)): _*)
+        .select(pcols.zip(tmp).map { case (c, t) =>
+          col("partitionValues").getItem(c).as(t) }: _*)
         .distinct()
         .select(map_from_arrays(
           array(pcols.map(lit): _*),
-          array(pcols.map(col): _*)).as("partitionValues"))
+          array(tmp.map(col): _*)).as("partitionValues"))
+    }
   }
 
   def optimize(): OptimizeBuilder = new OptimizeBuilder(this)
@@ -704,6 +709,12 @@ class GraftTable private[graft] (
    */
   def backfillRowTracking(maxFilesPerCommit: Int = 100000): Unit = {
     require(maxFilesPerCommit > 0, "maxFilesPerCommit must be positive")
+    // A leftover suspension flag (an interrupted dropFeature) would make
+    // every batch commit skip id assignment — the loop would re-select
+    // the same files forever and abort with a misleading error.
+    require(!graft.log.RowTracking.isSuspended(log.update().metadata),
+      "row-id generation is suspended (graft.rowTrackingSuspended=true, " +
+        "likely an interrupted dropFeature); clear the flag first")
     addFeatureSupport("rowTracking")
     val total = log.update().numFiles
     // live-lock guard: racing un-tracked writers could feed files forever
@@ -745,6 +756,10 @@ class GraftTable private[graft] (
     // RowTrackingFeature.validateAndBackfill — re-designed).
     if (props.get("graft.enableRowTracking").exists(_.toBoolean) &&
         !graft.log.RowTracking.isEnabled(log.update().metadata)) {
+      // an interrupted dropFeature may have left id generation suspended;
+      // re-enabling clears it (the user's intent is unambiguous)
+      if (graft.log.RowTracking.isSuspended(log.update().metadata))
+        removeProperties(Seq("graft.rowTrackingSuspended"))
       backfillRowTracking()
     }
     log.withNewTransaction { txn =>

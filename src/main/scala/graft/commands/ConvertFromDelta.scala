@@ -1098,6 +1098,19 @@ object ConvertFromDeltaCommand {
         Map("delta.identity.start" -> graft.schema.ColumnDefaults.ID_START,
           "delta.identity.step" -> graft.schema.ColumnDefaults.ID_STEP)
       else Map.empty)
+    // Keys the protocol gate rejected are DROPPED, not kept: a vestigial
+    // delta.generationExpression surviving into the graft schema would be
+    // re-exported by the Delta mirror as a LIVE key — a (3,7)-protocol
+    // mirror reader would start enforcing the expression the source never
+    // did. Dropping matches the observable behavior either way (the keys
+    // are inert here).
+    val drops =
+      (if (genOk) Nil else Seq("delta.generationExpression")) ++
+      (if (idOk) Nil else Seq("delta.identity.start", "delta.identity.step")) ++
+      // graft keeps its own identity watermark (recomputed by SYNC
+      // IDENTITY); the source's bookkeeping keys never translate and must
+      // not linger either
+      Seq("delta.identity.highWaterMark", "delta.identity.allowExplicitInsert")
     var changed = false
     val mb = new MetadataBuilder().withMetadata(m)
     renames.foreach { case (dk, gk) =>
@@ -1110,6 +1123,9 @@ object ConvertFromDeltaCommand {
         if (v.isNumber) mb.putLong(gk, v.asLong) else mb.putString(gk, v.asText())
         mb.remove(dk)
       }
+    }
+    drops.foreach { dk =>
+      if (m.contains(dk)) { changed = true; mb.remove(dk) }
     }
     if (m.contains("delta.columnMapping.id")) {
       changed = true

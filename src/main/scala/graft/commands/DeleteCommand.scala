@@ -34,12 +34,22 @@ object Dml {
     val df = GraftFileIndex.dataFrame(spark, log, txn.snapshot, Some(candidates))
     val perFile = df.filter(condition)
       .groupBy(input_file_name().as("f")).count().collect()
+    (resolveTouched(log, candidates, perFile.map(_.getString(0))),
+      perFile.map(_.getLong(1)).sum)
+  }
+
+  /** THE one mapping from `input_file_name()` URIs back to the AddFiles
+    * that produced them (normalized absolute paths both sides) — shared
+    * by every command that detects touched files through a scan. */
+  def resolveTouched(
+      log: GraftLog,
+      candidates: Seq[AddFile],
+      fileUris: Seq[String]): Seq[AddFile] = {
     val byPath = candidates.map(f =>
       new Path(new Path(log.dataPath, f.path).toUri.getPath).toString -> f).toMap
-    val touched = perFile.flatMap { r =>
-      byPath.get(new Path(new java.net.URI(r.getString(0)).getPath).toString)
-    }.toSeq
-    (touched, perFile.map(_.getLong(1)).sum)
+    fileUris.flatMap { uri =>
+      byPath.get(new Path(new java.net.URI(uri).getPath).toString)
+    }
   }
 
   def scanFiles(

@@ -97,14 +97,8 @@ object InsertReplaceCommand {
           val touchedPaths = targetScan.alias(targetAlias)
             .join(src, condition, "left_semi")
             .select(col(FILE)).distinct().collect().map(_.getString(0))
-          val byPath = candidates.map(f =>
-            new org.apache.hadoop.fs.Path(
-              new org.apache.hadoop.fs.Path(log.dataPath, f.path)
-                .toUri.getPath).toString -> f).toMap
-          val touched = touchedPaths.flatMap { uri =>
-            byPath.get(new org.apache.hadoop.fs.Path(
-              new java.net.URI(uri).getPath).toString)
-          }.toSeq
+          val touched = Dml.resolveTouched(log, candidates,
+            touchedPaths.toIndexedSeq)
           if (touched.isEmpty) (Nil, Nil, None, 0L)
           else {
             val base = Dml.scanFiles(spark, log, txn, touched)

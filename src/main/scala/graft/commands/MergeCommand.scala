@@ -276,13 +276,7 @@ object MergeCommand {
       val touchedPaths = fileAndMatches
         .filter(r => !matchedOnly || r.getInt(5) == 1)
         .map(_.getString(0)).toSet
-      val byPath = candidates.map(f =>
-        new org.apache.hadoop.fs.Path(
-          new org.apache.hadoop.fs.Path(log.dataPath, f.path).toUri.getPath).toString -> f
-      ).toMap
-      val touched = touchedPaths.flatMap { uri =>
-        byPath.get(new org.apache.hadoop.fs.Path(new java.net.URI(uri).getPath).toString)
-      }.toSeq
+      val touched = Dml.resolveTouched(log, candidates, touchedPaths.toSeq)
       // Files needing rewrite: touched (matched rows) plus, when
       // NOT-MATCHED-BY-SOURCE clauses exist, every candidate file.
       val rewriteFiles = if (nmbsClauses.nonEmpty) candidates else touched

@@ -205,8 +205,17 @@ object WriteIntoGraft {
       val txnAction = for (app <- txnAppId; v <- txnVersion)
         yield SetTransaction(app, v, Some(now))
 
+      // Any feature the (possibly configuration-merged) metadata switches
+      // on installs its reader/writer gate IN THIS COMMIT — a
+      // variant-shredding or row-tracking overwrite must never hand
+      // feature-gated data to readers the protocol never warned.
+      val featureBump: Seq[Action] =
+        if (txn.readVersion < 0) Nil // first commit: minimal protocol already rides
+        else TableFeatures.requiredUpgradeForMetadata(
+          txn.snapshot.protocol, txn.metadata).toSeq
+
       txn.commit(
-        adds ++ survivorAdds ++ removes ++ txnAction.toSeq,
+        featureBump ++ adds ++ survivorAdds ++ removes ++ txnAction.toSeq,
         operation = if (mode == "append") "WRITE" else "OVERWRITE",
         operationParameters = Map(
           "mode" -> mode) ++ replaceWhere.map("replaceWhere" -> _),

@@ -681,6 +681,48 @@ class FeatureSuite extends AnyFunSuite {
     assert(graft.stats.StatsSkipping.compile(plainPred, plain).isDefined)
   }
 
+  test("overwrite-with-configuration installs the feature gate in the same commit") {
+    val dir = java.nio.file.Files.createTempDirectory("owgate").toString
+    Graft.write(spark.range(10).toDF("id"), dir)
+    val before = GraftTable.forPath(spark, dir).snapshot.protocol
+    assert(!before.writerFeatureNames.contains("deletionVectors"))
+    // overwrite that flips on DVs: the SAME commit must carry the
+    // protocol gate, never hand feature-gated state to ungated readers
+    Graft.write(spark.range(5).toDF("id"), dir, mode = "overwrite",
+      configuration = Map("graft.enableDeletionVectors" -> "true"))
+    val s = GraftTable.forPath(spark, dir).snapshot
+    assert(s.metadata.configuration("graft.enableDeletionVectors") === "true")
+    val commit = GraftTable.forPath(spark, dir).log.readCommit(s.version)
+    assert(commit.exists(_.isInstanceOf[graft.log.Protocol]),
+      "feature-enabling overwrite committed without its protocol gate")
+    // and the feature actually works afterwards
+    GraftTable.forPath(spark, dir).delete(col("id") < 2)
+    assert(GraftTable.forPath(spark, dir).snapshot.allFiles
+      .exists(_.dvPath.isDefined))
+  }
+
+  test("interrupted rowTracking drop leaves a recoverable suspension flag") {
+    val dir = java.nio.file.Files.createTempDirectory("rtsusp").toString
+    Graft.write(spark.range(10).toDF("id"), dir)
+    // simulate the interrupted dropFeature: suspension set, drop never ran
+    GraftTable.forPath(spark, dir).upsertProperties(Map(
+      "graft.enableRowTracking" -> "false",
+      "graft.rowTrackingSuspended" -> "true"))
+    // direct backfill refuses loudly instead of looping
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.forPath(spark, dir).backfillRowTracking()
+    }
+    assert(e.getMessage.contains("suspended"), e.getMessage)
+    // re-enabling through the property clears the flag and backfills
+    GraftTable.forPath(spark, dir)
+      .upsertProperties(Map("graft.enableRowTracking" -> "true"))
+    val s = GraftTable.forPath(spark, dir).snapshot
+    assert(!s.metadata.configuration.contains("graft.rowTrackingSuspended"))
+    val ids = GraftTable.forPath(spark, dir).toDFWithRowIds
+      .select(col("_graft_row_id")).collect().map(_.getLong(0))
+    assert(ids.length === 10 && ids.distinct.length === 10)
+  }
+
   test("dropFeature(columnMapping) rewrites renamed tables under plain names") {
     val dir = java.nio.file.Files.createTempDirectory("cmdrop").toString
     Graft.write(spark.range(20).select(col("id"), (col("id") * 2).as("a")),
