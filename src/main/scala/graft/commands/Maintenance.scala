@@ -663,10 +663,31 @@ object RestoreCommand {
         .as[graft.log.AddFile](enc).collect().toSeq
         .map(_.remove(now))
       txn.readWholeTable()
-      if (target.metadata.schemaString != current.metadata.schemaString) {
-        txn.updateMetadata(target.metadata)
+      // RESTORE replaces the WHOLE table state — schema, partitioning AND
+      // configuration (reference RestoreTableCommand restores the full
+      // metadata action). Identity high watermarks only ever advance:
+      // keep the max of both sides so a restored table never re-issues
+      // ids (the reference merges them the same way). The row-id domain
+      // watermark is untouched for the same reason (monotone).
+      val tm = target.metadata; val cm = current.metadata
+      if (tm.schemaString != cm.schemaString ||
+          tm.configuration != cm.configuration ||
+          tm.partitionColumns != cm.partitionColumns) {
+        val hwmKeys = (tm.configuration.keySet ++ cm.configuration.keySet)
+          .filter(k => k.startsWith("graft.identity.") &&
+            k.endsWith(".highWatermark"))
+        val merged = tm.configuration ++ hwmKeys.flatMap { k =>
+          val vs = (tm.configuration.get(k) ++ cm.configuration.get(k))
+            .map(_.toLong)
+          vs.maxOption.map(k -> _.toString)
+        }
+        txn.updateMetadata(tm.copy(configuration = merged))
       }
-      txn.commit(adds ++ removes, "RESTORE",
+      // restored configuration may re-require features (e.g. restoring
+      // across a feature drop): re-install the gate in the same commit
+      val bump = graft.log.TableFeatures
+        .requiredUpgradeForMetadata(txn.snapshot.protocol, txn.metadata).toSeq
+      txn.commit(bump ++ adds ++ removes, "RESTORE",
         operationParameters = Map("version" -> version.toString),
         operationMetrics = Map(
           "numRestoredFiles" -> adds.size.toString,

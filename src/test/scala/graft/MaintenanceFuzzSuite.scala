@@ -37,7 +37,7 @@ class MaintenanceFuzzSuite extends AnyFunSuite {
     var nextId = 1000L
     val t = GraftTable.forPath(spark, dir)
     def record(): Unit = { history(version()) = live }
-    for (_ <- 0 until 14) r.nextInt(7) match {
+    for (_ <- 0 until 14) r.nextInt(9) match {
       case 0 =>
         val n = 1 + r.nextInt(10)
         val rows = (nextId until nextId + n).map(i => (i, i * 2))
@@ -78,8 +78,20 @@ class MaintenanceFuzzSuite extends AnyFunSuite {
           live = history(target)
           record()
         }
+      case 7 =>
+        t.recomputeStats() // content-neutral footer re-derivation
+        record()
+      case 8 =>
+        // row-tracking lifecycle: late enable (auto-backfill) or full drop
+        // (suspend + unbackfill + downgrade) — both content-neutral
+        val m = graft.log.GraftLog.forTable(spark, dir).update().metadata
+        if (graft.log.RowTracking.isEnabled(m)) t.dropFeature("rowTracking")
+        else t.upsertProperties(Map("graft.enableRowTracking" -> "true"))
+        record()
     }
-    // head state equals the model
+    // head state equals the model — from a COLD load, so the checksum
+    // chain written by every op (incl. replacing-add commits) validates
+    graft.log.GraftLog.clearCache()
     def read(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
       df.select($"id", $"v").as[(Long, Long)].collect().toMap
     assert(read(Graft.read(spark, dir)) === live,
