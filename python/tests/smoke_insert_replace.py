@@ -40,6 +40,10 @@ def test_insert_replace_and_backfill():
     t.insert_replace_on(src2, "t.k <= s.k")  # replaces everything
     assert {(r.k, r.v) for r in t.toDF().collect()} == {(100, "Z")}
 
+    # stats recompute is callable and content-neutral
+    t.recompute_stats(only_missing=True)
+    assert {(r.k, r.v) for r in t.toDF().collect()} == {(100, "Z")}
+
     # late row-tracking enablement backfills (explicitly, then via property)
     t.backfill_row_tracking()
     spark.sql("ALTER TABLE graft.`%s` SET TBLPROPERTIES "
