@@ -21,14 +21,20 @@ import graft.log.AddFile
  * DelayedCommitProtocol, /root/reference/spark/.../files/
  * DelayedCommitProtocol.scala:53-250 — re-implemented.)
  */
-class GraftCommitProtocol(jobId: String, tablePath: String)
+class GraftCommitProtocol(
+    jobId: String,
+    tablePath: String,
+    randomPrefixLength: Option[Int] = None)
     extends FileCommitProtocol with Serializable {
 
   // Driver-side result, populated by commitJob.
   @transient var addedFiles: Seq[AddFile] = Nil
 
-  // Task-side staging: (partitionDir, absolutePath)
-  @transient private var taskFiles: ArrayBuffer[(Option[String], Path)] = _
+  // Task-side staging: (partitionDir, relativePath, absolutePath). The
+  // partition dir is tracked separately from the path: with randomized
+  // prefixes the hive-style dir never appears on disk (partition values
+  // live only in the log).
+  @transient private var taskFiles: ArrayBuffer[(Option[String], String, Path)] = _
 
   override def setupJob(jobContext: JobContext): Unit = ()
 
@@ -41,7 +47,7 @@ class GraftCommitProtocol(jobId: String, tablePath: String)
   override def abortJob(jobContext: JobContext): Unit = ()
 
   override def setupTask(taskContext: TaskAttemptContext): Unit = {
-    taskFiles = new ArrayBuffer[(Option[String], Path)]
+    taskFiles = new ArrayBuffer[(Option[String], String, Path)]
   }
 
   override def newTaskTempFile(
@@ -51,9 +57,18 @@ class GraftCommitProtocol(jobId: String, tablePath: String)
     val split = taskContext.getTaskAttemptID.getTaskID.getId
     val name =
       f"${spec.prefix}part-$split%05d-${UUID.randomUUID}${spec.suffix}"
-    val relPath = dir.map(d => s"$d/$name").getOrElse(name)
+    // Randomized prefixes (graft.randomizeFilePrefixes) REPLACE the
+    // hive-style partition dir on disk: object stores shard their key
+    // ranges by prefix, so a write-heavy table fans its load across
+    // prefixes instead of hammering one partition's range (reference
+    // concept: DelayedCommitProtocol randomPrefixLength — re-designed).
+    // Partition values still ride the log; nothing reads them from paths.
+    val relPath = randomPrefixLength
+      .map(n => s"${GraftCommitProtocol.randomPrefix(n)}/$name")
+      .orElse(dir.map(d => s"$d/$name"))
+      .getOrElse(name)
     val abs = new Path(tablePath, relPath)
-    taskFiles += dir -> abs
+    taskFiles += ((dir, relPath, abs))
     abs.toString
   }
 
@@ -72,10 +87,9 @@ class GraftCommitProtocol(jobId: String, tablePath: String)
 
   override def commitTask(taskContext: TaskAttemptContext): TaskCommitMessage = {
     val conf = taskContext.getConfiguration
-    val adds: Seq[AddFile] = taskFiles.toSeq.map { case (dir, path) =>
+    val adds: Seq[AddFile] = taskFiles.toSeq.map { case (dir, rel, path) =>
       val fs = path.getFileSystem(conf)
       val status = fs.getFileStatus(path)
-      val rel = dir.map(d => s"$d/${path.getName}").getOrElse(path.getName)
       AddFile(
         path = rel,
         partitionValues = dir.map(GraftCommitProtocol.parsePartitions).getOrElse(Map.empty),
@@ -87,7 +101,7 @@ class GraftCommitProtocol(jobId: String, tablePath: String)
   }
 
   override def abortTask(taskContext: TaskAttemptContext): Unit = {
-    if (taskFiles != null) taskFiles.foreach { case (_, path) =>
+    if (taskFiles != null) taskFiles.foreach { case (_, _, path) =>
       try path.getFileSystem(taskContext.getConfiguration).delete(path, false)
       catch { case _: Throwable => }
     }
@@ -95,6 +109,16 @@ class GraftCommitProtocol(jobId: String, tablePath: String)
 }
 
 object GraftCommitProtocol {
+  private val PREFIX_CHARS =
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  def randomPrefix(n: Int): String = {
+    val r = java.util.concurrent.ThreadLocalRandom.current()
+    val sb = new StringBuilder(n)
+    var i = 0
+    while (i < n) { sb.append(PREFIX_CHARS.charAt(r.nextInt(PREFIX_CHARS.length))); i += 1 }
+    sb.toString
+  }
+
   /** Parse a hive-style partition dir ("a=1/b=x%20y") into values. */
   def parsePartitions(dir: String): Map[String, String] = {
     dir.split("/").filter(_.nonEmpty).map { seg =>

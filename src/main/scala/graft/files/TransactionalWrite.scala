@@ -116,7 +116,8 @@ object TransactionalWrite {
       collectStats: Boolean = true,
       optimizeWrite: Option[Boolean] = None,
       statsColumns: FooterStats.StatsColumns = FooterStats.StatsColumns(),
-      extraConfs: Map[String, String] = Map.empty): Seq[AddFile] = {
+      extraConfs: Map[String, String] = Map.empty,
+      randomPrefixLength: Option[Int] = None): Seq[AddFile] = {
     val resolver = spark.sessionState.analyzer.resolver
     val analyzed = data.queryExecution.analyzed
 
@@ -174,7 +175,8 @@ object TransactionalWrite {
           s"Partition column $name not found in ${output.map(_.name)}"))
     }
 
-    val committer = new GraftCommitProtocol(UUID.randomUUID.toString, tablePath.toString)
+    val committer = new GraftCommitProtocol(UUID.randomUUID.toString,
+      tablePath.toString, randomPrefixLength)
     FileFormatWriter.write(
       sparkSession = writeSession.asInstanceOf[ClassicSession],
       plan = qe.executedPlan,

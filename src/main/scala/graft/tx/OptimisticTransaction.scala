@@ -137,6 +137,13 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
       else Map(
         "spark.sql.variant.writeShredding.enabled" -> shred.toString,
         "spark.sql.variant.inferShreddingSchema" -> shred.toString)
+    // Randomized file prefixes (graft.randomizeFilePrefixes): data files
+    // land under short random key prefixes instead of hive-style dirs,
+    // fanning a write-heavy table's object-store load across key ranges.
+    val randomPrefix =
+      if (m.configuration.getOrElse("graft.randomizeFilePrefixes", "false").toBoolean)
+        Some(m.configuration.getOrElse("graft.randomPrefixLength", "2").toInt)
+      else None
     val adds = TransactionalWrite.writeFiles(
       log.spark, log.dataPath, physical,
       graft.schema.ColumnMapping.physicalPartitionColumns(m),
@@ -144,7 +151,8 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
       optimizeWrite = m.configuration
         .get("graft.optimizeWrite").map(_.toBoolean),
       statsColumns = graft.files.GraftFileIndex.statsColumns(m),
-      extraConfs = layoutConfs)
+      extraConfs = layoutConfs,
+      randomPrefixLength = randomPrefix)
     if (dataChange) adds else adds.map(_.copy(dataChange = false))
   }
 

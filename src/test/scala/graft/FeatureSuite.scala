@@ -681,6 +681,28 @@ class FeatureSuite extends AnyFunSuite {
     assert(graft.stats.StatsSkipping.compile(plainPred, plain).isDefined)
   }
 
+  test("randomizeFilePrefixes shards data files across random key prefixes") {
+    val dir = java.nio.file.Files.createTempDirectory("randpfx").toString
+    Graft.write(spark.range(100).select(col("id"), (col("id") % 4).as("p")),
+      dir, partitionBy = Seq("p"),
+      configuration = Map("graft.randomizeFilePrefixes" -> "true",
+        "graft.randomPrefixLength" -> "3"))
+    val s = GraftTable.forPath(spark, dir).snapshot
+    // every data file sits under a 3-char random prefix, NOT a hive dir
+    assert(s.allFiles.forall(_.path.matches("[0-9A-Za-z]{3}/part-.*\\.parquet")),
+      s.allFiles.map(_.path).mkString(", "))
+    // partition values live in the log; pruning and reads are unaffected
+    assert(s.allFiles.forall(_.partitionValues.keySet == Set("p")))
+    assert(Graft.read(spark, dir).count() === 100)
+    assert(Graft.read(spark, dir).where(col("p") === 2).count() === 25)
+    // DML and time travel still work over prefixed files
+    GraftTable.forPath(spark, dir).delete(col("id") < 10)
+    assert(Graft.read(spark, dir).count() === 90)
+    assert(GraftTable.forPath(spark, dir).asOfVersion(0).count() === 100)
+    // VACUUM's walker anti-joins fine across the prefix dirs
+    GraftTable.forPath(spark, dir).vacuum(retentionHours = 200, dryRun = true)
+  }
+
   test("overwrite-with-configuration installs the feature gate in the same commit") {
     val dir = java.nio.file.Files.createTempDirectory("owgate").toString
     Graft.write(spark.range(10).toDF("id"), dir)
