@@ -1045,6 +1045,10 @@ object ConvertFromDeltaCommand {
       "delta.columnMapping.mode" -> graft.schema.ColumnMapping.MODE_KEY,
       "delta.columnMapping.maxColumnId" -> graft.schema.ColumnMapping.MAX_ID_KEY,
       "delta.dataSkippingNumIndexedCols" -> "graft.dataSkippingNumIndexedCols",
+      "delta.dataSkippingStatsColumns" -> "graft.dataSkippingStatsColumns",
+      "delta.randomizeFilePrefixes" -> "graft.randomizeFilePrefixes",
+      "delta.randomPrefixLength" -> "graft.randomPrefixLength",
+      "delta.logRetentionDuration" -> "", // duration syntax differs; drop
       "delta.enableVariantShredding" -> "graft.enableVariantShredding",
       "delta.deletedFileRetentionDuration" -> "", // duration syntax differs; drop
       "delta.enableRowTracking" -> "", // watermarks do not carry over

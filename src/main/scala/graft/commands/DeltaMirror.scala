@@ -364,7 +364,10 @@ object DeltaMirror {
       "graft.checkpointInterval" -> "delta.checkpointInterval",
       graft.schema.ColumnMapping.MODE_KEY -> "delta.columnMapping.mode",
       graft.schema.ColumnMapping.MAX_ID_KEY -> "delta.columnMapping.maxColumnId",
-      "graft.dataSkippingNumIndexedCols" -> "delta.dataSkippingNumIndexedCols")
+      "graft.dataSkippingNumIndexedCols" -> "delta.dataSkippingNumIndexedCols",
+      "graft.dataSkippingStatsColumns" -> "delta.dataSkippingStatsColumns",
+      "graft.randomizeFilePrefixes" -> "delta.randomizeFilePrefixes",
+      "graft.randomPrefixLength" -> "delta.randomPrefixLength")
     c.flatMap {
       case (k, v) if k.startsWith(graft.constraints.Constraints.PROP_PREFIX) =>
         Some("delta.constraints." +
