@@ -662,6 +662,21 @@ case class GraftRestoreRun(path: String, version: Long)
   * atomically insert the query's rows and delete the existing rows they
   * match. The condition references the target as `t` and the inserted
   * rows as `s` (merge's convention). */
+/** INSERT INTO t REPLACE WHERE <cond> <query>: the replaceWhere write
+  * through SQL (reference DeltaSuite "INSERT INTO ... REPLACE WHERE"). */
+case class GraftInsertReplaceWhereRun(
+    path: String, condText: String, queryText: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Nil
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = spark.sql(queryText)
+    WriteIntoGraft(spark, path, df, mode = "overwrite",
+      replaceWhere = Some(condText))
+    GraftCatalogCache.invalidate(spark)
+    Nil
+  }
+}
+
 case class GraftInsertReplaceRun(
     path: String,
     condText: Option[String],
@@ -792,6 +807,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     * (or reject): CHECK constraints and TBLPROPERTIES must land in the
     * transaction log. Non-graft targets fall through to the delegate. */
   private def parseAlterExtras(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case insertReplaceWhereRe(t, cond, query) =>
+      resolveTarget(t).map(p => GraftInsertReplaceWhereRun(p, cond.trim, query))
     case insertReplaceOnRe(t, cond, query) =>
       resolveTarget(t).map(p =>
         GraftInsertReplaceRun(p, Some(cond.trim), None, query))
@@ -954,6 +971,12 @@ object GraftSqlParser {
   private val dropConstraintRe =
     (s"""(?is)^\\s*ALTER\\s+TABLE\\s+($targetOrName)\\s+DROP\\s+CONSTRAINT\\s+""" +
       """(?:IF\s+EXISTS\s+)?(\w+)\s*;?\s*$""").r
+  // INSERT INTO t REPLACE WHERE <cond> <query>: overwrite rows matching
+  // a TARGET-side predicate with the query's rows (the replaceWhere
+  // write), per the reference's SQL grammar.
+  private val insertReplaceWhereRe =
+    (s"""(?is)^\\s*INSERT\\s+INTO\\s+($targetOrName)\\s+REPLACE\\s+WHERE\\s+""" +
+      """(.+?)\s+((?:SELECT|VALUES|WITH|TABLE|FROM)\b.*?)\s*;?\s*$""").r
   // INSERT INTO t REPLACE ON <cond> <query> / REPLACE USING (c1..cn) <query>.
   // The condition runs lazily up to the query head keyword — a condition
   // containing a scalar subquery needs the Scala API.

@@ -91,6 +91,23 @@ class InsertReplaceSuite extends AnyFunSuite {
     assert(content(dir).contains((7L, "g")) && content(dir).size === 6)
   }
 
+  test("SQL: INSERT INTO ... REPLACE WHERE (target-side predicate)") {
+    val dir = tmpDir()
+    seed(dir)
+    // rows matching the predicate are replaced by the query's rows; the
+    // write must satisfy the predicate itself
+    spark.sql(s"INSERT INTO graft.`$dir` REPLACE WHERE k <= 2 " +
+      "SELECT 1L AS k, 'one' AS v")
+    assert(content(dir) === Set((1L, "one"), (3L, "c"), (4L, "d"), (5L, "e")))
+    // a row violating the predicate refuses the whole write
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$dir` REPLACE WHERE k = 9 " +
+        "SELECT 8L AS k, 'x' AS v")
+    }
+    assert(e.getMessage != null)
+    assert(content(dir) === Set((1L, "one"), (3L, "c"), (4L, "d"), (5L, "e")))
+  }
+
   test("incompatible source schema refuses") {
     val dir = tmpDir()
     seed(dir)
