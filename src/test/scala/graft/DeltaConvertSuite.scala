@@ -665,6 +665,25 @@ class DeltaConvertSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).where($"id" === 1050L).count() === 1)
   }
 
+  test("late row tracking on a stats-less converted table backfills via footers") {
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 7).toDF("id"), dir, "a.parquet")
+    val s2 = writeFile(spark.range(100, 105).toDF("id"), dir, "b.parquet")
+    writeLog(dir, 0, Seq(protoLine(), metaLine(schema),
+      addLine("a.parquet", s1), addLine("b.parquet", s2)))
+    Graft.convertFromDelta(spark, dir)
+    // no stats => the backfill's id assignment cannot read numRecords
+    // from the log; it must fall back to parquet footers
+    assert(GraftTable.forPath(spark, dir).snapshot.allFiles
+      .forall(f => Option(f.stats).isEmpty))
+    GraftTable.forPath(spark, dir)
+      .upsertProperties(Map("graft.enableRowTracking" -> "true"))
+    val ids = GraftTable.forPath(spark, dir).toDFWithRowIds
+      .select(col("_graft_row_id")).collect().map(_.getLong(0))
+    assert(ids.length === 12 && ids.distinct.length === 12)
+  }
+
   test("redirect cycles are detected, not followed forever") {
     // a -> b -> a
     val a = tmpDir(); val b = tmpDir()
