@@ -78,11 +78,15 @@ class GraftTable private[graft] (
     insertReplaceOn(source, expr(condition))
 
   /** INSERT … REPLACE USING (c1..cn): the equi-join special case —
-    * replace rows whose `cols` values appear in the inserted set. */
+    * replace rows whose `cols` values appear in the inserted set. The
+    * known equi-keys enable stats-space candidate pruning: only target
+    * files whose per-key min/max bracket the source's key range are
+    * scanned and rewritten. */
   def insertReplaceUsing(source: DataFrame, cols: Seq[String]): Unit = {
     require(cols.nonEmpty, "REPLACE USING requires at least one column")
-    insertReplaceOn(source,
-      cols.map(c => col(s"t.`$c`") === col(s"s.`$c`")).reduce(_ && _))
+    InsertReplaceCommand.run(this, source,
+      cols.map(c => col(s"t.`$c`") === col(s"s.`$c`")).reduce(_ && _),
+      pruneKeys = cols)
   }
 
   // ---- Java/py4j-friendly overloads (the Python API binds these; py4j

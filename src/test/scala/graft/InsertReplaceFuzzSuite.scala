@@ -66,7 +66,12 @@ class InsertReplaceFuzzSuite extends AnyFunSuite {
       var src = source.toDF("k", "v")
       if (partitioned)
         src = src.withColumn("p", ($"k" % 3).cast("string"))
-      GraftTable.forPath(spark, dir).insertReplaceOn(src, cond.sql)
+      // equi conditions route through replaceUsing half the time so the
+      // stats-space candidate pruning path fuzzes against the same model
+      if (cond.desc == "equi-k" && rnd.nextBoolean())
+        GraftTable.forPath(spark, dir).insertReplaceUsing(src, Seq("k"))
+      else
+        GraftTable.forPath(spark, dir).insertReplaceOn(src, cond.sql)
 
       val got = Graft.read(spark, dir).select($"k", $"v")
         .as[(Long, Long)].collect().sorted.toSeq

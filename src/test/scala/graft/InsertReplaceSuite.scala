@@ -91,6 +91,31 @@ class InsertReplaceSuite extends AnyFunSuite {
     assert(content(dir).contains((7L, "g")) && content(dir).size === 6)
   }
 
+  test("replaceUsing prunes candidates by source key range (stats space)") {
+    val dir = tmpDir()
+    // two well-separated files
+    Graft.write((1L to 100L).map(i => (i, "lo")).toDF("k", "v").coalesce(1), dir)
+    Graft.write((1000L to 1100L).map(i => (i, "hi")).toDF("k", "v").coalesce(1), dir)
+    val before = GraftTable.forPath(spark, dir).snapshot.allFiles
+      .map(_.path).toSet
+    assert(before.size === 2)
+    // source keys live entirely in the high file's range
+    GraftTable.forPath(spark, dir)
+      .insertReplaceUsing(Seq((1050L, "HI!")).toDF("k", "v"), Seq("k"))
+    val after = GraftTable.forPath(spark, dir).snapshot.allFiles.map(_.path).toSet
+    val untouched = before.intersect(after)
+    assert(untouched.size === 1,
+      s"stats pruning should keep the low file untouched: before=$before after=$after")
+    assert(content(dir).contains((1050L, "HI!")) &&
+      content(dir).contains((1L, "lo")) && !content(dir).contains((1050L, "hi")))
+    assert(content(dir).size === 201)
+    // all-null source keys match nothing; rows still insert
+    GraftTable.forPath(spark, dir).insertReplaceUsing(
+      spark.range(1).select(lit(null).cast("long").as("k"), lit("n").as("v")),
+      Seq("k"))
+    assert(Graft.read(spark, dir).count() === 202)
+  }
+
   test("SQL: INSERT INTO ... REPLACE WHERE (target-side predicate)") {
     val dir = tmpDir()
     seed(dir)
