@@ -40,6 +40,12 @@ class GraftTable:
         return cls(spark, jt)
 
     @classmethod
+    def forName(cls, spark, name):
+        """Load a catalog-registered graft table by name."""
+        jt = spark._sc._jvm.graft.GraftTable.forName(spark._jsparkSession, name)
+        return cls(spark, jt)
+
+    @classmethod
     def convertFromParquet(cls, spark, path):
         spark._sc._jvm.graft.Graft.convertFromParquet(spark._jsparkSession, path)
         return cls.forPath(spark, path)
