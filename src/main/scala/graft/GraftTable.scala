@@ -711,6 +711,11 @@ class GraftTable private[graft] (
    * of a batch file aborts just that batch (re-add would resurrect the
    * file) and the next sweep re-selects from a fresh snapshot.
    */
+  /** Deterministic-interleaving test hook: runs inside each backfill
+    * batch transaction, before its commit. */
+  private[graft] var onBackfillBatch: graft.tx.OptimisticTransaction => Unit =
+    _ => ()
+
   def backfillRowTracking(maxFilesPerCommit: Int = 100000): Unit = {
     require(maxFilesPerCommit > 0, "maxFilesPerCommit must be positive")
     // A leftover suspension flag (an interrupted dropFeature) would make
@@ -725,6 +730,7 @@ class GraftTable private[graft] (
     val maxToProcess = math.max(total * 3, 1000L)
     var processed = 0L
     var batchId = 0
+    var conflictStreak = 0
     var done = false
     while (!done) {
       val s = log.update()
@@ -740,14 +746,24 @@ class GraftTable private[graft] (
           graft.log.RowTracking.ensureNumRecords(spark, log, batch)
         try {
           log.withNewTransaction { txn =>
+            onBackfillBatch(txn)
             txn.commit(withCounts.map(_.copy(dataChange = false)),
               "ROW TRACKING BACKFILL", Map("batchId" -> batchId.toString))
           }
           processed += batch.size
           batchId += 1
+          conflictStreak = 0
         } catch {
-          // a winner removed one of the batch files — reselect fresh
+          // a winner removed one of the batch files — reselect fresh;
+          // `processed` only advances on success, so the maxToProcess
+          // guard alone never fires against an adversarial writer that
+          // keeps deleting a batch file. Cap consecutive conflict-only
+          // rounds explicitly.
           case _: graft.tx.GraftConcurrentModificationException =>
+            conflictStreak += 1
+            require(conflictStreak < 20,
+              "row-tracking backfill lost 20 consecutive commit races; " +
+                "pause conflicting writers (or rerun) and try again")
         }
       }
     }

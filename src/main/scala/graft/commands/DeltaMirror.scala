@@ -76,7 +76,11 @@ object DeltaMirror {
           s"""{"cdc":{"path":${q(encodePath(c.path))},"partitionValues":${pvJson(c.partitionValues)},""" +
             s""""size":${c.size},"dataChange":false}}""")
         case _: Protocol => Some(protocolJson(metaAt))
-        case _ => None // graft-internal actions (domains, sidecars)
+        // Row-tracking watermark domain exports under Delta's name so a
+        // Delta reader (and CONVERT FROM DELTA) sees the same id space.
+        case d: DomainMetadata if d.domain == RowTracking.DOMAIN =>
+          Some(domainJson(d.configuration, d.removed))
+        case _ => None // graft-internal actions (other domains, sidecars)
       }
     }
     var base = baseVersion(log, deltaLog)
@@ -94,7 +98,8 @@ object DeltaMirror {
       val header = Iterator(
         commitInfoJson(snap.version, "GRAFT MIRROR BOOTSTRAP", snap.version),
         protocolJson(snap.metadata),
-        metaDataJson(snap.metadata))
+        metaDataJson(snap.metadata)) ++
+        snap.domains.get(RowTracking.DOMAIN).iterator.map(domainJson(_))
       val fileLines = snap.allFilesDS.toLocalIterator().asScala.map(addJsonDv)
       writeMirrorStream(log, deltaLog, 0L, header ++ fileLines)
       base = baseVersion(log, deltaLog)
@@ -146,7 +151,8 @@ object DeltaMirror {
     val tombCutoff = System.currentTimeMillis() - retentionMs
     val header = Seq(protocolJson(snap.metadata), metaDataJson(snap.metadata)) ++
       snap.setTransactions.map { case (app, v) =>
-        s"""{"txn":{"appId":${q(app)},"version":$v}}""" }
+        s"""{"txn":{"appId":${q(app)},"version":$v}}""" } ++
+      snap.domains.get(RowTracking.DOMAIN).map(domainJson(_))
     // DV-bearing adds re-derive their spec-format descriptor on the
     // executors — idempotent, so the files the commit hooks already
     // exported are reused, never duplicated.
@@ -173,11 +179,14 @@ object DeltaMirror {
          txn STRUCT<appId: STRING, version: BIGINT>,
          add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>,
            size: BIGINT, modificationTime: BIGINT, dataChange: BOOLEAN,
-           stats: STRING, deletionVector: STRUCT<storageType: STRING,
+           stats: STRING, baseRowId: BIGINT, defaultRowCommitVersion: BIGINT,
+           deletionVector: STRUCT<storageType: STRING,
              pathOrInlineDv: STRING, offset: INT, sizeInBytes: INT,
              cardinality: BIGINT>>,
          remove STRUCT<path: STRING, deletionTimestamp: BIGINT,
-           dataChange: BOOLEAN>""").asInstanceOf[org.apache.spark.sql.types.StructType]
+           dataChange: BOOLEAN>,
+         domainMetadata STRUCT<domain: STRING, configuration: STRING,
+           removed: BOOLEAN>""").asInstanceOf[org.apache.spark.sql.types.StructType]
     // Delta checkpoints are single parquet FILES, not directories — write
     // to a scratch dir and move the one part file onto the exact name.
     val scratch = new Path(deltaLog,
@@ -255,15 +264,28 @@ object DeltaMirror {
     val feats = TableFeatures.activeFeatures(m).map(_.name)
     val readerGating = Seq("deletionVectors", "timestampNtz", "variantType",
       "variantShredding", "typeWidening").filter(feats)
-    if (readerGating.nonEmpty) {
+    // rowTracking gates only writers (readers may ignore row ids) but
+    // still forces the feature-vector writer protocol; domainMetadata
+    // rides with it (the watermark domain lives there).
+    val writerOnly = Seq("domainMetadata", "rowTracking").filter(feats)
+    if (readerGating.nonEmpty || writerOnly.nonEmpty) {
       val readerVec = readerGating ++
         (if (feats("columnMapping")) Seq("columnMapping") else Nil)
-      val writerVec = (readerVec ++ Seq("appendOnly", "invariants",
+      val writerVec = (readerVec ++ writerOnly ++ Seq("appendOnly", "invariants",
         "checkConstraints", "changeDataFeed", "generatedColumns",
         "identityColumns").filter(feats)).distinct
-      s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        s""""readerFeatures":[${readerVec.map(q).mkString(",")}],""" +
-        s""""writerFeatures":[${writerVec.map(q).mkString(",")}]}}"""
+      if (readerGating.nonEmpty) {
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          s""""readerFeatures":[${readerVec.map(q).mkString(",")}],""" +
+          s""""writerFeatures":[${writerVec.map(q).mkString(",")}]}}"""
+      } else {
+        // writer features only: legacy reader version (readerFeatures is
+        // spec-valid only at minReaderVersion 3), minWriterVersion 7 with
+        // every active legacy writer feature listed explicitly.
+        val r = if (feats("columnMapping")) 2 else 1
+        s"""{"protocol":{"minReaderVersion":$r,"minWriterVersion":7,""" +
+          s""""writerFeatures":[${writerVec.map(q).mkString(",")}]}}"""
+      }
     } else {
       var (r, w) = (1, 2)
       if (feats("checkConstraints")) w = math.max(w, 3)
@@ -327,12 +349,21 @@ object DeltaMirror {
   private def addJson(a: AddFile, dvJson: Option[String] = None,
       checkpointRow: Boolean = false): String = {
     val stats = Option(a.stats).map(s => s""","stats":${q(s)}""").getOrElse("")
+    val rt = a.baseRowId.map(b => s""","baseRowId":$b""").getOrElse("") +
+      a.defaultRowCommitVersion
+        .map(v => s""","defaultRowCommitVersion":$v""").getOrElse("")
     val dv = dvJson.map("," + _).getOrElse("")
     val dc = if (checkpointRow) false else a.dataChange
     s"""{"add":{"path":${q(encodePath(a.path))},"partitionValues":${pvJson(a.partitionValues)},""" +
       s""""size":${a.size},"modificationTime":${a.modificationTime},""" +
-      s""""dataChange":$dc$stats$dv}}"""
+      s""""dataChange":$dc$rt$stats$dv}}"""
   }
+
+  /** Row-tracking watermark domain under Delta's domain name; the config
+    * JSON shape (`{"rowIdHighWaterMark":N}`) is shared with the spec. */
+  private def domainJson(config: String, removed: Boolean = false): String =
+    s"""{"domainMetadata":{"domain":"delta.rowTracking",""" +
+      s""""configuration":${q(config)},"removed":$removed}}"""
 
   private def removeJson(r: RemoveFile, checkpointRow: Boolean = false): String =
     s"""{"remove":{"path":${q(encodePath(r.path))},"deletionTimestamp":${
@@ -367,7 +398,8 @@ object DeltaMirror {
       "graft.dataSkippingNumIndexedCols" -> "delta.dataSkippingNumIndexedCols",
       "graft.dataSkippingStatsColumns" -> "delta.dataSkippingStatsColumns",
       "graft.randomizeFilePrefixes" -> "delta.randomizeFilePrefixes",
-      "graft.randomPrefixLength" -> "delta.randomPrefixLength")
+      "graft.randomPrefixLength" -> "delta.randomPrefixLength",
+      "graft.enableRowTracking" -> "delta.enableRowTracking")
     c.flatMap {
       case (k, v) if k.startsWith(graft.constraints.Constraints.PROP_PREFIX) =>
         Some("delta.constraints." +

@@ -267,6 +267,34 @@ class DeltaMirrorSuite extends AnyFunSuite {
     assert(Graft.read(spark, view).where($"p" === "a 1").count() === 6)
   }
 
+  test("row tracking exports through the mirror: ids + watermark round-trip") {
+    val dir = tmpDir()
+    Graft.write(spark.range(0, 30).toDF("id").coalesce(1), dir,
+      configuration = Map(
+        graft.commands.DeltaMirror.PROP -> "delta",
+        "graft.enableRowTracking" -> "true"))
+    Graft.write(spark.range(30, 50).toDF("id").coalesce(1), dir)
+    GraftTable.forPath(spark, dir).delete($"id" >= 45)
+    val mirror0 = JFiles.readString(
+      Paths.get(dir, "_delta_log", f"${0L}%020d.json"))
+    assert(mirror0.contains(""""baseRowId":0"""))
+    assert(mirror0.contains(""""rowTracking""""), "writer feature missing")
+    assert(mirror0.contains("delta.rowTracking"), "watermark domain missing")
+    val view = deltaViewOf(dir)
+    Graft.convertFromDelta(spark, view)
+    def ids(d: String): Map[Long, Long] =
+      GraftTable.forPath(spark, d).toDFWithRowIds
+        .select($"id", $"_graft_row_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (a, b) = (ids(dir), ids(view))
+    assert(b === a, "row ids did not survive the mirror round-trip")
+    // the imported watermark continues the SAME id space: fresh rows on
+    // the converted table get ids past every exported one
+    Graft.write(spark.range(100, 103).toDF("id").coalesce(1), view)
+    val after = ids(view)
+    assert(after(100L) > a.values.max)
+  }
+
   test("constraints and appendOnly survive the round trip") {
     val dir = tmpDir()
     Graft.write(spark.range(1, 10).toDF("id"), dir,

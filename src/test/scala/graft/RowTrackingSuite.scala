@@ -131,6 +131,29 @@ class RowTrackingSuite extends AnyFunSuite {
     assert(ids.size === 20 && ids.values.toSet.size === 20)
   }
 
+  test("backfill bounds consecutive commit-race losses with a named error") {
+    val dir = tmpDir()
+    // 25 single-file appends: every batch loss has a fresh file to blame
+    (0 until 25).foreach(i =>
+      Graft.write(spark.range(i * 5L, i * 5L + 5).toDF("id").coalesce(1), dir))
+    val t = GraftTable.forPath(spark, dir)
+    // adversarial winner: on EVERY batch commit attempt, whole-file-delete
+    // the next untouched file (a batch member, since one batch selects all
+    // null-id files) — the re-add would resurrect it, so the batch loses.
+    var k = 0
+    t.onBackfillBatch = txn => txn.onCommitAttempt = _ =>
+      if (k < 25) { t.delete($"id" >= k * 5L && $"id" < k * 5L + 5); k += 1 }
+    val e = intercept[IllegalArgumentException] { t.backfillRowTracking() }
+    assert(e.getMessage.contains("20 consecutive commit races"))
+    // with the adversary gone, the same table backfills to completion
+    t.onBackfillBatch = _ => ()
+    t.backfillRowTracking()
+    t.upsertProperties(Map("graft.enableRowTracking" -> "true"))
+    val ids = idsOf(dir)
+    assert(ids.size === Graft.read(spark, dir).count())
+    assert(ids.values.toSet.size === ids.size)
+  }
+
   test("ZORDER preserves row ids via materialization") {
     val dir = tmpDir()
     Graft.write(spark.range(100).toDF("id")
