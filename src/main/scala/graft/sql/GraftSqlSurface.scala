@@ -819,7 +819,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       resolveTarget(t).map(GraftShowPropsRun.apply)
     case createLikeRe(tgt, src, loc) =>
       resolveTarget(src).map { srcPath =>
-        GraftCreateLikeRun(tgt, srcPath, Option(loc), shallowClone = false)
+        GraftCreateLikeRun(targetPath(tgt), srcPath, Option(loc),
+          shallowClone = false)
       }
     case cloneRe(tgt, src, ver, ts, loc) =>
       resolveTarget(src).map { srcPath =>
@@ -957,7 +958,7 @@ object GraftSqlParser {
     s"""(?is)^\\s*SHOW\\s+TBLPROPERTIES\\s+($targetOrName)\\s*;?\\s*$$""".r
   private val createLikeRe =
     (s"""(?is)^\\s*CREATE\\s+TABLE\\s+(?:IF\\s+NOT\\s+EXISTS\\s+)?""" +
-      s"""([A-Za-z_][\\w.]*)\\s+LIKE\\s+($targetOrName)""" +
+      s"""($targetOrName)\\s+LIKE\\s+($targetOrName)""" +
       """(?:\s+USING\s+graft)?(?:\s+LOCATION\s+'([^']+)')?\s*;?\s*$""").r
   private val cloneRe =
     (s"""(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?TABLE\\s+""" +

@@ -227,6 +227,24 @@ class CatalogSuite extends AnyFunSuite {
     Seq(src, like, cl, cl0).foreach(t => spark.sql(s"DROP TABLE $t"))
   }
 
+  test("CREATE TABLE LIKE carries partitioning; refuses a non-graft source") {
+    val dir = tmpDir()
+    import org.apache.spark.sql.functions.col
+    Graft.write(spark.range(10).toDF("id").withColumn("p", col("id") % 2),
+      s"$dir/psrc", partitionBy = Seq("p"))
+    spark.sql(s"CREATE TABLE graft.`$dir/plike` LIKE graft.`$dir/psrc`")
+    val m = GraftTable.forPath(spark, s"$dir/plike").snapshot.metadata
+    assert(m.partitionColumns === Seq("p"))
+    assert(spark.read.format("graft").load(s"$dir/plike").count() === 0)
+    // a plain parquet dir is not a graft table: named refusal, no debris
+    spark.range(3).toDF("id").write.parquet(s"$dir/raw")
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$dir/rawlike` LIKE graft.`$dir/raw`")
+    }
+    assert(e.getMessage.contains("not a graft table"))
+    assert(!new java.io.File(s"$dir/rawlike/_graft_log").exists())
+  }
+
   test("CREATE TABLE with IDENTITY and GENERATED columns via SQL") {
     val dir = tmpDir()
     val t = fresh("cat_idgen")
