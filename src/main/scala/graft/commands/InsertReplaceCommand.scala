@@ -38,17 +38,13 @@ object InsertReplaceCommand {
       targetAlias: String = "t",
       sourceAlias: String = "s",
       pruneKeys: Seq[String] = Nil): Map[String, String] = {
-    val nonDeterministic = source.queryExecution.analyzed.exists(
-      p => p.expressions.exists(e => !e.deterministic))
-    val materialized =
-      if (nonDeterministic) {
-        val m = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        m.count()
-        Some(m)
-      } else None
-    try runInternal(table, materialized.getOrElse(source), condition,
-      targetAlias, sourceAlias, pruneKeys)
-    finally materialized.foreach(_.unpersist())
+    // Up to 4 passes read the source (key-range agg, match join, survivor
+    // anti-join + insert write, CDF union) — the shared decision pins
+    // non-deterministic sources for correctness and expensive
+    // deterministic ones so a multi-join source computes once, not 4x.
+    MaterializeSource.withPinned(source, passes = 4) { pinned =>
+      runInternal(table, pinned, condition, targetAlias, sourceAlias, pruneKeys)
+    }
   }
 
   private def runInternal(

@@ -110,23 +110,15 @@ object MergeCommand {
       targetAlias: String,
       sourceAlias: String,
       schemaEvolution: Boolean = false): Map[String, String] = {
-    // A non-deterministic source (rand(), non-deterministic UDFs, ...)
-    // re-executed between phase 1 (findTouchedFiles) and phase 2
-    // (writeAllChanges) would produce divergent match sets — silently
-    // corrupting the merge. Pin such sources once up front.
-    // (Reference concept: merge/MergeIntoMaterializeSource.scala:49-70 —
-    // re-designed: cache + eager count instead of RDD checkpointing.)
-    val nonDeterministic = source.queryExecution.analyzed.exists(
-      p => p.expressions.exists(e => !e.deterministic))
-    val materialized =
-      if (nonDeterministic) {
-        val m = source.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        m.count()  // evaluate exactly once, before any phase reads it
-        Some(m)
-      } else None
-    try runInternal(table, materialized.getOrElse(source), condition, clauses,
-      targetAlias, sourceAlias, schemaEvolution)
-    finally materialized.foreach(_.unpersist())
+    // A non-deterministic source re-executed between phase 1
+    // (findTouchedFiles) and phase 2 (writeAllChanges) would produce
+    // divergent match sets — silently corrupting the merge. The shared
+    // decision pins those for correctness, and expensive deterministic
+    // sources so their shuffles compute once across the two phases.
+    MaterializeSource.withPinned(source, passes = 2) { pinned =>
+      runInternal(table, pinned, condition, clauses,
+        targetAlias, sourceAlias, schemaEvolution)
+    }
   }
 
   private def runInternal(

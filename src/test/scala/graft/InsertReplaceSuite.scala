@@ -142,4 +142,43 @@ class InsertReplaceSuite extends AnyFunSuite {
     }
     assert(e.getMessage.contains("write-compatible"), e.getMessage)
   }
+
+  // row-level execution counter: a persisted source evaluates each row
+  // exactly once (the eager count), every later pass reads the cache
+  private def countedSource(acc: org.apache.spark.util.LongAccumulator) = {
+    val bump = udf((x: Long) => { acc.add(1); x })
+    spark.range(0, 10).select(bump(col("id")).as("k"),
+      concat(lit("s"), col("id")).as("v"))
+  }
+
+  test("materializeSource=all computes a deterministic source exactly once") {
+    val dir = tmpDir()
+    seed(dir)
+    val acc = spark.sparkContext.longAccumulator("ir-src-rows")
+    spark.conf.set(graft.commands.MaterializeSource.CONF, "all")
+    try GraftTable.forPath(spark, dir).insertReplaceUsing(countedSource(acc), Seq("k"))
+    finally spark.conf.unset(graft.commands.MaterializeSource.CONF)
+    assert(acc.value === 10L, s"source rows evaluated ${acc.value} times, want 10")
+    assert(content(dir) === (0L until 10L).map(i => i -> s"s$i").toSet)
+  }
+
+  test("materializeSource=none re-scans; auto pins an expensive source") {
+    val dir = tmpDir()
+    seed(dir)
+    val acc = spark.sparkContext.longAccumulator("ir-src-rows-none")
+    spark.conf.set(graft.commands.MaterializeSource.CONF, "none")
+    try GraftTable.forPath(spark, dir).insertReplaceUsing(countedSource(acc), Seq("k"))
+    finally spark.conf.unset(graft.commands.MaterializeSource.CONF)
+    assert(acc.value > 10L, "a deterministic source under 'none' should re-scan")
+    // auto: a join-bearing (shuffle-producing) source pins without any conf
+    val dir2 = tmpDir()
+    seed(dir2)
+    val acc2 = spark.sparkContext.longAccumulator("ir-src-rows-auto")
+    val joined = countedSource(acc2).as("l")
+      .join(spark.range(0, 10).select(col("id").as("k")).as("r"), "k")
+      .select(col("k"), col("v"))
+    GraftTable.forPath(spark, dir2).insertReplaceUsing(joined, Seq("k"))
+    assert(acc2.value === 10L,
+      s"expensive source under auto evaluated ${acc2.value} times, want 10")
+  }
 }
