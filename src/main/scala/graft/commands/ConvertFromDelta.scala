@@ -500,7 +500,10 @@ object ConvertFromDeltaCommand {
       "typeWidening", "v2Checkpoint", "deletionVectors",
       "vacuumProtocolCheck", "variantShredding",
       // handled by redirectCheck (property-driven follow/refusal)
-      "redirectReaderWriter")
+      "redirectReaderWriter",
+      // read-only import: GEOMETRY/GEOGRAPHY translate to WKB binary
+      // (schema.GeoSupport); writes on the result refuse by name
+      "geospatial", "geospatial-dev")
     // The protocol action is REQUIRED in every Delta log (PROTOCOL.md);
     // a log without one is nonconforming, and guessing a version could
     // misread a table whose (missing) protocol gated a feature we would
@@ -514,19 +517,10 @@ object ConvertFromDeltaCommand {
     // before matching, or real Delta 4.x tables written during a feature's
     // preview window would refuse to convert forever.
     val stripped = rf.map(_.stripSuffix("-preview")).toSet
-    // Refuse the features whose MEANING (not just layout) a convert would
-    // break, by name, before the generic unknown-feature error:
-    //  - geospatial (reference DeltaGeoSpatial.scala, features
-    //    `geospatial`/`geospatial-dev`): GEOMETRY/GEOGRAPHY types have no
-    //    Spark engine type here yet; the schema cannot be translated.
     // (Table redirect is handled by [[redirectCheck]] from the live
     // PROPERTY, not the feature marker — a table whose redirect was
-    // dropped keeps the feature but converts normally.)
-    val geo = stripped.filter(f => f == "geospatial" || f == "geospatial-dev")
-    require(geo.isEmpty,
-      s"Delta table at $path uses GEOSPATIAL types (${geo.mkString(", ")}): " +
-        "GEOMETRY/GEOGRAPHY columns have no engine type here and cannot " +
-        "be translated")
+    // dropped keeps the feature but converts normally. Geospatial
+    // sources import read-only: the geo types translate to WKB binary.)
     val unknown = stripped -- understood
     require(unknown.isEmpty,
       s"Delta table requires reader features $unknown this convert " +
@@ -1088,7 +1082,14 @@ object ConvertFromDeltaCommand {
         }
       case other => other
     }
-    f.copy(dataType = dt, metadata = translateFieldMeta(f.metadata, genOk, idOk))
+    // GEOMETRY/GEOGRAPHY (at any nesting depth) read through as WKB
+    // binary; the declared geo type survives in field metadata and makes
+    // the table read-only (see schema.GeoSupport).
+    val (geoDt, geoChanged) = graft.schema.GeoSupport.translateType(dt)
+    graft.schema.GeoSupport.stampIfChanged(
+      f.copy(dataType = geoDt,
+        metadata = translateFieldMeta(f.metadata, genOk, idOk)),
+      dt, geoChanged)
   }
 
   private def translateFieldMeta(

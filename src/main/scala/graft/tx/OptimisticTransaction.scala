@@ -186,6 +186,25 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
         s"Table ${log.dataPath} is append-only (graft.appendOnly=true); " +
           s"'$operation' would remove existing data")
     }
+    // Geo-imported tables are READ-ONLY: the GEOMETRY/GEOGRAPHY columns
+    // read back as WKB binary, but this engine cannot write the annotated
+    // geo parquet layout — a file-changing commit would fork the table's
+    // physical format. Only the CONVERT import itself (and its SYNC,
+    // whose files come from the Delta side) may commit file actions.
+    // (Reference concept: DeltaGeoSpatial.failIfSchemaHasGeoColumn.)
+    if (!operation.startsWith("CONVERT FROM DELTA") &&
+        graft.schema.GeoSupport.hasGeoColumns(metadata.schema) &&
+        actions.exists {
+          case _: AddFile | _: RemoveFile | _: AddCdcFile => true
+          case _ => false
+        }) {
+      throw new UnsupportedOperationException(
+        s"Table ${log.dataPath} carries imported GEOMETRY/GEOGRAPHY " +
+          s"columns (${graft.schema.GeoSupport.geoColumnNames(metadata.schema)
+            .mkString(", ")}) and is a read-only import; '$operation' " +
+          "would write data files this engine cannot produce in the geo " +
+          "parquet layout")
+    }
     val isFirstCommit = snapshot.version < 0
     val prefix = mutable.ArrayBuffer.empty[Action]
     prefix += CommitInfo(

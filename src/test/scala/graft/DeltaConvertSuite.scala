@@ -705,45 +705,99 @@ class DeltaConvertSuite extends AnyFunSuite {
     assert(e.getMessage.contains("cycle"), e.getMessage)
   }
 
-  test("geospatial delta source is refused BY NAME") {
+  /** Hand-author a geometry/geography-ANNOTATED parquet file (what a
+    * real Delta geo writer produces; Spark 4.1 itself cannot write one)
+    * with rows (id, wkbPoint(id, id*2) in both geo columns). */
+  private def writeGeoFile(tableDir: String, name: String, n: Int,
+      idBase: Int = 0): Long = {
+    import org.apache.parquet.schema._
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.io.api.Binary
+    val mt = Types.buildMessage()
+      .addField(Types.required(PrimitiveType.PrimitiveTypeName.INT64).named("id"))
+      .addField(Types.optional(PrimitiveType.PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.geometryType("OGC:CRS84")).named("geom"))
+      .addField(Types.optional(PrimitiveType.PrimitiveTypeName.BINARY)
+        .as(LogicalTypeAnnotation.geographyType()).named("geog"))
+      .named("spark_schema")
+    val dest = Paths.get(tableDir, name)
+    JFiles.createDirectories(dest.getParent)
+    val w = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(dest.toString)).withType(mt)
+      .withConf(spark.sessionState.newHadoopConf()).build()
+    val gf = new SimpleGroupFactory(mt)
+    (idBase until idBase + n).foreach { i =>
+      val g = gf.newGroup()
+      g.append("id", i.toLong)
+      g.append("geom", Binary.fromConstantByteArray(wkbPoint(i, i * 2)))
+      g.append("geog", Binary.fromConstantByteArray(wkbPoint(i, i * 2)))
+      w.write(g)
+    }
+    w.close()
+    JFiles.size(dest)
+  }
+
+  /** Little-endian WKB for POINT(x y). */
+  private def wkbPoint(x: Double, y: Double): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(21)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(1.toByte); bb.putInt(1); bb.putDouble(x); bb.putDouble(y)
+    bb.array()
+  }
+
+  test("geospatial delta source imports READ-ONLY: WKB reads back, writes refuse") {
     // reference DeltaGeoSpatial.scala: GEOMETRY/GEOGRAPHY gated behind the
-    // `geospatial` (stable) / `geospatial-dev` (preview) features
+    // `geospatial` (stable) / `geospatial-dev` (preview) features. Both
+    // import with the geo columns translated to WKB binary.
     Seq("geospatial", "geospatial-dev").foreach { feature =>
       val dir = tmpDir()
-      val s1 = writeFile(spark.range(0, 3).toDF("id"), dir, "g.parquet")
+      val s1 = writeGeoFile(dir, "g.parquet", 3)
+      val s2 = writeGeoFile(dir, "g2.parquet", 2, idBase = 3)
+      val schema = new StructType().add("id", LongType)
+        .add("geom", org.apache.spark.sql.types.GeometryType(4326))
+        .add("geog", org.apache.spark.sql.types.GeographyType(4326))
       writeLog(dir, 0, Seq(
         s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
           s""""readerFeatures":["$feature"],"writerFeatures":["$feature"]}}""",
-        metaLine(new StructType().add("id", LongType)),
-        addLine("g.parquet", s1)))
-      val e = intercept[IllegalArgumentException] {
-        Graft.convertFromDelta(spark, dir)
+        metaLine(schema), addLine("g.parquet", s1), addLine("g2.parquet", s2)))
+      Graft.convertFromDelta(spark, dir)
+      val df = Graft.read(spark, dir)
+      // translated schema: binary + the declared source type in metadata
+      val gf = df.schema("geom")
+      assert(gf.dataType === org.apache.spark.sql.types.BinaryType)
+      assert(gf.metadata.getString(graft.schema.GeoSupport.GEO_KEY)
+        .contains("geometry"), gf.metadata.json)
+      assert(df.schema("geog").metadata
+        .getString(graft.schema.GeoSupport.GEO_KEY).contains("geography"))
+      // WKB-level equality with what the source writer put in the file
+      val rows = df.orderBy("id").collect()
+      assert(rows.length === 5)
+      rows.zipWithIndex.foreach { case (r, i) =>
+        assert(java.util.Arrays.equals(
+          r.getAs[Array[Byte]]("geom"), wkbPoint(i, i * 2)), s"geom row $i")
+        assert(java.util.Arrays.equals(
+          r.getAs[Array[Byte]]("geog"), wkbPoint(i, i * 2)), s"geog row $i")
       }
-      assert(e.getMessage.contains("GEOSPATIAL") &&
-        e.getMessage.contains(feature), s"$feature: ${e.getMessage}")
+      // a predicate on the geo column cannot be stats-pruned (binary is
+      // outside the stats space) but must still evaluate correctly
+      assert(df.filter($"geom" === lit(wkbPoint(2, 4))).count() === 1)
+      // writes and DML refuse with a NAMED error; metadata-only ops work
+      val t = GraftTable.forPath(spark, dir)
+      val e1 = intercept[UnsupportedOperationException] {
+        Graft.write(df.limit(1), dir)
+      }
+      assert(e1.getMessage.contains("GEOMETRY/GEOGRAPHY") &&
+        e1.getMessage.contains("read-only"), e1.getMessage)
+      val e2 = intercept[UnsupportedOperationException] { t.delete($"id" === 1L) }
+      assert(e2.getMessage.contains("read-only"), e2.getMessage)
+      val e3 = intercept[UnsupportedOperationException] {
+        t.optimize().executeCompaction()
+      }
+      assert(e3.getMessage.contains("read-only"), e3.getMessage)
+      t.upsertProperties(Map("graft.myNote" -> "geo"))  // metadata-only: fine
+      assert(Graft.read(spark, dir).count() === 5)
     }
-    // ... and the refusal fires BEFORE schema translation, so a log whose
-    // schemaString actually carries a GEOMETRY column refuses by name
-    // instead of crashing in DataType.fromJson (Spark 4.1's geometry
-    // parquet WRITE path is incomplete, so a read-through import would
-    // strand the table half-usable — deliberate refusal is the floor).
-    val dir2 = tmpDir()
-    val s2 = writeFile(spark.range(0, 3).toDF("id"), dir2, "g.parquet")
-    val geoMeta =
-      """{"metaData":{"id":"11111111-2222-3333-4444-555555555555",""" +
-        """"format":{"provider":"parquet","options":{}},""" +
-        """"schemaString":"{\"type\":\"struct\",\"fields\":[""" +
-        """{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}},""" +
-        """{\"name\":\"geom\",\"type\":\"geometry(OGC:CRS84)\",\"nullable\":true,\"metadata\":{}}]}",""" +
-        """"partitionColumns":[],"configuration":{},"createdTime":1700000000000}}"""
-    writeLog(dir2, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["geospatial"],"writerFeatures":["geospatial"]}}""",
-      geoMeta, addLine("g.parquet", s2)))
-    val e2 = intercept[IllegalArgumentException] {
-      Graft.convertFromDelta(spark, dir2)
-    }
-    assert(e2.getMessage.contains("GEOSPATIAL"), e2.getMessage)
   }
 
   test("shredded-variant delta source converts and variant reads match") {
