@@ -842,11 +842,110 @@ class GraftTable private[graft] (
         }
       }
     }
+
+  // ---- live-table redirect (reference redirect/TableRedirect.scala) ----
+
+  /** NO-REDIRECT -> ENABLE-REDIRECT-IN-PROGRESS: begin redirecting this
+    * table to `dest` (must already be a graft table). The source becomes
+    * read-only; queries keep serving the SOURCE until [[completeRedirect]]
+    * flips the state to READY. Cycles (dest chaining back here) refuse. */
+  def enableRedirect(dest: String): Unit = {
+    import graft.log.TableRedirect
+    val destLog = GraftLog.forTableNoRedirect(spark, dest)
+    require(destLog.tableExists,
+      s"redirect destination $dest is not a graft table")
+    require(destLog.dataPath.toString != log.dataPath.toString,
+      "a table cannot redirect to itself")
+    // walk the destination's own redirect chain (ANY state counts — an
+    // in-progress hop would settle into a live cycle)
+    val visited = scala.collection.mutable.Set(
+      log.dataPath.toString, destLog.dataPath.toString)
+    var cur = TableRedirect.get(destLog.update().metadata)
+    while (cur.isDefined) {
+      val next = GraftLog.forTableNoRedirect(spark, cur.get.dest)
+      require(visited.add(next.dataPath.toString),
+        s"redirecting to $dest would create a redirect cycle " +
+          s"(chain revisits ${next.dataPath})")
+      cur = if (next.tableExists) TableRedirect.get(next.update().metadata)
+            else None
+    }
+    redirectTransition("REDIRECT ENABLE", Set(None)) { _ =>
+      Some(TableRedirect.propertyJson(TableRedirect.STATE_ENABLE, dest))
+    }
+  }
+
+  /** ENABLE-REDIRECT-IN-PROGRESS -> REDIRECT-READY: the redirect settles;
+    * from now on every query resolved through the public path serves the
+    * destination. */
+  def completeRedirect(): Unit = {
+    import graft.log.TableRedirect
+    redirectTransition("REDIRECT READY", Set(Some(TableRedirect.STATE_ENABLE))) {
+      r => Some(TableRedirect.propertyJson(TableRedirect.STATE_READY, r.get.dest))
+    }
+  }
+
+  /** ENABLE-REDIRECT-IN-PROGRESS -> NO-REDIRECT: abort an unfinished
+    * redirect; the table returns to normal service. */
+  def cancelRedirect(): Unit = {
+    import graft.log.TableRedirect
+    redirectTransition("REDIRECT CANCEL",
+      Set(Some(TableRedirect.STATE_ENABLE)))(_ => None)
+  }
+
+  /** REDIRECT-READY -> DROP-REDIRECT-IN-PROGRESS -> NO-REDIRECT (two
+    * commits, per the reference's state machine): stop serving queries at
+    * the destination and restore normal service at this path. Call on a
+    * [[GraftTable.forPathNoRedirect]] handle — the public path resolves
+    * to the destination while the redirect is READY. */
+  def dropRedirect(): Unit = {
+    import graft.log.TableRedirect
+    redirectTransition("REDIRECT DROP", Set(Some(TableRedirect.STATE_READY))) {
+      r => Some(TableRedirect.propertyJson(TableRedirect.STATE_DROP, r.get.dest))
+    }
+    redirectTransition("REDIRECT DROP",
+      Set(Some(TableRedirect.STATE_DROP)))(_ => None)
+  }
+
+  /** Convenience: ENABLE then READY in two commits. */
+  def redirectTo(dest: String): Unit = { enableRedirect(dest); completeRedirect() }
+
+  /** One validated state-transition commit: `expect` is the set of
+    * admissible CURRENT states (None = no redirect), `next` produces the
+    * new property value (None removes it). Metadata-only, so it passes
+    * the redirect commit gate. */
+  private def redirectTransition(op: String, expect: Set[Option[String]])(
+      next: Option[graft.log.TableRedirect.Redirect] => Option[String]): Unit =
+    log.withNewTransaction { txn =>
+      val m = txn.snapshot.metadata
+      val cur = graft.log.TableRedirect.get(m)
+      require(expect.contains(cur.map(_.state)),
+        s"invalid redirect transition '$op' from state " +
+          s"${cur.map(_.state).getOrElse("NO-REDIRECT")} " +
+          "(reference TableRedirect state machine)")
+      val conf = next(cur) match {
+        case Some(json) =>
+          m.configuration + (graft.log.TableRedirect.PROP -> json)
+        case None => m.configuration - graft.log.TableRedirect.PROP
+      }
+      val updated = m.copy(configuration = conf)
+      txn.updateMetadata(updated)
+      txn.commit(graft.log.TableFeatures
+        .requiredUpgradeForMetadata(txn.snapshot.protocol, updated).toSeq, op)
+    }
 }
 
 object GraftTable {
   def forPath(spark: SparkSession, path: String): GraftTable = {
     val log = GraftLog.forTable(spark, path)
+    require(log.tableExists, s"$path is not a graft table")
+    new GraftTable(spark, log)
+  }
+
+  /** The table AT `path` itself, even when a REDIRECT-READY redirect
+    * points queries elsewhere — for redirect administration
+    * (dropRedirect) and source-side introspection. */
+  def forPathNoRedirect(spark: SparkSession, path: String): GraftTable = {
+    val log = GraftLog.forTableNoRedirect(spark, path)
     require(log.tableExists, s"$path is not a graft table")
     new GraftTable(spark, log)
   }

@@ -991,7 +991,37 @@ object GraftLog {
     java.lang.Math.floorMod(graft.expressions.VectorKernels.mix(h), k.toLong).toInt
   }
 
+  /** Resolve the log for `path`, FOLLOWING a settled REDIRECT-READY
+    * redirect to its destination (loop-guarded) — every public surface
+    * (reads, writes, DML, streaming) resolves through here, so queries on
+    * a redirected path transparently serve the destination. Redirect
+    * administration uses [[forTableNoRedirect]]. */
   def forTable(spark: SparkSession, path: String): GraftLog = {
+    var log = forTableNoRedirect(spark, path)
+    var hops = 0
+    val visited = scala.collection.mutable.Set(log.dataPath.toString)
+    var done = false
+    while (!done) {
+      val dest =
+        if (!log.tableExists) None
+        else TableRedirect.readyDest(log.update().metadata)
+      dest match {
+        case None => done = true
+        case Some(d) =>
+          hops += 1
+          require(hops <= 10,
+            s"redirect chain from $path exceeds 10 hops — refusing to follow")
+          log = forTableNoRedirect(spark, d)
+          require(visited.add(log.dataPath.toString),
+            s"redirect chain from $path cycles back to ${log.dataPath}")
+      }
+    }
+    log
+  }
+
+  /** The log AT `path` itself, redirect or not — for redirect state
+    * transitions and introspection of the source table. */
+  def forTableNoRedirect(spark: SparkSession, path: String): GraftLog = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val canonical = fs.makeQualified(p).toString
@@ -1118,6 +1148,16 @@ class Snapshot(
   // Touched on every commit and scan — materialize once per (immutable)
   // snapshot instead of rebuilding the Seq / re-summing per call.
   lazy val allFiles: Seq[AddFile] = filesMap.values.toSeq
+
+  /** Every live AddFile as a driver Seq WITHOUT flipping a lazy
+    * snapshot's cached state: whole-table DML (unpredicated DELETE,
+    * non-equi REPLACE ON) needs the full candidate list — its commit
+    * carries one remove per file, an inherently driver-held Seq — but
+    * that cost must stay TRANSIENT: later queries keep planning off the
+    * checkpoint instead of a permanently driver-resident file map. */
+  def allFilesCollected: Seq[AddFile] =
+    if (!materialized && lazyBase.isDefined) allFilesDS.collect().toSeq
+    else allFiles
 
   // Aggregates of a lazy snapshot come from ONE distributed pass over the
   // checkpoint instead of forcing the whole file map onto the driver.

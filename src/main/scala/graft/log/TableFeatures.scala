@@ -69,13 +69,16 @@ object TableFeatures {
   // unaware of the boundary could delete it (or part of the history
   // below it) and strand readers mid-replay.
   val checkpointProtection = Feature("checkpointProtection", 1, 7)
+  // Reader-gating: a reader unaware of the redirect would keep serving
+  // the frozen source files while live data accrues at the destination.
+  val redirectReaderWriter = Feature("redirectReaderWriter", 3, 7)
 
   val all: Seq[Feature] = Seq(appendOnly, invariants, checkConstraints,
     changeDataFeed, generatedColumns, columnMapping, identityColumns,
     deletionVectors, rowTracking, typeWidening, v2Checkpoint,
     domainMetadata, clustering, timestampNtz, variantType, variantShredding,
     coordinatedCommits, collations, inCommitTimestamp, vacuumProtocolCheck,
-    allowColumnDefaults, checkpointProtection)
+    allowColumnDefaults, checkpointProtection, redirectReaderWriter)
   val byName: Map[String, Feature] = all.map(f => f.name -> f).toMap
 
   /** Every reader-gating feature this build understands. */
@@ -107,6 +110,7 @@ object TableFeatures {
     if (on("graft.enableInCommitTimestamps")) b += inCommitTimestamp
     if (conf.contains("graft.requireCheckpointProtectionBeforeVersion"))
       b += checkpointProtection
+    if (conf.contains(TableRedirect.PROP)) b += redirectReaderWriter
     if (conf.keys.exists(_.startsWith(graft.constraints.Constraints.PROP_PREFIX)))
       b += checkConstraints
     if (m.schemaString != null) {

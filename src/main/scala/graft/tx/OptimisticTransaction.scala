@@ -205,6 +205,23 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
           "would write data files this engine cannot produce in the geo " +
           "parquet layout")
     }
+    // Redirected tables admit no file-changing commits at the SOURCE in
+    // any redirect state: in-progress states are read-only by contract
+    // (reference TableRedirect.scala:54-89), and a READY source is frozen
+    // (queries resolve to the destination; a raw handle must not fork
+    // it). State transitions are metadata-only commits and pass.
+    TableRedirect.get(metadata).foreach { r =>
+      if (actions.exists {
+            case _: AddFile | _: RemoveFile | _: AddCdcFile => true
+            case _ => false
+          }) {
+        throw new UnsupportedOperationException(
+          s"Table ${log.dataPath} is redirected (${r.state} -> ${r.dest}); " +
+            s"'$operation' cannot change data at the source — query the " +
+            "table through its public path (served by the destination) " +
+            "or drop the redirect first")
+      }
+    }
     val isFirstCommit = snapshot.version < 0
     val prefix = mutable.ArrayBuffer.empty[Action]
     prefix += CommitInfo(

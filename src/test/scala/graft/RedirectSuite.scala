@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Live-table redirect: ENABLE -> READY -> DROP state machine; READY
+  * serves every public-path query at the destination. */
+class RedirectSuite extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def tmpDir(): String = Files.createTempDirectory("graft-redir").toString
+
+  private def ids(path: String): Set[Long] =
+    Graft.read(spark, path).select("id").as[Long].collect().toSet
+
+  test("READY redirect serves reads AND writes at the destination; drop restores") {
+    val src = tmpDir(); val dst = tmpDir()
+    Graft.write(spark.range(0, 5).toDF("id"), src)
+    Graft.write(spark.range(100, 103).toDF("id"), dst)
+    GraftTable.forPath(spark, src).redirectTo(dst)
+    // reads at the source path serve the destination
+    assert(ids(src) === (100L until 103L).toSet)
+    // writes resolved through the source path land at the destination
+    Graft.write(spark.range(103, 105).toDF("id"), src)
+    assert(ids(dst) === (100L until 105L).toSet)
+    assert(ids(src) === ids(dst))
+    // DML through the public path operates on the destination
+    GraftTable.forPath(spark, src).delete($"id" === 104L)
+    assert(ids(dst) === (100L until 104L).toSet)
+    // the source's own data is frozen, not lost
+    val raw = GraftTable.forPathNoRedirect(spark, src)
+    assert(raw.toDF.select("id").as[Long].collect().toSet === (0L until 5L).toSet)
+    // protocol carries the reader-gating feature
+    assert(raw.snapshot.protocol.readerFeatureNames.contains("redirectReaderWriter"))
+    // drop restores normal service (two commits: DROP-IN-PROGRESS, then clear)
+    raw.dropRedirect()
+    assert(ids(src) === (0L until 5L).toSet)
+    Graft.write(spark.range(5, 7).toDF("id"), src)
+    assert(ids(src) === (0L until 7L).toSet)
+    assert(ids(dst) === (100L until 104L).toSet)
+  }
+
+  test("mid-transition: reads serve the source, data writes refuse, cancel restores") {
+    val src = tmpDir(); val dst = tmpDir()
+    Graft.write(spark.range(0, 4).toDF("id"), src)
+    Graft.write(spark.range(50, 51).toDF("id"), dst)
+    val t = GraftTable.forPath(spark, src)
+    t.enableRedirect(dst)
+    // ENABLE-IN-PROGRESS does not follow: reads still serve the source
+    assert(ids(src) === (0L until 4L).toSet)
+    // ... but the source is read-only: file-changing commits refuse by name
+    val e = intercept[UnsupportedOperationException] {
+      Graft.write(spark.range(10, 12).toDF("id"), src)
+    }
+    assert(e.getMessage.contains("redirected") &&
+      e.getMessage.contains("ENABLE-REDIRECT-IN-PROGRESS"), e.getMessage)
+    val e2 = intercept[UnsupportedOperationException] { t.delete($"id" === 0L) }
+    assert(e2.getMessage.contains("redirected"), e2.getMessage)
+    // cancel: back to normal service
+    t.cancelRedirect()
+    Graft.write(spark.range(10, 12).toDF("id"), src)
+    assert(ids(src) === ((0L until 4L) ++ (10L until 12L)).toSet)
+  }
+
+  test("cycle and self-redirect refuse; invalid transitions refuse") {
+    val a = tmpDir(); val b = tmpDir()
+    Graft.write(spark.range(0, 2).toDF("id"), a)
+    Graft.write(spark.range(5, 7).toDF("id"), b)
+    val ta = GraftTable.forPath(spark, a)
+    val eSelf = intercept[IllegalArgumentException] { ta.enableRedirect(a) }
+    assert(eSelf.getMessage.contains("itself"))
+    // a -> b READY; then b -> a must refuse (cycle)
+    ta.redirectTo(b)
+    val tb = GraftTable.forPath(spark, b)
+    val eCycle = intercept[IllegalArgumentException] { tb.enableRedirect(a) }
+    assert(eCycle.getMessage.contains("cycle"), eCycle.getMessage)
+    // invalid transitions by name
+    val eBad = intercept[IllegalArgumentException] {
+      GraftTable.forPathNoRedirect(spark, a).completeRedirect()
+    }
+    assert(eBad.getMessage.contains("invalid redirect transition"), eBad.getMessage)
+    val eBad2 = intercept[IllegalArgumentException] { tb.dropRedirect() }
+    assert(eBad2.getMessage.contains("invalid redirect transition"))
+    // enabling ON an already-READY source refuses (must drop first)
+    val eBad3 = intercept[IllegalArgumentException] {
+      GraftTable.forPathNoRedirect(spark, a).enableRedirect(b)
+    }
+    assert(eBad3.getMessage.contains("invalid redirect transition"))
+    GraftTable.forPathNoRedirect(spark, a).dropRedirect()
+    assert(ids(a) === (0L until 2L).toSet)
+  }
+
+  test("raw-handle history stays source-local; follow survives a cache clear") {
+    // history/time-travel on the RAW handle still reads the source log
+    val src = tmpDir(); val dst = tmpDir()
+    Graft.write(spark.range(0, 3).toDF("id"), src)
+    Graft.write(spark.range(9, 10).toDF("id"), dst)
+    GraftTable.forPath(spark, src).redirectTo(dst)
+    val raw = GraftTable.forPathNoRedirect(spark, src)
+    val ops = raw.history().select($"operation").as[String].collect().toSeq
+    assert(ops.contains("REDIRECT ENABLE") && ops.contains("REDIRECT READY"))
+    // public-path reads keep serving the destination after a log-cache clear
+    graft.log.GraftLog.clearCache()
+    assert(ids(src) === Set(9L))
+  }
+}
