@@ -94,7 +94,9 @@ object DeleteCommand {
       val (removes, adds, cdcActions, metrics) = condition match {
         case None =>
           txn.readWholeTable()
-          val all = txn.snapshot.allFiles
+          // collected, not materialized: the remove list is a transient
+          // driver Seq; a lazy checkpoint-backed snapshot stays lazy
+          val all = txn.snapshot.allFilesCollected
           val cdc = if (cdf) {
             val allRows = Dml.scanFiles(spark, log, txn, all)
             Cdc.writeChangeFiles(spark, log,

@@ -124,8 +124,10 @@ object StatsSkipping {
     }
     val all = conds.result()
     // Nothing compiled to a pushable condition: the answer is the full
-    // file list we already hold — do not round-trip it through a job.
-    if (all.isEmpty) return snapshot.allFiles
+    // file list. Collect it from the distributed view so a LAZY snapshot
+    // stays lazy — the caller's Seq is transient, the snapshot's cached
+    // state is not.
+    if (all.isEmpty) return snapshot.allFilesCollected
     import spark.implicits._
     view.where(all.reduce(_ && _)).drop("_parsed").as[AddFile].collect().toSeq
   }

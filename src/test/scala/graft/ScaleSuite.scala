@@ -687,4 +687,55 @@ class ScaleSuite extends AnyFunSuite {
         "auto-compact selection materialized the whole file map on the driver")
     } finally spark.conf.unset(Snapshot.DRIVER_FOLD_THRESHOLD_CONF)
   }
+
+  test("whole-table DML candidate selection at 150k files: transient Seq, snapshot stays lazy") {
+    // The driver-ceiling probe for unpredicated DELETE / non-equi REPLACE
+    // ON: the candidate Seq[AddFile] itself is inherent (the commit
+    // carries one remove per file — the reference's own DML design), but
+    // it must be a TRANSIENT driver cost. Selection collects from the
+    // distributed view; the lazy snapshot's cached state never
+    // materializes, so post-DML queries keep planning off the checkpoint.
+    val dir = Files.createTempDirectory("graft-scale-dml").toString
+    Graft.create(spark, dir,
+      new StructType().add("id", LongType)
+        .add("p", org.apache.spark.sql.types.StringType),
+      partitionBy = Seq("p"))
+    val log = GraftLog.forTable(spark, dir)
+    val meta = log.snapshot.metadata
+    log.writeCommit(1, Seq(CommitInfo(timestamp = 1L, operation = "NOOP")))
+    val n = 150000
+    import spark.implicits._
+    val adds = (0 until n).iterator.map(i =>
+      AddFile(f"p=${i % 100}/f-$i%06d.parquet", Map("p" -> s"${i % 100}"),
+        1000L, 0L, dataChange = true, stats = """{"numRecords":10}""").wrap)
+    val cpRows = Iterator(Protocol().wrap, meta.wrap) ++ adds
+    spark.createDataset(cpRows.toSeq).repartition(4)
+      .write.mode("overwrite")
+      .parquet(FileNames.checkpointFile(log.logPath, 1L).toString)
+    log.store.writeOverwrite(FileNames.lastCheckpointFile(log.logPath),
+      s"""{"version":1,"size":${n + 2}}""")
+    log.store.writeOverwrite(FileNames.checksumFile(log.logPath, 1L),
+      s"""{"tableSizeBytes":${n * 1000L},"numFiles":$n}""")
+    GraftLog.clearCache()
+    spark.conf.set(Snapshot.DRIVER_FOLD_THRESHOLD_CONF, "50000")
+    spark.conf.set("spark.graft.distributedSkipping.threshold", "50000")
+    try {
+      val log2 = GraftLog.forTable(spark, dir)
+      // REPLACE-ON-shaped whole-table read: predicate-less filterFiles()
+      val txn = log2.startTransaction()
+      val candidates = txn.filterFiles()
+      assert(candidates.size === n)
+      assert(!log2.snapshot.materialized,
+        "whole-table candidate selection materialized the lazy snapshot")
+      // unpredicated DELETE end-to-end: 150k metadata-only removes commit
+      GraftTable.forPath(spark, dir).delete()
+      val after = log2.update()
+      assert(after.numFiles === 0L)
+      assert(!after.materialized,
+        "unpredicated DELETE materialized the lazy snapshot")
+    } finally {
+      spark.conf.unset(Snapshot.DRIVER_FOLD_THRESHOLD_CONF)
+      spark.conf.unset("spark.graft.distributedSkipping.threshold")
+    }
+  }
 }
