@@ -126,6 +126,37 @@ class GraftTable:
         table runs this automatically."""
         self._jt.backfillRowTracking()
 
+    # ---- live-table redirect ---------------------------------------------
+
+    def redirect_to(self, dest):
+        """ENABLE then READY: every query resolved through this table's
+        path is served by the graft table at ``dest``."""
+        self._jt.redirectTo(dest)
+
+    def enable_redirect(self, dest):
+        self._jt.enableRedirect(dest)
+
+    def complete_redirect(self):
+        self._jt.completeRedirect()
+
+    def cancel_redirect(self):
+        self._jt.cancelRedirect()
+
+    def drop_redirect(self):
+        """Restore normal service at this path (two commits: READY ->
+        DROP-REDIRECT-IN-PROGRESS -> NO-REDIRECT). Load the handle with
+        :meth:`forPathNoRedirect` — the public path resolves to the
+        destination while the redirect is READY."""
+        self._jt.dropRedirect()
+
+    @classmethod
+    def forPathNoRedirect(cls, spark, path):
+        """The table AT ``path`` itself, even when a READY redirect points
+        queries elsewhere — for redirect administration."""
+        jt = spark._sc._jvm.graft.GraftTable.forPathNoRedirect(
+            spark._jsparkSession, path)
+        return cls(spark, jt)
+
     # ---- maintenance -----------------------------------------------------
 
     def optimize(self, where=None):

@@ -263,7 +263,7 @@ object DeltaMirror {
   private def protocolJson(m: Metadata): String = {
     val feats = TableFeatures.activeFeatures(m).map(_.name)
     val readerGating = Seq("deletionVectors", "timestampNtz", "variantType",
-      "variantShredding", "typeWidening").filter(feats)
+      "variantShredding", "typeWidening", "redirectReaderWriter").filter(feats)
     // rowTracking gates only writers (readers may ignore row ids) but
     // still forces the feature-vector writer protocol; domainMetadata
     // rides with it (the watermark domain lives there).
@@ -399,7 +399,10 @@ object DeltaMirror {
       "graft.dataSkippingStatsColumns" -> "delta.dataSkippingStatsColumns",
       "graft.randomizeFilePrefixes" -> "delta.randomizeFilePrefixes",
       "graft.randomPrefixLength" -> "delta.randomPrefixLength",
-      "graft.enableRowTracking" -> "delta.enableRowTracking")
+      "graft.enableRowTracking" -> "delta.enableRowTracking",
+      // same JSON value shape both sides; a Delta reader of the mirror
+      // honors the redirect exactly as a graft reader would
+      graft.log.TableRedirect.PROP -> "delta.redirectReaderWriter")
     c.flatMap {
       case (k, v) if k.startsWith(graft.constraints.Constraints.PROP_PREFIX) =>
         Some("delta.constraints." +
