@@ -992,6 +992,23 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    "graft_redirect" -> ((s, dir) => {
+      // live-table redirect: the table moved to dst; the OLD path keeps
+      // serving queries (reads AND DML) from the destination
+      val src = tmp("redirsrc"); val dst = tmp("redirdst")
+      val stale = t(s, dir, "supplier").where(col("s_suppkey") <= 3)
+      Graft.write(stale, src)
+      Graft.write(t(s, dir, "supplier"), dst)
+      GraftTable.forPath(s, src).redirectTo(dst)
+      GraftTable.forPath(s, src).delete(col("s_suppkey") % 7 === 0)
+      val served = Graft.read(s, src)
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+      require(served.count() > stale.count(),
+        "redirected read served the stale source slice, not the destination")
+      served
+    }),
+
     "sql_show_partitions" -> ((s, dir) => {
       val path = tmp("showpart")
       Graft.write(t(s, dir, "nation"), path, partitionBy = Seq("n_regionkey"))
@@ -2298,6 +2315,10 @@ object SparkEntry {
     "graft_shallow_clone" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
          WHERE o_orderstatus <> 'O' ORDER BY o_orderkey""",
+
+    "graft_redirect" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+         WHERE s_suppkey % 7 <> 0 ORDER BY s_suppkey""",
 
     "sql_show_partitions" ->
       "SELECT DISTINCT CAST(n_regionkey AS INT) AS n_regionkey FROM nation ORDER BY 1",

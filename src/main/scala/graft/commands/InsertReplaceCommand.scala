@@ -40,8 +40,8 @@ object InsertReplaceCommand {
       pruneKeys: Seq[String] = Nil): Map[String, String] = {
     // Up to 4 passes read the source (key-range agg, match join, survivor
     // anti-join + insert write, CDF union) — the shared decision pins
-    // non-deterministic sources for correctness and expensive
-    // deterministic ones so a multi-join source computes once, not 4x.
+    // non-deterministic sources for correctness; `all` lets an expensive
+    // multi-join source compute once instead of 4x.
     MaterializeSource.withPinned(source, passes = 4) { pinned =>
       runInternal(table, pinned, condition, targetAlias, sourceAlias, pruneKeys)
     }

@@ -1,7 +1,6 @@
 package graft.commands
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window}
 import org.apache.spark.storage.StorageLevel
 
 /**
@@ -25,11 +24,18 @@ import org.apache.spark.storage.StorageLevel
  * deterministic cache content only when the plan was deterministic.)
  *
  * Modes (`spark.graft.dml.materializeSource`):
- *  - `auto` (default): pin non-deterministic sources, plus deterministic
- *    ones whose plan carries a shuffle-producing operator when the
- *    command makes multiple passes;
- *  - `all`: always pin;
- *  - `none`: pin only what correctness demands (non-deterministic).
+ *  - `auto` (default): pin exactly what correctness demands — a
+ *    non-deterministic source. Like the reference's auto, it is NOT a
+ *    cost decision: pinning a deterministic source forces full
+ *    materialization (losing the column pruning and filter pushdown the
+ *    per-pass plans enjoy), which measurably REGRESSES the common
+ *    cheap-source case; the multi-pass savings only win when the source
+ *    is genuinely expensive, which the engine cannot know up front.
+ *  - `all`: always pin — the knob for an expensive multi-join source
+ *    that would otherwise compute once per pass (up to 4x for INSERT
+ *    REPLACE).
+ *  - `none`: alias of auto's floor (non-deterministic still pins;
+ *    silently corrupting a command is never an option).
  */
 object MaterializeSource {
 
@@ -45,14 +51,9 @@ object MaterializeSource {
     val analyzed = source.queryExecution.analyzed
     val nonDeterministic =
       analyzed.exists(p => p.expressions.exists(e => !e.deterministic))
-    val expensive = analyzed.exists {
-      case _: Join | _: Aggregate | _: Window => true
-      case _ => false
-    }
     val pin = mode match {
       case "all" => true
-      case "none" => nonDeterministic // the correctness floor never lifts
-      case _ => nonDeterministic || (expensive && passes > 1)
+      case _ => nonDeterministic // the correctness floor never lifts
     }
     if (!pin) body(source)
     else {

@@ -113,8 +113,8 @@ object MergeCommand {
     // A non-deterministic source re-executed between phase 1
     // (findTouchedFiles) and phase 2 (writeAllChanges) would produce
     // divergent match sets — silently corrupting the merge. The shared
-    // decision pins those for correctness, and expensive deterministic
-    // sources so their shuffles compute once across the two phases.
+    // decision pins those for correctness; `all` additionally pins an
+    // expensive deterministic source across the two phases.
     MaterializeSource.withPinned(source, passes = 2) { pinned =>
       runInternal(table, pinned, condition, clauses,
         targetAlias, sourceAlias, schemaEvolution)

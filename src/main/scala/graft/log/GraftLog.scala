@@ -112,6 +112,10 @@ class GraftLog private (
     currentSnapshot
   }
 
+  /** Cached snapshot or null — lets the redirect-follow check skip ALL
+    * filesystem traffic once a log is warm. */
+  private[graft] def cachedSnapshotOrNull: Snapshot = currentSnapshot
+
   /** Highest protocol reader version this build understands:
     * 1 = base log; 2 = deletion vectors + column mapping (legacy);
     * 3 = table-feature vectors (per-feature negotiation). */
@@ -1002,9 +1006,20 @@ object GraftLog {
     val visited = scala.collection.mutable.Set(log.dataPath.toString)
     var done = false
     while (!done) {
+      // The CACHED snapshot decides (first resolution of an existing
+      // table pays one update): redirect flips are rare, and every
+      // transaction start / read planning refreshes the snapshot anyway,
+      // so an externally-set redirect is seen with ordinary MVCC read
+      // freshness — without charging every warm resolution any
+      // filesystem traffic at all.
+      val cached = log.cachedSnapshotOrNull
       val dest =
-        if (!log.tableExists) None
-        else TableRedirect.readyDest(log.update().metadata)
+        if (cached != null) {
+          if (cached.version < 0) None
+          else TableRedirect.readyDest(cached.metadata)
+        }
+        else if (!log.tableExists) None
+        else TableRedirect.readyDest(log.snapshot.metadata)
       dest match {
         case None => done = true
         case Some(d) =>

@@ -162,23 +162,25 @@ class InsertReplaceSuite extends AnyFunSuite {
     assert(content(dir) === (0L until 10L).map(i => i -> s"s$i").toSet)
   }
 
-  test("materializeSource=none re-scans; auto pins an expensive source") {
+  test("auto/none re-scan a deterministic source (pushdown-friendly plans per pass)") {
     val dir = tmpDir()
     seed(dir)
     val acc = spark.sparkContext.longAccumulator("ir-src-rows-none")
-    spark.conf.set(graft.commands.MaterializeSource.CONF, "none")
-    try GraftTable.forPath(spark, dir).insertReplaceUsing(countedSource(acc), Seq("k"))
-    finally spark.conf.unset(graft.commands.MaterializeSource.CONF)
-    assert(acc.value > 10L, "a deterministic source under 'none' should re-scan")
-    // auto: a join-bearing (shuffle-producing) source pins without any conf
+    GraftTable.forPath(spark, dir).insertReplaceUsing(countedSource(acc), Seq("k"))
+    assert(acc.value > 10L,
+      "a deterministic source under auto should re-scan per pass " +
+        "(pinning would force full materialization and lose pushdown)")
+    // a NON-deterministic source pins in every mode — the correctness floor
     val dir2 = tmpDir()
     seed(dir2)
-    val acc2 = spark.sparkContext.longAccumulator("ir-src-rows-auto")
-    val joined = countedSource(acc2).as("l")
-      .join(spark.range(0, 10).select(col("id").as("k")).as("r"), "k")
-      .select(col("k"), col("v"))
-    GraftTable.forPath(spark, dir2).insertReplaceUsing(joined, Seq("k"))
+    val acc2 = spark.sparkContext.longAccumulator("ir-src-rows-nondet")
+    val bump2 = udf((x: Long) => { acc2.add(1); x }).asNondeterministic()
+    val src2 = spark.range(0, 10).select(bump2(col("id")).as("k"),
+      concat(lit("s"), col("id")).as("v"))
+    spark.conf.set(graft.commands.MaterializeSource.CONF, "none")
+    try GraftTable.forPath(spark, dir2).insertReplaceUsing(src2, Seq("k"))
+    finally spark.conf.unset(graft.commands.MaterializeSource.CONF)
     assert(acc2.value === 10L,
-      s"expensive source under auto evaluated ${acc2.value} times, want 10")
+      s"non-deterministic source evaluated ${acc2.value} times, want 10")
   }
 }
