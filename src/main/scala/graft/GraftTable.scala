@@ -782,6 +782,35 @@ class GraftTable private[graft] (
         removeProperties(Seq("graft.rowTrackingSuspended"))
       backfillRowTracking()
     }
+    // A raw property set of the redirect key must still obey the state
+    // machine (and parse) — route it through the validated transitions
+    // so ALTER TABLE SET TBLPROPERTIES cannot corrupt the redirect.
+    props.get(graft.log.TableRedirect.PROP).foreach { json =>
+      import graft.log.TableRedirect
+      val next = TableRedirect.get(
+        log.snapshot.metadata.copy(configuration = Map(TableRedirect.PROP -> json)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"unparseable ${TableRedirect.PROP} value"))
+      next.state match {
+        case TableRedirect.STATE_ENABLE => enableRedirect(next.dest)
+        case TableRedirect.STATE_READY =>
+          require(graft.log.TableRedirect.get(log.snapshot.metadata)
+              .exists(_.dest == next.dest),
+            "invalid redirect transition: REDIRECT-READY must name the " +
+              "destination the ENABLE step declared")
+          completeRedirect()
+        case TableRedirect.STATE_DROP =>
+          redirectTransition("REDIRECT DROP",
+            Set(Some(TableRedirect.STATE_READY))) { r =>
+            Some(TableRedirect.propertyJson(TableRedirect.STATE_DROP, r.get.dest))
+          }
+        case other => throw new IllegalArgumentException(
+          s"unknown redirect state '$other'")
+      }
+      val rest = props - TableRedirect.PROP
+      if (rest.nonEmpty) upsertProperties(rest)
+      return
+    }
     log.withNewTransaction { txn =>
       val m = txn.snapshot.metadata
       import graft.schema.ColumnMapping
@@ -807,12 +836,25 @@ class GraftTable private[graft] (
     }
   }
 
-  def removeProperties(keys: Seq[String]): Unit =
+  def removeProperties(keys: Seq[String]): Unit = {
+    // Unsetting the redirect key = a transition to NO-REDIRECT, legal
+    // only from ENABLE (cancel) or DROP-IN-PROGRESS (final step) —
+    // validate it like the API methods do.
+    if (keys.contains(graft.log.TableRedirect.PROP)) {
+      import graft.log.TableRedirect
+      redirectTransition("UNSET TBLPROPERTIES",
+        Set(Some(TableRedirect.STATE_ENABLE),
+          Some(TableRedirect.STATE_DROP)))(_ => None)
+      val rest = keys.filterNot(_ == TableRedirect.PROP)
+      if (rest.nonEmpty) removeProperties(rest)
+      return
+    }
     log.withNewTransaction { txn =>
       val m = txn.snapshot.metadata
       txn.updateMetadata(m.copy(configuration = m.configuration -- keys))
       txn.commit(Nil, "UNSET TBLPROPERTIES", keys.map(_ -> "").toMap)
     }
+  }
 
   /** ALTER TABLE … SYNC IDENTITY: recompute each identity column's high
     * watermark from the actual data — needed after rows with explicitly

@@ -93,6 +93,46 @@ class RedirectSuite extends AnyFunSuite {
     assert(ids(a) === (0L until 2L).toSet)
   }
 
+  test("raw property set/unset routes through the validated state machine") {
+    val src = tmpDir(); val dst = tmpDir()
+    Graft.write(spark.range(0, 3).toDF("id"), src)
+    Graft.write(spark.range(9, 12).toDF("id"), dst)
+    val t = GraftTable.forPath(spark, src)
+    // a direct READY set must refuse (NO-REDIRECT -> READY is illegal)
+    val e = intercept[IllegalArgumentException] {
+      t.upsertProperties(Map(graft.log.TableRedirect.PROP ->
+        graft.log.TableRedirect.propertyJson(
+          graft.log.TableRedirect.STATE_READY, dst)))
+    }
+    assert(e.getMessage.contains("invalid redirect transition"), e.getMessage)
+    // the legal two-step property dance works (what ALTER TABLE would do)
+    t.upsertProperties(Map(graft.log.TableRedirect.PROP ->
+      graft.log.TableRedirect.propertyJson(
+        graft.log.TableRedirect.STATE_ENABLE, dst)))
+    t.upsertProperties(Map(graft.log.TableRedirect.PROP ->
+      graft.log.TableRedirect.propertyJson(
+        graft.log.TableRedirect.STATE_READY, dst)))
+    assert(ids(src) === Set(9L, 10L, 11L))
+    // raw unset from READY refuses; from DROP-IN-PROGRESS completes
+    val raw = GraftTable.forPathNoRedirect(spark, src)
+    val e2 = intercept[IllegalArgumentException] {
+      raw.removeProperties(Seq(graft.log.TableRedirect.PROP))
+    }
+    assert(e2.getMessage.contains("invalid redirect transition"))
+    raw.upsertProperties(Map(graft.log.TableRedirect.PROP ->
+      graft.log.TableRedirect.propertyJson(
+        graft.log.TableRedirect.STATE_DROP, dst)))
+    raw.removeProperties(Seq(graft.log.TableRedirect.PROP))
+    assert(ids(src) === Set(0L, 1L, 2L))
+    // junk values refuse with a parse error, never land in the log
+    val e3 = intercept[Exception] {
+      GraftTable.forPath(spark, src).upsertProperties(
+        Map(graft.log.TableRedirect.PROP -> """{"state":"REDIRECT-READY"}"""))
+    }
+    assert(!GraftTable.forPath(spark, src).snapshot.metadata
+      .configuration.contains(graft.log.TableRedirect.PROP))
+  }
+
   test("raw-handle history stays source-local; follow survives a cache clear") {
     // history/time-travel on the RAW handle still reads the source log
     val src = tmpDir(); val dst = tmpDir()
