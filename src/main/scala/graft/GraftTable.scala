@@ -785,8 +785,9 @@ class GraftTable private[graft] (
     // A raw property set of the redirect key must still obey the state
     // machine (and parse) — route it through the validated transitions
     // so ALTER TABLE SET TBLPROPERTIES cannot corrupt the redirect.
-    props.get(graft.log.TableRedirect.PROP).foreach { json =>
+    if (props.contains(graft.log.TableRedirect.PROP)) {
       import graft.log.TableRedirect
+      val json = props(TableRedirect.PROP)
       val next = TableRedirect.get(
         log.snapshot.metadata.copy(configuration = Map(TableRedirect.PROP -> json)))
         .getOrElse(throw new IllegalArgumentException(

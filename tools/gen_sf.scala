@@ -57,13 +57,18 @@ replicate("documents", Map("doc_id" -> sD), (d, i) =>
   if (i == 0) d
   else d.withColumn("text", concat(col("text"), lit(s" r$i")))
     .withColumn("n_chars", col("n_chars") + lit(3 + (if (i >= 10) 1 else 0))))
-// per-replica deterministic jitter on one coordinate keeps vectors near
-// but not identical across replicas
+// per-replica deterministic jitter on EVERY coordinate makes replica
+// vectors genuinely distinct (a tiny one-coordinate nudge would flood
+// the corpus with near-exact duplicates -- a degenerate shape that tells
+// you nothing about scaling and breaks the capped/banded dedup oracles)
 replicate("embeddings", Map("vec_id" -> sV), (d, i) =>
   if (i == 0) d
   else d.withColumn("embedding",
     transform(col("embedding"),
-      (x, j) => when(j === 0, x + lit(i * 1e-3f)).otherwise(x))))
+      // keep the element type float: bare arithmetic would widen the
+      // whole array to double and break every Array[Float] consumer
+      (x, j) => (x + pmod(j * 17 + lit(i * 31), lit(97)) / lit(485.0)
+        - lit(0.1)).cast("float"))))
 Seq("nation", "region").foreach { t =>
   read(t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
   println(s"GEN $t: copied")
