@@ -133,6 +133,23 @@ class RedirectSuite extends AnyFunSuite {
       .configuration.contains(graft.log.TableRedirect.PROP))
   }
 
+  test("streaming read through a redirected path serves the destination") {
+    val src = tmpDir(); val dst = tmpDir()
+    Graft.write(spark.range(0, 4).toDF("id"), src)
+    Graft.write(spark.range(200, 206).toDF("id"), dst)
+    GraftTable.forPath(spark, src).redirectTo(dst)
+    val out = java.nio.file.Files.createTempDirectory("graft-redir-sink").toString
+    val q = spark.readStream.format("graft").load(src)
+      .writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000))
+    val got = spark.read.parquet(s"$out/data").as[Long].collect().toSet
+    assert(got === (200L until 206L).toSet,
+      s"stream served $got, expected the destination's rows")
+  }
+
   test("raw-handle history stays source-local; follow survives a cache clear") {
     // history/time-travel on the RAW handle still reads the source log
     val src = tmpDir(); val dst = tmpDir()
