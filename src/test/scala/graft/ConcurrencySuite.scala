@@ -169,6 +169,28 @@ class ConcurrencySuite extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("racing redirect enable beats an in-flight write: MetadataChanged, not a stale append") {
+    // a writer mid-commit must not slip a data commit UNDER a redirect
+    // that another session just enabled — the metadata conflict aborts it
+    val log = freshTable()
+    val dst = tmpDir()
+    Graft.write(spark.range(3).toDF("id"), dst)
+    val a = log.startTransaction()
+    a.filterFiles()
+    injectOnFirstAttempt(a) {
+      GraftTable.forPath(spark, log.dataPath.toString)
+        .enableRedirect(dst)
+    }
+    intercept[MetadataChangedException] {
+      a.commit(Seq(addFileFor(log, "R")), "APPEND")
+    }
+    // ... and a FRESH write attempt refuses on the redirect gate by name
+    val e = intercept[UnsupportedOperationException] {
+      log.withNewTransaction(t => t.commit(Seq(addFileFor(log, "R")), "APPEND"))
+    }
+    assert(e.getMessage.contains("redirected"), e.getMessage)
+  }
+
   test("ProtocolChangedException: winner upgrades the protocol") {
     val log = freshTable()
     val a = log.startTransaction()
