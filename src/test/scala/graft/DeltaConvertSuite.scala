@@ -709,17 +709,18 @@ class DeltaConvertSuite extends AnyFunSuite {
     * real Delta geo writer produces; Spark 4.1 itself cannot write one)
     * with rows (id, wkbPoint(id, id*2) in both geo columns). */
   private def writeGeoFile(tableDir: String, name: String, n: Int,
-      idBase: Int = 0): Long = {
+      idBase: Int = 0, idCol: String = "id", geomCol: String = "geom",
+      geogCol: String = "geog"): Long = {
     import org.apache.parquet.schema._
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     import org.apache.parquet.hadoop.example.ExampleParquetWriter
     import org.apache.parquet.io.api.Binary
     val mt = Types.buildMessage()
-      .addField(Types.required(PrimitiveType.PrimitiveTypeName.INT64).named("id"))
+      .addField(Types.required(PrimitiveType.PrimitiveTypeName.INT64).named(idCol))
       .addField(Types.optional(PrimitiveType.PrimitiveTypeName.BINARY)
-        .as(LogicalTypeAnnotation.geometryType("OGC:CRS84")).named("geom"))
+        .as(LogicalTypeAnnotation.geometryType("OGC:CRS84")).named(geomCol))
       .addField(Types.optional(PrimitiveType.PrimitiveTypeName.BINARY)
-        .as(LogicalTypeAnnotation.geographyType()).named("geog"))
+        .as(LogicalTypeAnnotation.geographyType()).named(geogCol))
       .named("spark_schema")
     val dest = Paths.get(tableDir, name)
     JFiles.createDirectories(dest.getParent)
@@ -729,9 +730,9 @@ class DeltaConvertSuite extends AnyFunSuite {
     val gf = new SimpleGroupFactory(mt)
     (idBase until idBase + n).foreach { i =>
       val g = gf.newGroup()
-      g.append("id", i.toLong)
-      g.append("geom", Binary.fromConstantByteArray(wkbPoint(i, i * 2)))
-      g.append("geog", Binary.fromConstantByteArray(wkbPoint(i, i * 2)))
+      g.append(idCol, i.toLong)
+      g.append(geomCol, Binary.fromConstantByteArray(wkbPoint(i, i * 2)))
+      g.append(geogCol, Binary.fromConstantByteArray(wkbPoint(i, i * 2)))
       w.write(g)
     }
     w.close()
@@ -798,6 +799,46 @@ class DeltaConvertSuite extends AnyFunSuite {
       t.upsertProperties(Map("graft.myNote" -> "geo"))  // metadata-only: fine
       assert(Graft.read(spark, dir).count() === 5)
     }
+  }
+
+  test("geospatial + column mapping: physical names resolve, WKB reads back") {
+    val dir = tmpDir()
+    val s1 = writeGeoFile(dir, "gm.parquet", 4,
+      idCol = "col-pid", geomCol = "col-geo1", geogCol = "col-geo2")
+    def mapped(name: String, dt: org.apache.spark.sql.types.DataType,
+        phys: String, id: Long) =
+      StructField(name, dt, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val schema = StructType(Seq(
+      mapped("pid", LongType, "col-pid", 1L),
+      mapped("location", org.apache.spark.sql.types.GeometryType(4326),
+        "col-geo1", 2L),
+      mapped("region_geo", org.apache.spark.sql.types.GeographyType(4326),
+        "col-geo2", 3L)))
+    writeLog(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["geospatial","columnMapping"],""" +
+        """"writerFeatures":["geospatial","columnMapping"]}}""",
+      metaLine(schema, conf = Map("delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> "3")),
+      addLine("gm.parquet", s1)))
+    Graft.convertFromDelta(spark, dir)
+    val df = Graft.read(spark, dir)
+    assert(df.columns.toSeq === Seq("pid", "location", "region_geo"))
+    assert(df.schema("location").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    assert(df.schema("location").metadata
+      .getString(graft.schema.GeoSupport.GEO_KEY).contains("geometry"))
+    val rows = df.orderBy("pid").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(java.util.Arrays.equals(
+        r.getAs[Array[Byte]]("location"), wkbPoint(i, i * 2)), s"row $i")
+    }
+    val e = intercept[UnsupportedOperationException] {
+      GraftTable.forPath(spark, dir).delete($"pid" === 1L)
+    }
+    assert(e.getMessage.contains("read-only"), e.getMessage)
   }
 
   test("shredded-variant delta source converts and variant reads match") {
