@@ -150,6 +150,19 @@ class RedirectSuite extends AnyFunSuite {
       s"stream served $got, expected the destination's rows")
   }
 
+  test("time travel through a redirected path addresses the destination's history") {
+    val src = tmpDir(); val dst = tmpDir()
+    Graft.write(spark.range(0, 3).toDF("id"), src)
+    Graft.write(spark.range(100, 104).toDF("id"), dst)      // dst v0
+    GraftTable.forPath(spark, dst).delete($"id" >= 102L)     // dst v1
+    GraftTable.forPath(spark, src).redirectTo(dst)
+    // latest through the old path = dst v1
+    assert(ids(src) === Set(100L, 101L))
+    // versionAsOf through the old path pins DST's version 0
+    assert(spark.read.format("graft").option("versionAsOf", "0").load(src)
+      .select("id").as[Long].collect().toSet === (100L until 104L).toSet)
+  }
+
   test("raw-handle history stays source-local; follow survives a cache clear") {
     // history/time-travel on the RAW handle still reads the source log
     val src = tmpDir(); val dst = tmpDir()
