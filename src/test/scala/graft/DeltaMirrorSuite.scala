@@ -295,6 +295,26 @@ class DeltaMirrorSuite extends AnyFunSuite {
     assert(after(100L) > a.values.max)
   }
 
+  test("row tracking + deletion vectors compose through the mirror") {
+    val dir = tmpDir()
+    Graft.write(spark.range(0, 30).toDF("id").coalesce(1), dir,
+      configuration = Map(
+        graft.commands.DeltaMirror.PROP -> "delta",
+        "graft.enableRowTracking" -> "true",
+        "graft.enableDeletionVectors" -> "true"))
+    // DV delete: the surviving rows keep their original row ids
+    GraftTable.forPath(spark, dir).delete($"id" % 3 === 0L)
+    def ids(d: String): Map[Long, Long] =
+      GraftTable.forPath(spark, d).toDFWithRowIds
+        .select($"id", $"_graft_row_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val view = deltaViewOf(dir)
+    Graft.convertFromDelta(spark, view)
+    val (a, b) = (ids(dir), ids(view))
+    assert(a.keySet === (0L until 30L).filter(_ % 3 != 0).toSet)
+    assert(b === a, "row ids did not survive the DV mirror round-trip")
+  }
+
   test("constraints and appendOnly survive the round trip") {
     val dir = tmpDir()
     Graft.write(spark.range(1, 10).toDF("id"), dir,
