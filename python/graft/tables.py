@@ -133,8 +133,15 @@ class GraftTable:
         path is served by the graft table at ``dest``."""
         self._jt.redirectTo(dest)
 
-    def enable_redirect(self, dest):
-        self._jt.enableRedirect(dest)
+    def redirect_to_writer_only(self, dest):
+        """ENABLE then READY for the WRITER-ONLY redirect variant: same
+        routing for redirect-aware clients, but the protocol gate is a
+        writer feature, so legacy readers may keep reading the frozen
+        source until they upgrade."""
+        self._jt.redirectToWriterOnly(dest)
+
+    def enable_redirect(self, dest, writer_only=False):
+        self._jt.enableRedirect(dest, writer_only)
 
     def complete_redirect(self):
         self._jt.completeRedirect()

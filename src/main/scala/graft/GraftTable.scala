@@ -53,15 +53,15 @@ class GraftTable private[graft] (
 
   def version: Long = snapshot.version
 
-  def delete(): Unit = DeleteCommand.run(spark, log.dataPath.toString, None)
+  def delete(): Unit = DeleteCommand.run(spark, log, None)
   def delete(condition: Column): Unit =
-    DeleteCommand.run(spark, log.dataPath.toString, Some(condition))
+    DeleteCommand.run(spark, log, Some(condition))
   def delete(condition: String): Unit = delete(expr(condition))
 
   def update(condition: Column, set: Map[String, Column]): Unit =
-    UpdateCommand.run(spark, log.dataPath.toString, Some(condition), set)
+    UpdateCommand.run(spark, log, Some(condition), set)
   def updateAll(set: Map[String, Column]): Unit =
-    UpdateCommand.run(spark, log.dataPath.toString, None, set)
+    UpdateCommand.run(spark, log, None, set)
   def updateExpr(condition: String, set: Map[String, String]): Unit =
     update(expr(condition), set.map { case (k, v) => k -> expr(v) })
 
@@ -782,25 +782,35 @@ class GraftTable private[graft] (
         removeProperties(Seq("graft.rowTrackingSuspended"))
       backfillRowTracking()
     }
-    // A raw property set of the redirect key must still obey the state
+    // A raw property set of a redirect key must still obey the state
     // machine (and parse) — route it through the validated transitions
     // so ALTER TABLE SET TBLPROPERTIES cannot corrupt the redirect.
-    if (props.contains(graft.log.TableRedirect.PROP)) {
+    val rawRedirectKey = Seq(graft.log.TableRedirect.PROP,
+      graft.log.TableRedirect.PROP_WRITER_ONLY).find(props.contains)
+    if (rawRedirectKey.isDefined) {
       import graft.log.TableRedirect
-      val json = props(TableRedirect.PROP)
+      val prop = rawRedirectKey.get
+      val writerOnly = prop == TableRedirect.PROP_WRITER_ONLY
+      val json = props(prop)
       val next = TableRedirect.get(
-        log.snapshot.metadata.copy(configuration = Map(TableRedirect.PROP -> json)))
+        log.snapshot.metadata.copy(configuration = Map(prop -> json)))
         .getOrElse(throw new IllegalArgumentException(
-          s"unparseable ${TableRedirect.PROP} value"))
+          s"unparseable $prop value"))
+      // every non-ENABLE transition must address the LIVE redirect: same
+      // kind, same destination the ENABLE step declared — a mismatched
+      // ALTER fails loudly instead of silently rewriting either
+      def requireMatchesLive(state: String): Unit =
+        require(TableRedirect.get(log.snapshot.metadata)
+            .exists(r => r.dest == next.dest && r.writerOnly == writerOnly),
+          s"invalid redirect transition: $state must use the redirect " +
+            "kind and destination the ENABLE step declared")
       next.state match {
-        case TableRedirect.STATE_ENABLE => enableRedirect(next.dest)
+        case TableRedirect.STATE_ENABLE => enableRedirect(next.dest, writerOnly)
         case TableRedirect.STATE_READY =>
-          require(graft.log.TableRedirect.get(log.snapshot.metadata)
-              .exists(_.dest == next.dest),
-            "invalid redirect transition: REDIRECT-READY must name the " +
-              "destination the ENABLE step declared")
+          requireMatchesLive(TableRedirect.STATE_READY)
           completeRedirect()
         case TableRedirect.STATE_DROP =>
+          requireMatchesLive(TableRedirect.STATE_DROP)
           redirectTransition("REDIRECT DROP",
             Set(Some(TableRedirect.STATE_READY))) { r =>
             Some(TableRedirect.propertyJson(TableRedirect.STATE_DROP, r.get.dest))
@@ -808,7 +818,7 @@ class GraftTable private[graft] (
         case other => throw new IllegalArgumentException(
           s"unknown redirect state '$other'")
       }
-      val rest = props - TableRedirect.PROP
+      val rest = props - prop
       if (rest.nonEmpty) upsertProperties(rest)
       return
     }
@@ -841,12 +851,17 @@ class GraftTable private[graft] (
     // Unsetting the redirect key = a transition to NO-REDIRECT, legal
     // only from ENABLE (cancel) or DROP-IN-PROGRESS (final step) —
     // validate it like the API methods do.
-    if (keys.contains(graft.log.TableRedirect.PROP)) {
+    val unsetRedirectKey = Seq(graft.log.TableRedirect.PROP,
+      graft.log.TableRedirect.PROP_WRITER_ONLY).find(keys.contains)
+    if (unsetRedirectKey.isDefined) {
       import graft.log.TableRedirect
+      val prop = unsetRedirectKey.get
+      require(TableRedirect.get(log.update().metadata).forall(_.prop == prop),
+        s"cannot unset $prop: the live redirect uses the other redirect kind")
       redirectTransition("UNSET TBLPROPERTIES",
         Set(Some(TableRedirect.STATE_ENABLE),
-          Some(TableRedirect.STATE_DROP)))(_ => None)
-      val rest = keys.filterNot(_ == TableRedirect.PROP)
+          Some(TableRedirect.STATE_DROP)), key = _ => prop)(_ => None)
+      val rest = keys.filterNot(_ == prop)
       if (rest.nonEmpty) removeProperties(rest)
       return
     }
@@ -891,8 +906,19 @@ class GraftTable private[graft] (
   /** NO-REDIRECT -> ENABLE-REDIRECT-IN-PROGRESS: begin redirecting this
     * table to `dest` (must already be a graft table). The source becomes
     * read-only; queries keep serving the SOURCE until [[completeRedirect]]
-    * flips the state to READY. Cycles (dest chaining back here) refuse. */
-  def enableRedirect(dest: String): Unit = {
+    * flips the state to READY. Cycles (dest chaining back here) refuse.
+    *
+    * `writerOnly=true` uses the writer-only variant: identical state
+    * machine and in-engine routing, but the protocol gate is a WRITER
+    * feature, so legacy readers that know nothing of redirects may keep
+    * reading the frozen source while every redirect-aware client (and
+    * every writer) serves the destination (see
+    * [[graft.log.TableRedirect.PROP_WRITER_ONLY]]). Only one redirect
+    * kind may be set at a time (reference
+    * RedirectFeature.validateTableRedirect). */
+  def enableRedirect(dest: String): Unit = enableRedirect(dest, writerOnly = false)
+
+  def enableRedirect(dest: String, writerOnly: Boolean): Unit = {
     import graft.log.TableRedirect
     val destLog = GraftLog.forTableNoRedirect(spark, dest)
     require(destLog.tableExists,
@@ -912,7 +938,9 @@ class GraftTable private[graft] (
       cur = if (next.tableExists) TableRedirect.get(next.update().metadata)
             else None
     }
-    redirectTransition("REDIRECT ENABLE", Set(None)) { _ =>
+    redirectTransition("REDIRECT ENABLE", Set(None),
+        key = _ => if (writerOnly) TableRedirect.PROP_WRITER_ONLY
+                   else TableRedirect.PROP) { _ =>
       Some(TableRedirect.propertyJson(TableRedirect.STATE_ENABLE, dest))
     }
   }
@@ -925,6 +953,11 @@ class GraftTable private[graft] (
     redirectTransition("REDIRECT READY", Set(Some(TableRedirect.STATE_ENABLE))) {
       r => Some(TableRedirect.propertyJson(TableRedirect.STATE_READY, r.get.dest))
     }
+  }
+
+  /** Convenience: ENABLE then READY for the writer-only variant. */
+  def redirectToWriterOnly(dest: String): Unit = {
+    enableRedirect(dest, writerOnly = true); completeRedirect()
   }
 
   /** ENABLE-REDIRECT-IN-PROGRESS -> NO-REDIRECT: abort an unfinished
@@ -954,9 +987,14 @@ class GraftTable private[graft] (
 
   /** One validated state-transition commit: `expect` is the set of
     * admissible CURRENT states (None = no redirect), `next` produces the
-    * new property value (None removes it). Metadata-only, so it passes
-    * the redirect commit gate. */
-  private def redirectTransition(op: String, expect: Set[Option[String]])(
+    * new property value (None removes it), `key` picks the property the
+    * transition writes (defaults to the live redirect's own kind, so
+    * READY/CANCEL/DROP stay on the key ENABLE declared; only ENABLE
+    * chooses a kind). Metadata-only, so it passes the redirect commit
+    * gate. */
+  private def redirectTransition(op: String, expect: Set[Option[String]],
+      key: Option[graft.log.TableRedirect.Redirect] => String =
+        _.map(_.prop).getOrElse(graft.log.TableRedirect.PROP))(
       next: Option[graft.log.TableRedirect.Redirect] => Option[String]): Unit =
     log.withNewTransaction { txn =>
       val m = txn.snapshot.metadata
@@ -966,9 +1004,8 @@ class GraftTable private[graft] (
           s"${cur.map(_.state).getOrElse("NO-REDIRECT")} " +
           "(reference TableRedirect state machine)")
       val conf = next(cur) match {
-        case Some(json) =>
-          m.configuration + (graft.log.TableRedirect.PROP -> json)
-        case None => m.configuration - graft.log.TableRedirect.PROP
+        case Some(json) => m.configuration + (key(cur) -> json)
+        case None => m.configuration - key(cur)
       }
       val updated = m.copy(configuration = conf)
       txn.updateMetadata(updated)

@@ -1009,6 +1009,28 @@ object SparkEntry {
       served
     }),
 
+    "graft_redirect_writer_only" -> ((s, dir) => {
+      // writer-only redirect: same routing for a redirect-aware engine,
+      // but the protocol gates WRITERS only — a legacy reader that knows
+      // nothing of redirects may keep reading the frozen source
+      val src = tmp("wosrc"); val dst = tmp("wodst")
+      val frozen = t(s, dir, "customer").where(col("c_custkey") <= 5)
+      Graft.write(frozen, src)
+      Graft.write(t(s, dir, "customer"), dst)
+      GraftTable.forPath(s, src).redirectToWriterOnly(dst)
+      // DML through the public path lands at the destination
+      GraftTable.forPath(s, src).delete(col("c_custkey") % 5 === 0)
+      val raw = GraftTable.forPathNoRedirect(s, src)
+      require(raw.snapshot.protocol.minReaderVersion < 3 &&
+        raw.snapshot.protocol.writerFeatureNames.contains("redirectWriterOnly"),
+        "writer-only redirect must gate writers, never readers")
+      require(raw.toDF.count() == frozen.count(),
+        "the frozen source must keep serving legacy readers")
+      Graft.read(s, src)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    }),
+
     "sql_show_partitions" -> ((s, dir) => {
       val path = tmp("showpart")
       Graft.write(t(s, dir, "nation"), path, partitionBy = Seq("n_regionkey"))
@@ -2319,6 +2341,10 @@ object SparkEntry {
     "graft_redirect" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier
          WHERE s_suppkey % 7 <> 0 ORDER BY s_suppkey""",
+
+    "graft_redirect_writer_only" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_custkey % 5 <> 0 ORDER BY c_custkey""",
 
     "sql_show_partitions" ->
       "SELECT DISTINCT CAST(n_regionkey AS INT) AS n_regionkey FROM nation ORDER BY 1",

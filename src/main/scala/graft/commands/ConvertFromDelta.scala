@@ -532,14 +532,15 @@ object ConvertFromDeltaCommand {
   /**
    * Table redirect (reference redirect/TableRedirect.scala): the LIVE
    * redirect property decides, not the feature marker.
-   *  - REDIRECT-READY reader-writer: queries on this path are served by
+   *  - REDIRECT-READY (either kind): queries on this path are served by
    *    the destination — throw [[RedirectedTable]] so [[run]] re-enters
    *    the convert there (`follow = true`), or refuse naming the
    *    destination when following is unsound (SYNC of an existing graft
-   *    table).
-   *  - writer-only redirect: reads stay here but live WRITES land at the
-   *    destination; a convert would fork away from them — refuse, naming
-   *    the destination.
+   *    table). The writer-only kind routes identically for a
+   *    redirect-aware engine (the reference's needRedirect,
+   *    TableRedirect.scala:264-268, checks only the state, never the
+   *    kind — the kinds differ in the PROTOCOL gate, not the routing);
+   *    converting the frozen source would fork away from live writes.
    *  - mid-transition states: refuse; the redirect is not settled.
    *  - property absent (NO-REDIRECT after a drop): convert normally.
    */
@@ -572,7 +573,7 @@ object ConvertFromDeltaCommand {
               require(dest.nonEmpty,
                 s"Delta table at $path is REDIRECTED but the redirect spec " +
                   "names no tablePath — cannot follow it")
-              if (writerOnly || !follow) throw new IllegalArgumentException(
+              if (!follow) throw new IllegalArgumentException(
                 s"Delta table at $path is REDIRECTED ($key): live " +
                   (if (writerOnly) "writes land" else "queries are served") +
                   s" at $dest — convert that table instead")

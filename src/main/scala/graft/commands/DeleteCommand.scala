@@ -84,8 +84,17 @@ object DeleteCommand {
   def run(
       spark: SparkSession,
       path: String,
+      condition: Option[Column]): Map[String, String] =
+    run(spark, GraftLog.forTable(spark, path), condition)
+
+  /** Log-handle form: the caller's resolution stands — a public handle
+    * arrives already routed through any redirect; a no-redirect admin
+    * handle stays at the source (where the commit gate refuses file
+    * changes on a redirected table instead of silently re-routing). */
+  def run(
+      spark: SparkSession,
+      log: GraftLog,
       condition: Option[Column]): Map[String, String] = {
-    val log = GraftLog.forTable(spark, path)
     log.withNewTransaction { txn =>
       val m = txn.snapshot.metadata
       val now = System.currentTimeMillis()
@@ -267,8 +276,16 @@ object UpdateCommand {
       spark: SparkSession,
       path: String,
       condition: Option[Column],
+      set: Map[String, Column]): Map[String, String] =
+    run(spark, GraftLog.forTable(spark, path), condition, set)
+
+  /** Log-handle form: see [[DeleteCommand.run]] — resolution is the
+    * caller's, so no-redirect handles are not silently re-routed. */
+  def run(
+      spark: SparkSession,
+      log: GraftLog,
+      condition: Option[Column],
       set: Map[String, Column]): Map[String, String] = {
-    val log = GraftLog.forTable(spark, path)
     log.withNewTransaction { txn =>
       val m = txn.snapshot.metadata
       val now = System.currentTimeMillis()

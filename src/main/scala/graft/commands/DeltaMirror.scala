@@ -260,18 +260,34 @@ object DeltaMirror {
     * shredding, type widening) forces the (3, 7) feature-vector form so
     * readers that cannot decode the physical layout are locked out;
     * everything else stays on the widest-compatible legacy versions. */
+  /** Graft feature names -> the names the Delta implementation registers.
+    * Both redirect features exist only under the -preview suffix there
+    * (reference TableFeature.scala:727,757) — emitting the unsuffixed
+    * name would make a real Delta reader/writer refuse the whole mirror
+    * as an unsupported feature. */
+  private def deltaFeatureName(n: String): String = n match {
+    case "redirectReaderWriter" => "redirectReaderWriter-preview"
+    case "redirectWriterOnly" => "redirectWriterOnly-preview"
+    case x => x
+  }
+
   private def protocolJson(m: Metadata): String = {
     val feats = TableFeatures.activeFeatures(m).map(_.name)
     val readerGating = Seq("deletionVectors", "timestampNtz", "variantType",
       "variantShredding", "typeWidening", "redirectReaderWriter").filter(feats)
     // rowTracking gates only writers (readers may ignore row ids) but
     // still forces the feature-vector writer protocol; domainMetadata
-    // rides with it (the watermark domain lives there).
-    val writerOnly = Seq("domainMetadata", "rowTracking").filter(feats)
+    // rides with it (the watermark domain lives there). The writer-only
+    // redirect gates writers by design — legacy readers keep reading the
+    // frozen source.
+    val writerOnly =
+      Seq("domainMetadata", "rowTracking", "redirectWriterOnly").filter(feats)
     if (readerGating.nonEmpty || writerOnly.nonEmpty) {
-      val readerVec = readerGating ++
-        (if (feats("columnMapping")) Seq("columnMapping") else Nil)
-      val writerVec = (readerVec ++ writerOnly ++ Seq("appendOnly", "invariants",
+      val readerVec = (readerGating ++
+        (if (feats("columnMapping")) Seq("columnMapping") else Nil))
+        .map(deltaFeatureName)
+      val writerVec = (readerVec ++ writerOnly.map(deltaFeatureName) ++
+        Seq("appendOnly", "invariants",
         "checkConstraints", "changeDataFeed", "generatedColumns",
         "identityColumns").filter(feats)).distinct
       if (readerGating.nonEmpty) {
@@ -401,8 +417,12 @@ object DeltaMirror {
       "graft.randomPrefixLength" -> "delta.randomPrefixLength",
       "graft.enableRowTracking" -> "delta.enableRowTracking",
       // same JSON value shape both sides; a Delta reader of the mirror
-      // honors the redirect exactly as a graft reader would
-      graft.log.TableRedirect.PROP -> "delta.redirectReaderWriter")
+      // honors the redirect exactly as a graft reader would. The Delta
+      // implementation defines only the -preview spelling of the config
+      // key (reference DeltaConfig.scala:499,511) — the unsuffixed name
+      // would be an unknown property to it.
+      graft.log.TableRedirect.PROP -> "delta.redirectReaderWriter-preview",
+      graft.log.TableRedirect.PROP_WRITER_ONLY -> "delta.redirectWriterOnly-preview")
     c.flatMap {
       case (k, v) if k.startsWith(graft.constraints.Constraints.PROP_PREFIX) =>
         Some("delta.constraints." +

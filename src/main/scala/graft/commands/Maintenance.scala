@@ -676,11 +676,20 @@ object RestoreCommand {
         val hwmKeys = (tm.configuration.keySet ++ cm.configuration.keySet)
           .filter(k => k.startsWith("graft.identity.") &&
             k.endsWith(".highWatermark"))
-        val merged = tm.configuration ++ hwmKeys.flatMap { k =>
+        val watermarked = tm.configuration ++ hwmKeys.flatMap { k =>
           val vs = (tm.configuration.get(k) ++ cm.configuration.get(k))
             .map(_.toLong)
           vs.maxOption.map(k -> _.toString)
         }
+        // Redirect state is LIVE table state managed only by its state
+        // machine (ENABLE/READY/DROP) — RESTORE neither clears an active
+        // redirect nor resurrects a dropped one by reverting config. The
+        // commit gate independently refuses file changes at a redirected
+        // source, so this also keeps RESTORE from laundering the freeze.
+        val redirectKeys =
+          Seq(graft.log.TableRedirect.PROP, graft.log.TableRedirect.PROP_WRITER_ONLY)
+        val merged = (watermarked -- redirectKeys) ++
+          redirectKeys.flatMap(k => cm.configuration.get(k).map(k -> _))
         txn.updateMetadata(tm.copy(configuration = merged))
       }
       // restored configuration may re-require features (e.g. restoring

@@ -72,13 +72,19 @@ object TableFeatures {
   // Reader-gating: a reader unaware of the redirect would keep serving
   // the frozen source files while live data accrues at the destination.
   val redirectReaderWriter = Feature("redirectReaderWriter", 3, 7)
+  // Writer-gating ONLY — that is the whole point of the writer-only
+  // redirect: legacy readers may keep reading the frozen source, but a
+  // writer unaware of the redirect would fork it instead of landing at
+  // the destination (reference TableFeature.scala:757).
+  val redirectWriterOnly = Feature("redirectWriterOnly", 1, 7)
 
   val all: Seq[Feature] = Seq(appendOnly, invariants, checkConstraints,
     changeDataFeed, generatedColumns, columnMapping, identityColumns,
     deletionVectors, rowTracking, typeWidening, v2Checkpoint,
     domainMetadata, clustering, timestampNtz, variantType, variantShredding,
     coordinatedCommits, collations, inCommitTimestamp, vacuumProtocolCheck,
-    allowColumnDefaults, checkpointProtection, redirectReaderWriter)
+    allowColumnDefaults, checkpointProtection, redirectReaderWriter,
+    redirectWriterOnly)
   val byName: Map[String, Feature] = all.map(f => f.name -> f).toMap
 
   /** Every reader-gating feature this build understands. */
@@ -111,6 +117,7 @@ object TableFeatures {
     if (conf.contains("graft.requireCheckpointProtectionBeforeVersion"))
       b += checkpointProtection
     if (conf.contains(TableRedirect.PROP)) b += redirectReaderWriter
+    if (conf.contains(TableRedirect.PROP_WRITER_ONLY)) b += redirectWriterOnly
     if (conf.keys.exists(_.startsWith(graft.constraints.Constraints.PROP_PREFIX)))
       b += checkConstraints
     if (m.schemaString != null) {

@@ -33,27 +33,52 @@ import com.fasterxml.jackson.databind.ObjectMapper
 object TableRedirect {
 
   val PROP = "graft.redirectReaderWriter"
+
+  /** Writer-only variant (reference redirect/TableRedirect.scala:433-443 +
+    * TableFeature.scala:757 RedirectWriterOnlyFeature): SAME property
+    * shape, state machine and in-engine routing — the reference's
+    * `needRedirect` (TableRedirect.scala:264-268) checks only the state,
+    * never the kind, so an engine that implements redirects follows a
+    * READY writer-only redirect exactly like the reader-writer form. The
+    * difference is the PROTOCOL gate: writer-only registers as a WRITER
+    * feature, so legacy reader clients that know nothing of redirects may
+    * legally keep reading the frozen source (a writer feature never
+    * blocks reads), while every writer — which must support writer
+    * features — lands at the destination. That is the gradual-migration
+    * contract: old readers stay up on the source until they upgrade. */
+  val PROP_WRITER_ONLY = "graft.redirectWriterOnly"
+
   val STATE_ENABLE = "ENABLE-REDIRECT-IN-PROGRESS"
   val STATE_READY = "REDIRECT-READY"
   val STATE_DROP = "DROP-REDIRECT-IN-PROGRESS"
 
-  final case class Redirect(state: String, dest: String)
+  final case class Redirect(state: String, dest: String,
+      writerOnly: Boolean = false) {
+    def prop: String = if (writerOnly) PROP_WRITER_ONLY else PROP
+  }
 
   private val mapper = new ObjectMapper()
 
+  /** The live redirect, reader-writer taking precedence over writer-only
+    * when both appear (reference RedirectFeature.getRedirectConfiguration
+    * — though setting one while the other is set refuses upstream). */
   def get(m: Metadata): Option[Redirect] =
-    m.configuration.get(PROP).map { json =>
+    parse(m, PROP).orElse(parse(m, PROP_WRITER_ONLY))
+
+  private def parse(m: Metadata, prop: String): Option[Redirect] =
+    m.configuration.get(prop).map { json =>
       val node = mapper.readTree(json)
       require(node.path("type").asText("") == "PathBasedRedirect",
-        s"unknown redirect type '${node.path("type").asText("")}' in $PROP")
+        s"unknown redirect type '${node.path("type").asText("")}' in $prop")
       // the reference serializes `spec` as a JSON string but documents it
       // inline too — accept both (same tolerance as the convert parser)
       val spec =
         if (node.path("spec").isTextual) mapper.readTree(node.path("spec").asText())
         else node.path("spec")
       val dest = spec.path("tablePath").asText("")
-      require(dest.nonEmpty, s"$PROP names no spec.tablePath")
-      Redirect(node.path("state").asText(""), dest)
+      require(dest.nonEmpty, s"$prop names no spec.tablePath")
+      Redirect(node.path("state").asText(""), dest,
+        writerOnly = prop == PROP_WRITER_ONLY)
     }
 
   /** Destination to FOLLOW: only a settled READY redirect moves queries. */

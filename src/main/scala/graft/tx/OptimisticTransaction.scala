@@ -210,7 +210,13 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
     // (reference TableRedirect.scala:54-89), and a READY source is frozen
     // (queries resolve to the destination; a raw handle must not fork
     // it). State transitions are metadata-only commits and pass.
-    TableRedirect.get(metadata).foreach { r =>
+    // The gate checks BOTH the snapshot's metadata (the state being
+    // transitioned FROM) and the transaction's updated metadata: a commit
+    // that rewrites configuration to a pre-redirect version (RESTORE
+    // through a no-follow handle) must not launder the freeze away by
+    // removing the property in the same commit that changes files.
+    (TableRedirect.get(snapshot.metadata) orElse TableRedirect.get(metadata))
+      .foreach { r =>
       if (actions.exists {
             case _: AddFile | _: RemoveFile | _: AddCdcFile => true
             case _ => false

@@ -605,23 +605,28 @@ class DeltaConvertSuite extends AnyFunSuite {
       "convert wrote a log into the redirect SOURCE shell")
   }
 
-  test("redirect: writer-only refuses naming the destination; transitions refuse") {
+  test("redirect: writer-only READY follows like reader-writer; transitions refuse") {
     val schema = new StructType().add("id", LongType)
     val dest = tmpDir()
     val sd = writeFile(spark.range(0, 3).toDF("id"), dest, "d.parquet")
     writeLog(dest, 0, Seq(protoLine(), metaLine(schema),
       addLine("d.parquet", sd)))
-    // writer-only: reads stay at the source but live writes land at the
-    // destination — converting would fork away from them
+    // writer-only routes identically for a redirect-aware engine (the
+    // reference's needRedirect checks only the state, never the kind) —
+    // converting the frozen source would fork away from live writes, so
+    // the convert re-enters at the destination
     val wo = writeRedirectSource(dest, writerOnly = true)
-    val ew = intercept[IllegalArgumentException] {
-      Graft.convertFromDelta(spark, wo)
-    }
-    assert(ew.getMessage.contains("REDIRECTED") &&
-      ew.getMessage.contains(dest), ew.getMessage)
-    // mid-transition states refuse
-    Seq("ENABLE-REDIRECT-IN-PROGRESS", "DROP-REDIRECT-IN-PROGRESS").foreach { st =>
-      val src = writeRedirectSource(dest, state = st)
+    val t = Graft.convertFromDelta(spark, wo)
+    assert(t.log.dataPath.toUri.getPath ===
+      new org.apache.hadoop.fs.Path(dest).toUri.getPath)
+    assert(!new java.io.File(wo, "_graft_log").exists(),
+      "convert wrote a log into the writer-only redirect SOURCE shell")
+    // mid-transition states refuse, for BOTH kinds
+    for {
+      st <- Seq("ENABLE-REDIRECT-IN-PROGRESS", "DROP-REDIRECT-IN-PROGRESS")
+      wOnly <- Seq(false, true)
+    } {
+      val src = writeRedirectSource(dest, state = st, writerOnly = wOnly)
       val e = intercept[IllegalArgumentException] {
         Graft.convertFromDelta(spark, src)
       }

@@ -163,6 +163,109 @@ class RedirectSuite extends AnyFunSuite {
       .select("id").as[Long].collect().toSet === (100L until 104L).toSet)
   }
 
+  test("writer-only: same routing, but the protocol gates WRITERS only") {
+    val src = tmpDir(); val dst = tmpDir()
+    Graft.write(spark.range(0, 5).toDF("id"), src)
+    Graft.write(spark.range(100, 103).toDF("id"), dst)
+    GraftTable.forPath(spark, src).redirectToWriterOnly(dst)
+    // a redirect-aware engine routes reads AND writes to the destination
+    // (reference needRedirect, TableRedirect.scala:264-268, checks only
+    // the state — the kinds differ in the protocol gate, not the routing)
+    assert(ids(src) === (100L until 103L).toSet)
+    Graft.write(spark.range(103, 105).toDF("id"), src)
+    assert(ids(dst) === (100L until 105L).toSet)
+    // THE writer-only contract: no reader gate — a legacy reader that
+    // knows nothing of redirects may legally keep reading the frozen
+    // source (reader protocol stays legacy; the feature is writer-side)
+    val raw = GraftTable.forPathNoRedirect(spark, src)
+    val proto = raw.snapshot.protocol
+    assert(proto.writerFeatureNames.contains("redirectWriterOnly"), proto)
+    assert(!proto.readerFeatureNames.contains("redirectWriterOnly"), proto)
+    assert(proto.minReaderVersion < 3,
+      s"writer-only redirect must not bump the reader protocol: $proto")
+    assert(raw.toDF.select("id").as[Long].collect().toSet === (0L until 5L).toSet)
+    // the frozen source still refuses file-changing commits via raw handles
+    val e = intercept[UnsupportedOperationException] { raw.delete() }
+    assert(e.getMessage.contains("redirected"), e.getMessage)
+    // drop restores normal service
+    raw.dropRedirect()
+    assert(ids(src) === (0L until 5L).toSet)
+  }
+
+  test("writer-only and reader-writer are mutually exclusive; kind binds transitions") {
+    val src = tmpDir(); val d1 = tmpDir(); val d2 = tmpDir()
+    Graft.write(spark.range(0, 2).toDF("id"), src)
+    Graft.write(spark.range(5, 6).toDF("id"), d1)
+    Graft.write(spark.range(7, 8).toDF("id"), d2)
+    val t = GraftTable.forPath(spark, src)
+    t.enableRedirect(d1, writerOnly = true)
+    // a second redirect of the OTHER kind refuses (reference
+    // RedirectFeature.validateTableRedirect)
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.forPathNoRedirect(spark, src).enableRedirect(d2)
+    }
+    assert(e.getMessage.contains("invalid redirect transition"), e.getMessage)
+    // raw property transitions must address the live redirect's KIND:
+    // completing via the reader-writer key refuses
+    val e2 = intercept[IllegalArgumentException] {
+      GraftTable.forPathNoRedirect(spark, src).upsertProperties(
+        Map(graft.log.TableRedirect.PROP ->
+          graft.log.TableRedirect.propertyJson(
+            graft.log.TableRedirect.STATE_READY, d1)))
+    }
+    assert(e2.getMessage.contains("kind and destination"), e2.getMessage)
+    // ... and via the right key with the WRONG destination refuses too
+    val e3 = intercept[IllegalArgumentException] {
+      GraftTable.forPathNoRedirect(spark, src).upsertProperties(
+        Map(graft.log.TableRedirect.PROP_WRITER_ONLY ->
+          graft.log.TableRedirect.propertyJson(
+            graft.log.TableRedirect.STATE_DROP, d2)))
+    }
+    assert(e3.getMessage.contains("kind and destination"), e3.getMessage)
+    // the matching key + dest completes; drop via raw properties works
+    GraftTable.forPathNoRedirect(spark, src).upsertProperties(
+      Map(graft.log.TableRedirect.PROP_WRITER_ONLY ->
+        graft.log.TableRedirect.propertyJson(
+          graft.log.TableRedirect.STATE_READY, d1)))
+    assert(ids(src) === Set(5L))
+    GraftTable.forPathNoRedirect(spark, src).dropRedirect()
+    assert(ids(src) === Set(0L, 1L))
+  }
+
+  test("RESTORE cannot launder the redirect freeze away (gate + property carry-over)") {
+    val src = tmpDir(); val dst = tmpDir()
+    Graft.write(spark.range(0, 3).toDF("id"), src)          // src v0
+    Graft.write(spark.range(3, 6).toDF("id"), src)          // src v1
+    Graft.write(spark.range(100, 102).toDF("id"), dst)
+    GraftTable.forPath(spark, src).redirectTo(dst)
+    // restoring the SOURCE to a pre-redirect version through a raw
+    // handle would both fork the frozen data and silently clear the
+    // redirect property — the commit gate refuses on the snapshot's
+    // state (the state being transitioned FROM), so the post-update
+    // metadata cannot launder it
+    val raw = GraftTable.forPathNoRedirect(spark, src)
+    val e = intercept[UnsupportedOperationException] { raw.restoreToVersion(0) }
+    assert(e.getMessage.contains("redirected"), e.getMessage)
+    // the redirect survived, byte-for-byte
+    assert(graft.log.TableRedirect.get(raw.snapshot.metadata)
+      .exists(_.state == graft.log.TableRedirect.STATE_READY))
+    assert(ids(src) === Set(100L, 101L))
+    // redirect state is LIVE state, not part of what RESTORE reverts:
+    // after a legal DROP, restoring to a version whose configuration
+    // carried the READY redirect must NOT resurrect it out-of-band
+    // (that would re-freeze the table and re-route queries with no
+    // state-machine transition). The files never changed across these
+    // versions, so this restore is metadata-only — exactly the commit a
+    // files-only gate would admit.
+    val readyVersion = raw.version - 2 // the REDIRECT READY commit
+    raw.dropRedirect()
+    GraftTable.forPath(spark, src).restoreToVersion(readyVersion)
+    val m = GraftTable.forPath(spark, src).snapshot.metadata
+    assert(graft.log.TableRedirect.get(m).isEmpty,
+      s"RESTORE resurrected a dropped redirect: ${m.configuration}")
+    assert(ids(src) === (0L until 6L).toSet)
+  }
+
   test("raw-handle history stays source-local; follow survives a cache clear") {
     // history/time-travel on the RAW handle still reads the source log
     val src = tmpDir(); val dst = tmpDir()
