@@ -191,6 +191,67 @@ class ConcurrencySuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("redirected"), e.getMessage)
   }
 
+  test("racing ENABLE vs ENABLE (different destinations): loser aborts, winner stands") {
+    // two sessions race to redirect the same source to DIFFERENT
+    // destinations: the loser's metadata commit aborts on the property
+    // conflict, and its public-API retry refuses on the state machine —
+    // the redirect can never fork
+    val src = tmpDir(); val dstA = tmpDir(); val dstB = tmpDir()
+    Graft.write(spark.range(0, 3).toDF("id"), src)
+    Graft.write(spark.range(10, 13).toDF("id"), dstA)
+    Graft.write(spark.range(20, 23).toDF("id"), dstB)
+    val log = GraftLog.forTableNoRedirect(spark, src)
+    val a = log.startTransaction()
+    val m = a.metadata
+    a.updateMetadata(m.copy(configuration = m.configuration +
+      (TableRedirect.PROP ->
+        TableRedirect.propertyJson(TableRedirect.STATE_ENABLE, dstA))))
+    injectOnFirstAttempt(a) {
+      GraftTable.forPath(spark, src).enableRedirect(dstB)
+    }
+    intercept[MetadataChangedException] { a.commit(Nil, "REDIRECT ENABLE") }
+    // the winner's ENABLE stands, pointing at ITS destination
+    val live = TableRedirect.get(log.update().metadata)
+    assert(live.exists(r =>
+      r.state == TableRedirect.STATE_ENABLE && r.dest == dstB), live)
+    // a fresh public-API retry of the loser refuses by name
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.forPath(spark, src).enableRedirect(dstA)
+    }
+    assert(e.getMessage.contains("invalid redirect transition"), e.getMessage)
+    GraftTable.forPath(spark, src).cancelRedirect()
+  }
+
+  test("DROP racing a destination write: independent logs, nothing lost, no abort") {
+    // a writer resolved through the public path lands at the DESTINATION
+    // log, so it cannot conflict with (or be lost to) the source-side
+    // DROP commit happening at the same moment — the write survives at
+    // the destination and the source returns to its own frozen data
+    val src = tmpDir(); val dst = tmpDir()
+    Graft.write(spark.range(0, 3).toDF("id"), src)
+    Graft.write(spark.range(10, 13).toDF("id"), dst)
+    GraftTable.forPath(spark, src).redirectTo(dst)
+    val srcLog = GraftLog.forTableNoRedirect(spark, src)
+    val a = srcLog.startTransaction()
+    val m = a.metadata
+    a.updateMetadata(m.copy(configuration = m.configuration +
+      (TableRedirect.PROP ->
+        TableRedirect.propertyJson(TableRedirect.STATE_DROP, dst))))
+    injectOnFirstAttempt(a) {
+      // mid-DROP (still READY on disk): the public path serves the dest
+      Graft.write(spark.range(100, 102).toDF("id"), src)
+    }
+    // no FileAlreadyExists at the source log: first attempt commits
+    a.commit(Nil, "REDIRECT DROP")
+    // second transition clears via the validated route
+    GraftTable.forPathNoRedirect(spark, src)
+      .removeProperties(Seq(TableRedirect.PROP))
+    def idsAt(p: String): Set[Long] =
+      Graft.read(spark, p).select("id").collect().map(_.getLong(0)).toSet
+    assert(idsAt(dst) === ((10L until 13L) ++ (100L until 102L)).toSet)
+    assert(idsAt(src) === (0L until 3L).toSet)
+  }
+
   test("ProtocolChangedException: winner upgrades the protocol") {
     val log = freshTable()
     val a = log.startTransaction()
