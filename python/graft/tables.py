@@ -97,14 +97,24 @@ class GraftTable:
 
     def merge(self, source, condition):
         """Start a MERGE: ``source`` a DataFrame, ``condition`` a SQL string
-        over aliases ``t`` (target) and ``s`` (source)."""
+        over aliases ``t`` (target) and ``s`` (source).
+
+        Multi-pass commands (MERGE, INSERT REPLACE) scan ``source`` more
+        than once; ``spark.conf.set("spark.graft.dml.materializeSource",
+        mode)`` controls pinning it first: ``auto`` (default) pins only
+        non-deterministic sources (correctness), ``all`` always pins (the
+        knob for an expensive multi-join source), ``none`` is auto's
+        floor. Pinning uses an eager localCheckpoint so a lost block
+        fails loudly and the command retries bounded by
+        ``spark.graft.dml.materializeSource.maxAttempts``."""
         return GraftMergeBuilder(
             self._spark, self._jt.merge(source._jdf, condition))
 
     def insert_replace_on(self, source, condition):
         """INSERT ... REPLACE ON: atomically append ``source`` and delete
         every existing row it matches under ``condition`` (SQL string over
-        aliases ``t`` target / ``s`` source, like merge)."""
+        aliases ``t`` target / ``s`` source, like merge). Honors the
+        ``spark.graft.dml.materializeSource`` conf (see ``merge``)."""
         self._jt.insertReplaceOn(source._jdf, condition)
 
     def insert_replace_using(self, source, cols):

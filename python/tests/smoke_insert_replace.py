@@ -36,9 +36,15 @@ def test_insert_replace_and_backfill():
     assert (3, "X") in rows and (42, "Y") in rows and (3, "3") not in rows
     assert len(rows) == 11
 
-    src2 = spark.createDataFrame([(100, "Z")], "k LONG, v STRING")
-    t.insert_replace_on(src2, "t.k <= s.k")  # replaces everything
-    assert {(r.k, r.v) for r in t.toDF().collect()} == {(100, "Z")}
+    # the materialization conf passes through the session conf: `all`
+    # pins the (multi-pass) source via localCheckpoint, same results
+    spark.conf.set("spark.graft.dml.materializeSource", "all")
+    try:
+        src2 = spark.createDataFrame([(100, "Z")], "k LONG, v STRING")
+        t.insert_replace_on(src2, "t.k <= s.k")  # replaces everything
+        assert {(r.k, r.v) for r in t.toDF().collect()} == {(100, "Z")}
+    finally:
+        spark.conf.unset("spark.graft.dml.materializeSource")
 
     # stats recompute is callable and content-neutral
     t.recompute_stats(only_missing=True)

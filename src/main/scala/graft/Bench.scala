@@ -173,6 +173,7 @@ object Bench {
       "q_filter_pushdown", "q_window_running", "q_percentiles",
       "q_grouping_sets", "q_set_ops", "q_session_window", "q_asof_join",
       "q_band_join", "q_json_extract",
+      "q_ds_snowflake", "q_ds_rollup", "q_ds_exists_chain",
       "graft_append_read", "graft_data_skipping", "graft_partition_prune",
       "graft_checkpoint_replay", "graft_time_travel", "graft_cdf",
       "graft_delete", "graft_delete_dv", "graft_update", "graft_update_dv",

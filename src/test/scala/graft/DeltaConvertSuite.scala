@@ -846,6 +846,53 @@ class DeltaConvertSuite extends AnyFunSuite {
     assert(e.getMessage.contains("read-only"), e.getMessage)
   }
 
+  test("CANARY: Spark parquet still cannot serve native geo types " +
+      "(a pass here means upgrade the WKB import to typed geo)") {
+    // GeoSupport's WKB-binary import is the documented ceiling of this
+    // Spark version's parquet geo support (GeoSupport.scala:6-23). This
+    // canary pins BOTH probed limitations; when a Spark upgrade lifts
+    // either, the intercept fails loudly and the fix is to restore typed
+    // columns in ConvertFromDelta by rehydrating GeoSupport.GEO_KEY
+    // metadata back to GeometryType/GeographyType instead of BinaryType.
+    val geoSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("geom", org.apache.spark.sql.types.GeometryType(4326))))
+    // (1) WRITE: a GeometryType column cannot reach a parquet file.
+    val wErr = intercept[Throwable] {
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], geoSchema)
+        .write.mode("overwrite").parquet(tmpDir() + "/geo_write_canary")
+    }
+    assert(wErr != null,
+      "Spark now WRITES native geo parquet - lift GeoSupport's ceiling")
+    // (2) READ: a geometry-annotated file cannot be read under the
+    // native GeometryType schema (only the BinaryType fallback decodes).
+    val dir = tmpDir()
+    writeGeoFile(dir, "canary.parquet", 2)
+    val geoReadSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("geom", org.apache.spark.sql.types.GeometryType(4326)),
+      StructField("geog", org.apache.spark.sql.types.GeographyType(4326))))
+    val rErr = intercept[Throwable] {
+      spark.read.schema(geoReadSchema)
+        .parquet(s"$dir/canary.parquet").collect()
+    }
+    assert(rErr != null,
+      "Spark now READS native geo parquet - lift GeoSupport's ceiling")
+    // (3) and the load-bearing fallback STILL works: the same file
+    // decodes as BinaryType with the exact WKB payload.
+    val rows = spark.read.schema(StructType(Seq(
+        StructField("id", LongType),
+        StructField("geom", BinaryType),
+        StructField("geog", BinaryType))))
+      .parquet(s"$dir/canary.parquet").orderBy("id").collect()
+    assert(rows.length === 2)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(java.util.Arrays.equals(
+        r.getAs[Array[Byte]]("geom"), wkbPoint(i, i * 2)), s"row $i")
+    }
+  }
+
   test("shredded-variant delta source converts and variant reads match") {
     // Author genuinely SHREDDED parquet through the engine's own shredding
     // writer, then wrap it in a hand-authored delta log that declares the
