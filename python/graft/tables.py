@@ -140,7 +140,10 @@ class GraftTable:
 
     def redirect_to(self, dest):
         """ENABLE then READY: every query resolved through this table's
-        path is served by the graft table at ``dest``."""
+        path is served by the graft table at ``dest``. Other sessions see
+        the flip with ordinary MVCC freshness (their next snapshot
+        refresh); writes are never stale -- the commit gate re-checks the
+        redirect state at commit time."""
         self._jt.redirectTo(dest)
 
     def redirect_to_writer_only(self, dest):

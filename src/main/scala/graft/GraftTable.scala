@@ -982,7 +982,15 @@ class GraftTable private[graft] (
       Set(Some(TableRedirect.STATE_DROP)))(_ => None)
   }
 
-  /** Convenience: ENABLE then READY in two commits. */
+  /** Convenience: ENABLE then READY in two commits.
+    *
+    * Visibility: OTHER sessions/processes pick up a newly-READY redirect
+    * with ordinary MVCC read freshness — their next snapshot refresh
+    * (any transaction start, read planning on a cold or invalidated
+    * relation) re-resolves through the destination; an already-warm
+    * cached plan may serve one more read of the frozen source first.
+    * Writes are never stale: the commit gate re-checks the redirect
+    * state at commit time, so a racing write at the source aborts. */
   def redirectTo(dest: String): Unit = { enableRedirect(dest); completeRedirect() }
 
   /** One validated state-transition commit: `expect` is the set of

@@ -506,18 +506,20 @@ object SparkEntry {
     }),
 
     "q_ds_above_avg" -> ((s, dir) => {
-      // above-category-average shape (q6-like): parts priced above 1.2x
-      // their type's average, measured by lineitem traffic. The 1.2x
+      // above-category-average shape (q6-like): parts priced above 1.05x
+      // their type's average, measured by lineitem traffic. The 1.05x
       // test is exact integer-scaled decimal arithmetic on both engines
-      // (price*5*cnt > 6*sum <=> price > 1.2*avg), immune to float
-      // rounding at the boundary.
+      // (price*20*cnt > 21*sum <=> price > 1.05*avg), immune to float
+      // rounding at the boundary. 1.05 keeps the selection non-trivial:
+      // the corpus' retail prices span only ~900-1000, so a classic 1.2x
+      // gate would select zero rows at every SF.
       val p = t(s, dir, "part")
       val typeAgg = p.groupBy(col("p_type").as("t_type"))
         .agg(sum(col("p_retailprice").cast("decimal(18,2)")).as("t_sum"),
           count(lit(1)).as("t_cnt"))
       val expensive = p.join(broadcast(typeAgg), col("p_type") === col("t_type"))
-        .where(col("p_retailprice").cast("decimal(18,2)") * 5 * col("t_cnt") >
-          col("t_sum") * 6)
+        .where(col("p_retailprice").cast("decimal(18,2)") * 20 * col("t_cnt") >
+          col("t_sum") * 21)
         .select("p_partkey", "p_brand", "p_type")
       val l = t(s, dir, "lineitem")
       l.join(broadcast(expensive), col("l_partkey") === col("p_partkey"))
@@ -2344,7 +2346,7 @@ object SparkEntry {
          expensive AS (
            SELECT p_partkey, p_brand
            FROM part JOIN type_agg ON p_type = t_type
-           WHERE CAST(p_retailprice AS DECIMAL(18,2)) * 5 * t_cnt > t_sum * 6)
+           WHERE CAST(p_retailprice AS DECIMAL(18,2)) * 20 * t_cnt > t_sum * 21)
          SELECT p_brand, count(*) AS n,
            CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
                     (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
