@@ -38,6 +38,12 @@ def test_redirect_roundtrip():
     raw.drop_redirect()
     back = {r[0] for r in spark.read.format("graft").load(src).collect()}
     assert back == {0, 1, 2, 3, 4}, back
+
+    # writer-only variant: same in-engine routing, writer-feature gate
+    GraftTable.forPath(spark, src).redirect_to_writer_only(dst)
+    wo = {r[0] for r in spark.read.format("graft").load(src).collect()}
+    assert wo == {100, 101, 102}, wo
+    GraftTable.forPathNoRedirect(spark, src).drop_redirect()
     print("smoke_redirect OK")
 
 

@@ -301,4 +301,51 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(expanded.isEmpty,
       s"merge planned an Expand:\n${expanded.headOption.getOrElse("")}")
   }
+
+  private def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+
+  test("TPC-DS snowflake: every dimension hop broadcasts, no cartesian") {
+    // Six dimension joins around the fact: each must be a broadcast
+    // hash join — at cluster scale a shuffled dimension join would add
+    // a fact-sized exchange per hop.
+    val plan = planOf("q_ds_snowflake")
+    val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(bhj >= 5, s"expected >=5 broadcast joins, got $bhj:\n$plan")
+    assert(!plan.contains("Cartesian"), s"cartesian product:\n$plan")
+  }
+
+  test("TPC-DS EXISTS chain plans as semi/anti joins, not per-row subqueries") {
+    val plan = planOf("q_ds_exists_chain")
+    assert("LeftSemi".r.findAllIn(plan).size >= 2,
+      s"EXISTS chain did not plan as semi joins:\n$plan")
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS did not plan as an anti join:\n$plan")
+    assert(!plan.contains("Cartesian"), s"cartesian product:\n$plan")
+  }
+
+  test("TPC-DS fact-fact join is co-partitioned — aggregates feed the join with no third shuffle") {
+    // Both sides pre-aggregate on the join key, so their output
+    // partitioning already satisfies the join: exactly the two
+    // aggregation exchanges (plus the final sort's range exchange) may
+    // appear. A third hash exchange means the co-partitioning was lost —
+    // at 100 TB that is a second full shuffle of the bigger aggregate.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      val plan = planOf("q_ds_fact_fact")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(hashEx == 2,
+        s"expected exactly 2 hash exchanges (one per aggregate), got $hashEx:\n$plan")
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected a shuffled join under no-broadcast conf:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
