@@ -163,7 +163,12 @@ object Bench {
     // 2.6 KB), so it persists to files: target/ for local tooling and the
     // repo root so the round artifact commit carries it — round-over-round
     // diffs read BENCH_FULL.json, no tail parsing.
-    Seq("target/bench_full.json", "BENCH_FULL.json").foreach { p =>
+    // A SPARK_GRAFT_BENCH_ONLY subset run must not clobber the committed
+    // full-run artifact with a partial map.
+    val artifacts =
+      if (only.isEmpty) Seq("target/bench_full.json", "BENCH_FULL.json")
+      else Seq("target/bench_full.json")
+    artifacts.foreach { p =>
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(p), full + "\n")
       catch { case _: Throwable => }

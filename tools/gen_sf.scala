@@ -52,22 +52,42 @@ replicate("part", Map("p_partkey" -> sP))
 replicate("orders", Map("o_orderkey" -> sO, "o_custkey" -> sC))
 replicate("lineitem", Map("l_orderkey" -> sO, "l_partkey" -> sP, "l_suppkey" -> sS))
 replicate("events", Map("event_id" -> sE, "user_id" -> sU))
-// per-replica text suffix: replicas are near-dups, not byte-dups
+// Per-replica text perturbation that keeps the TRUE near-dup pair count
+// LINEAR in K: replica i replaces the token class (position = i mod 16)
+// with a replica marker and appends one marker token (the append covers
+// docs shorter than one class stride). Any two replicas of the same base
+// doc then sit ~0.68 trigram-Jaccard apart -- below the 0.8 near-dup
+// gate -- while pairs planted WITHIN a replica keep their original
+// similarity (same positions, same marker on both sides). The earlier
+// suffix-only scheme left replicas mutually >=0.8 similar, so a K-deep
+// corpus made every unbounded pair-listing query's OUTPUT (and any
+// engine's runtime) grow K^2: that benchmarks result size, not engine
+// scaling. Always replicate from the BASE corpus with a larger K rather
+// than chaining gen_sf runs -- chained perturbations compound and can
+// re-collide (same class re-marked, jitters summing symmetrically).
 replicate("documents", Map("doc_id" -> sD), (d, i) =>
   if (i == 0) d
-  else d.withColumn("text", concat(col("text"), lit(s" r$i")))
-    .withColumn("n_chars", col("n_chars") + lit(3 + (if (i >= 10) 1 else 0))))
+  else {
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val marked = transform(toks, (t, p) =>
+      when(pmod(p, lit(16)) === lit(i % 16), lit(s"z$i")).otherwise(t))
+    d.withColumn("text",
+        concat_ws(" ", concat(marked, array(lit(s"z$i")))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  })
 // per-replica deterministic jitter on EVERY coordinate makes replica
 // vectors genuinely distinct (a tiny one-coordinate nudge would flood
 // the corpus with near-exact duplicates -- a degenerate shape that tells
-// you nothing about scaling and breaks the capped/banded dedup oracles)
+// you nothing about scaling and breaks the capped/banded dedup oracles).
+// Modulus 997 (prime) keeps i*31 distinct per replica up to K=997; the
+// old mod-97 jitter collided replicas 97+ with replica 0.
 replicate("embeddings", Map("vec_id" -> sV), (d, i) =>
   if (i == 0) d
   else d.withColumn("embedding",
     transform(col("embedding"),
       // keep the element type float: bare arithmetic would widen the
       // whole array to double and break every Array[Float] consumer
-      (x, j) => (x + pmod(j * 17 + lit(i * 31), lit(97)) / lit(485.0)
+      (x, j) => (x + pmod(j * 17 + lit(i * 31), lit(997)) / lit(4985.0)
         - lit(0.1)).cast("float"))))
 Seq("nation", "region").foreach { t =>
   read(t).write.mode("overwrite").parquet(s"$dst/$t.parquet")
