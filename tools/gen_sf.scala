@@ -51,28 +51,37 @@ replicate("supplier", Map("s_suppkey" -> sS))
 replicate("part", Map("p_partkey" -> sP))
 replicate("orders", Map("o_orderkey" -> sO, "o_custkey" -> sC))
 replicate("lineitem", Map("l_orderkey" -> sO, "l_partkey" -> sP, "l_suppkey" -> sS))
-replicate("events", Map("event_id" -> sE, "user_id" -> sU))
-// Per-replica text perturbation that keeps the TRUE near-dup pair count
-// LINEAR in K: replica i replaces the token class (position = i mod 16)
-// with a replica marker and appends one marker token (the append covers
-// docs shorter than one class stride). Any two replicas of the same base
-// doc then sit ~0.68 trigram-Jaccard apart -- below the 0.8 near-dup
-// gate -- while pairs planted WITHIN a replica keep their original
-// similarity (same positions, same marker on both sides). The earlier
-// suffix-only scheme left replicas mutually >=0.8 similar, so a K-deep
-// corpus made every unbounded pair-listing query's OUTPUT (and any
-// engine's runtime) grow K^2: that benchmarks result size, not engine
-// scaling. Always replicate from the BASE corpus with a larger K rather
-// than chaining gen_sf runs -- chained perturbations compound and can
-// re-collide (same class re-marked, jitters summing symmetrically).
+// Replica i's events shift into their own disjoint 31-day window: a K-x
+// corpus models K months of history at the BASE event density, which is
+// how real traffic grows. Replicating timestamps in place instead
+// multiplies density K-fold, and every time-band workload (clicks
+// within 1h of a purchase, session windows) then does K^2 the pair work
+// of the base corpus -- true quadratic OUTPUT growth that benchmarks the
+// degenerate corpus, not the engine.
+replicate("events", Map("event_id" -> sE, "user_id" -> sU), (d, i) =>
+  if (i == 0) d
+  else d.withColumn("ts",
+    timestampadd("DAY", lit(i * 31), col("ts"))))
+// Replica i's document text tags EVERY token with a replica prefix (plus
+// one trailing marker so even empty/1-token docs stay distinct): within
+// a replica, all planted structure -- exact dups, near-dup pairs,
+// duplicated substrings -- survives verbatim (both sides transform
+// identically), while ACROSS replicas documents share no token and no
+// shingle. That keeps the true pair count of every unbounded
+// pair-listing operator linear in K. Anything softer does not: replicas
+// at 0.68 trigram-Jaccard (6% token replacement) still flood permissive
+// LSH gates (r=2 minhash bands pass J=0.68 with p~1.0; unigram simhash
+// stays within hamming<=3), so candidate volume -- and any engine's
+// runtime -- grows K^2. Always replicate from the BASE corpus with a
+// larger K rather than chaining gen_sf runs: chained perturbations
+// compound unpredictably.
 replicate("documents", Map("doc_id" -> sD), (d, i) =>
   if (i == 0) d
   else {
     val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
-    val marked = transform(toks, (t, p) =>
-      when(pmod(p, lit(16)) === lit(i % 16), lit(s"z$i")).otherwise(t))
+    val tagged = transform(toks, t => concat(lit(s"g$i~"), t))
     d.withColumn("text",
-        concat_ws(" ", concat(marked, array(lit(s"z$i")))))
+        concat_ws(" ", concat(tagged, array(lit(s"g$i~")))))
       .withColumn("n_chars", length(col("text")).cast("long"))
   })
 // per-replica deterministic jitter on EVERY coordinate makes replica
