@@ -60,8 +60,7 @@ replicate("lineitem", Map("l_orderkey" -> sO, "l_partkey" -> sP, "l_suppkey" -> 
 // degenerate corpus, not the engine.
 replicate("events", Map("event_id" -> sE, "user_id" -> sU), (d, i) =>
   if (i == 0) d
-  else d.withColumn("ts",
-    timestampadd("DAY", lit(i * 31), col("ts"))))
+  else d.withColumn("ts", expr(s"ts + INTERVAL ${i * 31} DAYS")))
 // Replica i's document text tags EVERY token with a replica prefix (plus
 // one trailing marker so even empty/1-token docs stay distinct): within
 // a replica, all planted structure -- exact dups, near-dup pairs,
