@@ -138,13 +138,23 @@ class GraftTable:
 
     # ---- live-table redirect ---------------------------------------------
 
-    def redirect_to(self, dest):
+    def redirect_to(self, dest, no_redirect_rules=None):
         """ENABLE then READY: every query resolved through this table's
         path is served by the graft table at ``dest``. Other sessions see
         the flip with ordinary MVCC freshness (their next snapshot
         refresh); writes are never stale -- the commit gate re-checks the
-        redirect state at commit time."""
-        self._jt.redirectTo(dest)
+        redirect state at commit time.
+
+        ``no_redirect_rules``: optional list of per-application exemptions,
+        e.g. ``[{"appName": "audit", "allowedOperations": ["WRITE"]}]`` --
+        a session whose ``spark.app.name`` matches keeps resolving the
+        frozen SOURCE (an appName-less rule matches every application),
+        and may commit exactly the listed operations there."""
+        if no_redirect_rules is None:
+            self._jt.redirectTo(dest)
+        else:
+            import json as _json
+            self._jt.redirectTo(dest, _json.dumps(no_redirect_rules))
 
     def redirect_to_writer_only(self, dest):
         """ENABLE then READY for the WRITER-ONLY redirect variant: same

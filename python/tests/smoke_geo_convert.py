@@ -69,7 +69,7 @@ def _write_geo_parquet(spark, dest, n):
 
 
 def _geo_schema_json(spark):
-    """Spark-DataType JSON for (id LONG, geom GEOMETRY, geog GEOGRAPHY),
+    """Spark-DataType JSON for (id INT, geom GEOMETRY, geog GEOGRAPHY),
     built in the JVM so the serialized form is exactly what a geo-capable
     writer stamps into the delta log."""
     jvm = spark._sc._jvm

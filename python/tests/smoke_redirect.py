@@ -44,6 +44,21 @@ def test_redirect_roundtrip():
     wo = {r[0] for r in spark.read.format("graft").load(src).collect()}
     assert wo == {100, 101, 102}, wo
     GraftTable.forPathNoRedirect(spark, src).drop_redirect()
+
+    # noRedirectRules: a rule naming THIS application keeps resolution at
+    # the frozen source; dropping the override restores the redirect
+    GraftTable.forPath(spark, src).redirect_to(
+        dst, no_redirect_rules=[
+            {"appName": "py-validate", "allowedOperations": ["DELETE"]}])
+    followed = {r[0] for r in spark.read.format("graft").load(src).collect()}
+    assert followed == {100, 101, 102}, followed
+    spark.conf.set("spark.app.name", "py-validate")
+    try:
+        exempt = {r[0] for r in spark.read.format("graft").load(src).collect()}
+        assert exempt == {0, 1, 2, 3, 4}, exempt
+    finally:
+        spark.conf.unset("spark.app.name")
+    GraftTable.forPathNoRedirect(spark, src).drop_redirect()
     print("smoke_redirect OK")
 
 

@@ -76,8 +76,53 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
+    // Two more graft-free controls, timed the same way: the scan control
+    // rose only 6% in a round where shuffle/write-heavy queries rose 32%
+    // (r13) — a single scan+agg cannot witness ambience that manifests as
+    // shuffle scheduling or disk-write latency. Each family normalizes by
+    // the control that exercises its bottleneck.
+    // Shuffle control: a full repartition of lineitem by a high-cardinality
+    // key + aggregate — one real exchange, zero graft involvement.
+    def timeShuffleControl(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      try {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .repartition(64, col("l_orderkey"))
+          .groupBy(col("l_orderkey")).agg(sum(col("l_extendedprice")))
+          .count()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    }
+    // Write control: a small raw-parquet write (overwrite, fixed row count
+    // independent of SF so rung-over-rung comparisons share a yardstick) —
+    // pure committer + disk-write path, zero graft involvement.
+    val writeControlDir =
+      java.nio.file.Files.createTempDirectory("benchwctl").toString
+    def timeWriteControl(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      try {
+        spark.range(2000000).select(col("id"), (col("id") % 97).as("k"))
+          .repartition(8)
+          .write.mode("overwrite").parquet(writeControlDir)
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }
+    }
+    // A failed sample RETRIES (up to 2 extra attempts) before poisoning:
+    // committing a -1 yardstick throws away the whole rung's
+    // normalization for what is usually one transient hiccup (the ladder's
+    // sf0.1 rung shipped stream_norm=-1 exactly that way in r13).
+    def sampled(f: () => Double, n: Int): Seq[Double] =
+      Seq.fill(n)(Iterator.continually(f()).take(3).find(_ >= 0).getOrElse(-1.0))
+    def median(xs: Seq[Double]): Double =
+      if (xs.exists(_ < 0)) -1.0 else xs.sorted.apply(xs.size / 2)
     timeControl() // untimed warm-up of the control's own codegen
-    val controlPre = Seq.fill(3)(timeControl())
+    val controlPre = sampled(() => timeControl(), 3)
+    timeShuffleControl(); timeWriteControl() // warm-ups
+    val shuffleControl = median(sampled(() => timeShuffleControl(), 3))
+    val writeControl = median(sampled(() => timeWriteControl(), 3))
     // Per-query min over two passes: single-pass wall times on a shared
     // host carry multi-second scheduler-noise spikes that read as false
     // regressions round over round (r5 recorded 10-30x phantoms). The
@@ -133,18 +178,12 @@ object Bench {
       } catch { case _: Throwable => -1.0 }
     }
     timeStreamControl() // untimed warm-up of the streaming machinery
-    val streamControlSamples = Seq.fill(3)(timeStreamControl())
-    val streamControl =
-      if (streamControlSamples.exists(_ < 0)) -1.0
-      else streamControlSamples.sorted.apply(streamControlSamples.size / 2)
+    val streamControl = median(sampled(() => timeStreamControl(), 3))
     val streamTotal = results.filter(_._1.startsWith("stream_")).map(_._2).sum
     val streamNorm =
       if (streamControl > 0 && streamTotal > 0) streamTotal / streamControl
       else -1.0
-    val controlSamples = controlPre ++ Seq.fill(3)(timeControl())
-    val control =
-      if (controlSamples.exists(_ < 0)) -1.0
-      else controlSamples.sorted.apply(controlSamples.size / 2)
+    val control = median(controlPre ++ sampled(() => timeControl(), 3))
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     def toJson(rs: Seq[(String, Double)]): String = rs
@@ -152,12 +191,44 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val norm = if (control > 0) total / control else -1.0
+    // Per-family normalization: each family's total divides by the control
+    // that exercises its bottleneck — write-fixture queries (graft_*/sql_*
+    // create and mutate tables; wall time is committer+disk dominated) by
+    // the write control, corpus operators (dedup/ann/text/pipeline/...,
+    // whose cost is shuffle exchanges) by the shuffle control, relational
+    // scans (q*) by the scan control, stream_* by the stream control. A
+    // family norm that swings while its control-matched siblings hold
+    // still is a code regression; uniform swings are ambience.
+    def family(n: String): String =
+      if (n.startsWith("stream_")) "stream"
+      else if (n.startsWith("graft_") || n.startsWith("sql_")) "write"
+      else if (n.startsWith("q")) "scan"
+      else "shuffle"
+    def famTotal(f: String): Double =
+      results.filter(r => family(r._1) == f).map(_._2).sum
+    def famNorm(f: String, ctl: Double): Double =
+      if (ctl > 0 && famTotal(f) > 0) famTotal(f) / ctl else -1.0
+    val familyNorms = Seq(
+      "scan" -> famNorm("scan", control),
+      "shuffle" -> famNorm("shuffle", shuffleControl),
+      "write" -> famNorm("write", writeControl),
+      "stream" -> streamNorm)
     // The driver captures only the LAST ~2000 bytes of stdout, so the final
     // JSON line must stay well under that (the full 100-query map is ~3.5 KB
     // and made rounds 1-4 unparseable). Full map goes to a file + an early
     // stdout line (scrolls out of the tail); the last line carries the total
     // plus a fixed headline subset and stays < 1.5 KB.
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","control_s":${fmt(control)},"value_norm":${fmt(norm)},"stream_control_s":${fmt(streamControl)},"stream_norm":${fmt(streamNorm)},"queries":${toJson(results)},"sf":"$sfDir"}"""
+    // Lean control block for the size-capped stdout tail; the full
+    // artifact additionally carries the per-family wall-time totals.
+    val controlsLean =
+      s""""control_s":${fmt(control)},"value_norm":${fmt(norm)},""" +
+      s""""shuffle_control_s":${fmt(shuffleControl)},""" +
+      s""""write_control_s":${fmt(writeControl)},""" +
+      s""""stream_control_s":${fmt(streamControl)},"stream_norm":${fmt(streamNorm)},""" +
+      s""""family_norms":${toJson(familyNorms)}"""
+    val controls = controlsLean +
+      s""","family_totals":${toJson(Seq("scan", "shuffle", "write", "stream").map(f => f -> famTotal(f)))}"""
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$controls,"queries":${toJson(results)},"sf":"$sfDir"}"""
     println(full)
     // The full map cannot fit the 2000-byte stdout tail (101 queries ~=
     // 2.6 KB), so it persists to files: target/ for local tooling and the
@@ -179,6 +250,8 @@ object Bench {
       "q_grouping_sets", "q_set_ops", "q_session_window", "q_asof_join",
       "q_band_join", "q_json_extract",
       "q_ds_snowflake", "q_ds_rollup", "q_ds_exists_chain",
+      "q_ds_yoy", "q_ds_topk_per_group", "q_ds_above_avg",
+      "q_ds_cross_channel", "q_ds_fact_fact",
       "graft_append_read", "graft_data_skipping", "graft_partition_prune",
       "graft_checkpoint_replay", "graft_time_travel", "graft_cdf",
       "graft_delete", "graft_delete_dv", "graft_update", "graft_update_dv",
@@ -189,7 +262,7 @@ object Bench {
       "dedup_ngram_jaccard", "ann_lsh", "ann_ivf", "text_termstats")
     val resultMap = results.toMap
     val head = headline.flatMap(n => resultMap.get(n).map(n -> _))
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","control_s":${fmt(control)},"value_norm":${fmt(norm)},"stream_control_s":${fmt(streamControl)},"stream_norm":${fmt(streamNorm)},"queries":${toJson(head)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$controlsLean,"queries":${toJson(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

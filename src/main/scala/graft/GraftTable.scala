@@ -805,15 +805,19 @@ class GraftTable private[graft] (
           s"invalid redirect transition: $state must use the redirect " +
             "kind and destination the ENABLE step declared")
       next.state match {
-        case TableRedirect.STATE_ENABLE => enableRedirect(next.dest, writerOnly)
+        case TableRedirect.STATE_ENABLE =>
+          enableRedirect(next.dest, writerOnly, next.noRedirectRules)
         case TableRedirect.STATE_READY =>
           requireMatchesLive(TableRedirect.STATE_READY)
-          completeRedirect()
+          // honor the raw JSON's rule set — the reference sets the whole
+          // property value, so a READY transition may update the rules
+          completeRedirect(Some(next.noRedirectRules))
         case TableRedirect.STATE_DROP =>
           requireMatchesLive(TableRedirect.STATE_DROP)
           redirectTransition("REDIRECT DROP",
             Set(Some(TableRedirect.STATE_READY))) { r =>
-            Some(TableRedirect.propertyJson(TableRedirect.STATE_DROP, r.get.dest))
+            Some(TableRedirect.propertyJson(TableRedirect.STATE_DROP, r.get.dest,
+              r.get.noRedirectRules))
           }
         case other => throw new IllegalArgumentException(
           s"unknown redirect state '$other'")
@@ -918,7 +922,17 @@ class GraftTable private[graft] (
     * RedirectFeature.validateTableRedirect). */
   def enableRedirect(dest: String): Unit = enableRedirect(dest, writerOnly = false)
 
-  def enableRedirect(dest: String, writerOnly: Boolean): Unit = {
+  def enableRedirect(dest: String, writerOnly: Boolean): Unit =
+    enableRedirect(dest, writerOnly, Nil)
+
+  /** ENABLE with per-application exemptions (reference
+    * redirect/TableRedirect.scala:182-207 noRedirectRules): a session
+    * whose `spark.app.name` matches a rule keeps resolving the SOURCE
+    * while the redirect is READY, and may commit the rule's
+    * `allowedOperations` there. Rules ride inside the redirect property
+    * JSON and survive every state transition. */
+  def enableRedirect(dest: String, writerOnly: Boolean,
+      noRedirectRules: Seq[graft.log.TableRedirect.NoRedirectRule]): Unit = {
     import graft.log.TableRedirect
     val destLog = GraftLog.forTableNoRedirect(spark, dest)
     require(destLog.tableExists,
@@ -941,17 +955,24 @@ class GraftTable private[graft] (
     redirectTransition("REDIRECT ENABLE", Set(None),
         key = _ => if (writerOnly) TableRedirect.PROP_WRITER_ONLY
                    else TableRedirect.PROP) { _ =>
-      Some(TableRedirect.propertyJson(TableRedirect.STATE_ENABLE, dest))
+      Some(TableRedirect.propertyJson(TableRedirect.STATE_ENABLE, dest,
+        noRedirectRules))
     }
   }
 
   /** ENABLE-REDIRECT-IN-PROGRESS -> REDIRECT-READY: the redirect settles;
     * from now on every query resolved through the public path serves the
-    * destination. */
-  def completeRedirect(): Unit = {
+    * destination (noRedirectRules-exempt applications keep the source).
+    * `rulesOverride` lets a raw ALTER TABLE SET TBLPROPERTIES update the
+    * rule set at this transition; the default preserves the live rules. */
+  def completeRedirect(): Unit = completeRedirect(None)
+
+  private def completeRedirect(rulesOverride:
+      Option[Seq[graft.log.TableRedirect.NoRedirectRule]]): Unit = {
     import graft.log.TableRedirect
     redirectTransition("REDIRECT READY", Set(Some(TableRedirect.STATE_ENABLE))) {
-      r => Some(TableRedirect.propertyJson(TableRedirect.STATE_READY, r.get.dest))
+      r => Some(TableRedirect.propertyJson(TableRedirect.STATE_READY, r.get.dest,
+        rulesOverride.getOrElse(r.get.noRedirectRules)))
     }
   }
 
@@ -976,7 +997,8 @@ class GraftTable private[graft] (
   def dropRedirect(): Unit = {
     import graft.log.TableRedirect
     redirectTransition("REDIRECT DROP", Set(Some(TableRedirect.STATE_READY))) {
-      r => Some(TableRedirect.propertyJson(TableRedirect.STATE_DROP, r.get.dest))
+      r => Some(TableRedirect.propertyJson(TableRedirect.STATE_DROP, r.get.dest,
+        r.get.noRedirectRules))
     }
     redirectTransition("REDIRECT DROP",
       Set(Some(TableRedirect.STATE_DROP)))(_ => None)
@@ -992,6 +1014,20 @@ class GraftTable private[graft] (
     * Writes are never stale: the commit gate re-checks the redirect
     * state at commit time, so a racing write at the source aborts. */
   def redirectTo(dest: String): Unit = { enableRedirect(dest); completeRedirect() }
+
+  /** Convenience: ENABLE then READY with per-application exemptions (see
+    * [[enableRedirect]] with `noRedirectRules`). */
+  def redirectTo(dest: String,
+      noRedirectRules: Seq[graft.log.TableRedirect.NoRedirectRule]): Unit = {
+    enableRedirect(dest, writerOnly = false, noRedirectRules)
+    completeRedirect()
+  }
+
+  /** Cross-language variant: `noRedirectRulesJson` is the property JSON's
+    * rules array, e.g. `[{"appName":"audit","allowedOperations":["WRITE"]}]`
+    * (python binding passes JSON rather than Scala case classes). */
+  def redirectTo(dest: String, noRedirectRulesJson: String): Unit =
+    redirectTo(dest, graft.log.TableRedirect.parseRules(noRedirectRulesJson))
 
   /** One validated state-transition commit: `expect` is the set of
     * admissible CURRENT states (None = no redirect), `next` produces the

@@ -1220,6 +1220,32 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "graft_redirect_rules" -> ((s, dir) => {
+      // noRedirectRules per-app exemption (reference TableRedirect.scala
+      // :182-268): a rule-named application keeps resolving the frozen
+      // SOURCE while the redirect is READY, and may commit exactly the
+      // rule-listed operations there.
+      val src = tmp("rulsrc"); val dst = tmp("ruldst")
+      val frozen = t(s, dir, "supplier").where(col("s_suppkey") <= 20)
+      Graft.write(frozen, src)
+      Graft.write(t(s, dir, "supplier"), dst)
+      GraftTable.forPath(s, src).redirectTo(dst,
+        Seq(graft.log.TableRedirect.NoRedirectRule(
+          Some("graft-validate"), Set("DELETE"))))
+      // a non-matching application is served by the destination
+      require(Graft.read(s, src).count() == t(s, dir, "supplier").count(),
+        "non-exempt resolution must serve the destination")
+      s.conf.set("spark.app.name", "graft-validate")
+      try {
+        // the exempt application resolves the frozen source; its
+        // rule-listed DELETE commits there (anything else would refuse)
+        GraftTable.forPath(s, src).delete(col("s_suppkey") % 2 === 0)
+        Graft.read(s, src)
+          .select("s_suppkey", "s_name", "s_acctbal")
+          .orderBy("s_suppkey")
+      } finally s.conf.unset("spark.app.name")
+    }),
+
     "sql_show_partitions" -> ((s, dir) => {
       val path = tmp("showpart")
       Graft.write(t(s, dir, "nation"), path, partitionBy = Seq("n_regionkey"))
@@ -2654,6 +2680,10 @@ object SparkEntry {
     "graft_redirect_writer_only" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
          WHERE c_custkey % 5 <> 0 ORDER BY c_custkey""",
+
+    "graft_redirect_rules" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier
+         WHERE s_suppkey <= 20 AND s_suppkey % 2 <> 0 ORDER BY s_suppkey""",
 
     "sql_show_partitions" ->
       "SELECT DISTINCT CAST(n_regionkey AS INT) AS n_regionkey FROM nation ORDER BY 1",

@@ -401,7 +401,7 @@ object ConvertFromDeltaCommand {
           applyAction(node, state)
         }
     }
-    redirectCheck(log.dataPath, state.metaNode, follow = false)
+    redirectCheck(spark, log.dataPath, state.metaNode, follow = false)
     if (state.protoNode != null) protocolGate(log.dataPath, state.protoNode)
 
     // Window survivors per path (latest fold wins), DVs re-encoded with
@@ -545,7 +545,8 @@ object ConvertFromDeltaCommand {
    *  - property absent (NO-REDIRECT after a drop): convert normally.
    */
   private def redirectCheck(
-      path: Path, metaNode: JsonNode, follow: Boolean): Unit = {
+      spark: SparkSession, path: Path, metaNode: JsonNode,
+      follow: Boolean): Unit = {
     if (metaNode == null) return
     val conf = Option(metaNode.get("configuration")).map { n =>
       import scala.jdk.CollectionConverters._
@@ -563,6 +564,18 @@ object ConvertFromDeltaCommand {
               require(node.path("type").asText("") == "PathBasedRedirect",
                 s"Delta table at $path carries a redirect of unknown type " +
                   s"'${node.path("type").asText("")}' — cannot follow it")
+              // Per-app exemption (reference TableRedirect.scala:258-268
+              // isNoRedirectApp/needRedirect): a session whose app name
+              // matches a noRedirectRule resolves the SOURCE even when
+              // READY — so it converts the source as-is, and the
+              // translated redirect property (rules included) rides into
+              // the graft table, where the same follow/commit gates
+              // re-apply (TableRedirect.followDest/allowsOperation).
+              val fakeMeta = graft.log.Metadata(configuration =
+                Map(graft.log.TableRedirect.PROP -> json))
+              val exempt = graft.log.TableRedirect.get(fakeMeta)
+                .exists(graft.log.TableRedirect.isNoRedirectApp(_, spark))
+              if (exempt) return
               // `spec` is a JSON string in the reference's serialized form
               // but its docs also show it inline — accept both
               val specNode =
@@ -633,7 +646,7 @@ object ConvertFromDeltaCommand {
       state: FoldState,
       deltaVersions: Seq[Long],
       cpVersion: Option[Long]): GraftTable = {
-    redirectCheck(log.dataPath, state.metaNode, follow = true)
+    redirectCheck(spark, log.dataPath, state.metaNode, follow = true)
     protocolGate(log.dataPath, state.protoNode)
     val translated = translatedMetadata(log.dataPath, state.metaNode,
       state.protoNode)
@@ -712,7 +725,7 @@ object ConvertFromDeltaCommand {
       deltaVersions: Seq[Long],
       cpVersion: Option[Long]): GraftTable = {
     import spark.implicits._
-    redirectCheck(log.dataPath, state.metaNode, follow = true)
+    redirectCheck(spark, log.dataPath, state.metaNode, follow = true)
     protocolGate(log.dataPath, state.protoNode)
     val translated = translatedMetadata(log.dataPath, state.metaNode,
       state.protoNode)
@@ -1047,7 +1060,15 @@ object ConvertFromDeltaCommand {
       "delta.enableVariantShredding" -> "graft.enableVariantShredding",
       "delta.deletedFileRetentionDuration" -> "", // duration syntax differs; drop
       "delta.enableRowTracking" -> "", // watermarks do not carry over
-      "delta.enableInCommitTimestamps" -> "") // fresh history, fresh clock
+      "delta.enableInCommitTimestamps" -> "", // fresh history, fresh clock
+      // A READY redirect survives conversion only for a noRedirectRules-
+      // exempt application (redirectCheck follows or refuses otherwise);
+      // the property value — rules included — translates verbatim, so the
+      // graft-side follow and commit gates keep enforcing it.
+      "delta.redirectReaderWriter-preview" -> graft.log.TableRedirect.PROP,
+      "delta.redirectReaderWriter" -> graft.log.TableRedirect.PROP,
+      "delta.redirectWriterOnly-preview" -> graft.log.TableRedirect.PROP_WRITER_ONLY,
+      "delta.redirectWriterOnly" -> graft.log.TableRedirect.PROP_WRITER_ONLY)
     c.flatMap {
       case (k, v) if k.startsWith("delta.constraints.") =>
         Some(graft.constraints.Constraints.PROP_PREFIX +

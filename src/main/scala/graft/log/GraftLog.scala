@@ -1012,14 +1012,17 @@ object GraftLog {
       // so an externally-set redirect is seen with ordinary MVCC read
       // freshness — without charging every warm resolution any
       // filesystem traffic at all.
+      // followDest (not readyDest): a session whose spark.app.name matches
+      // a noRedirectRule keeps resolving the SOURCE even when READY — the
+      // reference's per-app migration exemption (needRedirect).
       val cached = log.cachedSnapshotOrNull
       val dest =
         if (cached != null) {
           if (cached.version < 0) None
-          else TableRedirect.readyDest(cached.metadata)
+          else TableRedirect.followDest(cached.metadata, spark)
         }
         else if (!log.tableExists) None
-        else TableRedirect.readyDest(log.snapshot.metadata)
+        else TableRedirect.followDest(log.snapshot.metadata, spark)
       dest match {
         case None => done = true
         case Some(d) =>

@@ -52,8 +52,21 @@ object TableRedirect {
   val STATE_READY = "REDIRECT-READY"
   val STATE_DROP = "DROP-REDIRECT-IN-PROGRESS"
 
+  /** Per-application redirect exemption (reference
+    * redirect/TableRedirect.scala:182-207 NoRedirectRule): a session whose
+    * `spark.app.name` matches `appName` (empty = every application) keeps
+    * resolving the SOURCE even while the redirect is READY — the staged-
+    * migration escape hatch for e.g. a validation job that must keep
+    * reading the frozen source. `allowedOperations` additionally names the
+    * commit operations such an application may still run AT the source
+    * (reference OptimisticTransaction.scala:1757-1784
+    * performNoRedirectRulesCheck); empty = read-only exemption. */
+  final case class NoRedirectRule(appName: Option[String],
+      allowedOperations: Set[String])
+
   final case class Redirect(state: String, dest: String,
-      writerOnly: Boolean = false) {
+      writerOnly: Boolean = false,
+      noRedirectRules: Seq[NoRedirectRule] = Nil) {
     def prop: String = if (writerOnly) PROP_WRITER_ONLY else PROP
   }
 
@@ -78,14 +91,78 @@ object TableRedirect {
       val dest = spec.path("tablePath").asText("")
       require(dest.nonEmpty, s"$prop names no spec.tablePath")
       Redirect(node.path("state").asText(""), dest,
-        writerOnly = prop == PROP_WRITER_ONLY)
+        writerOnly = prop == PROP_WRITER_ONLY,
+        noRedirectRules = rulesOf(node.path("noRedirectRules")))
     }
+
+  private def rulesOf(arr: com.fasterxml.jackson.databind.JsonNode):
+      Seq[NoRedirectRule] =
+    if (arr == null || !arr.isArray) Nil
+    else (0 until arr.size()).map { i =>
+      val r = arr.get(i)
+      val app = Option(r.get("appName")).map(_.asText("")).filter(_.nonEmpty)
+      val ops = Option(r.get("allowedOperations")).toSeq
+        .flatMap(n => (0 until n.size()).map(n.get(_).asText()))
+      NoRedirectRule(app, ops.toSet)
+    }
+
+  /** Parse a bare rules array (the property JSON's `noRedirectRules`
+    * value) — the cross-language entry point (python passes JSON). */
+  def parseRules(json: String): Seq[NoRedirectRule] =
+    rulesOf(mapper.readTree(json))
 
   /** Destination to FOLLOW: only a settled READY redirect moves queries. */
   def readyDest(m: Metadata): Option[String] =
     get(m).filter(_.state == STATE_READY).map(_.dest)
 
-  def propertyJson(state: String, dest: String): String =
+  /** The session's application name, per-session override first (tests and
+    * multi-tenant sessions set `spark.app.name` in session conf). */
+  private def appName(spark: org.apache.spark.sql.SparkSession): String =
+    try spark.conf.get("spark.app.name", spark.sparkContext.appName)
+    catch { case _: Exception => spark.sparkContext.appName }
+
+  /** Whether THIS session is exempt from following the redirect: some rule
+    * names its application, or a rule names no application at all
+    * (reference TableRedirect.scala:258-263 isNoRedirectApp — an
+    * appName-less rule applies to every application). */
+  def isNoRedirectApp(r: Redirect,
+      spark: org.apache.spark.sql.SparkSession): Boolean = {
+    val app = appName(spark)
+    r.noRedirectRules.exists(_.appName.forall(_.equalsIgnoreCase(app)))
+  }
+
+  /** Destination THIS session follows: a settled READY redirect moves
+    * queries unless a no-redirect rule exempts the application (reference
+    * TableRedirect.scala:264-268 needRedirect). */
+  def followDest(m: Metadata,
+      spark: org.apache.spark.sql.SparkSession): Option[String] =
+    get(m).filter(r => r.state == STATE_READY && !isNoRedirectApp(r, spark))
+      .map(_.dest)
+
+  /** Whether a no-redirect rule matching THIS application allows committing
+    * `operation` at the redirect SOURCE (reference
+    * OptimisticTransaction.scala:1770-1783: among the rules whose appName
+    * matches — or is absent — one must list the operation). */
+  def allowsOperation(r: Redirect,
+      spark: org.apache.spark.sql.SparkSession, operation: String): Boolean = {
+    val app = appName(spark)
+    r.noRedirectRules
+      .filter(_.appName.forall(_.equalsIgnoreCase(app)))
+      .exists(_.allowedOperations.exists(_.equalsIgnoreCase(operation)))
+  }
+
+  def propertyJson(state: String, dest: String,
+      rules: Seq[NoRedirectRule] = Nil): String = {
+    val rulesJson =
+      if (rules.isEmpty) ""
+      else rules.map { r =>
+        val app = r.appName.map(a =>
+          s""""appName":${mapper.writeValueAsString(a)},""").getOrElse("")
+        val ops = r.allowedOperations.toSeq.sorted
+          .map(mapper.writeValueAsString).mkString("[", ",", "]")
+        s"""{$app"allowedOperations":$ops}"""
+      }.mkString(""","noRedirectRules":[""", ",", "]")
     s"""{"type":"PathBasedRedirect","state":${mapper.writeValueAsString(state)},""" +
-      s""""spec":{"tablePath":${mapper.writeValueAsString(dest)}}}"""
+      s""""spec":{"tablePath":${mapper.writeValueAsString(dest)}}$rulesJson}"""
+  }
 }

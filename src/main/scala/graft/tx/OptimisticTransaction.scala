@@ -215,16 +215,33 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
     // that rewrites configuration to a pre-redirect version (RESTORE
     // through a no-follow handle) must not launder the freeze away by
     // removing the property in the same commit that changes files.
+    // Exception: a READY redirect's noRedirectRules may name operations a
+    // matching application is still allowed to commit at the source
+    // (reference OptimisticTransaction.scala:1757-1784
+    // performNoRedirectRulesCheck) — the write-side half of the per-app
+    // migration exemption. In-progress states admit no exemption: the
+    // transition itself is what the freeze protects (the reference throws
+    // invalidCommitIntermediateRedirectState BEFORE consulting rules).
+    // CONVERT FROM DELTA (and its SYNC) is an import of the frozen
+    // source's own file listing — it changes no data, and the redirect it
+    // carries across re-applies to every commit after it (only a
+    // noRedirectRules-exempt application reaches a convert of a
+    // redirected source in the first place; see ConvertFromDelta
+    // redirectCheck).
+    if (!operation.startsWith("CONVERT FROM DELTA"))
     (TableRedirect.get(snapshot.metadata) orElse TableRedirect.get(metadata))
       .foreach { r =>
       if (actions.exists {
             case _: AddFile | _: RemoveFile | _: AddCdcFile => true
             case _ => false
-          }) {
+          } &&
+          !(r.state == TableRedirect.STATE_READY &&
+            TableRedirect.allowsOperation(r, log.spark, operation))) {
         throw new UnsupportedOperationException(
           s"Table ${log.dataPath} is redirected (${r.state} -> ${r.dest}); " +
             s"'$operation' cannot change data at the source — query the " +
-            "table through its public path (served by the destination) " +
+            "table through its public path (served by the destination), " +
+            "add a noRedirectRules exemption for this application, " +
             "or drop the redirect first")
       }
     }

@@ -556,18 +556,21 @@ class DeltaConvertSuite extends AnyFunSuite {
 
   /** A redirect property value, escaped for embedding in metaLine's
     * configuration map (the property value is itself JSON text). */
-  private def redirectProp(dest: String, state: String): String = {
+  private def redirectProp(dest: String, state: String,
+      rules: String = ""): String = {
     val m = com.fasterxml.jackson.databind.json.JsonMapper.builder.build
     val spec = m.writeValueAsString(s"""{"tablePath":"$dest"}""")
-    val raw =
-      s"""{"type":"PathBasedRedirect","state":"$state","spec":$spec}"""
+    val rulesPart =
+      if (rules.isEmpty) "" else s""","noRedirectRules":$rules"""
+    val raw = s"""{"type":"PathBasedRedirect","state":"$state",""" +
+      s""""spec":$spec$rulesPart}"""
     val quoted = m.writeValueAsString(raw)
     quoted.substring(1, quoted.length - 1)
   }
 
   private def writeRedirectSource(
       dest: String, state: String = "REDIRECT-READY",
-      writerOnly: Boolean = false): String = {
+      writerOnly: Boolean = false, rules: String = ""): String = {
     val schema = new StructType().add("id", LongType)
     val key = if (writerOnly) "delta.redirectWriterOnly-preview"
       else "delta.redirectReaderWriter-preview"
@@ -581,7 +584,7 @@ class DeltaConvertSuite extends AnyFunSuite {
       s"""{"protocol":{"minReaderVersion":${if (writerOnly) 1 else 3},""" +
         s""""minWriterVersion":7,$readerFeatures""" +
         s""""writerFeatures":["$feature"]}}""",
-      metaLine(schema, conf = Map(key -> redirectProp(dest, state))),
+      metaLine(schema, conf = Map(key -> redirectProp(dest, state, rules))),
       addLine("r.parquet", s1)))
     dir
   }
@@ -632,6 +635,47 @@ class DeltaConvertSuite extends AnyFunSuite {
       }
       assert(e.getMessage.contains(st), e.getMessage)
     }
+  }
+
+  test("noRedirectRules: an exempt application converts the SOURCE; rules translate") {
+    // reference TableRedirect.scala:258-268: a session whose app name
+    // matches a noRedirectRule resolves the SOURCE even when READY — so
+    // convert imports the frozen source, and the redirect property (rules
+    // included) translates into the graft table where the same gates
+    // re-apply.
+    val schema = new StructType().add("id", LongType)
+    val dest = tmpDir()
+    val sd = writeFile(spark.range(100, 103).toDF("id"), dest, "d.parquet")
+    writeLog(dest, 0, Seq(protoLine(), metaLine(schema),
+      addLine("d.parquet", sd)))
+    val src = writeRedirectSource(dest, rules =
+      """[{"appName":"graft-test","allowedOperations":["DELETE"]}]""")
+    val t = Graft.convertFromDelta(spark, src)
+    // the SOURCE converted in place (this app is exempt) — no follow
+    assert(t.log.dataPath.toUri.getPath ===
+      new org.apache.hadoop.fs.Path(src).toUri.getPath)
+    assert(Graft.read(spark, src).as[Long].collect().toSet ===
+      (0L until 5L).toSet)
+    // property translated key-for-key with the rules intact
+    val live = graft.log.TableRedirect.get(t.snapshot.metadata).get
+    assert(live.state === graft.log.TableRedirect.STATE_READY)
+    assert(live.noRedirectRules === Seq(graft.log.TableRedirect
+      .NoRedirectRule(Some("graft-test"), Set("DELETE"))))
+    // graft-side write gate re-applies: rule-listed DELETE commits at the
+    // source, anything else stays frozen
+    GraftTable.forPathNoRedirect(spark, src).delete($"id" === 4L)
+    assert(Graft.read(spark, src).as[Long].collect().toSet ===
+      (0L until 4L).toSet)
+    val e = intercept[UnsupportedOperationException] {
+      Graft.write(spark.range(10, 11).toDF("id"), src)
+    }
+    assert(e.getMessage.contains("redirected"), e.getMessage)
+    // a NON-matching rule set still follows to the destination
+    val src2 = writeRedirectSource(dest, rules =
+      """[{"appName":"someone-else","allowedOperations":["WRITE"]}]""")
+    val t2 = Graft.convertFromDelta(spark, src2)
+    assert(t2.log.dataPath.toUri.getPath ===
+      new org.apache.hadoop.fs.Path(dest).toUri.getPath)
   }
 
   test("recomputeStats gives a stats-less converted table data skipping") {

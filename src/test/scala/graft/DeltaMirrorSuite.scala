@@ -315,6 +315,27 @@ class DeltaMirrorSuite extends AnyFunSuite {
     assert(b === a, "row ids did not survive the DV mirror round-trip")
   }
 
+  test("redirect property exports -preview spelling with noRedirectRules intact") {
+    val src = tmpDir(); val dst = tmpDir()
+    Graft.write(spark.range(0, 5).toDF("id"), src,
+      configuration = Map(graft.commands.DeltaMirror.PROP -> "delta"))
+    Graft.write(spark.range(9, 10).toDF("id"), dst)
+    GraftTable.forPath(spark, src).redirectTo(dst,
+      Seq(graft.log.TableRedirect.NoRedirectRule(
+        Some("validation-job"), Set("DELETE"))))
+    // the READY transition is the latest mirrored commit (version 2:
+    // write, enable, ready) — its metadata must carry the Delta -preview
+    // key with the rules riding verbatim in the JSON value
+    val mirror = JFiles.readString(
+      Paths.get(src, "_delta_log", f"${2L}%020d.json"))
+    assert(mirror.contains("delta.redirectReaderWriter-preview"), mirror)
+    assert(mirror.contains("noRedirectRules"), mirror)
+    assert(mirror.contains("validation-job") &&
+      mirror.contains("REDIRECT-READY"), mirror)
+    assert(!mirror.contains("graft.redirectReaderWriter"),
+      "mirror leaked the graft-spelled property key")
+  }
+
   test("constraints and appendOnly survive the round trip") {
     val dir = tmpDir()
     Graft.write(spark.range(1, 10).toDF("id"), dir,

@@ -337,8 +337,26 @@ class PlanAuditSuite extends AnyFunSuite {
       .map(k => k -> conf.getOption(k))
     try {
       saved.foreach { case (k, _) => conf.set(k, "-1") }
-      val plan = planOf("q_ds_fact_fact")
-      val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+      // Count physical shuffle NODES, not plan-string occurrences — the
+      // rendered string's formatting varies across Spark/AQE versions
+      // while the node structure is what the bound is about. collect()
+      // alone would stop at an AdaptiveSparkPlanExec boundary (its inner
+      // plan is a field, not a child), so recurse through it explicitly.
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+        case _ => p +: p.children.flatMap(allNodes)
+      }
+      val physical = SparkEntry.queries("q_ds_fact_fact")(
+        spark, "/root/testdata/sf0.001").queryExecution.executedPlan
+      val hashEx = allNodes(physical).count {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+          e.outputPartitioning.isInstanceOf[
+            org.apache.spark.sql.catalyst.plans.physical.HashPartitioning]
+        case _ => false
+      }
+      val plan = physical.toString
       assert(hashEx == 2,
         s"expected exactly 2 hash exchanges (one per aggregate), got $hashEx:\n$plan")
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),

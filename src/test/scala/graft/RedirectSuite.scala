@@ -279,4 +279,120 @@ class RedirectSuite extends AnyFunSuite {
     graft.log.GraftLog.clearCache()
     assert(ids(src) === Set(9L))
   }
+
+  /** Run `body` with the session's application name overridden (the
+    * per-session conf wins over the SparkContext name), restoring after. */
+  private def withAppName[A](name: String)(body: => A): A = {
+    spark.conf.set("spark.app.name", name)
+    try body finally spark.conf.unset("spark.app.name")
+  }
+
+  test("noRedirectRules: named app resolves the source, others the destination") {
+    import graft.log.TableRedirect
+    import graft.log.TableRedirect.NoRedirectRule
+    val src = tmpDir(); val dst = tmpDir()
+    Graft.write(spark.range(0, 5).toDF("id"), src)
+    Graft.write(spark.range(100, 103).toDF("id"), dst)
+    GraftTable.forPath(spark, src).redirectTo(dst,
+      Seq(NoRedirectRule(Some("validation-job"), Set.empty)))
+    // this session (app "graft-test") matches no rule: follows to dest
+    assert(ids(src) === (100L until 103L).toSet)
+    // the named application keeps resolving the frozen SOURCE
+    withAppName("Validation-Job") { // match is case-insensitive
+      assert(ids(src) === (0L until 5L).toSet)
+      // ... but the writer gate still applies: the rule allows no
+      // operations, so a write at the source refuses by name
+      val e = intercept[UnsupportedOperationException] {
+        Graft.write(spark.range(10, 12).toDF("id"), src)
+      }
+      assert(e.getMessage.contains("redirected"), e.getMessage)
+    }
+    // back on the default app name, service is at the destination again
+    assert(ids(src) === (100L until 103L).toSet)
+    // the rules survived the ENABLE -> READY transition in the property
+    val live = TableRedirect.get(
+      GraftTable.forPathNoRedirect(spark, src).snapshot.metadata).get
+    assert(live.state === TableRedirect.STATE_READY)
+    assert(live.noRedirectRules ===
+      Seq(NoRedirectRule(Some("validation-job"), Set.empty)))
+  }
+
+  test("noRedirectRules: allowedOperations admit named commits at the source") {
+    import graft.log.TableRedirect.NoRedirectRule
+    val src = tmpDir(); val dst = tmpDir()
+    Graft.write(spark.range(0, 5).toDF("id"), src)
+    Graft.write(spark.range(100, 103).toDF("id"), dst)
+    GraftTable.forPath(spark, src).redirectTo(dst,
+      Seq(NoRedirectRule(Some("backfill-job"), Set("WRITE", "DELETE"))))
+    withAppName("backfill-job") {
+      // WRITE and DELETE are rule-listed: they commit at the SOURCE
+      Graft.write(spark.range(5, 7).toDF("id"), src)
+      assert(ids(src) === (0L until 7L).toSet)
+      GraftTable.forPath(spark, src).delete($"id" === 6L)
+      assert(ids(src) === (0L until 6L).toSet)
+      // UPDATE is not listed: still frozen
+      val e = intercept[UnsupportedOperationException] {
+        GraftTable.forPath(spark, src).update($"id" === 0L, Map("id" -> lit(9L)))
+      }
+      assert(e.getMessage.contains("redirected"), e.getMessage)
+    }
+    // the destination never saw the exempt app's commits
+    assert(ids(dst) === (100L until 103L).toSet)
+    // a non-matching app stays redirected and frozen at the source
+    val e2 = intercept[UnsupportedOperationException] {
+      GraftTable.forPathNoRedirect(spark, src).delete($"id" === 0L)
+    }
+    assert(e2.getMessage.contains("redirected"), e2.getMessage)
+  }
+
+  test("noRedirectRules: an appName-less rule exempts every application") {
+    import graft.log.TableRedirect.NoRedirectRule
+    val src = tmpDir(); val dst = tmpDir()
+    Graft.write(spark.range(0, 3).toDF("id"), src)
+    Graft.write(spark.range(50, 52).toDF("id"), dst)
+    // reference TableRedirect.scala:258-263 — appName.forall on an absent
+    // name matches any application
+    GraftTable.forPath(spark, src).redirectTo(dst,
+      Seq(NoRedirectRule(None, Set.empty)))
+    assert(ids(src) === (0L until 3L).toSet)
+    withAppName("whoever") { assert(ids(src) === (0L until 3L).toSet) }
+    // the destination is still reachable directly
+    assert(ids(dst) === (50L until 52L).toSet)
+  }
+
+  test("noRedirectRules: raw property JSON round-trips and READY can update rules") {
+    import graft.log.TableRedirect
+    val src = tmpDir(); val dst = tmpDir()
+    Graft.write(spark.range(0, 3).toDF("id"), src)
+    Graft.write(spark.range(50, 52).toDF("id"), dst)
+    val t = GraftTable.forPath(spark, src)
+    // raw ENABLE with rules in the property JSON
+    t.upsertProperties(Map(TableRedirect.PROP ->
+      s"""{"type":"PathBasedRedirect","state":"ENABLE-REDIRECT-IN-PROGRESS",
+          "spec":{"tablePath":"$dst"},
+          "noRedirectRules":[{"appName":"aud","allowedOperations":["WRITE"]}]}"""))
+    val afterEnable = TableRedirect.get(t.log.update().metadata).get
+    assert(afterEnable.noRedirectRules ===
+      Seq(TableRedirect.NoRedirectRule(Some("aud"), Set("WRITE"))))
+    // raw READY transition updates the rule set (whole-value semantics)
+    t.upsertProperties(Map(TableRedirect.PROP ->
+      s"""{"type":"PathBasedRedirect","state":"REDIRECT-READY",
+          "spec":{"tablePath":"$dst"},
+          "noRedirectRules":[{"allowedOperations":["DELETE"]}]}"""))
+    val ready = TableRedirect.get(
+      GraftTable.forPathNoRedirect(spark, src).log.update().metadata).get
+    assert(ready.state === TableRedirect.STATE_READY)
+    assert(ready.noRedirectRules ===
+      Seq(TableRedirect.NoRedirectRule(None, Set("DELETE"))))
+    // the app-less DELETE rule admits a source-side DELETE for anyone...
+    assert(ids(src) === (0L until 3L).toSet) // (and exempts resolution)
+    GraftTable.forPathNoRedirect(spark, src).delete($"id" === 2L)
+    assert(GraftTable.forPathNoRedirect(spark, src)
+      .toDF.select("id").as[Long].collect().toSet === Set(0L, 1L))
+    // ... but not a WRITE
+    val e = intercept[UnsupportedOperationException] {
+      Graft.write(spark.range(10, 11).toDF("id"), src)
+    }
+    assert(e.getMessage.contains("redirected"), e.getMessage)
+  }
 }

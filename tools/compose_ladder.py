@@ -22,13 +22,19 @@ def ratios(lo, hi):
     for q, t in hi["queries"].items():
         if q in lo["queries"] and lo["queries"][q] > 0:
             per[q] = round(t / lo["queries"][q], 3)
-    return {
+    out = {
         "total_ratio": round(hi["value"] / lo["value"], 3),
         "control_ratio": round(hi["control_s"] / lo["control_s"], 3)
         if lo["control_s"] > 0 else None,
         "worst_3": sorted(per, key=per.get, reverse=True)[:3],
         "per_query_ratio": dict(sorted(per.items())),
     }
+    # rung-over-rung ratio of each ambience control (scan/shuffle/write/
+    # stream), when both rungs carry it -- the per-family yardsticks
+    for k in ("shuffle_control_s", "write_control_s", "stream_control_s"):
+        if lo.get(k, -1) > 0 and hi.get(k, -1) > 0:
+            out[k.replace("_s", "_ratio")] = round(hi[k] / lo[k], 3)
+    return out
 
 
 def main():
@@ -36,15 +42,17 @@ def main():
     runs = [last_json(p) for p in logs]
     protocol = ("tools/gen_sf.scala rungs = 10x chained replications of "
                 "sf0.1 (join-preserving key shifts, per-replica doc/vector "
-                "perturbation); graft.Bench headline subset, local[32], "
-                "min-of-two passes, same host back-to-back")
+                "perturbation); graft.Bench headline subset (45 queries "
+                "incl. all 8 TPC-DS shapes), local[32], min-of-two passes, "
+                "per-family ambience controls, same host back-to-back")
     r01, r1 = runs[0], runs[1]
     two = {
         "protocol": protocol,
         "sf0.1": r01,
         "sf1": r1,
         "total_ratio_sf1_vs_sf0.1": round(r1["value"] / r01["value"], 3),
-        "control_ratio": round(r1["control_s"] / r01["control_s"], 3),
+        "control_ratio": round(r1["control_s"] / r01["control_s"], 3)
+        if r01["control_s"] > 0 else None,
         "per_query_ratio": ratios(r01, r1)["worst_3"],
     }
     with open("BENCH_SF1.json", "w") as f:

@@ -61,11 +61,13 @@ replicate("lineitem", Map("l_orderkey" -> sO, "l_partkey" -> sP, "l_suppkey" -> 
 replicate("events", Map("event_id" -> sE, "user_id" -> sU), (d, i) =>
   if (i == 0) d
   else d.withColumn("ts", expr(s"ts + INTERVAL ${i * 31} DAYS")))
-// Replica i's document text tags EVERY token with a replica prefix (plus
-// one trailing marker so even empty/1-token docs stay distinct): within
-// a replica, all planted structure -- exact dups, near-dup pairs,
-// duplicated substrings -- survives verbatim (both sides transform
-// identically), while ACROSS replicas documents share no token and no
+// Replica i's document text tags EVERY token with a replica prefix
+// (empty docs get a lone marker token so they too stay distinct across
+// replicas): within a replica, all planted structure -- exact dups,
+// near-dup pairs, duplicated substrings -- survives verbatim (both
+// sides transform identically, and no extra token is appended, so even
+// a pair sitting exactly at the J=0.8 boundary keeps its Jaccard),
+// while ACROSS replicas documents share no token and no
 // shingle. That keeps the true pair count of every unbounded
 // pair-listing operator linear in K. Anything softer does not: replicas
 // at 0.68 trigram-Jaccard (6% token replacement) still flood permissive
@@ -80,7 +82,8 @@ replicate("documents", Map("doc_id" -> sD), (d, i) =>
     val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
     val tagged = transform(toks, t => concat(lit(s"g$i~"), t))
     d.withColumn("text",
-        concat_ws(" ", concat(tagged, array(lit(s"g$i~")))))
+        concat_ws(" ",
+          when(size(tagged) > 0, tagged).otherwise(array(lit(s"g$i~")))))
       .withColumn("n_chars", length(col("text")).cast("long"))
   })
 // per-replica deterministic jitter on EVERY coordinate makes replica
