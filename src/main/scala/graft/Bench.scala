@@ -177,11 +177,22 @@ object Bench {
         (System.nanoTime() - t0) / 1e9
       } catch { case _: Throwable => -1.0 }
     }
-    timeStreamControl() // untimed warm-up of the streaming machinery
-    val streamControl = median(sampled(() => timeStreamControl(), 3))
+    // When the selected subset carries no stream_* query (a SPARK_GRAFT_
+    // BENCH_ONLY subset without the stream family), skip the stream
+    // control entirely and report 0.0 — "family absent", which is NOT the
+    // -1.0 poison marker (a control that ran and failed). The r13 ladder
+    // committed stream_norm:-1 for exactly this shape and it read as a
+    // broken control.
     val streamTotal = results.filter(_._1.startsWith("stream_")).map(_._2).sum
+    val streamControl =
+      if (streamTotal <= 0) 0.0
+      else {
+        timeStreamControl() // untimed warm-up of the streaming machinery
+        median(sampled(() => timeStreamControl(), 3))
+      }
     val streamNorm =
-      if (streamControl > 0 && streamTotal > 0) streamTotal / streamControl
+      if (streamTotal <= 0) 0.0
+      else if (streamControl > 0) streamTotal / streamControl
       else -1.0
     val control = median(controlPre ++ sampled(() => timeControl(), 3))
     def fmt(v: Double): String = BigDecimal(v)
@@ -258,6 +269,8 @@ object Bench {
       "graft_merge_upsert", "graft_merge_dv", "graft_overwrite",
       "graft_replace_where", "graft_optimize_compact", "graft_zorder",
       "graft_vacuum", "graft_stream_roundtrip",
+      "stream_dedup", "stream_merge_upsert", "stream_stateful_agg",
+      "stream_windowed_agg",
       "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
       "dedup_ngram_jaccard", "ann_lsh", "ann_ivf", "text_termstats")
     val resultMap = results.toMap

@@ -158,10 +158,32 @@ object TransactionalWrite {
       case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => true
       case _ => false
     }
+    // Parallelism floor: a size-targeted rebalance caps write parallelism
+    // at totalShuffleBytes / binSize, which for inputs smaller than
+    // cores x binSize leaves most of the cluster idle (measured: a
+    // 3-valued partitionBy of sf10 lineitem wrote with ~9 of 32 cores,
+    // 25x per decade instead of ~10x). Clamp the advisory so the write
+    // keeps at least the default parallelism when the input is small —
+    // estimated from logical stats (compressed scan bytes; x3 for the
+    // uncompressed shuffle rows AQE actually bins). At real scale the
+    // clamp is inert: bytes / cores exceeds the bin size long before
+    // 100 TB, so files stay size-targeted exactly as before.
     val advisory =
-      if (rebalanced && simplePlan)
-        Some(spark.conf.getOption(BIN_SIZE_CONF).map(_.toLong)
-          .getOrElse(BIN_SIZE_DEFAULT).toString)
+      if (rebalanced && simplePlan) {
+        val bin = spark.conf.getOption(BIN_SIZE_CONF).map(_.toLong)
+          .getOrElse(BIN_SIZE_DEFAULT)
+        val est = analyzed.stats.sizeInBytes
+        val cores = math.max(1, spark.sparkContext.defaultParallelism)
+        val floor = 16L * 1024 * 1024
+        // never exceed the configured bin (an explicit small bin is a
+        // request for small files); within it, keep enough bins to fill
+        // the cluster, floored so tiny inserts don't shatter
+        val clamped =
+          if (est.isValidLong)
+            math.min(bin, math.max(floor, est.toLong * 3 / cores))
+          else bin
+        Some(clamped.toString)
+      }
       else None
     val writeSession = TransactionalWrite.writeSession(spark,
       extraConfs ++ advisory.map(ADVISORY_CONF -> _))
