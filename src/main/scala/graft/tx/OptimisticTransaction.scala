@@ -227,8 +227,13 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
     // carries across re-applies to every commit after it (only a
     // noRedirectRules-exempt application reaches a convert of a
     // redirected source in the first place; see ConvertFromDelta
-    // redirectCheck).
-    if (!operation.startsWith("CONVERT FROM DELTA"))
+    // redirectCheck). The skipCheck conf is the reference's internal
+    // operational escape hatch (DeltaSQLConf.SKIP_REDIRECT_FEATURE,
+    // honored only by the commit gate — routing still follows): a repair
+    // session may set it to commit at a frozen source.
+    if (!operation.startsWith("CONVERT FROM DELTA") &&
+        !log.spark.conf.getOption("spark.graft.redirect.skipCheck")
+          .contains("true"))
     (TableRedirect.get(snapshot.metadata) orElse TableRedirect.get(metadata))
       .foreach { r =>
       if (actions.exists {

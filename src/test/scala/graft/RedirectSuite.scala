@@ -360,6 +360,31 @@ class RedirectSuite extends AnyFunSuite {
     assert(ids(dst) === (50L until 52L).toSet)
   }
 
+  test("skipCheck conf bypasses the commit gate only; routing still follows") {
+    // reference DeltaSQLConf.SKIP_REDIRECT_FEATURE: an internal
+    // operational escape hatch honored by performRedirectCheck — a
+    // repair session may commit at the frozen source, but resolution
+    // keeps serving the destination.
+    val src = tmpDir(); val dst = tmpDir()
+    Graft.write(spark.range(0, 3).toDF("id"), src)
+    Graft.write(spark.range(50, 52).toDF("id"), dst)
+    GraftTable.forPath(spark, src).redirectTo(dst)
+    // public resolution serves the destination regardless of the conf
+    spark.conf.set("spark.graft.redirect.skipCheck", "true")
+    try {
+      assert(ids(src) === Set(50L, 51L))
+      // ... but the RAW handle may now commit at the frozen source
+      GraftTable.forPathNoRedirect(spark, src).delete($"id" === 2L)
+      assert(GraftTable.forPathNoRedirect(spark, src)
+        .toDF.select("id").as[Long].collect().toSet === Set(0L, 1L))
+    } finally spark.conf.unset("spark.graft.redirect.skipCheck")
+    // conf unset: the freeze is back
+    val e = intercept[UnsupportedOperationException] {
+      GraftTable.forPathNoRedirect(spark, src).delete($"id" === 0L)
+    }
+    assert(e.getMessage.contains("redirected"), e.getMessage)
+  }
+
   test("noRedirectRules: raw property JSON round-trips and READY can update rules") {
     import graft.log.TableRedirect
     val src = tmpDir(); val dst = tmpDir()
