@@ -120,6 +120,26 @@ object Bench {
       if (xs.exists(_ < 0)) -1.0 else xs.sorted.apply(xs.size / 2)
     timeControl() // untimed warm-up of the control's own codegen
     val controlPre = sampled(() => timeControl(), 3)
+    // Ambience pre-flight: on a loaded host the committed totals are
+    // incomparable with the idle-band series in BOTH directions (controls
+    // inflate MORE than min-of-two query sampling, biasing value_norm
+    // down — r14 shipped a 4x-inflated scan control that made its norm
+    // meaningless). Compare the pre-run scan-control median against the
+    // trailing committed IDLE median (overridable; default is the sf0.1
+    // idle band 0.26-0.40 s): beyond 1.5x, stamp `"ambient":true` into
+    // the JSON and shout on stderr so the round runner re-runs later
+    // instead of committing an out-of-band artifact.
+    val idleControlS = sys.env.get("SPARK_GRAFT_BENCH_IDLE_CONTROL_S")
+      .map(_.toDouble)
+      .orElse(if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) Some(0.37)
+              else None)
+    val controlPreMed = median(controlPre)
+    val ambient = idleControlS.exists(idle =>
+      controlPreMed > 1.5 * idle || controlPreMed < 0)
+    if (ambient) System.err.println(
+      s"*** AMBIENT WARNING: scan control pre-flight ${controlPreMed}s vs " +
+        s"idle median ${idleControlS.get}s (> 1.5x) — this run is host-" +
+        "load-contaminated; re-run on an in-band host before committing ***")
     timeShuffleControl(); timeWriteControl() // warm-ups
     val shuffleControl = median(sampled(() => timeShuffleControl(), 3))
     val writeControl = median(sampled(() => timeWriteControl(), 3))
@@ -183,16 +203,21 @@ object Bench {
     // -1.0 poison marker (a control that ran and failed). The r13 ladder
     // committed stream_norm:-1 for exactly this shape and it read as a
     // broken control.
+    // "Family absent" is decided by the SELECTED NAMES, not the total: a
+    // total <= 0 also happens when stream_* queries RAN and all failed
+    // (each -1.0), and reporting that as absent-0.0 would mask a broken
+    // stream family behind the benign marker.
+    val streamSelected = results.exists(_._1.startsWith("stream_"))
     val streamTotal = results.filter(_._1.startsWith("stream_")).map(_._2).sum
     val streamControl =
-      if (streamTotal <= 0) 0.0
+      if (!streamSelected) 0.0
       else {
         timeStreamControl() // untimed warm-up of the streaming machinery
         median(sampled(() => timeStreamControl(), 3))
       }
     val streamNorm =
-      if (streamTotal <= 0) 0.0
-      else if (streamControl > 0) streamTotal / streamControl
+      if (!streamSelected) 0.0
+      else if (streamTotal > 0 && streamControl > 0) streamTotal / streamControl
       else -1.0
     val control = median(controlPre ++ sampled(() => timeControl(), 3))
     def fmt(v: Double): String = BigDecimal(v)
@@ -233,6 +258,7 @@ object Bench {
     // artifact additionally carries the per-family wall-time totals.
     val controlsLean =
       s""""control_s":${fmt(control)},"value_norm":${fmt(norm)},""" +
+      s""""ambient":$ambient,"control_preflight_s":${fmt(controlPreMed)},""" +
       s""""shuffle_control_s":${fmt(shuffleControl)},""" +
       s""""write_control_s":${fmt(writeControl)},""" +
       s""""stream_control_s":${fmt(streamControl)},"stream_norm":${fmt(streamNorm)},""" +

@@ -456,6 +456,11 @@ object ConvertFromDeltaCommand {
       SetTransaction(app, v) }.toSeq
     val newWatermark = versions.last
     log.withNewTransaction { txn =>
+      // Files in this commit come from the Delta side (typed flag for the
+      // geo/redirect commit gates; see OptimisticTransaction). A SYNC is
+      // still gated by the GRAFT snapshot's own redirect state — only the
+      // new-metadata half (a redirect riding in from the window) is exempt.
+      txn.deltaFileImport = true
       // Schema/config evolution in the window carries over; graft-side
       // properties (DV enablement, row tracking, clustering) persist.
       val baseMeta = txn.snapshot.metadata
@@ -695,6 +700,7 @@ object ConvertFromDeltaCommand {
       if (rtDomain.nonEmpty) files
       else files.map(_.copy(baseRowId = None, defaultRowCommitVersion = None))
     log.withNewTransaction { txn =>
+      txn.deltaFileImport = true
       txn.updateMetadata(finalMeta)
       txn.commit(strippedFiles ++ txnActions ++ rtDomain, "CONVERT FROM DELTA",
         operationMetrics = Map(

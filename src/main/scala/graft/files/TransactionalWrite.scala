@@ -178,9 +178,14 @@ object TransactionalWrite {
         // never exceed the configured bin (an explicit small bin is a
         // request for small files); within it, keep enough bins to fill
         // the cluster, floored so tiny inserts don't shatter
+        // BigInt: est.toLong * 3 overflows Long for estimates above
+        // Long.MaxValue/3 (join-cardinality blowups keep isValidLong true
+        // well past that), and a negative product would collapse the
+        // advisory to the floor — shattering a huge rebalanced write.
         val clamped =
           if (est.isValidLong)
-            math.min(bin, math.max(floor, est.toLong * 3 / cores))
+            BigInt(bin).min((BigInt(est.toLong) * 3 / cores)
+              .max(BigInt(floor))).toLong
           else bin
         Some(clamped.toString)
       }

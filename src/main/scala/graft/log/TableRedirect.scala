@@ -142,13 +142,17 @@ object TableRedirect {
   /** Whether a no-redirect rule matching THIS application allows committing
     * `operation` at the redirect SOURCE (reference
     * OptimisticTransaction.scala:1770-1783: among the rules whose appName
-    * matches — or is absent — one must list the operation). */
+    * matches — or is absent — one must list the operation). The appName
+    * match is case-insensitive but the OPERATION match is case-sensitive,
+    * mirroring the reference's `Set.contains(op.name)` in
+    * performNoRedirectRulesCheck — a rule listing "write" does not admit
+    * "WRITE". */
   def allowsOperation(r: Redirect,
       spark: org.apache.spark.sql.SparkSession, operation: String): Boolean = {
     val app = appName(spark)
     r.noRedirectRules
       .filter(_.appName.forall(_.equalsIgnoreCase(app)))
-      .exists(_.allowedOperations.exists(_.equalsIgnoreCase(operation)))
+      .exists(_.allowedOperations.contains(operation))
   }
 
   def propertyJson(state: String, dest: String,

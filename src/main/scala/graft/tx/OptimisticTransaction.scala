@@ -48,6 +48,14 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
     * sleeps. Production leaves it a no-op. */
   private[graft] var onCommitAttempt: Long => Unit = _ => ()
 
+  /** Set by [[graft.commands.ConvertFromDelta]] (initial import AND sync):
+    * this commit's file actions originate from the table's own Delta log,
+    * not from this engine's writer. Typed replacement for the former
+    * `operation.startsWith("CONVERT FROM DELTA")` string check — a renamed
+    * operation constant can no longer silently re-freeze converts, and no
+    * other caller can spoof the bypass by naming its operation CONVERT…. */
+  private[graft] var deltaFileImport: Boolean = false
+
   private var newMetadata: Option[Metadata] = None
   // (partitionFilters, dataFilters) per filterFiles call, physical names.
   private val readPredicates =
@@ -192,7 +200,7 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
     // physical format. Only the CONVERT import itself (and its SYNC,
     // whose files come from the Delta side) may commit file actions.
     // (Reference concept: DeltaGeoSpatial.failIfSchemaHasGeoColumn.)
-    if (!operation.startsWith("CONVERT FROM DELTA") &&
+    if (!deltaFileImport &&
         graft.schema.GeoSupport.hasGeoColumns(metadata.schema) &&
         actions.exists {
           case _: AddFile | _: RemoveFile | _: AddCdcFile => true
@@ -222,19 +230,24 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
     // migration exemption. In-progress states admit no exemption: the
     // transition itself is what the freeze protects (the reference throws
     // invalidCommitIntermediateRedirectState BEFORE consulting rules).
-    // CONVERT FROM DELTA (and its SYNC) is an import of the frozen
-    // source's own file listing — it changes no data, and the redirect it
-    // carries across re-applies to every commit after it (only a
-    // noRedirectRules-exempt application reaches a convert of a
+    // A deltaFileImport commit (CONVERT FROM DELTA / SYNC) may be the
+    // commit that INTRODUCES the redirect: the property rides in from the
+    // Delta side together with the imported file listing (only a
+    // noRedirectRules-exempt application reaches a convert of a READY
     // redirected source in the first place; see ConvertFromDelta
-    // redirectCheck). The skipCheck conf is the reference's internal
-    // operational escape hatch (DeltaSQLConf.SKIP_REDIRECT_FEATURE,
-    // honored only by the commit gate — routing still follows): a repair
-    // session may set it to commit at a frozen source.
-    if (!operation.startsWith("CONVERT FROM DELTA") &&
-        !log.spark.conf.getOption("spark.graft.redirect.skipCheck")
+    // redirectCheck). So an import is exempt from the NEW-metadata half
+    // of the gate — but NOT from the snapshot half: once the GRAFT
+    // table's own live metadata carries a redirect, a SYNC is a writer
+    // like any other (READY + allowsOperation required, in-progress
+    // always refused), or it would fork a frozen source whose readers are
+    // served by the destination. The skipCheck conf is the reference's
+    // internal operational escape hatch (DeltaSQLConf.SKIP_REDIRECT_
+    // FEATURE, honored only by the commit gate — routing still follows):
+    // a repair session may set it to commit at a frozen source.
+    if (!log.spark.conf.getOption("spark.graft.redirect.skipCheck")
           .contains("true"))
-    (TableRedirect.get(snapshot.metadata) orElse TableRedirect.get(metadata))
+    (TableRedirect.get(snapshot.metadata) orElse
+        (if (deltaFileImport) None else TableRedirect.get(metadata)))
       .foreach { r =>
       if (actions.exists {
             case _: AddFile | _: RemoveFile | _: AddCdcFile => true

@@ -1148,6 +1148,50 @@ class DeltaConvertSuite extends AnyFunSuite {
     assert(!t.snapshot.allFiles.exists(_.path == "m1.parquet"))
   }
 
+  test("sync is gated by the GRAFT table's own redirect state") {
+    // The Delta-side redirectCheck inspects only the window's metaNode; a
+    // redirect set on the GRAFT side must gate sync commits like any
+    // other writer (in-progress always refuses; READY requires a rule
+    // listing the sync operation) — otherwise a sync forks a frozen
+    // source whose readers are served by the destination.
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 10).toDF("id"), dir, "rg1.parquet")
+    writeLog(dir, 0, Seq(protoLine(), metaLine(schema),
+      addLine("rg1.parquet", s1)))
+    Graft.convertFromDelta(spark, dir)
+    val destG = tmpDir()
+    Graft.write(spark.range(0, 10).toDF("id"), destG)
+    // mid-transition: routing still serves the source, so ANY session
+    // reaches it — the freeze must refuse the sync's file actions
+    GraftTable.forPath(spark, dir).enableRedirect(destG)
+    val s2 = writeFile(spark.range(10, 15).toDF("id"), dir, "rg2.parquet")
+    writeLog(dir, 1, Seq(addLine("rg2.parquet", s2)))
+    val e1 = intercept[UnsupportedOperationException] {
+      Graft.syncFromDelta(spark, dir)
+    }
+    assert(e1.getMessage.contains("redirected"), e1.getMessage)
+    GraftTable.forPath(spark, dir).cancelRedirect()
+    // READY with an exemption that routes this app to the source but does
+    // NOT list the sync operation: routing reaches the source, the commit
+    // gate still refuses (case-sensitive op match, like the reference)
+    import graft.log.TableRedirect.NoRedirectRule
+    GraftTable.forPath(spark, dir).redirectTo(destG,
+      Seq(NoRedirectRule(Some("graft-test"), Set("DELETE"))))
+    val e2 = intercept[UnsupportedOperationException] {
+      Graft.syncFromDelta(spark, dir)
+    }
+    assert(e2.getMessage.contains("redirected"), e2.getMessage)
+    // a rule listing the exact operation admits the sync at the source
+    GraftTable.forPathNoRedirect(spark, dir).dropRedirect()
+    GraftTable.forPath(spark, dir).redirectTo(destG,
+      Seq(NoRedirectRule(Some("graft-test"),
+        Set("CONVERT FROM DELTA SYNC"))))
+    Graft.syncFromDelta(spark, dir)
+    assert(Graft.read(spark, dir).select($"id").as[Long].collect().sorted
+      .toSeq === (0L until 15L))
+  }
+
   test("CONVERT TO GRAFT ... SYNC via SQL") {
     val dir = tmpDir()
     val schema = new StructType().add("id", LongType)
