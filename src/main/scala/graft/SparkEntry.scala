@@ -620,6 +620,24 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // materializePartitionColumns writer feature: partition columns are
+    // physically written INTO the data parquet. The read back is RAW
+    // parquet with recursiveFileLookup (no hive partition inference, no
+    // graft log involved) — the partition column's values can only come
+    // from inside the files, so the row proves the materialized layout
+    // end to end.
+    "graft_materialize_partcols" -> ((s, dir) => {
+      val path = tmp("matpart")
+      Graft.write(t(s, dir, "lineitem"), path,
+        partitionBy = Seq("l_returnflag"),
+        configuration = Map(
+          "graft.enableMaterializePartitionColumnsFeature" -> "true"))
+      s.read.option("recursiveFileLookup", "true").parquet(path)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy("l_returnflag")
+    }),
+
     "graft_data_skipping" -> ((s, dir) => {
       val path = tmp("skip")
       val li = t(s, dir, "lineitem")
@@ -2420,6 +2438,11 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
          WHERE l_orderkey = (SELECT max(l_orderkey) FROM lineitem)
          ORDER BY l_linenumber""",
+
+    "graft_materialize_partcols" ->
+      """SELECT l_returnflag, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "graft_partition_inference" ->
       """SELECT event_type, count(*) AS n,

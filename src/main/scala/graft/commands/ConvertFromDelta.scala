@@ -1064,6 +1064,10 @@ object ConvertFromDeltaCommand {
       "delta.randomPrefixLength" -> "graft.randomPrefixLength",
       "delta.logRetentionDuration" -> "", // duration syntax differs; drop
       "delta.enableVariantShredding" -> "graft.enableVariantShredding",
+      "delta.enableMaterializePartitionColumnsFeature" ->
+        "graft.enableMaterializePartitionColumnsFeature",
+      "delta.writePartitionColumnsToParquet" ->
+        "graft.writePartitionColumnsToParquet",
       "delta.deletedFileRetentionDuration" -> "", // duration syntax differs; drop
       "delta.enableRowTracking" -> "", // watermarks do not carry over
       "delta.enableInCommitTimestamps" -> "", // fresh history, fresh clock

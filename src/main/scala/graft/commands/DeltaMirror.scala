@@ -281,7 +281,8 @@ object DeltaMirror {
     // redirect gates writers by design — legacy readers keep reading the
     // frozen source.
     val writerOnly =
-      Seq("domainMetadata", "rowTracking", "redirectWriterOnly").filter(feats)
+      Seq("domainMetadata", "rowTracking", "redirectWriterOnly",
+        "materializePartitionColumns").filter(feats)
     if (readerGating.nonEmpty || writerOnly.nonEmpty) {
       val readerVec = (readerGating ++
         (if (feats("columnMapping")) Seq("columnMapping") else Nil))
@@ -416,6 +417,10 @@ object DeltaMirror {
       "graft.randomizeFilePrefixes" -> "delta.randomizeFilePrefixes",
       "graft.randomPrefixLength" -> "delta.randomPrefixLength",
       "graft.enableRowTracking" -> "delta.enableRowTracking",
+      "graft.enableMaterializePartitionColumnsFeature" ->
+        "delta.enableMaterializePartitionColumnsFeature",
+      "graft.writePartitionColumnsToParquet" ->
+        "delta.writePartitionColumnsToParquet",
       // same JSON value shape both sides; a Delta reader of the mirror
       // honors the redirect exactly as a graft reader would. The Delta
       // implementation defines only the -preview spelling of the config

@@ -117,7 +117,8 @@ object TransactionalWrite {
       optimizeWrite: Option[Boolean] = None,
       statsColumns: FooterStats.StatsColumns = FooterStats.StatsColumns(),
       extraConfs: Map[String, String] = Map.empty,
-      randomPrefixLength: Option[Int] = None): Seq[AddFile] = {
+      randomPrefixLength: Option[Int] = None,
+      materializePartitionColumns: Boolean = false): Seq[AddFile] = {
     val resolver = spark.sessionState.analyzer.resolver
     val analyzed = data.queryExecution.analyzed
 
@@ -138,6 +139,32 @@ object TransactionalWrite {
       else if (optimizeWrite.contains(true)) rebalance(Nil)
       else analyzed
     }
+
+    // materializePartitionColumns: physically write the partition columns
+    // INTO the data parquet, appended after the data columns — the
+    // reference's layout (files/DeltaFileFormatWriter.scala:127-128
+    // `dataColumns ++ partitionColumns`) for external readers that
+    // consume the files without the log. FileFormatWriter drops the
+    // partition ATTRIBUTES from the data columns by exprId, so an alias
+    // copy of each partition column (same name, same metadata — parquet
+    // field ids under column mapping ride along) survives as a data
+    // column while the original keeps driving directory partitioning.
+    // Partition values still ride in AddFile.partitionValues; engine
+    // reads project only the data schema, so the extra physical column
+    // is never double-read.
+    val logicalFinal =
+      if (!materializePartitionColumns || partitionColumns.isEmpty) logical
+      else {
+        import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+        val copies = partitionColumns.map { name =>
+          val a = logical.output.find(x => resolver(x.name, name)).getOrElse(
+            throw new IllegalArgumentException(
+              s"Partition column $name not found in ${logical.output.map(_.name)}"))
+          Alias(a, a.name)(explicitMetadata = Some(a.metadata))
+        }
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          logical.output.map(a => a: NamedExpression) ++ copies, logical)
+      }
 
     // Per-plan conf scoping: the overrides go on a cached CLONED session
     // (shared context, forked SQLConf) that only writes plan and execute
@@ -193,9 +220,14 @@ object TransactionalWrite {
     val writeSession = TransactionalWrite.writeSession(spark,
       extraConfs ++ advisory.map(ADVISORY_CONF -> _))
 
-    val wdf = org.apache.spark.sql.graftshim.SparkShims.ofRows(writeSession, logical)
+    val wdf = org.apache.spark.sql.graftshim.SparkShims.ofRows(
+      writeSession, logicalFinal)
     val qe = wdf.queryExecution
     val output: Seq[Attribute] = qe.analyzed.output
+    // With materialized copies appended, two attributes share each
+    // partition name: `find` picks the FIRST — the original (the Project
+    // preserves order), whose exprId the alias copies do not share, so
+    // only the original is claimed as a partition column.
     val partAttrs = partitionColumns.map { name =>
       output.find(a => resolver(a.name, name)).getOrElse(
         throw new IllegalArgumentException(

@@ -77,6 +77,15 @@ object TableFeatures {
   // writer unaware of the redirect would fork it instead of landing at
   // the destination (reference TableFeature.scala:757).
   val redirectWriterOnly = Feature("redirectWriterOnly", 1, 7)
+  // Writer-gating: the feature's contract is that every data file written
+  // AFTER it is set physically carries the partition columns (for external
+  // readers that consume the raw parquet without the log); a writer
+  // unaware of it would elide them and silently break that layout promise.
+  // Reads never gate — partition values always ride in
+  // AddFile.partitionValues (reference TableFeature.scala:1155-1169:
+  // "Readers can read the data regardless").
+  val materializePartitionColumns =
+    Feature("materializePartitionColumns", 1, 7)
 
   val all: Seq[Feature] = Seq(appendOnly, invariants, checkConstraints,
     changeDataFeed, generatedColumns, columnMapping, identityColumns,
@@ -84,7 +93,7 @@ object TableFeatures {
     domainMetadata, clustering, timestampNtz, variantType, variantShredding,
     coordinatedCommits, collations, inCommitTimestamp, vacuumProtocolCheck,
     allowColumnDefaults, checkpointProtection, redirectReaderWriter,
-    redirectWriterOnly)
+    redirectWriterOnly, materializePartitionColumns)
   val byName: Map[String, Feature] = all.map(f => f.name -> f).toMap
 
   /** Every reader-gating feature this build understands. */
@@ -118,6 +127,12 @@ object TableFeatures {
       b += checkpointProtection
     if (conf.contains(TableRedirect.PROP)) b += redirectReaderWriter
     if (conf.contains(TableRedirect.PROP_WRITER_ONLY)) b += redirectWriterOnly
+    // Auto-enabled by its metadata property, the reference's
+    // FeatureAutomaticallyEnabledByMetadata contract
+    // (TableFeature.scala:1180-1188): setting the property on an existing
+    // table upgrades the protocol on the same commit.
+    if (on("graft.enableMaterializePartitionColumnsFeature"))
+      b += materializePartitionColumns
     if (conf.keys.exists(_.startsWith(graft.constraints.Constraints.PROP_PREFIX)))
       b += checkConstraints
     if (m.schemaString != null) {

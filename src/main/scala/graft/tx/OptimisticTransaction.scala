@@ -152,6 +152,22 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
       if (m.configuration.getOrElse("graft.randomizeFilePrefixes", "false").toBoolean)
         Some(m.configuration.getOrElse("graft.randomPrefixLength", "2").toInt)
       else None
+    // materializePartitionColumns: the property auto-enables the writer
+    // feature; an already-upgraded protocol enforces it even if the
+    // property was later unset without DROP FEATURE (reference
+    // TransactionalWrite.scala:479 keys off isFeatureSupported). The
+    // standalone writePartitionColumnsToParquet property is the
+    // feature-less per-table knob; unlike the reference's current
+    // default-true (DeltaConfig.scala:1036-1043), graft defaults to the
+    // elided layout its tables have always had — materialization is
+    // opt-in per table.
+    val materializePartCols =
+      m.configuration.getOrElse(
+        "graft.enableMaterializePartitionColumnsFeature", "false").toBoolean ||
+      snapshot.protocol.writerFeatureNames.contains(
+        TableFeatures.materializePartitionColumns.name) ||
+      m.configuration.getOrElse(
+        "graft.writePartitionColumnsToParquet", "false").toBoolean
     val adds = TransactionalWrite.writeFiles(
       log.spark, log.dataPath, physical,
       graft.schema.ColumnMapping.physicalPartitionColumns(m),
@@ -160,7 +176,8 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
         .get("graft.optimizeWrite").map(_.toBoolean),
       statsColumns = graft.files.GraftFileIndex.statsColumns(m),
       extraConfs = layoutConfs,
-      randomPrefixLength = randomPrefix)
+      randomPrefixLength = randomPrefix,
+      materializePartitionColumns = materializePartCols)
     if (dataChange) adds else adds.map(_.copy(dataChange = false))
   }
 

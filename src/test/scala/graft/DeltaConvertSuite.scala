@@ -554,6 +554,35 @@ class DeltaConvertSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).count() === 10)
   }
 
+  test("materializePartitionColumns source converts; writes keep the layout") {
+    // Writer-only feature (reference TableFeature.scala:1155-1169):
+    // readers never gate, so convert accepts it; the translated property
+    // re-arms the feature on the graft side, and every graft write after
+    // the convert keeps the materialized layout the source promised.
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType).add("k", StringType)
+    // the source honored the feature: partition column physically present
+    val s1 = writeFile(spark.range(0, 8).select($"id", lit("a").as("k")),
+      dir, "k=a/mp.parquet")
+    writeLog(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["materializePartitionColumns"]}}""",
+      metaLine(schema, partCols = Seq("k"),
+        conf = Map("delta.enableMaterializePartitionColumnsFeature" -> "true")),
+      addLine("k=a/mp.parquet", s1, pv = """{"k":"a"}""")))
+    val t = Graft.convertFromDelta(spark, dir)
+    assert(t.snapshot.protocol.writerFeatureNames
+      .contains("materializePartitionColumns"))
+    assert(t.snapshot.metadata.configuration.get(
+      "graft.enableMaterializePartitionColumnsFeature").contains("true"))
+    assert(Graft.read(spark, dir).count() === 8)
+    // a post-convert graft write keeps materializing
+    Graft.write(spark.range(8, 12).select($"id", lit("b").as("k")), dir)
+    val newFile = GraftTable.forPath(spark, dir).snapshot.allFiles
+      .find(_.partitionValues.get("k").contains("b")).get
+    assert(spark.read.parquet(dir + "/" + newFile.path).columns.contains("k"))
+  }
+
   /** A redirect property value, escaped for embedding in metaLine's
     * configuration map (the property value is itself JSON text). */
   private def redirectProp(dest: String, state: String,

@@ -336,6 +336,28 @@ class DeltaMirrorSuite extends AnyFunSuite {
       "mirror leaked the graft-spelled property key")
   }
 
+  test("materializePartitionColumns exports: feature, property and layout") {
+    val dir = tmpDir()
+    Graft.write(spark.range(0, 10)
+      .select($"id", ($"id" % 2).cast("string").as("k")), dir,
+      partitionBy = Seq("k"),
+      configuration = Map(
+        graft.commands.DeltaMirror.PROP -> "delta",
+        "graft.enableMaterializePartitionColumnsFeature" -> "true"))
+    val mirror0 = JFiles.readString(
+      Paths.get(dir, "_delta_log", f"${0L}%020d.json"))
+    assert(mirror0.contains("\"materializePartitionColumns\""), mirror0)
+    assert(mirror0.contains("delta.enableMaterializePartitionColumnsFeature"),
+      mirror0)
+    assert(!mirror0.contains("graft.enableMaterializePartitionColumnsFeature"),
+      "mirror leaked the graft-spelled property key")
+    // the mirrored files themselves carry the promised layout: a Delta
+    // reader of the mirror that trusts the feature finds the partition
+    // column physically present
+    val f = GraftTable.forPath(spark, dir).snapshot.allFiles.head
+    assert(spark.read.parquet(dir + "/" + f.path).columns.contains("k"))
+  }
+
   test("constraints and appendOnly survive the round trip") {
     val dir = tmpDir()
     Graft.write(spark.range(1, 10).toDF("id"), dir,

@@ -607,6 +607,58 @@ class FeatureSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir3).count() === 3)
   }
 
+  test("materializePartitionColumns writes partition columns into the data parquet") {
+    // Default layout: partition columns are elided from the data files
+    // (they ride in AddFile.partitionValues and the directory names).
+    val plain = tmpDir()
+    val df = spark.range(20).select(col("id"),
+      (col("id") % 3).cast("string").as("k"))
+    Graft.write(df, plain, partitionBy = Seq("k"))
+    val plainFiles = GraftTable.forPath(spark, plain).snapshot.allFiles
+    assert(!spark.read.parquet(plain + "/" + plainFiles.head.path)
+      .columns.contains("k"))
+
+    // Feature on: every data file physically carries the partition
+    // column, appended after the data columns (the reference layout),
+    // and its single value matches the file's logged partitionValues.
+    val dir = tmpDir()
+    Graft.write(df, dir, partitionBy = Seq("k"), configuration = Map(
+      "graft.enableMaterializePartitionColumnsFeature" -> "true"))
+    val t = GraftTable.forPath(spark, dir)
+    assert(t.snapshot.protocol.writerFeatureNames
+      .contains("materializePartitionColumns"))
+    assert(t.snapshot.protocol.minReaderVersion === 1) // writer-only
+    for (f <- t.snapshot.allFiles) {
+      val raw = spark.read.parquet(dir + "/" + f.path)
+      assert(raw.columns.toSeq === Seq("id", "k"))
+      val vals = raw.select("k").distinct().as[String](org.apache.spark.sql.Encoders.STRING).collect()
+      assert(vals.toSeq === Seq(f.partitionValues("k")))
+    }
+    // engine reads are unaffected (values come from the log, not the
+    // physical copy) and a DML rewrite keeps materializing
+    assert(Graft.read(spark, dir).groupBy("k").count().count() === 3)
+    spark.sql(s"DELETE FROM graft.`$dir` WHERE id % 2 = 0")
+    val t2 = GraftTable.forPath(spark, dir)
+    for (f <- t2.snapshot.allFiles) {
+      val raw = spark.read.parquet(dir + "/" + f.path)
+      assert(raw.columns.contains("k"))
+      assert(raw.select("k").distinct().as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq ===
+        Seq(f.partitionValues("k")))
+    }
+    assert(Graft.read(spark, dir).select("id").as[Long](org.apache.spark.sql.Encoders.scalaLong).collect().sorted
+      .toSeq === (0L until 20L).filter(_ % 2 == 1))
+
+    // The standalone per-table knob materializes without the feature
+    val dir2 = tmpDir()
+    Graft.write(df, dir2, partitionBy = Seq("k"), configuration = Map(
+      "graft.writePartitionColumnsToParquet" -> "true"))
+    val t3 = GraftTable.forPath(spark, dir2)
+    assert(!t3.snapshot.protocol.writerFeatureNames
+      .contains("materializePartitionColumns"))
+    assert(spark.read.parquet(dir2 + "/" + t3.snapshot.allFiles.head.path)
+      .columns.contains("k"))
+  }
+
   test("vacuumProtocolCheck runs the full writer gate before deleting") {
     val dir = tmpDir()
     Graft.write(spark.range(10).toDF("id"), dir)
