@@ -522,6 +522,25 @@ object ConvertFromDeltaCommand {
     // before matching, or real Delta 4.x tables written during a feature's
     // preview window would refuse to convert forever.
     val stripped = rf.map(_.stripSuffix("-preview")).toSet
+    // catalogManaged (CCv2, reference TableFeature.scala:1285-1305) gets
+    // a NAMED refusal ahead of the generic unknown-feature one: the
+    // managing catalog may hold the table's newest commits with only the
+    // backfilled prefix in `_delta_log`, so folding the filesystem log
+    // alone could register a STALE snapshot as graft commit 0 — a
+    // correctness trap, not merely an unsupported layout. The writer
+    // vector is checked too: the feature is reader-writer in the
+    // reference, but refuse even a nonconforming log that lists it only
+    // as a writer feature.
+    val wf = Option(protoNode.get("writerFeatures")).toSeq
+      .flatMap(n => (0 until n.size()).map(n.get(_).asText()))
+      .map(_.stripSuffix("-preview")).toSet
+    require(!stripped.contains("catalogManaged") &&
+        !wf.contains("catalogManaged"),
+      s"Delta table at $path is catalogManaged (CCv2): its newest " +
+        "commits may live in the managing catalog, not the filesystem " +
+        "log, so converting from the log alone could register a stale " +
+        "snapshot. Have the catalog backfill and release the table " +
+        "(drop catalog ownership) before converting")
     // (Table redirect is handled by [[redirectCheck]] from the live
     // PROPERTY, not the feature marker — a table whose redirect was
     // dropped keeps the feature but converts normally. Geospatial

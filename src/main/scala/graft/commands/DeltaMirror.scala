@@ -280,6 +280,13 @@ object DeltaMirror {
     // rides with it (the watermark domain lives there). The writer-only
     // redirect gates writers by design — legacy readers keep reading the
     // frozen source.
+    // catalogManaged (CCv2) NEVER exports — deliberately absent from both
+    // lists: the mirror is a passive filesystem copy, complete because
+    // graft's backfill is synchronous, so it publishes as a PLAIN Delta
+    // table. Claiming the feature would order Delta readers to consult a
+    // managing catalog that does not exist for the mirror (and its
+    // required inCommitTimestamp/vacuumProtocolCheck companions stay
+    // mirror-internal for the same reason).
     val writerOnly =
       Seq("domainMetadata", "rowTracking", "redirectWriterOnly",
         "materializePartitionColumns").filter(feats)

@@ -273,9 +273,12 @@ class GraftLog private (
     // Coordinated commits: when the table names a coordinator, commit
     // arbitration goes through it instead of the store's put-if-absent
     // (the metadata may arrive IN this commit, so check both places).
+    // catalogManaged (CCv2) and the older coordinatedCommits share the
+    // arbitration seam; the CCv2 property wins when both appear.
     val coordinatorName = actions.collectFirst { case m: Metadata => m }
       .orElse(Option(currentSnapshot).filter(_.version >= 0).map(_.metadata))
-      .flatMap(_.configuration.get("graft.coordinatedCommits.coordinator"))
+      .flatMap(m => m.configuration.get("graft.catalogManaged.coordinator")
+        .orElse(m.configuration.get("graft.coordinatedCommits.coordinator")))
     coordinatorName match {
       case Some(name) =>
         val coordinator = graft.tx.CommitCoordinators.get(name).getOrElse(

@@ -42,6 +42,19 @@ object TableFeatures {
   // the published log; a writer without the coordinator must be locked
   // out or it would bypass the table's commit arbitration.
   val coordinatedCommits = Feature("coordinatedCommits", 1, 7)
+  // CCv2 (reference TableFeature.scala:1285-1305 CatalogOwnedTableFeature):
+  // the managing CATALOG owns commit arbitration, and in the reference's
+  // contract the newest commits may live only in the catalog — so the
+  // feature is READER-WRITER (a reader folding the filesystem log alone
+  // could serve a stale snapshot), unlike the older writer-only
+  // coordinatedCommits. Graft maps it onto the same CommitCoordinator
+  // seam with synchronous backfill; the reader gate still stands so
+  // graft tables interchange with clients that honor the stricter
+  // contract. Required features per the reference: inCommitTimestamp +
+  // vacuumProtocolCheck (added alongside in activeFeatures). No
+  // downgrade path (the reference throws on preDowngrade), which
+  // dropFeature's undroppable default already enforces.
+  val catalogManaged = Feature("catalogManaged", 3, 7)
   // Writer-gating: a writer unaware of collations would strip the
   // __COLLATIONS schema metadata on its next metadata commit and
   // silently change the table's comparison semantics. Reads are safe —
@@ -93,7 +106,7 @@ object TableFeatures {
     domainMetadata, clustering, timestampNtz, variantType, variantShredding,
     coordinatedCommits, collations, inCommitTimestamp, vacuumProtocolCheck,
     allowColumnDefaults, checkpointProtection, redirectReaderWriter,
-    redirectWriterOnly, materializePartitionColumns)
+    redirectWriterOnly, materializePartitionColumns, catalogManaged)
   val byName: Map[String, Feature] = all.map(f => f.name -> f).toMap
 
   /** Every reader-gating feature this build understands. */
@@ -122,6 +135,12 @@ object TableFeatures {
     if (conf.get("graft.checkpointPolicy").contains("v2")) b += v2Checkpoint
     if (conf.contains("graft.coordinatedCommits.coordinator"))
       b += coordinatedCommits
+    if (conf.contains("graft.catalogManaged.coordinator")) {
+      // requiredFeatures ride along (reference CatalogOwnedTableFeature
+      // .requiredFeatures): the protocol must carry them even if their
+      // own metadata triggers are off.
+      b += catalogManaged; b += inCommitTimestamp; b += vacuumProtocolCheck
+    }
     if (on("graft.enableInCommitTimestamps")) b += inCommitTimestamp
     if (conf.contains("graft.requireCheckpointProtectionBeforeVersion"))
       b += checkpointProtection

@@ -82,7 +82,19 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
           "invalid in parquet field names (' ,;{}()\\n\\t='); enable " +
           "column mapping (graft.columnMapping.mode = name) to use them")
     }
-    newMetadata = Some(m)
+    // catalogManaged (CCv2) requires live in-commit timestamps, not just
+    // the protocol feature (the reference auto-sets
+    // delta.enableInCommitTimestamps when catalog ownership is enabled):
+    // the catalog orders commits by its own clock, and file mtimes would
+    // fork time travel from that ordering. Single funnel — every
+    // schema/config-bearing commit passes through here.
+    val withIct =
+      if (m.configuration.contains("graft.catalogManaged.coordinator") &&
+          !m.configuration.contains("graft.enableInCommitTimestamps"))
+        m.copy(configuration =
+          m.configuration + ("graft.enableInCommitTimestamps" -> "true"))
+      else m
+    newMetadata = Some(withIct)
   }
 
   def readWholeTable(): Unit = readWholeTableFlag = true

@@ -54,6 +54,59 @@ class CoordinatedCommitSuite extends AnyFunSuite {
       TableFeatures.supportedReaderFeatures))
   }
 
+  test("catalogManaged (CCv2): protocol alignment, routing, no downgrade") {
+    // counting wrapper proves commits arbitrate through the catalog seam
+    val count = new java.util.concurrent.atomic.AtomicInteger()
+    CommitCoordinators.register("cat-counting", new CommitCoordinator {
+      override def commit(log: GraftLog, version: Long, content: String): Unit = {
+        count.incrementAndGet()
+        graft.tx.InProcessCoordinator.commit(log, version, content)
+      }
+    })
+    val dir = tmp()
+    Graft.write(spark.range(10).toDF("id"), dir,
+      configuration = Map("graft.catalogManaged.coordinator" -> "cat-counting"))
+    val t = GraftTable.forPath(spark, dir)
+    val proto = t.snapshot.protocol
+    // reader-writer feature + the reference's requiredFeatures
+    // (CatalogOwnedTableFeature: inCommitTimestamp + vacuumProtocolCheck)
+    assert(proto.minReaderVersion === 3)
+    assert(proto.readerFeatureNames.contains("catalogManaged"))
+    assert(proto.writerFeatureNames.contains("catalogManaged"))
+    assert(proto.writerFeatureNames.contains("inCommitTimestamp"))
+    assert(proto.readerFeatureNames.contains("vacuumProtocolCheck"))
+    // live ICT semantics auto-enable with catalog ownership
+    assert(t.snapshot.metadata.configuration
+      .get("graft.enableInCommitTimestamps").contains("true"))
+    // commits route through the coordinator; a plain cold read of the
+    // synchronously-backfilled log still serves the table
+    t.delete(org.apache.spark.sql.functions.col("id") < 3)
+    assert(count.get() === 2, "create + delete must both arbitrate")
+    GraftLog.clearCache()
+    assert(Graft.read(spark, dir).count() === 7)
+    // a reader that lacks the feature is locked out by the protocol gate
+    assert(!TableFeatures.readable(proto, 3,
+      TableFeatures.supportedReaderFeatures - "catalogManaged"))
+    // no downgrade path (reference preDowngrade throws)
+    intercept[IllegalArgumentException] {
+      GraftTable.forPath(spark, dir).dropFeature("catalogManaged")
+    }
+    // the mirror never exports catalog ownership: enable the mirror and
+    // the exported protocol/metadata must not name the feature or leak
+    // the coordinator property
+    GraftTable.forPath(spark, dir).upsertProperties(Map(
+      graft.commands.DeltaMirror.PROP -> "delta"))
+    Graft.write(spark.range(10, 12).toDF("id"), dir)
+    val logDir = java.nio.file.Paths.get(dir, "_delta_log")
+    val mirrored = java.nio.file.Files.list(logDir).toArray.map(_.toString)
+      .filter(_.endsWith(".json")).sorted.map(p =>
+        java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
+      .mkString("\n")
+    assert(!mirrored.contains("catalogManaged"), "mirror leaked CCv2 feature")
+    assert(!mirrored.contains("graft.catalogManaged.coordinator"),
+      "mirror leaked the coordinator property")
+  }
+
   test("unregistered coordinator fails the write loudly") {
     val dir = tmp()
     val e = intercept[Exception] {

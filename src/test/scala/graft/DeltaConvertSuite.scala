@@ -554,6 +554,26 @@ class DeltaConvertSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).count() === 10)
   }
 
+  test("catalogManaged (CCv2) source refuses conversion BY NAME") {
+    // The managing catalog may hold the newest commits with only a
+    // backfilled prefix in _delta_log — folding the log alone could
+    // register a stale snapshot, so the refusal names the feature and
+    // the remedy instead of the generic unknown-feature message.
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType)
+    val s1 = writeFile(spark.range(0, 5).toDF("id"), dir, "cm.parquet")
+    writeLog(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["catalogManaged","inCommitTimestamp","vacuumProtocolCheck"],""" +
+        """"writerFeatures":["catalogManaged","inCommitTimestamp","vacuumProtocolCheck"]}}""",
+      metaLine(schema), addLine("cm.parquet", s1)))
+    val e = intercept[IllegalArgumentException] {
+      Graft.convertFromDelta(spark, dir)
+    }
+    assert(e.getMessage.contains("catalogManaged"), e.getMessage)
+    assert(e.getMessage.contains("stale"), e.getMessage)
+  }
+
   test("materializePartitionColumns source converts; writes keep the layout") {
     // Writer-only feature (reference TableFeature.scala:1155-1169):
     // readers never gate, so convert accepts it; the translated property
