@@ -44,7 +44,10 @@ def main():
                 "sf0.1 (join-preserving key shifts, per-replica doc/vector "
                 "perturbation); graft.Bench headline subset (45 queries "
                 "incl. all 8 TPC-DS shapes), local[32], min-of-two passes, "
-                "per-family ambience controls, same host back-to-back")
+                "per-family ambience controls, same host back-to-back; rungs may be "
+                "per-family fresh-JVM merges (see each rung's rung_protocol, "
+                "tools/merge_rung.py) so late-pass cache state cannot inflate "
+                "write families")
     r01, r1 = runs[0], runs[1]
     two = {
         "protocol": protocol,
