@@ -657,6 +657,23 @@ class FeatureSuite extends AnyFunSuite {
       .contains("materializePartitionColumns"))
     assert(spark.read.parquet(dir2 + "/" + t3.snapshot.allFiles.head.path)
       .columns.contains("k"))
+
+    // Late enablement on an EXISTING table upgrades the protocol in the
+    // same commit (reference automaticallyUpdateProtocolOfExistingTables)
+    // and the next write honors the new layout; files written before the
+    // switch stay elided — the feature promises only files written AFTER.
+    val t4 = GraftTable.forPath(spark, plain)
+    t4.upsertProperties(Map(
+      "graft.enableMaterializePartitionColumnsFeature" -> "true"))
+    assert(t4.log.update().protocol.writerFeatureNames
+      .contains("materializePartitionColumns"))
+    Graft.write(spark.range(20, 25).select(col("id"),
+      (col("id") % 3).cast("string").as("k")), plain)
+    val late = GraftTable.forPath(spark, plain).snapshot.allFiles
+      .filter(f => !plainFiles.map(_.path).contains(f.path))
+    assert(late.nonEmpty)
+    for (f <- late)
+      assert(spark.read.parquet(plain + "/" + f.path).columns.contains("k"))
   }
 
   test("vacuumProtocolCheck runs the full writer gate before deleting") {
