@@ -676,6 +676,45 @@ class FeatureSuite extends AnyFunSuite {
       assert(spark.read.parquet(plain + "/" + f.path).columns.contains("k"))
   }
 
+  test("materializePartitionColumns composes with column mapping and renames") {
+    import org.apache.spark.sql.Encoders
+    val dir = tmpDir()
+    val df = spark.range(12).select(col("id"),
+      (col("id") % 2).cast("string").as("k"))
+    Graft.write(df, dir, partitionBy = Seq("k"), configuration = Map(
+      "graft.columnMapping.mode" -> "name",
+      "graft.enableMaterializePartitionColumnsFeature" -> "true"))
+    val t = GraftTable.forPath(spark, dir)
+    // the physical copy is written under the PHYSICAL name, so a rename
+    // of the partition column stays metadata-only and old files keep
+    // reading (the whole point of column mapping)
+    val physK = graft.schema.ColumnMapping.physicalName(
+      t.snapshot.metadata.schema("k"))
+    for (f <- t.snapshot.allFiles) {
+      val raw = spark.read.parquet(dir + "/" + f.path)
+      assert(raw.columns.contains(physK), (f.path, raw.columns.toSeq))
+      assert(raw.select(physK).distinct().count() === 1)
+    }
+    t.renameColumn("k", "bucket")
+    // engine read resolves the renamed partition column from the log
+    assert(Graft.read(spark, dir).groupBy("bucket").count().count() === 2)
+    // post-rename writes keep materializing under the SAME physical name
+    Graft.write(spark.range(12, 18).select(col("id"),
+      (col("id") % 2).cast("string").as("bucket")), dir)
+    val t2 = GraftTable.forPath(spark, dir)
+    for (f <- t2.snapshot.allFiles) {
+      val raw = spark.read.parquet(dir + "/" + f.path)
+      assert(raw.columns.contains(physK), (f.path, raw.columns.toSeq))
+    }
+    // DML under the mapped+materialized layout
+    t2.delete(col("bucket") === "0")
+    assert(Graft.read(spark, dir).select("id")
+      .as[Long](Encoders.scalaLong).collect().sorted.toSeq ===
+      (0L until 18L).filter(_ % 2 == 1))
+    for (f <- GraftTable.forPath(spark, dir).snapshot.allFiles)
+      assert(spark.read.parquet(dir + "/" + f.path).columns.contains(physK))
+  }
+
   test("vacuumProtocolCheck runs the full writer gate before deleting") {
     val dir = tmpDir()
     Graft.write(spark.range(10).toDF("id"), dir)
