@@ -7,6 +7,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Production-sane broadcast threshold (Spark's 10 MB default is
+      // famously conservative): a <=64 MB dimension relation broadcast
+      // to N executors costs N x 64 MB of network, while the shuffled
+      // alternative reshuffles the JOINED FACT — at sf10 the 16 MB
+      // replicated dims sat just past 10 MB and a single released hint
+      // turned q_ds_yoy into three fact-sized exchanges (218 s vs 43 s).
+      // Past 64 MB the dim genuinely does not fit, and threshold-driven
+      // planning (not hard-coded broadcast hints) flips to shuffled
+      // joins — the behavior a 100 TB cluster needs.
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        (64L << 20).toString)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")

@@ -91,8 +91,11 @@ object SparkEntry {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem")
-      // dimension side broadcast; fact-side join keys shuffle-pruned
-      broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+      // customer is SF-scaled: no forced broadcast — under the size
+      // threshold it broadcasts anyway, and past it (sf10, 100 TB) the
+      // planner/AQE picks a shuffled join instead of a driver-built
+      // multi-hundred-MB broadcast relation
+      c.join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderkey")
         .agg(revSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
@@ -390,10 +393,15 @@ object SparkEntry {
 
     "q_ds_snowflake" -> ((s, dir) => {
       // q7/q25 shape: one fact join (lineitem x orders on orderkey),
-      // five broadcast dimension hops across two snowflake arms
+      // five dimension hops across two snowflake arms
       // (customer->nation->region, part, supplier) with selective
-      // dimension filters. At cluster scale the only shuffle is the
-      // fact-fact orderkey join; every dim is broadcast.
+      // dimension filters. Only the BOUNDED dims (nation = 25 rows,
+      // region = 5 at every SF) carry a broadcast hint; the SF-scaled
+      // dims (customer, part, supplier) broadcast while they fit the
+      // size threshold and flip to shuffled joins past it — at 100 TB a
+      // forced broadcast of a row-scaled dim is a driver OOM, and the
+      // superlinear sf10 rung (13.6x/decade) was exactly the forced
+      // build of ~150 MB broadcast relations.
       val l = t(s, dir, "lineitem")
       val o = t(s, dir, "orders")
         .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
@@ -403,11 +411,11 @@ object SparkEntry {
       val p = t(s, dir, "part").filter(col("p_size") <= 20)
       val su = t(s, dir, "supplier")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
         .groupBy("n_name", "p_brand")
         .agg(count(lit(1)).as("n"),
           dsum(col("l_quantity")).as("qty"),
@@ -423,7 +431,7 @@ object SparkEntry {
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
       l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .rollup(col("n_name"), col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
@@ -471,7 +479,7 @@ object SparkEntry {
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
       val yearRev = l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), year(col("o_orderdate")).as("yr"))
         .agg(revSum(col("l_extendedprice"), col("l_discount")).as("rev"))
@@ -492,7 +500,7 @@ object SparkEntry {
       // per-part aggregate, deterministic partkey tie-break.
       val l = t(s, dir, "lineitem")
       val p = t(s, dir, "part")
-      val perPart = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      val perPart = l.join(p, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand", "p_partkey")
         .agg(revSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
       val w = org.apache.spark.sql.expressions.Window
@@ -522,7 +530,7 @@ object SparkEntry {
           col("t_sum") * 21)
         .select("p_partkey", "p_brand", "p_type")
       val l = t(s, dir, "lineitem")
-      l.join(broadcast(expensive), col("l_partkey") === col("p_partkey"))
+      l.join(expensive, col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n"),
           revSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
