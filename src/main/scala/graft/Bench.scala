@@ -146,9 +146,19 @@ object Bench {
       .orElse(if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) Some(0.37)
               else None)
     val controlPreMed = median(controlPre)
-    val ambient = idleControlS.exists(idle =>
-      controlPreMed > 1.5 * idle || controlPreMed < 0)
-    if (ambient) System.err.println(
+    // A failed pre-flight control (median poisons to -1 on any failed
+    // sample) is a BROKEN control, not ambience — misattributing it to
+    // host load steers the runner to re-run later instead of
+    // investigating the failure. Keep the two states distinct: ambient
+    // is reserved for a control that RAN and exceeded the idle band.
+    val controlBroken = controlPreMed < 0
+    val ambient = !controlBroken &&
+      idleControlS.exists(idle => controlPreMed > 1.5 * idle)
+    if (controlBroken) System.err.println(
+      "*** BROKEN CONTROL: the pre-flight scan control itself failed " +
+        s"(control_preflight_s=-1) — investigate the failure; this is NOT " +
+        "host ambience ***")
+    else if (ambient) System.err.println(
       s"*** AMBIENT WARNING: scan control pre-flight ${controlPreMed}s vs " +
         s"idle median ${idleControlS.get}s (> 1.5x) — this run is host-" +
         "load-contaminated; re-run on an in-band host before committing ***")
@@ -270,7 +280,8 @@ object Bench {
     // artifact additionally carries the per-family wall-time totals.
     val controlsLean =
       s""""control_s":${fmt(control)},"value_norm":${fmt(norm)},""" +
-      s""""ambient":$ambient,"control_preflight_s":${fmt(controlPreMed)},""" +
+      s""""ambient":$ambient,"control_broken":$controlBroken,""" +
+      s""""control_preflight_s":${fmt(controlPreMed)},""" +
       s""""shuffle_control_s":${fmt(shuffleControl)},""" +
       s""""write_control_s":${fmt(writeControl)},""" +
       s""""stream_control_s":${fmt(streamControl)},"stream_norm":${fmt(streamNorm)},""" +

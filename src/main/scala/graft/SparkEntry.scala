@@ -986,6 +986,60 @@ object SparkEntry {
         .orderBy("s_suppkey")
     }),
 
+    "graft_describe_history" -> ((s, dir) => {
+      // DESCRIBE HISTORY surface: a deterministic 3-operation fixture
+      // (WRITE, DELETE, OPTIMIZE) pinned against a literal oracle on the
+      // stable provenance columns (timestamps/metrics are wall-clock).
+      val path = tmp("hist")
+      Graft.write(t(s, dir, "part").repartition(4), path)
+      GraftTable.forPath(s, path).delete(col("p_size") > 40)
+      GraftTable.forPath(s, path).optimize().executeCompaction()
+      GraftTable.forPath(s, path).history()
+        .select(col("version"), col("operation"), col("readVersion"))
+        .orderBy("version")
+    }),
+
+    "graft_describe_detail" -> ((s, dir) => {
+      // DESCRIBE DETAIL surface: the deterministic summary columns of a
+      // partitioned table (one file per partition via repartition(1)).
+      val path = tmp("detail")
+      Graft.write(t(s, dir, "nation").repartition(1), path,
+        partitionBy = Seq("n_regionkey"))
+      GraftTable.forPath(s, path).detail()
+        .select(col("format"), col("version"),
+          col("numFiles").as("num_files"),
+          concat_ws(",", col("partitionColumns")).as("partition_cols"))
+    }),
+
+    "graft_generate_manifests" -> ((s, dir) => {
+      // GENERATE symlink_format_manifest: the manifest line set of each
+      // partition must equal the log's live-file list for that partition
+      // (resolved to canonical paths), with one line per file.
+      import s.implicits._
+      val path = tmp("manif")
+      Graft.write(t(s, dir, "nation").repartition(1), path,
+        partitionBy = Seq("n_regionkey"))
+      GraftTable.forPath(s, path).generateSymlinkManifest()
+      val logFiles: Map[String, Set[String]] =
+        GraftTable.forPath(s, path).snapshot.allFiles
+          .groupBy(_.partitionValues("n_regionkey"))
+          .map { case (k, fs) => k -> fs.map(f =>
+            new java.io.File(path, f.path).getCanonicalPath).toSet }
+      val base = new java.io.File(path, "_symlink_format_manifest")
+      val rows = base.listFiles().filter(_.isDirectory).toSeq.map { d =>
+        val part = d.getName.stripPrefix("n_regionkey=")
+        val lines = d.listFiles().toSeq.flatMap { f =>
+          val src = scala.io.Source.fromFile(f)
+          try src.getLines().toList finally src.close()
+        }
+        val canon = lines.map(u =>
+          new java.io.File(new java.net.URI(u)).getCanonicalPath).toSet
+        (part.toLong, lines.size.toLong,
+          canon == logFiles.getOrElse(part, Set.empty[String]))
+      }
+      rows.toDF("part", "n_files", "matches_log").orderBy("part")
+    }),
+
     "graft_optimize_compact" -> ((s, dir) => {
       val path = tmp("opt")
       val li = t(s, dir, "lineitem")
@@ -2634,6 +2688,24 @@ object SparkEntry {
 
     "graft_restore" ->
       """SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey""",
+
+    "graft_describe_history" ->
+      """SELECT * FROM (VALUES
+           (CAST(0 AS BIGINT), 'WRITE',    CAST(NULL AS BIGINT)),
+           (CAST(1 AS BIGINT), 'DELETE',   CAST(0 AS BIGINT)),
+           (CAST(2 AS BIGINT), 'OPTIMIZE', CAST(1 AS BIGINT))
+         ) AS h(version, operation, readVersion) ORDER BY version""",
+
+    "graft_describe_detail" ->
+      """SELECT 'graft' AS format, CAST(0 AS BIGINT) AS version,
+           (SELECT CAST(count(DISTINCT n_regionkey) AS BIGINT) FROM nation)
+             AS num_files,
+           'n_regionkey' AS partition_cols""",
+
+    "graft_generate_manifests" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS part,
+           CAST(1 AS BIGINT) AS n_files, true AS matches_log
+         FROM (SELECT DISTINCT n_regionkey FROM nation) ORDER BY part""",
 
     "graft_optimize_compact" ->
       """SELECT l_linenumber, count(*) AS n,

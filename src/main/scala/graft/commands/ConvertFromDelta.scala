@@ -655,10 +655,26 @@ object ConvertFromDeltaCommand {
       import scala.jdk.CollectionConverters._
       n.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
+    // materializePartitionColumns enforcement follows the PROTOCOL feature,
+    // not the property: the reference keeps materializing once the feature
+    // is supported even if the enabling property was later unset without
+    // DROP FEATURE (reference TransactionalWrite.scala:479
+    // isFeatureSupported). Carrying only the translated property would let
+    // post-convert writes silently elide partition columns and break the
+    // raw-parquet layout promise, so the source's writerFeatures force the
+    // graft property (which auto-enables the graft feature on first commit).
+    val sourceMaterializes = protoNode != null &&
+      Option(protoNode.get("writerFeatures")).toSeq
+        .flatMap(n => (0 until n.size()).map(n.get(_).asText()))
+        .contains("materializePartitionColumns")
+    val featureForced =
+      if (sourceMaterializes)
+        Map("graft.enableMaterializePartitionColumnsFeature" -> "true")
+      else Map.empty[String, String]
     Metadata(
       schemaString = translateSchema(schema, genOk, idOk).json,
       partitionColumns = partitionCols,
-      configuration = translateConfig(deltaConf),
+      configuration = translateConfig(deltaConf) ++ featureForced,
       createdTime = Some(System.currentTimeMillis()))
   }
 

@@ -52,6 +52,26 @@ class GraftLog private (
     * not O(log history) — the shape object stores need; only a gap in
     * the tail (log cleanup raced us) falls back to the full listing. */
   def update(): Snapshot = synchronized {
+    val snap = refreshFromStore()
+    // Coordinated tables: give a ledger-backed coordinator the chance to
+    // republish commits whose writer died between arbitration and the
+    // synchronous backfill (reference concept: reader-side getCommits on
+    // every refresh). If it healed anything, re-list so the refresh folds
+    // the republished tail instead of serving the stale FS log. A
+    // coordinator named but not registered in this client stays readable
+    // (backfill is synchronous; the FS log is authoritative up to the
+    // crash window) — only WRITES require the coordinator.
+    val healed = Option(snap).filter(_.version >= 0)
+      .flatMap(s => s.metadata.configuration
+        .get("graft.catalogManaged.coordinator")
+        .orElse(s.metadata.configuration
+          .get("graft.coordinatedCommits.coordinator")))
+      .flatMap(graft.tx.CommitCoordinators.get)
+      .exists(_.ensureBackfilled(this))
+    if (healed) refreshFromStore() else snap
+  }
+
+  private def refreshFromStore(): Snapshot = {
     val cached = currentSnapshot
     if (cached != null && cached.version >= 0) {
       val anchor = FileNames.deltaFile(logPath, cached.version + 1).getName

@@ -28,6 +28,17 @@ trait CommitCoordinator {
   /** Publish `content` as commit `version` of `log`'s table, or throw
     * [[CoordinatedCommitConflictException]] if that version is taken. */
   def commit(log: GraftLog, version: Long, content: String): Unit
+
+  /** Reader-side recovery hook (reference concept: getCommits on every
+    * snapshot refresh of a coordinated table): a ledger-backed
+    * coordinator republishes commits it accepted whose writer died
+    * between arbitration and the synchronous backfill, so the next
+    * reader/writer observes them instead of a stale FS log. Returns
+    * true iff anything was republished — the caller re-lists the log
+    * then. Default no-op: for coordinators whose durable file write IS
+    * the arbitration record (like [[InProcessCoordinator]]) there is
+    * no crash window to heal. */
+  def ensureBackfilled(log: GraftLog): Boolean = false
 }
 
 class CoordinatedCommitConflictException(val version: Long)

@@ -88,9 +88,14 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
     // the catalog orders commits by its own clock, and file mtimes would
     // fork time travel from that ordering. Single funnel — every
     // schema/config-bearing commit passes through here.
+    // An explicit 'false' is overridden too, not just an absent key: a
+    // catalog-owned table without live ICT is exactly the time-travel
+    // fork described above (the reference refuses to disable ICT on
+    // catalog-owned tables).
     val withIct =
       if (m.configuration.contains("graft.catalogManaged.coordinator") &&
-          !m.configuration.contains("graft.enableInCommitTimestamps"))
+          !m.configuration.get("graft.enableInCommitTimestamps")
+            .exists(_.equalsIgnoreCase("true")))
         m.copy(configuration =
           m.configuration + ("graft.enableInCommitTimestamps" -> "true"))
       else m

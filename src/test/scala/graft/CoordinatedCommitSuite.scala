@@ -107,6 +107,84 @@ class CoordinatedCommitSuite extends AnyFunSuite {
       "mirror leaked the coordinator property")
   }
 
+  test("crash between arbitration and backfill: next reader/writer heals") {
+    // The catalog/ledger accepted the commit (durable on its side) but
+    // the writer died before the synchronous backfill put the file in
+    // the log directory. The refresh-side ensureBackfilled leg must
+    // republish from the ledger so the next reader/writer observes the
+    // arbitrated commit instead of the stale FS log (reference concept:
+    // getCommits consulted on every snapshot refresh).
+    val ledger =
+      new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+    val crash = new java.util.concurrent.atomic.AtomicBoolean(false)
+    CommitCoordinators.register("ledger", new CommitCoordinator {
+      override def commit(log: GraftLog, version: Long, content: String): Unit =
+        this.synchronized {
+          val key = (log.logPath.toString, version)
+          if (ledger.containsKey(key) ||
+              log.store.exists(FileNames.deltaFile(log.logPath, version)))
+            throw new CoordinatedCommitConflictException(version)
+          ledger.put(key, content) // the catalog accepted: durable
+          if (crash.get())
+            throw new RuntimeException("writer died before backfill")
+          log.store.writeOverwrite(
+            FileNames.deltaFile(log.logPath, version), content)
+        }
+      override def ensureBackfilled(log: GraftLog): Boolean = this.synchronized {
+        var any = false
+        ledger.forEach { (k, content) =>
+          if (k._1 == log.logPath.toString) {
+            val target = FileNames.deltaFile(log.logPath, k._2)
+            if (!log.store.exists(target)) {
+              log.store.writeOverwrite(target, content)
+              any = true
+            }
+          }
+        }
+        any
+      }
+    })
+    val dir = tmp()
+    Graft.write(spark.range(10).toDF("id"), dir,
+      configuration = Map(COORD_PROP -> "ledger")) // v0
+    crash.set(true)
+    val died = intercept[RuntimeException] {
+      Graft.write(spark.range(10, 20).toDF("id"), dir) // v1: accepted, dies
+    }
+    assert(died.getMessage.contains("died before backfill"))
+    crash.set(false)
+    val v1 = FileNames.deltaFile(
+      GraftLog.forTable(spark, dir).logPath, 1L)
+    GraftLog.clearCache()
+    // the FS log is stale — v1 lives only in the ledger
+    assert(!new java.io.File(v1.toUri.getPath).exists(),
+      "crash injection failed: v1 reached the FS log")
+    // a cold reader heals and serves the arbitrated commit
+    assert(Graft.read(spark, dir).count() === 20)
+    assert(new java.io.File(v1.toUri.getPath).exists(),
+      "heal did not republish the commit file")
+    // a subsequent writer proceeds past the healed version
+    Graft.write(spark.range(20, 25).toDF("id"), dir)
+    GraftLog.clearCache()
+    assert(Graft.read(spark, dir).count() === 25)
+  }
+
+  test("catalogManaged: an explicit ICT 'false' is overridden, not honored") {
+    // A catalog-owned table orders commits by the catalog's clock; file
+    // mtimes would fork time travel from that ordering, so the reference
+    // blocks disabling ICT on catalog-owned tables. An explicit 'false'
+    // alongside the coordinator property must not slip past the funnel
+    // that handles the absent-key case.
+    val dir = tmp()
+    Graft.write(spark.range(5).toDF("id"), dir,
+      configuration = Map(
+        "graft.catalogManaged.coordinator" -> "in-process",
+        "graft.enableInCommitTimestamps" -> "false"))
+    val conf = GraftTable.forPath(spark, dir).snapshot.metadata.configuration
+    assert(conf.get("graft.enableInCommitTimestamps").contains("true"),
+      s"explicit false survived the CCv2 ICT funnel: $conf")
+  }
+
   test("unregistered coordinator fails the write loudly") {
     val dir = tmp()
     val e = intercept[Exception] {

@@ -603,6 +603,36 @@ class DeltaConvertSuite extends AnyFunSuite {
     assert(spark.read.parquet(dir + "/" + newFile.path).columns.contains("k"))
   }
 
+  test("materializePartitionColumns: FEATURE without property still forces " +
+      "the layout after convert") {
+    // Set-then-unset shape: the property was removed without DROP FEATURE,
+    // so the source protocol still carries the writer feature and the
+    // reference keeps enforcing materialization (reference
+    // TransactionalWrite.scala:479 isFeatureSupported). Convert must carry
+    // the enforcement, not just the (absent) property — otherwise
+    // post-convert writes silently elide partition columns and break the
+    // raw-parquet layout promise external readers of the directory rely on.
+    val dir = tmpDir()
+    val schema = new StructType().add("id", LongType).add("k", StringType)
+    val s1 = writeFile(spark.range(0, 8).select($"id", lit("a").as("k")),
+      dir, "k=a/mp.parquet")
+    writeLog(dir, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,""" +
+        """"writerFeatures":["materializePartitionColumns"]}}""",
+      metaLine(schema, partCols = Seq("k")), // NO enabling property
+      addLine("k=a/mp.parquet", s1, pv = """{"k":"a"}""")))
+    val t = Graft.convertFromDelta(spark, dir)
+    assert(t.snapshot.metadata.configuration.get(
+      "graft.enableMaterializePartitionColumnsFeature").contains("true"))
+    assert(t.snapshot.protocol.writerFeatureNames
+      .contains("materializePartitionColumns"))
+    Graft.write(spark.range(8, 12).select($"id", lit("b").as("k")), dir)
+    val newFile = GraftTable.forPath(spark, dir).snapshot.allFiles
+      .find(_.partitionValues.get("k").contains("b")).get
+    assert(spark.read.parquet(dir + "/" + newFile.path).columns.contains("k"),
+      "post-convert write elided the partition column from the data file")
+  }
+
   /** A redirect property value, escaped for embedding in metaLine's
     * configuration map (the property value is itself JSON text). */
   private def redirectProp(dest: String, state: String,

@@ -316,6 +316,47 @@ class PlanAuditSuite extends AnyFunSuite {
     assert(!plan.contains("Cartesian"), s"cartesian product:\n$plan")
   }
 
+  test("TPC-DS snowflake: SF-scaled dims flip with the broadcast threshold; " +
+      "bounded dims stay hinted") {
+    // Two-sided pin around the r15 hint release. The SF-scaled dims
+    // (customer, part, supplier) must be THRESHOLD-driven: under a
+    // disabled threshold they plan as shuffled joins (a re-added hard
+    // broadcast() hint on any of them fails this side — at 100 TB a
+    // forced broadcast of a row-scaled dim is a driver OOM), and under
+    // the bench's 64 MB threshold they broadcast (losing the hint must
+    // not cost the small-SF plan). The bounded dims (nation = 25 rows,
+    // region = 5 at every SF) keep their explicit hints, so exactly two
+    // broadcast hops survive a disabled threshold.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      val shuffledPlan = planOf("q_ds_snowflake")
+      val bhjOff = "BroadcastHashJoin".r.findAllIn(shuffledPlan).size
+      assert(bhjOff == 2,
+        s"expected exactly the 2 hinted bounded-dim broadcasts under a " +
+          s"disabled threshold, got $bhjOff (a hard hint is back on an " +
+          s"SF-scaled dim?):\n$shuffledPlan")
+      val shuffledJoins =
+        "(?:SortMergeJoin|ShuffledHashJoin)".r.findAllIn(shuffledPlan).size
+      assert(shuffledJoins >= 4,
+        s"expected >=4 shuffled joins (fact + 3 SF-scaled dims) under a " +
+          s"disabled threshold, got $shuffledJoins:\n$shuffledPlan")
+
+      saved.foreach { case (k, _) => conf.set(k, (64L * 1024 * 1024).toString) }
+      val broadcastPlan = planOf("q_ds_snowflake")
+      val bhjOn = "BroadcastHashJoin".r.findAllIn(broadcastPlan).size
+      assert(bhjOn >= 5,
+        s"expected >=5 broadcast joins under the bench's 64 MB " +
+          s"threshold, got $bhjOn:\n$broadcastPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("TPC-DS EXISTS chain plans as semi/anti joins, not per-row subqueries") {
     val plan = planOf("q_ds_exists_chain")
     assert("LeftSemi".r.findAllIn(plan).size >= 2,

@@ -61,8 +61,11 @@ def main():
     for r in runs:
         fams = {family(q) for q in r["queries"]}
         for fam, key in own.items():
-            if fam in fams and r.get(key, -1) > 0:
-                merged[key] = r[key]
+            if fam in fams:
+                # A failed control (-1) in the owning run must poison the
+                # merged artifact too — inheriting runs[0]'s control would
+                # report a norm measured in a JVM that never ran the family.
+                merged[key] = r[key] if r.get(key, -1) > 0 else -1.0
 
     def fam_total(f):
         return sum(t for q, t in queries.items() if family(q) == f)
