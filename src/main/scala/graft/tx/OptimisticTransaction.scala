@@ -357,7 +357,19 @@ class OptimisticTransaction(val log: GraftLog, val snapshot: Snapshot) {
         return attemptVersion
       } catch {
         case _: FileAlreadyExistsException | _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          val winning = log.readCommit(attemptVersion)
+          // On a coordinated table the WINNER of this version may have
+          // died between arbitration and its synchronous backfill — the
+          // commit then exists only in the coordinator's ledger. A
+          // refresh runs the ensureBackfilled heal, after which the
+          // winning file is readable; a still-missing file is a genuine
+          // anomaly and the re-read throws loudly.
+          val winning =
+            try log.readCommit(attemptVersion)
+            catch {
+              case _: java.io.FileNotFoundException =>
+                log.update()
+                log.readCommit(attemptVersion)
+            }
           checkForConflicts(winning, attemptVersion)
           attemptVersion += 1
           retries += 1

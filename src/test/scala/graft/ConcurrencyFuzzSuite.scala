@@ -41,21 +41,74 @@ class ConcurrencyFuzzSuite extends AnyFunSuite {
   case class Update(mod: Int, rem: Int) extends Op
   case object Optimize extends Op
 
+  /** Writer-death injection for the coordinated configs: thrown AFTER
+    * the ledger accepted (the commit is durable catalog-side) but
+    * BEFORE the synchronous backfill reaches the log directory. */
+  class WriterDiedBeforeBackfill extends RuntimeException("injected crash")
+
   // Later configs re-run the program space under DV marking and/or
   // external commit-store arbitration: cross-feature compositions
   // single-config fuzzing cannot reach. (seed=7 dv+ext caught a real
-  // torn-PUT data-loss race in round 6.)
-  for ((seed, dv, ext) <- Seq((11, false, false), (42, false, false),
-      (20260813, false, false), (13, true, false), (99, false, true),
-      (7, true, true), (2027, true, true)))
-  test(s"fuzz seed=$seed dv=$dv externalStore=$ext") {
+  // torn-PUT data-loss race in round 6.) The `coord` configs arbitrate
+  // every commit through a ledger-backed coordinator that randomly
+  // kills the writer between arbitration and backfill — a
+  // coordinator-ACCEPTED commit is durable even when its writer died,
+  // so crashed ops count as committed in the model and must surface
+  // through the refresh-side heal (ensureBackfilled), exactly once.
+  for ((seed, dv, ext, coord) <- Seq(
+      (11, false, false, false), (42, false, false, false),
+      (20260813, false, false, false), (13, true, false, false),
+      (99, false, true, false), (7, true, true, false),
+      (2027, true, true, false),
+      (31, false, false, true), (77, true, false, true)))
+  test(s"fuzz seed=$seed dv=$dv externalStore=$ext coordinated=$coord") {
     val dir = Files.createTempDirectory(s"graft-fuzz$seed").toString
     if (ext) spark.conf.set("spark.graft.logStore.impl",
       "graft.log.ExternalLogStore")
+    val crashArmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    if (coord) {
+      val crashRng = new Random(seed * 31)
+      val ledger = new java.util.concurrent.ConcurrentHashMap[
+        (String, Long), String]()
+      graft.tx.CommitCoordinators.register(s"fuzz-ledger-$seed",
+        new graft.tx.CommitCoordinator {
+          override def commit(log: GraftLog, version: Long,
+              content: String): Unit = this.synchronized {
+            val key = (log.logPath.toString, version)
+            if (ledger.containsKey(key) || log.store.exists(
+                graft.log.FileNames.deltaFile(log.logPath, version)))
+              throw new graft.tx.CoordinatedCommitConflictException(version)
+            ledger.put(key, content) // accepted: durable catalog-side
+            if (crashArmed.get() && crashRng.nextInt(5) == 0)
+              throw new WriterDiedBeforeBackfill
+            log.store.writeOverwrite(
+              graft.log.FileNames.deltaFile(log.logPath, version), content)
+          }
+          override def ensureBackfilled(log: GraftLog): Boolean =
+            this.synchronized {
+              var any = false
+              ledger.forEach { (k, content) =>
+                if (k._1 == log.logPath.toString) {
+                  val target =
+                    graft.log.FileNames.deltaFile(log.logPath, k._2)
+                  if (!log.store.exists(target)) {
+                    log.store.writeOverwrite(target, content)
+                    any = true
+                  }
+                }
+              }
+              any
+            }
+        })
+    }
     try {
     Graft.write(spark.range(0).select(col("id"), lit(0L).as("v")), dir,
-      configuration =
-        if (dv) Map("graft.enableDeletionVectors" -> "true") else Map.empty)
+      configuration = (if (dv) Map("graft.enableDeletionVectors" -> "true")
+         else Map.empty[String, String]) ++
+        (if (coord) Map(
+           "graft.coordinatedCommits.coordinator" -> s"fuzz-ledger-$seed")
+         else Map.empty[String, String]))
+    crashArmed.set(true) // never kill the table-creating commit itself
 
     // generate each thread's serial program up front (deterministic)
     val rng = new Random(seed)
@@ -102,6 +155,10 @@ class ConcurrencyFuzzSuite extends AnyFunSuite {
               } catch {
                 // conflict-checker abort: the op must have had no effect
                 case _: graft.tx.GraftConcurrentModificationException => None
+                // writer died AFTER arbitration: the ledger holds the
+                // commit, so the op IS committed — it must surface via
+                // the refresh-side heal with exactly-once effect
+                case _: WriterDiedBeforeBackfill => Some(op)
               }
             }
           }
