@@ -70,8 +70,26 @@ def test_mirror_protocol_round_trip():
     assert len(v0) == 90, len(v0)
     assert sorted(r["id"] for r in v0) == list(range(90))
 
+    # ---- checkpoint path: push the mirror past its 10-commit classic
+    # checkpoint; a latest read must then seed from the checkpoint
+    # parquet (validating its content) and still match graft exactly ----
+    for i in range(10):
+        (spark.range(100 + i, 101 + i)
+         .selectExpr("id", "id % 3 AS k", "id * 2 AS v")
+         .write.format("graft").mode("append").save(src))
+    log_dir = os.path.join(src, "_delta_log")
+    assert os.path.exists(os.path.join(log_dir, "_last_checkpoint")), \
+        "mirror never wrote its classic checkpoint"
+    expected2 = sorted((r.id, r.k, r.v) for r in
+                       GraftTable.forPath(spark, src).toDF().collect())
+    got2 = sorted((r["id"], r["k"], r["v"]) for r in DeltaTable(src).rows())
+    assert got2 == expected2, (
+        "checkpoint-seeded read mismatch: %d vs %d rows"
+        % (len(got2), len(expected2)))
+
     spark.stop()
-    print("PY-MIRROR-PROTOCOL PASS (rows + mapping + DV + time travel)")
+    print("PY-MIRROR-PROTOCOL PASS "
+          "(rows + mapping + DV + time travel + checkpoint seed)")
 
 
 if __name__ == "__main__":

@@ -169,6 +169,64 @@ class CoordinatedCommitSuite extends AnyFunSuite {
     assert(Graft.read(spark, dir).count() === 25)
   }
 
+  test("streaming sink exactly-once survives writer death before backfill") {
+    // The sink's micro-batch commit carries SetTransaction(queryId,
+    // batchId). If the writer dies after the coordinator accepted that
+    // commit, the restarted query replays the batch — the refresh-side
+    // heal must surface the crashed commit (watermark included) FIRST,
+    // so the replay no-ops via the idempotent-write check instead of
+    // double-applying the batch.
+    val ledger =
+      new java.util.concurrent.ConcurrentHashMap[(String, Long), String]()
+    val crash = new java.util.concurrent.atomic.AtomicBoolean(false)
+    CommitCoordinators.register("ledger-stream", new CommitCoordinator {
+      override def commit(log: GraftLog, version: Long, content: String): Unit =
+        this.synchronized {
+          val key = (log.logPath.toString, version)
+          if (ledger.containsKey(key) ||
+              log.store.exists(FileNames.deltaFile(log.logPath, version)))
+            throw new CoordinatedCommitConflictException(version)
+          ledger.put(key, content)
+          if (crash.getAndSet(false)) // one-shot: only this writer dies
+            throw new RuntimeException("writer died before backfill")
+          log.store.writeOverwrite(
+            FileNames.deltaFile(log.logPath, version), content)
+        }
+      override def ensureBackfilled(log: GraftLog): Boolean = this.synchronized {
+        var any = false
+        ledger.forEach { (k, content) =>
+          if (k._1 == log.logPath.toString) {
+            val target = FileNames.deltaFile(log.logPath, k._2)
+            if (!log.store.exists(target)) {
+              log.store.writeOverwrite(target, content); any = true
+            }
+          }
+        }
+        any
+      }
+    })
+    val srcDir = tmp(); val outDir = tmp(); val ckpt = tmp()
+    Graft.write(spark.range(40).toDF("id"), srcDir)
+    Graft.write(spark.range(0).toDF("id"), outDir,
+      configuration = Map(COORD_PROP -> "ledger-stream"))
+    crash.set(true) // the first micro-batch commit dies post-arbitration
+    def run() = spark.readStream.format("graft").load(srcDir)
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(outDir)
+    val q = run()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(120000); q.processAllAvailable()
+    }
+    // restart from the same checkpoint: the replayed batch must no-op
+    val q2 = run()
+    q2.awaitTermination(120000)
+    GraftLog.clearCache()
+    assert(Graft.read(spark, outDir).count() === 40,
+      "crashed-then-healed micro-batch was dropped or double-applied")
+  }
+
   test("catalogManaged: an explicit ICT 'false' is overridden, not honored") {
     // A catalog-owned table orders commits by the catalog's clock; file
     // mtimes would fork time travel from that ordering, so the reference

@@ -12,8 +12,11 @@ role delta-spark would play where jars/egress exist
 
 Supported: JSON commits, add/remove reconciliation by (path, dvId),
 deletion vectors (storageType u/i/p), column mapping by physical name,
-partition values from AddFile.partitionValues, versionAsOf.
-Not supported (asserted absent): checkpoint-only logs.
+partition values from AddFile.partitionValues, versionAsOf, and classic
+parquet checkpoints: a latest-version read seeds from `_last_checkpoint`
+exactly like a real Delta reader (so the checkpoint CONTENT is
+validated too); versionAsOf reads replay the JSON history instead and
+require those commits to still exist.
 
 Usage:
     from delta_mirror_reader import DeltaTable
@@ -184,13 +187,40 @@ class DeltaTable:
         commits = sorted(f for f in os.listdir(log_dir)
                          if f.endswith(".json") and f[:-5].isdigit())
         assert commits, "no JSON commits under %s" % log_dir
-        assert not os.path.exists(os.path.join(log_dir, "_last_checkpoint")), \
-            "checkpoint-anchored logs are out of scope for this reader"
         self.metadata = None
         self.protocol = None
         files = {}  # (path, dvId) -> add action
+        cp_version = -1
+        lc_path = os.path.join(log_dir, "_last_checkpoint")
+        if version is None and os.path.exists(lc_path):
+            # Seed from the checkpoint like a real Delta reader (this
+            # also validates the checkpoint parquet's content).
+            # versionAsOf reads stay on the full JSON replay path below.
+            with open(lc_path) as f:
+                lc = json.load(f)
+            cp_version = lc["version"]
+            parts = lc.get("parts")
+            if parts:
+                names = ["%020d.checkpoint.%010d.%010d.parquet"
+                         % (cp_version, i + 1, parts) for i in range(parts)]
+            else:
+                names = ["%020d.checkpoint.parquet" % cp_version]
+            for name in names:
+                for rec in pq.read_table(
+                        os.path.join(log_dir, name)).to_pylist():
+                    if rec.get("metaData"):
+                        self.metadata = _demap(rec["metaData"])
+                    elif rec.get("protocol"):
+                        self.protocol = _demap(rec["protocol"])
+                    elif rec.get("add"):
+                        a = _demap(rec["add"])
+                        files[(a["path"], _dv_id(a))] = a
+                    # checkpoint `remove` rows are expired-tombstone
+                    # bookkeeping for VACUUM, not live state — ignored
         for c in commits:
             v = int(c[:-5])
+            if v <= cp_version:
+                continue
             if version is not None and v > version:
                 break
             with open(os.path.join(log_dir, c)) as f:
@@ -256,6 +286,19 @@ class DeltaTable:
                         row[logical] = _cast_partition_value(raw, sql_type)
                 out.append(row)
         return out
+
+
+def _demap(rec):
+    """pyarrow renders parquet MAP columns as [(k, v), ...]; JSON actions
+    carry plain dicts — normalize checkpoint rows to the JSON shape,
+    recursively, and drop None-valued struct members so absent optional
+    fields look the same on both paths."""
+    if isinstance(rec, list) and all(
+            isinstance(e, tuple) and len(e) == 2 for e in rec):
+        return {k: v for k, v in rec}
+    if isinstance(rec, dict):
+        return {k: _demap(v) for k, v in rec.items() if v is not None}
+    return rec
 
 
 def _dv_id(action):
