@@ -141,10 +141,24 @@ object Bench {
     // idle band 0.26-0.40 s): beyond 1.5x, stamp `"ambient":true` into
     // the JSON and shout on stderr so the round runner re-runs later
     // instead of committing an out-of-band artifact.
+    // The default idle median applies by DATA SIZE, not directory name
+    // (a renamed testdata dir must not silently disable the pre-flight):
+    // the control scans lineitem, so the idle band is tied to the sf0.1
+    // lineitem footprint (~10.8 MB) within a 2x tolerance.
+    val sf01LineitemBytes = 10818932L
+    def lineitemBytes: Long =
+      try {
+        val d = new java.io.File(sfDir, "lineitem.parquet")
+        val fs = Option(d.listFiles()).map(_.toSeq).getOrElse(Seq(d))
+        fs.filter(_.isFile).map(_.length()).sum
+      } catch { case _: Exception => -1L }
     val idleControlS = sys.env.get("SPARK_GRAFT_BENCH_IDLE_CONTROL_S")
       .map(_.toDouble)
-      .orElse(if (sfDir.replaceAll("/+$", "").endsWith("sf0.1")) Some(0.37)
-              else None)
+      .orElse {
+        val b = lineitemBytes
+        if (b > sf01LineitemBytes / 2 && b < sf01LineitemBytes * 2) Some(0.37)
+        else None
+      }
     val controlPreMed = median(controlPre)
     // A failed pre-flight control (median poisons to -1 on any failed
     // sample) is a BROKEN control, not ambience — misattributing it to
