@@ -60,7 +60,11 @@ class ConcurrencyFuzzSuite extends AnyFunSuite {
       (20260813, false, false, false), (13, true, false, false),
       (99, false, true, false), (7, true, true, false),
       (2027, true, true, false),
-      (31, false, false, true), (77, true, false, true)))
+      (31, false, false, true), (77, true, false, true),
+      (5, false, true, true))) // coordinator arbitration OVER the
+                               // external store: claims never gate a
+                               // coordinated commit, heal composes with
+                               // the store's own fix-up recovery
   test(s"fuzz seed=$seed dv=$dv externalStore=$ext coordinated=$coord") {
     val dir = Files.createTempDirectory(s"graft-fuzz$seed").toString
     if (ext) spark.conf.set("spark.graft.logStore.impl",
