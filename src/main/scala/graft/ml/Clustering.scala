@@ -57,8 +57,13 @@ object Clustering {
       col(vc).cast("long").as("v")).where(col("u") =!= col("v"))
     val e = mat(half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
       .distinct())
-    var labels = mat(e.select(col("u").as("id")).distinct()
-      .withColumn("cc", col("id")))
+    // Fused init: seeding every vertex with min(self, direct neighbors)
+    // IS the first neighbor round (min-propagation is monotone, so any
+    // init >= the fixpoint converges to the same labels) — one aggregate
+    // replaces the distinct-vertices pass AND the first loop iteration.
+    var labels = mat(e.groupBy(col("u"))
+      .agg(least(min(col("v")), col("u")).as("cc"))
+      .select(col("u").as("id"), col("cc")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -68,16 +73,20 @@ object Clustering {
         .groupBy("u").agg(min("cc").as("nmin"))
         .withColumnRenamed("u", "id")
       val afterNbr = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("cc"), coalesce(col("nmin"), col("cc"))).as("cc"))
+        .select(col("id"), col("cc").as("old"),
+          least(col("cc"), coalesce(col("nmin"), col("cc"))).as("cc"))
       // 2. Compression round: labels are vertex ids, so chase one hop of
       //    the label graph (cc -> label(cc)) — the pointer-doubling step
-      //    that collapses long chains logarithmically.
+      //    that collapses long chains logarithmically. The round's change
+      //    flag rides the materialized frame, so the convergence probe
+      //    below reads checkpointed blocks instead of re-joining the
+      //    previous labels (one corpus-size join fewer per round).
       val byId = afterNbr.select(col("id").as("cc"), col("cc").as("cc2"))
       val compressed = mat(afterNbr.join(byId, Seq("cc"), "left")
-        .select(col("id"), coalesce(col("cc2"), col("cc")).as("cc")))
-      converged = compressed.join(labels.withColumnRenamed("cc", "old"), "id")
-        .where(col("cc") =!= col("old")).limit(1).isEmpty
-      labels = compressed
+        .select(col("id"), coalesce(col("cc2"), col("cc")).as("cc"),
+          (coalesce(col("cc2"), col("cc")) =!= col("old")).as("__chg")))
+      converged = compressed.where(col("__chg")).limit(1).isEmpty
+      labels = compressed.select(col("id"), col("cc"))
       iter += 1
     }
     labels.select(col("id"), col("cc").as("component"))

@@ -438,10 +438,16 @@ object Dedup {
       bands = 16, shingleSize = n, maxBucketSize = 10000)
     val memberIds = candidates.select(col("idA").as("id"))
       .unionByName(candidates.select(col("idB").as("id"))).distinct()
-    val sets = df.select(id.as("id"),
-        SparkShims.column(graft.expressions.ShingleSet(
-          SparkShims.expression(text), n)).as("ss"))
+    // Semi-join BEFORE the ShingleSet kernel: the shingle/sort pass runs
+    // over candidate members only, not the whole corpus (the optimizer
+    // cannot push a join below a projection that computes the column, so
+    // the order must be explicit here — guide §1.2 "don't compute things
+    // you throw away").
+    val sets = df.select(id.as("id"), text.as("__t"))
       .join(memberIds, "id")
+      .select(col("id"),
+        SparkShims.column(graft.expressions.ShingleSet(
+          SparkShims.expression(col("__t")), n)).as("ss"))
     val jac = SparkShims.column(graft.expressions.SortedArrayJaccard(
       SparkShims.expression(col("ssA")), SparkShims.expression(col("ssB"))))
     candidates
