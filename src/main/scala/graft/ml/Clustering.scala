@@ -184,6 +184,19 @@ object Clustering {
       id: Column,
       emb: Column,
       k: Int,
+      maxIter: Int = 10): DataFrame =
+    kMeansAssigned(df, id, emb, k, maxIter).select(col("id"), col("cluster"))
+
+  /** [[kMeans]] keeping the embedding on the output row — `(id, emb,
+    * cluster)` from ONE final assignment projection, so callers that need
+    * the vectors back (semantic dedup's in-cluster verification) don't
+    * re-join the corpus against its own assignment (that join evaluated
+    * the corpus scan twice and shuffled it once, per consumer). */
+  private[ml] def kMeansAssigned(
+      df: DataFrame,
+      id: Column,
+      emb: Column,
+      k: Int,
       maxIter: Int = 10): DataFrame = {
     require(k > 0)
     val base = df.select(id.as("__id"), emb.cast("array<float>").as("__emb"))
@@ -213,6 +226,6 @@ object Clustering {
       iter += 1
     }
     base.withColumn("cluster", assign(base, col("__emb"), centroids))
-      .select(col("__id").as("id"), col("cluster"))
+      .select(col("__id").as("id"), col("__emb").as("emb"), col("cluster"))
   }
 }

@@ -544,10 +544,18 @@ object Dedup {
       maxIter: Int = 10,
       maxClusterSize: Int = 10000,
       planesPerBand: Int = 12): DataFrame = {
-    val assigned = Clustering.kMeans(df, id, emb, k, maxIter)
-    val base = df.select(id.as("id"), emb.cast("array<float>").as("emb"))
-      .where(col("emb").isNotNull)
-    val withC = base.join(assigned, "id")
+    // (id, emb, cluster) straight off the final k-means assignment — no
+    // corpus-vs-assignment self-join. Materialized once: the frame feeds
+    // the sizes aggregate, BOTH sides of the banded pair self-join, and
+    // the final report join, and Spark does not share exchanges across
+    // those consumers (measured for the minhash pipeline, same shape) —
+    // unmaterialized, the scan + centroid kernel would run 4x.
+    val withC0 = Clustering.kMeansAssigned(df, id, emb, k, maxIter)
+    val withC =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        withC0.checkpoint(true)
+      else withC0.localCheckpoint(true)
+    val assigned = withC.select(col("id"), col("cluster"))
     // Cluster sizes: k rows, broadcast — never a corpus shuffle.
     val sizes = withC.groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
     val okC = sizes.where(col("__n") <= maxClusterSize).select("cluster")
