@@ -186,14 +186,30 @@ object Bench {
     // distorts most — and checks the budget BEFORE each query, so every
     // query keeps at least its first-pass number and the worst offenders
     // always get their second sample.
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toDouble
+    // 2400 s (was 1500): on a slow host the cold first pass alone can eat
+    // most of the old budget, silently downgrading the documented
+    // min-of-two protocol to cold-only numbers for the tail of the second
+    // pass (measured here: two back-to-back full runs reported 267 s vs
+    // 159 s because run 1's budget ran out mid-second-pass). The budget
+    // still bounds wall time; hosts where the old value sufficed are
+    // unaffected (their full runs finish far below either bound).
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2400").toDouble
     val wallStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - wallStart) / 1e9
     val first = selected.map { case (name, _) => name -> time1(name) }
     val mins = scala.collection.mutable.Map(first: _*)
-    for ((name, t1) <- first.sortBy(-_._2)
-         if elapsed + t1 < budgetS)
-      mins(name) = math.min(mins(name), time1(name))
+    var skippedSecondPass = 0
+    for ((name, t1) <- first.sortBy(-_._2))
+      if (elapsed + t1 < budgetS)
+        mins(name) = math.min(mins(name), time1(name))
+      else skippedSecondPass += 1
+    // A query that never got its warm second pass reports its cold first
+    // run — say so loudly instead of letting the inflated number read as
+    // a regression.
+    if (skippedSecondPass > 0) System.err.println(
+      s"*** BUDGET EXHAUSTED: $skippedSecondPass queries kept first-pass-" +
+        "only (cold) numbers; raise SPARK_GRAFT_BENCH_BUDGET_S for the " +
+        "documented min-of-two protocol ***")
     // Streaming fixtures swing 3-7x on identical code under host load
     // (micro-batch scheduler latency the scan-bound control cannot
     // normalize) — give each stream_* query min-of-3 total so one

@@ -34,6 +34,15 @@ object Dedup {
   // 3.1-4.5s cached; ngram 3.9 vs 4.4; simhash/embedding equal). Keep
   // these pipelines declarative and let the optimizer share the exchange.
 
+  /** Materialize a frame consumed by several separate ACTIONS (exchange
+    * reuse never crosses action boundaries): reliable checkpoint when the
+    * app configured a checkpoint dir, localCheckpoint otherwise — the
+    * same policy as [[Clustering.connectedComponents]]. */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   def exact(df: DataFrame, on: Column, orderBy: Column): DataFrame = {
     val keyed = df.withColumn("__dk", on).withColumn("__ord", orderBy)
     val winners = keyed.groupBy(col("__dk"))
@@ -243,7 +252,15 @@ object Dedup {
       "graft.minhash.shingleSize" -> shingleSize.toString)
     val sigs = sigArray(df, id, text, numHashes, shingleSize)
     writeIndexTable(sigs, s"$indexPath/sigs", params)
-    writeIndexTable(bucketsOf(sigs, numHashes, bands),
+    // Buckets derive from the sigs table just written, not from a second
+    // MinHash pass over the corpus text: the signature table is a few
+    // hundred bytes per document vs re-tokenizing and re-hashing every
+    // shingle — at corpus scale that swap turns a full text pass into a
+    // metadata-sized read (signatures round-trip parquet exactly, so the
+    // bucket keys are bit-identical).
+    val sigsBack = graft.Graft.read(df.sparkSession, s"$indexPath/sigs")
+      .select(col("id"), col("sig"))
+    writeIndexTable(bucketsOf(sigsBack, numHashes, bands),
       s"$indexPath/buckets", params, partitionBy = Seq("band"))
   }
 
@@ -362,13 +379,16 @@ object Dedup {
       txnAppId: Option[String] = None,
       txnVersion: Option[Long] = None): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    // Signatures are a deterministic function of the text, so the frame
-    // can be recomputed by each consumer without divergence (see the
-    // persist note at the top of this object). The hot-bucket guard,
-    // batch-scaled index narrowing, self-match exclusion, and
-    // exactly-once append live in [[indexDedupCore]], shared with the
-    // embedding index.
-    val batchSigs = sigArray(batch, id, text, numHashes, shingleSize)
+    // The batch signatures feed FOUR separate actions (candidate join,
+    // verification join, and — under updateIndex — two table appends),
+    // and exchange reuse never crosses action boundaries, so unlike the
+    // single-action pair pipelines (persist note at the top of this
+    // object) the batch frame materializes once instead of re-running
+    // the MinHash text kernel per consumer. Batches are small by design
+    // (per-batch scaling is the point of the index), so the checkpoint
+    // is batch-sized, never corpus-sized.
+    val batchSigs = materialize(
+      sigArray(batch, id, text, numHashes, shingleSize))
     val agree = sigAgreement(numHashes)
     indexDedupCore(
       indexPath, keysSub = "buckets", payloadSub = "sigs",
@@ -646,7 +666,13 @@ object Dedup {
     val base = df.select(id.as("id"), emb.cast("array<float>").as("emb"))
       .where(col("emb").isNotNull)
     writeIndexTable(base, s"$indexPath/embs", params)
-    writeIndexTable(embBandKeys(base, threshold, planesPerBand),
+    // Band keys derive from the embs table just written (same swap as
+    // [[buildMinHashIndex]]): floats round-trip parquet bit-exactly, so
+    // the sign-bit keys are identical while the corpus projection runs
+    // once instead of twice.
+    val baseBack = graft.Graft.read(df.sparkSession, s"$indexPath/embs")
+      .select(col("id"), col("emb"))
+    writeIndexTable(embBandKeys(baseBack, threshold, planesPerBand),
       s"$indexPath/bands", params, partitionBy = Seq("band"))
   }
 
@@ -684,8 +710,11 @@ object Dedup {
       maxBucketSize: Int = 10000,
       txnAppId: Option[String] = None,
       txnVersion: Option[Long] = None): DataFrame = {
-    val base = batch.select(id.as("id"), emb.cast("array<float>").as("emb"))
-      .where(col("emb").isNotNull)
+    // Same four-action consumer shape as [[dedupAgainstIndex]]'s batch
+    // signatures — materialize the batch projection once.
+    val base = materialize(
+      batch.select(id.as("id"), emb.cast("array<float>").as("emb"))
+        .where(col("emb").isNotNull))
     indexDedupCore(
       indexPath, keysSub = "bands", payloadSub = "embs",
       keyCols = Seq("band", "bits"),
