@@ -897,11 +897,14 @@ object Dedup {
    * half-open spans, disjoint per document, adjacent-or-overlapping gram
    * intervals merged.
    *
-   * Scale shape: the position table (one row per corpus token, 8-byte
-   * gram hash) shuffles once on the hash — the duplicate-gram aggregate
-   * is map-side combined and skew-free (a hot boilerplate gram partially
-   * aggregates per mapper), and the semi-join back reuses the same
-   * exchange. Island merging windows over DUPLICATE positions only
+   * Scale shape: the duplicate-gram aggregate is map-side combined and
+   * skew-free (a hot boilerplate gram partially aggregates per mapper) so
+   * only (hash, count) rows cross the wire; the semi-join back broadcasts
+   * the surviving hash set while it fits (the position table is then
+   * never shuffled — the sf0.1 plan shape), and above the broadcast
+   * threshold it becomes a sort-merge semi-join keyed on the same hash,
+   * where AQE skew-join splitting bounds the hot-boilerplate partitions.
+   * Island merging windows over DUPLICATE positions only
    * (boilerplate fraction of the corpus, not the corpus), partitioned by
    * doc — bounded by document length. No driver materialization.
    */
