@@ -321,14 +321,18 @@ object Bench {
     val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$controls,"queries":${toJson(results)},"sf":"$sfDir"}"""
     println(full)
     // The full map cannot fit the 2000-byte stdout tail (101 queries ~=
-    // 2.6 KB), so it persists to files: target/ for local tooling and the
-    // repo root so the round artifact commit carries it — round-over-round
-    // diffs read BENCH_FULL.json, no tail parsing.
-    // A SPARK_GRAFT_BENCH_ONLY subset run must not clobber the committed
-    // full-run artifact with a partial map.
+    // 2.6 KB), so it persists to files: target/bench_full.json (latest)
+    // plus a run-stamped copy, so successive runs never clobber each
+    // other. The COMMITTED repo-root BENCH_FULL.json is only written when
+    // SPARK_GRAFT_BENCH_COMMIT_ARTIFACT=1 — every driver/CI bench run
+    // used to overwrite it in the working tree, shadowing the committed
+    // reference run with whatever host state the last run had.
+    val stamp = System.currentTimeMillis()
     val artifacts =
-      if (only.isEmpty) Seq("target/bench_full.json", "BENCH_FULL.json")
-      else Seq("target/bench_full.json")
+      (if (only.isEmpty &&
+          sys.env.get("SPARK_GRAFT_BENCH_COMMIT_ARTIFACT").contains("1"))
+        Seq("BENCH_FULL.json") else Nil) ++
+      Seq("target/bench_full.json", s"target/bench_full_$stamp.json")
     artifacts.foreach { p =>
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(p), full + "\n")

@@ -196,9 +196,19 @@ object OptimizeCommand {
     metricsDF(spark, metrics)
   }
 
-  /** Rewrite `files` laid out on the chosen curve over `cols`: quantile
-    * bucket boundaries for all columns in one sample pass, curve key,
-    * one range shuffle. Returns the new AddFiles (dataChange=false). */
+  /** Rewrite `files` laid out on the chosen curve over `cols` in TWO
+    * corpus passes, the floor for data-dependent clustering: one bounded
+    * deterministic sample yields BOTH the per-column quantile-bucket
+    * boundaries and the zkey range boundaries (the old shape paid a
+    * third pass — approxQuantile scanned everything, then
+    * `repartitionByRange` re-sampled the scan + curve kernel to place
+    * its ranges), then the write pass routes each row by binary search
+    * over those boundaries. Routing uses [[partitionRouting]]'s exact
+    * murmur-inversion table, so ORDERED zkey buckets land in ordered
+    * partitions — contiguous zkey ranges per output file, exactly the
+    * min/max locality ZORDER exists for (NOT the hash-scatter trap:
+    * bucket b maps to partition b, not to pmod(hash(b), n)). Returns the
+    * new AddFiles (dataChange=false). */
   private def clusterRewrite(
       spark: SparkSession,
       log: GraftLog,
@@ -222,22 +232,90 @@ object OptimizeCommand {
     }
     val zNames = cols.indices.map(i => s"__z$i")
     val probe = df.select(cols.zip(zNames).map { case (c, n) => asDouble(c).as(n) }: _*)
-    val allBoundaries = probe.stat.approxQuantile(zNames.toArray,
-      (1 until buckets).map(_.toDouble / buckets).toArray, 0.001)
+    val targetFiles = math.max(1, (files.map(_.size).sum / maxSize).toInt)
+    // Sample size: enough for stable per-column equi-depth cuts AND
+    // ~200 rows per output range; row count estimated from AddFile stats
+    // (free — no count pass), so the fraction needs no extra scan.
+    val want = math.min(1000000L, math.max(10000L, targetFiles * 200L))
+    val estRows = estimateRows(files)
+    val fraction = math.min(1.0, want.toDouble / math.max(estRows, 1L))
+    val sampled = probe.sample(withReplacement = false, fraction, seed = 42)
+      .collect()
+    def cuts(sorted: Array[Double], k: Int): Array[Double] =
+      (1 to k).map(j => sorted(math.min(sorted.length - 1,
+        (j.toLong * sorted.length / (k + 1)).toInt))).toArray
+    val allBoundaries = zNames.indices.map { i =>
+      val vs = sampled.iterator.filter(r => !r.isNullAt(i))
+        .map(_.getDouble(i)).toArray
+      java.util.Arrays.sort(vs)
+      if (vs.isEmpty) Array.empty[Double] else cuts(vs, buckets - 1)
+    }
     val zparts = cols.zip(allBoundaries).map { case (c, boundaries) =>
       ZOrder.boundaryBucket(asDouble(c), boundaries)
     }
     val bitsPerDim = math.max(4, 15 / cols.size)
-    val zkey =
-      if (hilbert) ZOrder.hilbertIndex(zparts, bitsPerDim)
-      else ZOrder.interleaveBits(zparts)
-    val targetFiles = math.max(1, (files.map(_.size).sum / maxSize).toInt)
+    def curve(parts: Seq[Column]): Column =
+      if (hilbert) ZOrder.hilbertIndex(parts, bitsPerDim)
+      else ZOrder.interleaveBits(parts)
+    // zkey range boundaries: the SAME bucket+curve expressions evaluated
+    // over the sample (a driver-local frame — one metadata-sized job), so
+    // the write pass and the boundary derivation can never diverge.
+    val zBounds: Array[Double] =
+      if (sampled.isEmpty || targetFiles <= 1) Array.empty
+      else {
+        val localDf = spark.createDataFrame(
+          java.util.Arrays.asList(sampled: _*), probe.schema)
+        val localParts = zNames.zip(allBoundaries).map { case (n, b) =>
+          ZOrder.boundaryBucket(col(n), b)
+        }
+        val zs = localDf.select(curve(localParts).as("z")).collect()
+          .map(_.getLong(0).toDouble)
+        java.util.Arrays.sort(zs)
+        cuts(zs, targetFiles - 1)
+      }
+    val route = partitionRouting(targetFiles)
     val clustered = df
-      .withColumn("__zkey", zkey)
-      .repartitionByRange(targetFiles, col("__zkey"))
+      .withColumn("__zkey", curve(zparts))
+      .withColumn("__route", element_at(lit(route),
+        ZOrder.boundaryBucket(col("__zkey").cast("double"), zBounds) + 1))
+      .repartition(targetFiles, col("__route"))
       .sortWithinPartitions("__zkey")
-      .drop("__zkey")
+      .drop("__zkey", "__route")
     txn.writeFiles(clustered, dataChange = false)
+  }
+
+  /** Estimated selected-row count from AddFile stats (numRecords), byte
+    * heuristic when a file carries none — only steers the sample
+    * fraction, never correctness. */
+  private def estimateRows(files: Seq[AddFile]): Long = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    files.map { f =>
+      val n = Option(f.stats).map { s =>
+        try mapper.readTree(s).path("numRecords").asLong(-1L)
+        catch { case _: Exception => -1L }
+      }.getOrElse(-1L)
+      if (n >= 0L) n else math.max(1L, f.size / 64)
+    }.sum
+  }
+
+  /** Exact inversion of Spark's `repartition(n, expr)` placement
+    * (pmod(murmur3(expr, seed 42), n)): route(b) is an int that lands in
+    * partition b, so `repartition(n, element_at(route, bucket + 1))`
+    * places ordered bucket ids in ordered partitions. Expected n·ln n
+    * probes; n is the rewrite's output-file count. A unit test pins this
+    * against Spark's actual placement. */
+  private[graft] def partitionRouting(n: Int): Array[Int] = {
+    val route = new Array[Int](n)
+    val found = new Array[Boolean](n)
+    var remaining = n
+    var x = 0
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(x, 42)
+      val p = ((h % n) + n) % n
+      if (!found(p)) { found(p) = true; route(p) = x; remaining -= 1 }
+      x += 1
+    }
+    route
   }
 
   private def metricsDF(spark: SparkSession, m: Map[String, String]): DataFrame = {

@@ -1,7 +1,11 @@
 package graft.ml
 
+import org.apache.spark.SparkException
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import org.apache.spark.sql.graftshim.SparkShims
 
@@ -30,14 +34,37 @@ import org.apache.spark.sql.graftshim.SparkShims
  */
 object Clustering {
 
+  /** Test hook: invoked after each round's labels materialize, with
+    * (attempt, pinned RDD). Fault-injection suites unpersist the RDD here
+    * to simulate executor/block loss mid-loop. */
+  private[graft] var onRoundMaterialized: (Int, RDD[_]) => Unit = (_, _) => ()
+
+  /** Bounded whole-computation retries when a round's locally
+    * checkpointed blocks are lost mid-loop (cluster executor churn) —
+    * the same lost-block contract as DML source materialization
+    * ([[graft.commands.MaterializeSource]]): fail loudly, retry from the
+    * source with replicated storage, never recompute silently. */
+  val MAX_ATTEMPTS_CONF = "spark.graft.ml.materialize.maxAttempts"
+
   /**
    * Connected components of an undirected graph given as an edge list.
    * Output: one row per distinct vertex appearing in `edges`, with the
    * minimum vertex id reachable from it as its `component`.
    *
-   * Each round is two hash shuffles (neighbor-min join + compression
-   * join) over the CURRENT label frontier; `localCheckpoint` truncates
-   * the growing lineage so round N doesn't replay rounds 1..N-1.
+   * Each round is one materialized pass: a neighbor-min join + aggregate
+   * and TWO label-compression hops (cc -> label(cc) applied twice — the
+   * pointer-chasing step that collapses long chains; two hops per round
+   * roughly halves the barrier count on chain-heavy graphs at one extra
+   * same-size join each). The round pins via `localCheckpoint` (lineage
+   * truncated so round N never replays rounds 1..N-1) with the changed-
+   * row count riding the SAME job in an accumulator, so convergence
+   * costs zero extra jobs. Superseded rounds unpersist eagerly — a long
+   * run holds at most edges + two label generations, not one block set
+   * per round. Lost checkpoint blocks (executor death) fail the loop
+   * loudly and it retries from the edge list with replicated storage
+   * (bounded by [[MAX_ATTEMPTS_CONF]], default 4); the RETURNED frame is
+   * likewise localCheckpoint-backed, so a block lost after return fails
+   * the caller's action loudly rather than silently recomputing.
    * Isolated vertices (not in any edge) are the caller's concern — union
    * them in as self-loops if they must appear.
    *
@@ -45,51 +72,109 @@ object Clustering {
    *              as (u, v), any integral type
    */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val Array(uc, vc) = edges.columns.take(2)
-    // Materialize each round and truncate lineage: reliable checkpoint
-    // when the app configured a checkpoint dir (survives executor loss —
-    // the right choice on a real cluster), localCheckpoint otherwise.
-    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
-    def mat(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
-    // Undirected: keep each edge both ways; self-loops drop out.
-    val half = edges.select(col(uc).cast("long").as("u"),
-      col(vc).cast("long").as("v")).where(col("u") =!= col("v"))
-    val e = mat(half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
-      .distinct())
-    // Fused init: seeding every vertex with min(self, direct neighbors)
-    // IS the first neighbor round (min-propagation is monotone, so any
-    // init >= the fixpoint converges to the same labels) — one aggregate
-    // replaces the distinct-vertices pass AND the first loop iteration.
-    var labels = mat(e.groupBy(col("u"))
-      .agg(least(min(col("v")), col("u")).as("cc"))
-      .select(col("u").as("id"), col("cc")))
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      // 1. Neighbor round: every vertex adopts the min label among its
-      //    neighbors and itself.
-      val nbrMin = e.join(labels.withColumnRenamed("id", "v"), "v")
-        .groupBy("u").agg(min("cc").as("nmin"))
-        .withColumnRenamed("u", "id")
-      val afterNbr = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("cc").as("old"),
-          least(col("cc"), coalesce(col("nmin"), col("cc"))).as("cc"))
-      // 2. Compression round: labels are vertex ids, so chase one hop of
-      //    the label graph (cc -> label(cc)) — the pointer-doubling step
-      //    that collapses long chains logarithmically. The round's change
-      //    flag rides the materialized frame, so the convergence probe
-      //    below reads checkpointed blocks instead of re-joining the
-      //    previous labels (one corpus-size join fewer per round).
-      val byId = afterNbr.select(col("id").as("cc"), col("cc").as("cc2"))
-      val compressed = mat(afterNbr.join(byId, Seq("cc"), "left")
-        .select(col("id"), coalesce(col("cc2"), col("cc")).as("cc"),
-          (coalesce(col("cc2"), col("cc")) =!= col("old")).as("__chg")))
-      converged = compressed.where(col("__chg")).limit(1).isEmpty
-      labels = compressed.select(col("id"), col("cc"))
-      iter += 1
+    val spark = edges.sparkSession
+    val maxAttempts = spark.conf.get(MAX_ATTEMPTS_CONF, "4").toInt
+    var attempt = 1
+    var lastLoss: Throwable = null
+    while (attempt <= maxAttempts) {
+      try return ccAttempt(edges, maxIter, attempt)
+      catch {
+        case t: Throwable
+            if graft.commands.MaterializeSource.isMaterializedBlockLost(t) =>
+          lastLoss = t
+          attempt += 1
+      }
     }
-    labels.select(col("id"), col("cc").as("component"))
+    throw new SparkException(
+      s"connectedComponents lost its checkpointed label blocks on all " +
+        s"$maxAttempts attempts (set $MAX_ATTEMPTS_CONF to raise); no " +
+        "partial state escapes and the call can be re-run.", lastLoss)
+  }
+
+  private def ccAttempt(
+      edges: DataFrame, maxIter: Int, attempt: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val Array(uc, vc) = edges.columns.take(2)
+    // Attempt 1 pins MEMORY_AND_DISK; retries replicate so a single
+    // further executor loss cannot strand the loop again.
+    val level =
+      if (attempt == 1) StorageLevel.MEMORY_AND_DISK
+      else StorageLevel.MEMORY_AND_DISK_2
+    val pins = scala.collection.mutable.ArrayBuffer.empty[RDD[InternalRow]]
+    // Materialize + truncate lineage + count changed rows, all in ONE
+    // job: the accumulator replaces the old per-round convergence-probe
+    // job (accumulator updates from successful tasks of a completed
+    // action apply exactly once, and a retried task can only inflate a
+    // nonzero count — it can never turn changed rows into zero).
+    def pin(df: DataFrame, chgIdx: Int): (DataFrame, RDD[InternalRow], Long) = {
+      val acc = spark.sparkContext.longAccumulator("graft.cc.changed")
+      val rdd = df.queryExecution.toRdd.map { r =>
+        if (chgIdx >= 0 && r.getBoolean(chgIdx)) acc.add(1)
+        r.copy() // InternalRow buffers are reused by the scan
+      }
+      rdd.setName(s"graft.cc.round(attempt=$attempt)")
+      rdd.persist(level)
+      rdd.localCheckpoint()
+      rdd.count()
+      onRoundMaterialized(attempt, rdd)
+      pins += rdd
+      (SparkShims.internalCreateDataFrame(spark, rdd, df.schema), rdd,
+        acc.value)
+    }
+    try {
+      // Undirected: keep each edge both ways; self-loops drop out.
+      val half = edges.select(col(uc).cast("long").as("u"),
+        col(vc).cast("long").as("v")).where(col("u") =!= col("v"))
+      val (e, eRdd, _) = pin(
+        half.unionByName(half.select(col("v").as("u"), col("u").as("v")))
+          .distinct(), -1)
+      // Fused init: seeding every vertex with min(self, direct neighbors)
+      // IS the first neighbor round (min-propagation is monotone, so any
+      // init >= the fixpoint converges to the same labels) — one aggregate
+      // replaces the distinct-vertices pass AND the first loop iteration.
+      var (labels, labelsRdd, _) = pin(e.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("cc"))
+        .select(col("u").as("id"), col("cc")), -1)
+      var iter = 0
+      var converged = false
+      while (iter < maxIter && !converged) {
+        // 1. Neighbor round: every vertex adopts the min label among its
+        //    neighbors and itself.
+        val nbrMin = e.join(labels.withColumnRenamed("id", "v"), "v")
+          .groupBy("u").agg(min("cc").as("nmin"))
+          .withColumnRenamed("u", "id")
+        val afterNbr = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"), col("cc").as("old"),
+            least(col("cc"), coalesce(col("nmin"), col("cc"))).as("cc"))
+        // 2. Compression hops: labels are vertex ids, so chase the label
+        //    graph (cc -> label(cc)) twice. Each hop lands on a label
+        //    some component member already holds, so the fixpoint (the
+        //    component minimum) is unchanged; the change flag compares
+        //    the round's FINAL label against its starting one.
+        val hop1 = afterNbr.join(
+            afterNbr.select(col("id").as("cc"), col("cc").as("cc2")),
+            Seq("cc"), "left")
+          .select(col("id"), col("old"),
+            coalesce(col("cc2"), col("cc")).as("cc"))
+        val compressed = hop1.join(
+            hop1.select(col("id").as("cc"), col("cc").as("cc2")),
+            Seq("cc"), "left")
+          .select(col("id"), coalesce(col("cc2"), col("cc")).as("cc"),
+            (coalesce(col("cc2"), col("cc")) =!= col("old")).as("__chg"))
+        val (pdf, prdd, changed) = pin(compressed, 2)
+        converged = changed == 0
+        labelsRdd.unpersist(blocking = false) // superseded generation
+        labels = pdf.select(col("id"), col("cc"))
+        labelsRdd = prdd
+        iter += 1
+      }
+      eRdd.unpersist(blocking = false) // the result reads labels only
+      labels.select(col("id"), col("cc").as("component"))
+    } catch {
+      case t: Throwable =>
+        pins.foreach(_.unpersist(blocking = false))
+        throw t
+    }
   }
 
   /**
@@ -136,12 +221,11 @@ object Clustering {
       .select(col("id"), col("__q"),
         coalesce(col("component"), col("id").cast("long")).as("component"))
     // Referenced twice (winners aggregate + final join) — truncate the
-    // lineage so the corpus scan and the family join run ONCE (same
-    // reliable/local checkpoint choice as connectedComponents).
-    val withFam =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        withFam0.checkpoint(false)
-      else withFam0.localCheckpoint(false)
+    // lineage so the corpus scan and the family join run ONCE. Always a
+    // LOCAL checkpoint (a reliable one leaks its never-deleted dir, and
+    // both consumers sit inside the caller's one action anyway); block
+    // loss fails that action loudly, same contract as the CC loop.
+    val withFam = withFam0.localCheckpoint(false)
     // max(struct(quality, -id)) = highest quality, ties to LOWEST id
     val winners = withFam.groupBy(col("component"))
       .agg(max(struct(col("__q").as("q"), (-col("id")).as("negid")))

@@ -35,13 +35,17 @@ object Dedup {
   // these pipelines declarative and let the optimizer share the exchange.
 
   /** Materialize a frame consumed by several separate ACTIONS (exchange
-    * reuse never crosses action boundaries): reliable checkpoint when the
-    * app configured a checkpoint dir, localCheckpoint otherwise — the
-    * same policy as [[Clustering.connectedComponents]]. */
+    * reuse never crosses action boundaries): always `localCheckpoint` —
+    * these frames are consumed within the same command invocation, and a
+    * reliable checkpoint would leak one never-deleted checkpoint dir per
+    * batch (Spark does not clean reliable checkpoint files by default),
+    * unbounded for a continuous-ingestion caller. The cost is the
+    * documented localCheckpoint contract: losing an executor mid-command
+    * fails the consuming action LOUDLY (no silent recompute) and the
+    * caller re-runs — the index appends are exactly-once under
+    * txnAppId/txnVersion, so a re-run heals rather than duplicates. */
   private def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(true)
-    else df.localCheckpoint(true)
+    df.localCheckpoint(true)
 
   def exact(df: DataFrame, on: Column, orderBy: Column): DataFrame = {
     val keyed = df.withColumn("__dk", on).withColumn("__ord", orderBy)
@@ -251,14 +255,17 @@ object Dedup {
       "graft.minhash.bands" -> bands.toString,
       "graft.minhash.shingleSize" -> shingleSize.toString)
     val sigs = sigArray(df, id, text, numHashes, shingleSize)
-    writeIndexTable(sigs, s"$indexPath/sigs", params)
+    val sigsV = writeIndexTable(sigs, s"$indexPath/sigs", params)
     // Buckets derive from the sigs table just written, not from a second
     // MinHash pass over the corpus text: the signature table is a few
     // hundred bytes per document vs re-tokenizing and re-hashing every
     // shingle — at corpus scale that swap turns a full text pass into a
     // metadata-sized read (signatures round-trip parquet exactly, so the
-    // bucket keys are bit-identical).
-    val sigsBack = graft.Graft.read(df.sparkSession, s"$indexPath/sigs")
+    // bucket keys are bit-identical). Pinned to the version the overwrite
+    // just committed: a concurrent append landing between the two writes
+    // must not leak into the buckets table and diverge the pair.
+    val sigsBack = graft.Graft.readVersion(df.sparkSession,
+        s"$indexPath/sigs", sigsV)
       .select(col("id"), col("sig"))
     writeIndexTable(bucketsOf(sigsBack, numHashes, bands),
       s"$indexPath/buckets", params, partitionBy = Seq("band"))
@@ -274,7 +281,7 @@ object Dedup {
       df: DataFrame,
       path: String,
       params: Map[String, String],
-      partitionBy: Seq[String] = Nil): Unit =
+      partitionBy: Seq[String] = Nil): Long =
     graft.Graft.write(df, path, mode = "overwrite",
       configuration = params, partitionBy = partitionBy)
 
@@ -569,12 +576,13 @@ object Dedup {
     // the sizes aggregate, BOTH sides of the banded pair self-join, and
     // the final report join, and Spark does not share exchanges across
     // those consumers (measured for the minhash pipeline, same shape) —
-    // unmaterialized, the scan + centroid kernel would run 4x.
-    val withC0 = Clustering.kMeansAssigned(df, id, emb, k, maxIter)
-    val withC =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        withC0.checkpoint(true)
-      else withC0.localCheckpoint(true)
+    // unmaterialized, the scan + centroid kernel would run 4x. Always a
+    // LOCAL checkpoint: a reliable one would leak a corpus-sized
+    // checkpoint dir per call (never auto-deleted); block loss fails the
+    // consuming action loudly and the caller re-runs (same contract as
+    // [[materialize]]).
+    val withC = Clustering.kMeansAssigned(df, id, emb, k, maxIter)
+      .localCheckpoint(true)
     val assigned = withC.select(col("id"), col("cluster"))
     // Cluster sizes: k rows, broadcast — never a corpus shuffle.
     val sizes = withC.groupBy(col("cluster")).agg(count(lit(1)).as("__n"))
@@ -624,23 +632,97 @@ object Dedup {
     * scope so scale probes can count candidate rows directly. Input needs
     * `(cluster, id, emb)`; output carries `(idA, embA, idB, embB)` with
     * `idA < idB`, possibly with repeats (one per agreeing band — callers
-    * dedup after filtering). */
+    * dedup after filtering).
+    *
+    * Skew guard: a degenerate band (one collapsed embedding direction =
+    * one hot bucket) concentrates an O(s²) pair explode in the single
+    * task owning that join key, and AQE's skew split keys on INPUT bytes,
+    * which a quadratic-OUTPUT key keeps small. A cheap ids-only
+    * pre-aggregate (map-side combined, one narrow job) detects buckets
+    * past `saltBlock` members; when none exist — every sane corpus — the
+    * join below is exactly the historical single-exchange shape. When one
+    * does, the join switches to [[saltedBucketJoin]]: hot-bucket members
+    * split into deterministic sub-blocks of <= `saltBlock` and the join
+    * key extends with the sub-block pair, so the same pair set emits from
+    * ~G² bounded tasks instead of one. */
   private[graft] def clusterBandedPairs(
       members: DataFrame,
       threshold: Double,
-      planesPerBand: Int = 12): DataFrame = {
+      planesPerBand: Int = 12,
+      saltBlock: Int = 4096): DataFrame = {
     val bands = bandsFor(threshold, planesPerBand)
     val keys = bandKeyArray(col("emb"), bands, planesPerBand)
     val withKey = members.select(col("cluster"), col("id"), col("emb"),
         explode(keys).as("__bk"))
       .select(col("cluster"), col("id"), col("emb"),
         col("__bk.band").as("band"), col("__bk.bits").as("bits"))
-    val a = withKey.select(col("cluster"), col("band"), col("bits"),
-      col("id").as("idA"), col("emb").as("embA"))
-    val b = withKey.select(col("cluster"), col("band"), col("bits"),
-      col("id").as("idB"), col("emb").as("embB"))
-    a.join(b, Seq("cluster", "band", "bits")).where(col("idA") < col("idB"))
-      .select("idA", "embA", "idB", "embB")
+    val hot = withKey.groupBy(col("cluster"), col("band"), col("bits"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") > saltBlock)
+    if (hot.limit(1).isEmpty) {
+      val a = withKey.select(col("cluster"), col("band"), col("bits"),
+        col("id").as("idA"), col("emb").as("embA"))
+      val b = withKey.select(col("cluster"), col("band"), col("bits"),
+        col("id").as("idB"), col("emb").as("embB"))
+      a.join(b, Seq("cluster", "band", "bits")).where(col("idA") < col("idB"))
+        .select("idA", "embA", "idB", "embB")
+    } else saltedBucketJoin(withKey, hot, saltBlock)
+  }
+
+  /** The hot-bucket arm of [[clusterBandedPairs]]: emit the identical
+    * pair multiset with every join task bounded at ~`saltBlock` build
+    * rows. Each member of a bucket with n > saltBlock members lands in a
+    * deterministic sub-block g = pmod(xxhash64(id), G), G = ceil(n/B),
+    * and the bucket's pairs partition exactly over the block pairs
+    * (i, j), i <= j: a member of block g replicates as the LEFT side of
+    * keys (g, j), j >= g and the RIGHT side of keys (i, g), i <= g.
+    * Members of cold buckets keep G = 1, whose two roles collapse to the
+    * single key (0, 0) — one row, the unsalted shuffle volume. Every
+    * unordered pair {a, b} of a bucket meets exactly once per agreeing
+    * band: cross-block pairs at key (g_a, g_b) ordered by block (kept
+    * whole, id order restored with least/greatest), same-block pairs at
+    * (g, g) in both id orders (the idA < idB filter keeps one, and also
+    * drops self-pairs, which only ever meet at (g, g)). */
+  private def saltedBucketJoin(
+      withKey: DataFrame, hot: DataFrame, saltBlock: Int): DataFrame = {
+    val bk = Seq("cluster", "band", "bits")
+    // G is capped so the sequence/explode stays bounded even for an
+    // absurd bucket (the per-block size then grows past saltBlock, but a
+    // bucket needing > 32768 blocks has a >= 2^37-pair output — the
+    // quadratic output itself, not task placement, is the problem there).
+    // coalesce BEFORE least: Spark's least SKIPS nulls, so a cold bucket's
+    // null __n must become 1 before the cap, not after.
+    val keyed = withKey.join(hot, bk, "left")
+      .withColumn("__G",
+        least(coalesce(ceil(col("__n") / saltBlock), lit(1L)), lit(32768L))
+          .cast("int"))
+    val g = pmod(xxhash64(col("id")), col("__G")).cast("int")
+    val roleKeys = when(col("__G") <= 1,
+        array(struct(lit(0).as("i"), lit(0).as("j"), lit(2).as("role"))))
+      .otherwise(concat(
+        transform(sequence(g, col("__G") - 1),
+          j => struct(g.as("i"), j.cast("int").as("j"), lit(0).as("role"))),
+        // i runs 0..g INCLUSIVE: the member must sit on the right side of
+        // its own block's (g, g) key or same-block pairs vanish.
+        transform(sequence(lit(0), g),
+          i => struct(i.cast("int").as("i"), g.as("j"), lit(1).as("role")))))
+    val exploded = keyed.select(col("cluster"), col("band"), col("bits"),
+        col("id"), col("emb"), explode(roleKeys).as("__r"))
+      .select(col("cluster"), col("band"), col("bits"),
+        col("__r.i").as("__i"), col("__r.j").as("__j"),
+        col("__r.role").as("__role"), col("id"), col("emb"))
+    val jk = bk ++ Seq("__i", "__j")
+    val a = exploded.where(col("__role") =!= 1)
+      .select((jk.map(col) :+ col("id").as("idA")) :+ col("emb").as("embA"): _*)
+    val b = exploded.where(col("__role") =!= 0)
+      .select((jk.map(col) :+ col("id").as("idB")) :+ col("emb").as("embB"): _*)
+    val lo = col("idA") <= col("idB")
+    a.join(b, jk)
+      .where(col("__i") < col("__j") || col("idA") < col("idB"))
+      .select(
+        when(lo, col("idA")).otherwise(col("idB")).as("idA"),
+        when(lo, col("embA")).otherwise(col("embB")).as("embA"),
+        when(lo, col("idB")).otherwise(col("idA")).as("idB"),
+        when(lo, col("embB")).otherwise(col("embA")).as("embB"))
   }
 
   /**
@@ -665,12 +747,13 @@ object Dedup {
       "graft.emblsh.planesPerBand" -> planesPerBand.toString)
     val base = df.select(id.as("id"), emb.cast("array<float>").as("emb"))
       .where(col("emb").isNotNull)
-    writeIndexTable(base, s"$indexPath/embs", params)
+    val embsV = writeIndexTable(base, s"$indexPath/embs", params)
     // Band keys derive from the embs table just written (same swap as
     // [[buildMinHashIndex]]): floats round-trip parquet bit-exactly, so
     // the sign-bit keys are identical while the corpus projection runs
-    // once instead of twice.
-    val baseBack = graft.Graft.read(df.sparkSession, s"$indexPath/embs")
+    // once instead of twice. Version-pinned like the sigs read-back.
+    val baseBack = graft.Graft.readVersion(df.sparkSession,
+        s"$indexPath/embs", embsV)
       .select(col("id"), col("emb"))
     writeIndexTable(embBandKeys(baseBack, threshold, planesPerBand),
       s"$indexPath/bands", params, partitionBy = Seq("band"))

@@ -250,6 +250,46 @@ class CoreSuite extends AnyFunSuite with BeforeAndAfterAll {
     assert(Graft.read(spark, dir).count() === lineitem.count())
   }
 
+  test("partitionRouting inverts repartition placement exactly") {
+    import org.apache.spark.sql.functions.spark_partition_id
+    Seq(1, 2, 7, 37, 256).foreach { n =>
+      val route = graft.commands.OptimizeCommand.partitionRouting(n)
+      spark.range(n).select(col("id").cast("int").as("b"))
+        .withColumn("r", element_at(lit(route), col("b") + 1))
+        .repartition(n, col("r"))
+        .select(col("b"), spark_partition_id().as("p"))
+        .collect()
+        .foreach(r => assert(r.getInt(1) === r.getInt(0),
+          s"n=$n: bucket ${r.getInt(0)} landed in partition ${r.getInt(1)}"))
+    }
+  }
+
+  test("zorder multi-file rewrite keeps data and stats-skips point queries") {
+    val dir = tmpDir()
+    // tiny maxFileSize so the rewrite targets many output files — the
+    // sampled zkey boundaries + exact bucket routing must produce files
+    // whose min/max stats prune a corner point query
+    Graft.write(lineitem, dir,
+      configuration = Map("graft.optimize.maxFileSize" -> "16384"))
+    val t = GraftTable.forPath(spark, dir)
+    t.optimize().executeZOrderBy("l_orderkey", "l_partkey")
+    val t2 = GraftTable.forPath(spark, dir)
+    val files = t2.snapshot.allFiles
+    assert(files.size > 3, s"expected a multi-file rewrite, got ${files.size}")
+    assert(Graft.read(spark, dir).count() === lineitem.count())
+    val maxKey = lineitem.agg(max("l_orderkey")).head.getLong(0)
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    import org.apache.spark.sql.types.LongType
+    val pred = EqualTo(AttributeReference("l_orderkey", LongType)(), Literal(maxKey))
+    val kept = graft.stats.StatsSkipping.filterFiles(spark, files,
+      t2.snapshot.metadata.dataSchema, Seq(pred))
+    assert(kept.size < files.size,
+      s"zorder layout should skip files for a point query " +
+        s"(kept ${kept.size} of ${files.size})")
+    assert(Graft.read(spark, dir).filter(col("l_orderkey") === maxKey).count()
+      === lineitem.filter(col("l_orderkey") === maxKey).count())
+  }
+
   test("vacuum removes orphans after delete, keeps live data") {
     val dir = tmpDir()
     Graft.write(lineitem, dir)

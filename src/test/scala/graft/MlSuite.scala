@@ -1363,4 +1363,87 @@ class MultimodalSuite extends org.scalatest.funsuite.AnyFunSuite {
     assert(got3.isEmpty)
   }
 
+  test("hot-band salting: identical pair set, embeddings follow their ids") {
+    import spark.implicits._
+    // 60 positive scalings of one direction: every sign-bit band agrees,
+    // so they form ONE hot bucket per band (n=60 > saltBlock=8 -> salted
+    // sub-block join); plus 40 random cold-bucket members.
+    val rnd = new scala.util.Random(31)
+    val hot = (0 until 60).map { i =>
+      (i.toLong, 0, Array(1.0f, 0.5f, -0.25f, 0.125f, 0.9f, -0.7f, 0.3f, 0.2f)
+        .map(_ * (1.0f + i * 0.001f)))
+    }
+    val cold = (100 until 140).map(i =>
+      (i.toLong, 0, Array.fill(8)(rnd.nextGaussian().toFloat)))
+    val rows = (hot ++ cold).toDF("id", "cluster", "emb")
+    def pairSet(saltBlock: Int) =
+      Dedup.clusterBandedPairs(rows, threshold = 0.95, saltBlock = saltBlock)
+        .select("idA", "idB").distinct()
+        .as[(Long, Long)].collect().toSet
+    val salted = pairSet(8)
+    val legacy = pairSet(1000000) // no bucket over the block -> legacy arm
+    assert(salted === legacy, "salting changed the candidate pair set")
+    // completeness: scaled copies are cosine-1, every band agrees, so all
+    // C(60,2) hot pairs must be candidates in both shapes
+    val hotPairs = salted.filter { case (a, b) => a < 100 && b < 100 }
+    assert(hotPairs.size === 60 * 59 / 2, s"hot pairs ${hotPairs.size}")
+    assert(salted.forall { case (a, b) => a < b }, "idA < idB violated")
+    // the least/greatest swap must keep each embedding with its id
+    val embOf = rows.select("id", "emb").as[(Long, Array[Float])]
+      .collect().toMap
+    val mispaired = Dedup
+      .clusterBandedPairs(rows, threshold = 0.95, saltBlock = 8)
+      .select("idA", "embA", "idB", "embB")
+      .as[(Long, Array[Float], Long, Array[Float])].collect()
+      .filterNot { case (a, ea, b, eb) =>
+        ea.sameElements(embOf(a)) && eb.sameElements(embOf(b))
+      }
+    assert(mispaired.isEmpty, s"${mispaired.length} rows carry swapped embs")
+    // end-to-end through the public operator (default block size, legacy
+    // arm): planted scaled copies are all verified at cosine 1
+    val found = Dedup.embeddingPairs(rows.select("id", "emb"), col("id"),
+        col("emb"), threshold = 0.999)
+      .where(col("idA") < 100 && col("idB") < 100).count()
+    assert(found === 60L * 59 / 2)
+  }
+
+  test("connectedComponents: lost checkpoint blocks retry to the same labels") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("u", "v")
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val killed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    graft.ml.Clustering.onRoundMaterialized = (attempt, rdd) => {
+      attempts.set(math.max(attempts.get, attempt))
+      // kill the first pinned round once: the next round's read then hits
+      // the checkpoint-block-not-found path, exactly like executor loss
+      if (attempt == 1 && !killed.getAndSet(true)) rdd.unpersist(blocking = true)
+    }
+    try {
+      val got = graft.ml.Clustering.connectedComponents(edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L))
+      assert(attempts.get === 2, "loop should have retried exactly once")
+    } finally graft.ml.Clustering.onRoundMaterialized = (_, _) => ()
+  }
+
+  test("connectedComponents: persistent block loss fails loudly") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L)).toDF("u", "v")
+    spark.conf.set(graft.ml.Clustering.MAX_ATTEMPTS_CONF, "2")
+    graft.ml.Clustering.onRoundMaterialized =
+      (_, rdd) => rdd.unpersist(blocking = true)
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        graft.ml.Clustering.connectedComponents(edges).collect()
+      }
+      assert(e.getMessage.contains(
+        "connectedComponents lost its checkpointed label blocks"),
+        e.getMessage)
+    } finally {
+      graft.ml.Clustering.onRoundMaterialized = (_, _) => ()
+      spark.conf.unset(graft.ml.Clustering.MAX_ATTEMPTS_CONF)
+    }
+  }
+
 }
